@@ -1,0 +1,247 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Lazy pandas-verb DataFrame — the Spark-first re-expression of the
+  * reference's `DataFrame` collection
+  * (`/root/reference/pandas_expr/_collection.py:323`).
+  *
+  * Design (SURVEY.md §7.1): we do NOT rebuild the reference's `Expr` IR,
+  * optimizer, or scheduler (`_expr.py`, `_schedule.py`). A Spark
+  * `DataFrame` already IS a lazy expression tree; Catalyst performs the
+  * reference's rewrites (projection pushdown, predicate pushdown into
+  * parquet, limit pushdown, fusion ≈ whole-stage codegen) natively.
+  * Every method here is pure, immutable, and lazy — it only grows the
+  * logical plan. `compute()`/`write` are the actions.
+  *
+  * Scale notes (100 TB posture):
+  *  - no method ever calls `.collect()` on the driver;
+  *  - row order is NOT materialized — unlike pandas there is no implicit
+  *    global index. Order-sensitive verbs (`head`, `sortValues`,
+  *    `nlargest`) take explicit sort keys, which Catalyst turns into
+  *    `TakeOrderedAndProject` (no global sort for top-k);
+  *  - joins/groupbys shuffle on their keys only; small dimension sides
+  *    should be wrapped with [[Df.broadcastHint]].
+  */
+final class Df(val sdf: DataFrame) {
+
+  def spark: SparkSession = sdf.sparkSession
+  def schema: StructType = sdf.schema
+  def columns: Seq[String] = sdf.columns.toSeq
+
+  // ---- projections (`Projection`, `_expr.py:1366`) ----
+  def select(cols: String*): Df = new Df(sdf.select(cols.map(sdf(_)): _*))
+  def apply(cols: Seq[String]): Df = select(cols: _*)
+  /** scalar key → Series (`_expr.py:1393-1400`) */
+  def apply(name: String): Ser = new Ser(sdf, sdf(name), name)
+  /** boolean-mask row selection `df[mask]` (`Filter`, `_expr.py:1355`) */
+  def apply(mask: Ser): Df = new Df(sdf.filter(mask.col))
+  def where(cond: Column): Df = new Df(sdf.filter(cond))
+  def where(mask: Ser): Df = new Df(sdf.filter(mask.col))
+
+  /** `Assign` (`_expr.py:1309`): add/overwrite one column. */
+  def assign(name: String, value: Ser): Df = new Df(sdf.withColumn(name, value.col))
+  def assign(name: String, value: Column): Df = new Df(sdf.withColumn(name, value))
+  /** `Drop` (`_expr.py:1296`) — reference rewrites to Projection; Spark's
+    * ColumnPruning does the same. */
+  def drop(cols: String*): Df = new Df(sdf.drop(cols: _*))
+  /** `RenameFrame` (`_expr.py:1034`) */
+  def rename(mapping: Map[String, String]): Df =
+    new Df(sdf.withColumnsRenamed(mapping))
+  /** `Eval` (`_expr.py:1344`) — pandas eval strings → Spark SQL exprs. */
+  def eval(assignName: String, sqlExpr: String): Df =
+    new Df(sdf.withColumn(assignName, expr(sqlExpr)))
+  def selectExpr(exprs: String*): Df = new Df(sdf.selectExpr(exprs: _*))
+  /** `select_dtypes` (`_collection.py:489`) — eager on schema, like the
+    * reference is eager on meta. */
+  def selectDtypes(include: DataType => Boolean): Df =
+    select(schema.fields.filter(f => include(f.dataType)).map(_.name).toSeq: _*)
+
+  // ---- elementwise, frame-level (`_expr.py:986-1341`) ----
+  /** `Fillna` (`_expr.py:1111`) */
+  def fillna(value: Any, subset: Seq[String] = Nil): Df = {
+    val s = if (subset.isEmpty) columns else subset
+    new Df(value match {
+      case d: Double => sdf.na.fill(d, s)
+      case l: Long   => sdf.na.fill(l, s)
+      case i: Int    => sdf.na.fill(i.toLong, s)
+      case x: String => sdf.na.fill(x, s)
+      case b: Boolean => sdf.na.fill(b, s)
+      case other => sys.error(s"fillna: unsupported $other")
+    })
+  }
+  /** `DropnaFrame` (`_expr.py:986`): how ∈ any|all, optional subset/thresh. */
+  def dropna(how: String = "any", subset: Seq[String] = Nil, thresh: Int = -1): Df = {
+    val s = if (subset.isEmpty) columns else subset
+    new Df(if (thresh >= 0) sdf.na.drop(thresh, s) else sdf.na.drop(how, s))
+  }
+  /** `Replace` (`_expr.py:1125`) */
+  def replace(mapping: Map[Any, Any], subset: Seq[String] = Nil): Df = {
+    val s = if (subset.isEmpty) columns else subset
+    new Df(sdf.na.replace(s, mapping))
+  }
+  /** `AsType` with per-column dict (`_expr.py:1171-1206`). */
+  def astype(dtypes: Map[String, String]): Df =
+    new Df(sdf.withColumns(dtypes.map { case (c, t) => c -> sdf(c).cast(t) }))
+  /** `ExplodeFrame` (`_expr.py:1280`): unnest one column, repeat others.
+    * pandas keeps empty/NaN rows → explode_outer. */
+  def explode(column: String): Df =
+    new Df(sdf.withColumn(column, explode_outer(sdf(column))))
+  /** `Sample` (`_expr.py:1055`) */
+  def sample(frac: Double, replace: Boolean = false, seed: Long = 42L): Df =
+    new Df(sdf.sample(replace, frac, seed))
+
+  // ---- order-adjacent (`Head`/`Tail` `_expr.py:1471`; §2.9) ----
+  /** `Head`: deterministic only with explicit keys (Spark rows are
+    * unordered). With keys → TakeOrderedAndProject, no global sort. */
+  def head(n: Int, byKeys: Seq[String] = Nil): Df =
+    if (byKeys.isEmpty) new Df(sdf.limit(n))
+    else new Df(sdf.orderBy(byKeys.map(sdf(_).asc): _*).limit(n))
+  def tail(n: Int, byKeys: Seq[String]): Df =
+    new Df(sdf.orderBy(byKeys.map(sdf(_).desc): _*).limit(n)
+      .orderBy(byKeys.map(c => col(c).asc): _*))
+  /** `sort_values` — §2.9 extension (reference has no general sort). */
+  def sortValues(by: Seq[String], ascending: Boolean = true): Df =
+    new Df(sdf.orderBy(by.map(c => if (ascending) sdf(c).asc else sdf(c).desc): _*))
+  def sortValues(cols: Column*): Df = new Df(sdf.orderBy(cols: _*))
+
+  // ---- reductions (`_reductions.py`; §2.5) ----
+  private def numericCols: Seq[String] =
+    schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }.toSeq
+  /** per-column aggregate row, pandas `df.sum()` style (numeric_only). */
+  def reduceNumeric(fn: Column => Column, suffix: String = ""): Df =
+    new Df(sdf.select(numericCols.map(c => fn(sdf(c)).as(c + suffix)): _*))
+  def sumAll: Df = reduceNumeric(org.apache.spark.sql.functions.sum(_))
+  def meanAll: Df = reduceNumeric(avg(_))
+  def minAll: Df = reduceNumeric(org.apache.spark.sql.functions.min(_))
+  def maxAll: Df = reduceNumeric(org.apache.spark.sql.functions.max(_))
+  def countAll: Df = reduceNumeric(org.apache.spark.sql.functions.count(_))
+  /** Full-frame aggregation (`Reduction`, `_reductions.py:8-37`):
+    * one partial+final HashAggregate, no group keys. */
+  def agg(exprs: Column*): Df = new Df(sdf.agg(exprs.head, exprs.tail: _*))
+  /** `Len` (`_reductions.py:155`): parquet-metadata-only count is Spark's
+    * aggregate pushdown; `df.count()` on a bare scan reads footers only. */
+  def len: Df = new Df(sdf.groupBy().count().select(col("count").as("len")))
+  /** `NLargest` (`_reductions.py:268`) → TakeOrderedAndProject (top-k per
+    * partition + merge on driver side of exchange — no full sort). */
+  def nlargest(n: Int, cols: Seq[String]): Df =
+    new Df(sdf.orderBy(cols.map(sdf(_).desc): _*).limit(n))
+  def nsmallest(n: Int, cols: Seq[String]): Df =
+    new Df(sdf.orderBy(cols.map(sdf(_).asc): _*).limit(n))
+  /** `ValueCounts` (`_reductions.py:288`) */
+  def valueCounts(c: String, normalize: Boolean = false, dropna: Boolean = true): Df = {
+    var base = sdf
+    if (dropna) base = base.filter(sdf(c).isNotNull)
+    val counted = base.groupBy(c)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
+    new Df(
+      if (!normalize) counted
+      else counted.withColumn("proportion",
+        col("count") / org.apache.spark.sql.functions.sum(col("count"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .drop("count"))
+  }
+  /** `Unique` (`_reductions.py:40`) */
+  def unique(c: String): Df = new Df(sdf.select(c).distinct())
+  /** `DropDuplicates` (`_reductions.py:52`): map-side partial distinct +
+    * shuffle on the subset — scales (no global sort). */
+  def dropDuplicates(subset: Seq[String] = Nil): Df =
+    new Df(if (subset.isEmpty) sdf.dropDuplicates() else sdf.dropDuplicates(subset))
+
+  // ---- groupby (§2.6) ----
+  def groupby(by: String*): GroupedDf = {
+    val missing = by.filterNot(columns.contains)
+    require(missing.isEmpty, s"groupby keys not in columns: $missing")
+    new GroupedDf(this, by)
+  }
+
+  // ---- joins (§2.7, `_merge.py`) ----
+  /** pandas `merge`: equi-join with suffix semantics (`_merge.py:7-79`).
+    * Overlapping non-key columns get suffixes; outer joins coalesce keys.
+    * Catalyst picks broadcast-hash vs sort-merge; pass the smaller frame
+    * through [[Df.broadcastHint]] to force broadcast. */
+  def merge(right: Df, on: Seq[String], how: String = "inner",
+            suffixes: (String, String) = ("_x", "_y"),
+            indicator: Boolean = false): Df = {
+    val overlap = (columns.toSet & right.columns.toSet) -- on.toSet
+    val l = overlap.foldLeft(sdf)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
+    var r = overlap.foldLeft(right.sdf)((d, c) => d.withColumnRenamed(c, c + suffixes._2))
+    var lj = l
+    if (indicator) {
+      lj = lj.withColumn("_left_marker", lit(1))
+      r = r.withColumn("_right_marker", lit(1))
+    }
+    var joined = lj.join(r, on, how)
+    if (indicator) {
+      joined = joined.withColumn("_merge",
+        when(col("_left_marker").isNotNull && col("_right_marker").isNotNull, lit("both"))
+          .when(col("_left_marker").isNotNull, lit("left_only"))
+          .otherwise(lit("right_only")))
+        .drop("_left_marker", "_right_marker")
+    }
+    new Df(joined)
+  }
+  /** Semi/anti joins — Spark-native extension beyond the reference. */
+  def semiJoin(right: Df, on: Seq[String]): Df = new Df(sdf.join(right.sdf, on, "left_semi"))
+  def antiJoin(right: Df, on: Seq[String]): Df = new Df(sdf.join(right.sdf, on, "left_anti"))
+  def crossJoin(right: Df): Df = new Df(sdf.crossJoin(right.sdf))
+  /** Broadcast the (small) frame for subsequent joins. */
+  def broadcastHint: Df = new Df(broadcast(sdf))
+
+  /** `CombineFirst` (`_expr.py:1005`): patch nulls from other, union cols.
+    * Implemented as full-outer equijoin on explicit key cols + coalesce. */
+  def combineFirst(other: Df, on: Seq[String]): Df = {
+    val allCols = (columns ++ other.columns.filterNot(columns.contains)).filterNot(on.contains)
+    val l = sdf.as("l"); val r = other.sdf.as("r")
+    val joined = l.join(r, on, "outer")
+    val proj = on.map(col) ++ allCols.map { c =>
+      val inL = columns.contains(c); val inR = other.columns.contains(c)
+      if (inL && inR) coalesce(l(c), r(c)).as(c)
+      else if (inL) l(c).as(c) else r(c).as(c)
+    }
+    new Df(joined.select(proj: _*))
+  }
+
+  // ---- actions / sinks ----
+  def compute(): Array[org.apache.spark.sql.Row] = sdf.collect()
+  def count(): Long = sdf.count()
+  /** `ToParquet` (`io/parquet.py:49`) */
+  def toParquet(path: String): Unit = sdf.write.mode("overwrite").parquet(path)
+  def toCsv(path: String): Unit =
+    sdf.write.mode("overwrite").option("header", "true").csv(path)
+  def explain(): Unit = sdf.explain("formatted")
+  def pprint(): Unit = explain()
+}
+
+object Df {
+  /** `ReadParquet` (`io/parquet.py:79`): column pruning + DNF filter
+    * pushdown happen in Catalyst (FileSourceScan PushedFilters), the
+    * rewrites the reference hand-rolls in `io/parquet.py:162-317`. */
+  def readParquet(spark: SparkSession, path: String, columns: Seq[String] = Nil): Df = {
+    val base = spark.read.parquet(path)
+    new Df(if (columns.isEmpty) base else base.select(columns.map(base(_)): _*))
+  }
+  /** `ReadCSV` (`io/csv.py:8`) */
+  def readCsv(spark: SparkSession, path: String, header: Boolean = true,
+              schema: StructType = null): Df = {
+    var r = spark.read.option("header", header.toString)
+    r = if (schema != null) r.schema(schema) else r.option("inferSchema", "true")
+    new Df(r.csv(path))
+  }
+  /** `PandasIO` (`io/io.py:17`): in-memory rows as a LocalRelation. */
+  def fromRows(spark: SparkSession, rows: Seq[org.apache.spark.sql.Row], schema: StructType): Df =
+    new Df(spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
+
+  /** `Concat` (`_concat.py:9`): row-wise union of k frames.
+    * join="outer" → union of columns null-filled; "inner" → common cols. */
+  def concat(frames: Seq[Df], join: String = "outer"): Df = join match {
+    case "outer" =>
+      new Df(frames.map(_.sdf).reduce(_.unionByName(_, allowMissingColumns = true)))
+    case "inner" =>
+      val common = frames.map(_.columns.toSet).reduce(_ & _)
+      val ordered = frames.head.columns.filter(common.contains)
+      new Df(frames.map(_.sdf.select(ordered.map(col): _*)).reduce(_.unionByName(_)))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Grouped frame — Spark-first re-expression of the reference's `GroupBy`
+  * collection (`/root/reference/pandas_expr/_groupby.py:246-388`) and its
+  * `SingleAggregation`/`GroupbyAggregation` nodes (`_groupby.py:24-190`).
+  *
+  * Every aggregate compiles to a Catalyst `Aggregate`: partial (map-side)
+  * HashAggregate → shuffle by group keys → final HashAggregate, with
+  * spill — the distributed execution the reference's one-task
+  * `df.groupby(...).agg(...)` (`_groupby.py:111-123`) does not have.
+  *
+  * pandas `first`/`last` mean first/last BY ROW ORDER; Spark's
+  * `first(col)` is nondeterministic, so we require an explicit order key
+  * and compile to `min_by`/`max_by` — deterministic and still one
+  * shuffle.
+  */
+final class GroupedDf private[api] (
+    private val df: Df,
+    val keys: Seq[String],
+    val slice: Seq[String] = Nil) {
+
+  private def sdf: DataFrame = df.sdf
+  private def valueCols: Seq[String] =
+    (if (slice.nonEmpty) slice else df.columns.filterNot(keys.contains))
+  private def numericValueCols: Seq[String] = {
+    val numeric = df.schema.fields
+      .collect { case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name }
+      .toSet
+    valueCols.filter(numeric)
+  }
+
+  /** sliced groupby `g.y` / `g[["y","z"]]` (`_groupby.py:320-335`) */
+  def apply(cols: String*): GroupedDf = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"slice cols not in frame: $missing")
+    new GroupedDf(df, keys, cols)
+  }
+
+  private def aggEach(fn: Column => Column, suffix: String = ""): Df = {
+    val aggs = numericValueCols.map(c => fn(sdf(c)).as(c + suffix))
+    new Df(sdf.groupBy(keys.map(sdf(_)): _*).agg(aggs.head, aggs.tail: _*))
+  }
+
+  // `SingleAggregation` subclasses (`_groupby.py:193-238`), each one
+  // partial+final HashAggregate pair:
+  def sum(): Df = aggEach(org.apache.spark.sql.functions.sum(_))
+  def mean(): Df = aggEach(avg(_))
+  def min(): Df = aggEach(org.apache.spark.sql.functions.min(_))
+  def max(): Df = aggEach(org.apache.spark.sql.functions.max(_))
+  def count(): Df = aggEach(org.apache.spark.sql.functions.count(_))
+  def varr(ddof: Int = 1): Df =
+    aggEach(c => ddofVar(c, ddof))
+  def std(ddof: Int = 1): Df =
+    aggEach(c => sqrt(ddofVar(c, ddof)))
+  /** general ddof from var_samp*(n-1)=M2 (`SURVEY.md §2.5`) */
+  private def ddofVar(c: Column, ddof: Int): Column = ddof match {
+    case 1 => var_samp(c)
+    case 0 => var_pop(c)
+    case d =>
+      (var_samp(c) * (org.apache.spark.sql.functions.count(c) - 1)) /
+        (org.apache.spark.sql.functions.count(c) - lit(d))
+  }
+  /** product via custom-free formulation: sign-aware exp(sum(log|x|)),
+    * zero if any zero (`SURVEY.md §2.5 Prod`). */
+  def prod(): Df = aggEach { c =>
+    val F = org.apache.spark.sql.functions
+    val anyZero = F.max(when(c === 0, 1).otherwise(0)) === 1
+    val negCount = F.sum(when(c < 0, 1).otherwise(0))
+    val mag = exp(F.sum(log(abs(nullif(c, lit(0))))))
+    when(anyZero, lit(0.0))
+      .otherwise(mag * when(negCount % 2 === 1, -1.0).otherwise(1.0))
+  }
+  /** `size` counts rows incl. nulls (vs `count` excl.) (`SURVEY.md §2.6`) */
+  def size(): Df =
+    new Df(sdf.groupBy(keys.map(sdf(_)): _*)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("size")))
+  /** deterministic pandas-`first`: min_by on an explicit order column. */
+  def first(orderCol: String): Df =
+    aggEach(c => min_by(c, sdf(orderCol)), "")
+  def last(orderCol: String): Df =
+    aggEach(c => max_by(c, sdf(orderCol)), "")
+  /** per-group value_counts (`_groupby.py:224`) */
+  def valueCounts(): Df = {
+    val gcols = (keys ++ valueCols).map(sdf(_))
+    new Df(sdf.groupBy(gcols: _*)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("count")))
+  }
+
+  /** `GroupbyAggregation` dict/list spec (`_groupby.py:136-190`):
+    * {"x": ["sum","mean"], "y": "count"} → flattened `x_sum` names
+    * (SURVEY.md §7.4.6: MultiIndex columns flatten). */
+  def agg(spec: Map[String, Seq[String]]): Df = {
+    val aggs = for ((c, fns) <- spec.toSeq.sortBy(_._1); fn <- fns) yield {
+      val col = sdf(c)
+      val out = s"${c}_$fn"
+      (fn match {
+        case "sum"    => org.apache.spark.sql.functions.sum(col)
+        case "mean"   => avg(col)
+        case "min"    => org.apache.spark.sql.functions.min(col)
+        case "max"    => org.apache.spark.sql.functions.max(col)
+        case "count"  => org.apache.spark.sql.functions.count(col)
+        case "var"    => var_samp(col)
+        case "std"    => stddev_samp(col)
+        case "nunique" => countDistinct(col)
+        case other    => sys.error(s"agg: unsupported function $other")
+      }).as(out)
+    }
+    new Df(sdf.groupBy(keys.map(sdf(_)): _*).agg(aggs.head, aggs.tail: _*))
+  }
+  /** custom aggregate expressions with explicit aliases */
+  def agg(exprs: Column*): Df =
+    new Df(sdf.groupBy(keys.map(sdf(_)): _*).agg(exprs.head, exprs.tail: _*))
+}

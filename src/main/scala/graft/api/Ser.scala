@@ -1,0 +1,120 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lazy single-column view over a shared [[Df]] lineage — the Spark-first
+  * re-expression of the reference's `Series` collection
+  * (`/root/reference/pandas_expr/_collection.py:500`).
+  *
+  * A `Ser` is a (frame, column-expression) pair. All elementwise operators
+  * (`/root/reference/pandas_expr/_expr.py:404-483,1102-1656`) compose
+  * `Column` expressions on the SAME underlying `DataFrame` lineage, so
+  * Catalyst sees one plan subtree per source — the reference needs a
+  * whole `combine_similar` CSE pass (`_expr.py:304-381`) to get the same
+  * effect; here it holds by construction.
+  *
+  * Nothing executes until an action; a comparison chain like
+  * `df("a") > 5 && df("b").isin(...)` stays a single codegen'd predicate.
+  */
+final class Ser private[api] (
+    private[api] val frame: DataFrame,
+    val col: Column,
+    val name: String) {
+
+  private def lift(c: Column, n: String = name): Ser = new Ser(frame, c, n)
+  private def both(other: Ser)(f: (Column, Column) => Column): Ser = {
+    require(other.frame eq frame,
+      "cross-frame Series ops require .align() — frames must share lineage")
+    lift(f(col, other.col))
+  }
+
+  // ---- arithmetic binops (reference `_expr.py:1519-1621`) ----
+  def +(o: Ser): Ser = both(o)(_ + _)
+  def -(o: Ser): Ser = both(o)(_ - _)
+  def *(o: Ser): Ser = both(o)(_ * _)
+  def /(o: Ser): Ser = both(o)(_ / _)
+  def %(o: Ser): Ser = both(o)(_ % _)
+  def +(v: Any): Ser = lift(col + lit(v))
+  def -(v: Any): Ser = lift(col - lit(v))
+  def *(v: Any): Ser = lift(col * lit(v))
+  def /(v: Any): Ser = lift(col / lit(v))
+  def %(v: Any): Ser = lift(col % lit(v))
+  def unary_- : Ser = lift(-col)
+  def unary_! : Ser = lift(!col)
+
+  // ---- comparisons ----
+  def ===(o: Ser): Ser = both(o)(_ === _)
+  def !==(o: Ser): Ser = both(o)(_ =!= _)
+  def <(o: Ser): Ser = both(o)(_ < _)
+  def <=(o: Ser): Ser = both(o)(_ <= _)
+  def >(o: Ser): Ser = both(o)(_ > _)
+  def >=(o: Ser): Ser = both(o)(_ >= _)
+  def ===(v: Any): Ser = lift(col === lit(v))
+  def !==(v: Any): Ser = lift(col =!= lit(v))
+  def <(v: Any): Ser = lift(col < lit(v))
+  def <=(v: Any): Ser = lift(col <= lit(v))
+  def >(v: Any): Ser = lift(col > lit(v))
+  def >=(v: Any): Ser = lift(col >= lit(v))
+
+  // ---- boolean ops (`And`/`Or`/`XOr`/`Invert`) ----
+  def &&(o: Ser): Ser = both(o)(_ && _)
+  def ||(o: Ser): Ser = both(o)(_ || _)
+  def ^(o: Ser): Ser = both(o)((a, b) => (a && !b) || (!a && b))
+
+  // ---- elementwise ops (`_expr.py:1102-1341`) ----
+  /** `Isin` (`_expr.py:1133`) */
+  def isin(values: Any*): Ser = lift(col.isin(values: _*))
+  /** `Between` (`_expr.py:1153`); inclusive ∈ both|left|right|neither */
+  def between(lo: Any, hi: Any, inclusive: String = "both"): Ser =
+    lift(inclusive match {
+      case "both"    => col >= lit(lo) && col <= lit(hi)
+      case "left"    => col >= lit(lo) && col < lit(hi)
+      case "right"   => col > lit(lo) && col <= lit(hi)
+      case "neither" => col > lit(lo) && col < lit(hi)
+    })
+  /** `IsNa` (`_expr.py:1209`): pandas NaN≈missing — test null OR NaN. */
+  def isna: Ser = lift(col.isNull || (col.cast("double") === lit(Double.NaN)))
+  def notna: Ser = lift(!(col.isNull || (col.cast("double") === lit(Double.NaN))))
+  /** `Fillna` (`_expr.py:1111`) */
+  def fillna(v: Any): Ser = lift(coalesce(col, lit(v)))
+  /** `Replace` (`_expr.py:1125`) */
+  def replace(from: Any, to: Any): Ser =
+    lift(when(col === lit(from), lit(to)).otherwise(col))
+  /** `Clip` (`_expr.py:1139`) */
+  def clip(lower: Any = null, upper: Any = null): Ser = {
+    var c = col
+    if (lower != null) c = greatest(c, lit(lower))
+    if (upper != null) c = least(c, lit(upper))
+    lift(c)
+  }
+  /** `AsType` (`_expr.py:1171`) */
+  def astype(t: String): Ser = lift(col.cast(t))
+  /** `Round` (`_expr.py:1215`) */
+  def round(decimals: Int = 0): Ser =
+    lift(org.apache.spark.sql.functions.round(col, decimals))
+  /** `Abs` (`_expr.py:1221`) */
+  def abs: Ser = lift(org.apache.spark.sql.functions.abs(col))
+  /** dict-`Map` (`_expr.py:1264`) → chained CASE WHEN (codegen'd, no UDF) */
+  def map(mapping: Map[Any, Any]): Ser =
+    lift(mapping.foldLeft(lit(null).cast("string")) { case (acc, (k, v)) =>
+      when(col === lit(k), lit(v)).otherwise(acc)
+    })
+  def as(n: String): Ser = lift(col.as(n), n)
+
+  /** Materialize as single-column Df (`ToFrame`, `_expr.py:1073`). */
+  def toFrame(n: String = name): Df = new Df(frame.select(col.as(n)))
+
+  // ---- reductions (return lazy 1x1 frames — reference `Scalar`) ----
+  private def agg1(c: Column, n: String): Df = new Df(frame.agg(c.as(n)))
+  def sum: Df = agg1(org.apache.spark.sql.functions.sum(col), s"${name}_sum")
+  def mean: Df = agg1(avg(col), s"${name}_mean")
+  def min: Df = agg1(org.apache.spark.sql.functions.min(col), s"${name}_min")
+  def max: Df = agg1(org.apache.spark.sql.functions.max(col), s"${name}_max")
+  def count: Df = agg1(org.apache.spark.sql.functions.count(col), s"${name}_count")
+  def nunique: Df = agg1(countDistinct(col), s"${name}_nunique")
+  /** `nunique_approx` — dangling in the reference (`_collection.py:282`);
+    * supplied here by Spark's HyperLogLog++. */
+  def nuniqueApprox(rsd: Double = 0.05): Df =
+    agg1(approx_count_distinct(col, rsd), s"${name}_nunique_approx")
+}
