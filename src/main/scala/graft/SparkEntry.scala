@@ -16,8 +16,10 @@ object SparkEntry {
     CoreQueries.defs("q01_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.defs
+    CoreQueries.defs ++ ElementwiseQueries.defs ++ ReductionQueries.defs ++
+      JoinQueries.defs ++ WindowQueries.defs
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles
+    CoreQueries.oracles ++ ElementwiseQueries.oracles ++ ReductionQueries.oracles ++
+      JoinQueries.oracles ++ WindowQueries.oracles
 }

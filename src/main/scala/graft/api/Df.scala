@@ -25,7 +25,7 @@ import org.apache.spark.sql.types._
   *  - joins/groupbys shuffle on their keys only; small dimension sides
   *    should be wrapped with [[Df.broadcastHint]].
   */
-final class Df(val sdf: DataFrame) {
+final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
 
   def spark: SparkSession = sdf.sparkSession
   def schema: StructType = sdf.schema
@@ -92,6 +92,32 @@ final class Df(val sdf: DataFrame) {
   /** `Sample` (`_expr.py:1055`) */
   def sample(frac: Double, replace: Boolean = false, seed: Long = 42L): Df =
     new Df(sdf.sample(replace, frac, seed))
+
+  // ---- index emulation (SURVEY.md §7.4.1) ----
+  /** `SetIndex` (`_expr.py:1118`): Spark rows are unordered, so the
+    * pandas index is just a designated key column. We track the name;
+    * index-joins (`merge` with `on=Nil`) use it. No data movement. */
+  def setIndex(c: String): Df = { require(columns.contains(c)); new Df(sdf, Some(c)) }
+  /** `ResetIndex` (`_expr.py:1462`): drop index designation. */
+  def resetIndex: Df = new Df(sdf, None)
+  /** Materialize an explicit ordinal index by a deterministic sort key —
+    * `row_number` over a global order. Scale note: this is a full sort;
+    * only for order-faithful pandas emulation, never on the 100 TB path. */
+  def withRowIndex(orderBy: Seq[String], name: String = "__index__"): Df = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(orderBy.map(sdf(_)): _*)
+    new Df(sdf.withColumn(name, row_number().over(w) - 1), Some(name))
+  }
+
+  /** Categorical emulation (`_categorical.py:14-129`): pandas `cat.codes`
+    * with sorted-distinct categories (`as_known`). The dictionary is the
+    * distinct set (small by definition) ranked and broadcast back — no
+    * global sort of the data itself. */
+  def withCatCodes(c: String, out: String): Df = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
+    val dict = sdf.select(c).distinct()
+      .withColumn(out, (dense_rank().over(w) - 1).cast("int"))
+    new Df(sdf.join(broadcast(dict), Seq(c), "left"))
+  }
 
   // ---- order-adjacent (`Head`/`Tail` `_expr.py:1471`; §2.9) ----
   /** `Head`: deterministic only with explicit keys (Spark rows are
@@ -183,6 +209,20 @@ final class Df(val sdf: DataFrame) {
     }
     new Df(joined)
   }
+  /** merge with differently-named keys (pandas `left_on`/`right_on`). */
+  def merge(right: Df, leftOn: Seq[String], rightOn: Seq[String],
+            how: String): Df = {
+    val renamed = right.rename(rightOn.zip(leftOn).toMap)
+    merge(renamed, on = leftOn, how = how)
+  }
+  /** index-join (`Merge` with `left_index=right_index=True`,
+    * `_merge.py:99-104`): equi-join on both frames' designated index. */
+  def joinIndex(right: Df, how: String = "left",
+                suffixes: (String, String) = ("_x", "_y")): Df = {
+    val li = indexCol.getOrElse(sys.error("joinIndex: left has no index"))
+    val ri = right.indexCol.getOrElse(sys.error("joinIndex: right has no index"))
+    merge(right.rename(Map(ri -> li)), on = Seq(li), how = how, suffixes = suffixes)
+  }
   /** Semi/anti joins — Spark-native extension beyond the reference. */
   def semiJoin(right: Df, on: Seq[String]): Df = new Df(sdf.join(right.sdf, on, "left_semi"))
   def antiJoin(right: Df, on: Seq[String]): Df = new Df(sdf.join(right.sdf, on, "left_anti"))
@@ -193,13 +233,14 @@ final class Df(val sdf: DataFrame) {
   /** `CombineFirst` (`_expr.py:1005`): patch nulls from other, union cols.
     * Implemented as full-outer equijoin on explicit key cols + coalesce. */
   def combineFirst(other: Df, on: Seq[String]): Df = {
+    // qualified string refs, not df(col): both sides may share lineage
+    // (self-join) and df-bound refs would be ambiguous
     val allCols = (columns ++ other.columns.filterNot(columns.contains)).filterNot(on.contains)
-    val l = sdf.as("l"); val r = other.sdf.as("r")
-    val joined = l.join(r, on, "outer")
+    val joined = sdf.as("l").join(other.sdf.as("r"), on, "outer")
     val proj = on.map(col) ++ allCols.map { c =>
       val inL = columns.contains(c); val inR = other.columns.contains(c)
-      if (inL && inR) coalesce(l(c), r(c)).as(c)
-      else if (inL) l(c).as(c) else r(c).as(c)
+      if (inL && inR) coalesce(col(s"l.$c"), col(s"r.$c")).as(c)
+      else if (inL) col(s"l.$c").as(c) else col(s"r.$c").as(c)
     }
     new Df(joined.select(proj: _*))
   }
