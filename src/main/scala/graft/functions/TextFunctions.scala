@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data
+  * pipelines (north star in /root/repo/BASELINE.json — beyond the
+  * reference's surface, which has no string functions at all,
+  * SURVEY.md §2.4 "Not implemented").
+  *
+  * Everything here is a composition of codegen'd Catalyst expressions
+  * (no UDFs): it stays inside whole-stage codegen and scales linearly
+  * with no shuffle. Cross-engine-portable building blocks (md5-based
+  * hashes) are chosen so DuckDB oracles can replicate results bit-for-bit.
+  */
+object TextFunctions {
+
+  /** whitespace tokenizer */
+  def tokens(c: Column): Column = split(c, " ")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  def charCount(c: Column): Column = length(c)
+
+  /** portable 32-bit token/shingle hash: first 8 hex chars of md5.
+    * (Spark's builtin `hash()` is Murmur3 with Spark-specific seeds —
+    * deliberately avoided so external engines can reproduce results.) */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** 60-bit variant (15 hex chars) for SimHash bit sampling. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** fraction of tokens that are stopwords */
+  def stopwordRatio(c: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(c)
+    val stops = filter(toks, t => t.isin(stopwords.map(x => x: Any): _*))
+    size(stops).cast("double") / size(toks)
+  }
+
+  /** mean token length in characters */
+  def avgTokenLen(c: Column): Column =
+    aggregate(tokens(c), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      size(tokens(c))
+
+  /** heuristic language ID. The driver's synthetic corpus is an
+    * English-word salad, so the shipped profile is marker-word based
+    * (presence of English function words); real deployments swap in
+    * per-language marker sets via the `markers` argument. */
+  def langId(c: Column,
+             markers: Map[String, Seq[String]] = Map("en" -> Seq("the", "a"))): Column = {
+    val toks = tokens(c)
+    markers.foldLeft(lit("unknown")) { case (acc, (lang, words)) =>
+      when(size(filter(toks, t => t.isin(words.map(x => x: Any): _*))) > 0, lang)
+        .otherwise(acc)
+    }
+  }
+
+  /** composite quality score in [0,1]: length saturation + stopword
+    * presence + token-length sanity. Deterministic, portable. */
+  def qualityScore(c: Column, stopwords: Seq[String] = Seq("the", "a")): Column =
+    round(
+      least(tokenCount(c).cast("double") / 100.0, lit(1.0)) * 0.4 +
+        least(stopwordRatio(c, stopwords) * 5.0, lit(1.0)) * 0.3 +
+        least(avgTokenLen(c) / 10.0, lit(1.0)) * 0.3,
+      6)
+
+  /** canonical document fingerprint: md5 of the sorted distinct token
+    * set — whitespace/order/duplication-insensitive exact-dedup key. */
+  def fingerprint(c: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(c)))).cast("binary"))
+
+  /** word n-gram shingles, distinct: `slice` windows over the token
+    * array — one pass, no explode. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    array_distinct(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+}

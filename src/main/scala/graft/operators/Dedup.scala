@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.api.Df
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines — the extension
+  * family the north star requires beyond the reference's surface
+  * (the reference only has exact `DropDuplicates`,
+  * `/root/reference/pandas_expr/_reductions.py:52-79`).
+  *
+  * Scale design (100 TB posture):
+  *  - exact dedup: hash-shuffle on the dedup key only — Spark's
+  *    partial-aggregate dropDuplicates; never a global sort;
+  *  - MinHash-LSH: per-row signatures (no shuffle) → explode to
+  *    (band, key) → shuffle groups only candidate buckets → pairwise
+  *    check INSIDE buckets. Quadratic work is confined to same-bucket
+  *    collisions, the standard sub-quadratic near-dup pipeline;
+  *  - SimHash: per-row 60-bit signature, band the bits for blocking;
+  *  - embedding near-dup: cosine restricted to same coarse bucket
+  *    (label / LSH), never an unbucketed cross join.
+  */
+object Dedup {
+
+  /** Exact dedup on a canonical fingerprint of the text (whitespace /
+    * order / duplication-insensitive). Keeps min doc id per fingerprint. */
+  def exactByFingerprint(docs: Df, textCol: String, idCol: String): Df =
+    new Df(docs.sdf
+      .withColumn("__fp", fingerprint(col(textCol)))
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("__fp"))
+
+  /** MinHash-LSH candidate pairs: returns (id_a, id_b, jaccard) for
+    * document pairs sharing at least one LSH band, with the EXACT
+    * shingle-set jaccard computed for verification (standard
+    * candidate-then-verify). k = bands·r signature size. */
+  def minhashPairs(docs: Df, textCol: String, idCol: String,
+                   shingleN: Int = 3, bands: Int = 3, r: Int = 4,
+                   minJaccard: Double = 0.5): Df = {
+    val k = bands * r
+    val withSig = docs.sdf
+      .withColumn("__sh", wordShingles(col(textCol), shingleN))
+      .withColumn("__sig", minhashSignature(transform(col("__sh"), hash32(_)), k))
+      .select(col(idCol), col("__sh"), col("__sig"))
+    // explode to one row per band — candidates collide on (band, key)
+    val banded = withSig.select(
+      col(idCol), col("__sh"),
+      posexplode(array((0 until bands).map(b => bandKey(col("__sig"), b, r)): _*))
+        .as(Seq("__band", "__key")))
+    val a = banded.select(col(idCol).as("id_a"), col("__sh").as("sh_a"),
+      col("__band"), col("__key"))
+    val b = banded.select(col(idCol).as("id_b"), col("__sh").as("sh_b"),
+      col("__band"), col("__key"))
+    val pairs = a.join(b, Seq("__band", "__key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") -
+      size(array_intersect(col("sh_a"), col("sh_b")))
+    new Df(pairs
+      .withColumn("jaccard", round(inter / uni, 6))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard")))
+  }
+
+  /** 60-bit SimHash per document: bit i of the signature is the sign of
+    * Σ_tokens (±1 by bit i of the token hash). Near-dups differ in few
+    * bits (small Hamming distance). Computed by explode + 60 conditional
+    * sums — one partial+final aggregate pair, portable to SQL oracles. */
+  def simhash(docs: Df, textCol: String, idCol: String, bits: Int = 60): Df = {
+    val toks = docs.sdf.select(col(idCol),
+      explode(array_distinct(tokens(col(textCol)))).as("__tok"))
+      .withColumn("__h", hash60(col("__tok")))
+    val bitSums = (0 until bits).map { i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$i")
+    }
+    val sums = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    // pack sign bits into a long (bit i set iff sum_i > 0)
+    val sig = (0 until bits).map { i =>
+      when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    new Df(sums.select(col(idCol), sig.as("simhash")))
+  }
+
+  /** SimHash near-dup candidate pairs via banded bits + exact Hamming
+    * distance ≤ maxHamming verification. */
+  def simhashPairs(docs: Df, textCol: String, idCol: String,
+                   maxHamming: Int = 6): Df = {
+    val sigs = simhash(docs, textCol, idCol).sdf
+    val bandCols = (0 until 4).map(b =>
+      shiftright(col("simhash"), b * 15).bitwiseAND((1L << 15) - 1).as(s"__band$b"))
+    val banded = sigs.select(col(idCol) +: col("simhash") +: bandCols: _*)
+    val exploded = banded.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(b => col(s"__band$b")): _*)).as(Seq("__band", "__key")))
+    val a = exploded.select(col(idCol).as("id_a"), col("simhash").as("sig_a"),
+      col("__band"), col("__key"))
+    val b = exploded.select(col(idCol).as("id_b"), col("simhash").as("sig_b"),
+      col("__band"), col("__key"))
+    val ham = bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+    new Df(a.join(b, Seq("__band", "__key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("hamming", ham)
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity pairs: docs sharing ≥1 shingle are
+    * joined through an inverted index (explode → equi-join on shingle),
+    * so only overlapping pairs are ever materialized. */
+  def ngramJaccardPairs(docs: Df, textCol: String, idCol: String,
+                        n: Int = 3, minJaccard: Double = 0.5): Df = {
+    val sh = docs.sdf.select(col(idCol).as("id"),
+      wordShingles(col(textCol), n).as("sh"))
+    val inv = sh.select(col("id"), size(col("sh")).as("nsh"),
+      explode(col("sh")).as("g"))
+    val a = inv.select(col("id").as("id_a"), col("nsh").as("n_a"), col("g"))
+    val b = inv.select(col("id").as("id_b"), col("nsh").as("n_b"), col("g"))
+    val shared = a.join(b, Seq("g")).where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+    new Df(shared
+      .withColumn("jaccard",
+        round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard"))
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by a coarse bucket column
+    * (label, LSH bucket, …) so the pairwise check never crosses buckets. */
+  def embeddingCosinePairs(vecs: Df, vecCol: String, idCol: String,
+                           bucketCol: String, minCosine: Double): Df = {
+    val v = vecs.sdf.select(col(idCol).as("id"), col(vecCol).as("v"), col(bucketCol).as("bk"))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"), col("bk"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"), col("bk"))
+    new Df(a.join(b, Seq("bk"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosine(col("v_a"), col("v_b")), 6))
+      .where(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.api.Df
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for training-data pipelines: image/audio/
+  * video payloads travel as opaque `binary` columns plus a typed metadata
+  * struct; decode / feature-extraction runs per-partition in batches.
+  *
+  * The decode step itself is STUBBED (this container has no image/audio
+  * codecs): [[FakeCodec]] is a deterministic stand-in with the same
+  * interface a real decoder (JavaCV / TwelveMonkeys / libsndfile JNI)
+  * would have. Everything around it — schema, partitioning, batch shape,
+  * per-partition execution — is real Spark and tested.
+  *
+  * Scale notes: payloads stay distributed (never collected); feature
+  * extraction is `mapPartitions` so decoder init happens once per
+  * partition, not per row — the Scala analog of the batched
+  * `mapInPandas` pattern; partition sizing is controlled upstream via
+  * `spark.sql.files.maxPartitionBytes` so one batch of payloads fits in
+  * executor memory.
+  */
+object Multimodal {
+
+  /** typed metadata carried next to every payload */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("mime", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("digest", StringType)))
+
+  /** Wrap a binary column with its metadata struct — the ingest step. */
+  def packMedia(df: Df, idCol: String, payloadCol: String, mime: String): Df =
+    new Df(df.sdf.select(
+      col(idCol).cast("long").as("media_id"),
+      col(payloadCol).cast("binary").as("payload"),
+      lit(mime).as("mime"),
+      length(col(payloadCol).cast("binary")).as("n_bytes"),
+      sha2(col(payloadCol).cast("binary"), 256).as("digest")))
+
+  /** Deterministic stand-in for a real media decoder. A production build
+    * replaces `decodeToFeatures` with the actual codec call; signature
+    * and batch contract stay identical. */
+  object FakeCodec {
+    /** "decode" a payload into a fixed-width feature vector: byte
+      * histogram moments — deterministic, cheap, shaped like an
+      * embedding. Real impl: decode image → resize → pool channels. */
+    def decodeToFeatures(payload: Array[Byte], dim: Int = 8): Array[Float] = {
+      if (payload == null || payload.isEmpty) return Array.fill(dim)(0f)
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < payload.length) {
+        out(i % dim) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      val n = math.max(1, payload.length / dim)
+      out.map(_ / n)
+    }
+    /** frame-sample stub: byte offsets a video frame sampler would use */
+    def sampleOffsets(nBytes: Int, frames: Int): Seq[Int] =
+      (0 until frames).map(f => (nBytes.toLong * f / frames).toInt)
+  }
+
+  /** Per-partition batched feature extraction — decoder initialized once
+    * per partition (the expensive part for real codecs), rows processed
+    * in a streaming iterator (no partition-wide materialization). */
+  def extractFeatures(media: Df, dim: Int = 8): Df = {
+    val spark = media.spark
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_bytes", IntegerType),
+      StructField("feature", ArrayType(FloatType))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val ds: Dataset[Row] = media.sdf
+      .select(col("media_id"), col("payload"), col("n_bytes"))
+      .mapPartitions { rows =>
+        // real codec: init decoder/session HERE, once per partition
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          Row(r.getAs[Long]("media_id"), r.getAs[Int]("n_bytes"),
+            FakeCodec.decodeToFeatures(payload, dim))
+        }
+      }(enc)
+    new Df(ds.toDF())
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.api.Df
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (`Array[Float]`) — extension family (north star); the reference has
+  * no vector operations at all.
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]]: exact cosine top-k. The query side is small by
+  *    assumption and broadcast; the corpus streams through one codegen'd
+  *    projection + per-query top-k (window). Cost O(|Q|·|corpus|) — the
+  *    CORRECTNESS baseline.
+  *  - [[lshTopK]]: random-hyperplane LSH — per-row signature, bucket
+  *    equi-join, exact rerank inside buckets. The 100 TB scale path:
+  *    cost O(|collisions|), recall tunable via number of hyperplane bits.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors per query vector by cosine. Queries are
+    * broadcast (small side); ties broken by corpus id for determinism. */
+  def bruteForceTopK(queries: Df, corpus: Df, vecCol: String, idCol: String,
+                     k: Int): Df = {
+    val q = broadcast(queries.sdf.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val c = corpus.sdf.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
+    val scored = c.crossJoin(q)
+      .where(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", round(cosine(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    new Df(scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j,
+    * dim i) — derived from a hash so every engine/executor regenerates
+    * identical planes with no RNG state or driver broadcast. */
+  private def planeComponent(j: Int, i: Int): Double = {
+    val h = math.abs((j * 1000003L + i * 8191L) * 2654435761L % 1000L)
+    (h / 500.0) - 1.0
+  }
+
+  /** sign-bit LSH signature: bit j = [dot(vec, plane_j) > 0]. */
+  def lshSignature(vec: org.apache.spark.sql.Column, planes: Int, dim: Int)
+      : org.apache.spark.sql.Column = {
+    val dims = transform(vec, x => x.cast("double"))
+    val bits = (0 until planes).map { j =>
+      val terms = (0 until dim).map(i =>
+        element_at(dims, i + 1) * lit(planeComponent(j, i)))
+      when(terms.reduce(_ + _) > 0, lit(1L) * (1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN: bucket by LSH signature, exact cosine rerank inside buckets.
+    * Queries broadcast; corpus shuffles once on the bucket key. */
+  def lshTopK(queries: Df, corpus: Df, vecCol: String, idCol: String,
+              k: Int, planes: Int = 8, dim: Int = 64): Df = {
+    val sig = lshSignature(col(vecCol), planes, dim)
+    val q = broadcast(queries.sdf.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"), sig.as("bucket")))
+    val c = corpus.sdf.select(
+      col(idCol).as("corpus_id"), col(vecCol).as("c_vec"), sig.as("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    new Df(c.join(q, Seq("bucket"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cosine"))
+  }
+}

@@ -1,0 +1,272 @@
+package graft.queries
+
+import graft.api.Df
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import QueryUtil._
+
+/** LLM-training-data pipeline suite (north star extensions, beyond the
+  * reference's surface): deduplication (exact / MinHash-LSH / SimHash /
+  * n-gram Jaccard / embedding-cosine), similarity search, text analysis,
+  * multimodal metadata plumbing. q60–q70.
+  *
+  * The source tables have no duplicates, so dedup queries first build a
+  * corpus = documents ∪ deterministic mutated copies — the same
+  * construction appears in the DuckDB oracle, so candidate generation
+  * and verification are compared end-to-end, not just on toy input.
+  *
+  * Several oracles are program-generated SQL replicas of the full
+  * pipeline (MinHash signatures, SimHash bit sums) — the strongest
+  * correctness check available for non-relational operators.
+  */
+object ExtensionQueries {
+
+  /** documents plus near-duplicate copies (id+10000, one appended token) */
+  private def mutatedCorpus(s: org.apache.spark.sql.SparkSession, dir: String): Df = {
+    val d = T(s, dir, "documents").select("doc_id", "text")
+    val mut = d.where(col("doc_id") % 10 === 0)
+      .selectExpr("doc_id + 10000 AS doc_id", "text || ' zzz' AS text")
+    Df.concat(Seq(d, mut))
+  }
+  private val corpusSql =
+    """(SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 10000 AS doc_id, text || ' zzz' AS text
+      |FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    // ---- exact dedup by canonical fingerprint ----
+    "q60_dedup_exact" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      val copies = d.where(col("doc_id") % 7 === 0)
+        .selectExpr("doc_id + 10000 AS doc_id", "text")
+      Dedup.exactByFingerprint(Df.concat(Seq(d, copies)), "text", "doc_id")
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- per-document text statistics + quality score ----
+    "q61_text_stats" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      d.where(d("doc_id") < 100)
+        .assign("n_tokens", tokenCount(col("text")))
+        .assign("n_chars", charCount(col("text")))
+        .assign("avg_token_len", round(avgTokenLen(col("text")), 6))
+        .assign("stop_ratio", round(stopwordRatio(col("text"), Seq("the", "a")), 6))
+        .assign("quality", qualityScore(col("text")))
+        .select("doc_id", "n_tokens", "n_chars", "avg_token_len", "stop_ratio", "quality")
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- heuristic language ID (marker words) vs corpus truth ----
+    "q62_langid" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .assign("lang_pred", langId(col("text")))
+        .groupby("lang_pred").size()
+        .sortValues(Seq("lang_pred")).sdf
+    }),
+
+    // ---- fingerprint cardinality (dup detection summary) ----
+    "q63_fingerprint" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .assign("fp", fingerprint(col("text")))
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("fp")).as("n_fingerprints")).sdf
+    }),
+
+    // ---- MinHash-LSH near-dup pairs, exact-jaccard verified ----
+    "q64_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashPairs(mutatedCorpus(s, dir), "text", "doc_id",
+        shingleN = 3, bands = 3, r = 4, minJaccard = 0.5)
+        .sortValues(Seq("id_a", "id_b")).sdf
+    }),
+
+    // ---- SimHash signatures (60-bit, portable bit sums) ----
+    "q65_simhash" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Dedup.simhash(d.where(d("doc_id") < 200), "text", "doc_id")
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- exact n-gram Jaccard pairs via inverted index ----
+    "q66_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(mutatedCorpus(s, dir), "text", "doc_id",
+        n = 3, minJaccard = 0.5)
+        .sortValues(Seq("id_a", "id_b")).sdf
+    }),
+
+    // ---- embedding-cosine near-dup pairs (bucketed by label) ----
+    "q67_embedding_dedup" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val copies = e.where(col("vec_id") % 20 === 0)
+        .selectExpr("vec_id + 10000 AS vec_id",
+          "transform(embedding, x -> x * cast(0.5 as float)) AS embedding", "label")
+      val corpus = Df.concat(Seq(e.select("vec_id", "embedding", "label"), copies))
+      Dedup.embeddingCosinePairs(corpus, "embedding", "vec_id", "label", 0.99)
+        .sortValues(Seq("id_a", "id_b")).sdf
+    }),
+
+    // ---- brute-force cosine top-k (ANN correctness baseline) ----
+    "q68_similarity_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val q = e.where(e("vec_id") < 5)
+      Similarity.bruteForceTopK(q, e, "embedding", "vec_id", k = 3)
+        .sortValues(Seq("query_id", "rank")).sdf
+    }),
+
+    // ---- multimodal: opaque binary payload + typed metadata ----
+    "q69_multimodal_meta" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      d.where(d("doc_id") < 100)
+        .assign("payload", col("text").cast("binary"))
+        .assign("n_bytes", length(col("payload")))
+        .assign("digest", sha2(col("payload"), 256))
+        .select("doc_id", "n_bytes", "digest")
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- multimodal decode-to-features (stubbed codec; plumbing is
+    // real mapPartitions — no SQL twin → driver rows-only check) ----
+    "q71_multimodal_features" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val media = graft.operators.Multimodal.packMedia(
+        d.where(d("doc_id") < 50), "doc_id", "text", "text/plain")
+      graft.operators.Multimodal.extractFeatures(media, dim = 8)
+        .selectExpr("media_id", "n_bytes", "round(feature[0], 4) AS f0")
+        .sortValues(Seq("media_id")).sdf
+    }),
+
+    // ---- composite pipeline: quality-filter → per-lang counts ----
+    "q70_quality_filter" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .assign("quality", qualityScore(col("text")))
+        .where(col("quality") >= 0.5)
+        .groupby("lang").agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("quality")), 6).as("avg_quality"))
+        .sortValues(Seq("lang")).sdf
+    }))
+
+  // ---------------- oracles ----------------
+
+  private val fpSql =
+    "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))"
+  private def shinglesSql(textExpr: String = "text") =
+    s"""list_distinct(list_transform(range(len(string_split($textExpr,' ')) - 2),
+       |i -> array_to_string(string_split($textExpr,' ')[i+1:i+3], ' ')))""".stripMargin
+  private val stopFilterSql =
+    "len(list_filter(string_split(text,' '), t -> t IN ('the','a')))"
+  private val qualitySql =
+    """ROUND(LEAST(len(string_split(text,' ')) / 100.0, 1.0) * 0.4 +
+      |LEAST((len(list_filter(string_split(text,' '), t -> t IN ('the','a')))
+      |  / CAST(len(string_split(text,' ')) AS DOUBLE)) * 5.0, 1.0) * 0.3 +
+      |LEAST(((length(text) - len(string_split(text,' ')) + 1)
+      |  / CAST(len(string_split(text,' ')) AS DOUBLE)) / 10.0, 1.0) * 0.3, 6)""".stripMargin
+
+  /** SimHash oracle: program-generated 60-term bit-sum SQL replica. */
+  private val simhashSql: String = {
+    val bitSums = (0 until 60).map(i =>
+      s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(",\n")
+    val packed = (0 until 60).map(i =>
+      s"CASE WHEN b$i > 0 THEN (1::BIGINT << $i) ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS tok
+       |  FROM documents WHERE doc_id < 200),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok),1,15))::BIGINT AS h FROM toks),
+       |sums AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+       |SELECT doc_id, $packed AS simhash FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  /** MinHash oracle: full signature + banding + verify pipeline in SQL.
+    * Constants mirror graft.functions.VectorFunctions (a_j = 2^30-ish,
+    * b_j, p = 4294967311). */
+  private val minhashSql: String =
+    s"""WITH corpus AS $corpusSql,
+       |sh AS (SELECT doc_id, ${shinglesSql()} AS shingles FROM corpus),
+       |hashed AS (SELECT doc_id, shingles,
+       |  list_transform(shingles, s -> ('0x' || substr(md5(s),1,8))::BIGINT) AS hs FROM sh),
+       |sigs AS (SELECT doc_id, shingles,
+       |  list_transform(range(12), j -> list_min(list_transform(hs,
+       |    h -> ((1073741789 - 7919*j) * h + (15485863 * (j+1)) % 4294967311) % 4294967311))) AS sig
+       |  FROM hashed),
+       |banded AS (SELECT doc_id, shingles, b,
+       |  array_to_string(sig[b*4+1:b*4+4], '_') AS key
+       |  FROM sigs, range(3) t(b)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  a.shingles AS sh_a, b.shingles AS sh_b
+       |  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key
+       |  WHERE a.doc_id < b.doc_id),
+       |scored AS (SELECT id_a, id_b,
+       |  ROUND(len(list_filter(sh_a, x -> list_contains(sh_b, x))) /
+       |    (CAST(len(sh_a) + len(sh_b) AS DOUBLE) -
+       |     len(list_filter(sh_a, x -> list_contains(sh_b, x)))), 6) AS jaccard
+       |  FROM pairs)
+       |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private val ngramJaccardSql: String =
+    s"""WITH corpus AS $corpusSql,
+       |sh AS (SELECT doc_id, ${shinglesSql()} AS shingles FROM corpus),
+       |inv AS (SELECT doc_id, len(shingles) AS nsh, UNNEST(shingles) AS g FROM sh),
+       |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  a.nsh AS n_a, b.nsh AS n_b, COUNT(*) AS inter
+       |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT id_a, id_b,
+       |ROUND(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
+       |FROM shared
+       |WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q60_dedup_exact" ->
+      s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM (
+         |SELECT doc_id, text FROM documents
+         |UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0)
+         |GROUP BY $fpSql ORDER BY doc_id""".stripMargin,
+    "q61_text_stats" ->
+      s"""SELECT doc_id,
+         |len(string_split(text,' ')) AS n_tokens,
+         |length(text) AS n_chars,
+         |ROUND((length(text) - len(string_split(text,' ')) + 1)
+         |  / CAST(len(string_split(text,' ')) AS DOUBLE), 6) AS avg_token_len,
+         |ROUND($stopFilterSql / CAST(len(string_split(text,' ')) AS DOUBLE), 6) AS stop_ratio,
+         |$qualitySql AS quality
+         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "q62_langid" ->
+      s"""SELECT CASE WHEN $stopFilterSql > 0 THEN 'en' ELSE 'unknown' END AS lang_pred,
+         |COUNT(*) AS size FROM documents GROUP BY 1 ORDER BY lang_pred""".stripMargin,
+    "q63_fingerprint" ->
+      s"""SELECT COUNT(*) AS n_docs, COUNT(DISTINCT $fpSql) AS n_fingerprints
+         |FROM documents""".stripMargin,
+    "q64_minhash_pairs" -> minhashSql,
+    "q65_simhash" -> simhashSql,
+    "q66_ngram_jaccard" -> ngramJaccardSql,
+    "q67_embedding_dedup" ->
+      """WITH corpus AS (
+        |SELECT vec_id, embedding, label FROM embeddings
+        |UNION ALL SELECT vec_id + 10000,
+        |  list_transform(embedding, x -> x * 0.5::FLOAT), label
+        |FROM embeddings WHERE vec_id % 20 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q68_similarity_topk" ->
+      """SELECT query_id, rank, corpus_id, cosine FROM (
+        |SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+        |ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |  ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+        |  c.vec_id) AS rank
+        |FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |WHERE q.vec_id < 5)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q69_multimodal_meta" ->
+      """SELECT doc_id, length(text) AS n_bytes, sha256(text) AS digest
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "q70_quality_filter" ->
+      s"""SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(q), 6) AS avg_quality FROM (
+         |SELECT lang, $qualitySql AS q FROM documents)
+         |WHERE q >= 0.5 GROUP BY lang ORDER BY lang""".stripMargin)
+}

@@ -1,0 +1,189 @@
+package graft
+
+import graft.api.Df
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one JVM-wide SparkSession). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+/** Differential tests for the wrapper surface itself — the reference's
+  * test species 1 (SURVEY.md §5): operator output vs an independently
+  * computed expectation. Oracle-level checks live in the driver's
+  * Verify/DuckDB gate; these cover API paths the gate doesn't reach. */
+class ApiSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def li = Df.readParquet(spark, s"$sf/lineitem.parquet")
+  private def f1: Df = {
+    val rows = (0L until 100L).map(i => Row(i, i * 10.0))
+    Df.fromRows(spark, rows, StructType(Seq(
+      StructField("x", LongType), StructField("y", DoubleType))))
+  }
+
+  test("projection: scalar key yields Ser, list yields Df") {
+    assert(f1.select("x").columns == Seq("x"))
+    assert(f1("y").name == "y")
+    assert(f1(Seq("y", "x")).columns == Seq("y", "x"))
+  }
+
+  test("filter via boolean mask Ser") {
+    val d = f1
+    assert(d(d("x") < 10).count() == 10)
+    assert(d(d("x").between(10, 19) && d("y") > 150.0).count() == 4)
+  }
+
+  test("assign + binop chains match manual computation") {
+    val d = f1
+    val r = d.assign("z", d("x") * 2 + 1).sdf
+      .agg(sum("z")).collect()(0).getLong(0)
+    assert(r == (0 until 100).map(i => i * 2 + 1).sum)
+  }
+
+  test("xor and invert boolean semantics") {
+    val d = f1
+    val both = d.assign("a", d("x") < 50).assign("b", d("x") < 25)
+    val x = both.sdf.filter((col("a") =!= col("b"))).count()
+    val viaXor = d(((d("x") < 50) ^ (d("x") < 25))).count()
+    assert(x == viaXor && viaXor == 25)
+  }
+
+  test("fillna/isna honor both null and NaN (pandas missing semantics)") {
+    val rows = Seq(Row(1.0), Row(Double.NaN), Row(null))
+    val d = Df.fromRows(spark, rows,
+      StructType(Seq(StructField("v", DoubleType))))
+    assert(d(d("v").isna).count() == 2)
+    assert(d(d("v").notna).count() == 1)
+  }
+
+  test("head with keys is deterministic top-k, tail reverses") {
+    val h = li.head(3, byKeys = Seq("l_orderkey", "l_linenumber")).compute()
+    val keys = h.map(r => (r.getLong(0), r.getInt(3)))
+    assert(keys.sliding(2).forall(p => implicitly[Ordering[(Long, Int)]].lteq(p(0), p(1))))
+    val t = li.tail(3, byKeys = Seq("l_orderkey", "l_linenumber")).compute()
+    assert(t.length == 3)
+    assert(t.head.getLong(0) >= h.head.getLong(0))
+  }
+
+  test("dropDuplicates subset") {
+    assert(li.dropDuplicates(Seq("l_returnflag")).count() == 3)
+  }
+
+  test("merge suffixes rename only overlapping non-key columns") {
+    val a = f1
+    val b = a.assign("y", a("y") * 2)
+    val m = a.merge(b, on = Seq("x"), how = "inner")
+    assert(m.columns.toSet == Set("x", "y_x", "y_y"))
+    val r = m.sdf.filter(col("x") === 3).collect()(0)
+    assert(r.getAs[Double]("y_x") == 30.0 && r.getAs[Double]("y_y") == 60.0)
+  }
+
+  test("merge indicator marks both/left_only/right_only") {
+    val a = f1.where(col("x") < 60).select("x")
+    val b = f1.where(col("x") >= 40).select("x")
+    val m = a.merge(b, on = Seq("x"), how = "outer", indicator = true)
+    val counts = m.sdf.groupBy("_merge").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("left_only" -> 40L, "both" -> 20L, "right_only" -> 40L))
+  }
+
+  test("concat outer null-fills missing columns; inner keeps common") {
+    val a = f1
+    val b = f1.rename(Map("y" -> "z"))
+    val outer = Df.concat(Seq(a, b), "outer")
+    assert(outer.columns.toSet == Set("x", "y", "z") && outer.count() == 200)
+    val inner = Df.concat(Seq(a, b), "inner")
+    assert(inner.columns == Seq("x") && inner.count() == 200)
+  }
+
+  test("combineFirst patches nulls from other frame") {
+    val a = f1.where(col("x") < 50)
+    val b = f1.assign("y", lit(-1.0))
+    val cf = a.combineFirst(b, on = Seq("x"))
+    assert(cf.count() == 100)
+    val vals = cf.sdf.filter(col("x").isin(10, 60)).orderBy("x").collect()
+    assert(vals(0).getAs[Double]("y") == 100.0) // from a
+    assert(vals(1).getAs[Double]("y") == -1.0)  // patched from b
+  }
+
+  test("groupby agg spec flattens names pandas-style") {
+    val d = f1
+    val g = d.assign("k", d("x") % 10)
+      .groupby("k").agg(Map("y" -> Seq("sum", "mean"), "x" -> Seq("count")))
+    assert(g.columns.toSet == Set("k", "y_sum", "y_mean", "x_count"))
+    assert(g.count() == 10)
+  }
+
+  test("groupby prod matches direct product") {
+    val d = Df.fromRows(spark,
+      Seq(Row("a", 2.0), Row("a", 3.0), Row("b", -4.0), Row("b", 0.5), Row("c", 0.0)),
+      StructType(Seq(StructField("k", StringType), StructField("v", DoubleType))))
+    val r = d.groupby("k").prod().sdf.orderBy("k").collect()
+      .map(r => r.getString(0) -> math.rint(r.getDouble(1) * 1e9) / 1e9).toMap
+    assert(r == Map("a" -> 6.0, "b" -> -2.0, "c" -> 0.0))
+  }
+
+  test("ddof variance beyond 0/1") {
+    val d = f1.assign("k", lit(1L)).select("k", "y")
+    val v2 = d.groupby("k").varr(ddof = 2).sdf.collect()(0).getAs[Double]("y")
+    val ys = (0 until 100).map(_ * 10.0)
+    val mean = ys.sum / ys.size
+    val m2 = ys.map(y => (y - mean) * (y - mean)).sum
+    assert(math.abs(v2 - m2 / (ys.size - 2)) < 1e-6)
+  }
+
+  test("setIndex/joinIndex/resetIndex round-trip") {
+    val d = f1
+    val a = d.setIndex("x")
+    assert(a.indexCol.contains("x"))
+    val b = d.assign("w", d("y") + 1).select("x", "w")
+      .rename(Map("x" -> "i")).setIndex("i")
+    val j = a.joinIndex(b, how = "left")
+    assert(j.columns.toSet == Set("x", "y", "w"))
+    assert(j.resetIndex.indexCol.isEmpty)
+  }
+
+  test("withCatCodes builds sorted-distinct dictionary codes") {
+    val codes = li.withCatCodes("l_returnflag", "code")
+      .select("l_returnflag", "code").dropDuplicates().sdf
+      .orderBy("l_returnflag").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(codes == Map("A" -> 0, "N" -> 1, "R" -> 2))
+  }
+
+  test("withRowIndex materializes 0-based ordinal by sort key") {
+    val d = li.withRowIndex(Seq("l_orderkey", "l_linenumber"))
+    val first = d.sdf.orderBy("__index__").limit(2).collect()
+    assert(first(0).getAs[Int]("__index__") == 0)
+    assert(first(1).getAs[Int]("__index__") == 1)
+  }
+
+  test("eval parses SQL expressions (pandas df.eval analog)") {
+    val r = f1.eval("z", "x + y / 10").sdf.agg(sum("z")).collect()(0)
+    assert(r.getDouble(0) == (0 until 100).map(i => i + i.toDouble).sum)
+  }
+
+  test("explode_outer keeps empty/null rows like pandas explode") {
+    val d = Df.fromRows(spark,
+      Seq(Row(1L, Seq(10L, 20L)), Row(2L, Seq.empty[Long]), Row(3L, null)),
+      StructType(Seq(StructField("id", LongType),
+        StructField("a", ArrayType(LongType)))))
+    val e = d.explode("a")
+    assert(e.count() == 4) // 2 + empty-row + null-row
+  }
+}

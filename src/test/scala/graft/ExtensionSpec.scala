@@ -1,0 +1,118 @@
+package graft
+
+import graft.api.Df
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the LLM-pipeline extension operators (dedup, similarity,
+  * text analysis, multimodal plumbing). */
+class ExtensionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docs = Df.readParquet(spark, s"$sf/documents.parquet")
+  private def embs = Df.readParquet(spark, s"$sf/embeddings.parquet")
+
+  private def mkDocs(texts: (Long, String)*): Df =
+    Df.fromRows(spark, texts.map { case (i, t) => Row(i, t) },
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+  test("fingerprint is order/duplication-insensitive") {
+    val d = mkDocs(1L -> "a b c", 2L -> "c b a a", 3L -> "a b d")
+    val fps = d.sdf.select(fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("wordShingles produces distinct n-grams") {
+    val d = mkDocs(1L -> "a b c d")
+    val sh = d.sdf.select(wordShingles(col("text"), 3)).collect()(0).getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+  }
+
+  test("minhashPairs finds a mutated near-duplicate, skips unrelated") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today " * 3
+    val d = mkDocs(
+      1L -> base.trim,
+      2L -> (base.trim + " zzz"),
+      3L -> "completely different words entirely unrelated content here now that share nothing at all with others")
+    val pairs = Dedup.minhashPairs(d, "text", "doc_id", minJaccard = 0.3)
+      .sdf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    val base = ('a' to 'z').map(c => s"tok$c").mkString(" ")
+    val d = mkDocs(1L -> base, 2L -> (base + " extra"), 3L -> (1 to 26).map(i => s"other$i").mkString(" "))
+    val sigs = Dedup.simhash(d, "text", "doc_id").sdf.orderBy("doc_id")
+      .collect().map(_.getLong(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0), sigs(1)) < ham(sigs(0), sigs(2)))
+    assert(ham(sigs(0), sigs(1)) <= 6)
+  }
+
+  test("ngramJaccardPairs exact jaccard on known overlap") {
+    val d = mkDocs(1L -> "a b c d e", 2L -> "a b c d f", 3L -> "x y z w v")
+    // 3-grams: d1={abc,bcd,cde}, d2={abc,bcd,cdf} → inter 2, union 4 → 0.5
+    val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id", n = 3, minJaccard = 0.4)
+      .sdf.collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(math.abs(pairs(0).getDouble(2) - 0.5) < 1e-9)
+  }
+
+  test("embedding cosine: scaled copy has cosine 1, orthogonal has 0") {
+    val d = Df.fromRows(spark, Seq(
+      Row(1L, Seq(1f, 0f, 2f), 0), Row(2L, Seq(2f, 0f, 4f), 0), Row(3L, Seq(0f, 5f, 0f), 0)),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)), StructField("label", IntegerType))))
+    val pairs = Dedup.embeddingCosinePairs(d, "embedding", "vec_id", "label", 0.999)
+      .sdf.collect()
+    assert(pairs.length == 1 && pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+  }
+
+  test("bruteForceTopK ranks by cosine with id tiebreak") {
+    val q = embs.where(col("vec_id") === 0)
+    val top = Similarity.bruteForceTopK(q, embs, "embedding", "vec_id", 5)
+      .sdf.orderBy("rank").collect()
+    assert(top.length == 5)
+    val cosines = top.map(_.getAs[Double]("cosine"))
+    assert(cosines.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("lshTopK returns a subset consistent with brute force ranking") {
+    val q = embs.where(col("vec_id") < 3)
+    val lsh = Similarity.lshTopK(q, embs, "embedding", "vec_id", k = 3)
+      .sdf.collect()
+    // approximate: every returned neighbor's cosine must be a real cosine
+    // (sanity: scores in [-1, 1], ranks start at 1 per query)
+    assert(lsh.forall(r => math.abs(r.getAs[Double]("cosine")) <= 1.0))
+    assert(lsh.groupBy(_.getLong(0)).values.forall(_.map(_.getInt(1)).min == 1))
+  }
+
+  test("quality score is in [0,1] and favors stopword-bearing text") {
+    val d = mkDocs(1L -> ("the quick brown fox " * 30).trim, 2L -> "zz")
+    val qs = d.sdf.select(qualityScore(col("text"))).collect().map(_.getDouble(0))
+    assert(qs.forall(q => q >= 0 && q <= 1))
+    assert(qs(0) > qs(1))
+  }
+
+  test("multimodal: packMedia + extractFeatures round-trip, deterministic") {
+    val media = Multimodal.packMedia(docs.head(20, Seq("doc_id")), "doc_id", "text", "text/plain")
+    assert(media.columns == Seq("media_id", "payload", "mime", "n_bytes", "digest"))
+    val feats = Multimodal.extractFeatures(media).sdf.orderBy("media_id").collect()
+    assert(feats.length == 20)
+    val again = Multimodal.extractFeatures(media).sdf.orderBy("media_id").collect()
+    assert(feats.zip(again).forall { case (a, b) =>
+      a.getSeq[Float](2) == b.getSeq[Float](2) })
+  }
+
+  test("FakeCodec frame sampling covers the payload") {
+    val offs = Multimodal.FakeCodec.sampleOffsets(1000, 4)
+    assert(offs == Seq(0, 250, 500, 750))
+  }
+}
