@@ -45,18 +45,27 @@ object Dedup {
       .withColumn("__sh", wordShingles(col(textCol), shingleN))
       .withColumn("__sig", minhashSignature(transform(col("__sh"), hash32(_)), k))
       .select(col(idCol), col("__sh"), col("__sig"))
-    // explode to one row per band — candidates collide on (band, key)
-    val banded = withSig.select(
-      col(idCol), col("__sh"),
+    // explode to one row per band — candidates collide on (band, key).
+    // Only (id, band, key) flows through the bucket join; the shingle
+    // arrays are re-joined onto the (much smaller) deduped candidate
+    // pairs for verification — at scale the wide arrays never shuffle.
+    val banded = withSig.select(col(idCol),
       posexplode(array((0 until bands).map(b => bandKey(col("__sig"), b, r)): _*))
         .as(Seq("__band", "__key")))
-    val a = banded.select(col(idCol).as("id_a"), col("__sh").as("sh_a"),
-      col("__band"), col("__key"))
-    val b = banded.select(col(idCol).as("id_b"), col("__sh").as("sh_b"),
-      col("__band"), col("__key"))
-    val pairs = a.join(b, Seq("__band", "__key"))
+    val a = banded.select(col(idCol).as("id_a"), col("__band"), col("__key"))
+    val b = banded.select(col(idCol).as("id_b"), col("__band"), col("__key"))
+    val candidates = a.join(b, Seq("__band", "__key"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .select("id_a", "id_b").distinct()
+    // verification lookup: the per-doc shingle table is tiny relative to
+    // the candidate pair set (one row per doc) — broadcast it so the
+    // pairs never shuffle their arrays. Beyond broadcast size (huge doc
+    // counts) Catalyst/AQE falls back to shuffle join if the hint is
+    // dropped — the plan stays correct either way.
+    val shingles = withSig.select(col(idCol), col("__sh"))
+    val pairs = candidates
+      .join(broadcast(shingles.select(col(idCol).as("id_a"), col("__sh").as("sh_a"))), Seq("id_a"))
+      .join(broadcast(shingles.select(col(idCol).as("id_b"), col("__sh").as("sh_b"))), Seq("id_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") -
       size(array_intersect(col("sh_a"), col("sh_b")))
@@ -113,18 +122,34 @@ object Dedup {
     * so only overlapping pairs are ever materialized. */
   def ngramJaccardPairs(docs: Df, textCol: String, idCol: String,
                         n: Int = 3, minJaccard: Double = 0.5): Df = {
+    // Exact jaccard with two standard scale techniques, both preserved
+    // exactly in the SQL oracle:
+    //  1. shingles join as sorted 32-bit hashes (8-byte shuffle keys,
+    //     deterministic ~2^-32 collision merge);
+    //  2. PREFIX FILTERING (AllPairs/PPJoin): under a global shingle
+    //     order, J(A,B) ≥ t ⇒ the first |A|-⌈t·|A|⌉+1 shingles of A
+    //     intersect B's prefix — so the inverted index only contains
+    //     each doc's prefix, shrinking candidate pairs quadratically
+    //     while staying EXACT (verification uses the full sets).
     val sh = docs.sdf.select(col(idCol).as("id"),
-      wordShingles(col(textCol), n).as("sh"))
-    val inv = sh.select(col("id"), size(col("sh")).as("nsh"),
-      explode(col("sh")).as("g"))
-    val a = inv.select(col("id").as("id_a"), col("nsh").as("n_a"), col("g"))
-    val b = inv.select(col("id").as("id_b"), col("nsh").as("n_b"), col("g"))
-    val shared = a.join(b, Seq("g")).where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("inter"))
-    new Df(shared
+      array_sort(array_distinct(transform(wordShingles(col(textCol), n), hash32(_)))).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+    val prefixLen = (col("nsh") - ceil(col("nsh") * minJaccard) + 1).cast("int")
+    val inv = sh.select(col("id"), explode(slice(col("sh"), lit(1), prefixLen)).as("g"))
+    val candidates = inv.select(col("id").as("id_a"), col("g"))
+      .join(inv.select(col("id").as("id_b"), col("g")), Seq("g"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // broadcast the per-doc shingle table into the verify joins (one row
+    // per doc — small next to the candidate pairs; see minhashPairs note)
+    val full = sh.select(col("id"), col("sh"), col("nsh"))
+    val pairs = candidates
+      .join(broadcast(full.select(col("id").as("id_a"), col("sh").as("sh_a"), col("nsh").as("n_a"))), Seq("id_a"))
+      .join(broadcast(full.select(col("id").as("id_b"), col("sh").as("sh_b"), col("nsh").as("n_b"))), Seq("id_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    new Df(pairs
       .withColumn("jaccard",
-        round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6))
+        round(inter / (col("n_a") + col("n_b") - inter).cast("double"), 6))
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard"))
   }
@@ -133,12 +158,15 @@ object Dedup {
     * (label, LSH bucket, …) so the pairwise check never crosses buckets. */
   def embeddingCosinePairs(vecs: Df, vecCol: String, idCol: String,
                            bucketCol: String, minCosine: Double): Df = {
+    // norms computed ONCE per row, not per pair — 3× less FLOP at scale
     val v = vecs.sdf.select(col(idCol).as("id"), col(vecCol).as("v"), col(bucketCol).as("bk"))
-    val a = v.select(col("id").as("id_a"), col("v").as("v_a"), col("bk"))
-    val b = v.select(col("id").as("id_b"), col("v").as("v_b"), col("bk"))
+      .withColumn("nrm", norm(col("v")))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"), col("bk"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"), col("bk"))
     new Df(a.join(b, Seq("bk"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(cosine(col("v_a"), col("v_b")), 6))
+      .withColumn("cosine",
+        round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6))
       .where(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine"))
   }

@@ -203,18 +203,29 @@ object ExtensionQueries {
        |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** mirrors Dedup.ngramJaccardPairs exactly: sorted hashed shingles,
+    * prefix-filtered inverted index, full-set verification. */
   private val ngramJaccardSql: String =
     s"""WITH corpus AS $corpusSql,
-       |sh AS (SELECT doc_id, ${shinglesSql()} AS shingles FROM corpus),
-       |inv AS (SELECT doc_id, len(shingles) AS nsh, UNNEST(shingles) AS g FROM sh),
-       |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  a.nsh AS n_a, b.nsh AS n_b, COUNT(*) AS inter
-       |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2, 3, 4)
+       |sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(${shinglesSql()},
+       |  s -> ('0x' || substr(md5(s),1,8))::BIGINT))) AS shingles FROM corpus),
+       |sized AS (SELECT doc_id, shingles, len(shingles) AS nsh FROM sh),
+       |inv AS (SELECT doc_id,
+       |  UNNEST(shingles[1:(nsh - CEIL(nsh * 0.5) + 1)::INT]) AS g FROM sized),
+       |candidates AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT id_a, id_b, fa.shingles AS sh_a, fa.nsh AS n_a,
+       |  fb.shingles AS sh_b, fb.nsh AS n_b
+       |  FROM candidates
+       |  JOIN sized fa ON fa.doc_id = id_a
+       |  JOIN sized fb ON fb.doc_id = id_b),
+       |scored AS (SELECT id_a, id_b,
+       |  len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS inter,
+       |  n_a, n_b FROM pairs)
        |SELECT id_a, id_b,
        |ROUND(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
-       |FROM shared
-       |WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5
+       |FROM scored
+       |WHERE ROUND(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
   val oracles: Map[String, String] = Map(

@@ -12,10 +12,22 @@ object WindowQueries {
   val defs: Map[String, Q] = Map(
     // ---- ranking window: top-3 per group, no global sort ----
     "q48_window_rank" -> ((s, dir) => {
-      val o = T(s, dir, "orders").sdf
+      // two-phase top-k: priority has only 5 values, so a single
+      // partitionBy(priority) window serializes onto ≤5 reducers. Phase 1
+      // takes per-(input-partition, priority) top-3 in parallel — a few
+      // hundred survivors — phase 2 ranks those exactly. Same result,
+      // no skewed global sort; this is the skew-safe pattern for
+      // low-cardinality grouped top-k at scale.
+      val o = T(s, dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice").sdf
+      val w1 = Window.partitionBy("o_orderpriority", "__pid")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val local = o.withColumn("__pid", spark_partition_id())
+        .withColumn("rn1", row_number().over(w1))
+        .where(col("rn1") <= 3).drop("__pid", "rn1")
       val w = Window.partitionBy("o_orderpriority")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      new graft.api.Df(o.withColumn("rn", row_number().over(w)))
+      new graft.api.Df(local.withColumn("rn", row_number().over(w)))
         .where(col("rn") <= 3)
         .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
         .sortValues(Seq("o_orderpriority", "rn")).sdf

@@ -1,0 +1,84 @@
+package graft
+
+import graft.api.Df
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-structure tests — the Spark analog of the reference's
+  * optimizer-shape assertions (SURVEY.md §5 species 2: e.g. pushed
+  * filters verified as DNF tuples, `io/tests/test_io.py:83-141`).
+  * Here we assert the OPTIMIZED PHYSICAL plan: filters and column
+  * pruning must reach the parquet scan, small join sides must
+  * broadcast, top-k must compile to TakeOrderedAndProject. */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter is pushed down into the parquet scan") {
+    val o = Df.readParquet(spark, s"$sf/orders.parquet")
+    val p = plan(o.where(o("o_orderstatus") === "O")
+      .select("o_orderkey", "o_totalprice").sdf)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)]"), p)
+  }
+
+  test("column pruning reaches the scan (ReadSchema only needed cols)") {
+    val li = Df.readParquet(spark, s"$sf/lineitem.parquet")
+    val p = plan(li.select("l_orderkey", "l_quantity")
+      .groupby("l_orderkey").sum().sdf)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("projection+filter compose: both pushed, no extra columns read") {
+    val li = Df.readParquet(spark, s"$sf/lineitem.parquet")
+    val q = li.where(li("l_quantity") > 45.0).select("l_orderkey", "l_quantity").sdf
+    val p = plan(q)
+    assert(p.contains("GreaterThan(l_quantity,45.0)"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("broadcast hint produces BroadcastHashJoin") {
+    val o = Df.readParquet(spark, s"$sf/orders.parquet")
+    val c = Df.readParquet(spark, s"$sf/customer.parquet")
+      .rename(Map("c_custkey" -> "o_custkey")).broadcastHint
+    val p = plan(o.merge(c, on = Seq("o_custkey"), how = "inner").sdf)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("nlargest compiles to TakeOrderedAndProject (no global sort)") {
+    val o = Df.readParquet(spark, s"$sf/orders.parquet")
+    val p = plan(o.nlargest(10, Seq("o_totalprice", "o_orderkey")).sdf)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("groupby compiles to partial+final HashAggregate pair") {
+    val li = Df.readParquet(spark, s"$sf/lineitem.parquet")
+    val p = plan(li.select("l_returnflag", "l_quantity")
+      .groupby("l_returnflag").sum().sdf)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_sum") || p.contains("partial"), p)
+  }
+
+  test("elementwise chains stay inside one WholeStageCodegen span") {
+    val li = Df.readParquet(spark, s"$sf/lineitem.parquet")
+    val q = li.assign("a", li("l_quantity").clip(5, 45))
+      .assign("b", (li("l_extendedprice") * 2).round(2))
+      .where(li("l_discount") > 0.01)
+      .select("a", "b").sdf
+    val p = plan(q)
+    // filter+projects+scan must fuse into a single codegen stage:
+    // every codegen'd operator carries the same `*(N)` stage id
+    val stageIds = """\*\((\d+)\)""".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(stageIds == Set("1"), p)
+  }
+
+  test("semi join plans as LeftSemi (no row multiplication)") {
+    val c = Df.readParquet(spark, s"$sf/customer.parquet")
+    val o = Df.readParquet(spark, s"$sf/orders.parquet")
+      .rename(Map("o_custkey" -> "c_custkey"))
+    val p = plan(c.semiJoin(o, Seq("c_custkey")).sdf)
+    assert(p.contains("LeftSemi"), p)
+  }
+}
