@@ -223,6 +223,52 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     val ri = right.indexCol.getOrElse(sys.error("joinIndex: right has no index"))
     merge(right.rename(Map(ri -> li)), on = Seq(li), how = how, suffixes = suffixes)
   }
+  /** `JoinRecursive` (`_merge.py:82-128`): multi-frame index join — the
+    * reference lowers to a tree of pairwise merges; here a fold of
+    * index-joins (Catalyst's ReorderJoin/CBO re-orders as needed). */
+  def joinMulti(others: Seq[Df], how: String = "outer"): Df =
+    others.foldLeft(this)((acc, o) => acc.joinIndex(o, how)
+      .setIndex(acc.indexCol.getOrElse(sys.error("joinMulti needs an index"))))
+
+  /** `_Align` (`_expr.py:958-978`): align two frames on their index via
+    * full-outer join; returns both sides re-projected with null-filled
+    * missing rows (join="outer") or inner rows only. */
+  def align(other: Df, join: String = "outer"): (Df, Df) = {
+    val li = indexCol.getOrElse(sys.error("align: left has no index"))
+    val ri = other.indexCol.getOrElse(sys.error("align: right has no index"))
+    val how = if (join == "outer") "outer" else "inner"
+    val keys = sdf.select(sdf(li).as("__k"))
+      .union(other.sdf.select(other.sdf(ri).as("__k"))).distinct()
+    val aligned = if (how == "outer") keys else
+      sdf.select(sdf(li).as("__k")).intersect(other.sdf.select(other.sdf(ri).as("__k")))
+    val l = new Df(aligned.join(sdf.withColumnRenamed(li, "__k"), Seq("__k"), "left")
+      .withColumnRenamed("__k", li), Some(li))
+    val r = new Df(aligned.join(other.sdf.withColumnRenamed(ri, "__k"), Seq("__k"), "left")
+      .withColumnRenamed("__k", ri), Some(ri))
+    (l, r)
+  }
+
+  /** `RenameAxis` (`_expr.py:1227`): rename the index column itself. */
+  def renameAxis(name: String): Df = indexCol match {
+    case Some(i) => new Df(sdf.withColumnRenamed(i, name), Some(name))
+    case None => this
+  }
+
+  /** `MemoryUsage`/`NBytes` (`_reductions.py:192,308`): schema-based
+    * per-row width estimate × row count (exact byte accounting is not
+    * observable in Spark's columnar memory model; documented estimate). */
+  def memoryUsage: Df = {
+    val width = schema.fields.map(_.dataType.defaultSize).sum
+    len.selectExpr(s"len * $width AS est_bytes")
+  }
+
+  /** `Apply` with a real Scala closure (`_expr.py:1240`) — the UDF
+    * escape hatch. Design rule (SURVEY.md §2.11): prefer `Column`
+    * expressions (codegen'd); use this only when the logic cannot be
+    * expressed as expressions. */
+  def applyRows[T: org.apache.spark.sql.Encoder](f: org.apache.spark.sql.Row => T): Df =
+    new Df(sdf.map(f)(implicitly[org.apache.spark.sql.Encoder[T]]).toDF())
+
   /** Semi/anti joins — Spark-native extension beyond the reference. */
   def semiJoin(right: Df, on: Seq[String]): Df = new Df(sdf.join(right.sdf, on, "left_semi"))
   def antiJoin(right: Df, on: Seq[String]): Df = new Df(sdf.join(right.sdf, on, "left_anti"))

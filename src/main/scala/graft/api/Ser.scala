@@ -102,6 +102,15 @@ final class Ser private[api] (
     })
   def as(n: String): Ser = lift(col.as(n), n)
 
+  // ---- accessors (`_accessor.py:63-80`; SURVEY.md §2.4) ----
+  def str: StrAccessor = new StrAccessor(this)
+  def dt: DtAccessor = new DtAccessor(this)
+  def cat: CatAccessor = new CatAccessor(this)
+
+  /** `DropnaSeries` (`_expr.py:981`): frame filtered to non-null values
+    * of this series. */
+  def dropna: Df = new Df(frame.filter(col.isNotNull))
+
   /** Materialize as single-column Df (`ToFrame`, `_expr.py:1073`). */
   def toFrame(n: String = name): Df = new Df(frame.select(col.as(n)))
 

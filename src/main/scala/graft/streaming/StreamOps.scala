@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface — post-parity extension (SURVEY.md §7.6:
+  * the reference has zero streaming). The `events` table doubles as the
+  * bounded stand-in for an unbounded source: the same plan runs on
+  * `readStream` in production and on a directory of parquet in tests
+  * (`format("memory")` + `processAllAvailable`).
+  *
+  * Scale posture: watermarks bound state; windowed aggregations compile
+  * to incremental partial aggregation with state store per key-window —
+  * the streaming analog of the batch partial+final HashAggregate.
+  */
+object StreamOps {
+
+  /** events schema with ts as long nanos (as the driver's parquet
+    * delivers it under nanosAsLong) — converted on ingest. */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** open the events directory as an unbounded stream */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** tumbling-window counts+sums per event type with late-data bound */
+  def windowedTypeCounts(events: DataFrame,
+                         windowLen: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** sliding-window per-user activity rate */
+  def slidingUserActivity(events: DataFrame,
+                          windowLen: String = "1 hour",
+                          slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), windowLen, slide), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("user_id"), col("n_events"))
+
+  /** run a streaming plan to completion against the bounded test input
+    * and return the materialized result (memory sink).
+    *
+    * `complete` mode: with bounded input, `append` would hold back every
+    * window the watermark has not passed yet — the tail of the data
+    * would never emit. Production unbounded pipelines use `append` (only
+    * finalized windows, bounded state); for batch-equivalence testing
+    * `complete` emits all windows. */
+  def runToCompletion(streamed: DataFrame, name: String,
+                      mode: String = "complete"): DataFrame = {
+    val q = streamed.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    streamed.sparkSession.table(name)
+  }
+}

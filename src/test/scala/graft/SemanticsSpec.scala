@@ -1,0 +1,113 @@
+package graft
+
+import graft.api.Df
+import graft.functions.PandasAgg._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** pandas-fidelity semantics (SURVEY.md §7.4 hard parts): skipna,
+  * min_count, ddof, accessors, align, multi-join, apply escape hatch. */
+class SemanticsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def nullable: Df = Df.fromRows(spark,
+    Seq(Row(1.0), Row(2.0), Row(null), Row(null), Row(5.0), Row(6.0)),
+    StructType(Seq(StructField("x", DoubleType))))
+
+  test("sum skipna=False returns null when nulls present") {
+    val d = nullable
+    val r = d.agg(
+      sumSkipnaFalse(col("x")).as("s_strict"),
+      sum(col("x")).as("s_skip")).compute()(0)
+    assert(r.isNullAt(0) && r.getDouble(1) == 14.0)
+  }
+
+  test("sum min_count gates on non-null count") {
+    val d = nullable
+    val r = d.agg(
+      sumMinCount(col("x"), 4).as("ok"),
+      sumMinCount(col("x"), 5).as("too_few")).compute()(0)
+    assert(r.getDouble(0) == 14.0 && r.isNullAt(1))
+  }
+
+  test("prod with min_count and zero/negative handling") {
+    val d = Df.fromRows(spark, Seq(Row(-2.0), Row(3.0), Row(0.5)),
+      StructType(Seq(StructField("x", DoubleType))))
+    val r = d.agg(prodMinCount(col("x"), 1).as("p")).compute()(0)
+    assert(math.abs(r.getDouble(0) - (-3.0)) < 1e-9)
+  }
+
+  test("str accessor maps onto codegen'd functions") {
+    val d = Df.fromRows(spark, Seq(Row("Hello World"), Row("spark")),
+      StructType(Seq(StructField("t", StringType))))
+    val s = d("t")
+    val r = d.assign("u", s.str.upper)
+      .assign("l", s.str.len)
+      .assign("c", s.str.contains("o"))
+      .assign("z", s.str.slice(0, 5))
+      .compute()
+    assert(r(0).getAs[String]("u") == "HELLO WORLD")
+    assert(r(0).getAs[Int]("l") == 11)
+    assert(r(1).getAs[Boolean]("c") == false)
+    assert(r(1).getAs[String]("z") == "spark")
+  }
+
+  test("dt accessor + toTimestamp end-of-period") {
+    val d = Df.fromRows(spark,
+      Seq(Row(java.sql.Timestamp.valueOf("2024-03-15 13:45:30"))),
+      StructType(Seq(StructField("ts", TimestampType))))
+    val s = d("ts")
+    val r = d.assign("y", s.dt.year).assign("m", s.dt.month)
+      .assign("day_start", s.dt.toTimestamp("day", "start"))
+      .assign("day_end", s.dt.toTimestamp("day", "end"))
+      .compute()(0)
+    assert(r.getAs[Int]("y") == 2024 && r.getAs[Int]("m") == 3)
+    assert(r.getAs[java.sql.Timestamp]("day_start").toString == "2024-03-15 00:00:00.0")
+    assert(r.getAs[java.sql.Timestamp]("day_end").toString == "2024-03-15 23:59:59.999999")
+  }
+
+  test("align outer produces equal-length frames with null fill") {
+    val a = Df.fromRows(spark, Seq(Row(1L, 10.0), Row(2L, 20.0)),
+      StructType(Seq(StructField("i", LongType), StructField("x", DoubleType))))
+      .setIndex("i")
+    val b = Df.fromRows(spark, Seq(Row(2L, 200.0), Row(3L, 300.0)),
+      StructType(Seq(StructField("i", LongType), StructField("y", DoubleType))))
+      .setIndex("i")
+    val (al, ar) = a.align(b, "outer")
+    assert(al.count() == 3 && ar.count() == 3)
+    val lrow = al.sdf.filter(col("i") === 3).collect()(0)
+    assert(lrow.isNullAt(lrow.fieldIndex("x")))
+  }
+
+  test("joinMulti folds index joins over several frames") {
+    def mk(c: String, n: Int) = Df.fromRows(spark,
+      (1 to n).map(i => Row(i.toLong, i.toDouble)),
+      StructType(Seq(StructField("i", LongType), StructField(c, DoubleType))))
+      .setIndex("i")
+    val j = mk("a", 3).joinMulti(Seq(mk("b", 5), mk("c", 2)), "outer")
+    assert(j.columns.toSet == Set("i", "a", "b", "c"))
+    assert(j.count() == 5)
+  }
+
+  test("cat accessor: categories sorted, codes via dictionary") {
+    val li = Df.readParquet(spark, s"$sf/lineitem.parquet")
+    val cats = li("l_returnflag").cat.categories.compute().map(_.getString(0))
+    assert(cats.toSeq == Seq("A", "N", "R"))
+  }
+
+  test("applyRows escape hatch distributes a Scala closure") {
+    import spark.implicits._
+    val d = Df.fromRows(spark, Seq(Row(1L), Row(2L), Row(3L)),
+      StructType(Seq(StructField("x", LongType))))
+    val r = d.applyRows(row => row.getLong(0) * 10)
+    assert(r.sdf.as[Long].collect().sorted.toSeq == Seq(10L, 20L, 30L))
+  }
+
+  test("memoryUsage yields schema-width estimate") {
+    val d = nullable
+    val bytes = d.memoryUsage.compute()(0).getLong(0)
+    assert(bytes == 6 * 8)
+  }
+}

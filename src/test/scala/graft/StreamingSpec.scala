@@ -1,0 +1,55 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming specs: the windowed streaming plans must agree with their
+  * batch equivalents over the same bounded input (the strongest check
+  * available without an unbounded source). */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** FileStreamSource requires a directory: stage the single events
+    * parquet file into a temp dir (simulating an arriving-files feed). */
+  private lazy val stageDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("windowed type counts: streaming result equals batch result") {
+    // stream the events parquet as if it were arriving
+    val dir = stageDir
+    val stream = StreamOps.readEventsStream(spark, dir)
+    val result = StreamOps.runToCompletion(
+      StreamOps.windowedTypeCounts(stream), "win_counts")
+
+    val batch = spark.read.parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+    val s = result.orderBy("win_start", "event_type").collect()
+    val b = batch.orderBy("win_start", "event_type").collect()
+    assert(s.length == b.length && s.length > 0)
+    assert(s.zip(b).forall { case (x, y) =>
+      x.getTimestamp(0) == y.getTimestamp(0) && x.getString(1) == y.getString(1) &&
+        x.getLong(2) == y.getLong(2) })
+  }
+
+  test("sliding windows produce overlapping assignments") {
+    val dir = stageDir
+    val stream = StreamOps.readEventsStream(spark, dir)
+    val result = StreamOps.runToCompletion(
+      StreamOps.slidingUserActivity(stream), "sliding_counts")
+    val total = result.agg(sum("n_events")).collect()(0).getLong(0)
+    val rows = spark.read.parquet(dir).count()
+    // each event lands in exactly 2 sliding windows (1h window, 30m slide)
+    assert(total == 2 * rows)
+  }
+}
