@@ -17,9 +17,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.defs ++ ElementwiseQueries.defs ++ ReductionQueries.defs ++
-      JoinQueries.defs ++ WindowQueries.defs ++ ExtensionQueries.defs
+      JoinQueries.defs ++ WindowQueries.defs ++ ExtensionQueries.defs ++
+      AnalyticsQueries.defs
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ElementwiseQueries.oracles ++ ReductionQueries.oracles ++
-      JoinQueries.oracles ++ WindowQueries.oracles ++ ExtensionQueries.oracles
+      JoinQueries.oracles ++ WindowQueries.oracles ++ ExtensionQueries.oracles ++
+      AnalyticsQueries.oracles
 }

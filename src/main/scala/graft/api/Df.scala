@@ -176,6 +176,84 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   def dropDuplicates(subset: Seq[String] = Nil): Df =
     new Df(if (subset.isEmpty) sdf.dropDuplicates() else sdf.dropDuplicates(subset))
 
+  /** pandas `describe()`: one row per numeric column with the standard
+    * stat battery — a single aggregation pass, unpivoted via `stack`. */
+  def describeStats(cols: Seq[String] = Nil): Df = {
+    val F = org.apache.spark.sql.functions
+    val cs = if (cols.nonEmpty) cols else numericCols
+    val aggs = cs.flatMap { c =>
+      Seq(F.count(sdf(c)).cast("double").as(s"${c}__count"),
+        avg(sdf(c)).as(s"${c}__mean"),
+        stddev_samp(sdf(c)).as(s"${c}__std"),
+        F.min(sdf(c)).cast("double").as(s"${c}__min"),
+        expr(s"percentile($c, 0.25)").as(s"${c}__q25"),
+        expr(s"percentile($c, 0.5)").as(s"${c}__q50"),
+        expr(s"percentile($c, 0.75)").as(s"${c}__q75"),
+        F.max(sdf(c)).cast("double").as(s"${c}__max"))
+    }
+    val one = sdf.agg(aggs.head, aggs.tail: _*)
+    val stats = Seq("count", "mean", "std", "min", "q25", "q50", "q75", "max")
+    val stackArgs = stats.map(s =>
+      s"'$s', ${cs.map(c => s"`${c}__$s`").mkString(", ")}").mkString(", ")
+    new Df(one.selectExpr(
+      s"stack(${stats.size}, $stackArgs) AS (stat, ${cs.mkString(", ")})"))
+  }
+
+  /** pandas `pivot_table`: rows=index key, columns=spread key (explicit
+    * value list keeps the schema static and the plan one-pass), cells =
+    * aggregated values. Compiles to a single partial+final aggregate. */
+  def pivotTable(index: String, columns: String, values: String,
+                 colValues: Seq[Any], aggFn: String = "sum"): Df =
+    new Df(sdf.groupBy(sdf(index)).pivot(columns, colValues)
+      .agg(aggFn match {
+        case "sum" => org.apache.spark.sql.functions.sum(sdf(values))
+        case "mean" => avg(sdf(values))
+        case "count" => org.apache.spark.sql.functions.count(sdf(values))
+        case "min" => org.apache.spark.sql.functions.min(sdf(values))
+        case "max" => org.apache.spark.sql.functions.max(sdf(values))
+      }))
+
+  /** pandas `cut`: fixed-width or explicit-break binning via when-chains
+    * (codegen'd; no shuffle). Values outside breaks get null. */
+  def cut(c: String, breaks: Seq[Double], labels: Seq[String], out: String): Df = {
+    require(labels.size == breaks.size - 1)
+    val colRef = sdf(c)
+    val binned = labels.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (label, i)) =>
+        when(colRef > breaks(i) && colRef <= breaks(i + 1), label).otherwise(acc)
+    }
+    new Df(sdf.withColumn(out, binned))
+  }
+
+  /** pandas `rank(method='min')` within optional groups. */
+  def withRank(by: String, out: String, partitionBy: Seq[String] = Nil,
+               ascending: Boolean = true): Df = {
+    val w0 = if (partitionBy.isEmpty)
+      org.apache.spark.sql.expressions.Window.partitionBy()
+    else org.apache.spark.sql.expressions.Window.partitionBy(partitionBy.map(sdf(_)): _*)
+    val w = w0.orderBy(if (ascending) sdf(by).asc else sdf(by).desc)
+    new Df(sdf.withColumn(out, rank().over(w)))
+  }
+
+  /** frame ⟷ scalar-reduction broadcasting (`df + df.sum()`,
+    * reference `tests/test_collection.py:379-387`): cross-join the 1-row
+    * aggregate, broadcast — every executor gets the scalar for free. */
+  def withScalarColumn(scalar: Df): Df =
+    new Df(sdf.crossJoin(broadcast(scalar.sdf)))
+
+  /** Skew-safe equi-join: explode the (small) right side `salt`-fold and
+    * scatter left rows by a deterministic hash salt, so one hot key
+    * spreads over `salt` reducers instead of one. AQE's skew-join
+    * handles sort-merge cases adaptively; this handles the hash-join /
+    * pre-AQE path explicitly. */
+  def saltedJoin(right: Df, on: Seq[String], how: String, salt: Int): Df = {
+    val l = sdf.withColumn("__salt",
+      pmod(hash(on.map(sdf(_)) :+ monotonically_increasing_id(): _*), lit(salt)))
+    val r = right.sdf.withColumn("__salt",
+      expr(s"explode(sequence(0, ${salt - 1}))"))
+    new Df(l.join(r, on :+ "__salt", how).drop("__salt"))
+  }
+
   // ---- groupby (§2.6) ----
   def groupby(by: String*): GroupedDf = {
     val missing = by.filterNot(columns.contains)

@@ -73,6 +73,11 @@ final class GroupedDf private[api] (
     when(anyZero, lit(0.0))
       .otherwise(mag * when(negCount % 2 === 1, -1.0).otherwise(1.0))
   }
+  /** pandas `g.quantile(q)` — exact interpolated percentile per group */
+  def quantile(q: Double): Df = {
+    val aggs = numericValueCols.map(c => expr(s"percentile($c, $q)").as(c))
+    new Df(sdf.groupBy(keys.map(sdf(_)): _*).agg(aggs.head, aggs.tail: _*))
+  }
   /** `size` counts rows incl. nulls (vs `count` excl.) (`SURVEY.md §2.6`) */
   def size(): Df =
     new Df(sdf.groupBy(keys.map(sdf(_)): _*)

@@ -126,4 +126,10 @@ final class Ser private[api] (
     * supplied here by Spark's HyperLogLog++. */
   def nuniqueApprox(rsd: Double = 0.05): Df =
     agg1(approx_count_distinct(col, rsd), s"${name}_nunique_approx")
+  /** pandas `.quantile(q)` — exact interpolated percentile (Catalyst
+    * `percentile`; one pass, sort-based within the aggregate). For
+    * sketch-based scale variant use `percentile_approx`. */
+  def quantile(q: Double): Df =
+    agg1(expr(s"percentile($name, $q)"), s"${name}_q$q")
+  def median: Df = agg1(expr(s"percentile($name, 0.5)"), s"${name}_median")
 }

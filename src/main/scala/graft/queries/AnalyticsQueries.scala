@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QueryUtil._
+
+/** Analytics staples beyond the reference surface (quantiles, describe,
+  * pivot, rank, binning, JSON, scalar broadcast). q54–q59b. */
+object AnalyticsQueries {
+
+  val defs: Map[String, Q] = Map(
+    // ---- exact interpolated quantiles, global and grouped ----
+    "q54_quantiles" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      li.select("l_returnflag", "l_quantity")
+        .groupby("l_returnflag").quantile(0.5)
+        .rename(Map("l_quantity" -> "median_qty"))
+        .selectExpr("l_returnflag", "round(median_qty, 6) AS median_qty")
+        .sortValues(Seq("l_returnflag")).sdf
+    }),
+
+    // ---- describe(): stat battery in one aggregation pass ----
+    "q55_describe" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .describeStats(Seq("l_quantity", "l_discount"))
+        .selectExpr("stat",
+          "round(l_quantity, 4) AS l_quantity", "round(l_discount, 4) AS l_discount")
+        .sortValues(Seq("stat")).sdf
+    }),
+
+    // ---- pivot_table: one-pass grouped spread ----
+    "q56_pivot" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.assign("bucket", (col("user_id") % 10).cast("long"))
+        .pivotTable("bucket", "event_type", "value",
+          Seq("click", "view", "purchase", "signup", "error"), aggFn = "count")
+        .sortValues(Seq("bucket")).sdf
+    }),
+
+    // ---- rank(method='min') within groups ----
+    "q57_rank" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      o.select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withRank("o_totalprice", "price_rank",
+          partitionBy = Seq("o_orderpriority"), ascending = false)
+        .where(col("price_rank") <= 5)
+        .sortValues(Seq("o_orderpriority", "price_rank", "o_orderkey")).sdf
+    }),
+
+    // ---- cut(): explicit-break binning ----
+    "q58_cut" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .cut("o_totalprice", Seq(0.0, 100000.0, 300000.0, 1e9),
+          Seq("low", "mid", "high"), "price_band")
+        .groupby("price_band")
+        .agg(count(lit(1)).as("n"),
+             decSum(col("o_totalprice")).as("sum_price"))
+        .sortValues(Seq("price_band")).sdf
+    }),
+
+    // ---- JSON extraction from the props column ----
+    "q59_json" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.assign("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupby("event_type")
+        .agg(sum(col("k")).cast("long").as("sum_k"),
+             max(col("k")).as("max_k"))
+        .sortValues(Seq("event_type")).sdf
+    }),
+
+    // ---- frame ⟷ scalar broadcast (df + df.mean() pattern) ----
+    "q59b_scalar_broadcast" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val meanPrice = li.agg(
+        (decSum(col("l_extendedprice")) / count(col("l_extendedprice"))).as("mean_price"))
+      li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .withScalarColumn(meanPrice)
+        .assign("price_vs_mean", col("l_extendedprice") - col("mean_price"))
+        .select("l_orderkey", "l_linenumber", "price_vs_mean")
+        .sortValues(Seq("l_orderkey", "l_linenumber")).sdf
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q54_quantiles" ->
+      """SELECT l_returnflag,
+        |ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS median_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q55_describe" ->
+      """SELECT stat, ROUND(l_quantity, 4) AS l_quantity, ROUND(l_discount, 4) AS l_discount FROM (
+        |SELECT 'count' AS stat, COUNT(l_quantity)::DOUBLE AS l_quantity, COUNT(l_discount)::DOUBLE AS l_discount FROM lineitem
+        |UNION ALL SELECT 'mean', AVG(l_quantity), AVG(l_discount) FROM lineitem
+        |UNION ALL SELECT 'std', STDDEV_SAMP(l_quantity), STDDEV_SAMP(l_discount) FROM lineitem
+        |UNION ALL SELECT 'min', MIN(l_quantity), MIN(l_discount) FROM lineitem
+        |UNION ALL SELECT 'q25', QUANTILE_CONT(l_quantity, 0.25), QUANTILE_CONT(l_discount, 0.25) FROM lineitem
+        |UNION ALL SELECT 'q50', QUANTILE_CONT(l_quantity, 0.5), QUANTILE_CONT(l_discount, 0.5) FROM lineitem
+        |UNION ALL SELECT 'q75', QUANTILE_CONT(l_quantity, 0.75), QUANTILE_CONT(l_discount, 0.75) FROM lineitem
+        |UNION ALL SELECT 'max', MAX(l_quantity), MAX(l_discount) FROM lineitem)
+        |ORDER BY stat""".stripMargin,
+    "q56_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+        |COUNT(CASE WHEN event_type = 'click' THEN value END) AS click,
+        |COUNT(CASE WHEN event_type = 'view' THEN value END) AS view,
+        |COUNT(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+        |COUNT(CASE WHEN event_type = 'signup' THEN value END) AS signup,
+        |COUNT(CASE WHEN event_type = 'error' THEN value END) AS error
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q57_rank" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, price_rank FROM (
+        |SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS price_rank
+        |FROM orders)
+        |WHERE price_rank <= 5 ORDER BY o_orderpriority, price_rank, o_orderkey""".stripMargin,
+    "q58_cut" ->
+      """SELECT CASE
+        |WHEN o_totalprice > 300000.0 AND o_totalprice <= 1e9 THEN 'high'
+        |WHEN o_totalprice > 100000.0 AND o_totalprice <= 300000.0 THEN 'mid'
+        |WHEN o_totalprice > 0.0 AND o_totalprice <= 100000.0 THEN 'low'
+        |END AS price_band,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY price_band""".stripMargin,
+    "q59_json" ->
+      """SELECT event_type,
+        |CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+        |MAX(json_extract_string(props, '$.k')::BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q59b_scalar_broadcast" ->
+      """SELECT l_orderkey, l_linenumber,
+        |l_extendedprice - (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  / COUNT(l_extendedprice) FROM lineitem) AS price_vs_mean
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+}

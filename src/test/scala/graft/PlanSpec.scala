@@ -74,6 +74,14 @@ class PlanSpec extends AnyFunSuite {
     assert(stageIds == Set("1"), p)
   }
 
+  test("OR predicates push down as DNF (reference _DNF analog)") {
+    val li = Df.readParquet(spark, s"$sf/lineitem.parquet")
+    val q = li.where((li("l_quantity") > 45.0) || (li("l_discount") > 0.09))
+      .select("l_orderkey").sdf
+    val p = plan(q)
+    assert(p.contains("Or(GreaterThan(l_quantity,45.0),GreaterThan(l_discount,0.09))"), p)
+  }
+
   test("semi join plans as LeftSemi (no row multiplication)") {
     val c = Df.readParquet(spark, s"$sf/customer.parquet")
     val o = Df.readParquet(spark, s"$sf/orders.parquet")

@@ -110,4 +110,42 @@ class SemanticsSpec extends AnyFunSuite {
     val bytes = d.memoryUsage.compute()(0).getLong(0)
     assert(bytes == 6 * 8)
   }
+
+  test("saltedJoin equals plain join result") {
+    val li = Df.readParquet(spark, s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = Df.readParquet(spark, s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+      .rename(Map("o_orderkey" -> "l_orderkey"))
+    val plain = li.merge(o, on = Seq("l_orderkey"), how = "inner").count()
+    val salted = li.saltedJoin(o, Seq("l_orderkey"), "inner", salt = 8).count()
+    assert(plain == salted)
+  }
+
+  test("pivotTable spreads explicit values into static columns") {
+    val d = Df.fromRows(spark,
+      Seq(Row(1L, "a", 10.0), Row(1L, "b", 20.0), Row(2L, "a", 5.0)),
+      StructType(Seq(StructField("k", LongType),
+        StructField("t", StringType), StructField("v", DoubleType))))
+    val p = d.pivotTable("k", "t", "v", Seq("a", "b"), "sum")
+    assert(p.columns == Seq("k", "a", "b"))
+    val r1 = p.sdf.filter(col("k") === 2).collect()(0)
+    assert(r1.getDouble(1) == 5.0 && r1.isNullAt(2))
+  }
+
+  test("describeStats long format with quantile battery") {
+    val d = nullable
+    val st = d.describeStats(Seq("x")).sdf.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(st("count") == 4.0 && st("min") == 1.0 && st("max") == 6.0)
+    assert(st("q50") == 3.5)
+  }
+
+  test("cut bins with (lo, hi] intervals, outside -> null") {
+    val d = Df.fromRows(spark, Seq(Row(5.0), Row(15.0), Row(50.0)),
+      StructType(Seq(StructField("v", DoubleType))))
+    val b = d.cut("v", Seq(0.0, 10.0, 20.0), Seq("low", "high"), "band")
+      .sdf.collect().map(r => Option(r.getString(1)))
+    assert(b.toSeq == Seq(Some("low"), Some("high"), None))
+  }
 }
