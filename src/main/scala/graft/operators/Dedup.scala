@@ -158,15 +158,16 @@ object Dedup {
     * (label, LSH bucket, …) so the pairwise check never crosses buckets. */
   def embeddingCosinePairs(vecs: Df, vecCol: String, idCol: String,
                            bucketCol: String, minCosine: Double): Df = {
-    // norms computed ONCE per row, not per pair — 3× less FLOP at scale
+    // native codegen'd expression (graft.plans.FloatCosine): one fused
+    // loop per pair, no intermediate arrays — bit-identical to the HOF
+    // formulation, ~single-pass FLOP cost at 100 TB pair volumes
+    graft.plans.GraftFunctions.register(vecs.spark)
     val v = vecs.sdf.select(col(idCol).as("id"), col(vecCol).as("v"), col(bucketCol).as("bk"))
-      .withColumn("nrm", norm(col("v")))
-    val a = v.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"), col("bk"))
-    val b = v.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"), col("bk"))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"), col("bk"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"), col("bk"))
     new Df(a.join(b, Seq("bk"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cosine",
-        round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6))
+      .withColumn("cosine", round(expr("graft_cosine(v_a, v_b)"), 6))
       .where(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine"))
   }

@@ -24,15 +24,13 @@ object Similarity {
     * broadcast (small side); ties broken by corpus id for determinism. */
   def bruteForceTopK(queries: Df, corpus: Df, vecCol: String, idCol: String,
                      k: Int): Df = {
+    graft.plans.GraftFunctions.register(queries.spark)
     val q = broadcast(queries.sdf.select(
-      col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("q_nrm", norm(col("q_vec"))))
+      col(idCol).as("query_id"), col(vecCol).as("q_vec")))
     val c = corpus.sdf.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
-      .withColumn("c_nrm", norm(col("c_vec")))
     val scored = c.crossJoin(q)
       .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("cosine",
-        round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6))
+      .withColumn("cosine", round(expr("graft_cosine(q_vec, c_vec)"), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("corpus_id"))
     new Df(scored
@@ -65,19 +63,17 @@ object Similarity {
     * Queries broadcast; corpus shuffles once on the bucket key. */
   def lshTopK(queries: Df, corpus: Df, vecCol: String, idCol: String,
               k: Int, planes: Int = 8, dim: Int = 64): Df = {
+    graft.plans.GraftFunctions.register(queries.spark)
     val sig = lshSignature(col(vecCol), planes, dim)
     val q = broadcast(queries.sdf.select(
-      col(idCol).as("query_id"), col(vecCol).as("q_vec"), sig.as("bucket"))
-      .withColumn("q_nrm", norm(col("q_vec"))))
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"), sig.as("bucket")))
     val c = corpus.sdf.select(
       col(idCol).as("corpus_id"), col(vecCol).as("c_vec"), sig.as("bucket"))
-      .withColumn("c_nrm", norm(col("c_vec")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("corpus_id"))
     new Df(c.join(q, Seq("bucket"))
       .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("cosine",
-        round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6))
+      .withColumn("cosine", round(expr("graft_cosine(q_vec, c_vec)"), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "rank", "corpus_id", "cosine"))
