@@ -326,6 +326,27 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     (l, r)
   }
 
+  /** pandas frame ⟷ frame binop with index alignment
+    * (`tests/test_collection.py:762-769`): full-outer join on the index;
+    * shared columns get `op(l, r)` (null where either side missing —
+    * pandas NaN), one-sided columns become all-null. */
+  def binopAligned(other: Df, op: (Column, Column) => Column): Df = {
+    val li = indexCol.getOrElse(sys.error("binopAligned: left has no index"))
+    val ri = other.indexCol.getOrElse(sys.error("binopAligned: right has no index"))
+    val r0 = other.sdf.withColumnRenamed(ri, li)
+    val joined = sdf.as("l").join(r0.as("r"), Seq(li), "outer")
+    val allCols = (columns ++ other.columns).distinct.filterNot(Seq(li, ri).contains)
+    val proj = col(li) +: allCols.map { c =>
+      val inL = columns.contains(c); val inR = other.columns.contains(c)
+      if (inL && inR) op(col(s"l.$c"), col(s"r.$c")).as(c)
+      else lit(null).cast("double").as(c)
+    }
+    new Df(joined.select(proj: _*), Some(li))
+  }
+  def addAligned(other: Df): Df = binopAligned(other, _ + _)
+  def subAligned(other: Df): Df = binopAligned(other, _ - _)
+  def mulAligned(other: Df): Df = binopAligned(other, _ * _)
+
   /** `RenameAxis` (`_expr.py:1227`): rename the index column itself. */
   def renameAxis(name: String): Df = indexCol match {
     case Some(i) => new Df(sdf.withColumnRenamed(i, name), Some(name))

@@ -1,0 +1,102 @@
+package graft
+
+import graft.api.Df
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based differential tests (SURVEY.md §5 plan item c):
+  * wrapper ops vs independently-computed expectations over random
+  * frames, covering null/NaN and empty-frame edges the fixed fixtures
+  * miss. */
+class FuzzSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** draw n deterministic-ish samples from a generator (scalacheck's
+    * scalatest bridge is not on the offline classpath) */
+  private def trials[T](g: Gen[T], n: Int = 10)(body: T => Unit): Unit = {
+    val seed = org.scalacheck.rng.Seed(42L)
+    var s = seed
+    (0 until n).foreach { _ =>
+      g.apply(org.scalacheck.Gen.Parameters.default, s).foreach(body)
+      s = s.next
+    }
+  }
+
+  private val values: Gen[java.lang.Double] = Gen.frequency(
+    (8, Gen.choose(-1000.0, 1000.0).map(java.lang.Double.valueOf)),
+    (1, Gen.const(null.asInstanceOf[java.lang.Double])),
+    (1, Gen.const(java.lang.Double.valueOf(Double.NaN))))
+
+  private def mkDf(xs: List[java.lang.Double]): Df =
+    Df.fromRows(spark, xs.map(Row(_)),
+      StructType(Seq(StructField("v", DoubleType))))
+
+  test("fillna never leaves missing values; count matches non-missing") {
+    trials(Gen.listOfN(30, values)) { xs =>
+      val d = mkDf(xs)
+      // pandas missing = null or NaN
+      val missing = d(d("v").isna).count()
+      val expectMissing = xs.count(x => x == null || x.isNaN)
+      assert(missing == expectMissing)
+      val filled = d.assign("v", d("v").isna.astype("int"))
+        .sdf.agg(sum("v")).collect()(0).getLong(0)
+      assert(filled == expectMissing)
+    }
+  }
+
+  test("clip bounds hold for every surviving value") {
+    trials(Gen.listOfN(25, values)) { xs =>
+      val d = mkDf(xs)
+      val out = d.assign("c", d("v").clip(-10, 10))
+        .sdf.select("c").collect().map(r => Option(r.get(0)))
+      out.flatten.foreach { v =>
+        val dv = v.asInstanceOf[Double]
+        assert(dv.isNaN || (dv >= -10 && dv <= 10))
+      }
+    }
+  }
+
+  test("dropDuplicates is idempotent and bounded by distinct count") {
+    trials(Gen.listOfN(40, Gen.choose(0L, 5L))) { xs =>
+      val d = Df.fromRows(spark, xs.map(Row(_)),
+        StructType(Seq(StructField("k", LongType))))
+      val once = d.dropDuplicates()
+      assert(once.count() == xs.distinct.size)
+      assert(once.dropDuplicates().count() == xs.distinct.size)
+    }
+  }
+
+  test("sum over decimal cast equals exact rational sum") {
+    trials(Gen.listOfN(30, Gen.choose(-99999, 99999))) { cents =>
+      val xs = cents.map(c => c / 100.0)
+      val d = mkDf(xs.map(java.lang.Double.valueOf))
+      val got = d.agg(sum(col("v").cast("decimal(18,2)")).cast("double"))
+        .compute()(0).getDouble(0)
+      val exact = cents.map(BigDecimal(_)).sum / 100
+      assert(math.abs(got - exact.toDouble) == 0.0)
+    }
+  }
+
+  test("empty frame: aggregates null/zero, ops no-throw") {
+    val d = mkDf(Nil)
+    val r = d.agg(sum(col("v")).as("s"), count(col("v")).as("c")).compute()(0)
+    assert(r.isNullAt(0) && r.getLong(1) == 0)
+    assert(d.dropDuplicates().count() == 0)
+    assert(d(d("v").isna).count() == 0)
+  }
+
+  test("binopAligned union-of-index semantics") {
+    val a = Df.fromRows(spark, Seq(Row(1L, 10.0), Row(2L, 20.0)),
+      StructType(Seq(StructField("i", LongType), StructField("x", DoubleType))))
+      .setIndex("i")
+    val b = Df.fromRows(spark, Seq(Row(2L, 5.0), Row(3L, 7.0)),
+      StructType(Seq(StructField("i", LongType), StructField("x", DoubleType))))
+      .setIndex("i")
+    val s = a.addAligned(b)
+    val m = s.sdf.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(m(1L).isEmpty && m(2L).contains(25.0) && m(3L).isEmpty)
+  }
+}
