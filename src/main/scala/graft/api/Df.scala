@@ -390,6 +390,20 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     new Df(joined.select(proj: _*))
   }
 
+  /** Bucketed external table sink: pre-shuffles ONCE on the join keys so
+    * every later equi-join or aggregation on those keys runs
+    * exchange-free (co-located partitions). The 100 TB pattern for fact
+    * tables joined repeatedly on the same key. */
+  def toBucketedTable(table: String, keys: Seq[String], buckets: Int,
+                      path: String): Df = {
+    sdf.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", path)
+      .saveAsTable(table)
+    new Df(spark.table(table))
+  }
+
   // ---- actions / sinks ----
   def compute(): Array[org.apache.spark.sql.Row] = sdf.collect()
   def count(): Long = sdf.count()

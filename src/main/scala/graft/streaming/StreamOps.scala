@@ -52,6 +52,18 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("win_start"), col("user_id"), col("n_events"))
 
+  /** session windows: events separated by less than `gap` merge into one
+    * session per user. Works identically over batch frames (used in the
+    * spec) and streams (state-store backed, watermark-bounded). */
+  def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("session"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value")).as("session_value"))
+      .select(col("session.start").as("session_start"),
+        col("session.end").as("session_end"), col("user_id"),
+        col("n_events"), col("session_value"))
+
   /** run a streaming plan to completion against the bounded test input
     * and return the materialized result (memory sink).
     *
