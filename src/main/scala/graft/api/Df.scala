@@ -368,6 +368,32 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   def applyRows[T: org.apache.spark.sql.Encoder](f: org.apache.spark.sql.Row => T): Df =
     new Df(sdf.map(f)(implicitly[org.apache.spark.sql.Encoder[T]]).toDF())
 
+  /** As-of join (nearest prior match), composed from built-ins per the
+    * preference order (compose > custom plan): union both sides tagged,
+    * one sort-shuffle on (keys, time), carry the latest right-row values
+    * forward with `last(ignoreNulls)` over the unioned timeline, keep
+    * left rows. One shuffle, no custom SparkPlan, scales like a window.
+    *
+    * `direction="backward"` (default): right.time <= left.time, latest
+    * such right row wins. */
+  def asofJoin(right: Df, on: Seq[String], leftTime: String,
+               rightTime: String, valueCols: Seq[String]): Df = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(on.map(col): _*)
+      .orderBy(col("__t"), col("__side")) // right (0) sorts before left (1) at equal ts
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val lhs = sdf.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+      .withColumns(valueCols.map(c => c -> lit(null).cast(right.sdf.schema(c).dataType)).toMap)
+    val rhs = right.sdf.select((on.map(col) :+ col(rightTime).as("__t")) ++
+        valueCols.map(col): _*)
+      .withColumn("__side", lit(0))
+    val unioned = lhs.unionByName(rhs, allowMissingColumns = true)
+    val carried = valueCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    new Df(carried.where(col("__side") === 1).drop("__t", "__side"))
+  }
+
   /** Semi/anti joins — Spark-native extension beyond the reference. */
   def semiJoin(right: Df, on: Seq[String]): Df = new Df(sdf.join(right.sdf, on, "left_semi"))
   def antiJoin(right: Df, on: Seq[String]): Df = new Df(sdf.join(right.sdf, on, "left_anti"))

@@ -59,6 +59,50 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
+    * corpus into `nlist` cells; each query probes its `nprobe` nearest
+    * cells and reranks exactly (graft_cosine) inside them.
+    *
+    * The scale path beyond LSH: cell assignment is one MLlib KMeans fit
+    * (distributed Lloyd iterations over a sample-able corpus) + one
+    * predict pass; search touches nprobe/nlist of the data. With
+    * nprobe = nlist the result provably equals brute force (spec-tested).
+    */
+  def ivfTopK(queries: Df, corpus: Df, vecCol: String, idCol: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4): Df = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    graft.plans.GraftFunctions.register(queries.spark)
+    val toVec = udf((a: Seq[Float]) =>
+      Vectors.dense(a.map(_.toDouble).toArray))
+    val feat = corpus.sdf.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
+      .withColumn("features", toVec(col("c_vec")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").fit(feat)
+    val assigned = feat.select(col("corpus_id"), col("c_vec"),
+      udf((v: Vector) => model.predict(v)).apply(col("features")).as("cell"))
+    // driver-side centroid table is tiny (nlist rows) — broadcast literal
+    val centers = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    val probe = udf((a: Seq[Float]) => {
+      val q = a.map(_.toDouble).toArray
+      centers.sortBy { case (_, c) =>
+        var d = 0.0; var i = 0
+        while (i < q.length) { val t = q(i) - c(i); d += t * t; i += 1 }
+        d
+      }.take(nprobe).map(_._1)
+    })
+    val q = broadcast(queries.sdf.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("cell", explode(probe(col("q_vec")))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    new Df(assigned.join(q, Seq("cell"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", round(expr("graft_cosine(q_vec, c_vec)"), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cosine"))
+  }
+
   /** ANN: bucket by LSH signature, exact cosine rerank inside buckets.
     * Queries broadcast; corpus shuffles once on the bucket key. */
   def lshTopK(queries: Df, corpus: Df, vecCol: String, idCol: String,

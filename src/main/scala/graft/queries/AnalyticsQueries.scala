@@ -67,6 +67,30 @@ object AnalyticsQueries {
         .sortValues(Seq("event_type")).sdf
     }),
 
+    // ---- as-of join (composed: union + carry-forward window; oracle =
+    // DuckDB's native ASOF JOIN — the strongest possible cross-check) ----
+    "q72_asof_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val purchases = e.where(e("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = e.where(e("event_type") === "click")
+        .selectExpr("user_id", "ts", "value AS click_value")
+      purchases.asofJoin(clicks, on = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts", valueCols = Seq("click_value"))
+        .select("event_id", "user_id", "click_value")
+        .sortValues(Seq("event_id")).sdf
+    }),
+
+    // ---- IVF ANN (kmeans coarse quantizer; rows-only — KMeans isn't
+    // SQL-replicable; exactness vs brute force proven in AsofIvfSpec) ----
+    "q73_ivf_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 3)
+      graft.operators.Similarity.ivfTopK(q, e, "embedding", "vec_id",
+        k = 3, nlist = 8, nprobe = 8)
+        .sortValues(Seq("query_id", "rank")).sdf
+    }),
+
     // ---- frame ⟷ scalar broadcast (df + df.mean() pattern) ----
     "q59b_scalar_broadcast" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
@@ -123,6 +147,12 @@ object AnalyticsQueries {
         |CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
         |MAX(json_extract_string(props, '$.k')::BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q72_asof_join" ->
+      """SELECT p.event_id, p.user_id, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type='purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+        |ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q59b_scalar_broadcast" ->
       """SELECT l_orderkey, l_linenumber,
         |l_extendedprice - (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -1,0 +1,67 @@
+package graft
+
+import graft.api.Df
+import graft.operators.Similarity
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** As-of join and IVF ANN specs. */
+class AsofIvfSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("asofJoin picks the latest prior right row per key") {
+    val trades = Df.fromRows(spark, Seq(
+      Row("A", 10L, 100.0), Row("A", 20L, 101.0), Row("B", 15L, 50.0)),
+      StructType(Seq(StructField("sym", StringType),
+        StructField("t", LongType), StructField("px", DoubleType))))
+    val quotes = Df.fromRows(spark, Seq(
+      Row("A", 5L, 99.0), Row("A", 18L, 100.5), Row("A", 25L, 102.0),
+      Row("B", 14L, 49.5)),
+      StructType(Seq(StructField("sym", StringType),
+        StructField("t", LongType), StructField("bid", DoubleType))))
+
+    val j = trades.asofJoin(quotes, on = Seq("sym"),
+      leftTime = "t", rightTime = "t", valueCols = Seq("bid"))
+    val m = j.sdf.collect().map(r =>
+      (r.getString(0), r.getLong(1)) -> Option(r.get(r.fieldIndex("bid")))).toMap
+    assert(m(("A", 10L)).contains(99.0))   // quote@5 is latest ≤ 10
+    assert(m(("A", 20L)).contains(100.5))  // quote@18, not quote@25
+    assert(m(("B", 15L)).contains(49.5))
+    assert(j.count() == 3) // left rows preserved exactly
+  }
+
+  test("asofJoin with no prior quote yields null") {
+    val l = Df.fromRows(spark, Seq(Row("A", 1L)),
+      StructType(Seq(StructField("k", StringType), StructField("t", LongType))))
+    val r = Df.fromRows(spark, Seq(Row("A", 5L, 1.0)),
+      StructType(Seq(StructField("k", StringType),
+        StructField("t", LongType), StructField("v", DoubleType))))
+    val j = l.asofJoin(r, Seq("k"), "t", "t", Seq("v"))
+    assert(j.sdf.collect()(0).isNullAt(2))
+  }
+
+  test("IVF with nprobe == nlist equals brute force exactly") {
+    val e = Df.readParquet(spark, s"$sf/embeddings.parquet")
+    val q = e.where(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(q, e, "embedding", "vec_id", 3)
+      .sdf.orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val ivfFull = Similarity.ivfTopK(q, e, "embedding", "vec_id", 3,
+      nlist = 8, nprobe = 8)
+      .sdf.orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(brute.toSeq == ivfFull.toSeq)
+  }
+
+  test("IVF with partial probes returns k ranked results per query") {
+    val e = Df.readParquet(spark, s"$sf/embeddings.parquet")
+    val q = e.where(col("vec_id") < 3)
+    val ivf = Similarity.ivfTopK(q, e, "embedding", "vec_id", 3,
+      nlist = 8, nprobe = 2).sdf.collect()
+    val perQ = ivf.groupBy(_.getLong(0))
+    assert(perQ.values.forall(rs => rs.length <= 3 && rs.map(_.getInt(1)).min == 1))
+    assert(ivf.forall(r => math.abs(r.getAs[Double]("cosine")) <= 1.0))
+  }
+}
