@@ -41,8 +41,25 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   def where(cond: Column): Df = new Df(sdf.filter(cond))
   def where(mask: Ser): Df = new Df(sdf.filter(mask.col))
 
-  /** `Assign` (`_expr.py:1309`): add/overwrite one column. */
-  def assign(name: String, value: Ser): Df = new Df(sdf.withColumn(name, value.col))
+  /** `Assign` (`_expr.py:1309`): add/overwrite one column.
+    *
+    * Fails fast (with a named error) when the Ser references columns
+    * this frame no longer carries — the "Ser lineage rule": a Ser built
+    * from frame F can only be assigned onto F or a descendant that kept
+    * the referenced columns. Without this check Spark fails later with
+    * a cryptic MISSING_ATTRIBUTES analysis error. */
+  def assign(name: String, value: Ser): Df =
+    try new Df(sdf.withColumn(name, value.col))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getErrorClass != null && e.getErrorClass.startsWith("MISSING_ATTRIBUTES") =>
+        throw new IllegalArgumentException(
+          s"assign('$name'): the Ser references columns this frame no longer " +
+            s"carries (columns here: ${columns.mkString(", ")}). Re-derive the " +
+            "Ser from the current frame - Sers don't survive operations that " +
+            "drop or rebuild their source columns (select/replace/rename). " +
+            s"Analyzer said: ${e.getMessage.linesIterator.next()}", e)
+    }
   def assign(name: String, value: Column): Df = new Df(sdf.withColumn(name, value))
   /** `Drop` (`_expr.py:1296`) — reference rewrites to Projection; Spark's
     * ColumnPruning does the same. */

@@ -178,6 +178,14 @@ class ApiSpec extends AnyFunSuite {
     assert(r.getDouble(0) == (0 until 100).map(i => i + i.toDouble).sum)
   }
 
+  test("assign with stale Ser fails fast with lineage-rule message") {
+    val d = f1
+    val stale = d("y") * 2           // bound to d, which still has y
+    val narrowed = d.select("x")     // y dropped
+    val e = intercept[IllegalArgumentException](narrowed.assign("z", stale))
+    assert(e.getMessage.contains("Re-derive the Ser"))
+  }
+
   test("explode_outer keeps empty/null rows like pandas explode") {
     val d = Df.fromRows(spark,
       Seq(Row(1L, Seq(10L, 20L)), Row(2L, Seq.empty[Long]), Row(3L, null)),
