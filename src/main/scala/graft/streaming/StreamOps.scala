@@ -64,6 +64,32 @@ object StreamOps {
         col("session.end").as("session_end"), col("user_id"),
         col("n_events"), col("session_value"))
 
+  /** Custom per-key state via flatMapGroupsWithState: running per-user
+    * totals that survive across triggers (the state-store-backed escape
+    * hatch when windowed aggregation can't express the logic —
+    * sessionization with business rules, CDC merge, rate limiting).
+    *
+    * Emits one update per user per trigger. State is bounded by the
+    * user-id cardinality; production pipelines add a timeout
+    * (`GroupStateTimeout.EventTimeTimeout`) to expire idle keys. */
+  def statefulUserTotals(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.selectExpr("user_id", "value").as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          Iterator((user, n, s))
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
+
   /** run a streaming plan to completion against the bounded test input
     * and return the materialized result (memory sink).
     *

@@ -42,6 +42,21 @@ class StreamingSpec extends AnyFunSuite {
         x.getLong(2) == y.getLong(2) })
   }
 
+  test("flatMapGroupsWithState: stateful totals equal batch groupBy") {
+    val stream = StreamOps.readEventsStream(spark, stageDir)
+    val result = StreamOps.runToCompletion(
+      StreamOps.statefulUserTotals(stream), "stateful_totals", mode = "append")
+    // single input file → single trigger → final state equals batch agg
+    val got = result.orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 100) / 100))
+    val batch = spark.read.parquet(s"$stageDir/events.parquet")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 100) / 100))
+    assert(got.toSeq == batch.toSeq)
+  }
+
   test("sliding windows produce overlapping assignments") {
     val dir = stageDir
     val stream = StreamOps.readEventsStream(spark, dir)
