@@ -193,6 +193,26 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   def dropDuplicates(subset: Seq[String] = Nil): Df =
     new Df(if (subset.isEmpty) sdf.dropDuplicates() else sdf.dropDuplicates(subset))
 
+  /** pandas `duplicated(keep='first')`: boolean mask marking all but the
+    * first occurrence (by explicit order key — Spark rows are unordered)
+    * of each subset-key group. One shuffle on the subset keys. */
+  def duplicated(subset: Seq[String], orderKey: String, out: String = "is_dup"): Df = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(subset.map(sdf(_)): _*).orderBy(sdf(orderKey))
+    new Df(sdf.withColumn(out, row_number().over(w) > 1))
+  }
+
+  /** pandas `diff(periods)` over an explicit order (and optional
+    * partitioning): value minus the value `periods` rows earlier. */
+  def diff(c: String, orderKeys: Seq[String], out: String,
+           periods: Int = 1, partitionBy: Seq[String] = Nil): Df = {
+    val w0 = if (partitionBy.isEmpty)
+      org.apache.spark.sql.expressions.Window.partitionBy()
+    else org.apache.spark.sql.expressions.Window.partitionBy(partitionBy.map(sdf(_)): _*)
+    val w = w0.orderBy(orderKeys.map(sdf(_).asc): _*)
+    new Df(sdf.withColumn(out, sdf(c) - lag(sdf(c), periods).over(w)))
+  }
+
   /** pandas `describe()`: one row per numeric column with the standard
     * stat battery — a single aggregation pass, unpivoted via `stack`. */
   def describeStats(cols: Seq[String] = Nil): Df = {

@@ -111,6 +111,23 @@ class SemanticsSpec extends AnyFunSuite {
     assert(bytes == 6 * 8)
   }
 
+  test("duplicated marks all but first occurrence by order key") {
+    val d = Df.fromRows(spark,
+      Seq(Row("a", 1L), Row("a", 2L), Row("b", 3L), Row("a", 4L)),
+      StructType(Seq(StructField("k", StringType), StructField("t", LongType))))
+    val m = d.duplicated(Seq("k"), "t").sdf.orderBy("t").collect()
+      .map(_.getBoolean(2))
+    assert(m.toSeq == Seq(false, true, false, true))
+  }
+
+  test("diff subtracts the value periods rows earlier") {
+    val d = Df.fromRows(spark, Seq(Row(1L, 10.0), Row(2L, 15.0), Row(3L, 11.0)),
+      StructType(Seq(StructField("t", LongType), StructField("v", DoubleType))))
+    val out = d.diff("v", Seq("t"), "d").sdf.orderBy("t").collect()
+      .map(r => Option(r.get(2)))
+    assert(out(0).isEmpty && out(1).contains(5.0) && out(2).contains(-4.0))
+  }
+
   test("saltedJoin equals plain join result") {
     val li = Df.readParquet(spark, s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
