@@ -13,6 +13,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm one-time JVM/codegen/classloader costs (parquet reader, JSON
+    // path, window exec) so per-query timings measure steady-state work,
+    // not whichever query happens to run first (~5s of classloading).
+    try {
+      import org.apache.spark.sql.functions._
+      spark.range(10).agg(sum(get_json_object(
+        concat(lit("{\"k\":"), col("id"), lit("}")), "$.k").cast("long"))).count()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
