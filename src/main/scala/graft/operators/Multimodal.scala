@@ -64,11 +64,12 @@ object Multimodal {
       (0 until frames).map(f => (nBytes.toLong * f / frames).toInt)
   }
 
-  /** Per-partition batched feature extraction — decoder initialized once
-    * per partition (the expensive part for real codecs), rows processed
-    * in a streaming iterator (no partition-wide materialization). */
-  def extractFeatures(media: Df, dim: Int = 8): Df = {
-    val spark = media.spark
+  /** Per-partition BATCHED feature extraction — the Scala analog of the
+    * `mapInPandas` pattern: decoder initialized once per partition (the
+    * expensive part for real codecs), rows drained in fixed-size batches
+    * (real decoders amortize GPU/FFI round-trips per batch), streamed —
+    * never materializing the whole partition. */
+  def extractFeatures(media: Df, dim: Int = 8, batchSize: Int = 64): Df = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("n_bytes", IntegerType),
@@ -78,10 +79,13 @@ object Multimodal {
       .select(col("media_id"), col("payload"), col("n_bytes"))
       .mapPartitions { rows =>
         // real codec: init decoder/session HERE, once per partition
-        rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
-          Row(r.getAs[Long]("media_id"), r.getAs[Int]("n_bytes"),
-            FakeCodec.decodeToFeatures(payload, dim))
+        rows.grouped(batchSize).flatMap { batch =>
+          // real codec: one vectorized decode call per batch here
+          batch.map { r =>
+            val payload = r.getAs[Array[Byte]]("payload")
+            Row(r.getAs[Long]("media_id"), r.getAs[Int]("n_bytes"),
+              FakeCodec.decodeToFeatures(payload, dim))
+          }
         }
       }(enc)
     new Df(ds.toDF())

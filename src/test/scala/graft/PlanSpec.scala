@@ -82,6 +82,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Or(GreaterThan(l_quantity,45.0),GreaterThan(l_discount,0.09))"), p)
   }
 
+  test("identical agg subtrees reuse one exchange (scan-CSE story, SURVEY §4.11)") {
+    // the reference needs a combine_similar pass for this; in Spark,
+    // sharing the Df keeps one plan subtree and the physical planner
+    // reuses the shuffle for its second appearance
+    // AQE defers reuse to stage materialization; turn it off to see the
+    // static ReusedExchange (at runtime AQE reuses the stage either way)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val li = Df.readParquet(spark, s"$sf/lineitem.parquet")
+      val agg = li.select("l_orderkey", "l_quantity")
+        .groupby("l_orderkey").sum()
+      val self = agg.merge(agg.rename(Map("l_quantity" -> "q2")),
+        on = Seq("l_orderkey"), how = "inner")
+      val p = plan(self.sdf)
+      assert(p.contains("ReusedExchange"), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("semi join plans as LeftSemi (no row multiplication)") {
     val c = Df.readParquet(spark, s"$sf/customer.parquet")
     val o = Df.readParquet(spark, s"$sf/orders.parquet")
