@@ -18,10 +18,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.defs ++ ElementwiseQueries.defs ++ ReductionQueries.defs ++
       JoinQueries.defs ++ WindowQueries.defs ++ ExtensionQueries.defs ++
-      AnalyticsQueries.defs
+      AnalyticsQueries.defs ++ CoverageQueries.defs
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ElementwiseQueries.oracles ++ ReductionQueries.oracles ++
       JoinQueries.oracles ++ WindowQueries.oracles ++ ExtensionQueries.oracles ++
-      AnalyticsQueries.oracles
+      AnalyticsQueries.oracles ++ CoverageQueries.oracles
 }

@@ -291,6 +291,18 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     new Df(l.join(r, on :+ "__salt", how).drop("__salt"))
   }
 
+  /** set operations — free Spark extensions (SURVEY.md §2.8 note):
+    * SQL set semantics (distinct), like DuckDB INTERSECT/EXCEPT. */
+  def intersect(other: Df): Df = new Df(sdf.intersect(other.sdf))
+  def except(other: Df): Df = new Df(sdf.except(other.sdf))
+
+  /** grouping-set aggregations — free Spark extensions (SURVEY.md §2.6
+    * note): subtotal rows carry nulls in the grouping columns. */
+  def cube(by: Seq[String])(aggs: Column*): Df =
+    new Df(sdf.cube(by.map(sdf(_)): _*).agg(aggs.head, aggs.tail: _*))
+  def rollup(by: Seq[String])(aggs: Column*): Df =
+    new Df(sdf.rollup(by.map(sdf(_)): _*).agg(aggs.head, aggs.tail: _*))
+
   // ---- groupby (§2.6) ----
   def groupby(by: String*): GroupedDf = {
     val missing = by.filterNot(columns.contains)

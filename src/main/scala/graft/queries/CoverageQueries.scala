@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QueryUtil._
+
+/** Breadth-coverage batch: analytic window battery, string/datetime
+  * accessors, set ops, grouping sets. q74–q78. */
+object CoverageQueries {
+
+  val defs: Map[String, Q] = Map(
+    // ---- analytic window battery: ntile / percent_rank / cume_dist ----
+    "q74_window_suite" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val d = o.sdf
+        .withColumn("tile", ntile(4).over(w))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+      new graft.api.Df(d)
+        .where(col("o_orderkey") % 50 === 0)
+        .sortValues(Seq("o_orderpriority", "o_orderkey")).sdf
+    }),
+
+    // ---- str accessor battery (upper/len/substr/concat/zfill) ----
+    "q75_string_ops" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      c.assign("name_upper", c("c_name").str.upper)
+        .assign("name_len", c("c_name").str.len)
+        .assign("name_head", c("c_name").str.slice(0, 8))
+        .assign("key_padded", c("c_custkey").astype("string").str.zfill(8))
+        .select("c_custkey", "name_upper", "name_len", "name_head", "key_padded")
+        .sortValues(Seq("c_custkey")).sdf
+    }),
+
+    // ---- dt accessor battery (year/month/day/quarter + trunc) ----
+    "q76_datetime_ops" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      o.assign("y", o("o_orderdate").dt.year)
+        .assign("m", o("o_orderdate").dt.month)
+        .assign("d", o("o_orderdate").dt.day)
+        .assign("month_start", o("o_orderdate").dt.floor("month"))
+        .groupby("y", "m")
+        .agg(count(lit(1)).as("n"),
+             min(col("d")).as("first_day"),
+             min(col("month_start")).as("month_start"))
+        .sortValues(Seq("y", "m")).sdf
+    }),
+
+    // ---- set ops: intersect / except (SQL set semantics) ----
+    "q77_setops" -> ((s, dir) => {
+      val custNations = T(s, dir, "customer").selectExpr("c_nationkey AS k")
+      val suppNations = T(s, dir, "supplier").selectExpr("s_nationkey AS k")
+      val both = custNations.intersect(suppNations).assign("which", lit("both"))
+      val custOnly = custNations.except(suppNations).assign("which", lit("cust_only"))
+      graft.api.Df.concat(Seq(both, custOnly))
+        .sortValues(Seq("which", "k")).sdf
+    }),
+
+    // ---- grouping sets: cube with subtotal rows ----
+    "q78_cube" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .cube(Seq("l_returnflag", "l_linestatus"))(
+          decSum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .sortValues(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first).sdf
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q74_window_suite" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, tile, pr, cd FROM (
+        |SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |NTILE(4) OVER w AS tile,
+        |ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+        |ROUND(CUME_DIST() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE o_orderkey % 50 = 0 ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q75_string_ops" ->
+      """SELECT c_custkey, UPPER(c_name) AS name_upper,
+        |LENGTH(c_name) AS name_len,
+        |SUBSTR(c_name, 1, 8) AS name_head,
+        |LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q76_datetime_ops" ->
+      """SELECT CAST(YEAR(o_orderdate) AS INT) AS y,
+        |CAST(MONTH(o_orderdate) AS INT) AS m,
+        |COUNT(*) AS n,
+        |CAST(MIN(DAY(o_orderdate)) AS INT) AS first_day,
+        |MIN(DATE_TRUNC('month', o_orderdate))::TIMESTAMP AS month_start
+        |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+    "q77_setops" ->
+      """SELECT k, which FROM (
+        |SELECT k, 'both' AS which FROM
+        |(SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT k, 'cust_only' AS which FROM
+        |(SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier))
+        |ORDER BY which, k""".stripMargin,
+    "q78_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+}
