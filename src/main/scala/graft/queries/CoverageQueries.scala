@@ -69,6 +69,78 @@ object CoverageQueries {
           col("l_linestatus").asc_nulls_first).sdf
     }))
 
+  val defs2: Map[String, Q] = Map(
+    // ---- pandas groupby.transform: group aggregate broadcast back to
+    // rows (whole-partition window, no join) ----
+    "q79_groupby_transform" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+      val li = T(s, dir, "lineitem")
+      li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .assign("group_mean",
+          sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double") /
+            count(col("l_quantity")).over(w))
+        .assign("diff_from_mean", col("l_quantity") - col("group_mean"))
+        .select("l_orderkey", "l_linenumber", "diff_from_mean")
+        .sortValues(Seq("l_orderkey", "l_linenumber")).sdf
+    }),
+
+    // ---- pandas pct_change over explicit order ----
+    "q80_pct_change" -> ((s, dir) => {
+      val e = events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      e.where(e("user_id") < 10)
+        .assign("pct_change", col("value") / lag(col("value"), 1).over(w) - 1)
+        .select("user_id", "event_id", "pct_change")
+        .sortValues(Seq("user_id", "event_id")).sdf
+    }),
+
+    // ---- pandas groupby.filter: keep rows of qualifying groups ----
+    "q81_groupby_filter" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val busy = o.groupby("o_custkey").size()
+      val keys = busy.where(col("size") >= 15).select("o_custkey")
+      o.semiJoin(keys, Seq("o_custkey"))
+        .select("o_orderkey", "o_custkey")
+        .sortValues(Seq("o_orderkey")).sdf
+    }),
+
+    // ---- time-range window: trailing 1-hour sum per user ----
+    "q82_range_window" -> ((s, dir) => {
+      val e = events(s, dir)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+      e.where(e("user_id") < 10)
+        .assign("hour_sum",
+          sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
+        .select("user_id", "event_id", "hour_sum")
+        .sortValues(Seq("user_id", "event_id")).sdf
+    }))
+
+  val oracles2: Map[String, String] = Map(
+    "q79_groupby_transform" ->
+      """SELECT l_orderkey, l_linenumber,
+        |l_quantity - (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |  / COUNT(l_quantity) OVER w) AS diff_from_mean
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q80_pct_change" ->
+      """SELECT user_id, event_id,
+        |value / LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP) - 1 AS pct_change
+        |FROM events WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin,
+    "q81_groupby_filter" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (
+        |SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q82_range_window" ->
+      """SELECT user_id, event_id,
+        |CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id
+        |  ORDER BY EPOCH(ts::TIMESTAMP)::BIGINT
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+        |FROM events WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     "q74_window_suite" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, tile, pr, cd FROM (
