@@ -479,6 +479,14 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     new Df(spark.table(table))
   }
 
+  /** Hive-style partitioned parquet sink: one directory per partition
+    * value. Reads back with partition PRUNING — a filter on the
+    * partition column skips whole directories before any IO
+    * (PlanSpec asserts `PartitionFilters`). The standard layout for
+    * time/category-partitioned 100 TB datasets. */
+  def toParquetPartitioned(path: String, partitionCols: Seq[String]): Unit =
+    sdf.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
   // ---- actions / sinks ----
   def compute(): Array[org.apache.spark.sql.Row] = sdf.collect()
   def count(): Long = sdf.count()

@@ -74,6 +74,19 @@ class PlanSpec extends AnyFunSuite {
     assert(stageIds == Set("1"), p)
   }
 
+  test("partitioned layout prunes directories via PartitionFilters") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val e = new Df(spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000"))))
+    e.toParquetPartitioned(tmp, Seq("event_type"))
+    val back = Df.readParquet(spark, tmp)
+    val q = back.where(back("event_type") === "purchase").select("event_id").sdf
+    val p = plan(q)
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"), p)
+    assert(q.count() == e.where(e("event_type") === "purchase").count())
+  }
+
   test("OR predicates push down as DNF (reference _DNF analog)") {
     val li = Df.readParquet(spark, s"$sf/lineitem.parquet")
     val q = li.where((li("l_quantity") > 45.0) || (li("l_discount") > 0.09))
