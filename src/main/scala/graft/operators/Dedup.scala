@@ -49,9 +49,15 @@ object Dedup {
     // Only (id, band, key) flows through the bucket join; the shingle
     // arrays are re-joined onto the (much smaller) deduped candidate
     // pairs for verification — at scale the wide arrays never shuffle.
+    // Materialize the banded index: both sides of the candidate
+    // self-join reference it, and Spark plans trees, not DAGs — without
+    // persistence the (expensive) signature stage runs once per side.
+    // This is the classic "build the LSH index once" materialization:
+    // 3 small rows per doc, spilled to disk beyond memory.
     val banded = withSig.select(col(idCol),
       posexplode(array((0 until bands).map(b => bandKey(col("__sig"), b, r)): _*))
         .as(Seq("__band", "__key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col(idCol).as("id_a"), col("__band"), col("__key"))
     val b = banded.select(col(idCol).as("id_b"), col("__band"), col("__key"))
     val candidates = a.join(b, Seq("__band", "__key"))
@@ -131,9 +137,12 @@ object Dedup {
     //     intersect B's prefix — so the inverted index only contains
     //     each doc's prefix, shrinking candidate pairs quadratically
     //     while staying EXACT (verification uses the full sets).
+    // materialized once: referenced by both self-join sides AND the
+    // verification lookups (4 uses; Spark plans trees, not DAGs)
     val sh = docs.sdf.select(col(idCol).as("id"),
       array_sort(array_distinct(transform(wordShingles(col(textCol), n), hash32(_)))).as("sh"))
       .withColumn("nsh", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefixLen = (col("nsh") - ceil(col("nsh") * minJaccard) + 1).cast("int")
     val inv = sh.select(col("id"), explode(slice(col("sh"), lit(1), prefixLen)).as("g"))
     val candidates = inv.select(col("id").as("id_a"), col("g"))

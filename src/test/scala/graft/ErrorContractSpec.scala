@@ -1,0 +1,62 @@
+package graft
+
+import graft.api.Df
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Error-contract specs — the reference asserts its API boundaries raise
+  * promptly and clearly (NotImplementedError/KeyError tests,
+  * `tests/test_collection.py:126-127,139-143,604-608`). graft's
+  * boundaries must fail at call time (eager analysis) with named
+  * messages, not deep inside an executor. */
+class ErrorContractSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def d: Df = Df.fromRows(spark,
+    Seq(Row(1L, 2.0)), StructType(Seq(
+      StructField("x", LongType), StructField("y", DoubleType))))
+
+  test("groupby with unknown key names the missing columns") {
+    val e = intercept[IllegalArgumentException](d.groupby("nope"))
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("grouped slice with unknown column names it") {
+    val e = intercept[IllegalArgumentException](d.groupby("x")("zz"))
+    assert(e.getMessage.contains("zz"))
+  }
+
+  test("joinIndex and align require a designated index") {
+    val e1 = intercept[RuntimeException](d.joinIndex(d.setIndex("x")))
+    assert(e1.getMessage.contains("no index"))
+    val e2 = intercept[RuntimeException](d.align(d.setIndex("x")))
+    assert(e2.getMessage.contains("no index"))
+  }
+
+  test("cut rejects mismatched break/label arity") {
+    intercept[IllegalArgumentException](
+      d.cut("y", Seq(0.0, 1.0, 2.0), Seq("only-one-label-for-two-bins", "x", "y"), "b"))
+  }
+
+  test("setIndex on a missing column fails at call time") {
+    intercept[IllegalArgumentException](d.setIndex("missing"))
+  }
+
+  test("selecting a missing column fails eagerly (analysis, not runtime)") {
+    intercept[org.apache.spark.sql.AnalysisException](d.select("ghost"))
+  }
+
+  test("cross-frame Ser ops are rejected with the lineage message") {
+    val other = Df.fromRows(spark, Seq(Row(1L)),
+      StructType(Seq(StructField("x", LongType))))
+    val e = intercept[IllegalArgumentException](d("x") + other("x"))
+    assert(e.getMessage.contains("align"))
+  }
+
+  test("agg spec with unsupported function names it") {
+    val e = intercept[RuntimeException](
+      d.groupby("x").agg(Map("y" -> Seq("medianish"))))
+    assert(e.getMessage.contains("medianish"))
+  }
+}
