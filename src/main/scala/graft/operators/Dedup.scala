@@ -104,7 +104,9 @@ object Dedup {
     * distance ≤ maxHamming verification. */
   def simhashPairs(docs: Df, textCol: String, idCol: String,
                    maxHamming: Int = 6): Df = {
+    // materialized: referenced by both candidate self-join sides
     val sigs = simhash(docs, textCol, idCol).sdf
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until 4).map(b =>
       shiftright(col("simhash"), b * 15).bitwiseAND((1L << 15) - 1).as(s"__band$b"))
     val banded = sigs.select(col(idCol) +: col("simhash") +: bandCols: _*)
