@@ -104,6 +104,22 @@ object CoverageQueries {
         .sortValues(Seq("o_orderkey")).sdf
     }),
 
+    // ---- per-group idxmax (deterministic struct ordering) ----
+    "q83_groupby_idxmax" -> ((s, dir) => {
+      T(s, dir, "orders").groupby("o_orderpriority").agg(
+        expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").as("idxmax_order"),
+        max(col("o_totalprice")).as("max_price"))
+        .sortValues(Seq("o_orderpriority")).sdf
+    }),
+
+    // ---- per-group exact distinct counts ----
+    "q84_groupby_nunique" -> ((s, dir) => {
+      T(s, dir, "lineitem").groupby("l_returnflag").agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+        .sortValues(Seq("l_returnflag")).sdf
+    }),
+
     // ---- time-range window: trailing 1-hour sum per user ----
     "q82_range_window" -> ((s, dir) => {
       val e = events(s, dir)
@@ -134,6 +150,18 @@ object CoverageQueries {
         |WHERE o_custkey IN (
         |SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15)
         |ORDER BY o_orderkey""".stripMargin,
+    "q83_groupby_idxmax" ->
+      """SELECT o_orderpriority, idxmax_order, max_price FROM (
+        |SELECT o_orderpriority, o_orderkey AS idxmax_order, o_totalprice,
+        |MAX(o_totalprice) OVER (PARTITION BY o_orderpriority) AS max_price,
+        |ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |FROM orders) WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
+    "q84_groupby_nunique" ->
+      """SELECT l_returnflag,
+        |COUNT(DISTINCT l_orderkey) AS n_orders,
+        |COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q82_range_window" ->
       """SELECT user_id, event_id,
         |CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id
