@@ -110,6 +110,8 @@ final class GroupedDf private[api] (
         case "var"    => var_samp(col)
         case "std"    => stddev_samp(col)
         case "nunique" => countDistinct(col)
+        case "median" => expr(s"percentile($c, 0.5)")
+        case "first"  => sys.error("agg: 'first' needs an order column — use GroupedDf.first(orderCol)")
         case other    => sys.error(s"agg: unsupported function $other")
       }).as(out)
     }

@@ -135,6 +135,31 @@ object ExtensionQueries {
         .sortValues(Seq("media_id")).sdf
     }),
 
+    // ---- full training-data pipeline composition: quality filter →
+    // language ID → exact dedup → per-language token statistics.
+    // The shape every data-curation job at 100 TB takes: each stage is
+    // one of the verified operators, fused by Catalyst into two
+    // aggregation stages total ----
+    "q85_pipeline" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val scored = d
+        .assign("quality", qualityScore(col("text")))
+        .assign("lang_pred", langId(col("text")))
+        .assign("fp", fingerprint(col("text")))
+        .assign("n_tokens", tokenCount(col("text")))
+      val filtered = scored.where(col("quality") >= 0.4)
+      // exact-dedup: keep min doc_id per fingerprint
+      val keep = filtered.groupby("fp")
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      filtered.semiJoin(keep, Seq("doc_id"))
+        .groupby("lang_pred")
+        .agg(count(lit(1)).as("n_docs"),
+             intSum(col("n_tokens")).as("total_tokens"),
+             round(avg(col("quality")), 6).as("avg_quality"))
+        .sortValues(Seq("lang_pred")).sdf
+    }),
+
     // ---- composite pipeline: quality-filter → per-lang counts ----
     "q70_quality_filter" -> ((s, dir) => {
       T(s, dir, "documents")
@@ -276,6 +301,20 @@ object ExtensionQueries {
     "q69_multimodal_meta" ->
       """SELECT doc_id, length(text) AS n_bytes, sha256(text) AS digest
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "q85_pipeline" ->
+      s"""WITH scored AS (
+         |SELECT doc_id, $qualitySql AS quality,
+         |CASE WHEN $stopFilterSql > 0 THEN 'en' ELSE 'unknown' END AS lang_pred,
+         |$fpSql AS fp,
+         |len(string_split(text,' ')) AS n_tokens
+         |FROM documents),
+         |filtered AS (SELECT * FROM scored WHERE quality >= 0.4),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY fp)
+         |SELECT lang_pred, COUNT(*) AS n_docs,
+         |CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |ROUND(AVG(quality), 6) AS avg_quality
+         |FROM filtered WHERE doc_id IN (SELECT doc_id FROM keep)
+         |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
     "q70_quality_filter" ->
       s"""SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(q), 6) AS avg_quality FROM (
          |SELECT lang, $qualitySql AS q FROM documents)
