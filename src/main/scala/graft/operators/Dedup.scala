@@ -152,15 +152,17 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     // broadcast the per-doc shingle table into the verify joins (one row
-    // per doc — small next to the candidate pairs; see minhashPairs note)
+    // per doc — small next to the candidate pairs; see minhashPairs
+    // note). Verification scores with the native codegen'd merge-loop
+    // jaccard (graft.plans.SortedJaccard) — O(n+m) per pair with no
+    // hash-set allocation; arrays are sorted+distinct by construction.
+    graft.plans.GraftFunctions.register(docs.spark)
     val full = sh.select(col("id"), col("sh"), col("nsh"))
     val pairs = candidates
-      .join(broadcast(full.select(col("id").as("id_a"), col("sh").as("sh_a"), col("nsh").as("n_a"))), Seq("id_a"))
-      .join(broadcast(full.select(col("id").as("id_b"), col("sh").as("sh_b"), col("nsh").as("n_b"))), Seq("id_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      .join(broadcast(full.select(col("id").as("id_a"), col("sh").as("sh_a"))), Seq("id_a"))
+      .join(broadcast(full.select(col("id").as("id_b"), col("sh").as("sh_b"))), Seq("id_b"))
     new Df(pairs
-      .withColumn("jaccard",
-        round(inter / (col("n_a") + col("n_b") - inter).cast("double"), 6))
+      .withColumn("jaccard", round(expr("graft_jaccard_sorted(sh_a, sh_b)"), 6))
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard"))
   }

@@ -14,12 +14,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   *    `graft_cosine` available in every session of a cluster.
   */
 object GraftFunctions {
-  val names: Seq[String] = Seq("graft_cosine")
+  val names: Seq[String] = Seq("graft_cosine", "graft_jaccard_sorted")
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_cosine",
       (exprs: Seq[Expression]) => FloatCosine(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_jaccard_sorted",
+      (exprs: Seq[Expression]) => SortedJaccard(exprs(0), exprs(1)), "built-in")
   }
 }
 
@@ -30,5 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[FloatCosine].getName, "graft_cosine"),
       (exprs: Seq[Expression]) => FloatCosine(exprs(0), exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_jaccard_sorted"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SortedJaccard].getName, "graft_jaccard_sorted"),
+      (exprs: Seq[Expression]) => SortedJaccard(exprs(0), exprs(1))))
   }
 }

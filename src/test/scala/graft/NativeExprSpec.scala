@@ -36,6 +36,23 @@ class NativeExprSpec extends AnyFunSuite {
     assert(r.isNullAt(1))
   }
 
+  test("graft_jaccard_sorted equals the array-function formulation") {
+    GraftFunctions.register(spark)
+    val d = spark.range(200).selectExpr(
+      "id",
+      "array_sort(array_distinct(transform(sequence(0, cast(id % 37 as int)), x -> (x * 7919 + id * 13) % 101))) AS a",
+      "array_sort(array_distinct(transform(sequence(0, cast(id % 23 as int)), x -> (x * 104729 + id * 7) % 101))) AS b")
+    val cmp = d.selectExpr(
+      "graft_jaccard_sorted(a, b) AS native",
+      "size(array_intersect(a, b)) / cast(size(a) + size(b) - size(array_intersect(a, b)) as double) AS viaFns")
+    assert(cmp.where("native != viaFns").count() == 0)
+    // edge: identical, disjoint
+    val edge = spark.sql(
+      "SELECT graft_jaccard_sorted(array(1L,2L,3L), array(1L,2L,3L)) AS same, " +
+        "graft_jaccard_sorted(array(1L,2L), array(3L,4L)) AS disjoint").collect()(0)
+    assert(edge.getDouble(0) == 1.0 && edge.getDouble(1) == 0.0)
+  }
+
   test("SparkSessionExtensions wiring registers the function") {
     val s2 = TestSpark.spark.newSession()
     new graft.plans.GraftExtensions().apply(
