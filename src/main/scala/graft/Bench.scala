@@ -24,8 +24,17 @@ object Bench {
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // noop sink: materializes EVERY column of the result. A count()
+      // action would let Catalyst prune unreferenced projections, so
+      // elementwise queries would time the scan instead of the work.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop persisted blocks (Dedup LSH indexes) so one query's cache
+      // never pressures the next — the r2 bench showed 3-10× swings on
+      // identical code from exactly this leak.
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

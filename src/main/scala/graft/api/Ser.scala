@@ -73,9 +73,18 @@ final class Ser private[api] (
       case "right"   => col > lit(lo) && col <= lit(hi)
       case "neither" => col > lit(lo) && col < lit(hi)
     })
-  /** `IsNa` (`_expr.py:1209`): pandas NaN≈missing — test null OR NaN. */
-  def isna: Ser = lift(col.isNull || (col.cast("double") === lit(Double.NaN)))
-  def notna: Ser = lift(!(col.isNull || (col.cast("double") === lit(Double.NaN))))
+  /** `IsNa` (`_expr.py:1209`): pandas NaN≈missing — test null OR (for
+    * float dtypes only) NaN. Dispatching on the resolved dtype matters:
+    * casting a string column to double would throw under ANSI mode and,
+    * with ANSI off, yield null — making `notna` evaluate NULL and
+    * silently drop valid string rows from filters. */
+  private def isNaCol: Column = frame.select(col).schema.head.dataType match {
+    case org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.FloatType => col.isNull || isnan(col)
+    case _ => col.isNull
+  }
+  def isna: Ser = lift(isNaCol)
+  def notna: Ser = lift(!isNaCol)
   /** `Fillna` (`_expr.py:1111`) */
   def fillna(v: Any): Ser = lift(coalesce(col, lit(v)))
   /** `Replace` (`_expr.py:1125`) */

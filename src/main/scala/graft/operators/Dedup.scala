@@ -24,6 +24,40 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default per-(band,key) bucket-size cap for the LSH candidate joins.
+    * One hot bucket (an empty-string shingle, a boilerplate header)
+    * otherwise degenerates to O(b²) pairs inside a single join partition
+    * — the classic LSH scale-killer. Buckets larger than the cap are
+    * DROPPED (documented recall trade; near-dups that share only a hot
+    * bucket are missed). Observability: [[lshBucketStats]] reports the
+    * bucket-size distribution so the dropped fraction can be audited. */
+  val DefaultMaxBucket: Int = 100000
+
+  /** Bucket-size distribution of the MinHash LSH index — run alongside
+    * [[minhashPairs]] to audit how much a `maxBucket` cap drops. */
+  def lshBucketStats(docs: Df, textCol: String, idCol: String,
+                     shingleN: Int = 3, bands: Int = 3, r: Int = 4): Df = {
+    val k = bands * r
+    val banded = docs.sdf
+      .withColumn("__sh", wordShingles(col(textCol), shingleN))
+      .where(size(col("__sh")) > 0)
+      .withColumn("__sig", minhashSignature(transform(col("__sh"), hash32(_)), k))
+      .select(col(idCol),
+        posexplode(array((0 until bands).map(b => bandKey(col("__sig"), b, r)): _*))
+          .as(Seq("__band", "__key")))
+    new Df(banded.groupBy(col("__band"), col("__key"))
+      .agg(count(lit(1)).as("bucket_size")))
+  }
+
+  /** Drop rows in over-large (band,key) buckets. The window count
+    * shuffles once on (band,key) — the SAME partitioning the candidate
+    * self-join needs, so AQE/exchange-reuse pays no extra shuffle. */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__band", "__key")
+    banded.withColumn("__bn", count(lit(1)).over(w))
+      .where(col("__bn") <= maxBucket).drop("__bn")
+  }
+
   /** Exact dedup on a canonical fingerprint of the text (whitespace /
     * order / duplication-insensitive). Keeps min doc id per fingerprint. */
   def exactByFingerprint(docs: Df, textCol: String, idCol: String): Df =
@@ -39,10 +73,16 @@ object Dedup {
     * candidate-then-verify). k = bands·r signature size. */
   def minhashPairs(docs: Df, textCol: String, idCol: String,
                    shingleN: Int = 3, bands: Int = 3, r: Int = 4,
-                   minJaccard: Double = 0.5): Df = {
+                   minJaccard: Double = 0.5,
+                   maxBucket: Int = DefaultMaxBucket): Df = {
     val k = bands * r
+    // Docs with an empty shingle set (shorter than shingleN tokens) are
+    // excluded up front: they have no shingles to match on, and their
+    // all-null signatures would otherwise pile every short doc into one
+    // degenerate "" band key.
     val withSig = docs.sdf
       .withColumn("__sh", wordShingles(col(textCol), shingleN))
+      .where(size(col("__sh")) > 0)
       .withColumn("__sig", minhashSignature(transform(col("__sh"), hash32(_)), k))
       .select(col(idCol), col("__sh"), col("__sig"))
     // explode to one row per band — candidates collide on (band, key).
@@ -53,25 +93,27 @@ object Dedup {
     // self-join reference it, and Spark plans trees, not DAGs — without
     // persistence the (expensive) signature stage runs once per side.
     // This is the classic "build the LSH index once" materialization:
-    // 3 small rows per doc, spilled to disk beyond memory.
-    val banded = withSig.select(col(idCol),
+    // 3 small rows per doc, spilled to disk beyond memory. Callers that
+    // loop over dedup passes should clear the cache between actions
+    // (spark.catalog.clearCache, as graft.Bench/Verify do).
+    val banded = capBuckets(withSig.select(col(idCol),
       posexplode(array((0 until bands).map(b => bandKey(col("__sig"), b, r)): _*))
-        .as(Seq("__band", "__key")))
+        .as(Seq("__band", "__key"))), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col(idCol).as("id_a"), col("__band"), col("__key"))
     val b = banded.select(col(idCol).as("id_b"), col("__band"), col("__key"))
     val candidates = a.join(b, Seq("__band", "__key"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // verification lookup: the per-doc shingle table is tiny relative to
-    // the candidate pair set (one row per doc) — broadcast it so the
-    // pairs never shuffle their arrays. Beyond broadcast size (huge doc
-    // counts) Catalyst/AQE falls back to shuffle join if the hint is
-    // dropped — the plan stays correct either way.
+    // verification lookup: plain equi-joins on the doc id — Catalyst/AQE
+    // picks broadcast when the per-doc shingle table fits and shuffle
+    // join beyond that. (An explicit broadcast() hint is HONORED, not
+    // gracefully dropped — at billions of docs it would OOM the driver
+    // building the broadcast relation, so no hint here.)
     val shingles = withSig.select(col(idCol), col("__sh"))
     val pairs = candidates
-      .join(broadcast(shingles.select(col(idCol).as("id_a"), col("__sh").as("sh_a"))), Seq("id_a"))
-      .join(broadcast(shingles.select(col(idCol).as("id_b"), col("__sh").as("sh_b"))), Seq("id_b"))
+      .join(shingles.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(shingles.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") -
       size(array_intersect(col("sh_a"), col("sh_b")))
@@ -101,17 +143,28 @@ object Dedup {
   }
 
   /** SimHash near-dup candidate pairs via banded bits + exact Hamming
-    * distance ≤ maxHamming verification. */
+    * distance ≤ maxHamming verification.
+    *
+    * Recall contract (pigeonhole): the 60 signature bits are split into
+    * `maxHamming + 1` DISJOINT bands, so any pair within Hamming distance
+    * maxHamming has at least one identical band and is guaranteed to be
+    * a candidate — exact recall, not probabilistic. (A fixed 4-band split
+    * would only guarantee recall up to distance 3.) */
   def simhashPairs(docs: Df, textCol: String, idCol: String,
-                   maxHamming: Int = 6): Df = {
+                   maxHamming: Int = 6,
+                   maxBucket: Int = DefaultMaxBucket): Df = {
+    val bits = 60
+    val bands = maxHamming + 1
+    val width = (bits + bands - 1) / bands
     // materialized: referenced by both candidate self-join sides
     val sigs = simhash(docs, textCol, idCol).sdf
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandCols = (0 until 4).map(b =>
-      shiftright(col("simhash"), b * 15).bitwiseAND((1L << 15) - 1).as(s"__band$b"))
+    val bandCols = (0 until bands).map(b =>
+      shiftright(col("simhash"), b * width).bitwiseAND((1L << width) - 1).as(s"__band$b"))
     val banded = sigs.select(col(idCol) +: col("simhash") +: bandCols: _*)
-    val exploded = banded.select(col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map(b => col(s"__band$b")): _*)).as(Seq("__band", "__key")))
+    val exploded = capBuckets(banded.select(col(idCol), col("simhash"),
+      posexplode(array((0 until bands).map(b => col(s"__band$b")): _*))
+        .as(Seq("__band", "__key"))), maxBucket)
     val a = exploded.select(col(idCol).as("id_a"), col("simhash").as("sig_a"),
       col("__band"), col("__key"))
     val b = exploded.select(col(idCol).as("id_b"), col("simhash").as("sig_b"),
@@ -129,7 +182,8 @@ object Dedup {
     * joined through an inverted index (explode → equi-join on shingle),
     * so only overlapping pairs are ever materialized. */
   def ngramJaccardPairs(docs: Df, textCol: String, idCol: String,
-                        n: Int = 3, minJaccard: Double = 0.5): Df = {
+                        n: Int = 3, minJaccard: Double = 0.5,
+                        maxBucket: Int = DefaultMaxBucket): Df = {
     // Exact jaccard with two standard scale techniques, both preserved
     // exactly in the SQL oracle:
     //  1. shingles join as sorted 32-bit hashes (8-byte shuffle keys,
@@ -146,21 +200,29 @@ object Dedup {
       .withColumn("nsh", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefixLen = (col("nsh") - ceil(col("nsh") * minJaccard) + 1).cast("int")
+    // hot-shingle cap: a shingle present in b docs generates b² candidate
+    // rows in one join partition; posting lists above maxBucket are
+    // dropped (same trade + observability story as the LSH caps).
+    val invW = org.apache.spark.sql.expressions.Window.partitionBy("g")
     val inv = sh.select(col("id"), explode(slice(col("sh"), lit(1), prefixLen)).as("g"))
+      .withColumn("__bn", count(lit(1)).over(invW))
+      .where(col("__bn") <= maxBucket).drop("__bn")
     val candidates = inv.select(col("id").as("id_a"), col("g"))
       .join(inv.select(col("id").as("id_b"), col("g")), Seq("g"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // broadcast the per-doc shingle table into the verify joins (one row
-    // per doc — small next to the candidate pairs; see minhashPairs
-    // note). Verification scores with the native codegen'd merge-loop
-    // jaccard (graft.plans.SortedJaccard) — O(n+m) per pair with no
-    // hash-set allocation; arrays are sorted+distinct by construction.
+    // verify joins are plain equi-joins on the doc id — AQE broadcasts
+    // the per-doc shingle table while it fits and shuffles beyond (an
+    // explicit hint would be honored unconditionally and OOM the driver
+    // at real corpus sizes). Verification scores with the native
+    // codegen'd merge-loop jaccard (graft.plans.SortedJaccard) — O(n+m)
+    // per pair with no hash-set allocation; arrays are sorted+distinct
+    // by construction.
     graft.plans.GraftFunctions.register(docs.spark)
     val full = sh.select(col("id"), col("sh"), col("nsh"))
     val pairs = candidates
-      .join(broadcast(full.select(col("id").as("id_a"), col("sh").as("sh_a"))), Seq("id_a"))
-      .join(broadcast(full.select(col("id").as("id_b"), col("sh").as("sh_b"))), Seq("id_b"))
+      .join(full.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(full.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
     new Df(pairs
       .withColumn("jaccard", round(expr("graft_jaccard_sorted(sh_a, sh_b)"), 6))
       .where(col("jaccard") >= minJaccard)

@@ -94,6 +94,11 @@ object ElementwiseQueries {
     }),
 
     // ---- Clip / Round / Abs / Neg (`_expr.py:1139,1215,1221,1624`) ----
+    // Oracle parity note: DuckDB's ABS(-0.0) keeps the sign bit (-0.0)
+    // while Spark/numpy normalize to +0.0; the driver hash is byte-level,
+    // so the oracle adds `+ 0` (IEEE: -0.0 + 0 = +0.0, identity
+    // elsewhere). Verified empirically at sf0.01: the 2941 hash diffs
+    // were ALL -0.0 rows; ROUND(x/3.0, 2) itself matches bit-for-bit.
     "q22_clip_round_abs" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
       li.assign("qty_clipped", li("l_quantity").clip(5, 45))
@@ -198,7 +203,7 @@ object ElementwiseQueries {
       """SELECT l_orderkey, l_linenumber,
         |LEAST(GREATEST(l_quantity, 5), 45) AS qty_clipped,
         |ROUND(l_extendedprice / 3.0, 2) AS third_price,
-        |ABS(-l_discount) AS neg_disc
+        |ABS(-l_discount) + 0 AS neg_disc
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q23_astype" ->
       """SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey, l_linenumber,

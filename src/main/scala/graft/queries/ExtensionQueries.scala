@@ -206,7 +206,8 @@ object ExtensionQueries {
     * b_j, p = 4294967311). */
   private val minhashSql: String =
     s"""WITH corpus AS $corpusSql,
-       |sh AS (SELECT doc_id, ${shinglesSql()} AS shingles FROM corpus),
+       |sh AS (SELECT doc_id, ${shinglesSql()} AS shingles FROM corpus
+       |  WHERE len(${shinglesSql()}) > 0),
        |hashed AS (SELECT doc_id, shingles,
        |  list_transform(shingles, s -> ('0x' || substr(md5(s),1,8))::BIGINT) AS hs FROM sh),
        |sigs AS (SELECT doc_id, shingles,
@@ -215,7 +216,8 @@ object ExtensionQueries {
        |  FROM hashed),
        |banded AS (SELECT doc_id, shingles, b,
        |  array_to_string(sig[b*4+1:b*4+4], '_') AS key
-       |  FROM sigs, range(3) t(b)),
+       |  FROM sigs, range(3) t(b)
+       |  QUALIFY COUNT(*) OVER (PARTITION BY b, key) <= 100000),
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |  a.shingles AS sh_a, b.shingles AS sh_b
        |  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key
@@ -235,8 +237,10 @@ object ExtensionQueries {
        |sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(${shinglesSql()},
        |  s -> ('0x' || substr(md5(s),1,8))::BIGINT))) AS shingles FROM corpus),
        |sized AS (SELECT doc_id, shingles, len(shingles) AS nsh FROM sh),
-       |inv AS (SELECT doc_id,
+       |inv0 AS (SELECT doc_id,
        |  UNNEST(shingles[1:(nsh - CEIL(nsh * 0.5) + 1)::INT]) AS g FROM sized),
+       |inv AS (SELECT doc_id, g FROM inv0
+       |  QUALIFY COUNT(*) OVER (PARTITION BY g) <= 100000),
        |candidates AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
        |pairs AS (SELECT id_a, id_b, fa.shingles AS sh_a, fa.nsh AS n_a,

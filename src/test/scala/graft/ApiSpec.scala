@@ -194,4 +194,24 @@ class ApiSpec extends AnyFunSuite {
     val e = d.explode("a")
     assert(e.count() == 4) // 2 + empty-row + null-row
   }
+
+  test("isna/notna dispatch on dtype — string cols survive ANSI mode") {
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val d = Df.fromRows(spark,
+        Seq(Row(1L, "abc", 1.0), Row(2L, null, Double.NaN), Row(3L, "5", null)),
+        StructType(Seq(StructField("k", LongType),
+          StructField("s", StringType), StructField("v", DoubleType))))
+      // string col: no cast-to-double (would throw CAST_INVALID_INPUT
+      // under ANSI on "abc"; with ANSI off it would yield null and
+      // silently drop row 1 from the notna filter)
+      val kept = d.where(d("s").notna).sdf.collect().map(_.getLong(0)).sorted
+      assert(kept.toSeq == Seq(1L, 3L))
+      // float col: NaN still counts as missing (pandas semantics)
+      val naFlags = d.assign("na", d("v").isna).sdf
+        .orderBy("k").collect().map(_.getBoolean(3))
+      assert(naFlags.toSeq == Seq(false, true, true))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
 }

@@ -115,4 +115,56 @@ class ExtensionSpec extends AnyFunSuite {
     val offs = Multimodal.FakeCodec.sampleOffsets(1000, 4)
     assert(offs == Seq(0, 250, 500, 750))
   }
+
+  test("short/empty docs yield empty shingles and survive dedup pipelines") {
+    val d = mkDocs(1L -> "", 2L -> "one", 3L -> "two words",
+      4L -> "a b c d e", 5L -> "a b c d f")
+    val sh = d.sdf.orderBy("doc_id")
+      .select(wordShingles(col("text"), 3)).collect().map(_.getSeq[String](0))
+    assert(sh.take(3).forall(_.isEmpty)) // docs with < 3 tokens
+    // an unguarded sequence(0, size-n) would throw at runtime here
+    val mh = Dedup.minhashPairs(d, "text", "doc_id", minJaccard = 0.3)
+      .sdf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mh.forall { case (a, b) => a >= 4L && b >= 4L })
+    val nj = Dedup.ngramJaccardPairs(d, "text", "doc_id", n = 3, minJaccard = 0.4)
+      .sdf.collect()
+    assert(nj.length == 1 && nj(0).getLong(0) == 4L && nj(0).getLong(1) == 5L)
+  }
+
+  test("simhashPairs recall contract: finds EVERY pair within maxHamming") {
+    // family of docs at graded distances from a 40-token base
+    val base = (1 to 40).map(i => s"tok$i")
+    val d = mkDocs((0 to 8).map(i =>
+      i.toLong -> base.zipWithIndex.map { case (t, j) =>
+        if (j < i) s"alt${i}_$j" else t }.mkString(" ")): _*)
+    val sigs = Dedup.simhash(d, "text", "doc_id").sdf.orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if ham(sigs(a), sigs(b)) <= 6
+    } yield (a, b)).toSet
+    val found = Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 6)
+      .sdf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == expected) // pigeonhole guarantee: exact recall
+    // non-vacuous: the corpus must actually contain pairs beyond the old
+    // 4-band guarantee radius (Hamming 4-6)
+    assert(expected.exists { case (a, b) =>
+      val h = ham(sigs(a), sigs(b)); h >= 4 && h <= 6 })
+  }
+
+  test("lsh bucket cap drops hot buckets, keeps the rest") {
+    val near = (1 to 6).map(i => i.toLong -> "a b c d e f g h i j")
+    val d = mkDocs((near :+ (9L -> "x y z w v u t s r q")): _*)
+    // cap 5 < 6 identical docs → their buckets are dropped entirely
+    val capped = Dedup.minhashPairs(d, "text", "doc_id",
+      minJaccard = 0.3, maxBucket = 5).sdf.collect()
+    assert(capped.isEmpty)
+    val uncapped = Dedup.minhashPairs(d, "text", "doc_id",
+      minJaccard = 0.3).sdf.collect()
+    assert(uncapped.length == 15) // all 6-choose-2 identical pairs
+    val stats = Dedup.lshBucketStats(d, "text", "doc_id")
+      .sdf.collect().map(_.getLong(2))
+    assert(stats.max == 6) // hot bucket visible to the auditing helper
+  }
 }
