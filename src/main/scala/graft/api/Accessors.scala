@@ -46,18 +46,107 @@ final class DtAccessor private[api] (s: Ser) {
 }
 
 /** Categorical accessor (`_categorical.py:14-129`) over the
-  * string-dictionary emulation (SURVEY.md §7.4.5): categories are the
-  * sorted distinct values; `codes` ranks against a broadcast dictionary
-  * (see [[Df.withCatCodes]]). `asUnknown`/`asKnown` are metadata-level
-  * in the reference; here knownness is implicit (dictionary computed on
-  * demand), so they are documented no-ops. */
+  * string-dictionary emulation (SURVEY.md §7.4.5).
+  *
+  * Two states, mirroring the reference's known/unknown protocol:
+  *  - UNKNOWN (this accessor): the dictionary is not materialized;
+  *    `categories`/`codes` answer lazily from the data.
+  *  - KNOWN ([[KnownCat]], via [[asKnown]]/[[setCategories]]): the
+  *    dictionary is an explicit driver-side list (pandas stores it in
+  *    the dtype), unlocking the delegated category-set methods
+  *    (`_categorical.py:39-47`). */
 final class CatAccessor private[api] (s: Ser) {
+  /** `known` (`_categorical.py:50-53`): a bare column has no attached
+    * dictionary. */
+  def known: Boolean = false
   /** distinct categories, sorted — eager-free (returns a lazy 1-col Df) */
   def categories: Df =
     new Df(s.frame.select(s.col.as("category")).distinct()
       .orderBy(org.apache.spark.sql.functions.col("category")))
   /** `cat.codes` for this column within its frame */
   def codes(df: Df): Df = df.withCatCodes(s.name, s.name + "_code")
-  def asUnknown: Ser = s // metadata no-op (`_categorical.py:123-129`)
-  def asKnown: Ser = s   // dictionary is computed on demand
+  def asUnknown: Ser = s // already unknown (`_categorical.py:78-85`)
+  /** `as_known()` (`_categorical.py:55-76`): EAGERLY computes the
+    * dictionary — the reference likewise runs `unique().compute()`.
+    * One distinct-aggregate job; the dictionary itself is small by the
+    * definition of a categorical. Sorted for determinism (matching
+    * [[Df.withCatCodes]]'s convention). */
+  def asKnown: KnownCat = {
+    val cats = s.frame.select(s.col.cast("string")).distinct().collect()
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getString(0)))
+      .sorted.toSeq
+    new KnownCat(s, s.col, cats)
+  }
+  /** `set_categories` without computing: attach an explicit dictionary. */
+  def setCategories(cs: Seq[String]): KnownCat = new KnownCat(s, s.col, cs)
+}
+
+/** Known-categories categorical (`_categorical.py:39-76`): the pandas
+  * `Categorical` dtype re-expressed Spark-first. The dictionary rides on
+  * the driver as a literal (pandas keeps it in the dtype, same place),
+  * so `codes` compiles to ONE codegen'd `array_position` against a
+  * literal array — no join, no shuffle, no broadcast variable; scales
+  * to any row count. Category-set methods are driver-side list edits
+  * (dictionary-only, like pandas); only `values`/`codes` touch data.
+  *
+  * `valueCol` carries the data through renames; values outside the
+  * current dictionary surface as null (pandas NaN) with code -1. */
+final class KnownCat private[api] (
+    private val s: Ser,
+    private val valueCol: Column,
+    val categories: Seq[String],
+    val ordered: Boolean = false) {
+
+  def known: Boolean = true
+
+  private def copyWith(v: Column = valueCol, cs: Seq[String] = categories,
+                       ord: Boolean = ordered): KnownCat =
+    new KnownCat(s, v, cs, ord)
+
+  /** `add_categories`: dictionary grows, data unchanged. */
+  def addCategories(cs: Seq[String]): KnownCat = {
+    require(cs.forall(c => !categories.contains(c)),
+      "add_categories: category already exists")
+    copyWith(cs = categories ++ cs)
+  }
+  /** `remove_categories`: removed values become null (pandas NaN),
+    * their codes -1; remaining codes shift to the compacted positions. */
+  def removeCategories(cs: Seq[String]): KnownCat = {
+    require(cs.forall(categories.contains),
+      "remove_categories: not an existing category")
+    copyWith(cs = categories.filterNot(cs.contains))
+  }
+  /** `rename_categories`: relabels the dictionary AND the data values
+    * (pandas semantics — codes are unchanged). */
+  def renameCategories(m: Map[String, String]): KnownCat = {
+    val v = m.foldLeft(valueCol) { case (acc, (from, to)) =>
+      when(acc === lit(from), lit(to)).otherwise(acc)
+    }
+    copyWith(v = v, cs = categories.map(c => m.getOrElse(c, c)))
+  }
+  /** `reorder_categories`: same set, new order (recodes positions). */
+  def reorderCategories(cs: Seq[String]): KnownCat = {
+    require(cs.sorted == categories.sorted,
+      "reorder_categories: must be a permutation of the current categories")
+    copyWith(cs = cs)
+  }
+  /** `set_categories`: replace the dictionary outright; values not in
+    * the new dictionary null out (code -1). */
+  def setCategories(cs: Seq[String]): KnownCat = copyWith(cs = cs)
+  def asOrdered: KnownCat = copyWith(ord = true)
+  def asUnordered: KnownCat = copyWith(ord = false)
+  /** `as_unknown` (`_categorical.py:78-85`): detach the dictionary. */
+  def asUnknown: Ser = values
+
+  /** data column under the current dictionary: renamed, out-of-dictionary
+    * values nulled (pandas NaN). */
+  def values: Ser = new Ser(s.frame,
+    when(valueCol.isin(categories.map(x => x: Any): _*), valueCol), s.name)
+
+  /** `cat.codes`: 0-based position in the dictionary; null/absent → -1.
+    * `array_position` over a literal array (0 when missing, null on null
+    * input — both fold to -1), fully inside whole-stage codegen. */
+  def codes: Ser = new Ser(s.frame,
+    coalesce(array_position(lit(categories.toArray), valueCol) - 1, lit(-1L))
+      .cast("int"), s.name + "_code")
 }

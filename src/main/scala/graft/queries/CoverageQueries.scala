@@ -120,6 +120,21 @@ object CoverageQueries {
         .sortValues(Seq("l_returnflag")).sdf
     }),
 
+    // ---- categorical protocol (`_categorical.py:39-76`): eager
+    // as_known dictionary, remove (values null out, codes compact),
+    // rename (relabels dictionary AND data, codes stable) ----
+    "q86_categorical" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val cat = o("o_orderpriority").cat.asKnown
+        .removeCategories(Seq("1-URGENT"))
+        .renameCategories(Map("3-MEDIUM" -> "MED"))
+      o.assign("prio", cat.values)
+        .assign("code", cat.codes)
+        .groupby("prio", "code")
+        .agg(count(lit(1)).as("n"))
+        .sortValues(Seq("code")).sdf
+    }),
+
     // ---- time-range window: trailing 1-hour sum per user ----
     "q82_range_window" -> ((s, dir) => {
       val e = events(s, dir)
@@ -167,7 +182,20 @@ object CoverageQueries {
         |CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id
         |  ORDER BY EPOCH(ts::TIMESTAMP)::BIGINT
         |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
-        |FROM events WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin)
+        |FROM events WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin,
+    "q86_categorical" ->
+      """WITH d2 AS (
+        |SELECT o_orderpriority AS cat0,
+        |(DENSE_RANK() OVER (ORDER BY o_orderpriority) - 1)::INT AS code
+        |FROM (SELECT DISTINCT o_orderpriority FROM orders
+        |      WHERE o_orderpriority <> '1-URGENT')),
+        |d3 AS (SELECT cat0,
+        |CASE WHEN cat0 = '3-MEDIUM' THEN 'MED' ELSE cat0 END AS cat, code
+        |FROM d2)
+        |SELECT d3.cat AS prio, COALESCE(d3.code, -1)::INT AS code,
+        |COUNT(*) AS n
+        |FROM orders o LEFT JOIN d3 ON o.o_orderpriority = d3.cat0
+        |GROUP BY 1, 2 ORDER BY code""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     "q74_window_suite" ->

@@ -195,6 +195,59 @@ class ApiSpec extends AnyFunSuite {
     assert(e.count() == 4) // 2 + empty-row + null-row
   }
 
+  test("categorical: asKnown computes the sorted dictionary eagerly") {
+    val d = Df.fromRows(spark,
+      Seq(Row("b"), Row("a"), Row("c"), Row("a"), Row(null)),
+      StructType(Seq(StructField("v", StringType))))
+    assert(!d("v").cat.known)
+    val kc = d("v").cat.asKnown
+    assert(kc.known && kc.categories == Seq("a", "b", "c"))
+    val codes = d.assign("code", kc.codes).sdf.collect()
+      .map(r => Option(r.getString(0)).getOrElse("∅") -> r.getInt(1)).toSet
+    assert(codes == Set("a" -> 0, "b" -> 1, "c" -> 2, "∅" -> -1))
+  }
+
+  test("categorical: remove nulls values out and compacts codes") {
+    val d = Df.fromRows(spark, Seq(Row("a"), Row("b"), Row("c")),
+      StructType(Seq(StructField("v", StringType))))
+    val kc = d("v").cat.asKnown.removeCategories(Seq("b"))
+    assert(kc.categories == Seq("a", "c"))
+    val out = d.assign("val2", kc.values).assign("code", kc.codes).sdf
+      .orderBy("v").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getInt(2)))
+    assert(out.toSeq == Seq(("a", Some("a"), 0), ("b", None, -1), ("c", Some("c"), 1)))
+    intercept[IllegalArgumentException](kc.removeCategories(Seq("zzz")))
+  }
+
+  test("categorical: rename relabels dictionary AND data, codes unchanged") {
+    val d = Df.fromRows(spark, Seq(Row("a"), Row("b")),
+      StructType(Seq(StructField("v", StringType))))
+    val kc = d("v").cat.asKnown.renameCategories(Map("a" -> "z"))
+    assert(kc.categories == Seq("z", "b"))
+    val out = d.assign("val2", kc.values).assign("code", kc.codes).sdf
+      .orderBy("v").collect()
+      .map(r => (r.getString(1), r.getInt(2)))
+    assert(out.toSeq == Seq(("z", 0), ("b", 1)))
+  }
+
+  test("categorical: reorder recodes, add grows dict, set nulls outsiders") {
+    val d = Df.fromRows(spark, Seq(Row("a"), Row("b"), Row("c")),
+      StructType(Seq(StructField("v", StringType))))
+    val kc = d("v").cat.asKnown
+    val re = kc.reorderCategories(Seq("c", "b", "a"))
+    val codes = d.assign("code", re.codes).sdf.orderBy("v").collect().map(_.getInt(1))
+    assert(codes.toSeq == Seq(2, 1, 0))
+    intercept[IllegalArgumentException](kc.reorderCategories(Seq("c", "b")))
+    val added = kc.addCategories(Seq("d"))
+    assert(added.categories == Seq("a", "b", "c", "d"))
+    intercept[IllegalArgumentException](kc.addCategories(Seq("a")))
+    val set = kc.setCategories(Seq("b"))
+    assert(d.assign("val2", set.values).sdf
+      .filter(col("val2").isNotNull).count() == 1)
+    assert(kc.asOrdered.ordered && !kc.asOrdered.asUnordered.ordered)
+    assert(!kc.asUnknown.cat.known)
+  }
+
   test("isna/notna dispatch on dtype — string cols survive ANSI mode") {
     val prev = spark.conf.get("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.ansi.enabled", "true")
