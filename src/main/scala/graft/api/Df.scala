@@ -71,10 +71,14 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   def eval(assignName: String, sqlExpr: String): Df =
     new Df(sdf.withColumn(assignName, expr(sqlExpr)))
   def selectExpr(exprs: String*): Df = new Df(sdf.selectExpr(exprs: _*))
-  /** `select_dtypes` (`_collection.py:489`) — eager on schema, like the
-    * reference is eager on meta. */
-  def selectDtypes(include: DataType => Boolean): Df =
-    select(schema.fields.filter(f => include(f.dataType)).map(_.name).toSeq: _*)
+  /** `select_dtypes` (`_collection.py:489-491`) — eager on schema, like
+    * the reference is eager on meta. `include` keeps, `exclude` drops
+    * (exclude wins on overlap, as in pandas). */
+  def selectDtypes(include: DataType => Boolean = _ => true,
+                   exclude: DataType => Boolean = _ => false): Df =
+    select(schema.fields
+      .filter(f => include(f.dataType) && !exclude(f.dataType))
+      .map(_.name).toSeq: _*)
 
   // ---- elementwise, frame-level (`_expr.py:986-1341`) ----
   /** `Fillna` (`_expr.py:1111`) */
@@ -98,6 +102,16 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   def replace(mapping: Map[Any, Any], subset: Seq[String] = Nil): Df = {
     val s = if (subset.isEmpty) columns else subset
     new Df(sdf.na.replace(s, mapping))
+  }
+  /** `Replace` with `regex=True` (`_expr.py:1125-1130`): pattern-rewrite
+    * string columns (non-string columns pass through untouched when no
+    * subset is given). Codegen'd `regexp_replace`, no shuffle. */
+  def replaceRegex(pattern: String, replacement: String,
+                   subset: Seq[String] = Nil): Df = {
+    val s = if (subset.nonEmpty) subset
+      else schema.fields.collect { case f if f.dataType == StringType => f.name }.toSeq
+    new Df(sdf.withColumns(
+      s.map(c => c -> regexp_replace(sdf(c), pattern, replacement)).toMap))
   }
   /** `AsType` with per-column dict (`_expr.py:1171-1206`). */
   def astype(dtypes: Map[String, String]): Df =
@@ -181,10 +195,16 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
     new Df(
       if (!normalize) counted
-      else counted.withColumn("proportion",
-        col("count") / org.apache.spark.sql.functions.sum(col("count"))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
-        .drop("count"))
+      else {
+        // total via broadcast scalar, not an empty-frame window — the
+        // window would funnel every (possibly high-cardinality) group
+        // through ONE task; this stays a 1-row broadcast join.
+        val total = counted.agg(
+          org.apache.spark.sql.functions.sum(col("count")).as("__total"))
+        counted.crossJoin(broadcast(total))
+          .withColumn("proportion", col("count") / col("__total"))
+          .drop("count", "__total")
+      })
   }
   /** `Unique` (`_reductions.py:40`) */
   def unique(c: String): Df = new Df(sdf.select(c).distinct())
@@ -284,6 +304,12 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * handles sort-merge cases adaptively; this handles the hash-join /
     * pre-AQE path explicitly. */
   def saltedJoin(right: Df, on: Seq[String], how: String, salt: Int): Df = {
+    // right rows are replicated per salt, so unmatched right rows would
+    // surface once PER SALT under right/outer joins — restrict to the
+    // join types where unmatched right rows are dropped or irrelevant
+    require(how == "inner" || how == "left",
+      s"saltedJoin supports how=inner|left (got '$how'): the right side is " +
+        "replicated per salt, which would duplicate unmatched right rows")
     val l = sdf.withColumn("__salt",
       pmod(hash(on.map(sdf(_)) :+ monotonically_increasing_id(): _*), lit(salt)))
     val r = right.sdf.withColumn("__salt",

@@ -104,11 +104,20 @@ final class Ser private[api] (
     lift(org.apache.spark.sql.functions.round(col, decimals))
   /** `Abs` (`_expr.py:1221`) */
   def abs: Ser = lift(org.apache.spark.sql.functions.abs(col))
-  /** dict-`Map` (`_expr.py:1264`) → chained CASE WHEN (codegen'd, no UDF) */
-  def map(mapping: Map[Any, Any]): Ser =
-    lift(mapping.foldLeft(lit(null).cast("string")) { case (acc, (k, v)) =>
-      when(col === lit(k), lit(v)).otherwise(acc)
+  /** dict-`Map` (`_expr.py:1264-1272`) → chained CASE WHEN (codegen'd,
+    * no UDF). `naAction=Some("ignore")` short-circuits nulls to null
+    * without consulting the mapping (pandas `na_action='ignore'`); by
+    * default a `null` KEY in the mapping can rewrite missing values. */
+  def map(mapping: Map[Any, Any], naAction: Option[String] = None): Ser = {
+    val mapped = mapping.foldLeft(lit(null).cast("string")) {
+      case (acc, (null, v)) => when(col.isNull, lit(v)).otherwise(acc)
+      case (acc, (k, v))    => when(col === lit(k), lit(v)).otherwise(acc)
+    }
+    lift(naAction match {
+      case Some("ignore") => when(col.isNull, lit(null)).otherwise(mapped)
+      case _              => mapped
     })
+  }
   def as(n: String): Ser = lift(col.as(n), n)
 
   // ---- accessors (`_accessor.py:63-80`; SURVEY.md §2.4) ----
@@ -122,6 +131,13 @@ final class Ser private[api] (
 
   /** Materialize as single-column Df (`ToFrame`, `_expr.py:1073`). */
   def toFrame(n: String = name): Df = new Df(frame.select(col.as(n)))
+
+  /** `ToFrameIndex` (`_expr.py:1073-1084`): the series as a frame WITH
+    * its index column carried along (pandas keeps the index on
+    * to_frame; Spark's index is a designated key column, so it rides as
+    * a second column and stays the frame's index). */
+  def toFrameWithIndex(index: String, n: String = name): Df =
+    new Df(frame.select(frame(index), col.as(n)), Some(index))
 
   // ---- reductions (return lazy 1x1 frames — reference `Scalar`) ----
   private def agg1(c: Column, n: String): Df = new Df(frame.agg(c.as(n)))

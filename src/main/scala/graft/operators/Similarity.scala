@@ -47,14 +47,25 @@ object Similarity {
     (h / 500.0) - 1.0
   }
 
-  /** sign-bit LSH signature: bit j = [dot(vec, plane_j) > 0]. */
+  /** Plane j's components as an array, for array-literal dot products. */
+  private[graft] def planeWeights(j: Int, dim: Int): Array[Double] =
+    (0 until dim).map(i => planeComponent(j, i)).toArray
+
+  /** sign-bit LSH signature: bit j = [dot(vec, plane_j) > 0].
+    *
+    * One `zip_with` + `aggregate` per plane over an array LITERAL of
+    * weights — constant expression-tree size per plane, so planes=16 ×
+    * dim=512 stays inside whole-stage codegen (the naive form, dim
+    * `element_at` terms per plane, blows up Janino at real dims). The
+    * left-fold accumulation order matches an ascending-index sum, so
+    * signatures are deterministic and engine-replicable bit-for-bit. */
   def lshSignature(vec: org.apache.spark.sql.Column, planes: Int, dim: Int)
       : org.apache.spark.sql.Column = {
-    val dims = transform(vec, x => x.cast("double"))
     val bits = (0 until planes).map { j =>
-      val terms = (0 until dim).map(i =>
-        element_at(dims, i + 1) * lit(planeComponent(j, i)))
-      when(terms.reduce(_ + _) > 0, lit(1L) * (1L << j)).otherwise(lit(0L))
+      val dot = aggregate(
+        zip_with(vec, lit(planeWeights(j, dim)), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, t) => acc + t)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

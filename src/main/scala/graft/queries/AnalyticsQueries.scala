@@ -81,8 +81,10 @@ object AnalyticsQueries {
         .sortValues(Seq("event_id")).sdf
     }),
 
-    // ---- IVF ANN (kmeans coarse quantizer; rows-only — KMeans isn't
-    // SQL-replicable; exactness vs brute force proven in AsofIvfSpec) ----
+    // ---- IVF ANN (kmeans coarse quantizer). With nprobe = nlist every
+    // cell is probed, so the result provably equals brute force
+    // regardless of the clustering (AsofIvfSpec) — which makes the
+    // brute-force SQL a valid exact oracle. ----
     "q73_ivf_topk" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
       val q = e.where(col("vec_id") < 3)
@@ -147,6 +149,16 @@ object AnalyticsQueries {
         |CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
         |MAX(json_extract_string(props, '$.k')::BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q73_ivf_topk" ->
+      """SELECT query_id, rank, corpus_id, cosine FROM (
+        |SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+        |ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |  ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+        |  c.vec_id) AS rank
+        |FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |WHERE q.vec_id < 3)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q72_asof_join" ->
       """SELECT p.event_id, p.user_id, c.value AS click_value
         |FROM (SELECT * FROM events WHERE event_type='purchase') p

@@ -93,6 +93,14 @@ object ElementwiseQueries {
         .sortValues(Seq("event_type")).sdf
     }),
 
+    // ---- Replace with regex=True (`_expr.py:1125-1130`) ----
+    "q88_replace_regex" -> ((s, dir) => {
+      T(s, dir, "customer")
+        .replaceRegex("^Customer#0+", "C#", subset = Seq("c_name"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .sortValues(Seq("c_custkey")).sdf
+    }),
+
     // ---- Clip / Round / Abs / Neg (`_expr.py:1139,1215,1221,1624`) ----
     // Oracle parity note: DuckDB's ABS(-0.0) keeps the sign bit (-0.0)
     // while Spark/numpy normalize to +0.0; the driver hash is byte-level,
@@ -199,6 +207,10 @@ object ElementwiseQueries {
       """SELECT CASE event_type WHEN 'click' THEN 'tap'
         |WHEN 'view' THEN 'impression' ELSE event_type END AS event_type,
         |COUNT(*) AS count FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q88_replace_regex" ->
+      """SELECT c_custkey,
+        |REGEXP_REPLACE(c_name, '^Customer#0+', 'C#') AS c_name, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q22_clip_round_abs" ->
       """SELECT l_orderkey, l_linenumber,
         |LEAST(GREATEST(l_quantity, 5), 45) AS qty_clipped,

@@ -113,6 +113,17 @@ object ExtensionQueries {
         .sortValues(Seq("query_id", "rank")).sdf
     }),
 
+    // ---- LSH ANN top-k: random-hyperplane buckets + exact rerank.
+    // Deterministic hash-derived planes make a full SQL replica
+    // possible — the oracle recomputes every signature bit. ----
+    "q87_lsh_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val q = e.where(e("vec_id") < 5)
+      Similarity.lshTopK(q, e, "embedding", "vec_id", k = 3,
+        planes = 8, dim = 64)
+        .sortValues(Seq("query_id", "rank")).sdf
+    }),
+
     // ---- multimodal: opaque binary payload + typed metadata ----
     "q69_multimodal_meta" -> ((s, dir) => {
       val d = T(s, dir, "documents")
@@ -257,7 +268,31 @@ object ExtensionQueries {
        |WHERE ROUND(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** LSH oracle: the full signature computation replayed in SQL. Each
+    * plane's dot product is an ascending-index sum over the SAME
+    * shortest-roundtrip double weights the Spark expression folds, so
+    * the sign bits (and hence buckets) match bit-for-bit. */
+  private val lshTopkSql: String = {
+    def sig(e: String): String = (0 until 8).map { j =>
+      val ws = graft.operators.Similarity.planeWeights(j, 64)
+      val dot = ws.zipWithIndex
+        .map { case (w, i) => s"$e[${i + 1}]*($w)" }.mkString(" + ")
+      s"CASE WHEN ($dot) > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, e, ${sig("e")} AS bucket FROM
+       |  (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |ROUND(list_cosine_similarity(q.e, c.e), 6) AS cosine,
+       |ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |  ROUND(list_cosine_similarity(q.e, c.e), 6) DESC, c.vec_id) AS rank
+       |FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+       |WHERE q.vec_id < 5)
+       |SELECT query_id, rank, corpus_id, cosine FROM scored
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q87_lsh_topk" -> lshTopkSql,
     "q60_dedup_exact" ->
       s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM (
          |SELECT doc_id, text FROM documents

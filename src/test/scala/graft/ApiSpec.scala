@@ -248,6 +248,46 @@ class ApiSpec extends AnyFunSuite {
     assert(!kc.asUnknown.cat.known)
   }
 
+  test("map honors na_action and null keys (pandas na_action semantics)") {
+    val d = Df.fromRows(spark, Seq(Row("a"), Row("b"), Row(null)),
+      StructType(Seq(StructField("v", StringType))))
+    // default: null key in the mapping rewrites missing values
+    val viaNullKey = d.assign("m", d("v").map(Map("a" -> "A", (null: Any) -> "NA")))
+      .sdf.collect().map(_.getString(1)).toSet
+    assert(viaNullKey == Set("A", null, "NA"))
+    // na_action='ignore': nulls short-circuit, mapping never consulted
+    val ignored = d.assign("m",
+        d("v").map(Map("a" -> "A", (null: Any) -> "NA"), naAction = Some("ignore")))
+      .sdf.collect().map(_.getString(1)).toSet
+    assert(ignored == Set("A", null))
+  }
+
+  test("selectDtypes exclude drops matching columns (exclude wins)") {
+    val c = Df.readParquet(spark, s"$sf/customer.parquet")
+    val noStrings = c.selectDtypes(exclude = _ == StringType)
+    assert(noStrings.columns == Seq("c_custkey", "c_nationkey", "c_acctbal"))
+    val both = c.selectDtypes(
+      include = _.isInstanceOf[NumericType], exclude = _ == DoubleType)
+    assert(both.columns == Seq("c_custkey", "c_nationkey"))
+  }
+
+  test("toFrameWithIndex carries the index column (ToFrameIndex)") {
+    val d = f1.setIndex("x")
+    val fr = (d("y") * 2).as("y2").toFrameWithIndex("x")
+    assert(fr.columns == Seq("x", "y2") && fr.indexCol.contains("x"))
+    assert(fr.sdf.filter(col("x") === 3).collect()(0).getAs[Double]("y2") == 60.0)
+  }
+
+  test("replaceRegex rewrites via pattern; saltedJoin rejects outer") {
+    val d = Df.fromRows(spark, Seq(Row("ab12", 1L), Row("cd34", 2L)),
+      StructType(Seq(StructField("s", StringType), StructField("k", LongType))))
+    val r = d.replaceRegex("[0-9]+", "#").sdf.collect().map(_.getString(0)).toSet
+    assert(r == Set("ab#", "cd#"))
+    val e = intercept[IllegalArgumentException](
+      d.saltedJoin(d, Seq("k"), "outer", salt = 4))
+    assert(e.getMessage.contains("inner|left"))
+  }
+
   test("isna/notna dispatch on dtype — string cols survive ANSI mode") {
     val prev = spark.conf.get("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.ansi.enabled", "true")
