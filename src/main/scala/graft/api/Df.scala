@@ -443,6 +443,21 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   def applyRows[T: org.apache.spark.sql.Encoder](f: org.apache.spark.sql.Row => T): Df =
     new Df(sdf.map(f)(implicitly[org.apache.spark.sql.Encoder[T]]).toDF())
 
+  /** `Apply` with explicit args (`_expr.py:1240-1261` carries
+    * `args`/`kwargs` as operands): the args ride the serialized task
+    * exactly once, mirroring the reference's operand plumbing (a plain
+    * closure capture does the same; this form keeps the call-site shape
+    * of the pandas API). */
+  def applyRows[T: org.apache.spark.sql.Encoder](
+      f: (org.apache.spark.sql.Row, Seq[Any]) => T, args: Seq[Any]): Df =
+    applyRows(r => f(r, args))
+
+  /** `Apply` with `axis=0` (per-column): maps every column through an
+    * expression builder — one codegen'd projection, no UDF. Aggregate
+    * builders yield the pandas one-row per-column result. */
+  def applyColumns(fn: Column => Column, suffix: String = ""): Df =
+    new Df(sdf.select(columns.map(c => fn(sdf(c)).as(c + suffix)): _*))
+
   /** As-of join (nearest prior match), composed from built-ins per the
     * preference order (compose > custom plan): union both sides tagged,
     * one sort-shuffle on (keys, time), carry the latest right-row values

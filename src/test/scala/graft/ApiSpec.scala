@@ -288,6 +288,20 @@ class ApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("inner|left"))
   }
 
+  test("applyRows with args operand and applyColumns (axis=0) forms") {
+    import spark.implicits._
+    val withArgs = f1.applyRows[(Long, Double)](
+      (r: Row, args: Seq[Any]) =>
+        (r.getLong(0), r.getDouble(1) * args.head.asInstanceOf[Double]),
+      args = Seq(0.5))
+    val v = withArgs.sdf.filter(col("_1") === 4).collect()(0).getDouble(1)
+    assert(v == 20.0)
+    val perCol = f1.applyColumns(c => org.apache.spark.sql.functions.max(c), "_max")
+    val row = perCol.sdf.collect()(0)
+    assert(perCol.columns == Seq("x_max", "y_max"))
+    assert(row.getLong(0) == 99L && row.getDouble(1) == 990.0)
+  }
+
   test("isna/notna dispatch on dtype — string cols survive ANSI mode") {
     val prev = spark.conf.get("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.ansi.enabled", "true")

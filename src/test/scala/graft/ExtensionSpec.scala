@@ -94,6 +94,31 @@ class ExtensionSpec extends AnyFunSuite {
     assert(lsh.groupBy(_.getLong(0)).values.forall(_.map(_.getInt(1)).min == 1))
   }
 
+  test("lshSignature at planes=16 × dim=512 matches driver-side reference") {
+    // the old element_at formulation exploded to 512 terms per plane and
+    // broke Janino at real dims; the zip_with+aggregate form must both
+    // compile AND reproduce an ascending-index double fold bit-for-bit
+    val dim = 512; val planes = 16
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 4L).map(i => i -> Array.fill(dim)(rng.nextFloat() - 0.5f))
+    val d = Df.fromRows(spark, vecs.map { case (i, v) => Row(i, v.toSeq) },
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val got = d.sdf
+      .select(col("vec_id"), Similarity.lshSignature(col("embedding"), planes, dim).as("sig"))
+      .orderBy("vec_id").collect().map(_.getLong(1))
+    val want = vecs.map { case (_, v) =>
+      (0 until planes).map { j =>
+        val w = Similarity.planeWeights(j, dim)
+        var acc = 0.0
+        var i = 0
+        while (i < dim) { acc += v(i).toDouble * w(i); i += 1 }
+        if (acc > 0) 1L << j else 0L
+      }.sum
+    }
+    assert(got.toSeq == want)
+  }
+
   test("quality score is in [0,1] and favors stopword-bearing text") {
     val d = mkDocs(1L -> ("the quick brown fox " * 30).trim, 2L -> "zz")
     val qs = d.sdf.select(qualityScore(col("text"))).collect().map(_.getDouble(0))
