@@ -66,6 +66,24 @@ object TextFunctions {
         least(avgTokenLen(c) / 10.0, lit(1.0)) * 0.3,
       6)
 
+  /** BPE-ish regex token count: letter runs, digit runs, and single
+    * non-alphanumeric marks as separate pieces (the GPT-2 pre-tokenizer
+    * shape, without the merges table). A closer proxy than whitespace
+    * counting for "how many tokens will the trainer see"; the pattern is
+    * valid in both Java regex and RE2, so oracles replicate exactly. */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Rabin–Karp rolling-hash fingerprint over the token STREAM — order-
+    * sensitive, unlike [[fingerprint]]'s set hash ("a b" ≠ "b a"): a
+    * Horner fold `h = (h·B + hash(tok)) mod M` of portable 32-bit token
+    * hashes. B=131, M=2^31−1 keep every intermediate < 2^39 — no 64-bit
+    * overflow on any engine. One codegen'd `aggregate`, no shuffle. */
+  def rollingFingerprint(c: Column, base: Long = 131L,
+                         mod: Long = 2147483647L): Column =
+    aggregate(transform(tokens(c), t => hash32(t) % mod),
+      lit(0L), (acc, t) => (acc * base + t) % mod)
+
   /** canonical document fingerprint: md5 of the sorted distinct token
     * set — whitespace/order/duplication-insensitive exact-dedup key. */
   def fingerprint(c: Column): Column =

@@ -65,6 +65,17 @@ object ExtensionQueries {
         .sortValues(Seq("lang_pred")).sdf
     }),
 
+    // ---- BPE-ish token counting + rolling-hash fingerprint (order-
+    // sensitive Rabin-Karp over the token stream) ----
+    "q89_token_fingerprint" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      d.where(d("doc_id") < 200)
+        .assign("n_bpe", bpeTokenCount(col("text")))
+        .assign("rfp", rollingFingerprint(col("text")))
+        .select("doc_id", "n_bpe", "rfp")
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
     // ---- fingerprint cardinality (dup detection summary) ----
     "q63_fingerprint" -> ((s, dir) => {
       T(s, dir, "documents")
@@ -293,6 +304,15 @@ object ExtensionQueries {
 
   val oracles: Map[String, String] = Map(
     "q87_lsh_topk" -> lshTopkSql,
+    // list_reduce has no initial accumulator: it folds from the first
+    // element — identical to the Spark side's 0 seed since 0·B + t₁ = t₁
+    "q89_token_fingerprint" ->
+      """SELECT doc_id,
+        |len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+        |list_reduce(list_transform(string_split(text, ' '),
+        |  t -> ('0x' || substr(md5(t),1,8))::BIGINT % 2147483647),
+        |  (a, b) -> (a*131 + b) % 2147483647) AS rfp
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "q60_dedup_exact" ->
       s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM (
          |SELECT doc_id, text FROM documents

@@ -119,6 +119,22 @@ class ExtensionSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("rollingFingerprint is order-sensitive; set fingerprint is not") {
+    val d = mkDocs(1L -> "a b c", 2L -> "c b a", 3L -> "a b c")
+    val rows = d.sdf.orderBy("doc_id").select(
+      rollingFingerprint(col("text")), fingerprint(col("text"))).collect()
+    val (r1, r2, r3) = (rows(0).getLong(0), rows(1).getLong(0), rows(2).getLong(0))
+    assert(r1 != r2 && r1 == r3)                      // order matters
+    assert(rows(0).getString(1) == rows(1).getString(1)) // set hash: order-free
+  }
+
+  test("bpeTokenCount splits letter/digit runs and punctuation marks") {
+    val d = mkDocs(1L -> "hello world42, don't!")
+    // pieces: hello | world | 42 | , | don | ' | t | !
+    val n = d.sdf.select(bpeTokenCount(col("text"))).collect()(0).getInt(0)
+    assert(n == 8)
+  }
+
   test("quality score is in [0,1] and favors stopword-bearing text") {
     val d = mkDocs(1L -> ("the quick brown fox " * 30).trim, 2L -> "zz")
     val qs = d.sdf.select(qualityScore(col("text"))).collect().map(_.getDouble(0))

@@ -114,6 +114,15 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("lshTopK broadcasts the query side; corpus never cross-joins") {
+    val e = Df.readParquet(spark, s"$sf/embeddings.parquet")
+    val q = e.where(e("vec_id") < 3)
+    val p = plan(graft.operators.Similarity
+      .lshTopK(q, e, "embedding", "vec_id", k = 3).sdf)
+    assert(p.contains("BroadcastHashJoin"), p)      // bucket equi-join
+    assert(!p.contains("CartesianProduct"), p)      // no all-pairs
+  }
+
   test("semi join plans as LeftSemi (no row multiplication)") {
     val c = Df.readParquet(spark, s"$sf/customer.parquet")
     val o = Df.readParquet(spark, s"$sf/orders.parquet")
