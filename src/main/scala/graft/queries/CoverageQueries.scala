@@ -135,6 +135,22 @@ object CoverageQueries {
         .sortValues(Seq("code")).sdf
     }),
 
+    // ---- session windows (the streaming operator, run on the bounded
+    // batch): events < gap apart merge; window end = last event + gap.
+    // Oracle = classic gaps-and-islands SQL, so the exact Spark
+    // session-merge semantics (new session when diff >= gap, since the
+    // window end is exclusive) are cross-checked engine-to-engine ----
+    "q90_session_windows" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.where(e("user_id") < 20).sdf
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("value").cast("decimal(18,4)")).cast("double").as("session_value"))
+        .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+          col("user_id"), col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // ---- time-range window: trailing 1-hour sum per user ----
     "q82_range_window" -> ((s, dir) => {
       val e = events(s, dir)
@@ -183,6 +199,24 @@ object CoverageQueries {
         |  ORDER BY EPOCH(ts::TIMESTAMP)::BIGINT
         |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
         |FROM events WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin,
+    "q90_session_windows" ->
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value
+        |  FROM events WHERE user_id < 20),
+        |flags AS (SELECT user_id, ts, value,
+        |  CASE WHEN LAG(ts) OVER w IS NULL
+        |       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |  THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (SELECT user_id, ts, value,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags)
+        |SELECT MIN(ts) AS session_start,
+        |MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |user_id, COUNT(*) AS n_events,
+        |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q86_categorical" ->
       """WITH d2 AS (
         |SELECT o_orderpriority AS cat0,

@@ -74,6 +74,36 @@ object JoinQueries {
       x.where(x("a") < x("b")).sortValues(Seq("a", "b")).sdf
     }),
 
+    // ---- skew-safe salted join: result must equal the plain join (the
+    // salt only changes the partitioning, never the rows) ----
+    "q91_salted_join" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val o = T(s, dir, "orders")
+        .selectExpr("o_orderkey AS l_orderkey", "o_orderpriority")
+      li.saltedJoin(o, on = Seq("l_orderkey"), how = "inner", salt = 8)
+        .groupby("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             decSum(col("l_quantity")).as("sum_qty"))
+        .sortValues(Seq("o_orderpriority")).sdf
+    }),
+
+    // ---- bucketed co-located join (the 100 TB fact-table pattern):
+    // both sides pre-shuffled ONCE into the same bucket layout, so the
+    // join itself is exchange-free (BucketingSpec asserts the plan) ----
+    "q92_bucketed_join" -> ((s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_buck"
+      val li = T(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        .toBucketedTable("graft_li_b", Seq("l_orderkey"), 8, s"$tmp/li")
+      val o = T(s, dir, "orders")
+        .selectExpr("o_orderkey AS l_orderkey", "o_orderdate")
+        .toBucketedTable("graft_o_b", Seq("l_orderkey"), 8, s"$tmp/o")
+      li.merge(o, on = Seq("l_orderkey"), how = "inner")
+        .groupby("l_orderkey")
+        .agg(count(lit(1)).as("n"),
+             decSum(col("l_extendedprice")).as("sum_price"))
+        .sortValues(Seq("l_orderkey")).sdf
+    }),
+
     // ---- Concat inner: common-column union (`_concat.py:44-64`) ----
     "q47_concat_inner" -> ((s, dir) => {
       val a = T(s, dir, "customer").selectExpr("c_custkey AS k", "c_name AS name", "c_acctbal AS bal")
@@ -115,6 +145,16 @@ object JoinQueries {
       """SELECT r1.r_regionkey AS a, r2.r_regionkey AS b
         |FROM region r1 CROSS JOIN region r2
         |WHERE r1.r_regionkey < r2.r_regionkey ORDER BY a, b""".stripMargin,
+    "q91_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q92_bucketed_join" ->
+      """SELECT l_orderkey, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q47_concat_inner" ->
       """SELECT k, name FROM (
         |SELECT c_custkey AS k, c_name AS name FROM customer
