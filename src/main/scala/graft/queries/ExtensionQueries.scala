@@ -146,14 +146,19 @@ object ExtensionQueries {
         .sortValues(Seq("doc_id")).sdf
     }),
 
-    // ---- multimodal decode-to-features (stubbed codec; plumbing is
-    // real mapPartitions — no SQL twin → driver rows-only check) ----
+    // ---- multimodal decode-to-features. The codec is a STUB (no
+    // image/audio libs in this container) but a DETERMINISTIC one
+    // (byte-histogram moments in float32), so even the mapPartitions
+    // path gets a DuckDB oracle: the SQL replays the exact float32
+    // accumulation (ascii bytes at stride-8 offsets; DuckDB FLOAT
+    // arithmetic is single-precision, proven bit-identical) ----
     "q71_multimodal_features" -> ((s, dir) => {
       val d = T(s, dir, "documents")
       val media = graft.operators.Multimodal.packMedia(
         d.where(d("doc_id") < 50), "doc_id", "text", "text/plain")
       graft.operators.Multimodal.extractFeatures(media, dim = 8)
-        .selectExpr("media_id", "n_bytes", "round(feature[0], 4) AS f0")
+        .selectExpr("media_id", "n_bytes",
+          "round(cast(feature[0] AS double), 4) AS f0")
         .sortValues(Seq("media_id")).sdf
     }),
 
@@ -360,6 +365,18 @@ object ExtensionQueries {
     "q69_multimodal_meta" ->
       """SELECT doc_id, length(text) AS n_bytes, sha256(text) AS digest
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    // feature[0] of the stub codec = float32 sum of bytes at offsets
+    // 0,8,16,… ÷ 255, divided by len div 8 — replayed here in FLOAT
+    // (single-precision) arithmetic, then widened to double for the
+    // 4dp round on both sides
+    "q71_multimodal_features" ->
+      """SELECT doc_id AS media_id, length(text) AS n_bytes,
+        |ROUND((CASE WHEN length(text) = 0 THEN 0.0::FLOAT ELSE
+        |  (list_reduce(list_transform(range(0, length(text), 8),
+        |     i -> (ascii(substr(text, (i+1)::INT, 1))::FLOAT / 255.0::FLOAT)),
+        |   (a, b) -> a + b)
+        |   / GREATEST(1, length(text) // 8))::FLOAT END)::DOUBLE, 4) AS f0
+        |FROM documents WHERE doc_id < 50 ORDER BY media_id""".stripMargin,
     "q85_pipeline" ->
       s"""WITH scored AS (
          |SELECT doc_id, $qualitySql AS quality,
