@@ -22,18 +22,26 @@ object Bench {
         concat(lit("{\"k\":"), col("id"), lit("}")), "$.k").cast("long"))).count()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case _: Throwable => }
+    // min of SPARK_GRAFT_REPS repetitions per query: this host shows
+    // broad multi-second swings on identical plans (noisy neighbors /
+    // GC); the minimum is the steady-state cost of the plan, which is
+    // what a round-over-round comparison should see.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: materializes EVERY column of the result. A count()
-      // action would let Catalyst prune unreferenced projections, so
-      // elementwise queries would time the scan instead of the work.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop persisted blocks (Dedup LSH indexes) so one query's cache
-      // never pressures the next — the r2 bench showed 3-10× swings on
-      // identical code from exactly this leak.
-      spark.catalog.clearCache()
+      val dt = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: materializes EVERY column of the result. A count()
+        // action would let Catalyst prune unreferenced projections, so
+        // elementwise queries would time the scan instead of the work.
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => }
+        val t = (System.nanoTime() - t0) / 1e9
+        // drop persisted blocks (Dedup LSH indexes) so one query's cache
+        // never pressures the next — the r2 bench showed 3-10× swings on
+        // identical code from exactly this leak.
+        spark.catalog.clearCache()
+        t
+      }.min
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

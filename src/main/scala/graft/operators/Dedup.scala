@@ -80,22 +80,32 @@ object Dedup {
     // excluded up front: they have no shingles to match on, and their
     // all-null signatures would otherwise pile every short doc into one
     // degenerate "" band key.
-    val withSig = docs.sdf
+    //
+    // The shingle table is referenced THREE times (signature stage +
+    // both verification join sides) and Spark plans trees, not DAGs —
+    // unpersisted, the tokenize+shingle scan would run once per
+    // reference. Materialize it once (the classic "build the LSH index
+    // once" pattern; spilled to disk beyond memory). Callers that loop
+    // over dedup passes should clear the cache between actions
+    // (spark.catalog.clearCache, as graft.Bench/Verify do).
+    // __hs (the md5-based 32-bit shingle hashes) is computed BEFORE the
+    // persist boundary: minhashSignature references its input k times,
+    // and CollapseProject would inline a bare transform into all k
+    // min-aggregates — k md5 passes per shingle. Cached, it's one.
+    val shingles = docs.sdf
       .withColumn("__sh", wordShingles(col(textCol), shingleN))
       .where(size(col("__sh")) > 0)
-      .withColumn("__sig", minhashSignature(transform(col("__sh"), hash32(_)), k))
-      .select(col(idCol), col("__sh"), col("__sig"))
+      .withColumn("__hs", transform(col("__sh"), hash32(_)))
+      .select(col(idCol), col("__sh"), col("__hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSig = shingles
+      .withColumn("__sig", minhashSignature(col("__hs"), k))
     // explode to one row per band — candidates collide on (band, key).
     // Only (id, band, key) flows through the bucket join; the shingle
     // arrays are re-joined onto the (much smaller) deduped candidate
     // pairs for verification — at scale the wide arrays never shuffle.
-    // Materialize the banded index: both sides of the candidate
-    // self-join reference it, and Spark plans trees, not DAGs — without
-    // persistence the (expensive) signature stage runs once per side.
-    // This is the classic "build the LSH index once" materialization:
-    // 3 small rows per doc, spilled to disk beyond memory. Callers that
-    // loop over dedup passes should clear the cache between actions
-    // (spark.catalog.clearCache, as graft.Bench/Verify do).
+    // The banded index is materialized too: both candidate self-join
+    // sides reference it (3 small rows per doc).
     val banded = capBuckets(withSig.select(col(idCol),
       posexplode(array((0 until bands).map(b => bandKey(col("__sig"), b, r)): _*))
         .as(Seq("__band", "__key"))), maxBucket)
@@ -110,7 +120,6 @@ object Dedup {
     // join beyond that. (An explicit broadcast() hint is HONORED, not
     // gracefully dropped — at billions of docs it would OOM the driver
     // building the broadcast relation, so no hint here.)
-    val shingles = withSig.select(col(idCol), col("__sh"))
     val pairs = candidates
       .join(shingles.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
       .join(shingles.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
