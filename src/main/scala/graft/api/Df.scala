@@ -132,11 +132,41 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   /** `ResetIndex` (`_expr.py:1462`): drop index designation. */
   def resetIndex: Df = new Df(sdf, None)
   /** Materialize an explicit ordinal index by a deterministic sort key —
-    * `row_number` over a global order. Scale note: this is a full sort;
-    * only for order-faithful pandas emulation, never on the 100 TB path. */
+    * `row_number` over a global order. Scale note: the keyless window
+    * funnels ALL rows through one task; kept for small-frame pandas
+    * fidelity — use [[withRowIndexScalable]] on anything big. */
   def withRowIndex(orderBy: Seq[String], name: String = "__index__"): Df = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(orderBy.map(sdf(_)): _*)
     new Df(sdf.withColumn(name, row_number().over(w) - 1), Some(name))
+  }
+
+  /** The same global ordinal WITHOUT a single-partition window — the
+    * 100 TB path. Classic two-pass zip-with-index: range-partition by
+    * the sort keys (so partition p's rows all precede partition p+1's),
+    * sort within partitions, count rows per partition (a driver-side
+    * array of ONE LONG per partition — not data), then add each
+    * partition's cumulative offset to its local ordinal. Every stage is
+    * fully parallel; the only sequential state is the tiny offset array.
+    *
+    * Like Spark's own `RDD.zipWithIndex`, this runs two jobs over the
+    * same lineage (count, then index). Range-bound sampling is seeded
+    * deterministically, so both jobs see identical partitioning for a
+    * deterministic input; cache the input first if its lineage is not. */
+  def withRowIndexScalable(orderBy: Seq[String], name: String = "__index__",
+                           numPartitions: Int = 0): Df = {
+    val keys = orderBy.map(sdf(_).asc)
+    val ranged0 = if (numPartitions > 0)
+      sdf.repartitionByRange(numPartitions, keys: _*)
+    else sdf.repartitionByRange(keys: _*)
+    val ranged = ranged0.sortWithinPartitions(keys: _*)
+    val schema1 = StructType(
+      ranged.schema.fields :+ StructField(name, LongType, nullable = false))
+    // RDD.zipWithIndex runs the count job and the index job over the
+    // SAME RDD, so both see identical partitioning by construction
+    val indexed = ranged.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    new Df(spark.createDataFrame(indexed, schema1), Some(name))
   }
 
   /** Categorical emulation (`_categorical.py:14-129`): pandas `cat.codes`
@@ -181,6 +211,12 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   /** `Len` (`_reductions.py:155`): parquet-metadata-only count is Spark's
     * aggregate pushdown; `df.count()` on a bare scan reads footers only. */
   def len: Df = new Df(sdf.groupBy().count().select(col("count").as("len")))
+  /** `Lengths` (`_expr.py` per-block lengths): the reference returns one
+    * length per block; the Spark block is the partition. One count per
+    * partition, no data movement. */
+  def partitionLengths: Df =
+    new Df(sdf.groupBy(spark_partition_id().as("partition_id"))
+      .count().select(col("partition_id"), col("count").as("length")))
   /** `NLargest` (`_reductions.py:268`) → TakeOrderedAndProject (top-k per
     * partition + merge on driver side of exchange — no full sort). */
   def nlargest(n: Int, cols: Seq[String]): Df =
@@ -315,6 +351,32 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     val r = right.sdf.withColumn("__salt",
       expr(s"explode(sequence(0, ${salt - 1}))"))
     new Df(l.join(r, on :+ "__salt", how).drop("__salt"))
+  }
+
+  /** Range (point-in-interval) join: rows of this frame whose
+    * `pointCol` falls in [lo, hi] of an interval row, with optional
+    * extra equi-keys. A naive theta-join plans as
+    * BroadcastNestedLoopJoin — O(|points|·|intervals|), the classic
+    * scale-killer. Here the value domain is bucketized: each interval
+    * EXPLODES into the coarse buckets it spans, each point lives in
+    * exactly one bucket (so no dedup is ever needed), and the join is a
+    * plain shuffled equi-join on (keys, bucket) + an exact containment
+    * filter. Pick `bucketWidth` near the median interval width: wider
+    * buckets → fewer replicas but more false candidates to filter. */
+  def rangeJoin(intervals: Df, pointCol: String, loCol: String, hiCol: String,
+                bucketWidth: Double, on: Seq[String] = Nil): Df = {
+    require(bucketWidth > 0, "rangeJoin: bucketWidth must be positive")
+    val l = sdf.withColumn("__bk",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    val r = intervals.sdf
+      .withColumn("__lo_bk", floor(col(loCol) / bucketWidth).cast("long"))
+      .withColumn("__hi_bk", floor(col(hiCol) / bucketWidth).cast("long"))
+      .withColumn("__bk", org.apache.spark.sql.functions.explode(
+        expr("sequence(__lo_bk, __hi_bk)")))
+      .drop("__lo_bk", "__hi_bk")
+    new Df(l.join(r, on :+ "__bk")
+      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bk"))
   }
 
   /** set operations — free Spark extensions (SURVEY.md §2.8 note):
@@ -458,30 +520,63 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   def applyColumns(fn: Column => Column, suffix: String = ""): Df =
     new Df(sdf.select(columns.map(c => fn(sdf(c)).as(c + suffix)): _*))
 
-  /** As-of join (nearest prior match), composed from built-ins per the
+  /** As-of join (pandas `merge_asof`), composed from built-ins per the
     * preference order (compose > custom plan): union both sides tagged,
-    * one sort-shuffle on (keys, time), carry the latest right-row values
-    * forward with `last(ignoreNulls)` over the unioned timeline, keep
-    * left rows. One shuffle, no custom SparkPlan, scales like a window.
+    * one sort-shuffle on (keys, time), carry the matched right row as a
+    * STRUCT (time + values — so multi-column matches always come from
+    * the SAME right row, even when a value column holds nulls) across
+    * the unioned timeline, keep left rows. One shuffle, no custom
+    * SparkPlan, scales like a window.
     *
-    * `direction="backward"` (default): right.time <= left.time, latest
-    * such right row wins. */
+    * `direction`: "backward" (default — latest right.time <= left.time),
+    * "forward" (earliest right.time >= left.time), "nearest" (closer of
+    * the two; ties go backward, as in pandas). `toleranceSec >= 0` nulls
+    * matches farther than the tolerance (applied on the chosen match,
+    * exactly like pandas). */
   def asofJoin(right: Df, on: Seq[String], leftTime: String,
-               rightTime: String, valueCols: Seq[String]): Df = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(on.map(col): _*)
-      .orderBy(col("__t"), col("__side")) // right (0) sorts before left (1) at equal ts
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val lhs = sdf.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
-      .withColumns(valueCols.map(c => c -> lit(null).cast(right.sdf.schema(c).dataType)).toMap)
+               rightTime: String, valueCols: Seq[String],
+               direction: String = "backward",
+               toleranceSec: Long = -1L): Df = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asofJoin: unknown direction '$direction'")
+    val W = org.apache.spark.sql.expressions.Window
+    // right rows carry their (time, values) as one struct; left rows null
+    val rv = struct(col(rightTime).cast("timestamp").as("__rt") +:
+      valueCols.map(col): _*)
     val rhs = right.sdf.select((on.map(col) :+ col(rightTime).as("__t")) ++
-        valueCols.map(col): _*)
+        Seq(rv.as("__rv")): _*)
       .withColumn("__side", lit(0))
+    val lhs = sdf.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
     val unioned = lhs.unionByName(rhs, allowMissingColumns = true)
-    val carried = valueCols.foldLeft(unioned) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    // backward: right (side 0) sorts BEFORE left at equal ts → inclusive
+    val wB = W.partitionBy(on.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    // forward: right sorts AFTER left at equal ts → inclusive
+    val wF = W.partitionBy(on.map(col): _*)
+      .orderBy(col("__t"), col("__side").desc)
+      .rowsBetween(0, W.unboundedFollowing)
+    val withDirs = unioned
+      .withColumn("__b", if (direction != "forward")
+        last(col("__rv"), ignoreNulls = true).over(wB) else lit(null))
+      .withColumn("__f", if (direction != "backward")
+        first(col("__rv"), ignoreNulls = true).over(wF) else lit(null))
+    val lts = col("__t").cast("timestamp").cast("double")
+    val dB = lts - col("__b.__rt").cast("double")
+    val dF = col("__f.__rt").cast("double") - lts
+    val chosen = direction match {
+      case "backward" => col("__b")
+      case "forward"  => col("__f")
+      case "nearest"  => // ties go backward; a missing side loses
+        when(col("__b").isNotNull &&
+          (col("__f").isNull || dB <= dF), col("__b")).otherwise(col("__f"))
     }
-    new Df(carried.where(col("__side") === 1).drop("__t", "__side"))
+    val picked = withDirs.withColumn("__m", chosen)
+    val gated = if (toleranceSec < 0) picked else picked.withColumn("__m",
+      when(abs(lts - col("__m.__rt").cast("double")) <= toleranceSec, col("__m")))
+    val out = valueCols.foldLeft(gated) { (d, c) => d.withColumn(c, col(s"__m.$c")) }
+    new Df(out.where(col("__side") === 1)
+      .drop("__t", "__side", "__rv", "__b", "__f", "__m"))
   }
 
   /** Semi/anti joins — Spark-native extension beyond the reference. */

@@ -93,6 +93,22 @@ object AnalyticsQueries {
         .sortValues(Seq("query_id", "rank")).sdf
     }),
 
+    // ---- as-of join, forward direction + tolerance (merge_asof
+    // parity); oracle = DuckDB ASOF with the inequality flipped and a
+    // post-join tolerance gate — semantically identical to pandas ----
+    "q93_asof_forward" -> ((s, dir) => {
+      val e = events(s, dir)
+      val purchases = e.where(e("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = e.where(e("event_type") === "click")
+        .selectExpr("user_id", "ts", "value AS click_value")
+      purchases.asofJoin(clicks, on = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts", valueCols = Seq("click_value"),
+        direction = "forward", toleranceSec = 3600L)
+        .select("event_id", "user_id", "click_value")
+        .sortValues(Seq("event_id")).sdf
+    }),
+
     // ---- frame ⟷ scalar broadcast (df + df.mean() pattern) ----
     "q59b_scalar_broadcast" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
@@ -164,6 +180,14 @@ object AnalyticsQueries {
         |FROM (SELECT * FROM events WHERE event_type='purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
         |ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q93_asof_forward" ->
+      """SELECT p.event_id, p.user_id,
+        |CASE WHEN EPOCH(c.ts::TIMESTAMP) - EPOCH(p.ts::TIMESTAMP) <= 3600
+        |THEN c.value END AS click_value
+        |FROM (SELECT * FROM events WHERE event_type='purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+        |ON p.user_id = c.user_id AND p.ts <= c.ts
         |ORDER BY p.event_id""".stripMargin,
     "q59b_scalar_broadcast" ->
       """SELECT l_orderkey, l_linenumber,

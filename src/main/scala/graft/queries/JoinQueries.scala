@@ -104,6 +104,19 @@ object JoinQueries {
         .sortValues(Seq("l_orderkey")).sdf
     }),
 
+    // ---- bucketized range join (point-in-interval): overlapping price
+    // bands × lineitem quantities. Equi-join on coarse buckets + exact
+    // filter — never a nested-loop join (PlanSpec asserts) ----
+    "q94_range_join" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val bands = T(s, dir, "region").selectExpr("r_regionkey AS band",
+        "r_regionkey * 20.0 - 10.0 AS lo", "r_regionkey * 20.0 + 15.0 AS hi")
+      li.rangeJoin(bands, "l_quantity", "lo", "hi", bucketWidth = 5.0)
+        .groupby("band")
+        .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("sum_qty"))
+        .sortValues(Seq("band")).sdf
+    }),
+
     // ---- Concat inner: common-column union (`_concat.py:44-64`) ----
     "q47_concat_inner" -> ((s, dir) => {
       val a = T(s, dir, "customer").selectExpr("c_custkey AS k", "c_name AS name", "c_acctbal AS bal")
@@ -145,6 +158,12 @@ object JoinQueries {
       """SELECT r1.r_regionkey AS a, r2.r_regionkey AS b
         |FROM region r1 CROSS JOIN region r2
         |WHERE r1.r_regionkey < r2.r_regionkey ORDER BY a, b""".stripMargin,
+    "q94_range_join" ->
+      """SELECT r_regionkey AS band, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN region
+        |ON l_quantity BETWEEN r_regionkey*20.0 - 10.0 AND r_regionkey*20.0 + 15.0
+        |GROUP BY 1 ORDER BY band""".stripMargin,
     "q91_salted_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

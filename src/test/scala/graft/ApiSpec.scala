@@ -173,6 +173,23 @@ class ApiSpec extends AnyFunSuite {
     assert(first(1).getAs[Int]("__index__") == 1)
   }
 
+  test("withRowIndexScalable equals the window ordinal, multi-partition") {
+    val keys = Seq("l_orderkey", "l_linenumber")
+    val win = li.withRowIndex(keys).sdf
+      .selectExpr("l_orderkey", "l_linenumber", "cast(__index__ AS long) AS i")
+    val scalable = li.withRowIndexScalable(keys, numPartitions = 7).sdf
+      .selectExpr("l_orderkey", "l_linenumber", "__index__ AS i")
+    assert(scalable.rdd.getNumPartitions > 1) // genuinely parallel
+    assert(win.exceptAll(scalable).isEmpty && scalable.exceptAll(win).isEmpty)
+  }
+
+  test("partitionLengths: one length per partition, sums to len") {
+    val d = new Df(li.sdf.repartition(5))
+    val lens = d.partitionLengths.sdf.collect()
+    assert(lens.length == 5)
+    assert(lens.map(_.getLong(1)).sum == li.count())
+  }
+
   test("eval parses SQL expressions (pandas df.eval analog)") {
     val r = f1.eval("z", "x + y / 10").sdf.agg(sum("z")).collect()(0)
     assert(r.getDouble(0) == (0 until 100).map(i => i + i.toDouble).sum)
@@ -300,6 +317,24 @@ class ApiSpec extends AnyFunSuite {
     val row = perCol.sdf.collect()(0)
     assert(perCol.columns == Seq("x_max", "y_max"))
     assert(row.getLong(0) == 99L && row.getDouble(1) == 990.0)
+  }
+
+  test("rangeJoin equals the naive theta join, at any bucket width") {
+    val points = f1.select("x", "y") // y = x*10 in [0, 990]
+    val ivs = Df.fromRows(spark, Seq(
+      Row(1L, 0.0, 100.0), Row(2L, 50.0, 260.0), Row(3L, 990.0, 2000.0),
+      Row(4L, -50.0, -10.0)),
+      StructType(Seq(StructField("iv", LongType),
+        StructField("lo", DoubleType), StructField("hi", DoubleType))))
+    val naive = points.sdf.join(ivs.sdf,
+      col("y") >= col("lo") && col("y") <= col("hi"))
+      .select("x", "iv").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(7.0, 100.0, 1000.0)) {
+      val got = points.rangeJoin(ivs, "y", "lo", "hi", bucketWidth = w)
+        .select("x", "iv").sdf.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"bucketWidth=$w")
+    }
   }
 
   test("isna/notna dispatch on dtype — string cols survive ANSI mode") {

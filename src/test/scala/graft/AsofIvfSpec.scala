@@ -32,6 +32,42 @@ class AsofIvfSpec extends AnyFunSuite {
     assert(j.count() == 3) // left rows preserved exactly
   }
 
+  test("asofJoin forward/nearest directions and tolerance (merge_asof)") {
+    val trades = Df.fromRows(spark, Seq(
+      Row("A", 10L, 100.0), Row("A", 20L, 101.0), Row("A", 100L, 102.0)),
+      StructType(Seq(StructField("sym", StringType),
+        StructField("t", LongType), StructField("px", DoubleType))))
+    val quotes = Df.fromRows(spark, Seq(
+      Row("A", 5L, 99.0), Row("A", 18L, 100.5), Row("A", 25L, 102.5)),
+      StructType(Seq(StructField("sym", StringType),
+        StructField("t", LongType), StructField("bid", DoubleType))))
+    def run(dir: String, tol: Long = -1L) =
+      trades.asofJoin(quotes, Seq("sym"), "t", "t", Seq("bid"), dir, tol)
+        .sdf.collect().map(r =>
+          r.getLong(1) -> Option(r.get(r.fieldIndex("bid")))).toMap
+    val fwd = run("forward")
+    assert(fwd(10L).contains(100.5))  // earliest quote >= 10 is @18
+    assert(fwd(20L).contains(102.5))  // @25
+    assert(fwd(100L).isEmpty)         // nothing after 100
+    val near = run("nearest")
+    assert(near(10L).contains(99.0))  // |10-5|=5 < |18-10|=8
+    assert(near(20L).contains(100.5)) // |20-18|=2 < |25-20|=5
+    assert(near(100L).contains(102.5))// only backward exists
+    val tol = run("nearest", tol = 10L)
+    assert(tol(100L).isEmpty)         // |100-25|=75 > 10 → nulled
+    assert(tol(20L).contains(100.5))  // within 10
+  }
+
+  test("asofJoin nearest tie goes backward (pandas semantics)") {
+    val l = Df.fromRows(spark, Seq(Row("A", 10L)),
+      StructType(Seq(StructField("k", StringType), StructField("t", LongType))))
+    val r = Df.fromRows(spark, Seq(Row("A", 5L, 1.0), Row("A", 15L, 2.0)),
+      StructType(Seq(StructField("k", StringType),
+        StructField("t", LongType), StructField("v", DoubleType))))
+    val j = l.asofJoin(r, Seq("k"), "t", "t", Seq("v"), "nearest")
+    assert(j.sdf.collect()(0).getDouble(2) == 1.0) // |10-5| == |15-10| → backward
+  }
+
   test("asofJoin with no prior quote yields null") {
     val l = Df.fromRows(spark, Seq(Row("A", 1L)),
       StructType(Seq(StructField("k", StringType), StructField("t", LongType))))

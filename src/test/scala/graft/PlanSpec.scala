@@ -123,6 +123,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)      // no all-pairs
   }
 
+  test("rangeJoin plans as an equi-join on buckets, never nested-loop") {
+    val li = Df.readParquet(spark, s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val bands = Df.readParquet(spark, s"$sf/region.parquet")
+      .selectExpr("r_regionkey AS band",
+        "r_regionkey * 20.0 AS lo", "r_regionkey * 20.0 + 15.0 AS hi")
+    val p = plan(li.rangeJoin(bands, "l_quantity", "lo", "hi", 5.0).sdf)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("semi join plans as LeftSemi (no row multiplication)") {
     val c = Df.readParquet(spark, s"$sf/customer.parquet")
     val o = Df.readParquet(spark, s"$sf/orders.parquet")
