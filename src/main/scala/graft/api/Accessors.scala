@@ -24,6 +24,26 @@ final class StrAccessor private[api] (s: Ser) {
   def split(sep: String): Ser = lift(org.apache.spark.sql.functions.split(s.col, sep))
   def cat(other: Ser, sep: String = ""): Ser = lift(concat_ws(sep, s.col, other.col))
   def zfill(width: Int): Ser = lift(lpad(s.col, width, "0"))
+  /** pandas `str.capitalize`: first char upper, rest lower. */
+  def capitalize: Ser = lift(concat(
+    org.apache.spark.sql.functions.upper(substring(s.col, 1, 1)),
+    org.apache.spark.sql.functions.lower(substring(s.col, 2, Int.MaxValue))))
+  /** pandas `str.extract` (one group): regex capture group `group`. */
+  def extract(pattern: String, group: Int = 1): Ser =
+    lift(regexp_extract(s.col, pattern, group))
+  /** pandas `str.count` for a literal single char (translate-based — no
+    * regex, identical across engines). */
+  def countChar(ch: String): Ser =
+    lift(length(s.col) - length(translate(s.col, ch, "")))
+  def isdigit: Ser = lift(s.col.rlike("^[0-9]+$"))
+  def isalpha: Ser = lift(s.col.rlike("^[A-Za-z]+$"))
+  /** pandas `str.get(i)`: character at 0-based position i. */
+  def get(i: Int): Ser = lift(substring(s.col, i + 1, 1))
+  def pad(width: Int, fillchar: String = " ", side: String = "left"): Ser =
+    side match {
+      case "left"  => lift(lpad(s.col, width, fillchar))
+      case "right" => lift(rpad(s.col, width, fillchar))
+    }
 }
 
 final class DtAccessor private[api] (s: Ser) {
@@ -35,6 +55,17 @@ final class DtAccessor private[api] (s: Ser) {
   def minute: Ser = lift(org.apache.spark.sql.functions.minute(s.col))
   def second: Ser = lift(org.apache.spark.sql.functions.second(s.col))
   def dayofweek: Ser = lift(org.apache.spark.sql.functions.dayofweek(s.col))
+  def quarter: Ser = lift(org.apache.spark.sql.functions.quarter(s.col))
+  def dayofyear: Ser = lift(org.apache.spark.sql.functions.dayofyear(s.col))
+  /** ISO week number (both Spark and DuckDB use ISO-8601 weeks). */
+  def weekofyear: Ser = lift(org.apache.spark.sql.functions.weekofyear(s.col))
+  /** pandas `dt.is_leap_year` — Gregorian rule as a plain expression. */
+  def isLeapYear: Ser = {
+    val y = org.apache.spark.sql.functions.year(s.col)
+    lift((y % 4 === 0 && y % 100 =!= 0) || y % 400 === 0)
+  }
+  /** pandas `dt.days_in_month`. */
+  def daysInMonth: Ser = lift(dayofmonth(last_day(s.col)))
   def date: Ser = lift(to_date(s.col))
   def floor(unit: String): Ser = lift(date_trunc(unit, s.col))
   /** `ToTimestamp` (`_expr.py:1159`): period-ish floor to unit start/end */

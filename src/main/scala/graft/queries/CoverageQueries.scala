@@ -135,6 +135,26 @@ object CoverageQueries {
         .sortValues(Seq("code")).sdf
     }),
 
+    // ---- extended .str/.dt accessor battery: quarter/dayofyear/
+    // ISO week/leap-year/days-in-month; capitalize/extract/isdigit/
+    // char-count — every leg an engine-portable expression ----
+    "q95_accessor_battery" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      o.assign("q", o("o_orderdate").dt.quarter)
+        .assign("doy", o("o_orderdate").dt.dayofyear)
+        .assign("woy", o("o_orderdate").dt.weekofyear)
+        .assign("leap", o("o_orderdate").dt.isLeapYear)
+        .assign("dim", o("o_orderdate").dt.daysInMonth)
+        .assign("prio_cap", o("o_orderpriority").str.capitalize)
+        .assign("prio_num", o("o_orderpriority").str.extract("^([0-9]+)", 1))
+        .assign("num_is_digit",
+          o("o_orderpriority").str.extract("^([0-9]+)", 1).str.isdigit)
+        .assign("n_e", o("o_orderpriority").str.countChar("E"))
+        .select("o_orderkey", "q", "doy", "woy", "leap", "dim",
+          "prio_cap", "prio_num", "num_is_digit", "n_e")
+        .sortValues(Seq("o_orderkey")).sdf
+    }),
+
     // ---- session windows (the streaming operator, run on the bounded
     // batch): events < gap apart merge; window end = last event + gap.
     // Oracle = classic gaps-and-islands SQL, so the exact Spark
@@ -199,6 +219,19 @@ object CoverageQueries {
         |  ORDER BY EPOCH(ts::TIMESTAMP)::BIGINT
         |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
         |FROM events WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin,
+    "q95_accessor_battery" ->
+      """SELECT o_orderkey,
+        |QUARTER(o_orderdate)::INT AS q,
+        |DAYOFYEAR(o_orderdate)::INT AS doy,
+        |WEEKOFYEAR(o_orderdate)::INT AS woy,
+        |((YEAR(o_orderdate) % 4 = 0 AND YEAR(o_orderdate) % 100 <> 0)
+        |  OR YEAR(o_orderdate) % 400 = 0) AS leap,
+        |DAY(LAST_DAY(o_orderdate))::INT AS dim,
+        |UPPER(SUBSTR(o_orderpriority, 1, 1)) || LOWER(SUBSTR(o_orderpriority, 2)) AS prio_cap,
+        |REGEXP_EXTRACT(o_orderpriority, '^([0-9]+)', 1) AS prio_num,
+        |REGEXP_MATCHES(REGEXP_EXTRACT(o_orderpriority, '^([0-9]+)', 1), '^[0-9]+$') AS num_is_digit,
+        |(LENGTH(o_orderpriority) - LENGTH(REPLACE(o_orderpriority, 'E', '')))::INT AS n_e
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q90_session_windows" ->
       """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value
         |  FROM events WHERE user_id < 20),

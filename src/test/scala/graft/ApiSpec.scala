@@ -337,6 +337,15 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
+  test("str pad/get/isalpha accessor additions") {
+    val d = Df.fromRows(spark, Seq(Row("ab")),
+      StructType(Seq(StructField("v", StringType))))
+    assert(d.assign("p", d("v").str.pad(4, "*")).sdf.collect()(0).getString(1) == "**ab")
+    assert(d.assign("p", d("v").str.pad(4, "*", "right")).sdf.collect()(0).getString(1) == "ab**")
+    assert(d.assign("g", d("v").str.get(1)).sdf.collect()(0).getString(1) == "b")
+    assert(d.assign("a", d("v").str.isalpha).sdf.collect()(0).getBoolean(1))
+  }
+
   test("isna/notna dispatch on dtype — string cols survive ANSI mode") {
     val prev = spark.conf.get("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.ansi.enabled", "true")
