@@ -155,6 +155,18 @@ object CoverageQueries {
         .sortValues(Seq("o_orderkey")).sdf
     }),
 
+    // ---- tumbling windows (the core streaming aggregation shape, run
+    // on the bounded batch): window(ts, 1h) ≡ DuckDB time_bucket ----
+    "q96_tumbling_windows" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.sdf.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .select(col("w.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("win_start", "event_type")
+    }),
+
     // ---- session windows (the streaming operator, run on the bounded
     // batch): events < gap apart merge; window end = last event + gap.
     // Oracle = classic gaps-and-islands SQL, so the exact Spark
@@ -219,6 +231,11 @@ object CoverageQueries {
         |  ORDER BY EPOCH(ts::TIMESTAMP)::BIGINT
         |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
         |FROM events WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin,
+    "q96_tumbling_windows" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS win_start,
+        |event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "q95_accessor_battery" ->
       """SELECT o_orderkey,
         |QUARTER(o_orderdate)::INT AS q,
