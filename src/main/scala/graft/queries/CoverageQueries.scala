@@ -167,6 +167,19 @@ object CoverageQueries {
         .orderBy("win_start", "event_type")
     }),
 
+    // ---- sliding windows (1h length, 30m slide — each event lands in
+    // exactly 2 windows); oracle replays the expansion with a 2-row
+    // VALUES cross join ----
+    "q97_sliding_windows" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.where(e("user_id") < 50).sdf
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+        .orderBy("win_start", "event_type")
+    }),
+
     // ---- session windows (the streaming operator, run on the bounded
     // batch): events < gap apart merge; window end = last event + gap.
     // Oracle = classic gaps-and-islands SQL, so the exact Spark
@@ -231,6 +244,14 @@ object CoverageQueries {
         |  ORDER BY EPOCH(ts::TIMESTAMP)::BIGINT
         |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
         |FROM events WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin,
+    "q97_sliding_windows" ->
+      """SELECT win_start, event_type, COUNT(*) AS n FROM (
+        |SELECT event_type,
+        |time_bucket(INTERVAL '30 minutes', ts::TIMESTAMP)
+        |  - (k.k * INTERVAL '30 minutes') AS win_start
+        |FROM events, (VALUES (0), (1)) k(k)
+        |WHERE user_id < 50)
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "q96_tumbling_windows" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS win_start,
         |event_type, COUNT(*) AS n,
