@@ -94,6 +94,35 @@ final class GroupedDf private[api] (
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("count")))
   }
 
+  /** pandas `g.cumcount()`: 0-based ordinal within the group, by an
+    * explicit order (one shuffle on the keys — a grouped window, never
+    * a global one). */
+  def cumcount(orderKeys: Seq[String], out: String = "cumcount"): Df = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(sdf(_)): _*)
+      .orderBy(orderKeys.map(sdf(_).asc): _*)
+    new Df(sdf.withColumn(out, row_number().over(w) - 1))
+  }
+
+  /** pandas `g.head(n)`: first n rows per group by an explicit order. */
+  def headPerGroup(n: Int, orderKeys: Seq[String]): Df = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(sdf(_)): _*)
+      .orderBy(orderKeys.map(sdf(_).asc): _*)
+    new Df(sdf.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n).drop("__rn"))
+  }
+
+  /** pandas `g.cumsum()` over one column by an explicit order. */
+  def cumsum(valueCol: String, orderKeys: Seq[String],
+             out: String = "cumsum"): Df = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(keys.map(sdf(_)): _*)
+      .orderBy(orderKeys.map(sdf(_).asc): _*)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    new Df(sdf.withColumn(out, org.apache.spark.sql.functions.sum(sdf(valueCol)).over(w)))
+  }
+
   /** `GroupbyAggregation` dict/list spec (`_groupby.py:136-190`):
     * {"x": ["sum","mean"], "y": "count"} → flattened `x_sum` names
     * (SURVEY.md §7.4.6: MultiIndex columns flatten). */

@@ -104,6 +104,19 @@ object CoverageQueries {
         .sortValues(Seq("o_orderkey")).sdf
     }),
 
+    // ---- pandas groupby.cumcount + groupby.head(n): grouped windows,
+    // one shuffle on the keys ----
+    "q98_group_cumcount_head" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .groupby("o_custkey")
+        .cumcount(Seq("o_orderkey"), out = "nth")
+        .groupby("o_custkey")
+        .headPerGroup(3, Seq("o_orderkey"))
+        .select("o_custkey", "o_orderkey", "nth", "o_totalprice")
+        .sortValues(Seq("o_custkey", "o_orderkey")).sdf
+    }),
+
     // ---- per-group idxmax (deterministic struct ordering) ----
     "q83_groupby_idxmax" -> ((s, dir) => {
       T(s, dir, "orders").groupby("o_orderpriority").agg(
@@ -244,6 +257,12 @@ object CoverageQueries {
         |  ORDER BY EPOCH(ts::TIMESTAMP)::BIGINT
         |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
         |FROM events WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin,
+    "q98_group_cumcount_head" ->
+      """SELECT o_custkey, o_orderkey, nth, o_totalprice FROM (
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1)::INT AS nth
+        |FROM orders)
+        |WHERE nth < 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q97_sliding_windows" ->
       """SELECT win_start, event_type, COUNT(*) AS n FROM (
         |SELECT event_type,

@@ -337,6 +337,15 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
+  test("groupby cumsum convenience matches running total") {
+    val d0 = f1
+    val d = d0.assign("k", d0("x") % 2)
+    val out = d.groupby("k").cumsum("y", Seq("x")).sdf
+      .filter(col("x") === 6).collect()(0)
+    // even xs up to 6: y = 0 + 20 + 40 + 60
+    assert(out.getAs[Double]("cumsum") == 120.0)
+  }
+
   test("str pad/get/isalpha accessor additions") {
     val d = Df.fromRows(spark, Seq(Row("ab")),
       StructType(Seq(StructField("v", StringType))))
