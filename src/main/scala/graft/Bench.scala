@@ -26,7 +26,8 @@ object Bench {
     // broad multi-second swings on identical plans (noisy neighbors /
     // GC); the minimum is the steady-state cost of the plan, which is
     // what a round-over-round comparison should see.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).getOrElse(2))
     val results = SparkEntry.queries.map { case (name, fn) =>
       val dt = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -35,14 +35,29 @@ final class StrAccessor private[api] (s: Ser) {
     * regex, identical across engines). */
   def countChar(ch: String): Ser =
     lift(length(s.col) - length(translate(s.col, ch, "")))
-  def isdigit: Ser = lift(s.col.rlike("^[0-9]+$"))
-  def isalpha: Ser = lift(s.col.rlike("^[A-Za-z]+$"))
-  /** pandas `str.get(i)`: character at 0-based position i. */
-  def get(i: Int): Ser = lift(substring(s.col, i + 1, 1))
+  /** Unicode classes, matching pandas str.isdigit/isalpha (\p{Nd} and
+    * \p{L} are valid in both Java regex and RE2, so oracles agree). */
+  def isdigit: Ser = lift(s.col.rlike("^[\\p{Nd}]+$"))
+  def isalpha: Ser = lift(s.col.rlike("^[\\p{L}]+$"))
+  /** pandas `str.get(i)`: character at position i; negative i counts
+    * from the end; out-of-range → null (pandas NaN). */
+  def get(i: Int): Ser = {
+    val ch = if (i >= 0) substring(s.col, i + 1, 1)
+             else substring(s.col, i, 1)
+    lift(when(length(ch) === 1, ch))
+  }
   def pad(width: Int, fillchar: String = " ", side: String = "left"): Ser =
     side match {
       case "left"  => lift(lpad(s.col, width, fillchar))
       case "right" => lift(rpad(s.col, width, fillchar))
+      case "both"  => // pandas center: extra char goes right
+        val padSrc = lit(fillchar * width)
+        val deficit = greatest(lit(0), lit(width) - length(s.col))
+        val l = (deficit / 2).cast("int")
+        val r = (deficit - (deficit / 2).cast("int")).cast("int")
+        lift(concat(padSrc.substr(lit(1), l), s.col, padSrc.substr(lit(1), r)))
+      case other => throw new IllegalArgumentException(
+        s"str.pad: side must be left|right|both (got '$other')")
     }
 }
 
@@ -103,9 +118,13 @@ final class CatAccessor private[api] (s: Ser) {
     * definition of a categorical. Sorted for determinism (matching
     * [[Df.withCatCodes]]'s convention). */
   def asKnown: KnownCat = {
-    val cats = s.frame.select(s.col.cast("string")).distinct().collect()
-      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getString(0)))
-      .sorted.toSeq
+    // sorted by SPARK (UTF8String binary order), not JVM compareTo —
+    // the two differ on supplementary-plane characters, and the
+    // dictionary must agree with withCatCodes/cat.categories ordering
+    val cats = s.frame.select(s.col.cast("string").as("__c"))
+      .where(org.apache.spark.sql.functions.col("__c").isNotNull)
+      .distinct().orderBy("__c")
+      .collect().map(_.getString(0)).toSeq
     new KnownCat(s, s.col, cats)
   }
   /** `set_categories` without computing: attach an explicit dictionary. */
@@ -148,12 +167,20 @@ final class KnownCat private[api] (
     copyWith(cs = categories.filterNot(cs.contains))
   }
   /** `rename_categories`: relabels the dictionary AND the data values
-    * (pandas semantics — codes are unchanged). */
+    * (pandas semantics — codes are unchanged). All renames apply
+    * SIMULTANEOUSLY against the original values (one CASE chain over
+    * the un-rewritten column), so swaps work and map iteration order
+    * is irrelevant; duplicate resulting categories are rejected, as in
+    * pandas. */
   def renameCategories(m: Map[String, String]): KnownCat = {
-    val v = m.foldLeft(valueCol) { case (acc, (from, to)) =>
-      when(acc === lit(from), lit(to)).otherwise(acc)
-    }
-    copyWith(v = v, cs = categories.map(c => m.getOrElse(c, c)))
+    val newCats = categories.map(c => m.getOrElse(c, c))
+    require(newCats.distinct.size == newCats.size,
+      "rename_categories: new categories must be unique")
+    val v = m.foldLeft(Option.empty[Column]) { case (acc, (from, to)) =>
+      Some(acc.map(_.when(valueCol === lit(from), lit(to)))
+        .getOrElse(when(valueCol === lit(from), lit(to))))
+    }.map(_.otherwise(valueCol)).getOrElse(valueCol)
+    copyWith(v = v, cs = newCats)
   }
   /** `reorder_categories`: same set, new order (recodes positions). */
   def reorderCategories(cs: Seq[String]): KnownCat = {

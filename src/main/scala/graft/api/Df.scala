@@ -213,10 +213,20 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   def len: Df = new Df(sdf.groupBy().count().select(col("count").as("len")))
   /** `Lengths` (`_expr.py` per-block lengths): the reference returns one
     * length per block; the Spark block is the partition. One count per
-    * partition, no data movement. */
-  def partitionLengths: Df =
-    new Df(sdf.groupBy(spark_partition_id().as("partition_id"))
-      .count().select(col("partition_id"), col("count").as("length")))
+    * partition, no data movement — emitted via mapPartitions so EMPTY
+    * partitions report length 0 too (a groupBy on partition id would
+    * silently drop them). */
+  def partitionLengths: Df = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("partition_id", IntegerType, nullable = false),
+      StructField("length", LongType, nullable = false))))
+    new Df(sdf.select(lit(1).as("__one")).mapPartitions { it =>
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      Iterator(org.apache.spark.sql.Row(
+        org.apache.spark.TaskContext.get().partitionId(), n))
+    }(enc).toDF())
+  }
   /** `NLargest` (`_reductions.py:268`) → TakeOrderedAndProject (top-k per
     * partition + merge on driver side of exchange — no full sort). */
   def nlargest(n: Int, cols: Seq[String]): Df =

@@ -286,7 +286,7 @@ object CoverageQueries {
         |DAY(LAST_DAY(o_orderdate))::INT AS dim,
         |UPPER(SUBSTR(o_orderpriority, 1, 1)) || LOWER(SUBSTR(o_orderpriority, 2)) AS prio_cap,
         |REGEXP_EXTRACT(o_orderpriority, '^([0-9]+)', 1) AS prio_num,
-        |REGEXP_MATCHES(REGEXP_EXTRACT(o_orderpriority, '^([0-9]+)', 1), '^[0-9]+$') AS num_is_digit,
+        |REGEXP_MATCHES(REGEXP_EXTRACT(o_orderpriority, '^([0-9]+)', 1), '^[\p{Nd}]+$') AS num_is_digit,
         |(LENGTH(o_orderpriority) - LENGTH(REPLACE(o_orderpriority, 'E', '')))::INT AS n_e
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q90_session_windows" ->

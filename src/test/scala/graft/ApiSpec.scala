@@ -188,6 +188,10 @@ class ApiSpec extends AnyFunSuite {
     val lens = d.partitionLengths.sdf.collect()
     assert(lens.length == 5)
     assert(lens.map(_.getLong(1)).sum == li.count())
+    // empty partitions report 0 instead of vanishing
+    val sparse = new Df(li.sdf.limit(2).repartition(6))
+    val sl = sparse.partitionLengths.sdf.collect()
+    assert(sl.length == 6 && sl.map(_.getLong(1)).sum == 2)
   }
 
   test("eval parses SQL expressions (pandas df.eval analog)") {
@@ -245,6 +249,21 @@ class ApiSpec extends AnyFunSuite {
       .orderBy("v").collect()
       .map(r => (r.getString(1), r.getInt(2)))
     assert(out.toSeq == Seq(("z", 0), ("b", 1)))
+  }
+
+  test("categorical: renames apply simultaneously (swap) and reject dups") {
+    val d = Df.fromRows(spark, Seq(Row("a"), Row("b")),
+      StructType(Seq(StructField("v", StringType))))
+    val kc = d("v").cat.asKnown
+    // swap: a→b, b→a must NOT chain (sequential folding would turn
+    // every "a" into "b" and then back into "a")
+    val swapped = kc.renameCategories(Map("a" -> "b", "b" -> "a"))
+    assert(swapped.categories == Seq("b", "a"))
+    val out = d.assign("val2", swapped.values).sdf
+      .orderBy("v").collect().map(_.getString(1))
+    assert(out.toSeq == Seq("b", "a"))
+    // collapsing two categories into one is a pandas ValueError
+    intercept[IllegalArgumentException](kc.renameCategories(Map("a" -> "b")))
   }
 
   test("categorical: reorder recodes, add grows dict, set nulls outsiders") {
@@ -351,8 +370,18 @@ class ApiSpec extends AnyFunSuite {
       StructType(Seq(StructField("v", StringType))))
     assert(d.assign("p", d("v").str.pad(4, "*")).sdf.collect()(0).getString(1) == "**ab")
     assert(d.assign("p", d("v").str.pad(4, "*", "right")).sdf.collect()(0).getString(1) == "ab**")
+    assert(d.assign("p", d("v").str.pad(5, "*", "both")).sdf.collect()(0).getString(1) == "*ab**")
+    intercept[IllegalArgumentException](d("v").str.pad(5, "*", "Left"))
     assert(d.assign("g", d("v").str.get(1)).sdf.collect()(0).getString(1) == "b")
+    // negative index counts from the end (pandas); out-of-range → null
+    assert(d.assign("g", d("v").str.get(-1)).sdf.collect()(0).getString(1) == "b")
+    assert(d.assign("g", d("v").str.get(-2)).sdf.collect()(0).getString(1) == "a")
+    assert(d.assign("g", d("v").str.get(5)).sdf.collect()(0).isNullAt(1))
     assert(d.assign("a", d("v").str.isalpha).sdf.collect()(0).getBoolean(1))
+    // Unicode classes, like pandas
+    val u = Df.fromRows(spark, Seq(Row("café")),
+      StructType(Seq(StructField("v", StringType))))
+    assert(u.assign("a", u("v").str.isalpha).sdf.collect()(0).getBoolean(1))
   }
 
   test("isna/notna dispatch on dtype — string cols survive ANSI mode") {
