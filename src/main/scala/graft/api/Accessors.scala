@@ -35,8 +35,11 @@ final class StrAccessor private[api] (s: Ser) {
     * regex, identical across engines). */
   def countChar(ch: String): Ser =
     lift(length(s.col) - length(translate(s.col, ch, "")))
-  /** Unicode classes, matching pandas str.isdigit/isalpha (\p{Nd} and
-    * \p{L} are valid in both Java regex and RE2, so oracles agree). */
+  /** Unicode classes (\p{Nd} and \p{L} are valid in both Java regex
+    * and RE2, so oracles agree). Close to pandas but not identical:
+    * Python isdigit additionally accepts Numeric_Type=Digit characters
+    * outside Nd (superscripts like '²') — not expressible as a regex
+    * class shared by both engines. */
   def isdigit: Ser = lift(s.col.rlike("^[\\p{Nd}]+$"))
   def isalpha: Ser = lift(s.col.rlike("^[\\p{L}]+$"))
   /** pandas `str.get(i)`: character at position i; negative i counts
@@ -46,19 +49,27 @@ final class StrAccessor private[api] (s: Ser) {
              else substring(s.col, i, 1)
     lift(when(length(ch) === 1, ch))
   }
-  def pad(width: Int, fillchar: String = " ", side: String = "left"): Ser =
+  def pad(width: Int, fillchar: String = " ", side: String = "left"): Ser = {
+    require(fillchar.length == 1,
+      "str.pad: fillchar must be a single character (as in pandas)")
     side match {
       case "left"  => lift(lpad(s.col, width, fillchar))
       case "right" => lift(rpad(s.col, width, fillchar))
-      case "both"  => // pandas center: extra char goes right
+      case "both"  =>
+        // CPython str.center: left = marg/2 + (marg & width & 1) — the
+        // extra char goes LEFT exactly when both the margin and the
+        // target width are odd
         val padSrc = lit(fillchar * width)
         val deficit = greatest(lit(0), lit(width) - length(s.col))
-        val l = (deficit / 2).cast("int")
-        val r = (deficit - (deficit / 2).cast("int")).cast("int")
+        val extraLeft =
+          if (width % 2 == 1) (deficit % 2).cast("int") else lit(0)
+        val l = (deficit / 2).cast("int") + extraLeft
+        val r = deficit.cast("int") - l
         lift(concat(padSrc.substr(lit(1), l), s.col, padSrc.substr(lit(1), r)))
       case other => throw new IllegalArgumentException(
         s"str.pad: side must be left|right|both (got '$other')")
     }
+  }
 }
 
 final class DtAccessor private[api] (s: Ser) {
@@ -118,12 +129,15 @@ final class CatAccessor private[api] (s: Ser) {
     * definition of a categorical. Sorted for determinism (matching
     * [[Df.withCatCodes]]'s convention). */
   def asKnown: KnownCat = {
-    // sorted by SPARK (UTF8String binary order), not JVM compareTo —
-    // the two differ on supplementary-plane characters, and the
-    // dictionary must agree with withCatCodes/cat.categories ordering
-    val cats = s.frame.select(s.col.cast("string").as("__c"))
+    // ordered by SPARK on the RAW column (so ints sort numerically and
+    // strings sort in UTF8String binary order — the same ordering
+    // withCatCodes/cat.categories use; JVM compareTo would disagree on
+    // supplementary-plane characters), then cast to the string
+    // dictionary representation
+    val cats = s.frame.select(s.col.as("__c"))
       .where(org.apache.spark.sql.functions.col("__c").isNotNull)
       .distinct().orderBy("__c")
+      .select(org.apache.spark.sql.functions.col("__c").cast("string"))
       .collect().map(_.getString(0)).toSeq
     new KnownCat(s, s.col, cats)
   }
@@ -173,10 +187,14 @@ final class KnownCat private[api] (
     * is irrelevant; duplicate resulting categories are rejected, as in
     * pandas. */
   def renameCategories(m: Map[String, String]): KnownCat = {
-    val newCats = categories.map(c => m.getOrElse(c, c))
+    // keys that aren't current categories are ignored (pandas does the
+    // same) — without the filter they would resurrect out-of-dictionary
+    // data values into the renamed category
+    val eff = m.filter { case (from, _) => categories.contains(from) }
+    val newCats = categories.map(c => eff.getOrElse(c, c))
     require(newCats.distinct.size == newCats.size,
       "rename_categories: new categories must be unique")
-    val v = m.foldLeft(Option.empty[Column]) { case (acc, (from, to)) =>
+    val v = eff.foldLeft(Option.empty[Column]) { case (acc, (from, to)) =>
       Some(acc.map(_.when(valueCol === lit(from), lit(to)))
         .getOrElse(when(valueCol === lit(from), lit(to))))
     }.map(_.otherwise(valueCol)).getOrElse(valueCol)

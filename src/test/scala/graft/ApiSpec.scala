@@ -264,6 +264,14 @@ class ApiSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("b", "a"))
     // collapsing two categories into one is a pandas ValueError
     intercept[IllegalArgumentException](kc.renameCategories(Map("a" -> "b")))
+    // non-category keys are ignored (pandas), never rewriting
+    // out-of-dictionary data values into a live category
+    val narrowed = kc.removeCategories(Seq("b"))
+    val ignored = narrowed.renameCategories(Map("b" -> "a2", "a" -> "z"))
+    assert(ignored.categories == Seq("z"))
+    val vals = d.assign("val2", ignored.values).sdf
+      .orderBy("v").collect().map(r => Option(r.getString(1)))
+    assert(vals.toSeq == Seq(Some("z"), None)) // "b" stays null, not "a2"
   }
 
   test("categorical: reorder recodes, add grows dict, set nulls outsiders") {
@@ -370,8 +378,11 @@ class ApiSpec extends AnyFunSuite {
       StructType(Seq(StructField("v", StringType))))
     assert(d.assign("p", d("v").str.pad(4, "*")).sdf.collect()(0).getString(1) == "**ab")
     assert(d.assign("p", d("v").str.pad(4, "*", "right")).sdf.collect()(0).getString(1) == "ab**")
-    assert(d.assign("p", d("v").str.pad(5, "*", "both")).sdf.collect()(0).getString(1) == "*ab**")
+    // CPython center quirk: odd width + odd margin → extra char LEFT
+    assert(d.assign("p", d("v").str.pad(5, "*", "both")).sdf.collect()(0).getString(1) == "**ab*")
+    assert(d.assign("p", d("v").str.pad(6, "*", "both")).sdf.collect()(0).getString(1) == "**ab**")
     intercept[IllegalArgumentException](d("v").str.pad(5, "*", "Left"))
+    intercept[IllegalArgumentException](d("v").str.pad(5, "**"))
     assert(d.assign("g", d("v").str.get(1)).sdf.collect()(0).getString(1) == "b")
     // negative index counts from the end (pandas); out-of-range → null
     assert(d.assign("g", d("v").str.get(-1)).sdf.collect()(0).getString(1) == "b")
