@@ -15,22 +15,27 @@ object PandasAgg {
   def sumSkipnaFalse(c: Column): Column =
     when(count(lit(1)) === count(c), sum(c)).otherwise(lit(null))
 
-  /** pandas sum(min_count=k): null unless ≥ k non-null values. */
+  /** pandas sum(min_count=k): null unless ≥ k non-null values. With
+    * the pandas default k=0 an empty/all-null group yields the sum
+    * identity 0.0 (what pandas returns), not null. */
   def sumMinCount(c: Column, minCount: Int): Column =
-    when(count(c) >= minCount, sum(c)).otherwise(lit(null))
+    when(count(c) >= minCount, coalesce(sum(c), lit(0L)))
+      .otherwise(lit(null))
 
   /** pandas mean(skipna=False) */
   def meanSkipnaFalse(c: Column): Column =
     when(count(lit(1)) === count(c), avg(c)).otherwise(lit(null))
 
-  /** pandas prod(min_count=k) over the sign-aware log formulation */
+  /** pandas prod(min_count=k) over the sign-aware log formulation.
+    * Empty/all-null groups under the pandas default k=0 yield the
+    * product identity 1.0, as pandas does. */
   def prodMinCount(c: Column, minCount: Int): Column = {
     val anyZero = max(when(c === 0, 1).otherwise(0)) === 1
     val negCount = sum(when(c < 0, 1).otherwise(0))
     val mag = exp(sum(log(abs(nullif(c, lit(0))))))
     val p = when(anyZero, lit(0.0))
       .otherwise(mag * when(negCount % 2 === 1, -1.0).otherwise(1.0))
-    when(count(c) >= minCount, p).otherwise(lit(null))
+    when(count(c) >= minCount, coalesce(p, lit(1.0))).otherwise(lit(null))
   }
 
   /** variance with arbitrary ddof: M2 / (n - ddof), recovered from
@@ -43,10 +48,11 @@ object PandasAgg {
 
   def stdDdof(c: Column, ddof: Int): Column = sqrt(varDdof(c, ddof))
 
-  /** pandas any/all with skipna=False: pandas treats null as True-able
-    * unknown — any=null if no true but nulls present; all=null if no
-    * false but nulls present (Kleene logic, what Spark bool_or/bool_and
-    * already implement over nullable booleans). skipna=True drops nulls. */
+  /** pandas any/all with the default skipna=True: nulls are dropped;
+    * an empty/all-null group yields the identity (any→false,
+    * all→true), exactly these coalesces. (A skipna=False variant is
+    * NOT provided: modern pandas treats NaN as truthy there, which is
+    * a cast — `bool_or(c.isNotNull || c)` — not a Kleene adapter.) */
   def anySkipna(c: Column): Column = coalesce(bool_or(c), lit(false))
   def allSkipna(c: Column): Column = coalesce(bool_and(c), lit(true))
 }

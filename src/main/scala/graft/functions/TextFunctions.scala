@@ -15,8 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** whitespace tokenizer */
-  def tokens(c: Column): Column = split(c, " ")
+  /** whitespace tokenizer: any whitespace run is one separator, empty
+    * tokens are dropped. A bare split on ' ' would emit "" tokens on
+    * double spaces and glue words across tabs/newlines — inflating
+    * every token count and feeding the degenerate empty-string shingle
+    * (the classic LSH hot-bucket) on any real corpus. */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
 
   def tokenCount(c: Column): Column = size(tokens(c))
 

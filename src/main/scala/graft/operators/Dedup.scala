@@ -33,27 +33,46 @@ object Dedup {
     * bucket-size distribution so the dropped fraction can be audited. */
   val DefaultMaxBucket: Int = 100000
 
+  /** Shingle table with the 32-bit hashes PRE-COMPUTED: minhashSignature
+    * references its hashed input k times, and CollapseProject would
+    * inline a bare md5 transform into every reference — k md5 passes
+    * per shingle. Callers persist this table so the hashes materialize
+    * once (and clear the cache after their action). */
+  private def shingleTable(docs: Df, textCol: String, idCol: String,
+                           shingleN: Int): DataFrame =
+    docs.sdf
+      .withColumn("__sh", wordShingles(col(textCol), shingleN))
+      .where(size(col("__sh")) > 0)
+      .withColumn("__hs", transform(col("__sh"), hash32(_)))
+      .select(col(idCol), col("__sh"), col("__hs"))
+
+  /** (id, band, key) rows of the LSH index over a [[shingleTable]]. */
+  private def bandedIndex(shingles: DataFrame, idCol: String,
+                          bands: Int, r: Int): DataFrame =
+    shingles
+      .withColumn("__sig", minhashSignature(col("__hs"), bands * r))
+      .select(col(idCol),
+        posexplode(array((0 until bands).map(b => bandKey(col("__sig"), b, r)): _*))
+          .as(Seq("__band", "__key")))
+
   /** Bucket-size distribution of the MinHash LSH index — run alongside
     * [[minhashPairs]] to audit how much a `maxBucket` cap drops. */
   def lshBucketStats(docs: Df, textCol: String, idCol: String,
                      shingleN: Int = 3, bands: Int = 3, r: Int = 4): Df = {
-    val k = bands * r
-    val banded = docs.sdf
-      .withColumn("__sh", wordShingles(col(textCol), shingleN))
-      .where(size(col("__sh")) > 0)
-      .withColumn("__sig", minhashSignature(transform(col("__sh"), hash32(_)), k))
-      .select(col(idCol),
-        posexplode(array((0 until bands).map(b => bandKey(col("__sig"), b, r)): _*))
-          .as(Seq("__band", "__key")))
-    new Df(banded.groupBy(col("__band"), col("__key"))
+    val sh = shingleTable(docs, textCol, idCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    new Df(bandedIndex(sh, idCol, bands, r)
+      .groupBy(col("__band"), col("__key"))
       .agg(count(lit(1)).as("bucket_size")))
   }
 
-  /** Drop rows in over-large (band,key) buckets. The window count
-    * shuffles once on (band,key) — the SAME partitioning the candidate
-    * self-join needs, so AQE/exchange-reuse pays no extra shuffle. */
-  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("__band", "__key")
+  /** Drop rows in over-large buckets (partitioned by `cols`). The
+    * window count shuffles once on the bucket key — the SAME
+    * partitioning the candidate self-join needs, so AQE/exchange-reuse
+    * pays no extra shuffle. */
+  private def capBuckets(banded: DataFrame, maxBucket: Int,
+                         cols: Seq[String] = Seq("__band", "__key")): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(cols.map(col): _*)
     banded.withColumn("__bn", count(lit(1)).over(w))
       .where(col("__bn") <= maxBucket).drop("__bn")
   }
@@ -75,7 +94,6 @@ object Dedup {
                    shingleN: Int = 3, bands: Int = 3, r: Int = 4,
                    minJaccard: Double = 0.5,
                    maxBucket: Int = DefaultMaxBucket): Df = {
-    val k = bands * r
     // Docs with an empty shingle set (shorter than shingleN tokens) are
     // excluded up front: they have no shingles to match on, and their
     // all-null signatures would otherwise pile every short doc into one
@@ -88,27 +106,15 @@ object Dedup {
     // once" pattern; spilled to disk beyond memory). Callers that loop
     // over dedup passes should clear the cache between actions
     // (spark.catalog.clearCache, as graft.Bench/Verify do).
-    // __hs (the md5-based 32-bit shingle hashes) is computed BEFORE the
-    // persist boundary: minhashSignature references its input k times,
-    // and CollapseProject would inline a bare transform into all k
-    // min-aggregates — k md5 passes per shingle. Cached, it's one.
-    val shingles = docs.sdf
-      .withColumn("__sh", wordShingles(col(textCol), shingleN))
-      .where(size(col("__sh")) > 0)
-      .withColumn("__hs", transform(col("__sh"), hash32(_)))
-      .select(col(idCol), col("__sh"), col("__hs"))
+    val shingles = shingleTable(docs, textCol, idCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withSig = shingles
-      .withColumn("__sig", minhashSignature(col("__hs"), k))
     // explode to one row per band — candidates collide on (band, key).
     // Only (id, band, key) flows through the bucket join; the shingle
     // arrays are re-joined onto the (much smaller) deduped candidate
     // pairs for verification — at scale the wide arrays never shuffle.
     // The banded index is materialized too: both candidate self-join
     // sides reference it (3 small rows per doc).
-    val banded = capBuckets(withSig.select(col(idCol),
-      posexplode(array((0 until bands).map(b => bandKey(col("__sig"), b, r)): _*))
-        .as(Seq("__band", "__key"))), maxBucket)
+    val banded = capBuckets(bandedIndex(shingles, idCol, bands, r), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col(idCol).as("id_a"), col("__band"), col("__key"))
     val b = banded.select(col(idCol).as("id_b"), col("__band"), col("__key"))
@@ -208,14 +214,18 @@ object Dedup {
       array_sort(array_distinct(transform(wordShingles(col(textCol), n), hash32(_)))).as("sh"))
       .withColumn("nsh", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prefixLen = (col("nsh") - ceil(col("nsh") * minJaccard) + 1).cast("int")
+    // ε guards the FP product before ceil: e.g. 0.07·100 evaluates to
+    // 7.000000000000001 and an unguarded ceil gives 8, shortening the
+    // prefix by one and silently MISSING qualifying pairs — breaking
+    // the exactness contract for thresholds that aren't binary-exact.
+    val prefixLen =
+      (col("nsh") - ceil(col("nsh") * minJaccard - lit(1e-9)) + 1).cast("int")
     // hot-shingle cap: a shingle present in b docs generates b² candidate
     // rows in one join partition; posting lists above maxBucket are
     // dropped (same trade + observability story as the LSH caps).
-    val invW = org.apache.spark.sql.expressions.Window.partitionBy("g")
-    val inv = sh.select(col("id"), explode(slice(col("sh"), lit(1), prefixLen)).as("g"))
-      .withColumn("__bn", count(lit(1)).over(invW))
-      .where(col("__bn") <= maxBucket).drop("__bn")
+    val inv = capBuckets(
+      sh.select(col("id"), explode(slice(col("sh"), lit(1), prefixLen)).as("g")),
+      maxBucket, cols = Seq("g"))
     val candidates = inv.select(col("id").as("id_a"), col("g"))
       .join(inv.select(col("id").as("id_b"), col("g")), Seq("g"))
       .where(col("id_a") < col("id_b"))
@@ -239,14 +249,18 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs, blocked by a coarse bucket column
-    * (label, LSH bucket, …) so the pairwise check never crosses buckets. */
+    * (label, LSH bucket, …) so the pairwise check never crosses buckets.
+    * Null bucket values form their OWN block (sentinel-coalesced): an
+    * equi-join would silently drop every null-bucketed row, letting
+    * identical unlabeled docs sail through dedup unmatched. */
   def embeddingCosinePairs(vecs: Df, vecCol: String, idCol: String,
                            bucketCol: String, minCosine: Double): Df = {
     // native codegen'd expression (graft.plans.FloatCosine): one fused
     // loop per pair, no intermediate arrays — bit-identical to the HOF
     // formulation, ~single-pass FLOP cost at 100 TB pair volumes
     graft.plans.GraftFunctions.register(vecs.spark)
-    val v = vecs.sdf.select(col(idCol).as("id"), col(vecCol).as("v"), col(bucketCol).as("bk"))
+    val v = vecs.sdf.select(col(idCol).as("id"), col(vecCol).as("v"),
+      coalesce(col(bucketCol).cast("string"), lit(" __null__")).as("bk"))
     val a = v.select(col("id").as("id_a"), col("v").as("v_a"), col("bk"))
     val b = v.select(col("id").as("id_b"), col("v").as("v_b"), col("bk"))
     new Df(a.join(b, Seq("bk"))

@@ -20,23 +20,36 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Shared rerank tail: exact cosine, rank per query (ties broken by
+    * corpus id for determinism), keep top k. One definition so the
+    * ranking contract can't drift between the three search tiers.
+    * `excludeSelf` drops query_id == corpus_id matches — correct for
+    * self-search (queries ⊆ corpus, the shipped queries' shape); pass
+    * false when query and corpus id spaces are unrelated, where an
+    * accidental id collision would silently drop a true neighbor. */
+  private def rerankTopK(joined: org.apache.spark.sql.DataFrame, k: Int,
+                         excludeSelf: Boolean): org.apache.spark.sql.DataFrame = {
+    val filtered =
+      if (excludeSelf) joined.where(col("query_id") =!= col("corpus_id"))
+      else joined
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    filtered
+      .withColumn("cosine", round(expr("graft_cosine(q_vec, c_vec)"), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cosine")
+  }
+
   /** Exact top-k neighbors per query vector by cosine. Queries are
     * broadcast (small side); ties broken by corpus id for determinism. */
   def bruteForceTopK(queries: Df, corpus: Df, vecCol: String, idCol: String,
-                     k: Int): Df = {
+                     k: Int, excludeSelf: Boolean = true): Df = {
     graft.plans.GraftFunctions.register(queries.spark)
     val q = broadcast(queries.sdf.select(
       col(idCol).as("query_id"), col(vecCol).as("q_vec")))
     val c = corpus.sdf.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
-    val scored = c.crossJoin(q)
-      .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("cosine", round(expr("graft_cosine(q_vec, c_vec)"), 6))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("corpus_id"))
-    new Df(scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "corpus_id", "cosine"))
+    new Df(rerankTopK(c.crossJoin(q), k, excludeSelf))
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane j,
@@ -67,7 +80,14 @@ object Similarity {
         lit(0.0), (acc, t) => acc + t)
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    // dim mismatch guard: zip_with null-pads the shorter side, the dot
+    // goes null, every bit takes the otherwise-branch, and ALL rows
+    // silently collapse into bucket 0 — turning the bucketed join into
+    // a full cross join. Fail loudly instead.
+    when(size(vec) === dim, bits.reduce(_ + _))
+      .otherwise(raise_error(concat(
+        lit(s"lshSignature: expected dim=$dim, got vector of length "),
+        size(vec).cast("string"))))
   }
 
   /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
@@ -80,7 +100,8 @@ object Similarity {
     * nprobe = nlist the result provably equals brute force (spec-tested).
     */
   def ivfTopK(queries: Df, corpus: Df, vecCol: String, idCol: String,
-              k: Int, nlist: Int = 16, nprobe: Int = 4): Df = {
+              k: Int, nlist: Int = 16, nprobe: Int = 4,
+              excludeSelf: Boolean = true): Df = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.{Vector, Vectors}
     graft.plans.GraftFunctions.register(queries.spark)
@@ -104,33 +125,20 @@ object Similarity {
     })
     val q = broadcast(queries.sdf.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("cell", explode(probe(col("q_vec")))))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("corpus_id"))
-    new Df(assigned.join(q, Seq("cell"))
-      .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("cosine", round(expr("graft_cosine(q_vec, c_vec)"), 6))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "corpus_id", "cosine"))
+    new Df(rerankTopK(assigned.join(q, Seq("cell")), k, excludeSelf))
   }
 
   /** ANN: bucket by LSH signature, exact cosine rerank inside buckets.
     * Queries broadcast; corpus shuffles once on the bucket key. */
   def lshTopK(queries: Df, corpus: Df, vecCol: String, idCol: String,
-              k: Int, planes: Int = 8, dim: Int = 64): Df = {
+              k: Int, planes: Int = 8, dim: Int = 64,
+              excludeSelf: Boolean = true): Df = {
     graft.plans.GraftFunctions.register(queries.spark)
     val sig = lshSignature(col(vecCol), planes, dim)
     val q = broadcast(queries.sdf.select(
       col(idCol).as("query_id"), col(vecCol).as("q_vec"), sig.as("bucket")))
     val c = corpus.sdf.select(
       col(idCol).as("corpus_id"), col(vecCol).as("c_vec"), sig.as("bucket"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("corpus_id"))
-    new Df(c.join(q, Seq("bucket"))
-      .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("cosine", round(expr("graft_cosine(q_vec, c_vec)"), 6))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "corpus_id", "cosine"))
+    new Df(rerankTopK(c.join(q, Seq("bucket")), k, excludeSelf))
   }
 }

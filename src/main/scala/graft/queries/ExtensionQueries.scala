@@ -265,7 +265,7 @@ object ExtensionQueries {
        |  s -> ('0x' || substr(md5(s),1,8))::BIGINT))) AS shingles FROM corpus),
        |sized AS (SELECT doc_id, shingles, len(shingles) AS nsh FROM sh),
        |inv0 AS (SELECT doc_id,
-       |  UNNEST(shingles[1:(nsh - CEIL(nsh * 0.5) + 1)::INT]) AS g FROM sized),
+       |  UNNEST(shingles[1:(nsh - CEIL(nsh * 0.5 - 1e-9) + 1)::INT]) AS g FROM sized),
        |inv AS (SELECT doc_id, g FROM inv0
        |  QUALIFY COUNT(*) OVER (PARTITION BY g) <= 100000),
        |candidates AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

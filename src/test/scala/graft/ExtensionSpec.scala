@@ -27,6 +27,12 @@ class ExtensionSpec extends AnyFunSuite {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
+  test("tokens: whitespace runs are one separator, no empty tokens") {
+    val d = mkDocs(1L -> "a\nb  c\td ")
+    val toks = d.sdf.select(tokens(col("text"))).collect()(0).getSeq[String](0)
+    assert(toks == Seq("a", "b", "c", "d"))
+  }
+
   test("wordShingles produces distinct n-grams") {
     val d = mkDocs(1L -> "a b c d")
     val sh = d.sdf.select(wordShingles(col("text"), 3)).collect()(0).getSeq[String](0)
