@@ -27,8 +27,13 @@ object Verify {
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any stale/partial output so the driver's compare sees
+        // a MISSING query, never a previous run's (or half-written)
+        // parquet that happens to hash-match
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(s"$outDir/$name")).deleteRecursively()
       }
       // release persisted blocks (Dedup LSH indexes) between queries
       spark.catalog.clearCache()

@@ -22,6 +22,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * formulation and to the DuckDB oracle's
   * `list_cosine_similarity(::DOUBLE[])`, so swapping it in does not
   * move any verified result.
+  *
+  * Undefined inputs yield NULL, never NaN: a zero-norm (or empty)
+  * vector has no cosine, and NaN would sort ABOVE every real
+  * similarity in Spark's ordering — ranking a garbage row as the top
+  * neighbor of every query. Mismatched lengths also yield NULL
+  * (matching the zip_with formulation, which null-pads), instead of
+  * silently truncating to the shorter vector.
   */
 case class FloatCosine(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -39,11 +46,13 @@ case class FloatCosine(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // zero-norm / length mismatch
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -52,7 +61,8 @@ case class FloatCosine(left: Expression, right: Expression)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -64,15 +74,21 @@ case class FloatCosine(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = (double) $a.getFloat($i);
-         |  double $yv = (double) $b.getFloat($i);
-         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = (double) $a.getFloat($i);
+         |    double $yv = (double) $b.getFloat($i);
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  if ($denom == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / $denom; }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -16,12 +16,24 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftFunctions {
   val names: Seq[String] = Seq("graft_cosine", "graft_jaccard_sorted")
 
+  /** arity gate: bad call sites get an analysis-time message naming the
+    * function, not an IndexOutOfBoundsException from exprs(1). */
+  private[plans] def binary(name: String, argTypes: String,
+                            mk: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2,
+      s"$name expects exactly 2 arguments $argTypes, got ${exprs.length}")
+    mk(exprs(0), exprs(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_cosine",
-      (exprs: Seq[Expression]) => FloatCosine(exprs(0), exprs(1)), "built-in")
+      binary("graft_cosine", "(array<float>, array<float>)", FloatCosine),
+      "built-in")
     reg.createOrReplaceTempFunction("graft_jaccard_sorted",
-      (exprs: Seq[Expression]) => SortedJaccard(exprs(0), exprs(1)), "built-in")
+      binary("graft_jaccard_sorted", "(array<bigint>, array<bigint>)", SortedJaccard),
+      "built-in")
   }
 }
 
@@ -31,11 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[FloatCosine].getName, "graft_cosine"),
-      (exprs: Seq[Expression]) => FloatCosine(exprs(0), exprs(1))))
+      GraftFunctions.binary("graft_cosine",
+        "(array<float>, array<float>)", FloatCosine)))
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_jaccard_sorted"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SortedJaccard].getName, "graft_jaccard_sorted"),
-      (exprs: Seq[Expression]) => SortedJaccard(exprs(0), exprs(1))))
+      GraftFunctions.binary("graft_jaccard_sorted",
+        "(array<bigint>, array<bigint>)", SortedJaccard)))
   }
 }

@@ -34,6 +34,7 @@ case class SortedJaccard(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // empty ∪ empty has no jaccard
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -47,7 +48,9 @@ case class SortedJaccard(left: Expression, right: Expression)
       else j += 1
     }
     val uni = n + m - inter
-    if (uni == 0) 0.0 else inter.toDouble / uni
+    // empty ∪ empty: undefined — NULL, matching the array-function
+    // formulation (Spark's Divide yields null on a zero divisor)
+    if (uni == 0) null else inter.toDouble / uni
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -66,7 +69,8 @@ case class SortedJaccard(left: Expression, right: Expression)
          |  else if ($xv < $yv) { $i++; } else { $j++; }
          |}
          |int $uni = $n + $m - $inter;
-         |${ev.value} = $uni == 0 ? 0.0 : ((double) $inter) / $uni;
+         |if ($uni == 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((double) $inter) / $uni; }
        """.stripMargin
     })
 

@@ -23,13 +23,20 @@ object QueryUtil {
   def T(s: SparkSession, dir: String, name: String): Df =
     Df.readParquet(s, s"$dir/$name.parquet")
 
-  /** `events` carries parquet TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a long we
-    * truncate to microseconds — the same truncation DuckDB's
-    * `ts::TIMESTAMP` applies, so oracle comparisons line up. */
+  /** CANONICAL nanos-long → timestamp ingest conversion (parquet
+    * TIMESTAMP(NANOS) read under `nanosAsLong`): integer-div truncation
+    * to microseconds — the same truncation DuckDB's `ts::TIMESTAMP`
+    * applies, so oracle comparisons line up. `div` must stay integral:
+    * nanos ≈ 1.7e18 exceeds double's exact range, so a float division
+    * would corrupt the microseconds. Shared by the batch queries and
+    * graft.streaming.StreamOps — change it in one place only. */
+  def nanosColToTs(name: String): Column =
+    timestamp_micros(expr(s"$name div 1000"))
+
+  /** `events` with the ts column converted via [[nanosColToTs]]. */
   def events(s: SparkSession, dir: String): Df = {
     val raw = s.read.parquet(s"$dir/events.parquet")
-    new Df(raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    new Df(raw.withColumn("ts", nanosColToTs("ts")))
   }
 
   /** exact decimal sum of a ≤2dp double column, as double */

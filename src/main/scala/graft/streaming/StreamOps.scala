@@ -23,12 +23,14 @@ object StreamOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** open the events directory as an unbounded stream */
+  /** open the events directory as an unbounded stream; ts converted via
+    * the canonical [[graft.queries.QueryUtil.nanosColToTs]] so stream
+    * and batch results stay comparable bit-for-bit. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventsRawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.queries.QueryUtil.nanosColToTs("ts"))
 
   /** tumbling-window counts+sums per event type with late-data bound */
   def windowedTypeCounts(events: DataFrame,
@@ -53,16 +55,23 @@ object StreamOps {
       .select(col("window.start").as("win_start"), col("user_id"), col("n_events"))
 
   /** session windows: events separated by less than `gap` merge into one
-    * session per user. Works identically over batch frames (used in the
-    * spec) and streams (state-store backed, watermark-bounded). */
-  def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
-    events
+    * session per user. Works over batch frames (used in the spec and
+    * the q90 oracle query) and streams: streaming session aggregation
+    * REQUIRES a watermark (Spark rejects it otherwise — unbounded
+    * state), so one is attached whenever the input is a stream; on
+    * batch frames a watermark is meaningless and skipped. */
+  def userSessions(events: DataFrame, gap: String = "30 minutes",
+                   watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark)
+              else events
+    src
       .groupBy(session_window(col("ts"), gap).as("session"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
            sum(col("value")).as("session_value"))
       .select(col("session.start").as("session_start"),
         col("session.end").as("session_end"), col("user_id"),
         col("n_events"), col("session_value"))
+  }
 
   /** Custom per-key state via flatMapGroupsWithState: running per-user
     * totals that survive across triggers (the state-store-backed escape
@@ -76,7 +85,11 @@ object StreamOps {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    val typed = events.selectExpr("user_id", "value").as[(Long, Double)]
+    // primitive-tuple encoders reject null fields at runtime — drop
+    // null keys/values up front instead of killing the whole query on
+    // the first bad event
+    val typed = events.selectExpr("user_id", "value")
+      .na.drop(Seq("user_id", "value")).as[(Long, Double)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -105,8 +118,11 @@ object StreamOps {
       .format("memory")
       .queryName(name)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    // always release the query: a failure inside processAllAvailable
+    // would otherwise leave the name registered as an active query and
+    // make any retry under the same name fail
+    try q.processAllAvailable()
+    finally q.stop()
     streamed.sparkSession.table(name)
   }
 }

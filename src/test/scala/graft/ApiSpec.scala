@@ -396,7 +396,10 @@ class ApiSpec extends AnyFunSuite {
   }
 
   test("isna/notna dispatch on dtype — string cols survive ANSI mode") {
-    val prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    // restore the UNSET state if ansi wasn't explicitly set: restoring
+    // a read-with-default would pin ansi=false for every later suite
+    // in this JVM and mask ANSI-only failures (test-order dependency)
+    val prev = spark.conf.getOption("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try {
       val d = Df.fromRows(spark,
@@ -412,6 +415,9 @@ class ApiSpec extends AnyFunSuite {
       val naFlags = d.assign("na", d("v").isna).sdf
         .orderBy("k").collect().map(_.getBoolean(3))
       assert(naFlags.toSeq == Seq(false, true, true))
-    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
+      case None    => spark.conf.unset("spark.sql.ansi.enabled")
+    }
   }
 }

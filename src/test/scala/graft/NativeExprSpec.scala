@@ -36,6 +36,34 @@ class NativeExprSpec extends AnyFunSuite {
     assert(r.isNullAt(1))
   }
 
+  test("undefined inputs yield NULL, never NaN (zero-norm, mismatch, empty)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      // zero-norm vector: cosine undefined → NULL (NaN would sort
+      // ABOVE every real similarity and poison top-k ranking)
+      "SELECT graft_cosine(array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS zero_norm, " +
+        // length mismatch: NULL (matches zip_with null-padding), never
+        // a silent truncated similarity
+        "graft_cosine(array(CAST(1.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS mismatch, " +
+        // empty ∪ empty: jaccard undefined → NULL (matches Divide-by-0)
+        "graft_jaccard_sorted(cast(array() AS array<bigint>), " +
+        "cast(array() AS array<bigint>)) AS empty_pair").collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    // (the composed Divide formulation returns null here with ANSI off
+    // but THROWS DIVIDE_BY_ZERO under Spark 4's ANSI default — the
+    // native NULL is deliberate: a zero embedding must not crash a
+    // 100 TB dedup job, and NaN would out-rank every real similarity)
+  }
+
+  test("wrong arity gets a named error, not IndexOutOfBounds") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception](spark.sql("SELECT graft_cosine(array(CAST(1.0 AS FLOAT)))").collect())
+    assert(e.getMessage.contains("graft_cosine expects exactly 2 arguments")
+      || Option(e.getCause).exists(_.getMessage.contains("graft_cosine expects exactly 2 arguments")))
+  }
+
   test("graft_jaccard_sorted equals the array-function formulation") {
     GraftFunctions.register(spark)
     val d = spark.range(200).selectExpr(
