@@ -37,17 +37,23 @@ object TextFunctions {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
-  /** fraction of tokens that are stopwords */
+  /** fraction of tokens that are stopwords; NULL for token-less docs
+    * (an unguarded 0/0 THROWS under ANSI mode — a single empty doc in a
+    * 100 TB corpus must not kill the job). */
   def stopwordRatio(c: Column, stopwords: Seq[String]): Column = {
     val toks = tokens(c)
     val stops = filter(toks, t => t.isin(stopwords.map(x => x: Any): _*))
-    size(stops).cast("double") / size(toks)
+    when(size(toks) > 0, size(stops).cast("double") / size(toks))
   }
 
-  /** mean token length in characters */
-  def avgTokenLen(c: Column): Column =
-    aggregate(tokens(c), lit(0L), (acc, t) => acc + length(t)).cast("double") /
-      size(tokens(c))
+  /** mean token length in characters; NULL for token-less docs (see
+    * [[stopwordRatio]] — ANSI division-by-zero guard). */
+  def avgTokenLen(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks))
+  }
 
   /** heuristic language ID. The driver's synthetic corpus is an
     * English-word salad, so the shipped profile is marker-word based
@@ -63,7 +69,10 @@ object TextFunctions {
   }
 
   /** composite quality score in [0,1]: length saturation + stopword
-    * presence + token-length sanity. Deterministic, portable. */
+    * presence + token-length sanity. Deterministic, portable. NULL for
+    * token-less docs (the ratio terms are NULL) — a quality FILTER
+    * (`quality >= t`) then drops them, which is the right default for
+    * a curation pipeline. */
   def qualityScore(c: Column, stopwords: Seq[String] = Seq("the", "a")): Column =
     round(
       least(tokenCount(c).cast("double") / 100.0, lit(1.0)) * 0.4 +

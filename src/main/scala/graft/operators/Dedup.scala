@@ -59,8 +59,10 @@ object Dedup {
     * [[minhashPairs]] to audit how much a `maxBucket` cap drops. */
   def lshBucketStats(docs: Df, textCol: String, idCol: String,
                      shingleN: Int = 3, bands: Int = 3, r: Int = 4): Df = {
+    // no persist: unlike minhashPairs, the shingle table is referenced
+    // exactly once here, so caching would only leak blocks into the
+    // session for an audit helper whose callers won't know to clearCache
     val sh = shingleTable(docs, textCol, idCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     new Df(bandedIndex(sh, idCol, bands, r)
       .groupBy(col("__band"), col("__key"))
       .agg(count(lit(1)).as("bucket_size")))
@@ -163,8 +165,12 @@ object Dedup {
     * Recall contract (pigeonhole): the 60 signature bits are split into
     * `maxHamming + 1` DISJOINT bands, so any pair within Hamming distance
     * maxHamming has at least one identical band and is guaranteed to be
-    * a candidate — exact recall, not probabilistic. (A fixed 4-band split
-    * would only guarantee recall up to distance 3.) */
+    * a candidate. (A fixed 4-band split would only guarantee recall up
+    * to distance 3.) The guarantee is exact only while no (band, key)
+    * bucket exceeds `maxBucket`: over-cap buckets are dropped, so a pair
+    * whose ONLY shared band lands in a dropped bucket is missed — the
+    * same documented recall trade as [[minhashPairs]]; audit bucket
+    * sizes with [[lshBucketStats]] before trusting exactness. */
   def simhashPairs(docs: Df, textCol: String, idCol: String,
                    maxHamming: Int = 6,
                    maxBucket: Int = DefaultMaxBucket): Df = {
@@ -260,7 +266,7 @@ object Dedup {
     // formulation, ~single-pass FLOP cost at 100 TB pair volumes
     graft.plans.GraftFunctions.register(vecs.spark)
     val v = vecs.sdf.select(col(idCol).as("id"), col(vecCol).as("v"),
-      coalesce(col(bucketCol).cast("string"), lit(" __null__")).as("bk"))
+      coalesce(col(bucketCol).cast("string"), lit("\u0000__null__")).as("bk"))
     val a = v.select(col("id").as("id_a"), col("v").as("v_a"), col("bk"))
     val b = v.select(col("id").as("id_b"), col("v").as("v_b"), col("bk"))
     new Df(a.join(b, Seq("bk"))

@@ -83,8 +83,13 @@ object Similarity {
     // dim mismatch guard: zip_with null-pads the shorter side, the dot
     // goes null, every bit takes the otherwise-branch, and ALL rows
     // silently collapse into bucket 0 — turning the bucketed join into
-    // a full cross join. Fail loudly instead.
-    when(size(vec) === dim, bits.reduce(_ + _))
+    // a full cross join. Fail loudly instead — but only for GENUINE
+    // mismatches: a NULL vector is an undefined input, not a schema
+    // bug, so it yields a NULL signature and drops out of the bucket
+    // equi-join (same contract as graft_cosine: undefined → NULL,
+    // never a job-killing error at 100 TB).
+    when(vec.isNull, lit(null).cast("long"))
+      .when(size(vec) === dim, bits.reduce(_ + _))
       .otherwise(raise_error(concat(
         lit(s"lshSignature: expected dim=$dim, got vector of length "),
         size(vec).cast("string"))))

@@ -200,19 +200,33 @@ object ExtensionQueries {
 
   // ---------------- oracles ----------------
 
+  /** DuckDB mirror of TextFunctions.tokens: whitespace-RUN split with
+    * empty tokens dropped. A bare `string_split(text, ' ')` would
+    * silently diverge from the Spark side on any tab, newline, double
+    * space, or leading/trailing whitespace — oracle parity must not
+    * depend on the corpus being single-space-separated. */
+  private def toksSql(e: String = "text") =
+    s"list_filter(regexp_split_to_array($e, '\\s+'), w -> w <> '')"
   private val fpSql =
-    "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))"
+    s"md5(array_to_string(list_sort(list_distinct(${toksSql()})), ' '))"
   private def shinglesSql(textExpr: String = "text") =
-    s"""list_distinct(list_transform(range(len(string_split($textExpr,' ')) - 2),
-       |i -> array_to_string(string_split($textExpr,' ')[i+1:i+3], ' ')))""".stripMargin
+    s"""list_distinct(list_transform(range(len(${toksSql(textExpr)}) - 2),
+       |i -> array_to_string(${toksSql(textExpr)}[i+1:i+3], ' ')))""".stripMargin
   private val stopFilterSql =
-    "len(list_filter(string_split(text,' '), t -> t IN ('the','a')))"
+    s"len(list_filter(${toksSql()}, s -> s IN ('the','a')))"
+  /** sum of token lengths — NOT the `length(text) - n + 1` identity,
+    * which only holds for single-space-separated text. */
+  private def tokLenSumSql(e: String = "text") =
+    s"list_aggregate(list_transform(${toksSql(e)}, x -> length(x)), 'sum')"
+  /** mirrors TextFunctions.qualityScore incl. the NULL-for-token-less
+    * contract (the Spark ratio terms are NULL-guarded for ANSI). */
   private val qualitySql =
-    """ROUND(LEAST(len(string_split(text,' ')) / 100.0, 1.0) * 0.4 +
-      |LEAST((len(list_filter(string_split(text,' '), t -> t IN ('the','a')))
-      |  / CAST(len(string_split(text,' ')) AS DOUBLE)) * 5.0, 1.0) * 0.3 +
-      |LEAST(((length(text) - len(string_split(text,' ')) + 1)
-      |  / CAST(len(string_split(text,' ')) AS DOUBLE)) / 10.0, 1.0) * 0.3, 6)""".stripMargin
+    s"""(CASE WHEN len(${toksSql()}) = 0 THEN NULL ELSE
+      |ROUND(LEAST(len(${toksSql()}) / 100.0, 1.0) * 0.4 +
+      |LEAST(($stopFilterSql
+      |  / CAST(len(${toksSql()}) AS DOUBLE)) * 5.0, 1.0) * 0.3 +
+      |LEAST((${tokLenSumSql()}
+      |  / CAST(len(${toksSql()}) AS DOUBLE)) / 10.0, 1.0) * 0.3, 6) END)""".stripMargin
 
   /** SimHash oracle: program-generated 60-term bit-sum SQL replica. */
   private val simhashSql: String = {
@@ -221,7 +235,7 @@ object ExtensionQueries {
     val packed = (0 until 60).map(i =>
       s"CASE WHEN b$i > 0 THEN (1::BIGINT << $i) ELSE 0 END").mkString(" + ")
     s"""WITH toks AS (
-       |  SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS tok
+       |  SELECT doc_id, UNNEST(list_distinct(${toksSql()})) AS tok
        |  FROM documents WHERE doc_id < 200),
        |h AS (SELECT doc_id, ('0x' || substr(md5(tok),1,15))::BIGINT AS h FROM toks),
        |sums AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
@@ -310,13 +324,17 @@ object ExtensionQueries {
   val oracles: Map[String, String] = Map(
     "q87_lsh_topk" -> lshTopkSql,
     // list_reduce has no initial accumulator: it folds from the first
-    // element — identical to the Spark side's 0 seed since 0·B + t₁ = t₁
+    // element — identical to the Spark side's 0 seed since 0·B + t₁ = t₁.
+    // Token-less docs are CASE-guarded to the seed value 0: DuckDB's
+    // list_reduce THROWS on an empty list where Spark's aggregate
+    // returns the seed.
     "q89_token_fingerprint" ->
-      """SELECT doc_id,
-        |len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
-        |list_reduce(list_transform(string_split(text, ' '),
+      s"""SELECT doc_id,
+        |len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+        |(CASE WHEN len(${toksSql()}) = 0 THEN 0::BIGINT ELSE
+        |list_reduce(list_transform(${toksSql()},
         |  t -> ('0x' || substr(md5(t),1,8))::BIGINT % 2147483647),
-        |  (a, b) -> (a*131 + b) % 2147483647) AS rfp
+        |  (a, b) -> (a*131 + b) % 2147483647) END) AS rfp
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "q60_dedup_exact" ->
       s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM (
