@@ -59,10 +59,15 @@ object Dedup {
     * [[minhashPairs]] to audit how much a `maxBucket` cap drops. */
   def lshBucketStats(docs: Df, textCol: String, idCol: String,
                      shingleN: Int = 3, bands: Int = 3, r: Int = 4): Df = {
-    // no persist: unlike minhashPairs, the shingle table is referenced
-    // exactly once here, so caching would only leak blocks into the
-    // session for an audit helper whose callers won't know to clearCache
+    // persisted even though the DataFrame is referenced once: the
+    // EXPRESSION `__hs` is referenced 12× by minhashSignature (and __sig
+    // 3× by the band keys), and CollapseProject inlines the md5 work
+    // into every reference — up to ~36 hash passes per shingle on an
+    // audit meant to scan the full corpus. The persist is the
+    // materialization boundary; callers clear it like minhashPairs'
+    // (spark.catalog.clearCache after the action, as Bench/Verify do).
     val sh = shingleTable(docs, textCol, idCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     new Df(bandedIndex(sh, idCol, bands, r)
       .groupBy(col("__band"), col("__key"))
       .agg(count(lit(1)).as("bucket_size")))
@@ -258,15 +263,26 @@ object Dedup {
     * (label, LSH bucket, …) so the pairwise check never crosses buckets.
     * Null bucket values form their OWN block (sentinel-coalesced): an
     * equi-join would silently drop every null-bucketed row, letting
-    * identical unlabeled docs sail through dedup unmatched. */
+    * identical unlabeled docs sail through dedup unmatched.
+    *
+    * Blocks larger than `maxBucket` are DROPPED before the self-join —
+    * the same recall trade as every sibling pair generator
+    * ([[minhashPairs]]/[[simhashPairs]]/[[ngramJaccardPairs]]): one
+    * dominant block (worst case a mostly-unlabeled corpus, where the
+    * null sentinel collects nearly everything) otherwise degenerates to
+    * O(b²) pairs inside a single join partition. Audit the block-size
+    * distribution (`vecs.groupBy(bucketCol).count()`) before trusting
+    * full recall. */
   def embeddingCosinePairs(vecs: Df, vecCol: String, idCol: String,
-                           bucketCol: String, minCosine: Double): Df = {
+                           bucketCol: String, minCosine: Double,
+                           maxBucket: Int = DefaultMaxBucket): Df = {
     // native codegen'd expression (graft.plans.FloatCosine): one fused
     // loop per pair, no intermediate arrays — bit-identical to the HOF
     // formulation, ~single-pass FLOP cost at 100 TB pair volumes
     graft.plans.GraftFunctions.register(vecs.spark)
-    val v = vecs.sdf.select(col(idCol).as("id"), col(vecCol).as("v"),
-      coalesce(col(bucketCol).cast("string"), lit("\u0000__null__")).as("bk"))
+    val v = capBuckets(vecs.sdf.select(col(idCol).as("id"), col(vecCol).as("v"),
+      coalesce(col(bucketCol).cast("string"), lit("\u0000__null__")).as("bk")),
+      maxBucket, cols = Seq("bk"))
     val a = v.select(col("id").as("id_a"), col("v").as("v_a"), col("bk"))
     val b = v.select(col("id").as("id_b"), col("v").as("v_b"), col("bk"))
     new Df(a.join(b, Seq("bk"))

@@ -99,37 +99,45 @@ object Similarity {
     * corpus into `nlist` cells; each query probes its `nprobe` nearest
     * cells and reranks exactly (graft_cosine) inside them.
     *
-    * The scale path beyond LSH: cell assignment is one MLlib KMeans fit
-    * (distributed Lloyd iterations over a sample-able corpus) + one
-    * predict pass; search touches nprobe/nlist of the data. With
+    * The scale path beyond LSH: the quantizer is one MLlib KMeans fit
+    * (distributed Lloyd iterations) over a `fitSample` FRACTION of the
+    * corpus — at 100 TB nobody fits on the full data; the sample only
+    * shapes the centroids, assignment below is still exact for every
+    * row. Everything after the fit is pure codegen'd expressions, no
+    * row-at-a-time UDFs: each centroid distance is one zip_with +
+    * aggregate over an array LITERAL of that centroid's components (the
+    * same constant-tree trick as [[lshSignature]]), and nearest-cell /
+    * nprobe-cell selection is an array_sort over (distance, cell)
+    * structs — ties break toward the lower cell id, matching Lloyd's
+    * first-minimum argmin. Search touches nprobe/nlist of the data; with
     * nprobe = nlist the result provably equals brute force (spec-tested).
     */
   def ivfTopK(queries: Df, corpus: Df, vecCol: String, idCol: String,
               k: Int, nlist: Int = 16, nprobe: Int = 4,
-              excludeSelf: Boolean = true): Df = {
+              excludeSelf: Boolean = true, fitSample: Double = 1.0): Df = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    import org.apache.spark.ml.functions.array_to_vector
     graft.plans.GraftFunctions.register(queries.spark)
-    val toVec = udf((a: Seq[Float]) =>
-      Vectors.dense(a.map(_.toDouble).toArray))
-    val feat = corpus.sdf.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
-      .withColumn("features", toVec(col("c_vec")))
+    val c = corpus.sdf.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
+    val fitInput = (if (fitSample >= 1.0) c else c.sample(fitSample, 42L))
+      .select(array_to_vector(col("c_vec")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("features").fit(feat)
-    val assigned = feat.select(col("corpus_id"), col("c_vec"),
-      udf((v: Vector) => model.predict(v)).apply(col("features")).as("cell"))
-    // driver-side centroid table is tiny (nlist rows) — broadcast literal
-    val centers = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-    val probe = udf((a: Seq[Float]) => {
-      val q = a.map(_.toDouble).toArray
-      centers.sortBy { case (_, c) =>
-        var d = 0.0; var i = 0
-        while (i < q.length) { val t = q(i) - c(i); d += t * t; i += 1 }
-        d
-      }.take(nprobe).map(_._1)
-    })
+      .setFeaturesCol("features").fit(fitInput)
+    // nlist centroids (driver-side, tiny) become expression literals —
+    // the plan carries them to every executor, no broadcast variable.
+    val centers = model.clusterCenters.map(_.toArray)
+    def dist2(v: org.apache.spark.sql.Column, ctr: Array[Double]) =
+      aggregate(zip_with(v, lit(ctr), (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
+        lit(0.0), (acc, t) => acc + t)
+    def nearestCells(v: org.apache.spark.sql.Column, n: Int) =
+      slice(array_sort(array(centers.zipWithIndex.map { case (ctr, i) =>
+        struct(dist2(v, ctr).as("d"), lit(i).as("cell"))
+      }: _*)), 1, n)
+    val assigned = c.withColumn("cell",
+      nearestCells(col("c_vec"), 1).getItem(0).getField("cell"))
     val q = broadcast(queries.sdf.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("cell", explode(probe(col("q_vec")))))
+      .withColumn("cell",
+        explode(transform(nearestCells(col("q_vec"), nprobe), s => s.getField("cell")))))
     new Df(rerankTopK(assigned.join(q, Seq("cell")), k, excludeSelf))
   }
 

@@ -98,6 +98,19 @@ object ExtensionQueries {
         .sortValues(Seq("doc_id")).sdf
     }),
 
+    // ---- SimHash near-dup pairs: pigeonhole bands guarantee recall up
+    // to maxHamming (subject to the documented bucket cap); the oracle
+    // replays signatures, banding, cap, and Hamming verify in full ----
+    "q99_simhash_pairs" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val base = d.where(col("doc_id") < 200).select("doc_id", "text")
+      val mut = base.where(col("doc_id") % 10 === 0)
+        .selectExpr("doc_id + 10000 AS doc_id", "text || ' zzz' AS text")
+      Dedup.simhashPairs(Df.concat(Seq(base, mut)), "text", "doc_id",
+        maxHamming = 6)
+        .sortValues(Seq("id_a", "id_b")).sdf
+    }),
+
     // ---- exact n-gram Jaccard pairs via inverted index ----
     "q66_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(mutatedCorpus(s, dir), "text", "doc_id",
@@ -228,19 +241,44 @@ object ExtensionQueries {
       |LEAST((${tokLenSumSql()}
       |  / CAST(len(${toksSql()}) AS DOUBLE)) / 10.0, 1.0) * 0.3, 6) END)""".stripMargin
 
-  /** SimHash oracle: program-generated 60-term bit-sum SQL replica. */
-  private val simhashSql: String = {
+  /** SimHash signature CTE chain (program-generated 60-term bit-sum SQL
+    * replica) over `fromSql` — ends in `sigs(doc_id, simhash)`, shared
+    * by the q65 signature oracle and the q99 pairs oracle. */
+  private def simhashCtes(fromSql: String): String = {
     val bitSums = (0 until 60).map(i =>
       s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(",\n")
     val packed = (0 until 60).map(i =>
       s"CASE WHEN b$i > 0 THEN (1::BIGINT << $i) ELSE 0 END").mkString(" + ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, UNNEST(list_distinct(${toksSql()})) AS tok
-       |  FROM documents WHERE doc_id < 200),
+       |  FROM $fromSql),
        |h AS (SELECT doc_id, ('0x' || substr(md5(tok),1,15))::BIGINT AS h FROM toks),
-       |sums AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
-       |SELECT doc_id, $packed AS simhash FROM sums ORDER BY doc_id""".stripMargin
+       |sums AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $packed AS simhash FROM sums)""".stripMargin
   }
+
+  private val simhashSql: String =
+    s"""WITH ${simhashCtes("documents WHERE doc_id < 200")}
+       |SELECT doc_id, simhash FROM sigs ORDER BY doc_id""".stripMargin
+
+  /** simhashPairs oracle: signatures → pigeonhole bands (maxHamming=6 →
+    * 7 disjoint 9-bit bands) → bucket cap → candidate equi-join → exact
+    * Hamming verification, each stage mirroring Dedup.simhashPairs. */
+  private val simhashPairsSql: String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 200
+       |  UNION ALL SELECT doc_id + 10000 AS doc_id, text || ' zzz' AS text
+       |  FROM documents WHERE doc_id < 200 AND doc_id % 10 = 0),
+       |${simhashCtes("corpus")},
+       |banded AS (SELECT doc_id, simhash, b, (simhash >> (b*9)) & 511 AS key
+       |  FROM sigs, range(7) t(b)
+       |  QUALIFY COUNT(*) OVER (PARTITION BY b, key) <= 100000),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  a.simhash AS sig_a, b.simhash AS sig_b
+       |  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+       |FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 6
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** MinHash oracle: full signature + banding + verify pipeline in SQL.
     * Constants mirror graft.functions.VectorFunctions (a_j = 2^30-ish,
@@ -309,7 +347,13 @@ object ExtensionQueries {
         .map { case (w, i) => s"$e[${i + 1}]*($w)" }.mkString(" + ")
       s"CASE WHEN ($dot) > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString(" + ")
-    s"""WITH b AS (SELECT vec_id, e, ${sig("e")} AS bucket FROM
+    // NULL-vector contract mirrored from lshSignature: a NULL embedding
+    // gets a NULL bucket and drops out of the equi-join (bucket = bucket
+    // is never true for NULL) — without the CASE the generated signature
+    // would map NULL to bucket 0 and keep the row, diverging from Spark
+    // on any corpus with NULL vectors.
+    s"""WITH b AS (SELECT vec_id, e,
+       |  (CASE WHEN e IS NULL THEN NULL ELSE ${sig("e")} END) AS bucket FROM
        |  (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),
        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
        |ROUND(list_cosine_similarity(q.e, c.e), 6) AS cosine,
@@ -341,13 +385,18 @@ object ExtensionQueries {
          |SELECT doc_id, text FROM documents
          |UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0)
          |GROUP BY $fpSql ORDER BY doc_id""".stripMargin,
+    // every token statistic rides the SAME whitespace-run tokenizer
+    // (toksSql) — mixing in string_split(text,' ') anywhere would tie
+    // oracle parity to the corpus being single-space ASCII. Empty-token
+    // docs are CASE-guarded to NULL like the Spark side's ANSI guards.
     "q61_text_stats" ->
       s"""SELECT doc_id,
-         |len(string_split(text,' ')) AS n_tokens,
+         |len(${toksSql()}) AS n_tokens,
          |length(text) AS n_chars,
-         |ROUND((length(text) - len(string_split(text,' ')) + 1)
-         |  / CAST(len(string_split(text,' ')) AS DOUBLE), 6) AS avg_token_len,
-         |ROUND($stopFilterSql / CAST(len(string_split(text,' ')) AS DOUBLE), 6) AS stop_ratio,
+         |(CASE WHEN len(${toksSql()}) = 0 THEN NULL ELSE
+         |  ROUND(${tokLenSumSql()} / CAST(len(${toksSql()}) AS DOUBLE), 6) END) AS avg_token_len,
+         |(CASE WHEN len(${toksSql()}) = 0 THEN NULL ELSE
+         |  ROUND($stopFilterSql / CAST(len(${toksSql()}) AS DOUBLE), 6) END) AS stop_ratio,
          |$qualitySql AS quality
          |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     "q62_langid" ->
@@ -358,13 +407,19 @@ object ExtensionQueries {
          |FROM documents""".stripMargin,
     "q64_minhash_pairs" -> minhashSql,
     "q65_simhash" -> simhashSql,
+    "q99_simhash_pairs" -> simhashPairsSql,
     "q66_ngram_jaccard" -> ngramJaccardSql,
+    // the QUALIFY mirrors embeddingCosinePairs' maxBucket cap (blocks
+    // over 100000 rows are dropped before pairing); window PARTITION BY
+    // groups NULL labels together exactly like the Spark sentinel does
     "q67_embedding_dedup" ->
-      """WITH corpus AS (
+      """WITH corpus0 AS (
         |SELECT vec_id, embedding, label FROM embeddings
         |UNION ALL SELECT vec_id + 10000,
         |  list_transform(embedding, x -> x * 0.5::FLOAT), label
-        |FROM embeddings WHERE vec_id % 20 = 0)
+        |FROM embeddings WHERE vec_id % 20 = 0),
+        |corpus AS (SELECT * FROM corpus0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY label) <= 100000)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
         |FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -400,7 +455,7 @@ object ExtensionQueries {
          |SELECT doc_id, $qualitySql AS quality,
          |CASE WHEN $stopFilterSql > 0 THEN 'en' ELSE 'unknown' END AS lang_pred,
          |$fpSql AS fp,
-         |len(string_split(text,' ')) AS n_tokens
+         |len(${toksSql()}) AS n_tokens
          |FROM documents),
          |filtered AS (SELECT * FROM scored WHERE quality >= 0.4),
          |keep AS (SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY fp)

@@ -71,10 +71,17 @@ object ReductionQueries {
     }),
 
     // ---- nunique_approx (dangling in reference `_collection.py:282`) —
-    // Spark HLL++; approximate → no SQL oracle, rows-only check ----
+    // Spark HLL++; sketches differ across engines, so the oracle checks
+    // the DERIVED INVARIANT |approx − exact| ≤ 4·rsd·exact (HLL++'s
+    // default rsd = 0.05; 4 standard errors) plus the exact distinct
+    // count itself — the estimate can't silently drift arbitrarily. ----
     "q37_nunique_approx" -> ((s, dir) => {
-      T(s, dir, "orders").agg(
-        approx_count_distinct(col("o_custkey")).as("approx_custs")).sdf
+      T(s, dir, "orders").sdf.agg(
+          approx_count_distinct(col("o_custkey")).as("approx"),
+          countDistinct(col("o_custkey")).as("n_exact"))
+        .select(col("n_exact"),
+          (abs(col("approx") - col("n_exact")) <= lit(0.2) * col("n_exact"))
+            .as("within_4rsd"))
     }),
 
     // ---- groupby first/last, deterministic by ts (`_groupby.py:205-212`;
@@ -97,6 +104,11 @@ object ReductionQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // q37's invariant: the HLL++ estimate must sit within 4 relative
+    // standard errors of the exact count, which IS replayed
+    "q37_nunique_approx" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS n_exact, TRUE AS within_4rsd
+        |FROM orders""".stripMargin,
     "q30_prod" ->
       """SELECT l_orderkey, ROUND(PRODUCT(1 + l_discount), 6) AS prod_m
         |FROM lineitem WHERE l_orderkey % 100 = 0

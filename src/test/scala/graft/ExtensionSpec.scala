@@ -81,6 +81,20 @@ class ExtensionSpec extends AnyFunSuite {
     assert(pairs.length == 1 && pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
   }
 
+  test("embeddingCosinePairs drops over-cap blocks, keeps the rest") {
+    // label 0 holds 3 identical vectors (> maxBucket=2 → dropped whole),
+    // label 1 holds 2 identical vectors (= cap → kept). Without the cap
+    // the hot block would contribute 3 pairs; with it, only label 1's.
+    val d = Df.fromRows(spark, Seq(
+      Row(1L, Seq(1f, 2f), 0), Row(2L, Seq(2f, 4f), 0), Row(3L, Seq(3f, 6f), 0),
+      Row(4L, Seq(0f, 5f), 1), Row(5L, Seq(0f, 10f), 1)),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)), StructField("label", IntegerType))))
+    val pairs = Dedup.embeddingCosinePairs(d, "embedding", "vec_id", "label",
+      minCosine = 0.999, maxBucket = 2).sdf.collect()
+    assert(pairs.length == 1 && pairs(0).getLong(0) == 4L && pairs(0).getLong(1) == 5L)
+  }
+
   test("bruteForceTopK ranks by cosine with id tiebreak") {
     val q = embs.where(col("vec_id") === 0)
     val top = Similarity.bruteForceTopK(q, embs, "embedding", "vec_id", 5)

@@ -123,6 +123,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)      // no all-pairs
   }
 
+  test("ivfTopK plan is expression-only: no row-level UDF, no cross join") {
+    // the quantizer fit is MLlib, but the SEARCH plan must be pure
+    // codegen'd expressions — centroid distances as array-literal
+    // folds, not a predict()/probe UDF per row (SURVEY §2.11 rule)
+    val e = Df.readParquet(spark, s"$sf/embeddings.parquet")
+    val q = e.where(e("vec_id") < 3)
+    val p = plan(graft.operators.Similarity
+      .ivfTopK(q, e, "embedding", "vec_id", k = 3, nlist = 4, nprobe = 2).sdf)
+    assert(!p.contains("UDF"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)      // cell equi-join
+  }
+
   test("rangeJoin plans as an equi-join on buckets, never nested-loop") {
     val li = Df.readParquet(spark, s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
