@@ -70,6 +70,14 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   /** `Eval` (`_expr.py:1344`) — pandas eval strings → Spark SQL exprs. */
   def eval(assignName: String, sqlExpr: String): Df =
     new Df(sdf.withColumn(assignName, expr(sqlExpr)))
+  /** pandas single-string eval (`df.eval("z = x + y")`,
+    * `_expr.py:1344-1352`): split on the lone assignment `=` (not part
+    * of ==/!=/<=/>=) and delegate to the (name, expr) form. */
+  def eval(stmt: String): Df = stmt match {
+    case Df.EvalAssign(name, e) => eval(name, e)
+    case _ => throw new IllegalArgumentException(
+      s"eval: expected 'name = expression', got '$stmt'")
+  }
   def selectExpr(exprs: String*): Df = new Df(sdf.selectExpr(exprs: _*))
   /** `select_dtypes` (`_collection.py:489-491`) — eager on schema, like
     * the reference is eager on meta. `include` keeps, `exclude` drops
@@ -171,12 +179,30 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
 
   /** Categorical emulation (`_categorical.py:14-129`): pandas `cat.codes`
     * with sorted-distinct categories (`as_known`). The dictionary is the
-    * distinct set (small by definition) ranked and broadcast back — no
-    * global sort of the data itself. */
-  def withCatCodes(c: String, out: String): Df = {
+    * distinct set ranked and broadcast back — no global sort of the data
+    * itself.
+    *
+    * GUARDED: "small by definition of categorical" is enforced, not
+    * assumed — both the keyless rank window and the broadcast are sized
+    * by the dictionary, so a high-cardinality column passed here by
+    * mistake would funnel it through one task and then OOM the driver.
+    * The dictionary is built once (distinct → bounded limit → persist,
+    * ≤ maxCategories+1 rows) and counted eagerly, like the rest of the
+    * categorical protocol (eager by reference semantics, Accessors);
+    * over-cap input fails fast with a clear error instead. */
+  def withCatCodes(c: String, out: String, maxCategories: Int = 1 << 20): Df = {
+    val dict0 = sdf.select(c).distinct().limit(maxCategories + 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = dict0.count()
+    if (n > maxCategories) {
+      dict0.unpersist()
+      throw new IllegalArgumentException(
+        s"withCatCodes('$c'): over $maxCategories distinct values — not a " +
+          "categorical column. Raise maxCategories explicitly, or rank with " +
+          "a keyed window/zip-with-index pipeline sized for real data.")
+    }
     val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
-    val dict = sdf.select(c).distinct()
-      .withColumn(out, (dense_rank().over(w) - 1).cast("int"))
+    val dict = dict0.withColumn(out, (dense_rank().over(w) - 1).cast("int"))
     new Df(sdf.join(broadcast(dict), Seq(c), "left"))
   }
 
@@ -645,6 +671,11 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
 }
 
 object Df {
+  /** `name = expr` with a lone `=`: the lookahead rejects `==`, and the
+    * identifier-then-`=` shape rejects `<=`/`>=`/`!=` comparisons. */
+  private[api] val EvalAssign =
+    "(?s)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=(?![=])\\s*(.+)$".r
+
   /** `ReadParquet` (`io/parquet.py:79`): column pruning + DNF filter
     * pushdown happen in Catalyst (FileSourceScan PushedFilters), the
     * rewrites the reference hand-rolls in `io/parquet.py:162-317`. */

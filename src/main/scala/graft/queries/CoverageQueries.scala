@@ -209,6 +209,49 @@ object CoverageQueries {
         .orderBy("user_id", "session_start")
     }),
 
+    // ---- _Align (`_expr.py:958-978`): both aligned sides re-joined on
+    // the shared key set — the result replays as one FULL OUTER JOIN in
+    // SQL, closing the last §2.2 corner without a DuckDB oracle ----
+    "q100_align" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val a = c.where(col("c_custkey") <= 300)
+        .select("c_custkey", "c_acctbal").setIndex("c_custkey")
+      val b = c.where(col("c_custkey") >= 200).where(col("c_custkey") <= 500)
+        .select("c_custkey", "c_name").setIndex("c_custkey")
+      val (l, r) = a.align(b)
+      l.merge(r, on = Seq("c_custkey"))
+        .sortValues(Seq("c_custkey")).sdf
+    }),
+
+    // ---- ToFrameIndex + RenameAxis riding one query: series → frame
+    // with its index carried, index column renamed ----
+    "q101_series_frame" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      o("o_totalprice").toFrameWithIndex("o_orderkey", "price")
+        .renameAxis("okey")
+        .where(col("okey") <= 500)
+        .sortValues(Seq("okey")).sdf
+    }),
+
+    // ---- per-partition Lengths: the partitioning itself isn't oracle-
+    // able (it's an execution detail), but its INVARIANT is: the block
+    // lengths must sum to exactly COUNT(*) — empty partitions included ----
+    "q102_partition_lengths" -> ((s, dir) => {
+      T(s, dir, "lineitem").partitionLengths.sdf
+        .agg(sum(col("length")).as("total_rows"))
+    }),
+
+    // ---- MemoryUsage: schema-width estimate × row count. Types are
+    // pinned by CAST so the per-row width is exactly 24 bytes (3×8) on
+    // any input schema — the oracle replays width × COUNT(*) ----
+    "q103_memory_usage" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .selectExpr("CAST(l_orderkey AS BIGINT) AS k1",
+          "CAST(l_partkey AS BIGINT) AS k2",
+          "CAST(l_quantity AS DOUBLE) AS q")
+        .memoryUsage.sdf
+    }),
+
     // ---- time-range window: trailing 1-hour sum per user ----
     "q82_range_window" -> ((s, dir) => {
       val e = events(s, dir)
@@ -223,6 +266,20 @@ object CoverageQueries {
     }))
 
   val oracles2: Map[String, String] = Map(
+    "q100_align" ->
+      """SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+        |a.c_acctbal, b.c_name
+        |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 300) a
+        |FULL OUTER JOIN (SELECT c_custkey, c_name FROM customer
+        |  WHERE c_custkey BETWEEN 200 AND 500) b
+        |USING (c_custkey) ORDER BY c_custkey""".stripMargin,
+    "q101_series_frame" ->
+      """SELECT o_orderkey AS okey, o_totalprice AS price
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY okey""".stripMargin,
+    "q102_partition_lengths" ->
+      "SELECT COUNT(*) AS total_rows FROM lineitem",
+    "q103_memory_usage" ->
+      "SELECT COUNT(*) * 24 AS est_bytes FROM lineitem",
     "q79_groupby_transform" ->
       """SELECT l_orderkey, l_linenumber,
         |l_quantity - (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE)

@@ -166,6 +166,16 @@ class ApiSpec extends AnyFunSuite {
     assert(codes == Map("A" -> 0, "N" -> 1, "R" -> 2))
   }
 
+  test("withCatCodes refuses high-cardinality columns at the cap") {
+    // l_orderkey is no categorical: with a tiny cap the guard must fire
+    // BEFORE any window/broadcast is planned
+    val e = intercept[IllegalArgumentException](
+      li.withCatCodes("l_orderkey", "code", maxCategories = 10))
+    assert(e.getMessage.contains("maxCategories") ||
+      e.getMessage.contains("distinct values"))
+    spark.catalog.clearCache()
+  }
+
   test("withRowIndex materializes 0-based ordinal by sort key") {
     val d = li.withRowIndex(Seq("l_orderkey", "l_linenumber"))
     val first = d.sdf.orderBy("__index__").limit(2).collect()
@@ -197,6 +207,18 @@ class ApiSpec extends AnyFunSuite {
   test("eval parses SQL expressions (pandas df.eval analog)") {
     val r = f1.eval("z", "x + y / 10").sdf.agg(sum("z")).collect()(0)
     assert(r.getDouble(0) == (0 until 100).map(i => i + i.toDouble).sum)
+  }
+
+  test("eval single-string form parses 'name = expr' like pandas") {
+    val d = f1
+    val a = d.eval("z = x + y / 10").sdf.agg(sum("z")).collect()(0).getDouble(0)
+    val b = d.eval("z", "x + y / 10").sdf.agg(sum("z")).collect()(0).getDouble(0)
+    assert(a == b)
+    // comparisons are not assignments: == survives the split, <= rejects
+    val cmp = d.eval("w = x == 3").sdf.where(col("w")).count()
+    assert(cmp == 1)
+    val e = intercept[IllegalArgumentException](d.eval("x <= 3"))
+    assert(e.getMessage.contains("name = expression"))
   }
 
   test("assign with stale Ser fails fast with lineage-rule message") {
