@@ -129,6 +129,12 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   def explode(column: String): Df =
     new Df(sdf.withColumn(column, explode_outer(sdf(column))))
   /** `Sample` (`_expr.py:1055`) */
+  /** Stratified sampling (pandas `groupby(...).sample` shape): per-value
+    * fractions on a key column; strata without an entry default to 0.
+    * One pass, no shuffle — each row draws against its stratum's
+    * fraction (`DataFrameStatFunctions.sampleBy`). */
+  def sampleBy(c: String, fractions: Map[Any, Double], seed: Long = 42L): Df =
+    new Df(sdf.stat.sampleBy(col(c), fractions, seed))
   def sample(frac: Double, replace: Boolean = false, seed: Long = 42L): Df =
     new Df(sdf.sample(replace, frac, seed))
 
@@ -683,12 +689,15 @@ object Df {
     val base = spark.read.parquet(path)
     new Df(if (columns.isEmpty) base else base.select(columns.map(base(_)): _*))
   }
-  /** `ReadCSV` (`io/csv.py:8`) */
+  /** `ReadCSV` (`io/csv.py:8`); `usecols` mirrors the reference's
+    * operand (`io/csv.py:8-20`) — a projection pushed onto the read, so
+    * Catalyst prunes the parse to the named columns. */
   def readCsv(spark: SparkSession, path: String, header: Boolean = true,
-              schema: StructType = null): Df = {
+              schema: StructType = null, usecols: Seq[String] = Nil): Df = {
     var r = spark.read.option("header", header.toString)
     r = if (schema != null) r.schema(schema) else r.option("inferSchema", "true")
-    new Df(r.csv(path))
+    val base = r.csv(path)
+    new Df(if (usecols.isEmpty) base else base.select(usecols.map(base(_)): _*))
   }
   /** `PandasIO` (`io/io.py:17`): in-memory rows as a LocalRelation. */
   def fromRows(spark: SparkSession, rows: Seq[org.apache.spark.sql.Row], schema: StructType): Df =

@@ -153,8 +153,14 @@ final class Ser private[api] (
     agg1(approx_count_distinct(col, rsd), s"${name}_nunique_approx")
   /** pandas `.quantile(q)` — exact interpolated percentile (Catalyst
     * `percentile`; one pass, sort-based within the aggregate). For
-    * sketch-based scale variant use `percentile_approx`. */
+    * sketch-based scale variant use [[quantileApprox]]. */
   def quantile(q: Double): Df =
     agg1(expr(s"percentile($name, $q)"), s"${name}_q$q")
+  /** approximate percentile — single-pass mergeable sketch
+    * (`percentile_approx`), the 100 TB path: rank error ≤ n/accuracy,
+    * no per-group sort, partial-aggregates combine across executors. */
+  def quantileApprox(q: Double, accuracy: Int = 10000): Df =
+    agg1(percentile_approx(col, lit(q), lit(accuracy)),
+      s"${name}_qapprox")
   def median: Df = agg1(expr(s"percentile($name, 0.5)"), s"${name}_median")
 }

@@ -259,6 +259,67 @@ object Dedup {
       .select("id_a", "id_b", "jaccard"))
   }
 
+  /** Connected components over a near-dup pair graph — the dedup
+    * ENDGAME: candidate pairs ([[minhashPairs]]/[[simhashPairs]]/
+    * [[ngramJaccardPairs]]/[[embeddingCosinePairs]]) → clusters → one
+    * representative per cluster (the min id, `keepRepresentatives`).
+    *
+    * Iterative min-label propagation: every node adopts the smallest
+    * label among itself and its neighbors; converges in O(component
+    * diameter) rounds. Near-dup graphs are dense same-bucket cliques of
+    * tiny diameter, so 2–3 rounds in practice; `maxIter` bounds the
+    * adversarial worst case (a path graph).
+    *
+    * Scale design: each round is ONE shuffle (edge⋈label equi-join on
+    * the node id) + a partial/final min aggregate — no collect of graph
+    * data, convergence detected by an aggregate count of changed
+    * labels. Lineage is cut every round with `localCheckpoint`
+    * (truncates the growing plan — the classic iterative-Spark hazard;
+    * swap for reliable `checkpoint` on a cluster where executor loss
+    * matters). The edge list is persisted once, referenced every round.
+    *
+    * Output: (`idCol`, cluster) for every node that appears in `pairs`;
+    * docs with no near-dup pair are their own singleton cluster and are
+    * simply absent (callers left-join + coalesce to self). */
+  def connectedComponents(pairs: Df, aCol: String, bCol: String,
+                          maxIter: Int = 20): Df = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = pairs.sdf.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("nl")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("cluster"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("next"))
+        .localCheckpoint()
+      changed = updated.where(col("next") < col("cluster")).count()
+      labels = updated.select(col("id"), col("next").as("cluster")).localCheckpoint()
+      i += 1
+    }
+    edges.unpersist()
+    new Df(labels)
+  }
+
+  /** Dedup by component: every doc keeps its cluster representative —
+    * itself when it has no near-dup pair (left-join + coalesce over
+    * [[connectedComponents]]' edge-touched nodes). Filtering to
+    * `idCol = representative` yields the deduped corpus. */
+  def keepRepresentatives(docs: Df, pairs: Df, idCol: String,
+                          aCol: String = "id_a", bCol: String = "id_b"): Df = {
+    val cc = connectedComponents(pairs, aCol, bCol).sdf
+      .withColumnRenamed("id", idCol)
+    new Df(docs.sdf.join(cc, Seq(idCol), "left")
+      .withColumn("representative", coalesce(col("cluster"), col(idCol)))
+      .drop("cluster"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a coarse bucket column
     * (label, LSH bucket, …) so the pairwise check never crosses buckets.
     * Null bucket values form their OWN block (sentinel-coalesced): an

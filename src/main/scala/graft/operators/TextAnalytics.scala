@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.api.Df
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text analytics beyond per-row [[graft.functions.TextFunctions]]
+  * — term weighting for retrieval/curation pipelines (north-star
+  * extension; the reference has no string surface at all).
+  */
+object TextAnalytics {
+
+  /** TF-IDF weight per (doc, term): raw term frequency × smoothed
+    * inverse document frequency `ln((N+1)/(df+1)) + 1` (the sklearn
+    * `smooth_idf` convention — never divides by zero, never negative).
+    *
+    * Scale design: one (doc,term) partial+final count shuffle for tf,
+    * one term-keyed count for df (vocabulary-sized — tiny relative to
+    * the corpus), N as a broadcast 1-row scalar. The df⋈tf join is
+    * term-keyed; AQE broadcasts the vocabulary side while it fits.
+    * Everything is codegen'd expressions — no UDFs. */
+  def tfidf(docs: Df, textCol: String, idCol: String): Df = {
+    val toks = docs.sdf.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.sdf.agg(count(lit(1)).as("n_docs"))
+    new Df(tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1), 4))
+      .select(col(idCol), col("term"), col("tf"), col("tfidf")))
+  }
+
+  /** Top-k TF-IDF terms per document (the "document keywords" shape) —
+    * rank-per-key window over [[tfidf]], ties broken lexically for
+    * determinism. */
+  def topTerms(docs: Df, textCol: String, idCol: String, k: Int): Df = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
+    new Df(tfidf(docs, textCol, idCol).sdf
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k))
+  }
+}

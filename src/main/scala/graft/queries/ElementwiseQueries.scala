@@ -13,13 +13,16 @@ object ElementwiseQueries {
     s"${System.getProperty("java.io.tmpdir")}/graft_$name"
 
   val defs: Map[String, Q] = Map(
-    // ---- ReadCSV (`io/csv.py:8-20`): sink to CSV, scan back ----
+    // ---- ReadCSV (`io/csv.py:8-20`): sink to CSV, scan back with the
+    // usecols operand projecting the parse to the named columns ----
     "q14_read_csv" -> ((s, dir) => {
       val p = tmp("csv_region")
-      T(s, dir, "region").toCsv(p)
-      val schema = StructType(Seq(
-        StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
-      Df.readCsv(s, p, header = true, schema = schema)
+      val r = T(s, dir, "region")
+      r.toCsv(p)
+      val schema = StructType(r.sdf.schema.fields.map(f =>
+        StructField(f.name, f.dataType)))
+      Df.readCsv(s, p, header = true, schema = schema,
+          usecols = Seq("r_regionkey", "r_name"))
         .sortValues(Seq("r_regionkey")).sdf
     }),
 

@@ -118,6 +118,77 @@ object ExtensionQueries {
         .sortValues(Seq("id_a", "id_b")).sdf
     }),
 
+    // ---- TF-IDF term weighting (smoothed idf, sklearn convention):
+    // tf shuffle + vocabulary-sized df join + broadcast N scalar ----
+    "q104_tfidf" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      graft.operators.TextAnalytics.tfidf(
+        d.where(col("doc_id") < 100), "text", "doc_id")
+        .sortValues(Seq("doc_id", "term")).sdf
+    }),
+
+    // ---- stratified sampling: per-stratum fractions; RNGs differ
+    // across engines, so the oracle checks DERIVED INVARIANTS — only
+    // requested strata appear, and every stratum's size sits inside
+    // exact 6σ Bernoulli bounds from the replayed source counts ----
+    "q105_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      val o = T(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      val fr = Map[Any, Double]("1-URGENT" -> 0.2, "2-HIGH" -> 0.1, "3-MEDIUM" -> 0.05)
+      val samp = o.sampleBy("o_orderpriority", fr, seed = 7L)
+      val frDf = fr.toSeq.map { case (k, v) => (k.toString, v) }
+        .toDF("o_orderpriority", "f")
+      val src = o.sdf.groupBy("o_orderpriority").agg(count(lit(1)).as("n_src"))
+      val got = samp.sdf.groupBy("o_orderpriority").agg(count(lit(1)).as("n_samp"))
+      val sd = sqrt(col("n_src") * col("f") * (lit(1.0) - col("f")))
+      val joined = src.join(frDf, Seq("o_orderpriority"))
+        .join(got, Seq("o_orderpriority"), "left")
+        .withColumn("n_s", coalesce(col("n_samp"), lit(0L)))
+        .withColumn("ok",
+          col("n_s") >= col("n_src") * col("f") - lit(6.0) * sd &&
+            col("n_s") <= col("n_src") * col("f") + lit(6.0) * sd)
+      val unexpected = got.join(frDf, Seq("o_orderpriority"), "left_anti")
+        .agg(count(lit(1)).as("n_unexpected"))
+      joined.agg(count(lit(1)).as("n_strata"),
+          (min(col("ok").cast("int")) === 1).as("all_within_bounds"))
+        .crossJoin(unexpected)
+    }),
+
+    // ---- approximate quantile sketch (percentile_approx, mergeable
+    // single-pass — the 100 TB path); invariant oracle: the sketch
+    // value must land between the exact 48th and 52nd percentiles
+    // (rank error ≤ n/accuracy = n/1000 ≪ 2% of n), with the exact
+    // median itself replayed ----
+    "q106_quantile_sketch" -> ((s, dir) => {
+      T(s, dir, "lineitem").sdf
+        .select(col("l_quantity").cast("double").as("q"))
+        .agg(
+          percentile_approx(col("q"), lit(0.5), lit(1000)).as("approx"),
+          expr("percentile(q, 0.5)").as("exact_raw"),
+          expr("percentile(q, 0.48)").as("lo"),
+          expr("percentile(q, 0.52)").as("hi"))
+        .select(round(col("exact_raw"), 4).as("exact_median"),
+          (col("approx") >= col("lo") && col("approx") <= col("hi"))
+            .as("within_rank_bound"))
+    }),
+
+    // ---- near-dup connected components: exact ngram-Jaccard pairs
+    // over a THREE-generation mutated corpus (base ↔ +zzz ↔ +zzz yyy —
+    // real multi-node components), min-label propagation to fixpoint;
+    // oracle = recursive-CTE transitive closure over the same edges ----
+    "q107_dedup_components" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val base = d.where(col("doc_id") < 300).select("doc_id", "text")
+      val g1 = base.where(col("doc_id") % 5 === 0)
+        .selectExpr("doc_id + 10000 AS doc_id", "text || ' zzz' AS text")
+      val g2 = base.where(col("doc_id") % 5 === 0)
+        .selectExpr("doc_id + 20000 AS doc_id", "text || ' zzz yyy' AS text")
+      val pairs = Dedup.ngramJaccardPairs(Df.concat(Seq(base, g1, g2)),
+        "text", "doc_id", n = 3, minJaccard = 0.5)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .sortValues(Seq("id")).sdf
+    }),
+
     // ---- embedding-cosine near-dup pairs (bucketed by label) ----
     "q67_embedding_dedup" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
@@ -309,32 +380,58 @@ object ExtensionQueries {
        |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
-  /** mirrors Dedup.ngramJaccardPairs exactly: sorted hashed shingles,
-    * prefix-filtered inverted index, full-set verification. */
-  private val ngramJaccardSql: String =
-    s"""WITH corpus AS $corpusSql,
-       |sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(${shinglesSql()},
+  /** n-gram Jaccard CTE chain mirroring Dedup.ngramJaccardPairs exactly
+    * (sorted hashed shingles, prefix-filtered inverted index, full-set
+    * verification) over a CTE named `corpus` — ends in
+    * `scored(id_a, id_b, jaccard)` with the 6dp-rounded score; shared
+    * by the q66 pairs oracle and the q107 components oracle. */
+  private def ngramJaccardCtes(thr: Double): String =
+    s"""sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(${shinglesSql()},
        |  s -> ('0x' || substr(md5(s),1,8))::BIGINT))) AS shingles FROM corpus),
        |sized AS (SELECT doc_id, shingles, len(shingles) AS nsh FROM sh),
        |inv0 AS (SELECT doc_id,
-       |  UNNEST(shingles[1:(nsh - CEIL(nsh * 0.5 - 1e-9) + 1)::INT]) AS g FROM sized),
+       |  UNNEST(shingles[1:(nsh - CEIL(nsh * $thr - 1e-9) + 1)::INT]) AS g FROM sized),
        |inv AS (SELECT doc_id, g FROM inv0
        |  QUALIFY COUNT(*) OVER (PARTITION BY g) <= 100000),
        |candidates AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
-       |pairs AS (SELECT id_a, id_b, fa.shingles AS sh_a, fa.nsh AS n_a,
+       |jpairs AS (SELECT id_a, id_b, fa.shingles AS sh_a, fa.nsh AS n_a,
        |  fb.shingles AS sh_b, fb.nsh AS n_b
        |  FROM candidates
        |  JOIN sized fa ON fa.doc_id = id_a
        |  JOIN sized fb ON fb.doc_id = id_b),
-       |scored AS (SELECT id_a, id_b,
+       |inters AS (SELECT id_a, id_b,
        |  len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS inter,
-       |  n_a, n_b FROM pairs)
-       |SELECT id_a, id_b,
-       |ROUND(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
-       |FROM scored
-       |WHERE ROUND(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5
+       |  n_a, n_b FROM jpairs),
+       |scored AS (SELECT id_a, id_b,
+       |  ROUND(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
+       |  FROM inters)""".stripMargin
+
+  private val ngramJaccardSql: String =
+    s"""WITH corpus AS $corpusSql,
+       |${ngramJaccardCtes(0.5)}
+       |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** connectedComponents oracle: the exact ngram-Jaccard edge set over a
+    * three-generation mutated corpus, then min-reachable-node per node
+    * via a recursive transitive closure — ground truth for the
+    * min-label-propagation operator, whatever the edge structure. */
+  private val componentsSql: String =
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+       |  UNION ALL SELECT doc_id + 10000, text || ' zzz'
+       |    FROM documents WHERE doc_id < 300 AND doc_id % 5 = 0
+       |  UNION ALL SELECT doc_id + 20000, text || ' zzz yyy'
+       |    FROM documents WHERE doc_id < 300 AND doc_id % 5 = 0),
+       |${ngramJaccardCtes(0.5)},
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM scored WHERE jaccard >= 0.5
+       |  UNION SELECT id_b, id_a FROM scored WHERE jaccard >= 0.5),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+       |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
 
   /** LSH oracle: the full signature computation replayed in SQL. Each
     * plane's dot product is an ascending-index sum over the SAME
@@ -408,6 +505,25 @@ object ExtensionQueries {
     "q64_minhash_pairs" -> minhashSql,
     "q65_simhash" -> simhashSql,
     "q99_simhash_pairs" -> simhashPairsSql,
+    "q107_dedup_components" -> componentsSql,
+    "q104_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, UNNEST(${toksSql()}) AS term
+         |  FROM documents WHERE doc_id < 100),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id < 100)
+         |SELECT doc_id, term, tf,
+         |ROUND(tf * (LN((n_docs + 1)::DOUBLE / (df + 1)) + 1), 4) AS tfidf
+         |FROM tf JOIN df USING (term) CROSS JOIN n
+         |ORDER BY doc_id, term""".stripMargin,
+    "q105_stratified_sample" ->
+      """SELECT COUNT(DISTINCT o_orderpriority) AS n_strata,
+        |TRUE AS all_within_bounds, 0::BIGINT AS n_unexpected
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')""".stripMargin,
+    "q106_quantile_sketch" ->
+      """SELECT ROUND(quantile_cont(l_quantity::DOUBLE, 0.5), 4) AS exact_median,
+        |TRUE AS within_rank_bound FROM lineitem""".stripMargin,
     "q66_ngram_jaccard" -> ngramJaccardSql,
     // the QUALIFY mirrors embeddingCosinePairs' maxBucket cap (blocks
     // over 100000 rows are dropped before pairing); window PARTITION BY

@@ -103,6 +103,21 @@ object StreamOps {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Streaming exact dedup — the ingestion-side twin of
+    * [[graft.operators.Dedup.exactByFingerprint]]: canonical fingerprint
+    * + streaming `dropDuplicates`, so a document that re-arrives (retry,
+    * re-crawl, mirrored feed) is emitted once. Works on batch frames
+    * identically (same plan, batch dropDuplicates).
+    *
+    * State = one entry per DISTINCT fingerprint — at 100 TB that is the
+    * dedup table itself, a deliberate choice; pipelines that only need
+    * within-window dedup bound state with a watermark +
+    * `dropDuplicatesWithinWatermark` instead. */
+  def streamingExactDedup(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("__fp",
+        graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .dropDuplicates("__fp").drop("__fp")
+
   /** run a streaming plan to completion against the bounded test input
     * and return the materialized result (memory sink).
     *

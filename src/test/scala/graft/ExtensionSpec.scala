@@ -95,6 +95,38 @@ class ExtensionSpec extends AnyFunSuite {
     assert(pairs.length == 1 && pairs(0).getLong(0) == 4L && pairs(0).getLong(1) == 5L)
   }
 
+  test("connectedComponents: min label propagates across a path graph") {
+    // path 1-2-3-4 (diameter 3, needs multi-round propagation) plus an
+    // island 10-11; every node must land on its component minimum
+    val pairs = Df.fromRows(spark,
+      Seq(Row(1L, 2L), Row(2L, 3L), Row(3L, 4L), Row(10L, 11L)),
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .sdf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("keepRepresentatives: singletons keep themselves, clusters keep min") {
+    val docs = mkDocs(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d")
+    val pairs = Df.fromRows(spark, Seq(Row(2L, 3L)),
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    val rep = Dedup.keepRepresentatives(docs, pairs, "doc_id")
+      .sdf.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("representative")).toMap
+    assert(rep == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 4L))
+  }
+
+  test("tfidf: smoothed idf downweights ubiquitous terms") {
+    // 'x' appears in all 3 docs, 'rare' in one: idf(x) = ln(4/4)+1 = 1,
+    // idf(rare) = ln(4/2)+1; tf counts are raw occurrences
+    val d = mkDocs(1L -> "x x rare", 2L -> "x", 3L -> "x")
+    val rows = graft.operators.TextAnalytics.tfidf(d, "text", "doc_id")
+      .sdf.collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(rows((1L, "x")) == (2L, 2.0))            // tf 2 × idf 1
+    assert(rows((2L, "x")) == (1L, 1.0))
+    assert(rows((1L, "rare"))._1 == 1L)
+    assert(math.abs(rows((1L, "rare"))._2 - (math.log(4.0 / 2.0) + 1)) < 1e-3)
+  }
+
   test("bruteForceTopK ranks by cosine with id tiebreak") {
     val q = embs.where(col("vec_id") === 0)
     val top = Similarity.bruteForceTopK(q, embs, "embedding", "vec_id", 5)

@@ -42,6 +42,27 @@ class StreamingSpec extends AnyFunSuite {
         x.getLong(2) == y.getLong(2) })
   }
 
+  test("streaming exact dedup emits one doc per fingerprint, equal to batch") {
+    // stage documents TWICE (two arriving files = the re-crawl shape):
+    // every fingerprint arrives at least twice, dedup must emit it once
+    val d = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"), d.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"), d.resolve("b.parquet"))
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(d.toString)
+    val result = StreamOps.runToCompletion(
+      StreamOps.streamingExactDedup(stream, "text"), "dedup_stream",
+      mode = "append")
+    val batchDistinct = graft.operators.Dedup.exactByFingerprint(
+      new graft.api.Df(spark.read.parquet(d.toString)), "text", "doc_id")
+      .sdf.count()
+    assert(result.count() == batchDistinct)
+    assert(result.count() < spark.read.parquet(d.toString).count())
+  }
+
   test("flatMapGroupsWithState: stateful totals equal batch groupBy") {
     val stream = StreamOps.readEventsStream(spark, stageDir)
     val result = StreamOps.runToCompletion(
