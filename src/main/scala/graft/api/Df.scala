@@ -192,23 +192,25 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * assumed — both the keyless rank window and the broadcast are sized
     * by the dictionary, so a high-cardinality column passed here by
     * mistake would funnel it through one task and then OOM the driver.
-    * The dictionary is built once (distinct → bounded limit → persist,
-    * ≤ maxCategories+1 rows) and counted eagerly, like the rest of the
-    * categorical protocol (eager by reference semantics, Accessors);
-    * over-cap input fails fast with a clear error instead. */
+    * The dictionary is built once (distinct → bounded limit → Spark-side
+    * sort → driver enumerate, ≤ maxCategories+1 rows — eager, like the
+    * rest of the categorical protocol in Accessors); over-cap input
+    * fails fast with a clear error instead. The sort happens in SPARK
+    * (UTF8 binary order — JVM compareTo disagrees on some strings) and
+    * codes are positions in that order, identical to the previous
+    * dense_rank window without leaving any cached blocks behind. */
   def withCatCodes(c: String, out: String, maxCategories: Int = 1 << 20): Df = {
-    val dict0 = sdf.select(c).distinct().limit(maxCategories + 1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = dict0.count()
-    if (n > maxCategories) {
-      dict0.unpersist()
-      throw new IllegalArgumentException(
-        s"withCatCodes('$c'): over $maxCategories distinct values — not a " +
-          "categorical column. Raise maxCategories explicitly, or rank with " +
-          "a keyed window/zip-with-index pipeline sized for real data.")
-    }
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
-    val dict = dict0.withColumn(out, (dense_rank().over(w) - 1).cast("int"))
+    val sorted = sdf.select(c).distinct().orderBy(col(c))
+      .limit(maxCategories + 1).collect()
+    if (sorted.length > maxCategories) throw new IllegalArgumentException(
+      s"withCatCodes('$c'): over $maxCategories distinct values — not a " +
+        "categorical column. Raise maxCategories explicitly, or rank with " +
+        "a keyed window/zip-with-index pipeline sized for real data.")
+    val schema1 = StructType(
+      sdf.schema.fields.filter(_.name == c) :+ StructField(out, IntegerType))
+    val rows = sorted.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }.toSeq
+    val dict = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema1)
     new Df(sdf.join(broadcast(dict), Seq(c), "left"))
   }
 

@@ -161,6 +161,6 @@ final class Ser private[api] (
     * no per-group sort, partial-aggregates combine across executors. */
   def quantileApprox(q: Double, accuracy: Int = 10000): Df =
     agg1(percentile_approx(col, lit(q), lit(accuracy)),
-      s"${name}_qapprox")
+      s"${name}_qapprox$q")
   def median: Df = agg1(expr(s"percentile($name, 0.5)"), s"${name}_median")
 }

@@ -300,10 +300,19 @@ object Dedup {
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("next"))
         .localCheckpoint()
       changed = updated.where(col("next") < col("cluster")).count()
-      labels = updated.select(col("id"), col("next").as("cluster")).localCheckpoint()
+      // no second checkpoint: labels is a depth-1 projection over the
+      // checkpointed `updated`, its lineage cannot grow round-to-round
+      labels = updated.select(col("id"), col("next").as("cluster"))
       i += 1
     }
     edges.unpersist()
+    // fail loudly on non-convergence: labels from a stopped-early run
+    // are INCONSISTENT (one component reports several cluster ids) and
+    // downstream dedup would silently keep duplicates
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents: not converged after $maxIter rounds " +
+        s"($changed labels still changing) — a component's diameter " +
+        "exceeds maxIter; raise it (rounds needed = max component diameter)")
     new Df(labels)
   }
 

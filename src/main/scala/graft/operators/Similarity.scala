@@ -119,20 +119,36 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     graft.plans.GraftFunctions.register(queries.spark)
     val c = corpus.sdf.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
+    // NULL vectors are excluded from the fit (MLlib rejects null
+    // features); they are dropped from the search below too — same
+    // undefined-input contract as lshSignature
     val fitInput = (if (fitSample >= 1.0) c else c.sample(fitSample, 42L))
+      .where(col("c_vec").isNotNull)
       .select(array_to_vector(col("c_vec")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features").fit(fitInput)
     // nlist centroids (driver-side, tiny) become expression literals —
     // the plan carries them to every executor, no broadcast variable.
     val centers = model.clusterCenters.map(_.toArray)
+    val dim = centers.head.length
     def dist2(v: org.apache.spark.sql.Column, ctr: Array[Double]) =
       aggregate(zip_with(v, lit(ctr), (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
         lit(0.0), (acc, t) => acc + t)
+    // same undefined-input contract as lshSignature: NULL vector → NULL
+    // cells (row drops out of the cell equi-join / probe explode), a
+    // GENUINE dim mismatch vs the fitted centroids fails loudly — an
+    // unguarded NULL distance would otherwise sort to cell 0 (struct
+    // ordering treats the NULL field as smallest) and silently pair
+    // undefined rows with real queries.
     def nearestCells(v: org.apache.spark.sql.Column, n: Int) =
-      slice(array_sort(array(centers.zipWithIndex.map { case (ctr, i) =>
-        struct(dist2(v, ctr).as("d"), lit(i).as("cell"))
-      }: _*)), 1, n)
+      when(v.isNull, lit(null))
+        .when(size(v) === dim,
+          slice(array_sort(array(centers.zipWithIndex.map { case (ctr, i) =>
+            struct(dist2(v, ctr).as("d"), lit(i).as("cell"))
+          }: _*)), 1, n))
+        .otherwise(raise_error(concat(
+          lit(s"ivfTopK: expected dim=$dim, got vector of length "),
+          size(v).cast("string"))))
     val assigned = c.withColumn("cell",
       nearestCells(col("c_vec"), 1).getItem(0).getField("cell"))
     val q = broadcast(queries.sdf.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))

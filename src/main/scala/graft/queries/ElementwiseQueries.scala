@@ -19,9 +19,7 @@ object ElementwiseQueries {
       val p = tmp("csv_region")
       val r = T(s, dir, "region")
       r.toCsv(p)
-      val schema = StructType(r.sdf.schema.fields.map(f =>
-        StructField(f.name, f.dataType)))
-      Df.readCsv(s, p, header = true, schema = schema,
+      Df.readCsv(s, p, header = true, schema = r.sdf.schema,
           usecols = Seq("r_regionkey", "r_name"))
         .sortValues(Seq("r_regionkey")).sdf
     }),

@@ -91,6 +91,28 @@ class AsofIvfSpec extends AnyFunSuite {
     assert(brute.toSeq == ivfFull.toSeq)
   }
 
+  test("IVF drops NULL-vector corpus rows (same contract as lshSignature)") {
+    import org.apache.spark.sql.types._
+    val e = Df.readParquet(spark, s"$sf/embeddings.parquet")
+    val q = e.where(col("vec_id") < 3)
+    // corpus with one NULL-embedding row injected: it must never appear
+    // as a neighbor (NULL cell drops from the equi-join), results must
+    // equal the clean-corpus run, and nothing may throw
+    val nullRow = Df.fromRows(spark, Seq(Row(999999L, null, "x")),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", StringType))))
+    val dirty = new Df(e.select("vec_id", "embedding", "label").sdf
+      .unionByName(nullRow.sdf))
+    val clean = Similarity.ivfTopK(q, e, "embedding", "vec_id", 3,
+      nlist = 8, nprobe = 8).sdf.orderBy("query_id", "rank").collect()
+    val withNull = Similarity.ivfTopK(q, dirty, "embedding", "vec_id", 3,
+      nlist = 8, nprobe = 8).sdf.orderBy("query_id", "rank").collect()
+    assert(withNull.map(_.getLong(2)).forall(_ != 999999L))
+    assert(clean.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
+      withNull.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq)
+  }
+
   test("IVF with partial probes returns k ranked results per query") {
     val e = Df.readParquet(spark, s"$sf/embeddings.parquet")
     val q = e.where(col("vec_id") < 3)
