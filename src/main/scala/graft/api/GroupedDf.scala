@@ -113,6 +113,20 @@ final class GroupedDf private[api] (
       .where(col("__rn") <= n).drop("__rn"))
   }
 
+  /** pandas `g.sample(n=...)`: exactly min(n, group size) rows per
+    * group, drawn by a seeded per-row uniform ranked within the group —
+    * one window shuffle on the keys, no collect. The DRAW differs
+    * across engines (like [[Df.sample]]), but the count contract
+    * (= LEAST(n, group size) per group) and containment are exact and
+    * oracle-able as invariants. */
+  def sampleN(n: Int, seed: Long = 42L): Df = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(sdf(_)): _*)
+      .orderBy(rand(seed))
+    new Df(sdf.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n).drop("__rn"))
+  }
+
   /** pandas `g.cumsum()` over one column by an explicit order. */
   def cumsum(valueCol: String, orderKeys: Seq[String],
              out: String = "cumsum"): Df = {

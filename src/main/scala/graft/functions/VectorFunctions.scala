@@ -23,6 +23,22 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** L2-normalized copy of the vector (x / ‖x‖, double). NULL for NULL
+    * input and zero-norm vectors (undefined → NULL, the [[cosine]] /
+    * graft_cosine contract — a NaN would sort above every double and
+    * poison downstream top-k).
+    *
+    * The norm rides in as `array_repeat(norm, size)`: a FUNCTION
+    * ARGUMENT evaluates once per row, whereas referencing the norm
+    * subexpression inside the `transform` lambda would re-evaluate it
+    * per ELEMENT after CollapseProject inlining — O(dim²) per row (the
+    * same expression-duplication hazard minhash hit with md5). */
+  def l2Normalize(a: Column): Column = {
+    val nrm = norm(a)
+    when(a.isNotNull && nrm > 0,
+      zip_with(d(a), array_repeat(nrm, size(a)), (x, n) => x / n))
+  }
+
   /** MinHash signature over a 32-bit-hashed shingle array:
     * sig_j = min over shingles of (a_j·h + b_j) mod p.
     *

@@ -157,6 +157,25 @@ object Similarity {
     new Df(rerankTopK(assigned.join(q, Seq("cell")), k, excludeSelf))
   }
 
+  /** Per-key mean embedding (centroid / mean-pool) in LONG format —
+    * one row per (key, dim position): posexplode + one partial+final
+    * aggregate pair keyed by (key, pos). Long format keeps the result
+    * relational (re-assemble with sort_array(collect_list(struct)) when
+    * an array is wanted) and lets SQL oracles replay it exactly.
+    *
+    * Sums go through DECIMAL(28,10) of the double-widened floats:
+    * decimal addition is ORDER-INDEPENDENT, so the centroid is
+    * bit-reproducible under Spark's nondeterministic partial-agg
+    * ordering (a plain double sum is not). */
+  def meanPool(vecs: Df, vecCol: String, keyCol: String): Df = {
+    val exploded = vecs.sdf
+      .where(col(vecCol).isNotNull)
+      .select(col(keyCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+    new Df(exploded.groupBy(col(keyCol), col("pos"))
+      .agg(round(sum(col("v").cast("double").cast("decimal(28,10)")).cast("double") /
+        count(lit(1)), 6).as("centroid")))
+  }
+
   /** ANN: bucket by LSH signature, exact cosine rerank inside buckets.
     * Queries broadcast; corpus shuffles once on the bucket key. */
   def lshTopK(queries: Df, corpus: Df, vecCol: String, idCol: String,

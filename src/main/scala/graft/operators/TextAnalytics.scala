@@ -31,6 +31,34 @@ object TextAnalytics {
       .select(col(idCol), col("term"), col("tf"), col("tfidf")))
   }
 
+  /** Token-window chunking — the context-length splitter every training
+    * pipeline needs: documents become overlapping chunks of `size`
+    * tokens with `overlap` tokens shared between neighbors (stride =
+    * size − overlap). Pure expressions: one `sequence` of chunk starts
+    * exploded per doc, `slice` re-joins each window — no UDF, no
+    * shuffle, output rows carry (doc, chunk_id, chunk, n_tokens).
+    * Token-less docs yield no chunks; the final chunk may be shorter
+    * than `size` (never empty). */
+  def chunkTokens(docs: Df, textCol: String, idCol: String,
+                  size: Int, overlap: Int = 0): Df = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"chunkTokens: need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    // starts references the MATERIALIZED __toks attribute through the
+    // Generate boundary (not the raw tokenize expression), so the
+    // regex split runs exactly once per row
+    val nt = org.apache.spark.sql.functions.size(col("__toks"))
+    val starts = when(nt > 0, sequence(lit(0), nt - 1, lit(step)))
+      .otherwise(array().cast("array<int>"))
+    new Df(docs.sdf
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol), col("__toks"), posexplode(starts).as(Seq("chunk_id", "__start")))
+      .withColumn("__chunk_toks", slice(col("__toks"), col("__start") + 1, lit(size)))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", col("__chunk_toks")).as("chunk"),
+        org.apache.spark.sql.functions.size(col("__chunk_toks")).as("n_tokens")))
+  }
+
   /** Top-k TF-IDF terms per document (the "document keywords" shape) —
     * rank-per-key window over [[tfidf]], ties broken lexically for
     * determinism. */

@@ -127,6 +127,63 @@ object ExtensionQueries {
         .sortValues(Seq("doc_id", "term")).sdf
     }),
 
+    // ---- top-k TF-IDF terms per doc (keyword extraction): rank-per-key
+    // window over the rounded weights, lexical tie-break ----
+    "q108_top_terms" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      graft.operators.TextAnalytics.topTerms(
+        d.where(col("doc_id") < 100), "text", "doc_id", k = 3)
+        .sortValues(Seq("doc_id", "rank")).sdf
+    }),
+
+    // ---- token-window chunking (context-length splitting with
+    // overlap): size 20, overlap 5 → stride 15; exact SQL replay ----
+    "q112_chunk_tokens" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      graft.operators.TextAnalytics.chunkTokens(
+        d.where(col("doc_id") < 100), "text", "doc_id", size = 20, overlap = 5)
+        .sortValues(Seq("doc_id", "chunk_id")).sdf
+    }),
+
+    // ---- per-group exact-n sampling (pandas groupby.sample): the draw
+    // is engine-RNG, the COUNT contract is exact — every group yields
+    // LEAST(n, group size) rows, all contained in the source ----
+    "q109_group_sample" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      val samp = o.groupby("o_orderpriority").sampleN(40, seed = 11L)
+      val src = o.sdf.groupBy("o_orderpriority").agg(count(lit(1)).as("n_src"))
+      val got = samp.sdf.groupBy("o_orderpriority").agg(count(lit(1)).as("n_samp"))
+      val outside = samp.sdf.join(o.sdf, Seq("o_orderkey", "o_orderpriority"), "left_anti")
+        .agg(count(lit(1)).as("n_outside"))
+      src.join(got, Seq("o_orderpriority"), "left")
+        .withColumn("ok",
+          coalesce(col("n_samp"), lit(0L)) === least(lit(40L), col("n_src")))
+        .agg(count(lit(1)).as("n_groups"),
+          (min(col("ok").cast("int")) === 1).as("counts_exact"))
+        .crossJoin(outside)
+    }),
+
+    // ---- per-label mean embedding (mean-pool centroids), long format;
+    // decimal-summed so the nondeterministic partial-agg order can't
+    // move a bit — replayed exactly in SQL ----
+    "q110_mean_pool" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      graft.operators.Similarity.meanPool(e, "embedding", "label")
+        .sortValues(Seq("label", "pos")).sdf
+    }),
+
+    // ---- L2 normalization (unit vectors), long format; ascending-fold
+    // norm replayed bit-for-bit like every cosine oracle ----
+    "q111_l2_normalize" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      e.where(e("vec_id") < 20).sdf
+        .select(col("vec_id"),
+          posexplode(graft.functions.VectorFunctions.l2Normalize(col("embedding")))
+            .as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos"), round(col("v"), 6).as("v"))
+        .orderBy("vec_id", "pos")
+    }),
+
     // ---- stratified sampling: per-stratum fractions; RNGs differ
     // across engines, so the oracle checks DERIVED INVARIANTS — only
     // requested strata appear, and every stratum's size sits inside
@@ -516,6 +573,50 @@ object ExtensionQueries {
          |ROUND(tf * (LN((n_docs + 1)::DOUBLE / (df + 1)) + 1), 4) AS tfidf
          |FROM tf JOIN df USING (term) CROSS JOIN n
          |ORDER BY doc_id, term""".stripMargin,
+    "q108_top_terms" ->
+      s"""WITH toks AS (SELECT doc_id, UNNEST(${toksSql()}) AS term
+         |  FROM documents WHERE doc_id < 100),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id < 100),
+         |w AS (SELECT doc_id, term, tf,
+         |  ROUND(tf * (LN((n_docs + 1)::DOUBLE / (df + 1)) + 1), 4) AS tfidf
+         |  FROM tf JOIN df USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, tf, tfidf,
+         |CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |  ORDER BY tfidf DESC, term) AS INT) AS rank
+         |FROM w
+         |QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // scalar range(...) + UNNEST (the table-function range rejects
+    // lateral column parameters in DuckDB)
+    "q112_chunk_tokens" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql()} AS toks
+         |  FROM documents WHERE doc_id < 100),
+         |s AS (SELECT doc_id, toks, UNNEST(range(0, len(toks), 15)) AS i
+         |  FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, (i // 15)::INT AS chunk_id,
+         |array_to_string(toks[(i+1)::INT:(i+20)::INT], ' ') AS chunk,
+         |LEAST(20, len(toks) - i)::INT AS n_tokens
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "q109_group_sample" ->
+      """SELECT COUNT(DISTINCT o_orderpriority) AS n_groups,
+        |TRUE AS counts_exact, 0::BIGINT AS n_outside FROM orders""".stripMargin,
+    "q110_mean_pool" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |x AS (SELECT label, emb, UNNEST(range(len(emb))) AS i FROM e)
+        |SELECT label, i::INT AS pos,
+        |ROUND(CAST(SUM(CAST(emb[(i+1)::INT] AS DECIMAL(28,10))) AS DOUBLE)
+        |  / COUNT(*), 6) AS centroid
+        |FROM x GROUP BY label, i ORDER BY label, pos""".stripMargin,
+    "q111_l2_normalize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings WHERE vec_id < 20),
+        |n AS (SELECT vec_id, emb,
+        |  sqrt(list_reduce(list_transform(emb, x -> x * x), (a, b) -> a + b)) AS nrm
+        |  FROM e),
+        |x AS (SELECT vec_id, emb, nrm, UNNEST(range(len(emb))) AS i FROM n)
+        |SELECT vec_id, i::INT AS pos, ROUND(emb[(i+1)::INT] / nrm, 6) AS v
+        |FROM x ORDER BY vec_id, pos""".stripMargin,
     "q105_stratified_sample" ->
       """SELECT COUNT(DISTINCT o_orderpriority) AS n_strata,
         |TRUE AS all_within_bounds, 0::BIGINT AS n_unexpected

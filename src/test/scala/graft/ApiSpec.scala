@@ -176,6 +176,16 @@ class ApiSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("groupby sampleN draws exactly min(n, group size) per group") {
+    val g = li.select("l_orderkey", "l_returnflag").groupby("l_returnflag")
+    val counts = g.sampleN(7, seed = 3L).groupby("l_returnflag").size()
+      .sdf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val srcCounts = li.groupby("l_returnflag").size()
+      .sdf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == srcCounts.keySet)
+    assert(counts.forall { case (k, n) => n == math.min(7L, srcCounts(k)) })
+  }
+
   test("withRowIndex materializes 0-based ordinal by sort key") {
     val d = li.withRowIndex(Seq("l_orderkey", "l_linenumber"))
     val first = d.sdf.orderBy("__index__").limit(2).collect()

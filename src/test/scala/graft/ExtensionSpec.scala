@@ -127,6 +127,45 @@ class ExtensionSpec extends AnyFunSuite {
     assert(math.abs(rows((1L, "rare"))._2 - (math.log(4.0 / 2.0) + 1)) < 1e-3)
   }
 
+  test("chunkTokens: overlap windows, short tail, empty doc yields none") {
+    val d = mkDocs(1L -> (1 to 7).map(i => s"t$i").mkString(" "),
+      2L -> "a b", 3L -> "   ")
+    val rows = graft.operators.TextAnalytics
+      .chunkTokens(d, "text", "doc_id", size = 4, overlap = 2)
+      .sdf.orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // doc 1: starts 0,2,4,6 → chunks of 4,4,3,1 tokens
+    assert(rows.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0, "t1 t2 t3 t4", 4), (1L, 1, "t3 t4 t5 t6", 4),
+      (1L, 2, "t5 t6 t7", 3), (1L, 3, "t7", 1)))
+    assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b", 2)))
+    assert(!rows.exists(_._1 == 3L)) // whitespace-only doc: no chunks
+    intercept[IllegalArgumentException](
+      graft.operators.TextAnalytics.chunkTokens(d, "text", "doc_id", 4, 4))
+  }
+
+  test("l2Normalize: unit norm, NULL for null/zero-norm vectors") {
+    import graft.functions.VectorFunctions._
+    val d = Df.fromRows(spark, Seq(
+      Row(1L, Seq(3f, 4f)), Row(2L, Seq(0f, 0f)), Row(3L, null)),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val out = d.sdf.select(col("vec_id"), l2Normalize(col("embedding")).as("u"))
+      .orderBy("vec_id").collect()
+    assert(out(0).getSeq[Double](1) == Seq(0.6, 0.8))
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1))
+  }
+
+  test("meanPool averages per (key, position)") {
+    val d = Df.fromRows(spark, Seq(
+      Row(1L, Seq(1f, 2f), "a"), Row(2L, Seq(3f, 6f), "a"), Row(3L, Seq(10f, 0f), "b")),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)), StructField("label", StringType))))
+    val m = graft.operators.Similarity.meanPool(d, "embedding", "label")
+      .sdf.collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(m == Map(("a", 0) -> 2.0, ("a", 1) -> 4.0, ("b", 0) -> 10.0, ("b", 1) -> 0.0))
+  }
+
   test("bruteForceTopK ranks by cosine with id tiebreak") {
     val q = embs.where(col("vec_id") === 0)
     val top = Similarity.bruteForceTopK(q, embs, "embedding", "vec_id", 5)
