@@ -145,6 +145,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard")))
   }
 
+  /** Cross-corpus MinHash join — INCREMENTAL dedup: which new docs are
+    * near-dups of an existing corpus. Same banded-LSH machinery as
+    * [[minhashPairs]] but A×B instead of A×A: each side gets its own
+    * signature/band index (capped independently), candidates collide on
+    * (band, key), exact shingle jaccard verifies. Output
+    * (id_a = corpus doc, id_b = new doc, jaccard).
+    *
+    * The scale shape every ingestion pipeline needs: the corpus index is
+    * the big side (build once, reuse across batches by persisting the
+    * banded frame externally), the new batch is small — AQE broadcasts
+    * its banded index into the candidate join. */
+  def minhashJoin(corpus: Df, newDocs: Df, textCol: String, idCol: String,
+                  shingleN: Int = 3, bands: Int = 3, r: Int = 4,
+                  minJaccard: Double = 0.5,
+                  maxBucket: Int = DefaultMaxBucket): Df = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shA = shingleTable(corpus, textCol, idCol, shingleN).persist(lvl)
+    val shB = shingleTable(newDocs, textCol, idCol, shingleN).persist(lvl)
+    val bA = capBuckets(bandedIndex(shA, idCol, bands, r), maxBucket)
+    val bB = capBuckets(bandedIndex(shB, idCol, bands, r), maxBucket)
+    val candidates = bA.select(col(idCol).as("id_a"), col("__band"), col("__key"))
+      .join(bB.select(col(idCol).as("id_b"), col("__band"), col("__key")),
+        Seq("__band", "__key"))
+      .select("id_a", "id_b").distinct()
+    val pairs = candidates
+      .join(shA.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(shB.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") -
+      size(array_intersect(col("sh_a"), col("sh_b")))
+    new Df(pairs
+      .withColumn("jaccard", round(inter / uni, 6))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard")))
+  }
+
   /** 60-bit SimHash per document: bit i of the signature is the sign of
     * Σ_tokens (±1 by bit i of the token hash). Near-dups differ in few
     * bits (small Hamming distance). Computed by explode + 60 conditional

@@ -59,6 +59,52 @@ object TextAnalytics {
         org.apache.spark.sql.functions.size(col("__chunk_toks")).as("n_tokens")))
   }
 
+  /** Benchmark contamination check (the GPT-3-style decontamination
+    * sweep): corpus documents sharing ≥1 word n-gram with a benchmark
+    * set, with the count of distinct shared n-grams per doc. Inverted-
+    * index equi-join on 32-bit shingle hashes (8-byte keys, the
+    * [[graft.operators.Dedup]] convention) — the benchmark side is the
+    * distinct n-gram set, tiny relative to the corpus, so AQE
+    * broadcasts it; the corpus never self-joins. Docs with no hit are
+    * absent (clean). */
+  def ngramContamination(corpus: Df, benchmark: Df, textCol: String,
+                         idCol: String, n: Int = 3): Df = {
+    val bench = benchmark.sdf
+      .select(explode(wordShingles(col(textCol), n)).as("g"))
+      .select(hash32(col("g")).as("gh")).distinct()
+    val docShingles = corpus.sdf.select(col(idCol),
+      explode(wordShingles(col(textCol), n)).as("g"))
+      .select(col(idCol), hash32(col("g")).as("gh"))
+    new Df(docShingles.join(bench, Seq("gh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated_ngrams")))
+  }
+
+  /** Per-document unigram negative log-likelihood (the CCNet-style LM
+    * quality signal, with the corpus itself as the unigram model):
+    * avg_nll = −(1/n)·Σ ln p(token), p(token) = corpus frequency.
+    * Repetitive/boilerplate docs score LOW (high-probability tokens),
+    * lexically diverse docs score high — filter both tails.
+    *
+    * The token table is persisted: it is referenced three times (model
+    * counts, total, and the scoring join) and Spark plans trees —
+    * unpersisted, the corpus would be re-tokenized per reference
+    * (callers clear the cache after their action, the [[graft.operators.Dedup]]
+    * convention). Each ln term is cast to DECIMAL(18,8) before summing
+    * so the per-doc sum is order-independent (double addition is not). */
+  def unigramLogLoss(docs: Df, textCol: String, idCol: String): Df = {
+    val toks = docs.sdf.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("ct"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    new Df(toks.join(freq, Seq("t")).crossJoin(broadcast(total))
+      .withColumn("nll",
+        (-log(col("ct").cast("double") / col("total"))).cast("decimal(18,8)"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("nll")).cast("double") / count(lit(1)), 4).as("avg_nll"),
+        count(lit(1)).as("n_tokens")))
+  }
+
   /** Top-k TF-IDF terms per document (the "document keywords" shape) —
     * rank-per-key window over [[tfidf]], ties broken lexically for
     * determinism. */

@@ -246,6 +246,35 @@ object ExtensionQueries {
         .sortValues(Seq("id")).sdf
     }),
 
+    // ---- cross-corpus MinHash join (incremental dedup: new batch vs
+    // existing corpus, A×B never A×A); both band indexes replayed ----
+    "q113_minhash_join" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val corpus = d.where(col("doc_id") < 200).select("doc_id", "text")
+      val batch = corpus.where(col("doc_id") % 10 === 0)
+        .selectExpr("doc_id + 10000 AS doc_id", "text || ' zzz' AS text")
+      Dedup.minhashJoin(corpus, batch, "text", "doc_id", minJaccard = 0.5)
+        .sortValues(Seq("id_a", "id_b")).sdf
+    }),
+
+    // ---- benchmark contamination sweep (shared word n-grams between
+    // the corpus and a held-out benchmark set) ----
+    "q114_contamination" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val bench = d.where(col("doc_id") % 50 === 0).select("doc_id", "text")
+      graft.operators.TextAnalytics.ngramContamination(d, bench, "text", "doc_id")
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- unigram LM negative log-likelihood (CCNet-style quality
+    // signal; corpus as its own model); decimal-summed ln terms so the
+    // per-doc sum is order-independent ----
+    "q115_unigram_nll" -> ((s, dir) => {
+      graft.operators.TextAnalytics.unigramLogLoss(
+        T(s, dir, "documents"), "text", "doc_id")
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
     // ---- embedding-cosine near-dup pairs (bucketed by label) ----
     "q67_embedding_dedup" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
@@ -490,6 +519,41 @@ object ExtensionQueries {
        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
        |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** One side's MinHash CTE chain (shingles → hashes → signatures →
+    * capped banded index) with prefixed names, for the cross-corpus
+    * join oracle — each side capped independently, exactly like
+    * Dedup.minhashJoin. */
+  private def minhashSideCtes(p: String, from: String): String =
+    s"""${p}sh AS (SELECT doc_id, ${shinglesSql()} AS shingles FROM $from
+       |  WHERE len(${shinglesSql()}) > 0),
+       |${p}hashed AS (SELECT doc_id, shingles,
+       |  list_transform(shingles, s -> ('0x' || substr(md5(s),1,8))::BIGINT) AS hs FROM ${p}sh),
+       |${p}sigs AS (SELECT doc_id, shingles,
+       |  list_transform(range(12), j -> list_min(list_transform(hs,
+       |    h -> ((1073741789 - 7919*j) * h + (15485863 * (j+1)) % 4294967311) % 4294967311))) AS sig
+       |  FROM ${p}hashed),
+       |${p}banded AS (SELECT doc_id, shingles, b,
+       |  array_to_string(sig[b*4+1:b*4+4], '_') AS key
+       |  FROM ${p}sigs, range(3) t(b)
+       |  QUALIFY COUNT(*) OVER (PARTITION BY b, key) <= 100000)""".stripMargin
+
+  private val minhashJoinSql: String =
+    s"""WITH corpus_a AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+       |corpus_b AS (SELECT doc_id + 10000 AS doc_id, text || ' zzz' AS text
+       |  FROM documents WHERE doc_id < 200 AND doc_id % 10 = 0),
+       |${minhashSideCtes("a_", "corpus_a")},
+       |${minhashSideCtes("b_", "corpus_b")},
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  a.shingles AS sh_a, b.shingles AS sh_b
+       |  FROM a_banded a JOIN b_banded b ON a.b = b.b AND a.key = b.key),
+       |scored AS (SELECT id_a, id_b,
+       |  ROUND(len(list_filter(sh_a, x -> list_contains(sh_b, x))) /
+       |    (CAST(len(sh_a) + len(sh_b) AS DOUBLE) -
+       |     len(list_filter(sh_a, x -> list_contains(sh_b, x)))), 6) AS jaccard
+       |  FROM pairs)
+       |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** LSH oracle: the full signature computation replayed in SQL. Each
     * plane's dot product is an ascending-index sum over the SAME
     * shortest-roundtrip double weights the Spark expression folds, so
@@ -560,6 +624,24 @@ object ExtensionQueries {
       s"""SELECT COUNT(*) AS n_docs, COUNT(DISTINCT $fpSql) AS n_fingerprints
          |FROM documents""".stripMargin,
     "q64_minhash_pairs" -> minhashSql,
+    "q113_minhash_join" -> minhashJoinSql,
+    "q114_contamination" ->
+      s"""WITH bench AS (SELECT DISTINCT UNNEST(${shinglesSql()}) AS g
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |docs_g AS (SELECT doc_id, UNNEST(${shinglesSql()}) AS g FROM documents)
+         |SELECT doc_id, COUNT(*) AS n_contaminated_ngrams
+         |FROM docs_g JOIN bench USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q115_unigram_nll" ->
+      s"""WITH toks AS (SELECT doc_id, UNNEST(${toksSql()}) AS t FROM documents),
+         |freq AS (SELECT t, COUNT(*) AS ct FROM toks GROUP BY t),
+         |total AS (SELECT COUNT(*) AS total FROM toks)
+         |SELECT doc_id,
+         |ROUND(CAST(SUM(CAST(-LN(ct::DOUBLE / total) AS DECIMAL(18,8))) AS DOUBLE)
+         |  / COUNT(*), 4) AS avg_nll,
+         |COUNT(*) AS n_tokens
+         |FROM toks JOIN freq USING (t) CROSS JOIN total
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q65_simhash" -> simhashSql,
     "q99_simhash_pairs" -> simhashPairsSql,
     "q107_dedup_components" -> componentsSql,

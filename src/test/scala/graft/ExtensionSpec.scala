@@ -95,6 +95,41 @@ class ExtensionSpec extends AnyFunSuite {
     assert(pairs.length == 1 && pairs(0).getLong(0) == 4L && pairs(0).getLong(1) == 5L)
   }
 
+  test("minhashJoin finds cross-corpus near-dups only (A×B, never A×A)") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today " * 3
+    val corpus = mkDocs(1L -> base.trim, 2L -> (base.trim + " aa"),
+      3L -> "totally different content with no shared trigrams at all whatsoever here")
+    val batch = mkDocs(11L -> (base.trim + " zzz"),
+      12L -> "unrelated new document about other things entirely with nothing shared")
+    val pairs = Dedup.minhashJoin(corpus, batch, "text", "doc_id", minJaccard = 0.3)
+      .sdf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet.contains((1L, 11L)) && pairs.toSet.contains((2L, 11L)))
+    // near-dup pair 1-2 WITHIN the corpus must never appear: A×B only
+    assert(pairs.forall { case (a, b) => a <= 3L && b >= 11L })
+    assert(!pairs.exists(_._2 == 12L))
+  }
+
+  test("ngramContamination counts distinct shared n-grams per doc") {
+    val corpus = mkDocs(1L -> "a b c d e", 2L -> "x y z w v", 3L -> "a b c x q")
+    val bench = mkDocs(100L -> "a b c d")
+    // bench 3-grams: {abc, bcd}; doc1 shares both, doc3 shares abc only
+    val hits = graft.operators.TextAnalytics
+      .ngramContamination(corpus, bench, "text", "doc_id")
+      .sdf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("unigramLogLoss: repetitive docs score lower than diverse ones") {
+    val d = mkDocs(1L -> "w w w w w w w w", 2L -> "q r s t u v x y")
+    val nll = graft.operators.TextAnalytics.unigramLogLoss(d, "text", "doc_id")
+      .sdf.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    spark.catalog.clearCache()
+    assert(nll(1L) < nll(2L))
+    // doc 1: p(w) = 8/16 → avg_nll = ln 2; doc 2 tokens: p = 1/16 → ln 16
+    assert(math.abs(nll(1L) - math.log(2)) < 1e-3)
+    assert(math.abs(nll(2L) - math.log(16)) < 1e-3)
+  }
+
   test("connectedComponents: min label propagates across a path graph") {
     // path 1-2-3-4 (diameter 3, needs multi-round propagation) plus an
     // island 10-11; every node must land on its component minimum
