@@ -141,6 +141,42 @@ class ExtensionSpec extends AnyFunSuite {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents fails loudly when maxIter < component diameter") {
+    val path = Df.fromRows(spark,
+      (1L to 6L).sliding(2).map(w => Row(w(0), w(1))).toSeq,
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    val e = intercept[IllegalStateException](
+      Dedup.connectedComponents(path, "id_a", "id_b", maxIter = 2).sdf.collect())
+    assert(e.getMessage.contains("not converged"))
+  }
+
+  test("chunkTokens with overlap=0 partitions tokens exactly") {
+    // property: stride == size ⇒ chunks tile the token stream — token
+    // count conservation and chunk-count closed form hold for any doc
+    val d = docs.where(col("doc_id") < 50)
+    val chunks = graft.operators.TextAnalytics
+      .chunkTokens(d, "text", "doc_id", size = 7, overlap = 0)
+    val got = chunks.sdf.groupBy("doc_id")
+      .agg(sum(col("n_tokens")).as("tok_sum"), count(lit(1)).as("n_chunks"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = d.sdf.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.keySet == expected.filter(_._2 > 0).keySet)
+    got.foreach { case (id, (tokSum, nChunks)) =>
+      assert(tokSum == expected(id))
+      assert(nChunks == (expected(id) + 6) / 7)
+    }
+  }
+
+  test("l2Normalize output has unit norm for every real embedding") {
+    import graft.functions.VectorFunctions._
+    val bad = embs.sdf
+      .select(norm(l2Normalize(col("embedding"))).as("n"))
+      .where(abs(col("n") - 1.0) > 1e-9).count()
+    assert(bad == 0)
+  }
+
   test("keepRepresentatives: singletons keep themselves, clusters keep min") {
     val docs = mkDocs(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d")
     val pairs = Df.fromRows(spark, Seq(Row(2L, 3L)),

@@ -164,6 +164,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)      // cell equi-join
   }
 
+  test("contamination and minhashJoin plan as hash joins, never cartesian") {
+    val d = Df.readParquet(spark, s"$sf/documents.parquet")
+    val bench = d.where(d("doc_id") % 50 === 0)
+    val p1 = plan(graft.operators.TextAnalytics
+      .ngramContamination(d, bench, "text", "doc_id").sdf)
+    assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoopJoin"), p1)
+    val batch = d.where(d("doc_id") % 10 === 0)
+    val p2 = plan(graft.operators.Dedup
+      .minhashJoin(d, batch, "text", "doc_id").sdf)
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"), p2)
+    spark.catalog.clearCache()
+  }
+
   test("rangeJoin plans as an equi-join on buckets, never nested-loop") {
     val li = Df.readParquet(spark, s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
