@@ -80,6 +80,34 @@ object TextAnalytics {
       .agg(count(lit(1)).as("n_contaminated_ngrams")))
   }
 
+  /** Per-document n-gram repetition statistics — the Gopher/RefinedWeb
+    * repetition rules: how much of a document is the same n-gram over
+    * and over. Emits, per doc: total n-gram occurrences, distinct
+    * n-grams, the top n-gram's occurrence count, and `dup_fraction` =
+    * 1 − distinct/total (0 = no repetition). Filter
+    * `dup_fraction > t` to drop boilerplate/spam.
+    *
+    * Relational shape: NON-distinct n-grams explode to one row each
+    * (windowed `slice`, no distinct), one (doc, gram) count aggregate,
+    * one per-doc rollup — two shuffles on the doc id, no per-row
+    * quadratic work. */
+  def repetitionStats(docs: Df, textCol: String, idCol: String, n: Int = 2): Df = {
+    val toks = tokens(col(textCol))
+    val grams = when(org.apache.spark.sql.functions.size(toks) >= n,
+      transform(sequence(lit(0), org.apache.spark.sql.functions.size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val perGram = docs.sdf
+      .select(col(idCol), explode(grams).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("ct"))
+    new Df(perGram.groupBy(col(idCol)).agg(
+      sum(col("ct")).as("n_ngrams"),
+      count(lit(1)).as("n_distinct"),
+      max(col("ct")).as("top_count"),
+      round(lit(1.0) - count(lit(1)).cast("double") / sum(col("ct")), 6)
+        .as("dup_fraction")))
+  }
+
   /** Per-document unigram negative log-likelihood (the CCNet-style LM
     * quality signal, with the corpus itself as the unigram model):
     * avg_nll = −(1/n)·Σ ln p(token), p(token) = corpus frequency.

@@ -84,12 +84,14 @@ object AnalyticsQueries {
     // ---- IVF ANN (kmeans coarse quantizer). With nprobe = nlist every
     // cell is probed, so the result provably equals brute force
     // regardless of the clustering (AsofIvfSpec) — which makes the
-    // brute-force SQL a valid exact oracle. ----
+    // brute-force SQL a valid exact oracle, INDEPENDENT of the
+    // quantizer fit; fitSample=0.25 exercises the sampled-fit path the
+    // 100 TB deployment uses (nobody fits k-means on the full corpus). ----
     "q73_ivf_topk" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
       val q = e.where(col("vec_id") < 3)
       graft.operators.Similarity.ivfTopK(q, e, "embedding", "vec_id",
-        k = 3, nlist = 8, nprobe = 8)
+        k = 3, nlist = 8, nprobe = 8, fitSample = 0.25)
         .sortValues(Seq("query_id", "rank")).sdf
     }),
 

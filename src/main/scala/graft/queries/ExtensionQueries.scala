@@ -275,6 +275,14 @@ object ExtensionQueries {
         .sortValues(Seq("doc_id")).sdf
     }),
 
+    // ---- Gopher-style n-gram repetition stats (boilerplate signal) ----
+    "q116_repetition" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      graft.operators.TextAnalytics.repetitionStats(
+        d.where(col("doc_id") < 200), "text", "doc_id", n = 2)
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
     // ---- embedding-cosine near-dup pairs (bucketed by label) ----
     "q67_embedding_dedup" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
@@ -632,6 +640,20 @@ object ExtensionQueries {
          |SELECT doc_id, COUNT(*) AS n_contaminated_ngrams
          |FROM docs_g JOIN bench USING (g)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bigram list per doc is NOT distinct (repetition is the signal);
+    // range() here is the scalar list form (lateral-safe)
+    "q116_repetition" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql()} AS toks
+         |  FROM documents WHERE doc_id < 200),
+         |g AS (SELECT doc_id,
+         |  UNNEST(list_transform(range(len(toks) - 1),
+         |    i -> array_to_string(toks[i+1:i+2], ' '))) AS g
+         |  FROM t WHERE len(toks) >= 2),
+         |per_gram AS (SELECT doc_id, g, COUNT(*) AS ct FROM g GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(ct) AS BIGINT) AS n_ngrams,
+         |COUNT(*) AS n_distinct, MAX(ct) AS top_count,
+         |ROUND(1.0 - COUNT(*) / CAST(SUM(ct) AS DOUBLE), 6) AS dup_fraction
+         |FROM per_gram GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q115_unigram_nll" ->
       s"""WITH toks AS (SELECT doc_id, UNNEST(${toksSql()}) AS t FROM documents),
          |freq AS (SELECT t, COUNT(*) AS ct FROM toks GROUP BY t),

@@ -63,6 +63,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(result.count() < spark.read.parquet(d.toString).count())
   }
 
+  test("composed streaming curation: quality filter + dedup equals batch") {
+    // the whole ingestion-side curation shape on one unbounded plan:
+    // score -> filter -> exact dedup, identical operators to the batch
+    // q85 pipeline stages
+    import graft.functions.TextFunctions._
+    val d = java.nio.file.Files.createTempDirectory("graft_curation_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"), d.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"), d.resolve("b.parquet"))
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(d.toString)
+      .withColumn("quality", qualityScore(col("text")))
+      .where(col("quality") >= 0.4)
+    val result = StreamOps.runToCompletion(
+      StreamOps.streamingExactDedup(stream, "text"), "curation_stream",
+      mode = "append")
+    val batch = spark.read.parquet(d.toString)
+      .withColumn("quality", qualityScore(col("text")))
+      .where(col("quality") >= 0.4)
+      .withColumn("__fp", fingerprint(col("text")))
+      .dropDuplicates("__fp")
+    assert(result.count() == batch.count() && result.count() > 0)
+  }
+
   test("flatMapGroupsWithState: stateful totals equal batch groupBy") {
     val stream = StreamOps.readEventsStream(spark, stageDir)
     val result = StreamOps.runToCompletion(
