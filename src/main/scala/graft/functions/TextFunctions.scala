@@ -103,17 +103,22 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(c)))).cast("binary"))
 
-  /** word n-gram shingles, distinct: `slice` windows over the token
-    * array — one pass, no explode. Documents shorter than n tokens yield
-    * an EMPTY shingle set (matching DuckDB's `range(negative)` → []): an
-    * unguarded `sequence(0, size-n)` would generate a descending sequence
-    * and crash `slice` at runtime on any real corpus with short docs. */
-  def wordShingles(c: Column, n: Int): Column = {
+  /** ALL word n-grams in stream order (duplicates kept — repetition
+    * analysis needs them): `slice` windows over the token array — one
+    * pass, no explode. Documents shorter than n tokens yield an EMPTY
+    * list (matching DuckDB's `range(negative)` → []): an unguarded
+    * `sequence(0, size-n)` would generate a descending sequence and
+    * crash `slice` at runtime on any real corpus with short docs. */
+  def wordGramsAll(c: Column, n: Int): Column = {
     val toks = tokens(c)
     when(size(toks) >= n,
-      array_distinct(
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** word n-gram shingle SET (distinct [[wordGramsAll]]) — the dedup/
+    * similarity building block. */
+  def wordShingles(c: Column, n: Int): Column =
+    array_distinct(wordGramsAll(c, n))
 }

@@ -84,6 +84,27 @@ object Dedup {
       .where(col("__bn") <= maxBucket).drop("__bn")
   }
 
+  /** Shared exact-jaccard verification tail: candidate (id_a, id_b)
+    * pairs equi-join their shingle sets back on (plain id joins —
+    * Catalyst/AQE picks broadcast when a side fits and shuffle beyond;
+    * an explicit broadcast() hint is HONORED, not gracefully dropped,
+    * and would OOM the driver at billions of docs, so no hint here),
+    * score, keep ≥ minJaccard. One definition so [[minhashPairs]] and
+    * [[minhashJoin]] can never drift. */
+  private def verifyJaccard(candidates: DataFrame, shA: DataFrame,
+                            shB: DataFrame, idCol: String,
+                            minJaccard: Double): DataFrame = {
+    val pairs = candidates
+      .join(shA.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(shB.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    pairs
+      .withColumn("jaccard", round(inter.cast("double") /
+        ((size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Exact dedup on a canonical fingerprint of the text (whitespace /
     * order / duplication-insensitive). Keeps min doc id per fingerprint. */
   def exactByFingerprint(docs: Df, textCol: String, idCol: String): Df =
@@ -128,21 +149,7 @@ object Dedup {
     val candidates = a.join(b, Seq("__band", "__key"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // verification lookup: plain equi-joins on the doc id — Catalyst/AQE
-    // picks broadcast when the per-doc shingle table fits and shuffle
-    // join beyond that. (An explicit broadcast() hint is HONORED, not
-    // gracefully dropped — at billions of docs it would OOM the driver
-    // building the broadcast relation, so no hint here.)
-    val pairs = candidates
-      .join(shingles.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
-      .join(shingles.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") -
-      size(array_intersect(col("sh_a"), col("sh_b")))
-    new Df(pairs
-      .withColumn("jaccard", round(inter / uni, 6))
-      .where(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard")))
+    new Df(verifyJaccard(candidates, shingles, shingles, idCol, minJaccard))
   }
 
   /** Cross-corpus MinHash join — INCREMENTAL dedup: which new docs are
@@ -169,16 +176,7 @@ object Dedup {
       .join(bB.select(col(idCol).as("id_b"), col("__band"), col("__key")),
         Seq("__band", "__key"))
       .select("id_a", "id_b").distinct()
-    val pairs = candidates
-      .join(shA.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
-      .join(shB.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") -
-      size(array_intersect(col("sh_a"), col("sh_b")))
-    new Df(pairs
-      .withColumn("jaccard", round(inter / uni, 6))
-      .where(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard")))
+    new Df(verifyJaccard(candidates, shA, shB, idCol, minJaccard))
   }
 
   /** 60-bit SimHash per document: bit i of the signature is the sign of

@@ -38,7 +38,11 @@ object TextAnalytics {
     * exploded per doc, `slice` re-joins each window — no UDF, no
     * shuffle, output rows carry (doc, chunk_id, chunk, n_tokens).
     * Token-less docs yield no chunks; the final chunk may be shorter
-    * than `size` (never empty). */
+    * than `size` (never empty). Starts stop at nTok − overlap − 1: a
+    * chunk starting later would contain zero NEW tokens — a pure
+    * duplicate of the previous chunk's tail, which a dedup-centric
+    * pipeline must never re-introduce (docs ≤ overlap tokens still
+    * yield their single start-0 chunk). */
   def chunkTokens(docs: Df, textCol: String, idCol: String,
                   size: Int, overlap: Int = 0): Df = {
     require(size > 0 && overlap >= 0 && overlap < size,
@@ -48,7 +52,8 @@ object TextAnalytics {
     // Generate boundary (not the raw tokenize expression), so the
     // regex split runs exactly once per row
     val nt = org.apache.spark.sql.functions.size(col("__toks"))
-    val starts = when(nt > 0, sequence(lit(0), nt - 1, lit(step)))
+    val starts = when(nt > 0,
+      sequence(lit(0), greatest(nt - overlap - 1, lit(0)), lit(step)))
       .otherwise(array().cast("array<int>"))
     new Df(docs.sdf
       .withColumn("__toks", tokens(col(textCol)))
@@ -92,13 +97,8 @@ object TextAnalytics {
     * one per-doc rollup — two shuffles on the doc id, no per-row
     * quadratic work. */
   def repetitionStats(docs: Df, textCol: String, idCol: String, n: Int = 2): Df = {
-    val toks = tokens(col(textCol))
-    val grams = when(org.apache.spark.sql.functions.size(toks) >= n,
-      transform(sequence(lit(0), org.apache.spark.sql.functions.size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
     val perGram = docs.sdf
-      .select(col(idCol), explode(grams).as("g"))
+      .select(col(idCol), explode(wordGramsAll(col(textCol), n)).as("g"))
       .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("ct"))
     new Df(perGram.groupBy(col(idCol)).agg(
       sum(col("ct")).as("n_ngrams"),

@@ -445,34 +445,28 @@ object ExtensionQueries {
        |FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 6
        |ORDER BY id_a, id_b""".stripMargin
 
-  /** MinHash oracle: full signature + banding + verify pipeline in SQL.
-    * Constants mirror graft.functions.VectorFunctions (a_j = 2^30-ish,
-    * b_j, p = 4294967311). */
-  private val minhashSql: String =
-    s"""WITH corpus AS $corpusSql,
-       |sh AS (SELECT doc_id, ${shinglesSql()} AS shingles FROM corpus
-       |  WHERE len(${shinglesSql()}) > 0),
-       |hashed AS (SELECT doc_id, shingles,
-       |  list_transform(shingles, s -> ('0x' || substr(md5(s),1,8))::BIGINT) AS hs FROM sh),
-       |sigs AS (SELECT doc_id, shingles,
-       |  list_transform(range(12), j -> list_min(list_transform(hs,
-       |    h -> ((1073741789 - 7919*j) * h + (15485863 * (j+1)) % 4294967311) % 4294967311))) AS sig
-       |  FROM hashed),
-       |banded AS (SELECT doc_id, shingles, b,
-       |  array_to_string(sig[b*4+1:b*4+4], '_') AS key
-       |  FROM sigs, range(3) t(b)
-       |  QUALIFY COUNT(*) OVER (PARTITION BY b, key) <= 100000),
-       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  a.shingles AS sh_a, b.shingles AS sh_b
-       |  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key
-       |  WHERE a.doc_id < b.doc_id),
-       |scored AS (SELECT id_a, id_b,
+  /** shared exact-jaccard verification tail over a `pairs` CTE carrying
+    * (id_a, id_b, sh_a, sh_b). Constants in [[minhashSideCtes]] mirror
+    * graft.functions.VectorFunctions (a_j = 2^30-ish, b_j, p). */
+  private val jaccardVerifySql: String =
+    s"""scored AS (SELECT id_a, id_b,
        |  ROUND(len(list_filter(sh_a, x -> list_contains(sh_b, x))) /
        |    (CAST(len(sh_a) + len(sh_b) AS DOUBLE) -
        |     len(list_filter(sh_a, x -> list_contains(sh_b, x)))), 6) AS jaccard
        |  FROM pairs)
        |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash self-join oracle: one banded chain ([[minhashSideCtes]]),
+    * self-join, verify. */
+  private val minhashSql: String =
+    s"""WITH corpus AS $corpusSql,
+       |${minhashSideCtes("", "corpus")},
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  a.shingles AS sh_a, b.shingles AS sh_b
+       |  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key
+       |  WHERE a.doc_id < b.doc_id),
+       |$jaccardVerifySql""".stripMargin
 
   /** n-gram Jaccard CTE chain mirroring Dedup.ngramJaccardPairs exactly
     * (sorted hashed shingles, prefix-filtered inverted index, full-set
@@ -554,13 +548,7 @@ object ExtensionQueries {
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |  a.shingles AS sh_a, b.shingles AS sh_b
        |  FROM a_banded a JOIN b_banded b ON a.b = b.b AND a.key = b.key),
-       |scored AS (SELECT id_a, id_b,
-       |  ROUND(len(list_filter(sh_a, x -> list_contains(sh_b, x))) /
-       |    (CAST(len(sh_a) + len(sh_b) AS DOUBLE) -
-       |     len(list_filter(sh_a, x -> list_contains(sh_b, x)))), 6) AS jaccard
-       |  FROM pairs)
-       |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
-       |ORDER BY id_a, id_b""".stripMargin
+       |$jaccardVerifySql""".stripMargin
 
   /** LSH oracle: the full signature computation replayed in SQL. Each
     * plane's dot product is an ascending-index sum over the SAME
@@ -633,12 +621,18 @@ object ExtensionQueries {
          |FROM documents""".stripMargin,
     "q64_minhash_pairs" -> minhashSql,
     "q113_minhash_join" -> minhashJoinSql,
+    // joins on the 32-bit md5-prefix hash EXACTLY like the operator
+    // (every sibling oracle replays the hash; joining raw strings would
+    // diverge on any 2^-32 collision between bench and corpus grams)
     "q114_contamination" ->
-      s"""WITH bench AS (SELECT DISTINCT UNNEST(${shinglesSql()}) AS g
-         |  FROM documents WHERE doc_id % 50 = 0),
-         |docs_g AS (SELECT doc_id, UNNEST(${shinglesSql()}) AS g FROM documents)
+      s"""WITH bench AS (SELECT DISTINCT
+         |  ('0x' || substr(md5(g),1,8))::BIGINT AS gh FROM
+         |  (SELECT UNNEST(${shinglesSql()}) AS g
+         |   FROM documents WHERE doc_id % 50 = 0)),
+         |docs_g AS (SELECT doc_id, ('0x' || substr(md5(g),1,8))::BIGINT AS gh
+         |  FROM (SELECT doc_id, UNNEST(${shinglesSql()}) AS g FROM documents))
          |SELECT doc_id, COUNT(*) AS n_contaminated_ngrams
-         |FROM docs_g JOIN bench USING (g)
+         |FROM docs_g JOIN bench USING (gh)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // bigram list per doc is NOT distinct (repetition is the signal);
     // range() here is the scalar list form (lateral-safe)
@@ -692,11 +686,14 @@ object ExtensionQueries {
          |FROM w
          |QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     // scalar range(...) + UNNEST (the table-function range rejects
-    // lateral column parameters in DuckDB)
+    // lateral column parameters in DuckDB); starts stop at len−overlap−1
+    // (range excludes its stop → +1) mirroring chunkTokens' no-pure-
+    // duplicate-tail contract
     "q112_chunk_tokens" ->
       s"""WITH t AS (SELECT doc_id, ${toksSql()} AS toks
          |  FROM documents WHERE doc_id < 100),
-         |s AS (SELECT doc_id, toks, UNNEST(range(0, len(toks), 15)) AS i
+         |s AS (SELECT doc_id, toks,
+         |  UNNEST(range(0, GREATEST(len(toks) - 6, 0) + 1, 15)) AS i
          |  FROM t WHERE len(toks) > 0)
          |SELECT doc_id, (i // 15)::INT AS chunk_id,
          |array_to_string(toks[(i+1)::INT:(i+20)::INT], ' ') AS chunk,
@@ -718,7 +715,8 @@ object ExtensionQueries {
         |n AS (SELECT vec_id, emb,
         |  sqrt(list_reduce(list_transform(emb, x -> x * x), (a, b) -> a + b)) AS nrm
         |  FROM e),
-        |x AS (SELECT vec_id, emb, nrm, UNNEST(range(len(emb))) AS i FROM n)
+        |x AS (SELECT vec_id, emb, nrm, UNNEST(range(len(emb))) AS i FROM n
+        |  WHERE nrm > 0)
         |SELECT vec_id, i::INT AS pos, ROUND(emb[(i+1)::INT] / nrm, 6) AS v
         |FROM x ORDER BY vec_id, pos""".stripMargin,
     "q105_stratified_sample" ->
