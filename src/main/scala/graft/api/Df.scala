@@ -129,6 +129,24 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   def explode(column: String): Df =
     new Df(sdf.withColumn(column, explode_outer(sdf(column))))
   /** `Sample` (`_expr.py:1055`) */
+  /** Deterministic hash split — how production pipelines cut train/val/
+    * test: bucket = first 8 md5 hex chars of the key column mod
+    * `buckets`; rows with bucket < threshold go to `matchLabel`. Stable
+    * under reshuffling, re-partitioning, and re-runs (no RNG state),
+    * portable across engines (md5, not Murmur), and adding data never
+    * moves an existing row's split. One codegen'd expression, no
+    * shuffle. */
+  def splitByHash(keyCol: String, fraction: Double,
+                  matchLabel: String = "holdout", restLabel: String = "train",
+                  out: String = "split", buckets: Int = 10000): Df = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]: $fraction")
+    val bucket = conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long") % buckets
+    new Df(sdf.withColumn(out,
+      when(bucket < (fraction * buckets).toLong, lit(matchLabel))
+        .otherwise(lit(restLabel))))
+  }
+
   /** Stratified sampling (pandas `groupby(...).sample` shape): per-value
     * fractions on a key column; strata without an entry default to 0.
     * One pass, no shuffle — each row draws against its stratum's

@@ -293,6 +293,24 @@ object Dedup {
       .select("id_a", "id_b", "jaccard"))
   }
 
+  /** Embedding near-dup pairs for UNLABELED corpora: the coarse block
+    * is a random-hyperplane LSH signature of the vector itself
+    * ([[graft.operators.Similarity.lshSignature]] — deterministic
+    * hash-derived planes, so SQL oracles replay every bucket bit),
+    * then [[embeddingCosinePairs]] runs inside those blocks. More
+    * planes → smaller blocks → cheaper + lower recall (near-dups with
+    * cosine < 1 can land in different buckets; scaled EXACT duplicates
+    * always collide — sign bits are scale-invariant). NULL vectors get
+    * a NULL signature and drop out (lshSignature's contract). */
+  def embeddingLshPairs(vecs: Df, vecCol: String, idCol: String,
+                        minCosine: Double, planes: Int = 8, dim: Int = 64,
+                        maxBucket: Int = DefaultMaxBucket): Df = {
+    val bucketed = vecs.sdf.withColumn("__bk",
+      graft.operators.Similarity.lshSignature(col(vecCol), planes, dim))
+    embeddingCosinePairs(new Df(bucketed.where(col("__bk").isNotNull)),
+      vecCol, idCol, "__bk", minCosine, maxBucket)
+  }
+
   /** Connected components over a near-dup pair graph — the dedup
     * ENDGAME: candidate pairs ([[minhashPairs]]/[[simhashPairs]]/
     * [[ngramJaccardPairs]]/[[embeddingCosinePairs]]) → clusters → one

@@ -275,6 +275,30 @@ object ExtensionQueries {
         .sortValues(Seq("doc_id")).sdf
     }),
 
+    // ---- embedding near-dup for UNLABELED corpora: LSH-signature
+    // blocks + in-block cosine; every bucket bit replayed in SQL ----
+    "q117_embedding_lsh_dedup" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val copies = e.where(col("vec_id") % 20 === 0)
+        .selectExpr("vec_id + 10000 AS vec_id",
+          "transform(embedding, x -> x * cast(0.5 as float)) AS embedding")
+      val corpus = Df.concat(Seq(e.select("vec_id", "embedding"), copies))
+      Dedup.embeddingLshPairs(corpus, "embedding", "vec_id",
+        minCosine = 0.99, planes = 8, dim = 64)
+        .sortValues(Seq("id_a", "id_b")).sdf
+    }),
+
+    // ---- deterministic hash split (train/holdout): md5-bucketed, so
+    // the EXACT assignment replays in DuckDB — counts AND key checksums ----
+    "q118_hash_split" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .splitByHash("o_orderkey", 0.1, matchLabel = "val", restLabel = "train")
+        .groupby("split")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).cast("long").as("key_sum"))
+        .sortValues(Seq("split")).sdf
+    }),
+
     // ---- Gopher-style n-gram repetition stats (boilerplate signal) ----
     "q116_repetition" -> ((s, dir) => {
       val d = T(s, dir, "documents")
@@ -554,13 +578,19 @@ object ExtensionQueries {
     * plane's dot product is an ascending-index sum over the SAME
     * shortest-roundtrip double weights the Spark expression folds, so
     * the sign bits (and hence buckets) match bit-for-bit. */
+  /** the full hyperplane-signature computation as SQL — every plane's
+    * dot an ascending-index sum over the SAME shortest-roundtrip double
+    * weights the Spark expression folds; shared by the q87 ANN oracle
+    * and the q117 LSH-bucketed dedup oracle. */
+  private def lshSigSql(e: String): String = (0 until 8).map { j =>
+    val ws = graft.operators.Similarity.planeWeights(j, 64)
+    val dot = ws.zipWithIndex
+      .map { case (w, i) => s"$e[${i + 1}]*($w)" }.mkString(" + ")
+    s"CASE WHEN ($dot) > 0 THEN ${1L << j} ELSE 0 END"
+  }.mkString(" + ")
+
   private val lshTopkSql: String = {
-    def sig(e: String): String = (0 until 8).map { j =>
-      val ws = graft.operators.Similarity.planeWeights(j, 64)
-      val dot = ws.zipWithIndex
-        .map { case (w, i) => s"$e[${i + 1}]*($w)" }.mkString(" + ")
-      s"CASE WHEN ($dot) > 0 THEN ${1L << j} ELSE 0 END"
-    }.mkString(" + ")
+    def sig(e: String): String = lshSigSql(e)
     // NULL-vector contract mirrored from lshSignature: a NULL embedding
     // gets a NULL bucket and drops out of the equi-join (bucket = bucket
     // is never true for NULL) — without the CASE the generated signature
@@ -661,6 +691,27 @@ object ExtensionQueries {
     "q65_simhash" -> simhashSql,
     "q99_simhash_pairs" -> simhashPairsSql,
     "q107_dedup_components" -> componentsSql,
+    "q117_embedding_lsh_dedup" ->
+      s"""WITH corpus0 AS (
+         |SELECT vec_id, embedding FROM embeddings
+         |UNION ALL SELECT vec_id + 10000,
+         |  list_transform(embedding, x -> x * 0.5::FLOAT)
+         |FROM embeddings WHERE vec_id % 20 = 0),
+         |b0 AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS e FROM corpus0),
+         |b AS (SELECT vec_id, embedding, ${lshSigSql("e")} AS bk FROM b0),
+         |capped AS (SELECT * FROM b
+         |  QUALIFY COUNT(*) OVER (PARTITION BY bk) <= 100000)
+         |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |ROUND(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+         |FROM capped a JOIN capped c ON a.bk = c.bk AND a.vec_id < c.vec_id
+         |WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) >= 0.99
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q118_hash_split" ->
+      """SELECT CASE WHEN
+        |  ('0x' || substr(md5(o_orderkey::VARCHAR),1,8))::BIGINT % 10000 < 1000
+        |  THEN 'val' ELSE 'train' END AS split,
+        |COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1 ORDER BY split""".stripMargin,
     "q104_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, UNNEST(${toksSql()}) AS term
          |  FROM documents WHERE doc_id < 100),

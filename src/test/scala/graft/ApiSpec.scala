@@ -176,6 +176,18 @@ class ApiSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("splitByHash is deterministic and stable under reordering") {
+    val a = li.splitByHash("l_orderkey", 0.2).sdf
+      .select("l_orderkey", "l_linenumber", "split")
+    val b = new Df(li.sdf.repartition(7)).splitByHash("l_orderkey", 0.2).sdf
+      .select("l_orderkey", "l_linenumber", "split")
+    // same key → same split, regardless of partitioning or run
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val frac = a.where(col("split") === "holdout").count().toDouble / a.count()
+    assert(math.abs(frac - 0.2) < 0.05)
+    intercept[IllegalArgumentException](li.splitByHash("l_orderkey", 1.5))
+  }
+
   test("groupby sampleN draws exactly min(n, group size) per group") {
     val g = li.select("l_orderkey", "l_returnflag").groupby("l_returnflag")
     val counts = g.sampleN(7, seed = 3L).groupby("l_returnflag").size()

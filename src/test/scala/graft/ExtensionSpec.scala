@@ -81,6 +81,21 @@ class ExtensionSpec extends AnyFunSuite {
     assert(pairs.length == 1 && pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
   }
 
+  test("embeddingLshPairs finds scaled duplicates without any label column") {
+    // sign bits are scale-invariant: v and 0.5v always share a bucket;
+    // an orthogonal vector lands elsewhere (or fails the cosine gate)
+    val rng = new scala.util.Random(13)
+    val v = Array.fill(64)(rng.nextFloat() - 0.5f)
+    val d = Df.fromRows(spark, Seq(
+      Row(1L, v.toSeq), Row(2L, v.map(_ * 0.5f).toSeq),
+      Row(3L, v.map(x => -x).toSeq)),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val pairs = Dedup.embeddingLshPairs(d, "embedding", "vec_id", minCosine = 0.99)
+      .sdf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("embeddingCosinePairs drops over-cap blocks, keeps the rest") {
     // label 0 holds 3 identical vectors (> maxBucket=2 → dropped whole),
     // label 1 holds 2 identical vectors (= cap → kept). Without the cap
