@@ -52,7 +52,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     try new Df(sdf.withColumn(name, value.col))
     catch {
       case e: org.apache.spark.sql.AnalysisException
-          if e.getErrorClass != null && e.getErrorClass.startsWith("MISSING_ATTRIBUTES") =>
+          if e.getCondition != null && e.getCondition.startsWith("MISSING_ATTRIBUTES") =>
         throw new IllegalArgumentException(
           s"assign('$name'): the Ser references columns this frame no longer " +
             s"carries (columns here: ${columns.mkString(", ")}). Re-derive the " +

@@ -143,7 +143,7 @@ object Similarity {
     def nearestCells(v: org.apache.spark.sql.Column, n: Int) =
       when(v.isNull, lit(null))
         .when(size(v) === dim,
-          slice(array_sort(array(centers.zipWithIndex.map { case (ctr, i) =>
+          slice(array_sort(array(centers.zipWithIndex.toIndexedSeq.map { case (ctr, i) =>
             struct(dist2(v, ctr).as("d"), lit(i).as("cell"))
           }: _*)), 1, n))
         .otherwise(raise_error(concat(
