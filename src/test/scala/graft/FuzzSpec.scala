@@ -88,6 +88,84 @@ class FuzzSpec extends AnyFunSuite {
     assert(d(d("v").isna).count() == 0)
   }
 
+  // ---- text/dedup operator properties over random corpora ----
+
+  private val word: Gen[String] = Gen.choose(1, 6)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val doc: Gen[List[String]] = Gen.choose(0, 40).flatMap(n =>
+    Gen.listOfN(n, Gen.frequency((5, word), (1, Gen.const("the")))))
+
+  private def mkTextDf(docs: Seq[(Long, String)]): Df =
+    Df.fromRows(spark, docs.map { case (i, t) => Row(i, t) },
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+  test("fingerprint: permutation+duplication invariant, content sensitive (random docs)") {
+    import graft.functions.TextFunctions._
+    trials(doc.suchThat(_.nonEmpty), n = 8) { toks =>
+      val seed = new scala.util.Random(toks.hashCode)
+      val shuffled = seed.shuffle(toks ++ toks.take(toks.size / 2))
+      val changed = toks.updated(0, toks.head + "x")
+      val d = mkTextDf(Seq(1L -> toks.mkString(" "),
+        2L -> shuffled.mkString("  "), 3L -> changed.mkString(" ")))
+      val fps = d.sdf.orderBy("doc_id")
+        .select(fingerprint(col("text"))).collect().map(_.getString(0))
+      assert(fps(0) == fps(1))   // order/dup/whitespace insensitive
+      assert(fps(0) != fps(2))   // content sensitive
+    }
+  }
+
+  test("chunkTokens conserves coverage for random sizes and overlaps") {
+    trials(for {
+      toks <- doc.suchThat(_.nonEmpty)
+      size <- Gen.choose(2, 12)
+      ov <- Gen.choose(0, size - 1)
+    } yield (toks, size, ov), n = 10) { case (toks, size, ov) =>
+      val d = mkTextDf(Seq(1L -> toks.mkString(" ")))
+      val rows = graft.operators.TextAnalytics
+        .chunkTokens(d, "text", "doc_id", size, ov)
+        .sdf.orderBy("chunk_id").collect()
+        .map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+      // reference: driver-side re-implementation of the contract
+      val step = size - ov
+      val starts = 0 to math.max(toks.size - ov - 1, 0) by step
+      val expect = starts.zipWithIndex.map { case (s, i) =>
+        val c = toks.slice(s, s + size); (i, c.mkString(" "), c.size) }
+      assert(rows.toSeq == expect)
+      // every token position is covered by at least one chunk
+      val covered = starts.flatMap(s => s until math.min(s + size, toks.size)).toSet
+      assert(covered == toks.indices.toSet)
+    }
+  }
+
+  test("l2Normalize is idempotent and preserves direction (random vectors)") {
+    import graft.functions.VectorFunctions._
+    val vec: Gen[List[Float]] = Gen.choose(2, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-100.0f, 100.0f)))
+    trials(vec.suchThat(v => v.exists(_ != 0.0f)), n = 8) { v =>
+      val d = Df.fromRows(spark, Seq(Row(1L, v)),
+        StructType(Seq(StructField("id", LongType),
+          StructField("e", ArrayType(FloatType)))))
+      val once = d.sdf.select(l2Normalize(col("e")).as("u"))
+      val r = once.select(norm(col("u")).as("n"),
+        round(cosine(col("u").cast("array<float>"), lit(v.toArray)), 9).as("c"))
+        .collect()(0)
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)  // unit norm
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-6)  // same direction
+    }
+  }
+
+  test("splitByHash fraction monotone: larger fraction is a superset (random keys)") {
+    trials(Gen.listOfN(40, Gen.choose(0L, 1000000L)).map(_.distinct), n = 5) { keys =>
+      val d = Df.fromRows(spark, keys.map(Row(_)),
+        StructType(Seq(StructField("k", LongType))))
+      def hold(f: Double) = d.splitByHash("k", f).sdf
+        .where(col("split") === "holdout").select("k")
+        .collect().map(_.getLong(0)).toSet
+      val small = hold(0.1); val big = hold(0.5)
+      assert(small.subsetOf(big))  // buckets nest: stable as quotas grow
+    }
+  }
+
   test("binopAligned union-of-index semantics") {
     val a = Df.fromRows(spark, Seq(Row(1L, 10.0), Row(2L, 20.0)),
       StructType(Seq(StructField("i", LongType), StructField("x", DoubleType))))
