@@ -128,33 +128,37 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * pandas keeps empty/NaN rows → explode_outer. */
   def explode(column: String): Df =
     new Df(sdf.withColumn(column, explode_outer(sdf(column))))
-  /** `Sample` (`_expr.py:1055`) */
-  /** Deterministic hash split — how production pipelines cut train/val/
-    * test: bucket = first 8 md5 hex chars of the key column mod
-    * `buckets`; rows with bucket < threshold go to `matchLabel`. Stable
-    * under reshuffling, re-partitioning, and re-runs (no RNG state),
-    * portable across engines (md5, not Murmur), and adding data never
-    * moves an existing row's split. One codegen'd expression, no
-    * shuffle. */
-  def splitByHash(keyCol: String, fraction: Double,
-                  matchLabel: String = "holdout", restLabel: String = "train",
-                  out: String = "split", buckets: Int = 10000): Df = {
-    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]: $fraction")
-    val bucket = conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8),
-      16, 10).cast("long") % buckets
-    new Df(sdf.withColumn(out,
-      when(bucket < (fraction * buckets).toLong, lit(matchLabel))
-        .otherwise(lit(restLabel))))
-  }
-
   /** Stratified sampling (pandas `groupby(...).sample` shape): per-value
     * fractions on a key column; strata without an entry default to 0.
     * One pass, no shuffle — each row draws against its stratum's
     * fraction (`DataFrameStatFunctions.sampleBy`). */
   def sampleBy(c: String, fractions: Map[Any, Double], seed: Long = 42L): Df =
     new Df(sdf.stat.sampleBy(col(c), fractions, seed))
+  /** `Sample` (`_expr.py:1055`) */
   def sample(frac: Double, replace: Boolean = false, seed: Long = 42L): Df =
     new Df(sdf.sample(replace, frac, seed))
+
+  /** Deterministic hash split — how production pipelines cut train/val/
+    * test: bucket = the canonical portable 32-bit hash
+    * ([[graft.functions.TextFunctions.hash32]], md5-prefix) of the key
+    * mod `buckets`; rows with bucket < threshold go to `matchLabel`.
+    * Stable under reshuffling, re-partitioning, and re-runs (no RNG
+    * state), portable across engines, and adding data never moves an
+    * existing row's split. The threshold ROUNDS fraction·buckets (a
+    * bare toLong would floor 0.29·10000 = 2899.9999999999995 and
+    * silently lose a whole bucket — the binary-inexactness hazard the
+    * PPJoin prefix ε-guards). One codegen'd expression, no shuffle. */
+  def splitByHash(keyCol: String, fraction: Double,
+                  matchLabel: String = "holdout", restLabel: String = "train",
+                  out: String = "split", buckets: Int = 10000): Df = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]: $fraction")
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val bucket =
+      graft.functions.TextFunctions.hash32(col(keyCol).cast("string")) % buckets
+    new Df(sdf.withColumn(out,
+      when(bucket < math.round(fraction * buckets), lit(matchLabel))
+        .otherwise(lit(restLabel))))
+  }
 
   // ---- index emulation (SURVEY.md §7.4.1) ----
   /** `SetIndex` (`_expr.py:1118`): Spark rows are unordered, so the

@@ -574,14 +574,11 @@ object ExtensionQueries {
        |  FROM a_banded a JOIN b_banded b ON a.b = b.b AND a.key = b.key),
        |$jaccardVerifySql""".stripMargin
 
-  /** LSH oracle: the full signature computation replayed in SQL. Each
-    * plane's dot product is an ascending-index sum over the SAME
-    * shortest-roundtrip double weights the Spark expression folds, so
-    * the sign bits (and hence buckets) match bit-for-bit. */
   /** the full hyperplane-signature computation as SQL — every plane's
     * dot an ascending-index sum over the SAME shortest-roundtrip double
-    * weights the Spark expression folds; shared by the q87 ANN oracle
-    * and the q117 LSH-bucketed dedup oracle. */
+    * weights the Spark expression folds, so the sign bits (and hence
+    * buckets) match bit-for-bit; shared by the q87 ANN oracle and the
+    * q117 LSH-bucketed dedup oracle. */
   private def lshSigSql(e: String): String = (0 until 8).map { j =>
     val ws = graft.operators.Similarity.planeWeights(j, 64)
     val dot = ws.zipWithIndex
@@ -589,6 +586,8 @@ object ExtensionQueries {
     s"CASE WHEN ($dot) > 0 THEN ${1L << j} ELSE 0 END"
   }.mkString(" + ")
 
+  /** LSH ANN top-k oracle: signatures via [[lshSigSql]], bucket
+    * equi-join, exact rerank. */
   private val lshTopkSql: String = {
     def sig(e: String): String = lshSigSql(e)
     // NULL-vector contract mirrored from lshSignature: a NULL embedding
@@ -698,7 +697,9 @@ object ExtensionQueries {
          |  list_transform(embedding, x -> x * 0.5::FLOAT)
          |FROM embeddings WHERE vec_id % 20 = 0),
          |b0 AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS e FROM corpus0),
-         |b AS (SELECT vec_id, embedding, ${lshSigSql("e")} AS bk FROM b0),
+         |b AS (SELECT vec_id, embedding,
+         |  (CASE WHEN e IS NULL THEN NULL ELSE ${lshSigSql("e")} END) AS bk
+         |  FROM b0),
          |capped AS (SELECT * FROM b
          |  QUALIFY COUNT(*) OVER (PARTITION BY bk) <= 100000)
          |SELECT a.vec_id AS id_a, c.vec_id AS id_b,

@@ -101,7 +101,10 @@ class FuzzSpec extends AnyFunSuite {
 
   test("fingerprint: permutation+duplication invariant, content sensitive (random docs)") {
     import graft.functions.TextFunctions._
-    trials(doc.suchThat(_.nonEmpty), n = 8) { toks =>
+    // precondition: head+"x" must not already be a token, else `changed`
+    // has the SAME token set and the sensitivity assert would misfire
+    trials(doc.suchThat(ts => ts.nonEmpty && !ts.contains(ts.head + "x")),
+      n = 8) { toks =>
       val seed = new scala.util.Random(toks.hashCode)
       val shuffled = seed.shuffle(toks ++ toks.take(toks.size / 2))
       val changed = toks.updated(0, toks.head + "x")
