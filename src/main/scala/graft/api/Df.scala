@@ -72,9 +72,19 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     new Df(sdf.withColumn(assignName, expr(sqlExpr)))
   /** pandas single-string eval (`df.eval("z = x + y")`,
     * `_expr.py:1344-1352`): split on the lone assignment `=` (not part
-    * of ==/!=/<=/>=) and delegate to the (name, expr) form. */
+    * of ==/!=/<=/>=) and delegate to the (name, expr) form. A second
+    * bare `=` in the expression is REJECTED — in pandas-eval semantics
+    * equality is `==`, and silently passing `z = x = y` to Spark SQL
+    * would bind z to the comparison `x = y`. SQL-style expressions
+    * (where `=` is equality) go through the two-arg [[eval]]. */
   def eval(stmt: String): Df = stmt match {
-    case Df.EvalAssign(name, e) => eval(name, e)
+    case Df.EvalAssign(name, e) =>
+      if (Df.BareEquals.findFirstIn(e).isDefined)
+        throw new IllegalArgumentException(
+          s"eval: chained/multiple assignment is not supported and '=' is " +
+            s"not equality in pandas-eval strings (use '==', or the " +
+            s"eval(name, sqlExpr) form for SQL semantics): '$stmt'")
+      eval(name, e)
     case _ => throw new IllegalArgumentException(
       s"eval: expected 'name = expression', got '$stmt'")
   }
@@ -228,8 +238,12 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
       s"withCatCodes('$c'): over $maxCategories distinct values — not a " +
         "categorical column. Raise maxCategories explicitly, or rank with " +
         "a keyed window/zip-with-index pipeline sized for real data.")
+    // key field taken from the PROJECTED frame so resolution follows
+    // Spark's case-sensitivity conf (a case-sensitive fields.filter
+    // would silently drop the key from the dictionary schema for
+    // differently-cased but resolvable names)
     val schema1 = StructType(
-      sdf.schema.fields.filter(_.name == c) :+ StructField(out, IntegerType))
+      sdf.select(c).schema.fields :+ StructField(out, IntegerType))
     val rows = sorted.zipWithIndex.map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }.toSeq
     val dict = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema1)
@@ -705,6 +719,8 @@ object Df {
     * identifier-then-`=` shape rejects `<=`/`>=`/`!=` comparisons. */
   private[api] val EvalAssign =
     "(?s)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=(?![=])\\s*(.+)$".r
+  /** a bare `=` (not ==, !=, <=, >=) anywhere in an eval expression */
+  private[api] val BareEquals = "(?<![=!<>])=(?!=)".r
 
   /** `ReadParquet` (`io/parquet.py:79`): column pruning + DNF filter
     * pushdown happen in Catalyst (FileSourceScan PushedFilters), the

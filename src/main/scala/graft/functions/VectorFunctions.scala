@@ -35,7 +35,11 @@ object VectorFunctions {
     * same expression-duplication hazard minhash hit with md5). */
   def l2Normalize(a: Column): Column = {
     val nrm = norm(a)
-    when(a.isNotNull && nrm > 0,
+    // !isnan guard: Spark orders NaN ABOVE every double, so NaN > 0 is
+    // TRUE — without it a vector containing NaN would pass the gate and
+    // emit an all-NaN array, the exact top-k poison the NULL contract
+    // exists to prevent
+    when(a.isNotNull && !isnan(nrm) && nrm > 0,
       zip_with(d(a), array_repeat(nrm, size(a)), (x, n) => x / n))
   }
 

@@ -357,14 +357,29 @@ object Dedup {
       labels = updated.select(col("id"), col("next").as("cluster"))
       i += 1
     }
+    // the loop's `changed` lags by a round: the FINAL propagation can
+    // both apply the last updates and report changed > 0, so a run at
+    // maxIter == diameter would look unconverged while the labels are
+    // already final. One residual check (an aggregate, not a collect)
+    // distinguishes truly-unfinished from just-finished.
+    if (changed > 0) {
+      val residual = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("nl")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nbr_min"))
+        .join(labels, Seq("id"))
+        .where(col("nbr_min") < col("cluster")).count()
+      if (residual > 0) {
+        edges.unpersist()
+        // fail loudly: labels from a stopped-early run are INCONSISTENT
+        // (one component, several cluster ids) and downstream dedup
+        // would silently keep duplicates
+        throw new IllegalStateException(
+          s"connectedComponents: not converged after $maxIter rounds " +
+            s"($residual labels still pending) — a component's diameter " +
+            "exceeds maxIter; raise it (rounds needed = max component diameter)")
+      }
+    }
     edges.unpersist()
-    // fail loudly on non-convergence: labels from a stopped-early run
-    // are INCONSISTENT (one component reports several cluster ids) and
-    // downstream dedup would silently keep duplicates
-    if (changed > 0) throw new IllegalStateException(
-      s"connectedComponents: not converged after $maxIter rounds " +
-        s"($changed labels still changing) — a component's diameter " +
-        "exceeds maxIter; raise it (rounds needed = max component diameter)")
     new Df(labels)
   }
 

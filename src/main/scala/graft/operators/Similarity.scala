@@ -84,11 +84,13 @@ object Similarity {
     // goes null, every bit takes the otherwise-branch, and ALL rows
     // silently collapse into bucket 0 — turning the bucketed join into
     // a full cross join. Fail loudly instead — but only for GENUINE
-    // mismatches: a NULL vector is an undefined input, not a schema
-    // bug, so it yields a NULL signature and drops out of the bucket
-    // equi-join (same contract as graft_cosine: undefined → NULL,
-    // never a job-killing error at 100 TB).
-    when(vec.isNull, lit(null).cast("long"))
+    // mismatches: a NULL vector (or one carrying a NULL element, whose
+    // dots also go null → every bit 0 → bucket-0 collapse) is an
+    // undefined input, not a schema bug, so it yields a NULL signature
+    // and drops out of the bucket equi-join (same contract as
+    // graft_cosine: undefined → NULL, never a job-killing error at
+    // 100 TB).
+    when(vec.isNull || exists(vec, _.isNull), lit(null).cast("long"))
       .when(size(vec) === dim, bits.reduce(_ + _))
       .otherwise(raise_error(concat(
         lit(s"lshSignature: expected dim=$dim, got vector of length "),
@@ -119,11 +121,12 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     graft.plans.GraftFunctions.register(queries.spark)
     val c = corpus.sdf.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
-    // NULL vectors are excluded from the fit (MLlib rejects null
-    // features); they are dropped from the search below too — same
-    // undefined-input contract as lshSignature
+    // NULL vectors and vectors carrying NULL elements are excluded from
+    // the fit (array_to_vector/MLlib reject them at runtime); they are
+    // dropped from the search below too — same undefined-input contract
+    // as lshSignature
     val fitInput = (if (fitSample >= 1.0) c else c.sample(fitSample, 42L))
-      .where(col("c_vec").isNotNull)
+      .where(col("c_vec").isNotNull && !exists(col("c_vec"), _.isNull))
       .select(array_to_vector(col("c_vec")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features").fit(fitInput)
@@ -134,14 +137,14 @@ object Similarity {
     def dist2(v: org.apache.spark.sql.Column, ctr: Array[Double]) =
       aggregate(zip_with(v, lit(ctr), (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
         lit(0.0), (acc, t) => acc + t)
-    // same undefined-input contract as lshSignature: NULL vector → NULL
-    // cells (row drops out of the cell equi-join / probe explode), a
-    // GENUINE dim mismatch vs the fitted centroids fails loudly — an
-    // unguarded NULL distance would otherwise sort to cell 0 (struct
-    // ordering treats the NULL field as smallest) and silently pair
-    // undefined rows with real queries.
+    // same undefined-input contract as lshSignature: a NULL vector OR a
+    // vector with a NULL element → NULL cells (row drops out of the
+    // cell equi-join / probe explode), a GENUINE dim mismatch vs the
+    // fitted centroids fails loudly — an unguarded NULL distance would
+    // otherwise sort to cell 0 (struct ordering treats the NULL field
+    // as smallest) and silently pair undefined rows with real queries.
     def nearestCells(v: org.apache.spark.sql.Column, n: Int) =
-      when(v.isNull, lit(null))
+      when(v.isNull || exists(v, _.isNull), lit(null))
         .when(size(v) === dim,
           slice(array_sort(array(centers.zipWithIndex.toIndexedSeq.map { case (ctr, i) =>
             struct(dist2(v, ctr).as("d"), lit(i).as("cell"))
@@ -171,6 +174,12 @@ object Similarity {
     val exploded = vecs.sdf
       .where(col(vecCol).isNotNull)
       .select(col(keyCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      // undefined/corrupt elements (NULL, NaN, |x| ≥ 1e18 — beyond any
+      // unit-scale embedding and beyond DECIMAL(28,10)) are dropped
+      // from BOTH sum and divisor: an unfiltered NULL would be skipped
+      // by sum but counted by count (silently wrong centroid), and an
+      // over-range cast would kill the job under ANSI
+      .where(col("v").isNotNull && !isnan(col("v")) && abs(col("v")) < 1e18)
     new Df(exploded.groupBy(col(keyCol), col("pos"))
       .agg(round(sum(col("v").cast("double").cast("decimal(28,10)")).cast("double") /
         count(lit(1)), 6).as("centroid")))

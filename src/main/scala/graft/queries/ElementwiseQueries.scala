@@ -157,15 +157,16 @@ object ElementwiseQueries {
 
     // ---- Sample (`_expr.py:1055`): seeded; engines' RNGs differ, so
     // the oracle checks DERIVED INVARIANTS instead of replaying rows:
-    // the sample is a subset of the source (n_outside = 0) and its size
-    // sits inside exact 6σ Bernoulli bounds (mean n·p, var n·p(1−p))
-    // computed from the source count — the strongest check available
-    // for an operator whose output is RNG-dependent by design. The raw
-    // sampled rows stay spec-covered in ApiSpec. ----
+    // every sampled key exists in an INDEPENDENTLY-SCANNED copy of the
+    // source (a same-lineage anti-join would be empty by construction
+    // and verify nothing), and the sample size sits inside exact 6σ
+    // Bernoulli bounds (mean n·p, var n·p(1−p)) computed from the
+    // source count. The raw sampled rows stay spec-covered in ApiSpec. ----
     "q27_sample" -> ((s, dir) => {
       val o = T(s, dir, "orders").select("o_orderkey")
       val samp = o.sample(0.1, replace = false, seed = 42L)
-      val outside = samp.sdf.join(o.sdf, Seq("o_orderkey"), "left_anti")
+      val freshScan = T(s, dir, "orders").select("o_orderkey")
+      val outside = samp.sdf.join(freshScan.sdf, Seq("o_orderkey"), "left_anti")
         .agg(count(lit(1)).as("n_outside"))
       val nSamp = samp.sdf.agg(count(lit(1)).as("n_samp"))
       val nSrc = o.sdf.agg(count(lit(1)).as("n_src"))

@@ -147,13 +147,17 @@ object ExtensionQueries {
 
     // ---- per-group exact-n sampling (pandas groupby.sample): the draw
     // is engine-RNG, the COUNT contract is exact — every group yields
-    // LEAST(n, group size) rows, all contained in the source ----
+    // LEAST(n, group size) rows, all present in an independently-
+    // scanned copy of the source (a same-lineage anti-join would be
+    // vacuous) ----
     "q109_group_sample" -> ((s, dir) => {
       val o = T(s, dir, "orders").select("o_orderkey", "o_orderpriority")
       val samp = o.groupby("o_orderpriority").sampleN(40, seed = 11L)
       val src = o.sdf.groupBy("o_orderpriority").agg(count(lit(1)).as("n_src"))
       val got = samp.sdf.groupBy("o_orderpriority").agg(count(lit(1)).as("n_samp"))
-      val outside = samp.sdf.join(o.sdf, Seq("o_orderkey", "o_orderpriority"), "left_anti")
+      val freshScan = T(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      val outside = samp.sdf
+        .join(freshScan.sdf, Seq("o_orderkey", "o_orderpriority"), "left_anti")
         .agg(count(lit(1)).as("n_outside"))
       src.join(got, Seq("o_orderpriority"), "left")
         .withColumn("ok",
@@ -590,13 +594,14 @@ object ExtensionQueries {
     * equi-join, exact rerank. */
   private val lshTopkSql: String = {
     def sig(e: String): String = lshSigSql(e)
-    // NULL-vector contract mirrored from lshSignature: a NULL embedding
-    // gets a NULL bucket and drops out of the equi-join (bucket = bucket
-    // is never true for NULL) — without the CASE the generated signature
-    // would map NULL to bucket 0 and keep the row, diverging from Spark
-    // on any corpus with NULL vectors.
+    // NULL contract mirrored from lshSignature: a NULL embedding OR one
+    // carrying a NULL element gets a NULL bucket and drops out of the
+    // equi-join (bucket = bucket is never true for NULL) — without the
+    // CASE the generated signature would map them to bucket 0 and keep
+    // the row, diverging from Spark on any corpus with NULL vectors.
     s"""WITH b AS (SELECT vec_id, e,
-       |  (CASE WHEN e IS NULL THEN NULL ELSE ${sig("e")} END) AS bucket FROM
+       |  (CASE WHEN e IS NULL OR len(list_filter(e, x -> x IS NULL)) > 0
+       |   THEN NULL ELSE ${sig("e")} END) AS bucket FROM
        |  (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),
        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
        |ROUND(list_cosine_similarity(q.e, c.e), 6) AS cosine,
@@ -698,7 +703,8 @@ object ExtensionQueries {
          |FROM embeddings WHERE vec_id % 20 = 0),
          |b0 AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS e FROM corpus0),
          |b AS (SELECT vec_id, embedding,
-         |  (CASE WHEN e IS NULL THEN NULL ELSE ${lshSigSql("e")} END) AS bk
+         |  (CASE WHEN e IS NULL OR len(list_filter(e, x -> x IS NULL)) > 0
+         |   THEN NULL ELSE ${lshSigSql("e")} END) AS bk
          |  FROM b0),
          |capped AS (SELECT * FROM b
          |  QUALIFY COUNT(*) OVER (PARTITION BY bk) <= 100000)
@@ -754,11 +760,16 @@ object ExtensionQueries {
     "q109_group_sample" ->
       """SELECT COUNT(DISTINCT o_orderpriority) AS n_groups,
         |TRUE AS counts_exact, 0::BIGINT AS n_outside FROM orders""".stripMargin,
+    // the WHERE mirrors meanPool's corrupt-element drop (NULL / NaN /
+    // |x| ≥ 1e18 leave both the sum and the divisor)
     "q110_mean_pool" ->
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings),
-        |x AS (SELECT label, emb, UNNEST(range(len(emb))) AS i FROM e)
+        |x0 AS (SELECT label, emb, UNNEST(range(len(emb))) AS i FROM e),
+        |x AS (SELECT label, i, emb[(i+1)::INT] AS v FROM x0
+        |  WHERE emb[(i+1)::INT] IS NOT NULL AND NOT isnan(emb[(i+1)::INT])
+        |    AND abs(emb[(i+1)::INT]) < 1e18)
         |SELECT label, i::INT AS pos,
-        |ROUND(CAST(SUM(CAST(emb[(i+1)::INT] AS DECIMAL(28,10))) AS DOUBLE)
+        |ROUND(CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE)
         |  / COUNT(*), 6) AS centroid
         |FROM x GROUP BY label, i ORDER BY label, pos""".stripMargin,
     "q111_l2_normalize" ->

@@ -241,6 +241,9 @@ class ApiSpec extends AnyFunSuite {
     assert(cmp == 1)
     val e = intercept[IllegalArgumentException](d.eval("x <= 3"))
     assert(e.getMessage.contains("name = expression"))
+    // a second bare '=' must not silently become SQL equality
+    val e2 = intercept[IllegalArgumentException](d.eval("z = x = 3"))
+    assert(e2.getMessage.contains("=="))
   }
 
   test("assign with stale Ser fails fast with lineage-rule message") {

@@ -233,26 +233,52 @@ class ExtensionSpec extends AnyFunSuite {
       graft.operators.TextAnalytics.chunkTokens(d, "text", "doc_id", 4, 4))
   }
 
-  test("l2Normalize: unit norm, NULL for null/zero-norm vectors") {
+  test("l2Normalize: unit norm, NULL for null/zero-norm/NaN vectors") {
     import graft.functions.VectorFunctions._
     val d = Df.fromRows(spark, Seq(
-      Row(1L, Seq(3f, 4f)), Row(2L, Seq(0f, 0f)), Row(3L, null)),
+      Row(1L, Seq(3f, 4f)), Row(2L, Seq(0f, 0f)), Row(3L, null),
+      Row(4L, Seq(Float.NaN, 1f))),
       StructType(Seq(StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType)))))
     val out = d.sdf.select(col("vec_id"), l2Normalize(col("embedding")).as("u"))
       .orderBy("vec_id").collect()
     assert(out(0).getSeq[Double](1) == Seq(0.6, 0.8))
-    assert(out(1).isNullAt(1) && out(2).isNullAt(1))
+    // zero-norm, NULL, and NaN-bearing vectors all go NULL — Spark
+    // orders NaN above every double, so an unguarded NaN would pass
+    // the norm > 0 gate and poison downstream top-k
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1) && out(3).isNullAt(1))
   }
 
-  test("meanPool averages per (key, position)") {
+  test("meanPool averages per (key, position); corrupt elements leave sum AND divisor") {
     val d = Df.fromRows(spark, Seq(
-      Row(1L, Seq(1f, 2f), "a"), Row(2L, Seq(3f, 6f), "a"), Row(3L, Seq(10f, 0f), "b")),
+      Row(1L, Seq(1f, 2f), "a"), Row(2L, Seq(3f, 6f), "a"), Row(3L, Seq(10f, 0f), "b"),
+      Row(4L, Seq(Float.NaN, null.asInstanceOf[java.lang.Float]), "b")),
       StructType(Seq(StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType)), StructField("label", StringType))))
     val m = graft.operators.Similarity.meanPool(d, "embedding", "label")
       .sdf.collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // the NaN/null elements of doc 4 contribute to NEITHER the sum nor
+    // the count, so label b's centroid is doc 3 alone
     assert(m == Map(("a", 0) -> 2.0, ("a", 1) -> 4.0, ("b", 0) -> 10.0, ("b", 1) -> 0.0))
+  }
+
+  test("lshSignature and ivfTopK drop vectors carrying a NULL element") {
+    val rng = new scala.util.Random(5)
+    val good = Array.fill(64)(rng.nextFloat() - 0.5f)
+    val good2 = Array.fill(64)(rng.nextFloat() - 0.5f)
+    val d = Df.fromRows(spark, Seq(
+      Row(1L, good.toSeq), Row(3L, good2.toSeq),
+      Row(2L, (null.asInstanceOf[java.lang.Float] +: good.tail.map(java.lang.Float.valueOf)).toSeq)),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val sigs = d.sdf.select(col("vec_id"),
+      Similarity.lshSignature(col("embedding"), 8, 64).as("s"))
+      .orderBy("vec_id").collect()
+    assert(!sigs(0).isNullAt(1))
+    assert(sigs(1).isNullAt(1)) // NULL element → NULL signature, not bucket 0
+    val ivf = Similarity.ivfTopK(d.where(col("vec_id") === 1L), d,
+      "embedding", "vec_id", k = 2, nlist = 2, nprobe = 2).sdf.collect()
+    assert(ivf.map(_.getLong(2)).forall(_ != 2L))
   }
 
   test("bruteForceTopK ranks by cosine with id tiebreak") {
