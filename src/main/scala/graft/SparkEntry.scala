@@ -18,10 +18,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.defs ++ ElementwiseQueries.defs ++ ReductionQueries.defs ++
       JoinQueries.defs ++ WindowQueries.defs ++ ExtensionQueries.defs ++
-      AnalyticsQueries.defs ++ CoverageQueries.defs ++ CoverageQueries.defs2
+      AnalyticsQueries.defs ++ CoverageQueries.defs ++ CoverageQueries.defs2 ++
+      CurationQueries.defs
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ElementwiseQueries.oracles ++ ReductionQueries.oracles ++
       JoinQueries.oracles ++ WindowQueries.oracles ++ ExtensionQueries.oracles ++
-      AnalyticsQueries.oracles ++ CoverageQueries.oracles ++ CoverageQueries.oracles2
+      AnalyticsQueries.oracles ++ CoverageQueries.oracles ++ CoverageQueries.oracles2 ++
+      CurationQueries.oracles
 }

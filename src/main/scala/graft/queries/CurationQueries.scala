@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.api.Df
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+import QueryUtil._
+
+/** Corpus-curation suite (q119–q122): PII redaction, domain blocklist
+  * filtering, corpus-level line dedup, character entropy.
+  *
+  * The synthetic corpus contains no PII/URLs/newlines, so each query
+  * first AUGMENTS the text deterministically from `doc_id` (emails,
+  * IPs, URLs, line structure built by the same SQL in both engines) —
+  * the oracle then checks the operator end-to-end on content that
+  * actually exercises it, not on a vacuous all-zeros table.
+  */
+object CurationQueries {
+
+  /** deterministic PII injection: one email + one IP per doc, an
+    * SSN-shaped id on every third doc */
+  private val piiAug =
+    """concat(text, ' contact user', CAST(doc_id AS STRING),
+      |'@example.com ip 10.', CAST(doc_id % 256 AS STRING), '.0.',
+      |CAST((doc_id * 7) % 256 AS STRING),
+      |CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END)""".stripMargin
+  // single-line on purpose: these fragments interpolate into oracle
+  // strings whose OUTER stripMargin would strip the first `|` of a
+  // line-leading `||`, silently turning concat into bitwise-or
+  private val piiAugSql =
+    "text || ' contact user' || doc_id::VARCHAR || '@example.com ip 10.' || " +
+      "(doc_id % 256)::VARCHAR || '.0.' || ((doc_id * 7) % 256)::VARCHAR || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END)"
+
+  /** deterministic URL injection: one of five site hosts (doc_id % 5)
+    * plus a CDN host shared by every doc */
+  private val urlAug =
+    """concat(text, ' see https://site', CAST(doc_id % 5 AS STRING),
+      |'.example.com/p/', CAST(doc_id AS STRING),
+      |' and http://cdn.example.org/x')""".stripMargin
+  private val urlAugSql =
+    "text || ' see https://site' || (doc_id % 5)::VARCHAR || " +
+      "'.example.com/p/' || doc_id::VARCHAR || ' and http://cdn.example.org/x'"
+
+  /** deterministic line structure: original text, a footer shared by
+    * EVERY doc (the boilerplate line dedup must strip), and a per-doc
+    * unique line (so no doc dedups to empty) */
+  private val lineAug =
+    """concat(text, chr(10), 'shared boilerplate footer', chr(10),
+      |'doc specific ', CAST(doc_id AS STRING))""".stripMargin
+  private val lineAugSql =
+    "text || chr(10) || 'shared boilerplate footer' || chr(10) || " +
+      "'doc specific ' || doc_id::VARCHAR"
+
+  val defs: Map[String, Q] = Map(
+    // ---- PII audit + redaction: counts from the original text, the
+    // redacted text itself hash-compared end-to-end ----
+    "q119_pii_redact" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val aug = new Df(d.where(col("doc_id") < 100).sdf
+        .selectExpr("doc_id", s"$piiAug AS text"))
+      Curation.piiStats(aug, "text", "doc_id")
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- domain extraction + blocklist filter: docs linking to
+    // site0.example.com (doc_id % 5 = 0) are dropped, then the
+    // surviving per-domain doc counts are compared ----
+    "q120_domain_filter" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val aug = new Df(d.sdf.selectExpr("doc_id", s"$urlAug AS text"))
+      val kept = Curation.dropByDomain(aug, "text", Seq("site0.example.com"))
+      new Df(Curation.extractDomains(kept, "text", "doc_id").sdf
+        .groupBy(col("domain")).agg(count(lit(1)).as("n_docs")))
+        .sortValues(Seq("domain")).sdf
+    }),
+
+    // ---- corpus-level exact line dedup (C4 rule): the shared footer
+    // survives only in the globally-first doc; duplicated base texts
+    // (the documents table has exact dups) keep one copy ----
+    "q121_line_dedup" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val aug = new Df(d.sdf.selectExpr("doc_id", s"$lineAug AS text"))
+      Curation.dedupLines(aug, "text", "doc_id")
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- character-distribution entropy quality signal ----
+    "q122_char_entropy" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Curation.charEntropy(d.where(col("doc_id") < 200), "text", "doc_id")
+        .sortValues(Seq("doc_id")).sdf
+    }))
+
+  val oracles: Map[String, String] = Map(
+    // patterns are single-sourced from Curation.* so the oracle can
+    // never drift from the operator; counts via len(regexp_extract_all),
+    // replacement with the 'g' flag (DuckDB defaults to first-match)
+    "q119_pii_redact" ->
+      s"""WITH src AS (SELECT doc_id, $piiAugSql AS text
+         |FROM documents WHERE doc_id < 100)
+         |SELECT doc_id,
+         |len(regexp_extract_all(text, '${Curation.EmailRe}')) AS n_emails,
+         |len(regexp_extract_all(text, '${Curation.Ipv4Re}')) AS n_ips,
+         |len(regexp_extract_all(text, '${Curation.IdRe}')) AS n_ids,
+         |regexp_replace(regexp_replace(regexp_replace(text,
+         |  '${Curation.EmailRe}', '<EMAIL>', 'g'),
+         |  '${Curation.Ipv4Re}', '<IP>', 'g'),
+         |  '${Curation.IdRe}', '<ID>', 'g') AS redacted
+         |FROM src ORDER BY doc_id""".stripMargin,
+    "q120_domain_filter" ->
+      s"""WITH src AS (SELECT doc_id, $urlAugSql AS t FROM documents),
+         |doms AS (SELECT doc_id, UNNEST(list_distinct(
+         |  regexp_extract_all(t, '${Curation.UrlDomainRe}', 1))) AS domain
+         |  FROM src),
+         |blocked AS (SELECT DISTINCT doc_id FROM doms
+         |  WHERE domain IN ('site0.example.com'))
+         |SELECT domain, COUNT(*) AS n_docs FROM doms
+         |WHERE doc_id NOT IN (SELECT doc_id FROM blocked)
+         |GROUP BY domain ORDER BY domain""".stripMargin,
+    // joins on the 32-bit md5-prefix line hash EXACTLY like the
+    // operator (the q114 convention: raw-string comparison would
+    // diverge from the operator on any 2^-32 hash collision)
+    "q121_line_dedup" ->
+      s"""WITH src AS (SELECT doc_id, $lineAugSql AS t FROM documents),
+         |ls0 AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM src),
+         |lx AS (SELECT doc_id, UNNEST(range(len(ls))) AS p, ls FROM ls0),
+         |l AS (SELECT doc_id, p::INT AS pos, ls[(p+1)::INT] AS line FROM lx),
+         |h AS (SELECT doc_id, pos, line,
+         |  ('0x' || substr(md5(line),1,8))::BIGINT AS lh FROM l),
+         |kept AS (SELECT * FROM h
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY lh ORDER BY doc_id, pos) = 1),
+         |reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |  string_agg(line, chr(10) ORDER BY pos) AS text
+         |  FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM h GROUP BY doc_id)
+         |SELECT tot.doc_id, tot.n_lines,
+         |COALESCE(reb.n_kept, 0)::BIGINT AS n_kept,
+         |COALESCE(reb.text, '') AS text
+         |FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
+         |ORDER BY tot.doc_id""".stripMargin,
+    // H = ln n − (Σ ct·ln ct)/n with decimal-cast terms (order-
+    // independent sum) and ROUND 4 absorbing the libm ulp spread
+    "q122_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '(?s).')) AS c
+        |  FROM documents WHERE doc_id < 200),
+        |pc AS (SELECT doc_id, c, COUNT(*) AS ct FROM ch GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(ct) AS BIGINT) AS n_chars,
+        |ROUND(LN(CAST(SUM(ct) AS DOUBLE)) -
+        |  CAST(SUM(CAST(ct * LN(ct::DOUBLE) AS DECIMAL(18,8))) AS DOUBLE)
+        |  / SUM(ct), 4) AS entropy
+        |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}
