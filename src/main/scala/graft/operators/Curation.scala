@@ -107,6 +107,75 @@ object Curation {
       .withColumn(textCol, coalesce(col(textCol), lit(""))))
   }
 
+  /** Token-budget sequence packing — assign each document to a fixed-
+    * size training "pack" (context-window bin). Documents are hash-
+    * sharded ([[graft.functions.TextFunctions.hash32]] of the id, the
+    * [[graft.api.Df.splitByHash]] convention), then packed WITHIN each
+    * shard in id order: a doc's pack is the bin containing its first
+    * token under the running token prefix sum (`prefix div budget` —
+    * integral `div`, never a float divide whose 2^53 ceiling a corpus-
+    * scale prefix sum would cross). A doc longer than `budget` occupies
+    * the bin where it starts and pushes followers over — the streaming
+    * concatenate-then-cut rule.
+    *
+    * Scale shape: the within-shard prefix sum is a window over
+    * (shard, id) — parallelism = `shards`, each shard task streams its
+    * slice in sorted order; there is NO keyless global window (the
+    * single-task funnel [[graft.api.Df.withRowIndex]] warns about).
+    * Global pack identity is the PAIR (shard, pack). Requires a unique
+    * `idCol` for a deterministic order; re-runs and repartitions cannot
+    * move a doc between packs. */
+  def packSequences(docs: Df, textCol: String, idCol: String,
+                    budget: Int, shards: Int = 256): Df = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(shards > 0, s"shards must be positive: $shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    new Df(docs.sdf
+      .select(col(idCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        (hash32(col(idCol).cast("string")) % shards).cast("int").as("shard"))
+      .withColumn("__pre", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack", expr(s"CAST(__pre div $budget AS BIGINT)"))
+      .drop("__pre"))
+  }
+
+  /** Deterministic corpus mixing: downsample so the `sourceCol`
+    * distribution of the OUTPUT matches the target `weights` (the
+    * domain-mixture step before training). The largest feasible total
+    * is T = min over sources of n_s/w_s (no source is ever UPsampled —
+    * duplication is the dedup family's enemy); each source then keeps
+    * fraction w_s·T/n_s of its rows by the [[graft.api.Df.splitByHash]]
+    * hash rule, so the sample is stable under re-runs, reshuffles, and
+    * appends. Sources absent from `weights` are dropped (weight 0).
+    *
+    * Fully declarative — NO driver-side collect: per-source counts are
+    * one partial+final aggregate (rows = source cardinality), the
+    * feasibility scalar T rides a broadcast 1-row cross join (the
+    * [[graft.api.Df]] scalar convention), and the keep-filter is a
+    * broadcast map-side semi-join — the 100 TB scan is one pass. */
+  def mixCorpora(docs: Df, sourceCol: String, idCol: String,
+                 weights: Map[String, Double], buckets: Int = 10000): Df = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ > 0), s"weights must be positive: $weights")
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val s = docs.spark
+    import s.implicits._
+    val wdf = weights.toSeq.toDF(sourceCol, "__w")
+    val counts = docs.sdf.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .join(broadcast(wdf), Seq(sourceCol))
+    val t = counts.agg(min(col("__n") / col("__w")).as("__t"))
+    val fracs = counts.crossJoin(broadcast(t))
+      .select(col(sourceCol),
+        least(col("__w") * col("__t") / col("__n"), lit(1.0)).as("__f"))
+    new Df(docs.sdf.join(broadcast(fracs), Seq(sourceCol))
+      .where(hash32(col(idCol).cast("string")) % buckets <
+        round(col("__f") * buckets).cast("long"))
+      .drop("__f"))
+  }
+
   /** Shannon entropy (nats) of the per-document CHARACTER distribution —
     * the cheap gibberish/boilerplate signal: natural text sits around
     * 2.5–3.5, single-char spam near 0, uniform noise near ln(alphabet).

@@ -396,6 +396,36 @@ object Dedup {
       .drop("cluster"))
   }
 
+  /** Exact edit-distance verification of candidate near-dup pairs — the
+    * precision tail for ANY blocker in this file ([[minhashPairs]]/
+    * [[simhashPairs]]/length blocking): join texts back onto the (id_a,
+    * id_b) pairs, keep pairs with Levenshtein distance ≤ `maxDist`, and
+    * score `edit_sim` = 1 − dist/max(len) (1.0 for two empty texts —
+    * the unguarded 0/0 would THROW under ANSI mode).
+    *
+    * Scale notes: Levenshtein is O(len_a·len_b) per pair — this is a
+    * post-blocking VERIFIER for short texts, never a corpus self-join;
+    * Spark's thresholded `levenshtein(l, r, maxDist)` banded DP stops
+    * early (O(maxDist·len)) and returns −1 above the threshold. The
+    * text join-backs are plain id equi-joins (AQE broadcasts while a
+    * side fits — the [[verifyJaccard]] no-hint rationale). */
+  def editDistancePairs(pairs: Df, docs: Df, textCol: String, idCol: String,
+                        maxDist: Int): Df = {
+    require(maxDist >= 0, s"maxDist must be non-negative: $maxDist")
+    val t = docs.sdf.select(col(idCol), col(textCol))
+    val joined = pairs.sdf
+      .join(t.select(col(idCol).as("id_a"), col(textCol).as("__ta")), Seq("id_a"))
+      .join(t.select(col(idCol).as("id_b"), col(textCol).as("__tb")), Seq("id_b"))
+    val maxLen = greatest(length(col("__ta")), length(col("__tb")))
+    new Df(joined
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb"), maxDist))
+      .where(col("edit_dist") >= 0)
+      .withColumn("edit_sim", when(maxLen > 0,
+        round(lit(1.0) - col("edit_dist").cast("double") / maxLen, 6))
+        .otherwise(lit(1.0)))
+      .drop("__ta", "__tb"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a coarse bucket column
     * (label, LSH bucket, …) so the pairwise check never crosses buckets.
     * Null bucket values form their OWN block (sentinel-coalesced): an

@@ -89,6 +89,47 @@ object CurationQueries {
       val d = T(s, dir, "documents")
       Curation.charEntropy(d.where(col("doc_id") < 200), "text", "doc_id")
         .sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- token-budget sequence packing: hash-shard then pack in id
+    // order; global pack identity = (shard, pack) ----
+    "q123_pack_sequences" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Curation.packSequences(d, "text", "doc_id", budget = 512, shards = 8)
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- corpus mixing to target lang weights: T = min(n/w) caps the
+    // total (never upsamples), hash rule picks the kept rows; es/zh
+    // have no weight and are dropped entirely ----
+    "q124_mix_corpora" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Curation.mixCorpora(d, "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))
+        .select("doc_id", "lang").sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- edit-distance verification: the corpus has no near-dups
+    // (min equal-length pair distance is 44), so near-dup VARIANTS are
+    // injected — doc i+1000 = doc i plus an x-run of length i%40, an
+    // exactly-known edit distance straddling the threshold. Candidates
+    // pair each doc with its own variant (distance i%40: kept iff
+    // ≤ 25) and with its neighbor's variant (unrelated texts — the
+    // drop path) ----
+    "q125_edit_distance" -> ((s, dir) => {
+      val d = T(s, dir, "documents").where(col("doc_id") < 80)
+      val base = d.sdf.select(col("doc_id"), col("text"))
+      val vars = d.sdf.select((col("doc_id") + 1000).as("doc_id"),
+        concat(col("text"),
+          expr("repeat('x', CAST(doc_id % 40 AS INT))")).as("text"))
+      val corpus = new Df(base.union(vars))
+      val cand = new Df(
+        d.sdf.select(col("doc_id").as("id_a"), (col("doc_id") + 1000).as("id_b"))
+          .union(d.sdf.select(col("doc_id").as("id_a"),
+            (lit(1000L) + (col("doc_id") + 1) % 80).as("id_b"))))
+      graft.operators.Dedup.editDistancePairs(cand, corpus, "text", "doc_id",
+        maxDist = 25)
+        .sortValues(Seq("id_a", "id_b")).sdf
     }))
 
   val oracles: Map[String, String] = Map(
@@ -148,5 +189,54 @@ object CurationQueries {
         |ROUND(LN(CAST(SUM(ct) AS DOUBLE)) -
         |  CAST(SUM(CAST(ct * LN(ct::DOUBLE) AS DECIMAL(18,8))) AS DOUBLE)
         |  / SUM(ct), 4) AS entropy
-        |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // whitespace-run token count (the toksSql convention) + the same
+    // md5-prefix hash shard as Df.splitByHash; prefix sum BEFORE the
+    // doc, integral // division — mirrors packSequences exactly
+    "q123_pack_sequences" ->
+      """WITH d AS (SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> ''))::BIGINT AS n_tokens,
+        |  (('0x' || substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 8)::INT AS shard
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_tokens, shard,
+        |  SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS pre
+        |  FROM d)
+        |SELECT doc_id, n_tokens, shard, (pre // 512)::BIGINT AS pack
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // same arithmetic ORDER as mixCorpora: T = MIN(n/w), f = w*T/n
+    // capped at 1, keep iff hash-bucket < ROUND(f·buckets) — every
+    // step double-typed (a bare 0.5 literal is DECIMAL in DuckDB and
+    // would change the arithmetic)
+    "q124_mix_corpora" ->
+      """WITH mixw(lang, wt) AS (VALUES
+        |  ('en', 0.5::DOUBLE), ('de', 0.25::DOUBLE), ('fr', 0.25::DOUBLE)),
+        |c AS (SELECT d.lang, COUNT(*) AS n, ANY_VALUE(wt) AS wt
+        |  FROM documents d JOIN mixw ON d.lang = mixw.lang GROUP BY d.lang),
+        |t AS (SELECT MIN(n / wt) AS t FROM c),
+        |f AS (SELECT lang, LEAST(wt * (SELECT t FROM t) / n, CAST(1.0 AS DOUBLE)) AS f
+        |  FROM c)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN f ON d.lang = f.lang
+        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR),1,8))::BIGINT % 10000
+        |  < CAST(ROUND(f.f * 10000) AS BIGINT)
+        |ORDER BY d.doc_id""".stripMargin,
+    // unthresholded levenshtein + WHERE <= 25 ≡ Spark's banded
+    // levenshtein(l, r, 25) with the -1 rows filtered; two empty texts
+    // would score 1.0 (the ANSI 0/0 guard)
+    "q125_edit_distance" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 80),
+        |v AS (SELECT doc_id + 1000 AS doc_id,
+        |  text || repeat('x', (doc_id % 40)::INT) AS text FROM d),
+        |corpus AS (SELECT * FROM d UNION ALL SELECT * FROM v),
+        |cand AS (SELECT doc_id AS id_a, doc_id + 1000 AS id_b FROM d
+        |  UNION ALL SELECT doc_id AS id_a, 1000 + (doc_id + 1) % 80 AS id_b FROM d),
+        |p AS (SELECT id_a, id_b, a.text AS ta, b.text AS tb FROM cand
+        |  JOIN corpus a ON cand.id_a = a.doc_id
+        |  JOIN corpus b ON cand.id_b = b.doc_id)
+        |SELECT id_a, id_b, levenshtein(ta, tb)::INT AS edit_dist,
+        |(CASE WHEN GREATEST(length(ta), length(tb)) > 0
+        |  THEN ROUND(CAST(1.0 AS DOUBLE) - levenshtein(ta, tb)::DOUBLE
+        |    / GREATEST(length(ta), length(tb)), 6)
+        |  ELSE CAST(1.0 AS DOUBLE) END) AS edit_sim
+        |FROM p WHERE levenshtein(ta, tb) <= 25 ORDER BY id_a, id_b""".stripMargin)
 }

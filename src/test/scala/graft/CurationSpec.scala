@@ -89,6 +89,89 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1).getLong(1) == 4L)
   }
 
+  test("packSequences: packs cut at the token budget, within shards, in id order") {
+    // one shard so the packing order is fully predictable
+    val d = mkDocs(
+      1L -> "t t t t",   // 4 tokens, prefix 0  -> pack 0
+      2L -> "t t t",     // 3 tokens, prefix 4  -> pack 0
+      3L -> "t t t t t", // 5 tokens, prefix 7  -> pack 1 (budget 6)
+      4L -> "t")         // 1 token,  prefix 12 -> pack 2
+    val out = Curation.packSequences(d, "text", "doc_id", budget = 6, shards = 1)
+      .sdf.orderBy("doc_id").collect()
+    assert(out.map(r => r.getLong(r.fieldIndex("pack"))).toSeq == Seq(0L, 0L, 1L, 2L))
+    assert(out.forall(r => r.getInt(r.fieldIndex("shard")) == 0))
+    // per-pack token sums never exceed budget + (one overhanging doc)
+    assert(out.map(r => r.getLong(r.fieldIndex("n_tokens"))).sum == 13L)
+  }
+
+  test("packSequences: shard assignment is deterministic and pack ids restart per shard") {
+    val docs = (0L until 60L).map(i => i -> ("w " * (i % 7 + 1).toInt).trim)
+    val d = mkDocs(docs: _*)
+    val run1 = Curation.packSequences(d, "text", "doc_id", budget = 10, shards = 4)
+      .sdf.orderBy("doc_id").collect()
+    val run2 = Curation.packSequences(d, "text", "doc_id", budget = 10, shards = 4)
+      .sdf.orderBy("doc_id").collect()
+    assert(run1.map(_.toSeq).toSeq == run2.map(_.toSeq).toSeq)
+    // every shard's pack numbering starts at 0
+    val firstPackPerShard = run1.groupBy(_.getInt(2)).values
+      .map(_.minBy(_.getLong(0)).getLong(3))
+    assert(firstPackPerShard.forall(_ == 0L))
+  }
+
+  test("mixCorpora: output matches target weights; unweighted sources drop") {
+    val rows = (0L until 400L).map { i =>
+      val src = if (i % 4 == 0) "web" else if (i % 4 == 1) "books" else "junk"
+      Row(i, src)
+    }
+    val d = Df.fromRows(spark, rows,
+      StructType(Seq(StructField("doc_id", LongType), StructField("source", StringType))))
+    // web n=100 w=0.5, books n=100 w=0.5 -> T = 200, both keep all
+    val out = Curation.mixCorpora(d, "source", "doc_id",
+      Map("web" -> 0.5, "books" -> 0.5)).sdf.collect()
+    val bySrc = out.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(bySrc == Map("web" -> 100, "books" -> 100))
+    // skewed weights downsample the over-represented source only:
+    // T = min(100/0.9, 100/0.1) = 111.1 -> books keeps ~11, web all 100
+    val skew = Curation.mixCorpora(d, "source", "doc_id",
+      Map("web" -> 0.9, "books" -> 0.1)).sdf.collect()
+    val n = skew.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(n("web") == 100)
+    // hash rule targets round(0.1111…·buckets) of 10000 buckets; the
+    // 100-doc sample is binomial around 11 — accept a wide band
+    assert(n("books") >= 3 && n("books") <= 25)
+    assert(!n.contains("junk"))
+  }
+
+  test("mixCorpora: kept rows are a stable subset under re-partitioning") {
+    val rows = (0L until 200L).map(i => Row(i, if (i % 2 == 0) "a" else "b"))
+    val d = Df.fromRows(spark, rows,
+      StructType(Seq(StructField("doc_id", LongType), StructField("source", StringType))))
+    val w = Map("a" -> 0.7, "b" -> 0.3)
+    val ids1 = Curation.mixCorpora(d, "source", "doc_id", w)
+      .sdf.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.mixCorpora(new Df(d.sdf.repartition(7)), "source", "doc_id", w)
+      .sdf.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2 && ids1.nonEmpty)
+  }
+
+  test("editDistancePairs verifies candidates, drops beyond maxDist, guards empty texts") {
+    val d = mkDocs(
+      1L -> "the quick brown fox",
+      2L -> "the quick brown fax", // dist 1 from doc 1
+      3L -> "completely different words here entirely unlike", // far from both
+      4L -> "", 5L -> "")          // empty pair -> dist 0, sim 1.0
+    val cand = new Df(d.sdf.selectExpr("doc_id AS id_a").crossJoin(
+      d.sdf.selectExpr("doc_id AS id_b")).where(col("id_a") < col("id_b")))
+    val out = graft.operators.Dedup.editDistancePairs(cand, d, "text", "doc_id", maxDist = 5)
+      .sdf.collect().map(r =>
+        (r.getLong(r.fieldIndex("id_a")), r.getLong(r.fieldIndex("id_b"))) ->
+        (r.getInt(r.fieldIndex("edit_dist")), r.getDouble(r.fieldIndex("edit_sim")))).toMap
+    assert(out((1L, 2L))._1 == 1)
+    assert(math.abs(out((1L, 2L))._2 - (1.0 - 1.0 / 19)) < 1e-6)
+    assert(out((4L, 5L)) == ((0, 1.0))) // empty-vs-empty: guarded 1.0
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L))) // beyond threshold
+  }
+
   test("curation ops plan without cartesian products or UDFs") {
     val d = mkDocs(1L -> "a\nb", 2L -> "b\nc")
     val plan = Curation.dedupLines(d, "text", "doc_id")
