@@ -31,6 +31,29 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   def schema: StructType = sdf.schema
   def columns: Seq[String] = sdf.columns.toSeq
 
+  /** Persisted intermediates this frame's plan references, attached by
+    * the operator that created them (the [[graft.operators.Dedup]]
+    * family). The cache-lifetime contract, unified across operators:
+    * whoever runs the TERMINAL action on an operator result releases
+    * its intermediates with [[unpersistIntermediates]] — precise,
+    * unlike `spark.catalog.clearCache()` which nukes unrelated caches.
+    * Operators that complete their actions internally
+    * ([[graft.operators.Dedup.connectedComponents]]) unpersist their
+    * own and attach nothing. */
+  private var retained: List[DataFrame] = Nil
+  /** operator-internal: attach persisted frames to this result */
+  private[graft] def retaining(frames: DataFrame*): Df = {
+    retained = frames.toList ::: retained; this
+  }
+  /** Release the persisted intermediates behind this operator result.
+    * Call AFTER the terminal action — the blocks back every reference
+    * to the intermediate in the plan; derived frames recompute from
+    * source if acted on later. Idempotent. */
+  def unpersistIntermediates(): Unit = {
+    retained.foreach(_.unpersist())
+    retained = Nil
+  }
+
   // ---- projections (`Projection`, `_expr.py:1366`) ----
   def select(cols: String*): Df = new Df(sdf.select(cols.map(sdf(_)): _*))
   def apply(cols: Seq[String]): Df = select(cols: _*)
@@ -79,7 +102,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * (where `=` is equality) go through the two-arg [[eval]]. */
   def eval(stmt: String): Df = stmt match {
     case Df.EvalAssign(name, e) =>
-      if (Df.BareEquals.findFirstIn(e).isDefined)
+      if (Df.BareEquals.findFirstIn(Df.stripQuoted(e)).isDefined)
         throw new IllegalArgumentException(
           s"eval: chained/multiple assignment is not supported and '=' is " +
             s"not equality in pandas-eval strings (use '==', or the " +
@@ -721,6 +744,16 @@ object Df {
     "(?s)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=(?![=])\\s*(.+)$".r
   /** a bare `=` (not ==, !=, <=, >=) anywhere in an eval expression */
   private[api] val BareEquals = "(?<![=!<>])=(?!=)".r
+  /** a complete single- or double-quoted SQL string literal */
+  private[api] val QuotedLiteral = "(?s)'[^']*'|\"[^\"]*\"".r
+  /** Blank out quoted string literals so the chained-assignment scan
+    * never fires on an `=` INSIDE a literal (`z = s == 'a=b'` is valid).
+    * SQL's doubled-quote escape (`'it''s'`) decomposes into adjacent
+    * complete literals under this regex, so escaped content is blanked
+    * too; an UNTERMINATED literal survives the scan and is rejected by
+    * the SQL parser downstream either way. */
+  private[api] def stripQuoted(e: String): String =
+    QuotedLiteral.replaceAllIn(e, "''")
 
   /** `ReadParquet` (`io/parquet.py:79`): column pruning + DNF filter
     * pushdown happen in Catalyst (FileSourceScan PushedFilters), the

@@ -84,8 +84,9 @@ object Curation {
     *
     * The line table is persisted: it feeds the argmin, the join-back,
     * and the totals — Spark plans trees, so unpersisted the split+md5
-    * scan would run three times (callers clear the cache after their
-    * action, the [[Dedup]] convention). */
+    * scan would run three times. It is attached to the result; release
+    * with `Df.unpersistIntermediates()` after the terminal action (the
+    * [[Dedup]] cache-lifetime convention). */
   def dedupLines(docs: Df, textCol: String, idCol: String): Df = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val lines = docs.sdf
@@ -104,7 +105,7 @@ object Curation {
     val totals = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
     new Df(totals.join(rebuilt, Seq(idCol), "left")
       .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
-      .withColumn(textCol, coalesce(col(textCol), lit(""))))
+      .withColumn(textCol, coalesce(col(textCol), lit("")))).retaining(lines)
   }
 
   /** Token-budget sequence packing — assign each document to a fixed-
@@ -180,11 +181,15 @@ object Curation {
     * the cheap gibberish/boilerplate signal: natural text sits around
     * 2.5–3.5, single-char spam near 0, uniform noise near ln(alphabet).
     * H = ln n − (Σ ct·ln ct)/n; each ct·ln(ct) term is cast to
-    * DECIMAL(18,8) before summing so the per-doc sum is order-
+    * DECIMAL(28,10) before summing so the per-doc sum is order-
     * independent (double addition is not — the [[TextAnalytics
-    * .unigramLogLoss]] convention), and ROUND 4 absorbs the ≤1-ulp libm
-    * spread on the outer ln. Two shuffles on the doc id, no UDFs; the
-    * group count per (doc, char) is bounded by the alphabet. */
+    * .unigramLogLoss]] convention) and a degenerate single-char doc
+    * cannot overflow the per-term cast (ct·ln ct stays under 1e18 for
+    * any ct ≤ ~2^53; DECIMAL(18,8) capped out near ct ≈ 4e8 — the
+    * [[graft.operators.Similarity]] meanPool precision convention).
+    * ROUND 4 absorbs the ≤1-ulp libm spread on the outer ln. Two
+    * shuffles on the doc id, no UDFs; the group count per (doc, char)
+    * is bounded by the alphabet. */
   def charEntropy(docs: Df, textCol: String, idCol: String): Df = {
     val chars = docs.sdf.select(col(idCol),
       explode(regexp_extract_all(col(textCol), lit("(?s)."), lit(0))).as("c"))
@@ -193,7 +198,7 @@ object Curation {
       sum(col("ct")).cast("long").as("n_chars"),
       round(log(sum(col("ct")).cast("double")) -
         sum((col("ct").cast("double") * log(col("ct").cast("double")))
-          .cast("decimal(18,8)")).cast("double") / sum(col("ct")),
+          .cast("decimal(28,10)")).cast("double") / sum(col("ct")),
         4).as("entropy")))
   }
 }

@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
   *  - SimHash: per-row 60-bit signature, band the bits for blocking;
   *  - embedding near-dup: cosine restricted to same coarse bucket
   *    (label / LSH), never an unbucketed cross join.
+  *
+  * Cache-lifetime contract (one convention for the whole file, shared
+  * by [[Curation.dedupLines]] and [[TextAnalytics.unigramLogLoss]]):
+  * operators that persist multi-referenced intermediates ATTACH them to
+  * the returned [[graft.api.Df]]; the caller that runs the terminal
+  * action releases them with `Df.unpersistIntermediates()` (harnesses
+  * that only hold the bare DataFrame, like graft.Bench/Verify, fall
+  * back to the catch-all `spark.catalog.clearCache()` between queries).
+  * Operators whose actions complete internally
+  * ([[connectedComponents]]) unpersist their own before returning.
   */
 object Dedup {
 
@@ -37,7 +47,7 @@ object Dedup {
     * references its hashed input k times, and CollapseProject would
     * inline a bare md5 transform into every reference — k md5 passes
     * per shingle. Callers persist this table so the hashes materialize
-    * once (and clear the cache after their action). */
+    * once (and attach it to their result per the file's contract). */
   private def shingleTable(docs: Df, textCol: String, idCol: String,
                            shingleN: Int): DataFrame =
     docs.sdf
@@ -64,13 +74,12 @@ object Dedup {
     // 3× by the band keys), and CollapseProject inlines the md5 work
     // into every reference — up to ~36 hash passes per shingle on an
     // audit meant to scan the full corpus. The persist is the
-    // materialization boundary; callers clear it like minhashPairs'
-    // (spark.catalog.clearCache after the action, as Bench/Verify do).
+    // materialization boundary; released via the file's attach contract.
     val sh = shingleTable(docs, textCol, idCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     new Df(bandedIndex(sh, idCol, bands, r)
       .groupBy(col("__band"), col("__key"))
-      .agg(count(lit(1)).as("bucket_size")))
+      .agg(count(lit(1)).as("bucket_size"))).retaining(sh)
   }
 
   /** Drop rows in over-large buckets (partitioned by `cols`). The
@@ -131,9 +140,8 @@ object Dedup {
     // both verification join sides) and Spark plans trees, not DAGs —
     // unpersisted, the tokenize+shingle scan would run once per
     // reference. Materialize it once (the classic "build the LSH index
-    // once" pattern; spilled to disk beyond memory). Callers that loop
-    // over dedup passes should clear the cache between actions
-    // (spark.catalog.clearCache, as graft.Bench/Verify do).
+    // once" pattern; spilled to disk beyond memory); released via the
+    // file's attach contract (`unpersistIntermediates` after the action).
     val shingles = shingleTable(docs, textCol, idCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // explode to one row per band — candidates collide on (band, key).
@@ -150,6 +158,7 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     new Df(verifyJaccard(candidates, shingles, shingles, idCol, minJaccard))
+      .retaining(shingles, banded)
   }
 
   /** Cross-corpus MinHash join — INCREMENTAL dedup: which new docs are
@@ -177,6 +186,7 @@ object Dedup {
         Seq("__band", "__key"))
       .select("id_a", "id_b").distinct()
     new Df(verifyJaccard(candidates, shA, shB, idCol, minJaccard))
+      .retaining(shA, shB)
   }
 
   /** 60-bit SimHash per document: bit i of the signature is the sign of
@@ -235,7 +245,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
       .withColumn("hamming", ham)
       .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming"))
+      .select("id_a", "id_b", "hamming")).retaining(sigs)
   }
 
   /** Exact n-gram Jaccard similarity pairs: docs sharing ≥1 shingle are
@@ -290,7 +300,7 @@ object Dedup {
     new Df(pairs
       .withColumn("jaccard", round(expr("graft_jaccard_sorted(sh_a, sh_b)"), 6))
       .where(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard"))
+      .select("id_a", "id_b", "jaccard")).retaining(sh)
   }
 
   /** Embedding near-dup pairs for UNLABELED corpora: the coarse block

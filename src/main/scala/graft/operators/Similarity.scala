@@ -119,6 +119,8 @@ object Similarity {
               excludeSelf: Boolean = true, fitSample: Double = 1.0): Df = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(fitSample > 0.0 && fitSample <= 1.0,
+      s"ivfTopK: fitSample must be a fraction in (0, 1]: $fitSample")
     graft.plans.GraftFunctions.register(queries.spark)
     val c = corpus.sdf.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
     // NULL vectors and vectors carrying NULL elements are excluded from
@@ -128,6 +130,12 @@ object Similarity {
     val fitInput = (if (fitSample >= 1.0) c else c.sample(fitSample, 42L))
       .where(col("c_vec").isNotNull && !exists(col("c_vec"), _.isNull))
       .select(array_to_vector(col("c_vec")).as("features"))
+    // fail BEFORE KMeans: an empty fit (tiny fitSample × small corpus, or
+    // all-NULL vectors) otherwise dies deep in MLlib with an opaque error
+    if (fitInput.isEmpty) throw new IllegalArgumentException(
+      s"ivfTopK: the quantizer fit input is empty - fitSample=$fitSample " +
+        "sampled no rows with non-NULL, fully-defined vectors; raise " +
+        "fitSample or check the vector column")
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features").fit(fitInput)
     // nlist centroids (driver-side, tiny) become expression literals —

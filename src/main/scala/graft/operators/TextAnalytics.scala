@@ -116,10 +116,12 @@ object TextAnalytics {
     *
     * The token table is persisted: it is referenced three times (model
     * counts, total, and the scoring join) and Spark plans trees —
-    * unpersisted, the corpus would be re-tokenized per reference
-    * (callers clear the cache after their action, the [[graft.operators.Dedup]]
-    * convention). Each ln term is cast to DECIMAL(18,8) before summing
-    * so the per-doc sum is order-independent (double addition is not). */
+    * unpersisted, the corpus would be re-tokenized per reference. It is
+    * attached to the result; release with `Df.unpersistIntermediates()`
+    * after the terminal action (the [[graft.operators.Dedup]]
+    * cache-lifetime convention). Each ln term is cast to DECIMAL(18,8)
+    * before summing so the per-doc sum is order-independent (double
+    * addition is not). */
   def unigramLogLoss(docs: Df, textCol: String, idCol: String): Df = {
     val toks = docs.sdf.select(col(idCol), explode(tokens(col(textCol))).as("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -130,7 +132,7 @@ object TextAnalytics {
         (-log(col("ct").cast("double") / col("total"))).cast("decimal(18,8)"))
       .groupBy(col(idCol))
       .agg(round(sum(col("nll")).cast("double") / count(lit(1)), 4).as("avg_nll"),
-        count(lit(1)).as("n_tokens")))
+        count(lit(1)).as("n_tokens"))).retaining(toks)
   }
 
   /** Top-k TF-IDF terms per document (the "document keywords" shape) —

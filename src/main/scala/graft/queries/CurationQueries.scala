@@ -187,7 +187,7 @@ object CurationQueries {
         |pc AS (SELECT doc_id, c, COUNT(*) AS ct FROM ch GROUP BY 1, 2)
         |SELECT doc_id, CAST(SUM(ct) AS BIGINT) AS n_chars,
         |ROUND(LN(CAST(SUM(ct) AS DOUBLE)) -
-        |  CAST(SUM(CAST(ct * LN(ct::DOUBLE) AS DECIMAL(18,8))) AS DOUBLE)
+        |  CAST(SUM(CAST(ct * LN(ct::DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
         |  / SUM(ct), 4) AS entropy
         |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // whitespace-run token count (the toksSql convention) + the same

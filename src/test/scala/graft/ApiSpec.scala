@@ -246,6 +246,18 @@ class ApiSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("=="))
   }
 
+  test("eval single-string form: '=' inside quoted literals is not chained assignment") {
+    val d = Df.fromRows(spark, Seq(Row(1L, "a=b"), Row(2L, "c")),
+      StructType(Seq(StructField("x", LongType), StructField("s", StringType))))
+    // a bare '=' INSIDE a string literal is data, not assignment
+    assert(d.eval("z = s == 'a=b'").sdf.where(col("z")).count() == 1)
+    assert(d.eval("z = concat(s, \"t=u\")").sdf
+      .where(col("z") === "a=bt=u").count() == 1)
+    // and stripping literals must not mask a REAL chained assignment
+    val e = intercept[IllegalArgumentException](d.eval("z = s = 'a=b'"))
+    assert(e.getMessage.contains("=="))
+  }
+
   test("assign with stale Ser fails fast with lineage-rule message") {
     val d = f1
     val stale = d("y") * 2           // bound to d, which still has y

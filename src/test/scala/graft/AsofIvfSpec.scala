@@ -113,6 +113,24 @@ class AsofIvfSpec extends AnyFunSuite {
       withNull.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq)
   }
 
+  test("IVF validates fitSample and fails clearly on an empty fit input") {
+    val e = Df.readParquet(spark, s"$sf/embeddings.parquet")
+    val q = e.where(col("vec_id") < 3)
+    // out-of-range fractions fail at call time with the named knob
+    val bad0 = intercept[IllegalArgumentException](
+      Similarity.ivfTopK(q, e, "embedding", "vec_id", 3, fitSample = 0.0))
+    assert(bad0.getMessage.contains("fitSample"))
+    val badHi = intercept[IllegalArgumentException](
+      Similarity.ivfTopK(q, e, "embedding", "vec_id", 3, fitSample = 1.5))
+    assert(badHi.getMessage.contains("fitSample"))
+    // a legal-but-tiny fraction that samples zero rows must name the
+    // problem instead of dying inside MLlib's KMeans
+    val tiny = e.where(col("vec_id") < 20)
+    val empty = intercept[IllegalArgumentException](
+      Similarity.ivfTopK(q, tiny, "embedding", "vec_id", 3, fitSample = 1e-9))
+    assert(empty.getMessage.contains("empty"))
+  }
+
   test("IVF with partial probes returns k ranked results per query") {
     val e = Df.readParquet(spark, s"$sf/embeddings.parquet")
     val q = e.where(col("vec_id") < 3)

@@ -89,6 +89,18 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1).getLong(1) == 4L)
   }
 
+  test("charEntropy terms ride DECIMAL(28,10) — degenerate docs cannot overflow the cast") {
+    // ct·ln(ct) overflows a DECIMAL(18,8) term near ct ≈ 4e8 (ANSI
+    // throws, non-ANSI NULLs the entropy); the wide meanPool-convention
+    // decimal holds to ~2^53. The plan is the contract — a 4e8-char doc
+    // is not buildable in a unit test.
+    val out = Curation.charEntropy(mkDocs(1L -> ("a" * 100000)), "text", "doc_id").sdf
+    val plan = out.queryExecution.analyzed.toString
+    assert(plan.contains("decimal(28,10)") && !plan.contains("decimal(18,8)"))
+    val r = out.collect()(0)
+    assert(r.getLong(1) == 100000L && r.getDouble(2) == 0.0)
+  }
+
   test("packSequences: packs cut at the token budget, within shards, in id order") {
     // one shard so the packing order is fully predictable
     val d = mkDocs(

@@ -125,6 +125,35 @@ class ExtensionSpec extends AnyFunSuite {
     spark.catalog.clearCache() // minhashJoin persists both shingle tables
   }
 
+  test("cache-lifetime contract: unpersistIntermediates releases every operator-persisted block") {
+    spark.catalog.clearCache() // clean slate for the block accounting
+    val sc = spark.sparkContext
+    assert(sc.getPersistentRDDs.isEmpty)
+    val d = mkDocs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and again aa",
+      3L -> "completely different words in this one nothing shared at all here")
+    // every lazy operator that persists intermediates attaches them;
+    // after the terminal action + release, NOTHING may stay cached
+    val results = Seq(
+      Dedup.minhashPairs(d, "text", "doc_id", minJaccard = 0.3),
+      Dedup.minhashJoin(d, mkDocs(11L -> "the quick brown fox jumps over the lazy dog again and again zz"),
+        "text", "doc_id", minJaccard = 0.3),
+      Dedup.simhashPairs(d, "text", "doc_id"),
+      Dedup.ngramJaccardPairs(d, "text", "doc_id", n = 3, minJaccard = 0.3),
+      Dedup.lshBucketStats(d, "text", "doc_id"),
+      graft.operators.Curation.dedupLines(d, "text", "doc_id"),
+      graft.operators.TextAnalytics.unigramLogLoss(d, "text", "doc_id"))
+    results.foreach { r =>
+      r.sdf.collect()        // terminal action materializes the caches
+      r.unpersistIntermediates()
+    }
+    assert(sc.getPersistentRDDs.isEmpty,
+      s"leaked cached blocks: ${sc.getPersistentRDDs.values.map(_.name)}")
+    // idempotent: a second release is a no-op
+    results.foreach(_.unpersistIntermediates())
+  }
+
   test("ngramContamination counts distinct shared n-grams per doc") {
     val corpus = mkDocs(1L -> "a b c d e", 2L -> "x y z w v", 3L -> "a b c x q")
     val bench = mkDocs(100L -> "a b c d")
