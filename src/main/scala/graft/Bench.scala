@@ -48,7 +48,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's log capture truncates long tails (BENCH_r06 kept only
+    // 61/125 per-query timings and lost the total) — persist the full
+    // JSON line as a file artifact too
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -413,7 +413,7 @@ object ExtensionQueries {
     * depend on the corpus being single-space-separated. */
   private def toksSql(e: String = "text") =
     s"list_filter(regexp_split_to_array($e, '\\s+'), w -> w <> '')"
-  private val fpSql =
+  private[queries] val fpSql =
     s"md5(array_to_string(list_sort(list_distinct(${toksSql()})), ' '))"
   private def shinglesSql(textExpr: String = "text") =
     s"""list_distinct(list_transform(range(len(${toksSql(textExpr)}) - 2),

@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+import QueryUtil._
+
+/** Streaming suite (q126–q130): the Structured Streaming operators
+  * (`graft.streaming.StreamOps`) run to completion over the bounded
+  * driver tables and hash-compared against the SAME SQL oracles the
+  * batch window family uses (q90/q96/q97) — closing the one operator
+  * family that previously had only ScalaTest batch-equivalence and no
+  * driver CORRECTNESS row.
+  *
+  * Harness shape: FileStreamSource requires a DIRECTORY of arriving
+  * files, so each query stages the single driver parquet file into a
+  * temp dir (one copy per desired trigger) and runs the streaming plan
+  * through a memory sink (`StreamOps.runToCompletion`). The plan under
+  * test is byte-identical to the production `readStream` plan; only
+  * the source boundedness differs.
+  */
+object StreamingQueries {
+
+  /** stage `src` (a single parquet file) into a fresh directory as
+    * `copies` arriving files — `maxFilesPerTrigger=1` then yields one
+    * trigger per copy, exercising cross-trigger state. */
+  private def stage(src: String, copies: Int): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_q")
+    d.toFile.deleteOnExit()
+    (1 to copies).foreach { i =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+        d.resolve(f"arrival_$i%02d.parquet"))
+    }
+    d.toString
+  }
+
+  val defs: Map[String, Q] = Map(
+    // ---- streaming tumbling windows: the q96 aggregation as an
+    // actual streaming query (watermark + state store), emitted via
+    // the memory sink in complete mode ----
+    "q126_stream_tumbling" -> ((s, dir) => {
+      val stream = StreamOps.readEventsStream(s, stage(s"$dir/events.parquet", 1))
+      StreamOps.runToCompletion(
+        StreamOps.windowedTypeCounts(stream), "q126_sink")
+        .orderBy("win_start", "event_type")
+    }),
+
+    // ---- streaming sliding windows (1h/30m — every event in exactly
+    // two windows), per-user, users < 50 to mirror q97's scale ----
+    "q127_stream_sliding" -> ((s, dir) => {
+      val stream = StreamOps.readEventsStream(s, stage(s"$dir/events.parquet", 1))
+      StreamOps.runToCompletion(
+        StreamOps.slidingUserActivity(stream.where(col("user_id") < 50)),
+        "q127_sink")
+        .orderBy("win_start", "user_id")
+    }),
+
+    // ---- streaming session windows: session_window merge semantics
+    // under the streaming aggregation path, vs the SAME gaps-and-
+    // islands oracle construction as batch q90 ----
+    "q128_stream_sessions" -> ((s, dir) => {
+      val stream = StreamOps.readEventsStream(s, stage(s"$dir/events.parquet", 1))
+      StreamOps.runToCompletion(
+        StreamOps.userSessions(stream.where(col("user_id") < 20)), "q128_sink")
+        .orderBy("user_id", "session_start")
+    }),
+
+    // ---- streaming exact dedup across triggers: the corpus arrives
+    // TWICE (two files, one per trigger — the re-crawl shape); the
+    // dedup state must emit each fingerprint exactly once. Projected
+    // to the fingerprint itself: WHICH copy survives is arrival-order
+    // dependent (not oracle-able); the fingerprint set is exact ----
+    "q129_stream_dedup" -> ((s, dir) => {
+      val src = s"$dir/documents.parquet"
+      val st = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage(src, 2))
+      StreamOps.runToCompletion(
+        StreamOps.streamingExactDedup(st, "text"), "q129_sink", mode = "append")
+        .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("fp")
+    }),
+
+    // ---- flatMapGroupsWithState running totals: the final state per
+    // user (its LAST emission = the max cumulative count) must equal
+    // the batch per-user count. total_value is deliberately excluded:
+    // the state accumulates raw doubles in arrival order (not order-
+    // independent, so not hash-oracle-able); its value is covered by
+    // StreamingSpec's batch-equivalence with a tolerance ----
+    "q130_stream_stateful" -> ((s, dir) => {
+      val stream = StreamOps.readEventsStream(s, stage(s"$dir/events.parquet", 1))
+      StreamOps.runToCompletion(
+        StreamOps.statefulUserTotals(stream), "q130_sink", mode = "append")
+        .groupBy("user_id").agg(max(col("n_events")).as("n_events"))
+        .orderBy("user_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    // identical to the q96 oracle: the streaming and batch tumbling
+    // aggregations must agree with the same SQL
+    "q126_stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS win_start,
+        |event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // the q97 two-row VALUES expansion, keyed by user instead of type
+    "q127_stream_sliding" ->
+      """SELECT win_start, user_id, COUNT(*) AS n_events FROM (
+        |SELECT user_id,
+        |time_bucket(INTERVAL '30 minutes', ts::TIMESTAMP)
+        |  - (k.k * INTERVAL '30 minutes') AS win_start
+        |FROM events, (VALUES (0), (1)) k(k)
+        |WHERE user_id < 50)
+        |GROUP BY 1, 2 ORDER BY win_start, user_id""".stripMargin,
+    // the q90 gaps-and-islands construction (new session when the gap
+    // is >= 30 minutes; session end = last event + gap, exclusive)
+    "q128_stream_sessions" ->
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value
+        |  FROM events WHERE user_id < 20),
+        |flags AS (SELECT user_id, ts, value,
+        |  CASE WHEN LAG(ts) OVER w IS NULL
+        |       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |  THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (SELECT user_id, ts, value,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags)
+        |SELECT MIN(ts) AS session_start,
+        |MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |user_id, COUNT(*) AS n_events,
+        |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    // distinct canonical fingerprints of the corpus — duplicate
+    // arrivals (and the corpus's own exact dups) collapse to one row
+    "q129_stream_dedup" ->
+      s"SELECT DISTINCT ${ExtensionQueries.fpSql} AS fp FROM documents ORDER BY fp",
+    // the operator drops null keys/values up front (tuple-encoder
+    // contract) — mirrored in the oracle's WHERE
+    "q130_stream_stateful" ->
+      """SELECT user_id, COUNT(*) AS n_events FROM events
+        |WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

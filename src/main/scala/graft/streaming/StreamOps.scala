@@ -32,7 +32,11 @@ object StreamOps {
       .parquet(dir)
       .withColumn("ts", graft.queries.QueryUtil.nanosColToTs("ts"))
 
-  /** tumbling-window counts+sums per event type with late-data bound */
+  /** tumbling-window counts+sums per event type with late-data bound.
+    * The value sum rides DECIMAL(18,4) (emitted as double): decimal
+    * addition is order-independent, so the result is identical across
+    * trigger orders, partial-aggregation orders, and the batch twin —
+    * which is what lets the DuckDB oracle hash-compare it (q126). */
   def windowedTypeCounts(events: DataFrame,
                          windowLen: String = "1 hour",
                          watermark: String = "2 hours"): DataFrame =
@@ -40,7 +44,7 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"),
-           sum(col("value")).as("sum_value"))
+           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -67,7 +71,10 @@ object StreamOps {
     src
       .groupBy(session_window(col("ts"), gap).as("session"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-           sum(col("value")).as("session_value"))
+           // decimal sum: order-independent across session merges →
+           // oracle hash-comparable (the windowedTypeCounts convention)
+           sum(col("value").cast("decimal(18,4)")).cast("double")
+             .as("session_value"))
       .select(col("session.start").as("session_start"),
         col("session.end").as("session_end"), col("user_id"),
         col("n_events"), col("session_value"))
