@@ -184,6 +184,27 @@ class CurationSpec extends AnyFunSuite {
     assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L))) // beyond threshold
   }
 
+  test("editDistancePairs threshold boundary: dist == maxDist kept, maxDist+1 dropped") {
+    // Spark's banded levenshtein(l, r, threshold) early-exits with -1
+    // ABOVE the threshold; the operator filters >= 0 — the boundary
+    // itself must survive (an off-by-one here silently shrinks recall)
+    val maxDist = 7
+    val d = mkDocs(
+      1L -> "aaaa",
+      2L -> ("aaaa" + "x" * maxDist),        // dist exactly maxDist
+      3L -> ("aaaa" + "x" * (maxDist + 1)))  // dist exactly maxDist + 1
+    val cand = new Df(d.sdf.selectExpr("doc_id AS id_a").crossJoin(
+      d.sdf.selectExpr("doc_id AS id_b")).where(col("id_a") < col("id_b")))
+    val out = graft.operators.Dedup
+      .editDistancePairs(cand, d, "text", "doc_id", maxDist)
+      .sdf.collect().map(r =>
+        (r.getLong(r.fieldIndex("id_a")), r.getLong(r.fieldIndex("id_b"))) ->
+          r.getInt(r.fieldIndex("edit_dist"))).toMap
+    assert(out((1L, 2L)) == maxDist)    // boundary kept
+    assert(!out.contains((1L, 3L)))     // boundary + 1 dropped
+    assert(out((2L, 3L)) == 1)          // the variants differ by one char
+  }
+
   test("curation ops plan without cartesian products or UDFs") {
     val d = mkDocs(1L -> "a\nb", 2L -> "b\nc")
     val plan = Curation.dedupLines(d, "text", "doc_id")

@@ -169,6 +169,144 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  // ---- curation-wave operator properties (VERDICT r6 item 6) ----
+
+  test("dedupLines: every distinct line survives exactly once, at its first occurrence (random corpora)") {
+    // docs draw lines from a SMALL pool so cross-doc duplicates are
+    // guaranteed; the reference implementation is the C4 rule verbatim
+    val linePool: Gen[List[String]] = Gen.choose(3, 7).flatMap(n =>
+      Gen.listOfN(n, word).map(_.distinct))
+    val corpus: Gen[List[List[String]]] = for {
+      pool <- linePool
+      nDocs <- Gen.choose(1, 6)
+      docs <- Gen.listOfN(nDocs,
+        Gen.choose(1, 5).flatMap(k => Gen.listOfN(k, Gen.oneOf(pool))))
+    } yield docs
+    trials(corpus, n = 8) { docLines =>
+      val docs = docLines.zipWithIndex.map { case (ls, i) =>
+        i.toLong -> ls.mkString("\n") }
+      val d = mkTextDf(docs)
+      val res = graft.operators.Curation.dedupLines(d, "text", "doc_id")
+      val out = res.sdf.collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        (r.getLong(r.fieldIndex("n_lines")), r.getLong(r.fieldIndex("n_kept")),
+          r.getString(r.fieldIndex("text")))).toMap
+      res.unpersistIntermediates()
+      // reference: first occurrence = min (doc_id, pos) per line
+      val occ = docLines.zipWithIndex.flatMap { case (ls, i) =>
+        ls.zipWithIndex.map { case (l, p) => (l, i.toLong, p) } }
+      val firstOf = occ.groupBy(_._1).map { case (l, os) =>
+        l -> os.map(o => (o._2, o._3)).min }
+      docLines.zipWithIndex.foreach { case (ls, i) =>
+        val expectKept = ls.zipWithIndex.collect {
+          case (l, p) if firstOf(l) == ((i.toLong, p)) => l }
+        val (nLines, nKept, text) = out(i.toLong)
+        assert(nLines == ls.size && nKept == expectKept.size)
+        val gotLines = if (text.isEmpty) Nil else text.split("\n").toList
+        assert(gotLines == expectKept) // original order, first copies only
+      }
+    }
+  }
+
+  test("packSequences: within-shard prefix packing and input-order stability (random corpora)") {
+    val corpus: Gen[List[Int]] =          // token count per doc
+      Gen.choose(3, 25).flatMap(n => Gen.listOfN(n, Gen.choose(0, 30)))
+    trials(for { c <- corpus; b <- Gen.choose(3, 40) } yield (c, b), n = 8) {
+      case (tokCounts, budget) =>
+        val docs = tokCounts.zipWithIndex.map { case (k, i) =>
+          i.toLong -> List.fill(k)("w").mkString(" ") }
+        val d = mkTextDf(docs)
+        def run(input: Df) = graft.operators.Curation
+          .packSequences(input, "text", "doc_id", budget = budget, shards = 4)
+          .sdf.collect().map(r => (r.getLong(r.fieldIndex("doc_id")),
+            r.getLong(r.fieldIndex("n_tokens")),
+            r.getInt(r.fieldIndex("shard")), r.getLong(r.fieldIndex("pack"))))
+        val rows = run(d)
+        assert(rows.map(_._1).toSet == docs.map(_._1).toSet)
+        rows.foreach { case (id, nt, _, _) => assert(nt == tokCounts(id.toInt).toLong) }
+        // the packing contract, per shard: pack = prefix-before div budget
+        rows.groupBy(_._3).values.foreach { shardRows =>
+          var prefix = 0L
+          shardRows.sortBy(_._1).foreach { case (_, nt, _, pack) =>
+            assert(pack == prefix / budget)   // monotone by construction
+            prefix += nt
+          }
+        }
+        // stability: a reshuffled input yields the identical assignment
+        val reshuffled = run(new Df(d.sdf.repartition(7).orderBy(rand(1))))
+        assert(reshuffled.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+    }
+  }
+
+  test("mixCorpora: never upsamples, drops unweighted sources, hits target mix within tolerance") {
+    val corpus: Gen[Map[String, Int]] = for {
+      nEn <- Gen.choose(50, 300); nDe <- Gen.choose(50, 300)
+      nFr <- Gen.choose(50, 300); nZz <- Gen.choose(0, 50)
+    } yield Map("en" -> nEn, "de" -> nDe, "fr" -> nFr, "zz" -> nZz)
+    val weights = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2)
+    trials(corpus, n = 6) { counts =>
+      val rows = counts.toList.flatMap { case (lang, n) =>
+        (0 until n).map(i => (s"$lang-$i".hashCode.toLong & 0xFFFFFFL, lang)) }
+      val d = Df.fromRows(spark, rows.map { case (i, l) => Row(i, l) },
+        StructType(Seq(StructField("doc_id", LongType), StructField("lang", StringType))))
+      val kept = graft.operators.Curation
+        .mixCorpora(d, "lang", "doc_id", weights)
+        .sdf.collect().map(r => (r.getString(r.fieldIndex("lang")),
+          r.getLong(r.fieldIndex("doc_id"))))
+      val keptBy = kept.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      assert(!keptBy.contains("zz"))                     // unweighted → dropped
+      val t = weights.map { case (l, w) => counts(l) / w }.min
+      weights.foreach { case (l, w) =>
+        val got = keptBy.getOrElse(l, 0L)
+        assert(got <= counts(l))                         // never upsampled
+        val target = w * t                               // feasible target share
+        assert(math.abs(got - target) <= 6 * math.sqrt(target) + 3,
+          s"$l: got $got, target $target (counts=$counts)")
+      }
+      // output rows are a subset of the input rows
+      assert(kept.map(_._2).toSet.subsetOf(rows.map(_._1).toSet))
+    }
+  }
+
+  test("editDistancePairs matches a reference Levenshtein; threshold boundary is exact (random strings)") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val tiny: Gen[String] = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+    val gen = for {
+      texts <- Gen.listOfN(5, tiny)
+      maxDist <- Gen.choose(0, 5)
+    } yield (texts, maxDist)
+    trials(gen, n = 8) { case (texts, maxDist) =>
+      val docs = mkTextDf(texts.zipWithIndex.map { case (t, i) => i.toLong -> t })
+      val cand = Df.fromRows(spark,
+        (for (a <- texts.indices; b <- texts.indices if a < b)
+          yield Row(a.toLong, b.toLong)),
+        StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+      val got = graft.operators.Dedup
+        .editDistancePairs(cand, docs, "text", "doc_id", maxDist)
+        .sdf.collect().map(r =>
+          ((r.getLong(r.fieldIndex("id_a")), r.getLong(r.fieldIndex("id_b"))),
+            (r.getInt(r.fieldIndex("edit_dist")), r.getDouble(r.fieldIndex("edit_sim"))))).toMap
+      val expect = (for {
+        a <- texts.indices; b <- texts.indices if a < b
+        d = lev(texts(a), texts(b)) if d <= maxDist  // == maxDist kept, +1 dropped
+      } yield {
+        val maxLen = math.max(texts(a).length, texts(b).length)
+        val sim = if (maxLen == 0) 1.0
+          else BigDecimal(1.0 - d.toDouble / maxLen)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (a.toLong, b.toLong) -> ((d, sim))
+      }).toMap
+      assert(got == expect)
+    }
+  }
+
   test("binopAligned union-of-index semantics") {
     val a = Df.fromRows(spark, Seq(Row(1L, 10.0), Row(2L, 20.0)),
       StructType(Seq(StructField("i", LongType), StructField("x", DoubleType))))

@@ -132,10 +132,13 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("ReusedExchange"), p)
       assert("Scan parquet".r.findAllIn(p).length == 1, p)
 
-      // Residual (accepted) gap: bare exchange-less scans side by side
-      // plan one scan EACH — but each prunes to its own columns, which
-      // at 100 TB beats the reference's merged scan reading the UNION
-      // of columns for both consumers. Documented here as the bound.
+      // Residual (DESIGNED) divergence — DIVERGENCES.md #14: bare
+      // exchange-less scans side by side plan one scan EACH, because a
+      // tree-shaped logical plan has no multicast node (sharing is
+      // physical-only: ReusedExchange/ReusedSubquery). No
+      // Rule[LogicalPlan] can merge them; each scan prunes to its own
+      // columns, which at 100 TB beats the reference's merged scan
+      // reading the UNION of columns for both consumers.
       val bare = Df.readParquet(spark, s"$sf/lineitem.parquet").select("l_orderkey").sdf
         .crossJoin(Df.readParquet(spark, s"$sf/lineitem.parquet").select("l_partkey").sdf.limit(1))
       assert("Scan parquet".r.findAllIn(plan(bare)).length == 2)
