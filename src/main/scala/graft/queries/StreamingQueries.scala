@@ -20,16 +20,28 @@ import QueryUtil._
   */
 object StreamingQueries {
 
-  /** stage `src` (a single parquet file) into a fresh directory as
-    * `copies` arriving files — `maxFilesPerTrigger=1` then yields one
-    * trigger per copy, exercising cross-trigger state. */
+  /** stage `src` (a single parquet file, or a Spark-written directory
+    * of part files) into a fresh directory as `copies` arriving waves —
+    * `maxFilesPerTrigger=1` then yields one trigger per staged file,
+    * exercising cross-trigger state. A directory source is flattened to
+    * its part files (a bare `Files.copy` of the directory entry would
+    * silently stage ZERO files and the stream would emit nothing). */
   private def stage(src: String, copies: Int): String = {
-    val d = java.nio.file.Files.createTempDirectory("graft_stream_q")
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val d = Files.createTempDirectory("graft_stream_q")
     d.toFile.deleteOnExit()
-    (1 to copies).foreach { i =>
-      java.nio.file.Files.copy(java.nio.file.Paths.get(src),
-        d.resolve(f"arrival_$i%02d.parquet"))
-    }
+    val srcPath = Paths.get(src)
+    val parts: Seq[Path] =
+      if (Files.isDirectory(srcPath)) {
+        val s = Files.list(srcPath)
+        try s.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet")).sorted
+        finally s.close()
+      } else Seq(srcPath)
+    require(parts.nonEmpty, s"stage: no parquet files under $src")
+    for (i <- 1 to copies; (p, j) <- parts.zipWithIndex)
+      Files.copy(p, d.resolve(f"arrival_$i%02d_$j%04d.parquet"))
     d.toString
   }
 
