@@ -34,6 +34,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Shared call-time validation (the ivfTopK `fitSample` convention):
+    * every knob fails HERE with its name, not deep inside an executor
+    * with an opaque expression error. */
+  private def requireArgs(op: String)(checks: (Boolean, String)*): Unit =
+    checks.foreach { case (ok, msg) => require(ok, s"$op: $msg") }
+
   /** Default per-(band,key) bucket-size cap for the LSH candidate joins.
     * One hot bucket (an empty-string shingle, a boilerplate header)
     * otherwise degenerates to O(b²) pairs inside a single join partition
@@ -131,6 +137,12 @@ object Dedup {
                    shingleN: Int = 3, bands: Int = 3, r: Int = 4,
                    minJaccard: Double = 0.5,
                    maxBucket: Int = DefaultMaxBucket): Df = {
+    requireArgs("minhashPairs")(
+      (shingleN >= 1, s"shingleN must be >= 1: $shingleN"),
+      (bands >= 1 && r >= 1, s"bands and r must be >= 1: bands=$bands r=$r"),
+      (minJaccard >= 0.0 && minJaccard <= 1.0,
+        s"minJaccard must be in [0, 1]: $minJaccard"),
+      (maxBucket >= 1, s"maxBucket must be >= 1: $maxBucket"))
     // Docs with an empty shingle set (shorter than shingleN tokens) are
     // excluded up front: they have no shingles to match on, and their
     // all-null signatures would otherwise pile every short doc into one
@@ -176,6 +188,12 @@ object Dedup {
                   shingleN: Int = 3, bands: Int = 3, r: Int = 4,
                   minJaccard: Double = 0.5,
                   maxBucket: Int = DefaultMaxBucket): Df = {
+    requireArgs("minhashJoin")(
+      (shingleN >= 1, s"shingleN must be >= 1: $shingleN"),
+      (bands >= 1 && r >= 1, s"bands and r must be >= 1: bands=$bands r=$r"),
+      (minJaccard >= 0.0 && minJaccard <= 1.0,
+        s"minJaccard must be in [0, 1]: $minJaccard"),
+      (maxBucket >= 1, s"maxBucket must be >= 1: $maxBucket"))
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val shA = shingleTable(corpus, textCol, idCol, shingleN).persist(lvl)
     val shB = shingleTable(newDocs, textCol, idCol, shingleN).persist(lvl)
@@ -194,6 +212,10 @@ object Dedup {
     * bits (small Hamming distance). Computed by explode + 60 conditional
     * sums — one partial+final aggregate pair, portable to SQL oracles. */
   def simhash(docs: Df, textCol: String, idCol: String, bits: Int = 60): Df = {
+    // hash60 supplies 60 hash bits: bit positions >= 60 would read
+    // constant zeros and silently degrade the signature
+    requireArgs("simhash")(
+      (bits >= 1 && bits <= 60, s"bits must be in [1, 60]: $bits"))
     val toks = docs.sdf.select(col(idCol),
       explode(array_distinct(tokens(col(textCol)))).as("__tok"))
       .withColumn("__h", hash60(col("__tok")))
@@ -223,6 +245,11 @@ object Dedup {
   def simhashPairs(docs: Df, textCol: String, idCol: String,
                    maxHamming: Int = 6,
                    maxBucket: Int = DefaultMaxBucket): Df = {
+    // pigeonhole needs maxHamming + 1 disjoint bands out of 60 bits
+    requireArgs("simhashPairs")(
+      (maxHamming >= 0 && maxHamming <= 59,
+        s"maxHamming must be in [0, 59]: $maxHamming"),
+      (maxBucket >= 1, s"maxBucket must be >= 1: $maxBucket"))
     val bits = 60
     val bands = maxHamming + 1
     val width = (bits + bands - 1) / bands
@@ -254,6 +281,11 @@ object Dedup {
   def ngramJaccardPairs(docs: Df, textCol: String, idCol: String,
                         n: Int = 3, minJaccard: Double = 0.5,
                         maxBucket: Int = DefaultMaxBucket): Df = {
+    requireArgs("ngramJaccardPairs")(
+      (n >= 1, s"n must be >= 1: $n"),
+      (minJaccard >= 0.0 && minJaccard <= 1.0,
+        s"minJaccard must be in [0, 1]: $minJaccard"),
+      (maxBucket >= 1, s"maxBucket must be >= 1: $maxBucket"))
     // Exact jaccard with two standard scale techniques, both preserved
     // exactly in the SQL oracle:
     //  1. shingles join as sorted 32-bit hashes (8-byte shuffle keys,
@@ -315,6 +347,8 @@ object Dedup {
   def embeddingLshPairs(vecs: Df, vecCol: String, idCol: String,
                         minCosine: Double, planes: Int = 8, dim: Int = 64,
                         maxBucket: Int = DefaultMaxBucket): Df = {
+    requireArgs("embeddingLshPairs")(
+      (planes >= 1 && dim >= 1, s"planes and dim must be >= 1: planes=$planes dim=$dim"))
     val bucketed = vecs.sdf.withColumn("__bk",
       graft.operators.Similarity.lshSignature(col(vecCol), planes, dim))
     embeddingCosinePairs(new Df(bucketed.where(col("__bk").isNotNull)),
@@ -345,6 +379,8 @@ object Dedup {
     * simply absent (callers left-join + coalesce to self). */
   def connectedComponents(pairs: Df, aCol: String, bCol: String,
                           maxIter: Int = 20): Df = {
+    requireArgs("connectedComponents")(
+      (maxIter >= 1, s"maxIter must be >= 1: $maxIter"))
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = pairs.sdf.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -436,6 +472,59 @@ object Dedup {
       .drop("__ta", "__tb"))
   }
 
+  /** Exact duplicated-window detection — the substring-granular dedup
+    * signal (Lee et al. "Deduplicating Training Data Makes Language
+    * Models Better"; RefinedWeb runs it at 50-token windows): a k-token
+    * window that appears ANYWHERE else in the corpus (another doc, or
+    * again in the same doc) marks its span as duplicated. Emits, per
+    * doc: `n_tokens`, `n_windows`, `n_dup_windows`, and
+    * `dup_token_fraction` = fraction of token positions covered by at
+    * least one duplicated window (the "how much of this doc is
+    * boilerplate/copy" filter signal — threshold it to drop or trim).
+    *
+    * Scale shape: windows are hashed IN-ROW (one projection computes
+    * all k-gram hashes per doc; the window strings never leave the
+    * expression), so the exploded table is (id, start, hash32) — ~16
+    * bytes per window. One shuffle keyed on the 8-byte window hash
+    * finds globally-duplicated hashes (aggregate, vocabulary-sized
+    * output); the mark-back join re-uses the same hash partitioning
+    * (exchange reuse). Span coverage is an interval-union in ONE
+    * doc-keyed window pass: duplicated windows all have length k, so
+    * sorted by start the union is Σ min(k, start − prev_start) — no
+    * per-position explode, no quadratic merge. 2^-32 hash collisions
+    * mark a non-duplicated window as duplicated (the conservative
+    * direction for a cleaning signal); oracles replay the hash. */
+  def duplicatedWindows(docs: Df, textCol: String, idCol: String,
+                        k: Int = 50): Df = {
+    require(k >= 1, s"duplicatedWindows: window size k must be >= 1: $k")
+    // referenced twice (window pipeline + per-doc totals): materialize
+    // the tokenize+hash pass once; released via the file's attach contract
+    val base = docs.sdf.select(col(idCol),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      transform(wordGramsAll(col(textCol), k), g => hash32(g)).as("__whs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wins = base.select(col(idCol), posexplode(col("__whs")).as(Seq("start", "wh")))
+    val dup = wins.groupBy(col("wh")).agg(count(lit(1)).as("__ct"))
+      .where(col("__ct") > 1).select("wh")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("start"))
+    val covered = wins.join(dup, Seq("wh"))
+      .withColumn("__prev", lag(col("start"), 1).over(w))
+      .withColumn("__cov", when(col("__prev").isNull, lit(k))
+        .otherwise(least(lit(k), col("start") - col("__prev"))))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_windows"),
+        sum(col("__cov")).cast("long").as("__covered"))
+    new Df(base
+      .select(col(idCol), col("n_tokens"),
+        size(col("__whs")).cast("long").as("n_windows"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("__covered"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 6).as("dup_token_fraction")))
+      .retaining(base)
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a coarse bucket column
     * (label, LSH bucket, …) so the pairwise check never crosses buckets.
     * Null bucket values form their OWN block (sentinel-coalesced): an
@@ -453,6 +542,10 @@ object Dedup {
   def embeddingCosinePairs(vecs: Df, vecCol: String, idCol: String,
                            bucketCol: String, minCosine: Double,
                            maxBucket: Int = DefaultMaxBucket): Df = {
+    requireArgs("embeddingCosinePairs")(
+      (minCosine >= -1.0 && minCosine <= 1.0,
+        s"minCosine must be in [-1, 1]: $minCosine"),
+      (maxBucket >= 1, s"maxBucket must be >= 1: $maxBucket"))
     // native codegen'd expression (graft.plans.FloatCosine): one fused
     // loop per pair, no intermediate arrays — bit-identical to the HOF
     // formulation, ~single-pass FLOP cost at 100 TB pair volumes

@@ -74,6 +74,7 @@ object TextAnalytics {
     * absent (clean). */
   def ngramContamination(corpus: Df, benchmark: Df, textCol: String,
                          idCol: String, n: Int = 3): Df = {
+    require(n >= 1, s"ngramContamination: n must be >= 1: $n")
     val bench = benchmark.sdf
       .select(explode(wordShingles(col(textCol), n)).as("g"))
       .select(hash32(col("g")).as("gh")).distinct()
@@ -97,6 +98,7 @@ object TextAnalytics {
     * one per-doc rollup — two shuffles on the doc id, no per-row
     * quadratic work. */
   def repetitionStats(docs: Df, textCol: String, idCol: String, n: Int = 2): Df = {
+    require(n >= 1, s"repetitionStats: n must be >= 1: $n")
     val perGram = docs.sdf
       .select(col(idCol), explode(wordGramsAll(col(textCol), n)).as("g"))
       .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("ct"))
@@ -139,6 +141,7 @@ object TextAnalytics {
     * rank-per-key window over [[tfidf]], ties broken lexically for
     * determinism. */
   def topTerms(docs: Df, textCol: String, idCol: String, k: Int): Df = {
+    require(k >= 1, s"topTerms: k must be >= 1: $k")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
     new Df(tfidf(docs, textCol, idCol).sdf

@@ -5,8 +5,10 @@ import graft.operators.Curation
 import org.apache.spark.sql.functions._
 import QueryUtil._
 
-/** Corpus-curation suite (q119–q122): PII redaction, domain blocklist
-  * filtering, corpus-level line dedup, character entropy.
+/** Corpus-curation suite (q119–q125, q131): PII redaction, domain
+  * blocklist filtering, corpus-level line dedup, character entropy,
+  * sequence packing, corpus mixing, edit-distance verification,
+  * duplicated-window detection.
   *
   * The synthetic corpus contains no PII/URLs/newlines, so each query
   * first AUGMENTS the text deterministically from `doc_id` (emails,
@@ -130,6 +132,21 @@ object CurationQueries {
       graft.operators.Dedup.editDistancePairs(cand, corpus, "text", "doc_id",
         maxDist = 25)
         .sortValues(Seq("id_a", "id_b")).sdf
+    }),
+
+    // ---- exact duplicated-window detection (Lee et al. substring
+    // dedup). The corpus's own exact dups mark full docs; injected
+    // variants (original text + a unique tail) exercise the PARTIAL
+    // span-union path: the variant's prefix windows are duplicated
+    // against its original, the tail-straddling ones are not ----
+    "q131_dup_windows" -> ((s, dir) => {
+      val d = T(s, dir, "documents").where(col("doc_id") < 150)
+      val aug = new Df(d.sdf.select(col("doc_id"), col("text"))
+        .union(d.sdf.select((col("doc_id") + 2000).as("doc_id"),
+          concat(col("text"), lit(" zq tail marker "),
+            col("doc_id").cast("string")).as("text"))))
+      graft.operators.Dedup.duplicatedWindows(aug, "text", "doc_id", k = 10)
+        .sortValues(Seq("doc_id")).sdf
     }))
 
   val oracles: Map[String, String] = Map(
@@ -238,5 +255,35 @@ object CurationQueries {
         |  THEN ROUND(CAST(1.0 AS DOUBLE) - levenshtein(ta, tb)::DOUBLE
         |    / GREATEST(length(ta), length(tb)), 6)
         |  ELSE CAST(1.0 AS DOUBLE) END) AS edit_sim
-        |FROM p WHERE levenshtein(ta, tb) <= 25 ORDER BY id_a, id_b""".stripMargin)
+        |FROM p WHERE levenshtein(ta, tb) <= 25 ORDER BY id_a, id_b""".stripMargin,
+    // window hashes = md5-prefix of the space-joined 10-token window
+    // (the q114/q121 hash convention); duplicated = global count > 1;
+    // coverage = interval union of equal-length windows via LAG
+    "q131_dup_windows" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id + 2000, text || ' zq tail marker ' || doc_id::VARCHAR
+         |  FROM documents WHERE doc_id < 150),
+         |d AS (SELECT doc_id, ${ExtensionQueries.toksSql()} AS toks FROM src),
+         |t AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |  CASE WHEN len(toks) >= 10 THEN list_transform(range(len(toks) - 9),
+         |    i -> ('0x' || substr(md5(array_to_string(toks[i+1:i+10], ' ')),1,8))::BIGINT)
+         |  ELSE []::BIGINT[] END AS whs FROM d),
+         |w AS (SELECT doc_id, UNNEST(range(len(whs))) AS start, whs FROM t),
+         |wh AS (SELECT doc_id, start, whs[(start+1)::INT] AS h FROM w),
+         |dup AS (SELECT h FROM wh GROUP BY h HAVING COUNT(*) > 1),
+         |dw AS (SELECT doc_id, start FROM wh WHERE h IN (SELECT h FROM dup)),
+         |lagd AS (SELECT doc_id, start,
+         |  LAG(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev FROM dw),
+         |cov AS (SELECT doc_id, COUNT(*) AS n_dup_windows,
+         |  SUM(CASE WHEN prev IS NULL THEN 10
+         |      ELSE LEAST(10, start - prev) END) AS covered
+         |  FROM lagd GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_tokens, len(t.whs)::BIGINT AS n_windows,
+         |COALESCE(cov.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+         |ROUND(COALESCE(cov.covered, 0)::DOUBLE / GREATEST(t.n_tokens, 1), 6)
+         |  AS dup_token_fraction
+         |FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
+         |ORDER BY t.doc_id""".stripMargin)
 }

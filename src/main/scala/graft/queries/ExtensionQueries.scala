@@ -411,7 +411,7 @@ object ExtensionQueries {
     * silently diverge from the Spark side on any tab, newline, double
     * space, or leading/trailing whitespace — oracle parity must not
     * depend on the corpus being single-space-separated. */
-  private def toksSql(e: String = "text") =
+  private[queries] def toksSql(e: String = "text") =
     s"list_filter(regexp_split_to_array($e, '\\s+'), w -> w <> '')"
   private[queries] val fpSql =
     s"md5(array_to_string(list_sort(list_distinct(${toksSql()})), ' '))"

@@ -59,4 +59,30 @@ class ErrorContractSpec extends AnyFunSuite {
       d.groupby("x").agg(Map("y" -> Seq("medianish"))))
     assert(e.getMessage.contains("medianish"))
   }
+
+  test("dedup/text operator knobs fail at call time with the knob named") {
+    import graft.operators.{Dedup, TextAnalytics}
+    val docs = Df.fromRows(spark, Seq(Row(1L, "a b c")),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    def named(body: => Any, knob: String): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains(knob), e.getMessage)
+    }
+    named(Dedup.minhashPairs(docs, "text", "doc_id", bands = 0), "bands")
+    named(Dedup.minhashPairs(docs, "text", "doc_id", minJaccard = 1.5), "minJaccard")
+    named(Dedup.minhashJoin(docs, docs, "text", "doc_id", shingleN = 0), "shingleN")
+    named(Dedup.simhash(docs, "text", "doc_id", bits = 61), "bits")
+    named(Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 60), "maxHamming")
+    named(Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 0), "n")
+    named(Dedup.ngramJaccardPairs(docs, "text", "doc_id", maxBucket = 0), "maxBucket")
+    named(Dedup.embeddingCosinePairs(docs, "text", "doc_id", "text",
+      minCosine = 2.0), "minCosine")
+    named(Dedup.embeddingLshPairs(docs, "text", "doc_id",
+      minCosine = 0.9, planes = 0), "planes")
+    named(Dedup.connectedComponents(docs, "doc_id", "doc_id", maxIter = 0), "maxIter")
+    named(Dedup.duplicatedWindows(docs, "text", "doc_id", k = 0), "k")
+    named(TextAnalytics.topTerms(docs, "text", "doc_id", k = 0), "k")
+    named(TextAnalytics.ngramContamination(docs, docs, "text", "doc_id", n = 0), "n")
+    named(TextAnalytics.repetitionStats(docs, "text", "doc_id", n = 0), "n")
+  }
 }

@@ -154,6 +154,36 @@ class ExtensionSpec extends AnyFunSuite {
     results.foreach(_.unpersistIntermediates())
   }
 
+  test("duplicatedWindows: cross-doc and within-doc window dups, span union, clean docs") {
+    val d = mkDocs(
+      1L -> "a b c d e f",          // shares window [a b c d] with doc 2
+      2L -> "x y a b c d z",        // partial overlap: 4 of 7 tokens covered
+      3L -> "p q p q p q p q",      // internal repetition: fully covered
+      4L -> "entirely novel words never repeated anywhere")
+    val res = graft.operators.Dedup.duplicatedWindows(d, "text", "doc_id", k = 4)
+    val out = res.sdf.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    res.unpersistIntermediates()
+    // doc 1: 3 windows, one dup ([a b c d] at start 0) -> 4/6 covered
+    assert(out(1L) == ((6L, 3L, 1L, 0.666667)))
+    // doc 2: dup window starts at 2 -> 4/7 covered
+    assert(out(2L) == ((7L, 4L, 1L, 0.571429)))
+    // doc 3: [p q p q] x3 and [q p q p] x2 -> all 5 windows dup,
+    // union [0, 8) = the whole doc
+    assert(out(3L) == ((8L, 5L, 5L, 1.0)))
+    // doc 4: nothing duplicated
+    assert(out(4L) == ((6L, 3L, 0L, 0.0)))
+  }
+
+  test("duplicatedWindows: docs shorter than k yield zero windows, fraction 0") {
+    val d = mkDocs(1L -> "a b", 2L -> "a b")  // exact dups but < k tokens
+    val res = graft.operators.Dedup.duplicatedWindows(d, "text", "doc_id", k = 4)
+    val out = res.sdf.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    res.unpersistIntermediates()
+    assert(out(1L) == ((2L, 0L, 0L, 0.0)) && out(2L) == ((2L, 0L, 0L, 0.0)))
+  }
+
   test("ngramContamination counts distinct shared n-grams per doc") {
     val corpus = mkDocs(1L -> "a b c d e", 2L -> "x y z w v", 3L -> "a b c x q")
     val bench = mkDocs(100L -> "a b c d")
