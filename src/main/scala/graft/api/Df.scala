@@ -733,6 +733,13 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   def toParquet(path: String): Unit = sdf.write.mode("overwrite").parquet(path)
   def toCsv(path: String): Unit =
     sdf.write.mode("overwrite").option("header", "true").csv(path)
+  /** JSON Lines sink — the interchange format most corpus pipelines
+    * ingest/emit. One JSON object per line, splittable for parallel
+    * re-reads. */
+  def toJson(path: String): Unit = sdf.write.mode("overwrite").json(path)
+  /** ORC sink — the other columnar format Spark ships natively
+    * (predicate pushdown + column pruning, like parquet). */
+  def toOrc(path: String): Unit = sdf.write.mode("overwrite").orc(path)
   def explain(): Unit = sdf.explain("formatted")
   def pprint(): Unit = explain()
 }
@@ -771,6 +778,24 @@ object Df {
     r = if (schema != null) r.schema(schema) else r.option("inferSchema", "true")
     val base = r.csv(path)
     new Df(if (usecols.isEmpty) base else base.select(usecols.map(base(_)): _*))
+  }
+  /** JSON Lines reader (beyond the reference's surface — corpus
+    * pipelines live on JSONL). ALWAYS pass `schema` at scale: without
+    * one Spark runs a full inference pass over the data before the real
+    * read — 2× the IO on a 100 TB feed. Filters still push down to the
+    * JSON scan (row-group-less, so pushdown prunes rows post-parse, not
+    * IO — prefer parquet/orc for hot data; JSONL is the INGEST format). */
+  def readJson(spark: SparkSession, path: String,
+               schema: StructType = null, columns: Seq[String] = Nil): Df = {
+    val r = if (schema != null) spark.read.schema(schema) else spark.read
+    val base = r.json(path)
+    new Df(if (columns.isEmpty) base else base.select(columns.map(base(_)): _*))
+  }
+  /** ORC reader — same pushdown/pruning contract as [[readParquet]]
+    * (PlanSpec asserts the pushed filters reach the ORC scan). */
+  def readOrc(spark: SparkSession, path: String, columns: Seq[String] = Nil): Df = {
+    val base = spark.read.orc(path)
+    new Df(if (columns.isEmpty) base else base.select(columns.map(base(_)): _*))
   }
   /** `PandasIO` (`io/io.py:17`): in-memory rows as a LocalRelation. */
   def fromRows(spark: SparkSession, rows: Seq[org.apache.spark.sql.Row], schema: StructType): Df =

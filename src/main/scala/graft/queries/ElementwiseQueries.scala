@@ -33,6 +33,31 @@ object ElementwiseQueries {
       Df.readParquet(s, p).sortValues(Seq("l_orderkey", "l_linenumber")).sdf
     }),
 
+    // ---- JSONL round-trip (ingest-format reader; beyond the
+    // reference's surface): sink documents as JSON Lines, read back
+    // with an explicit schema (the at-scale contract — no inference
+    // pass), filter + project; oracle is the identity on the source ----
+    "q132_read_json" -> ((s, dir) => {
+      val p = tmp("json_documents")
+      val d = T(s, dir, "documents")
+      d.select("doc_id", "lang", "text").toJson(p)
+      val back = Df.readJson(s, p, schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("text", StringType))))
+      back.where(col("lang") === "en").sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- ORC round-trip (the other native columnar format; same
+    // pushdown contract as parquet, asserted in PlanSpec) ----
+    "q133_read_orc" -> ((s, dir) => {
+      val p = tmp("orc_orders")
+      val o = T(s, dir, "orders")
+      o.select("o_orderkey", "o_custkey", "o_totalprice").toOrc(p)
+      val back = Df.readOrc(s, p)
+      back.where(col("o_totalprice") > 400000.0)
+        .sortValues(Seq("o_orderkey")).sdf
+    }),
+
     // ---- PandasIO / Literal (`io/io.py:17`, `_expr.py:860`) ----
     "q16_from_rows" -> ((s, dir) => {
       import org.apache.spark.sql.Row
@@ -205,6 +230,14 @@ object ElementwiseQueries {
     "q15_to_parquet" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // round-trip identities: the JSONL/ORC write+read must reproduce
+    // the source rows exactly
+    "q132_read_json" ->
+      """SELECT doc_id, lang, text FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+    "q133_read_orc" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 400000.0 ORDER BY o_orderkey""".stripMargin,
     "q16_from_rows" ->
       """SELECT k, v, k*2 AS doubled FROM (VALUES
         |(1::BIGINT,'a'),(2::BIGINT,'b'),(3::BIGINT,'c')) t(k, v) ORDER BY k""".stripMargin,

@@ -23,6 +23,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)]"), p)
   }
 
+  test("ORC scans get pushed filters and pruned schema (readOrc contract)") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_orc"
+    val li = Df.readParquet(spark, s"$sf/lineitem.parquet")
+    li.select("l_orderkey", "l_quantity", "l_discount").toOrc(dir)
+    val o = Df.readOrc(spark, dir)
+    val p = plan(o.where(o("l_quantity") > 45.0).select("l_orderkey").sdf)
+    assert(p.contains("GreaterThan(l_quantity,45.0)"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+    assert(p.contains("Scan orc"), p)
+  }
+
+  test("duplicatedWindows plans hash-keyed (dup-detect reuses the window exchange; no cartesian)") {
+    val d = Df.readParquet(spark, s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_returnflag")
+      .rename(Map("l_orderkey" -> "doc_id", "l_returnflag" -> "text"))
+    val res = graft.operators.Dedup.duplicatedWindows(d, "text", "doc_id", k = 1)
+    val p = plan(res.sdf)
+    res.unpersistIntermediates()
+    assert(!p.contains("CartesianProduct"), p)
+    // dup-hash aggregate and mark-back join share the wh-keyed shuffle
+    assert(p.contains("hashpartitioning(wh"), p)
+  }
+
   test("column pruning reaches the scan (ReadSchema only needed cols)") {
     val li = Df.readParquet(spark, s"$sf/lineitem.parquet")
     val p = plan(li.select("l_orderkey", "l_quantity")
