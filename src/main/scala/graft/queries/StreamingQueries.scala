@@ -91,6 +91,24 @@ object StreamingQueries {
         .orderBy("fp")
     }),
 
+    // ---- bounded-state dedup (dropDuplicatesWithinWatermark): the
+    // production path when duplicates arrive within a horizon. Event
+    // time is derived from doc_id (one doc per second, both engines
+    // compute it identically), so EVERY duplicate pair — the re-arrival
+    // wave and the corpus's own exact dups, ≤ 500 s apart — sits inside
+    // the 2 h watermark and the result equals global distinct ----
+    "q134_stream_dedup_bounded" -> ((s, dir) => {
+      val src = s"$dir/documents.parquet"
+      val st = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage(src, 2))
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      StreamOps.runToCompletion(
+        StreamOps.streamingDedupWithinWatermark(st, "text", "ts", "2 hours"),
+        "q134_sink", mode = "append")
+        .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("fp")
+    }),
+
     // ---- flatMapGroupsWithState running totals: the final state per
     // user (its LAST emission = the max cumulative count) must equal
     // the batch per-user count. total_value is deliberately excluded:
@@ -145,6 +163,10 @@ object StreamingQueries {
     // distinct canonical fingerprints of the corpus — duplicate
     // arrivals (and the corpus's own exact dups) collapse to one row
     "q129_stream_dedup" ->
+      s"SELECT DISTINCT ${ExtensionQueries.fpSql} AS fp FROM documents ORDER BY fp",
+    // all duplicate pairs sit within the watermark horizon by
+    // construction, so bounded-state dedup equals global distinct
+    "q134_stream_dedup_bounded" ->
       s"SELECT DISTINCT ${ExtensionQueries.fpSql} AS fp FROM documents ORDER BY fp",
     // the operator drops null keys/values up front (tuple-encoder
     // contract) — mirrored in the oracle's WHERE

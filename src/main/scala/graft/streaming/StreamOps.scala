@@ -125,6 +125,24 @@ object StreamOps {
         graft.functions.TextFunctions.fingerprint(col(textCol)))
       .dropDuplicates("__fp").drop("__fp")
 
+  /** BOUNDED-STATE streaming dedup — the production twin of
+    * [[streamingExactDedup]] for feeds where duplicates arrive close in
+    * event time (retries, mirrored feeds, re-delivery): state per
+    * fingerprint is EVICTED once the watermark passes it, so the state
+    * store stays proportional to the dedup horizon instead of the
+    * all-time distinct count. A duplicate arriving LATER than the
+    * watermark delay is re-emitted — the documented trade for bounded
+    * state (run the batch [[graft.operators.Dedup.exactByFingerprint]]
+    * periodically to catch the long tail). */
+  def streamingDedupWithinWatermark(docs: DataFrame, textCol: String,
+                                    tsCol: String,
+                                    watermark: String = "2 hours"): DataFrame =
+    docs.withColumn("__fp",
+        graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** run a streaming plan to completion against the bounded test input
     * and return the materialized result (memory sink).
     *

@@ -155,7 +155,7 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("ReusedExchange"), p)
       assert("Scan parquet".r.findAllIn(p).length == 1, p)
 
-      // Residual (DESIGNED) divergence — DIVERGENCES.md #14: bare
+      // Residual (DESIGNED) divergence — DIVERGENCES.md #15: bare
       // exchange-less scans side by side plan one scan EACH, because a
       // tree-shaped logical plan has no multicast node (sharing is
       // physical-only: ReusedExchange/ReusedSubquery). No

@@ -89,6 +89,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(result.count() == batch.count() && result.count() > 0)
   }
 
+  test("bounded-state dedup (within-watermark) equals global distinct when dups are close in event time") {
+    val d = java.nio.file.Files.createTempDirectory("graft_wm_dedup_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"), d.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"), d.resolve("b.parquet"))
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(d.toString)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val result = StreamOps.runToCompletion(
+      StreamOps.streamingDedupWithinWatermark(stream, "text", "ts", "2 hours"),
+      "wm_dedup_stream", mode = "append")
+    val batchDistinct = spark.read.parquet(d.toString)
+      .select(graft.functions.TextFunctions.fingerprint(col("text"))).distinct().count()
+    // every dup pair (the re-arrival wave AND the corpus's own exact
+    // dups) is within the 2 h horizon -> bounded state, exact result
+    assert(result.count() == batchDistinct)
+    assert(result.count() > 0 && result.count() < spark.read.parquet(d.toString).count())
+  }
+
   test("flatMapGroupsWithState: stateful totals equal batch groupBy") {
     val stream = StreamOps.readEventsStream(spark, stageDir)
     val result = StreamOps.runToCompletion(
