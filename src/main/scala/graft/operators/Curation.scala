@@ -68,6 +68,52 @@ object Curation {
       coalesce(!arrays_overlap(doms, typedlit(blocklist)), lit(true))))
   }
 
+  /** URL canonicalization — the CommonCrawl-style pre-content dedup
+    * key. Canonical form, in order:
+    *  1. scheme + host lowercased (paths stay case-sensitive);
+    *  2. `www.` host prefix stripped;
+    *  3. default ports stripped (`:80` for http, `:443` for https);
+    *  4. fragment stripped (`#…` never reaches the server);
+    *  5. tracking params stripped (`utm_*`, `gclid`, `fbclid`) with
+    *     separator cleanup (`?&`→`?`, dangling `?`/`&` dropped);
+    *  6. one trailing path slash stripped.
+    * Pure codegen'd regex pipeline over the COMMON Java/RE2 subset (the
+    * [[EmailRe]] convention) so DuckDB oracles replay it verbatim.
+    * Non-URL input passes through steps 2–6 unchanged (no scheme ⇒ no
+    * step-1 match). NULL stays NULL. */
+  def normalizeUrl(c: Column): Column = {
+    // 1. lowercase "scheme://host[:port]" — regexp can't lowercase a
+    // capture, so split at the authority boundary and rejoin
+    val head = regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val lowered = concat(lower(head), substr(c, length(head) + 1))
+    val steps: Seq[Column => Column] = Seq(
+      u => regexp_replace(u, lit("^(https?://)www\\."), lit("$1")),
+      u => regexp_replace(u, lit("^(http://[^/:?#]+):80([/?#]|$)"), lit("$1$2")),
+      u => regexp_replace(u, lit("^(https://[^/:?#]+):443([/?#]|$)"), lit("$1$2")),
+      u => regexp_replace(u, lit("#.*$"), lit("")),
+      u => regexp_replace(u, lit("([?&])(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*"), lit("$1")),
+      u => regexp_replace(u, lit("\\?&+"), lit("?")),
+      u => regexp_replace(u, lit("&&+"), lit("&")),
+      u => regexp_replace(u, lit("[?&]$"), lit("")),
+      u => regexp_replace(u, lit("(://[^/?#]*/[^?#]*?)/(\\?|$)"), lit("$1$2")))
+    steps.foldLeft(lowered)((u, f) => f(u))
+  }
+
+  /** Exact URL dedup: keep the minimum `idCol` per canonical URL (the
+    * [[Dedup.exactByFingerprint]] shape, keyed on [[normalizeUrl]]).
+    * Rows with a NULL url form no group and are all kept — an unknown
+    * URL is not evidence of duplication. */
+  def dedupByUrl(docs: Df, urlCol: String, idCol: String): Df = {
+    val withKey = docs.sdf.withColumn("__u", normalizeUrl(col(urlCol)))
+    val keyed = withKey.where(col("__u").isNotNull)
+      .groupBy(col("__u"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("__u").as("canonical_url"), col("n_copies"))
+    val nulls = withKey.where(col("__u").isNull)
+      .select(col(idCol), col("__u").as("canonical_url"), lit(1L).as("n_copies"))
+    new Df(keyed.unionByName(nulls))
+  }
+
   /** Corpus-level exact line dedup (the C4 cleaning rule): every line
     * keeps only its FIRST occurrence across the whole corpus — first =
     * min (idCol, line position), a total order, so the result is

@@ -147,6 +147,31 @@ object CurationQueries {
             col("doc_id").cast("string")).as("text"))))
       graft.operators.Dedup.duplicatedWindows(aug, "text", "doc_id", k = 10)
         .sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- URL canonicalization + URL dedup (the CommonCrawl-style
+    // pre-content key): three waves of the same logical URL in
+    // different disguises (www + default port + upper-cased authority +
+    // tracking params + fragment + trailing slash) must collapse to one
+    // canonical row each; NULL urls are all kept ----
+    "q135_url_dedup" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val aug = new Df(d.where(col("doc_id") < 300).sdf.selectExpr("doc_id",
+        """CASE (doc_id div 100)
+          |WHEN 0 THEN concat('https://www.site',
+          |  CAST((doc_id % 100) % 7 AS STRING), '.example.com/p/',
+          |  CAST(doc_id % 100 AS STRING))
+          |WHEN 1 THEN concat('HTTPS://SITE',
+          |  CAST((doc_id % 100) % 7 AS STRING), '.EXAMPLE.COM:443/p/',
+          |  CAST(doc_id % 100 AS STRING))
+          |ELSE concat('https://site',
+          |  CAST((doc_id % 100) % 7 AS STRING), '.example.com/p/',
+          |  CAST(doc_id % 100 AS STRING), '/?utm_source=a&gclid=xyz#sec')
+          |END AS url""".stripMargin)
+        .union(d.where(col("doc_id") < 10).sdf
+          .selectExpr("doc_id + 300 AS doc_id", "CAST(NULL AS STRING) AS url")))
+      Curation.dedupByUrl(aug, "url", "doc_id")
+        .sortValues(Seq("doc_id")).sdf
     }))
 
   val oracles: Map[String, String] = Map(
@@ -285,5 +310,53 @@ object CurationQueries {
          |ROUND(COALESCE(cov.covered, 0)::DOUBLE / GREATEST(t.n_tokens, 1), 6)
          |  AS dup_token_fraction
          |FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
-         |ORDER BY t.doc_id""".stripMargin)
+         |ORDER BY t.doc_id""".stripMargin,
+    // the SAME 9-step canonicalization pipeline as Curation.normalizeUrl,
+    // with DuckDB's \1 backreference syntax (Java uses $1) and the 'g'
+    // flag (Spark regexp_replace is global by default)
+    "q135_url_dedup" ->
+      """WITH src AS (
+        |  SELECT doc_id, CASE (doc_id // 100)
+        |    WHEN 0 THEN 'https://www.site' || ((doc_id % 100) % 7)::VARCHAR
+        |      || '.example.com/p/' || (doc_id % 100)::VARCHAR
+        |    WHEN 1 THEN 'HTTPS://SITE' || ((doc_id % 100) % 7)::VARCHAR
+        |      || '.EXAMPLE.COM:443/p/' || (doc_id % 100)::VARCHAR
+        |    ELSE 'https://site' || ((doc_id % 100) % 7)::VARCHAR
+        |      || '.example.com/p/' || (doc_id % 100)::VARCHAR
+        |      || '/?utm_source=a&gclid=xyz#sec'
+        |    END AS url
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 300, NULL FROM documents WHERE doc_id < 10),
+        |c0 AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0))
+        |  || substr(url,
+        |    length(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) + 1)
+        |  AS u FROM src),
+        |c9 AS (SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(
+        |                  regexp_replace(u,
+        |                    '^(https?://)www\.', '\1', 'g'),
+        |                  '^(http://[^/:?#]+):80([/?#]|$)', '\1\2', 'g'),
+        |                '^(https://[^/:?#]+):443([/?#]|$)', '\1\2', 'g'),
+        |              '#.*$', '', 'g'),
+        |            '([?&])(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*', '\1', 'g'),
+        |          '\?&+', '?', 'g'),
+        |        '&&+', '&', 'g'),
+        |      '[?&]$', '', 'g'),
+        |    '(://[^/?#]*/[^?#]*?)/(\?|$)', '\1\2', 'g') AS u
+        |  FROM c0),
+        |keyed AS (SELECT MIN(doc_id) AS doc_id, u AS canonical_url,
+        |  COUNT(*) AS n_copies FROM c9 WHERE u IS NOT NULL GROUP BY u),
+        |nulls AS (SELECT doc_id, u AS canonical_url, 1::BIGINT AS n_copies
+        |  FROM c9 WHERE u IS NULL)
+        |SELECT * FROM keyed UNION ALL SELECT * FROM nulls
+        |ORDER BY doc_id""".stripMargin)
 }

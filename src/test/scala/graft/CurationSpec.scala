@@ -166,6 +166,52 @@ class CurationSpec extends AnyFunSuite {
     assert(ids1 == ids2 && ids1.nonEmpty)
   }
 
+  test("normalizeUrl canonicalizes scheme/host case, www, ports, fragments, tracking params, trailing slash") {
+    val cases = Seq(
+      // scheme+host lowercased, path case preserved
+      "HTTPS://Ex.COM/Path" -> "https://ex.com/Path",
+      "https://www.ex.com/a" -> "https://ex.com/a",
+      "http://ex.com:80/a" -> "http://ex.com/a",
+      "https://ex.com:443/a" -> "https://ex.com/a",
+      "http://ex.com:8080/a" -> "http://ex.com:8080/a",   // non-default kept
+      "https://ex.com/a#frag" -> "https://ex.com/a",
+      "https://ex.com/a?utm_source=x&b=2" -> "https://ex.com/a?b=2",
+      "https://ex.com/a?b=2&utm_campaign=y" -> "https://ex.com/a?b=2",
+      "https://ex.com/a?utm_a=1&utm_b=2" -> "https://ex.com/a",
+      "https://ex.com/a?gclid=z" -> "https://ex.com/a",
+      "https://ex.com/a/b/" -> "https://ex.com/a/b",
+      "https://ex.com/a/?fbclid=q#s" -> "https://ex.com/a",
+      "https://ex.com/" -> "https://ex.com/",              // root slash kept
+      "no scheme at all" -> "no scheme at all")
+    val d = Df.fromRows(spark,
+      cases.zipWithIndex.map { case ((in, _), i) => Row(i.toLong, in) },
+      StructType(Seq(StructField("id", LongType), StructField("url", StringType))))
+    val got = d.sdf.orderBy("id")
+      .select(Curation.normalizeUrl(col("url"))).collect().map(_.getString(0))
+    cases.zip(got).foreach { case ((in, expect), g) =>
+      assert(g == expect, s"normalizeUrl($in) = $g, expected $expect") }
+    // NULL stays NULL
+    val n = Df.fromRows(spark, Seq(Row(1L, null)),
+      StructType(Seq(StructField("id", LongType), StructField("url", StringType))))
+    assert(n.sdf.select(Curation.normalizeUrl(col("url"))).collect()(0).isNullAt(0))
+  }
+
+  test("dedupByUrl keeps min id per canonical url; NULL urls all survive") {
+    val d = Df.fromRows(spark, Seq(
+      Row(5L, "https://www.ex.com/a"),
+      Row(3L, "HTTPS://EX.COM/a?utm_source=t"),
+      Row(9L, "https://ex.com/a/"),
+      Row(7L, "https://ex.com/b"),
+      Row(11L, null), Row(12L, null)),
+      StructType(Seq(StructField("doc_id", LongType), StructField("url", StringType))))
+    val out = Curation.dedupByUrl(d, "url", "doc_id").sdf.collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getLong(2))).toMap
+    assert(out(3L) == ((Some("https://ex.com/a"), 3L)))  // 3 disguises, min id 3
+    assert(out(7L) == ((Some("https://ex.com/b"), 1L)))
+    assert(out(11L) == ((None, 1L)) && out(12L) == ((None, 1L)))
+    assert(out.size == 4)
+  }
+
   test("editDistancePairs verifies candidates, drops beyond maxDist, guards empty texts") {
     val d = mkDocs(
       1L -> "the quick brown fox",
