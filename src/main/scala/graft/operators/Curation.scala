@@ -71,12 +71,13 @@ object Curation {
   /** URL canonicalization — the CommonCrawl-style pre-content dedup
     * key. Canonical form, in order:
     *  1. scheme + host lowercased (paths stay case-sensitive);
-    *  2. `www.` host prefix stripped;
+    *  2. `www.` host prefix stripped (a run of them in one pass —
+    *     idempotence is FuzzSpec-property-tested);
     *  3. default ports stripped (`:80` for http, `:443` for https);
     *  4. fragment stripped (`#…` never reaches the server);
     *  5. tracking params stripped (`utm_*`, `gclid`, `fbclid`) with
     *     separator cleanup (`?&`→`?`, dangling `?`/`&` dropped);
-    *  6. one trailing path slash stripped.
+    *  6. trailing path slashes stripped (root keeps its one slash).
     * Pure codegen'd regex pipeline over the COMMON Java/RE2 subset (the
     * [[EmailRe]] convention) so DuckDB oracles replay it verbatim.
     * Non-URL input passes through steps 2–6 unchanged (no scheme ⇒ no
@@ -87,7 +88,7 @@ object Curation {
     val head = regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
     val lowered = concat(lower(head), substr(c, length(head) + 1))
     val steps: Seq[Column => Column] = Seq(
-      u => regexp_replace(u, lit("^(https?://)www\\."), lit("$1")),
+      u => regexp_replace(u, lit("^(https?://)(www\\.)+"), lit("$1")),
       u => regexp_replace(u, lit("^(http://[^/:?#]+):80([/?#]|$)"), lit("$1$2")),
       u => regexp_replace(u, lit("^(https://[^/:?#]+):443([/?#]|$)"), lit("$1$2")),
       u => regexp_replace(u, lit("#.*$"), lit("")),
@@ -95,7 +96,7 @@ object Curation {
       u => regexp_replace(u, lit("\\?&+"), lit("?")),
       u => regexp_replace(u, lit("&&+"), lit("&")),
       u => regexp_replace(u, lit("[?&]$"), lit("")),
-      u => regexp_replace(u, lit("(://[^/?#]*/[^?#]*?)/(\\?|$)"), lit("$1$2")))
+      u => regexp_replace(u, lit("(://[^/?#]*/[^?#]*?)/+(\\?|$)"), lit("$1$2")))
     steps.foldLeft(lowered)((u, f) => f(u))
   }
 

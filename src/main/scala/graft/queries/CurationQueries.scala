@@ -343,7 +343,7 @@ object CurationQueries {
         |              regexp_replace(
         |                regexp_replace(
         |                  regexp_replace(u,
-        |                    '^(https?://)www\.', '\1', 'g'),
+        |                    '^(https?://)(www\.)+', '\1', 'g'),
         |                  '^(http://[^/:?#]+):80([/?#]|$)', '\1\2', 'g'),
         |                '^(https://[^/:?#]+):443([/?#]|$)', '\1\2', 'g'),
         |              '#.*$', '', 'g'),
@@ -351,7 +351,7 @@ object CurationQueries {
         |          '\?&+', '?', 'g'),
         |        '&&+', '&', 'g'),
         |      '[?&]$', '', 'g'),
-        |    '(://[^/?#]*/[^?#]*?)/(\?|$)', '\1\2', 'g') AS u
+        |    '(://[^/?#]*/[^?#]*?)/+(\?|$)', '\1\2', 'g') AS u
         |  FROM c0),
         |keyed AS (SELECT MIN(doc_id) AS doc_id, u AS canonical_url,
         |  COUNT(*) AS n_copies FROM c9 WHERE u IS NOT NULL GROUP BY u),

@@ -182,6 +182,8 @@ class CurationSpec extends AnyFunSuite {
       "https://ex.com/a/b/" -> "https://ex.com/a/b",
       "https://ex.com/a/?fbclid=q#s" -> "https://ex.com/a",
       "https://ex.com/" -> "https://ex.com/",              // root slash kept
+      "https://www.www.ex.com/a" -> "https://ex.com/a",    // www runs collapse
+      "https://ex.com/a//" -> "https://ex.com/a",          // slash runs stripped
       "no scheme at all" -> "no scheme at all")
     val d = Df.fromRows(spark,
       cases.zipWithIndex.map { case ((in, _), i) => Row(i.toLong, in) },

@@ -307,6 +307,70 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("normalizeUrl is idempotent over random structured URLs") {
+    // the canonicalizer contract: a second pass changes nothing —
+    // catches any rewrite whose output re-matches an earlier rule
+    // (www runs, slash runs, separator cleanup)
+    val urlGen: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP", "HtTpS")
+      wwws <- Gen.choose(0, 2)
+      host <- Gen.oneOf("Ex.COM", "a.b.org", "x1.example.net")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      segs <- Gen.choose(0, 3).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("A", "p", "q2", "")))
+      trail <- Gen.oneOf("", "/", "//")
+      params <- Gen.choose(0, 3).flatMap(n => Gen.listOfN(n,
+        Gen.oneOf("utm_source=x", "utm_a=", "a=1", "b=2", "gclid=g", "fbclid=f")))
+      frag <- Gen.oneOf("", "#s", "#a#b")
+    } yield {
+      val path = if (segs.isEmpty) "" else segs.mkString("/", "/", "")
+      val query = if (params.isEmpty) "" else params.mkString("?", "&", "")
+      s"$scheme://${"www." * wwws}$host$port$path$trail$query$frag"
+    }
+    trials(Gen.listOfN(25, urlGen), n = 6) { urls =>
+      val d = Df.fromRows(spark, urls.zipWithIndex.map { case (u, i) => Row(i.toLong, u) },
+        StructType(Seq(StructField("id", LongType), StructField("url", StringType))))
+      val once = graft.operators.Curation.normalizeUrl(col("url"))
+      val rows = d.sdf.select(once.as("u1"),
+        graft.operators.Curation.normalizeUrl(once).as("u2")).collect()
+      rows.foreach(r => assert(r.getString(0) == r.getString(1),
+        s"not idempotent: ${r.getString(0)} -> ${r.getString(1)}"))
+    }
+  }
+
+  test("duplicatedWindows matches a reference implementation (random corpora)") {
+    val corpus: Gen[(List[List[String]], Int)] = for {
+      nDocs <- Gen.choose(2, 6)
+      docs <- Gen.listOfN(nDocs, Gen.choose(0, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c"))))   // tiny vocab → dups likely
+      k <- Gen.choose(1, 4)
+    } yield (docs, k)
+    trials(corpus, n = 8) { case (docs, k) =>
+      val d = mkTextDf(docs.zipWithIndex.map { case (ts, i) => i.toLong -> ts.mkString(" ") })
+      val res = graft.operators.Dedup.duplicatedWindows(d, "text", "doc_id", k)
+      val got = res.sdf.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      res.unpersistIntermediates()
+      // reference: windows as token-slice strings, global multiset count,
+      // coverage as the exact set of covered positions
+      val wins = docs.map(ts =>
+        (0 to ts.size - k).map(s => ts.slice(s, s + k).mkString(" ")).toList)
+      val counts = wins.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      docs.indices.foreach { i =>
+        val ts = docs(i)
+        val dupStarts = wins(i).zipWithIndex.collect {
+          case (w, s) if counts(w) > 1 => s }
+        val coveredPos = dupStarts.flatMap(s => s until s + k).toSet
+        val frac = if (ts.isEmpty) 0.0
+          else BigDecimal(coveredPos.size.toDouble / ts.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got(i.toLong) ==
+          ((ts.size.toLong, wins(i).size.toLong, dupStarts.size.toLong, frac)),
+          s"doc $i: got ${got(i.toLong)}, toks=$ts k=$k")
+      }
+    }
+  }
+
   test("binopAligned union-of-index semantics") {
     val a = Df.fromRows(spark, Seq(Row(1L, 10.0), Row(2L, 20.0)),
       StructType(Seq(StructField("i", LongType), StructField("x", DoubleType))))
