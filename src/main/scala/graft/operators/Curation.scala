@@ -190,6 +190,31 @@ object Curation {
       .drop("__pre"))
   }
 
+  /** Materialize the training sequences [[packSequences]] assigns: one
+    * row per (shard, pack) with the member docs' text concatenated in
+    * id order (single-space joined — the trainer's tokenizer re-splits),
+    * plus `n_docs` and the exact token total. The emit side of the
+    * packing story: `packSequences` decides WHERE every doc goes,
+    * this builds WHAT the data loader reads.
+    *
+    * Scale shape: one id-keyed join back to the text (the assignment
+    * frame carries only ids + counters), one (shard, pack) aggregation.
+    * Per-group state is bounded by `budget` tokens — a pack's
+    * collect_list holds one context window of text, never an unbounded
+    * group (a doc longer than `budget` still forms its own pack plus
+    * overhang, the streaming concatenate-then-cut rule). */
+  def materializePacks(docs: Df, textCol: String, idCol: String,
+                       budget: Int, shards: Int = 256): Df = {
+    val assigned = packSequences(docs, textCol, idCol, budget, shards).sdf
+    val joined = assigned.join(docs.sdf.select(col(idCol), col(textCol)), Seq(idCol))
+    new Df(joined.groupBy(col("shard"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col(idCol), col(textCol)))),
+            s => s(textCol))).as(textCol)))
+  }
+
   /** Deterministic corpus mixing: downsample so the `sourceCol`
     * distribution of the OUTPUT matches the target `weights` (the
     * domain-mixture step before training). The largest feasible total

@@ -101,6 +101,14 @@ object CurationQueries {
         .sortValues(Seq("doc_id")).sdf
     }),
 
+    // ---- materialized training packs: the emit side of q123 — same
+    // assignment, concatenated member text per (shard, pack) ----
+    "q136_materialize_packs" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Curation.materializePacks(d, "text", "doc_id", budget = 512, shards = 8)
+        .sortValues(Seq("shard", "pack")).sdf
+    }),
+
     // ---- corpus mixing to target lang weights: T = min(n/w) caps the
     // total (never upsamples), hash rule picks the kept rows; es/zh
     // have no weight and are dropped entirely ----
@@ -246,6 +254,24 @@ object CurationQueries {
         |  FROM d)
         |SELECT doc_id, n_tokens, shard, (pre // 512)::BIGINT AS pack
         |FROM p ORDER BY doc_id""".stripMargin,
+    // q123's assignment pipeline + join back to text + per-(shard,pack)
+    // rollup; string_agg ORDER BY doc_id ≡ the Spark side's
+    // array_sort(collect_list(struct(doc_id, text)))
+    "q136_materialize_packs" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> ''))::BIGINT AS n_tokens,
+        |  (('0x' || substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 8)::INT AS shard
+        |  FROM documents),
+        |p AS (SELECT doc_id, text, n_tokens, shard,
+        |  SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS pre
+        |  FROM d)
+        |SELECT shard, (pre // 512)::BIGINT AS pack, COUNT(*) AS n_docs,
+        |SUM(n_tokens)::BIGINT AS n_tokens,
+        |string_agg(text, ' ' ORDER BY doc_id) AS text
+        |FROM p GROUP BY shard, (pre // 512)
+        |ORDER BY shard, pack""".stripMargin,
+
     // same arithmetic ORDER as mixCorpora: T = MIN(n/w), f = w*T/n
     // capped at 1, keep iff hash-bucket < ROUND(f·buckets) — every
     // step double-typed (a bare 0.5 literal is DECIMAL in DuckDB and

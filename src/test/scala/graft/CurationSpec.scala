@@ -116,6 +116,22 @@ class CurationSpec extends AnyFunSuite {
     assert(out.map(r => r.getLong(r.fieldIndex("n_tokens"))).sum == 13L)
   }
 
+  test("materializePacks emits member text in id order with exact token totals") {
+    val d = mkDocs(
+      1L -> "t1 t1 t1 t1",   // 4 tokens -> pack 0
+      2L -> "t2 t2 t2",      // 3 tokens -> pack 0 (prefix 4 < 6)
+      3L -> "t3 t3 t3 t3 t3",// 5 tokens -> pack 1 (prefix 7)
+      4L -> "t4")            // 1 token  -> pack 2 (prefix 12)
+    val out = Curation.materializePacks(d, "text", "doc_id", budget = 6, shards = 1)
+      .sdf.orderBy("pack").collect()
+      .map(r => (r.getLong(r.fieldIndex("pack")), r.getLong(r.fieldIndex("n_docs")),
+        r.getLong(r.fieldIndex("n_tokens")), r.getString(r.fieldIndex("text"))))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 7L, "t1 t1 t1 t1 t2 t2 t2"),
+      (1L, 1L, 5L, "t3 t3 t3 t3 t3"),
+      (2L, 1L, 1L, "t4")))
+  }
+
   test("packSequences: shard assignment is deterministic and pack ids restart per shard") {
     val docs = (0L until 60L).map(i => i -> ("w " * (i % 7 + 1).toInt).trim)
     val d = mkDocs(docs: _*)
