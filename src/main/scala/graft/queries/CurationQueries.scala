@@ -5,10 +5,11 @@ import graft.operators.Curation
 import org.apache.spark.sql.functions._
 import QueryUtil._
 
-/** Corpus-curation suite (q119–q125, q131): PII redaction, domain
-  * blocklist filtering, corpus-level line dedup, character entropy,
-  * sequence packing, corpus mixing, edit-distance verification,
-  * duplicated-window detection.
+/** Corpus-curation suite (q119–q125, q131, q135–q136): PII redaction,
+  * domain blocklist filtering, corpus-level line dedup, character
+  * entropy, sequence packing + materialized packs, corpus mixing,
+  * edit-distance verification, duplicated-window detection, URL
+  * canonicalization + URL dedup.
   *
   * The synthetic corpus contains no PII/URLs/newlines, so each query
   * first AUGMENTS the text deterministically from `doc_id` (emails,
