@@ -39,18 +39,26 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * unlike `spark.catalog.clearCache()` which nukes unrelated caches.
     * Operators that complete their actions internally
     * ([[graft.operators.Dedup.connectedComponents]]) unpersist their
-    * own and attach nothing. */
+    * own and attach nothing.
+    *
+    * CAVEAT: the attachment lives on the Df the OPERATOR returned —
+    * derived frames (`.where(...)`, `.select(...)`, …) do not carry it,
+    * so keep a handle to the operator result and release through it.
+    * Lost the handle? [[Df.releaseRetained]] drops every
+    * graft-operator-persisted intermediate still live in the JVM. */
   private var retained: List[DataFrame] = Nil
   /** operator-internal: attach persisted frames to this result */
   private[graft] def retaining(frames: DataFrame*): Df = {
-    retained = frames.toList ::: retained; this
+    retained = frames.toList ::: retained
+    frames.foreach(Df.retainedRegistry.add)
+    this
   }
   /** Release the persisted intermediates behind this operator result.
     * Call AFTER the terminal action — the blocks back every reference
     * to the intermediate in the plan; derived frames recompute from
     * source if acted on later. Idempotent. */
   def unpersistIntermediates(): Unit = {
-    retained.foreach(_.unpersist())
+    retained.foreach { f => f.unpersist(); Df.retainedRegistry.remove(f) }
     retained = Nil
   }
 
@@ -745,20 +753,38 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
 }
 
 object Df {
+  /** every frame any graft operator persisted and attached, JVM-wide —
+    * the fallback release path when the operator result Df was not kept
+    * (see the instance-level caveat). Entries leave the registry when
+    * their owning Df releases them. */
+  private[api] val retainedRegistry =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+  /** Release EVERY graft-operator-persisted intermediate still live in
+    * the JVM — the precise alternative to `spark.catalog.clearCache()`
+    * for callers that dropped their operator-result handles. */
+  def releaseRetained(): Unit = {
+    var f = retainedRegistry.poll()
+    while (f != null) { f.unpersist(); f = retainedRegistry.poll() }
+  }
+
   /** `name = expr` with a lone `=`: the lookahead rejects `==`, and the
     * identifier-then-`=` shape rejects `<=`/`>=`/`!=` comparisons. */
   private[api] val EvalAssign =
     "(?s)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=(?![=])\\s*(.+)$".r
   /** a bare `=` (not ==, !=, <=, >=) anywhere in an eval expression */
   private[api] val BareEquals = "(?<![=!<>])=(?!=)".r
-  /** a complete single- or double-quoted SQL string literal */
-  private[api] val QuotedLiteral = "(?s)'[^']*'|\"[^\"]*\"".r
+  /** a complete single- or double-quoted SQL string literal, with
+    * backslash escapes consumed (Spark's default string parsing treats
+    * `\'` as an escaped quote INSIDE the literal) */
+  private[api] val QuotedLiteral =
+    "(?s)'(?:[^'\\\\]|\\\\.)*'|\"(?:[^\"\\\\]|\\\\.)*\"".r
   /** Blank out quoted string literals so the chained-assignment scan
-    * never fires on an `=` INSIDE a literal (`z = s == 'a=b'` is valid).
-    * SQL's doubled-quote escape (`'it''s'`) decomposes into adjacent
-    * complete literals under this regex, so escaped content is blanked
-    * too; an UNTERMINATED literal survives the scan and is rejected by
-    * the SQL parser downstream either way. */
+    * never fires on an `=` INSIDE a literal (`z = s == 'a=b'` is valid,
+    * as is a literal carrying an escaped quote before the `=`). SQL's
+    * doubled-quote escape (`'it''s'`) decomposes into adjacent complete
+    * literals under this regex, so escaped content is blanked too; an
+    * UNTERMINATED literal survives the scan and is rejected by the SQL
+    * parser downstream either way. */
   private[api] def stripQuoted(e: String): String =
     QuotedLiteral.replaceAllIn(e, "''")
 

@@ -71,48 +71,75 @@ object Curation {
   /** URL canonicalization — the CommonCrawl-style pre-content dedup
     * key. Canonical form, in order:
     *  1. scheme + host lowercased (paths stay case-sensitive);
-    *  2. `www.` host prefix stripped (a run of them in one pass —
+    *  2. fragment stripped (`#…` never reaches the server);
+    *  3. `www.` host prefix stripped (a run of them in one pass —
     *     idempotence is FuzzSpec-property-tested);
-    *  3. default ports stripped (`:80` for http, `:443` for https);
-    *  4. fragment stripped (`#…` never reaches the server);
-    *  5. tracking params stripped (`utm_*`, `gclid`, `fbclid`) with
-    *     separator cleanup (`?&`→`?`, dangling `?`/`&` dropped);
-    *  6. trailing path slashes stripped (root keeps its one slash).
+    *  4. default ports stripped (`:80` for http, `:443` for https);
+    *  5. QUERY-ONLY rewrites (the URL is split at the first `?` so no
+    *     query rule can ever mutate path content — a path like
+    *     `/AT&&T/x` is data, not separators): tracking params stripped
+    *     (`utm_*`, `gclid`, `fbclid`), empty `&&` components collapsed
+    *     (raw `&` inside a query IS a separator per RFC 3986), dangling
+    *     `?`/`&` dropped;
+    *  6. PATH-ONLY rewrites: trailing path slashes stripped, and the
+    *     root forms unified (`https://h` ≡ `https://h/` →
+    *     `https://h` — RFC-equivalent resources, one key).
+    * Documented residual: a RAW `?` or `&` inside a query VALUE (legal
+    * but rare — unencoded data) is treated as a separator boundary by
+    * the param-strip, matching how crawl-scale canonicalizers behave.
     * Pure codegen'd regex pipeline over the COMMON Java/RE2 subset (the
     * [[EmailRe]] convention) so DuckDB oracles replay it verbatim.
-    * Non-URL input passes through steps 2–6 unchanged (no scheme ⇒ no
-    * step-1 match). NULL stays NULL. */
+    * Input WITHOUT a `scheme://` authority is returned verbatim — the
+    * whole pipeline is gated on the scheme match, so free text with
+    * `?`/`&&`/`#` in it is never rewritten. NULL stays NULL. */
   def normalizeUrl(c: Column): Column = {
     // 1. lowercase "scheme://host[:port]" — regexp can't lowercase a
     // capture, so split at the authority boundary and rejoin
     val head = regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
     val lowered = concat(lower(head), substr(c, length(head) + 1))
-    val steps: Seq[Column => Column] = Seq(
-      u => regexp_replace(u, lit("^(https?://)(www\\.)+"), lit("$1")),
-      u => regexp_replace(u, lit("^(http://[^/:?#]+):80([/?#]|$)"), lit("$1$2")),
-      u => regexp_replace(u, lit("^(https://[^/:?#]+):443([/?#]|$)"), lit("$1$2")),
-      u => regexp_replace(u, lit("#.*$"), lit("")),
-      u => regexp_replace(u, lit("([?&])(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*"), lit("$1")),
-      u => regexp_replace(u, lit("\\?&+"), lit("?")),
-      u => regexp_replace(u, lit("&&+"), lit("&")),
-      u => regexp_replace(u, lit("[?&]$"), lit("")),
-      u => regexp_replace(u, lit("(://[^/?#]*/[^?#]*?)/+(\\?|$)"), lit("$1$2")))
-    steps.foldLeft(lowered)((u, f) => f(u))
+    val noFrag = regexp_replace(lowered, lit("#.*$"), lit(""))
+    val auth = Seq(
+      "^(https?://)(www\\.)+" -> "$1",
+      "^(http://[^/:?#]+):80([/?]|$)" -> "$1$2",
+      "^(https://[^/:?#]+):443([/?]|$)" -> "$1$2")
+      .foldLeft(noFrag) { case (u, (p, r)) => regexp_replace(u, lit(p), lit(r)) }
+    // split at the FIRST '?': path rules never see the query and query
+    // rules never see the path
+    val qpos = instr(auth, "?")
+    val base0 = when(qpos > 0, substr(auth, lit(1), qpos - 1)).otherwise(auth)
+    val base = Seq(
+      "(://[^/?#]*/[^?#]*?)/+$" -> "$1",     // trailing path slashes
+      "^(https?://[^/?#]+)/$" -> "$1")       // lone root slash
+      .foldLeft(base0) { case (u, (p, r)) => regexp_replace(u, lit(p), lit(r)) }
+    val query0 = when(qpos > 0, substr(auth, qpos)).otherwise(lit(""))
+    val query = Seq(
+      "([?&])(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*" -> "$1",
+      "&&+" -> "&",
+      "^\\?&+" -> "?",
+      "[?&]+$" -> "")
+      .foldLeft(query0) { case (u, (p, r)) => regexp_replace(u, lit(p), lit(r)) }
+    when(head === "", c).otherwise(concat(base, query))
   }
 
   /** Exact URL dedup: keep the minimum `idCol` per canonical URL (the
     * [[Dedup.exactByFingerprint]] shape, keyed on [[normalizeUrl]]).
     * Rows with a NULL url form no group and are all kept — an unknown
-    * URL is not evidence of duplication. */
+    * URL is not evidence of duplication.
+    *
+    * The keyed frame is persisted: both union branches reference it and
+    * Spark plans trees — unpersisted, the source scan plus the 9-regex
+    * canonicalization would run twice. Attached to the result per the
+    * [[Dedup]] cache-lifetime contract. */
   def dedupByUrl(docs: Df, urlCol: String, idCol: String): Df = {
-    val withKey = docs.sdf.withColumn("__u", normalizeUrl(col(urlCol)))
+    val withKey = docs.sdf.select(col(idCol), normalizeUrl(col(urlCol)).as("__u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = withKey.where(col("__u").isNotNull)
       .groupBy(col("__u"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("__u").as("canonical_url"), col("n_copies"))
     val nulls = withKey.where(col("__u").isNull)
       .select(col(idCol), col("__u").as("canonical_url"), lit(1L).as("n_copies"))
-    new Df(keyed.unionByName(nulls))
+    new Df(keyed.unionByName(nulls)).retaining(withKey)
   }
 
   /** Corpus-level exact line dedup (the C4 cleaning rule): every line
@@ -199,13 +226,17 @@ object Curation {
     *
     * Scale shape: one id-keyed join back to the text (the assignment
     * frame carries only ids + counters), one (shard, pack) aggregation.
-    * Per-group state is bounded by `budget` tokens — a pack's
-    * collect_list holds one context window of text, never an unbounded
-    * group (a doc longer than `budget` still forms its own pack plus
-    * overhang, the streaming concatenate-then-cut rule). */
+    * Per-group state is bounded by `budget` tokens: token-LESS docs are
+    * EXCLUDED (they carry nothing trainable, and since a zero-token doc
+    * never advances the prefix sum, an adversarial run of them would
+    * otherwise pile into one (shard, pack) group without limit); every
+    * remaining doc contributes ≥ 1 token, so a pack's collect_list
+    * holds at most `budget` docs + one overhanging doc — one context
+    * window of text (the streaming concatenate-then-cut rule). */
   def materializePacks(docs: Df, textCol: String, idCol: String,
                        budget: Int, shards: Int = 256): Df = {
     val assigned = packSequences(docs, textCol, idCol, budget, shards).sdf
+      .where(col("n_tokens") > 0)
     val joined = assigned.join(docs.sdf.select(col(idCol), col(textCol)), Seq(idCol))
     new Df(joined.groupBy(col("shard"), col("pack"))
       .agg(count(lit(1)).as("n_docs"),

@@ -257,7 +257,9 @@ object CurationQueries {
         |FROM p ORDER BY doc_id""".stripMargin,
     // q123's assignment pipeline + join back to text + per-(shard,pack)
     // rollup; string_agg ORDER BY doc_id ≡ the Spark side's
-    // array_sort(collect_list(struct(doc_id, text)))
+    // array_sort(collect_list(struct(doc_id, text))); token-less docs
+    // excluded like the operator (they'd otherwise form an unbounded
+    // same-pack group)
     "q136_materialize_packs" ->
       """WITH d AS (SELECT doc_id, text,
         |  len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> ''))::BIGINT AS n_tokens,
@@ -270,7 +272,7 @@ object CurationQueries {
         |SELECT shard, (pre // 512)::BIGINT AS pack, COUNT(*) AS n_docs,
         |SUM(n_tokens)::BIGINT AS n_tokens,
         |string_agg(text, ' ' ORDER BY doc_id) AS text
-        |FROM p GROUP BY shard, (pre // 512)
+        |FROM p WHERE n_tokens > 0 GROUP BY shard, (pre // 512)
         |ORDER BY shard, pack""".stripMargin,
 
     // same arithmetic ORDER as mixCorpora: T = MIN(n/w), f = w*T/n
@@ -338,9 +340,13 @@ object CurationQueries {
          |  AS dup_token_fraction
          |FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
          |ORDER BY t.doc_id""".stripMargin,
-    // the SAME 9-step canonicalization pipeline as Curation.normalizeUrl,
+    // the SAME gated path/query-split pipeline as Curation.normalizeUrl,
     // with DuckDB's \1 backreference syntax (Java uses $1) and the 'g'
-    // flag (Spark regexp_replace is global by default)
+    // flag (Spark regexp_replace is global by default): lowercase
+    // authority → fragment → www/ports → split at first '?' →
+    // path rules (trailing slashes, lone root slash) / query rules
+    // (tracking params, && collapse, dangling separators) → no-scheme
+    // inputs returned verbatim
     "q135_url_dedup" ->
       """WITH src AS (
         |  SELECT doc_id, CASE (doc_id // 100)
@@ -355,31 +361,32 @@ object CurationQueries {
         |  FROM documents WHERE doc_id < 300
         |  UNION ALL
         |  SELECT doc_id + 300, NULL FROM documents WHERE doc_id < 10),
-        |c0 AS (SELECT doc_id,
-        |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0))
-        |  || substr(url,
-        |    length(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) + 1)
-        |  AS u FROM src),
+        |h AS (SELECT doc_id, url,
+        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0) AS head
+        |  FROM src),
+        |a AS (SELECT doc_id, url, head,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    lower(head) || substr(url, length(head) + 1),
+        |    '#.*$', '', 'g'),
+        |    '^(https?://)(www\.)+', '\1', 'g'),
+        |    '^(http://[^/:?#]+):80([/?]|$)', '\1\2', 'g'),
+        |    '^(https://[^/:?#]+):443([/?]|$)', '\1\2', 'g') AS auth
+        |  FROM h),
+        |s AS (SELECT doc_id, url, head, auth, strpos(auth, '?') AS qpos FROM a),
+        |bq AS (SELECT doc_id, url, head,
+        |  regexp_replace(regexp_replace(
+        |    CASE WHEN qpos > 0 THEN substr(auth, 1, qpos - 1) ELSE auth END,
+        |    '(://[^/?#]*/[^?#]*?)/+$', '\1', 'g'),
+        |    '^(https?://[^/?#]+)/$', '\1', 'g') AS base,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    CASE WHEN qpos > 0 THEN substr(auth, qpos) ELSE '' END,
+        |    '([?&])(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*', '\1', 'g'),
+        |    '&&+', '&', 'g'),
+        |    '^\?&+', '?', 'g'),
+        |    '[?&]+$', '', 'g') AS query
+        |  FROM s),
         |c9 AS (SELECT doc_id,
-        |  regexp_replace(
-        |    regexp_replace(
-        |      regexp_replace(
-        |        regexp_replace(
-        |          regexp_replace(
-        |            regexp_replace(
-        |              regexp_replace(
-        |                regexp_replace(
-        |                  regexp_replace(u,
-        |                    '^(https?://)(www\.)+', '\1', 'g'),
-        |                  '^(http://[^/:?#]+):80([/?#]|$)', '\1\2', 'g'),
-        |                '^(https://[^/:?#]+):443([/?#]|$)', '\1\2', 'g'),
-        |              '#.*$', '', 'g'),
-        |            '([?&])(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*', '\1', 'g'),
-        |          '\?&+', '?', 'g'),
-        |        '&&+', '&', 'g'),
-        |      '[?&]$', '', 'g'),
-        |    '(://[^/?#]*/[^?#]*?)/+(\?|$)', '\1\2', 'g') AS u
-        |  FROM c0),
+        |  CASE WHEN head = '' THEN url ELSE base || query END AS u FROM bq),
         |keyed AS (SELECT MIN(doc_id) AS doc_id, u AS canonical_url,
         |  COUNT(*) AS n_copies FROM c9 WHERE u IS NOT NULL GROUP BY u),
         |nulls AS (SELECT doc_id, u AS canonical_url, 1::BIGINT AS n_copies

@@ -25,25 +25,38 @@ object StreamingQueries {
     * `maxFilesPerTrigger=1` then yields one trigger per staged file,
     * exercising cross-trigger state. A directory source is flattened to
     * its part files (a bare `Files.copy` of the directory entry would
-    * silently stage ZERO files and the stream would emit nothing). */
-  private def stage(src: String, copies: Int): String = {
-    import java.nio.file.{Files, Path, Paths}
-    import scala.jdk.CollectionConverters._
-    val d = Files.createTempDirectory("graft_stream_q")
-    d.toFile.deleteOnExit()
-    val srcPath = Paths.get(src)
-    val parts: Seq[Path] =
-      if (Files.isDirectory(srcPath)) {
-        val s = Files.list(srcPath)
-        try s.iterator().asScala.toSeq
-          .filter(_.getFileName.toString.endsWith(".parquet")).sorted
-        finally s.close()
-      } else Seq(srcPath)
-    require(parts.nonEmpty, s"stage: no parquet files under $src")
-    for (i <- 1 to copies; (p, j) <- parts.zipWithIndex)
-      Files.copy(p, d.resolve(f"arrival_$i%02d_$j%04d.parquet"))
-    d.toString
-  }
+    * silently stage ZERO files and the stream would emit nothing).
+    *
+    * Memoized per (src, copies): bench reps re-run the same query many
+    * times and must not re-copy the corpus each rep. Every staged file
+    * AND the directory register deleteOnExit (directory first — the JVM
+    * deletes in reverse registration order, so the files go before the
+    * then-empty directory), so a bench/verify JVM cleans up after
+    * itself instead of accreting copies in the host tmpdir. */
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]
+  private def stage(src: String, copies: Int): String =
+    staged.computeIfAbsent((src, copies), { case (s, n) =>
+      import java.nio.file.{Files, Path, Paths}
+      import scala.jdk.CollectionConverters._
+      val d = Files.createTempDirectory("graft_stream_q")
+      d.toFile.deleteOnExit()
+      val srcPath = Paths.get(s)
+      val parts: Seq[Path] =
+        if (Files.isDirectory(srcPath)) {
+          val ls = Files.list(srcPath)
+          try ls.iterator().asScala.toSeq
+            .filter(_.getFileName.toString.endsWith(".parquet")).sorted
+          finally ls.close()
+        } else Seq(srcPath)
+      require(parts.nonEmpty, s"stage: no parquet files under $s")
+      for (i <- 1 to n; (p, j) <- parts.zipWithIndex) {
+        val t = d.resolve(f"arrival_$i%02d_$j%04d.parquet")
+        Files.copy(p, t)
+        t.toFile.deleteOnExit()
+      }
+      d.toString
+    })
 
   val defs: Map[String, Q] = Map(
     // ---- streaming tumbling windows: the q96 aggregation as an

@@ -253,6 +253,9 @@ class ApiSpec extends AnyFunSuite {
     assert(d.eval("z = s == 'a=b'").sdf.where(col("z")).count() == 1)
     assert(d.eval("z = concat(s, \"t=u\")").sdf
       .where(col("z") === "a=bt=u").count() == 1)
+    // a backslash-ESCAPED quote inside the literal must not split it
+    // (Spark parses 'a\'=b' as the literal a'=b)
+    assert(d.eval("z = s == 'a\\'=b'").sdf.where(col("z")).count() == 0)
     // and stripping literals must not mask a REAL chained assignment
     val e = intercept[IllegalArgumentException](d.eval("z = s = 'a=b'"))
     assert(e.getMessage.contains("=="))

@@ -120,6 +120,7 @@ class CurationSpec extends AnyFunSuite {
     val d = mkDocs(
       1L -> "t1 t1 t1 t1",   // 4 tokens -> pack 0
       2L -> "t2 t2 t2",      // 3 tokens -> pack 0 (prefix 4 < 6)
+      0L -> "",              // token-less: excluded from packs
       3L -> "t3 t3 t3 t3 t3",// 5 tokens -> pack 1 (prefix 7)
       4L -> "t4")            // 1 token  -> pack 2 (prefix 12)
     val out = Curation.materializePacks(d, "text", "doc_id", budget = 6, shards = 1)
@@ -197,10 +198,14 @@ class CurationSpec extends AnyFunSuite {
       "https://ex.com/a?gclid=z" -> "https://ex.com/a",
       "https://ex.com/a/b/" -> "https://ex.com/a/b",
       "https://ex.com/a/?fbclid=q#s" -> "https://ex.com/a",
-      "https://ex.com/" -> "https://ex.com/",              // root slash kept
+      "https://ex.com/" -> "https://ex.com",               // root forms unify
+      "https://ex.com" -> "https://ex.com",
       "https://www.www.ex.com/a" -> "https://ex.com/a",    // www runs collapse
       "https://ex.com/a//" -> "https://ex.com/a",          // slash runs stripped
-      "no scheme at all" -> "no scheme at all")
+      "https://ex.com/AT&&T/x" -> "https://ex.com/AT&&T/x", // path && is DATA
+      "https://ex.com/a?x=1&&y=2" -> "https://ex.com/a?x=1&y=2", // query && is separators
+      "no scheme at all" -> "no scheme at all",
+      "free text? with && and #marks" -> "free text? with && and #marks")
     val d = Df.fromRows(spark,
       cases.zipWithIndex.map { case ((in, _), i) => Row(i.toLong, in) },
       StructType(Seq(StructField("id", LongType), StructField("url", StringType))))

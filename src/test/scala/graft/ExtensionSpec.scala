@@ -152,6 +152,21 @@ class ExtensionSpec extends AnyFunSuite {
       s"leaked cached blocks: ${sc.getPersistentRDDs.values.map(_.name)}")
     // idempotent: a second release is a no-op
     results.foreach(_.unpersistIntermediates())
+    // the registry fallback: a caller that only kept a DERIVED frame
+    // (which drops the attachment) still has a precise release path
+    val urls = Df.fromRows(spark, Seq(
+      org.apache.spark.sql.Row(1L, "https://www.ex.com/a"),
+      org.apache.spark.sql.Row(2L, "https://ex.com/a/")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType))))
+    val derived = graft.operators.Curation.dedupByUrl(urls, "url", "doc_id")
+      .where(org.apache.spark.sql.functions.col("n_copies") > 0)  // attachment lost here
+    derived.sdf.collect()
+    derived.unpersistIntermediates()                // no-op on a derived frame
+    assert(sc.getPersistentRDDs.nonEmpty)           // ...so the block is still live
+    Df.releaseRetained()                            // JVM-wide fallback releases it
+    assert(sc.getPersistentRDDs.isEmpty)
   }
 
   test("duplicatedWindows: cross-doc and within-doc window dups, span union, clean docs") {
