@@ -525,6 +525,86 @@ object Dedup {
       .retaining(base)
   }
 
+  /** Duplicated-window REMOVAL (the Lee-et-al substring-dedup rewrite,
+    * arXiv:2107.06499 §4.1 — [[duplicatedWindows]] is the matching
+    * detection signal): every k-token window that appears more than
+    * once in the corpus keeps exactly its FIRST occurrence (global
+    * (id, start) order — a total order, so the survivor is
+    * deterministic); every other occurrence's token span is cut from
+    * its document. Output per doc: `textCol` rebuilt from the kept
+    * tokens (single-space joined — the cleaned corpus is
+    * whitespace-normalized, like [[Curation.dedupLines]]), original
+    * `n_tokens`, and `n_tokens_removed`.
+    *
+    * Scale shape, stage by stage:
+    *  1. windows hashed IN-ROW (the [[duplicatedWindows]] projection) —
+    *     only (id, start, hash32) ever leaves the row, ~16 B/window;
+    *  2. first occurrence per hash via ONE partial-aggregating
+    *     `min(struct(id, start))` — skew-safe where a per-hash window
+    *     function would serialize a hot hash's million instances into
+    *     one task;
+    *  3. removal instances (≠ first) merge to disjoint spans in ONE
+    *     doc-keyed LAG pass — equal-length windows sorted by start
+    *     merge iff `start − prev ≤ k`, so no generic interval tree;
+    *  4. the rebuild joins the spans back BY DOC ID (spans side is
+    *     docs-with-dups only — AQE broadcasts it when small) and cuts
+    *     them in-row with `slice` segments: the document text itself
+    *     never rides an extra shuffle, unlike a posexplode-tokens →
+    *     anti-join → collect_list rebuild, which would re-shuffle the
+    *     whole corpus text twice.
+    * 2^-32 hash collisions cut a non-duplicated span (the conservative
+    * direction for a cleaning pass); oracles replay the hash. Removal
+    * can juxtapose new k-grams across cut seams, so one pass does not
+    * GUARANTEE a dup-free corpus on adversarial input — FuzzSpec checks
+    * the property on random corpora; iterate to fixpoint if required. */
+  def removeDuplicatedWindows(docs: Df, textCol: String, idCol: String,
+                              k: Int = 50): Df = {
+    require(k >= 1, s"removeDuplicatedWindows: window size k must be >= 1: $k")
+    // referenced twice (window pipeline + final rebuild): materialize
+    // the tokenize+hash pass once; released via the file's attach contract
+    val base = docs.sdf.select(col(idCol),
+      tokens(col(textCol)).as("__toks"),
+      transform(wordGramsAll(col(textCol), k), g => hash32(g)).as("__whs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wins = base.select(col(idCol), posexplode(col("__whs")).as(Seq("start", "wh")))
+    val firsts = wins.groupBy(col("wh"))
+      .agg(min(struct(col(idCol), col("start"))).as("__first"))
+    // a single-occurrence window IS its own first → drops out here, so
+    // no separate count>1 filter is needed
+    val rem = wins.join(firsts, Seq("wh"))
+      .where(struct(col(idCol), col("start")) =!= col("__first"))
+      .select(col(idCol), col("start"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("start"))
+    val spans = rem
+      .withColumn("__prev", lag(col("start"), 1).over(w))
+      .withColumn("__grp", sum(when(col("__prev").isNull ||
+        col("start") - col("__prev") > k, 1).otherwise(0)).over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("start")).as("lo"), (max(col("start")) + k).as("hi"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("lo"), col("hi")))).as("__ivs"),
+        sum(col("hi") - col("lo")).cast("long").as("n_tokens_removed"))
+    // in-row rebuild: keep the gaps between the (sorted, disjoint)
+    // spans — segment i runs from ivs[i-1].hi to ivs[i].lo, with the
+    // document edges as sentinels
+    val ivs = col("__ivs")
+    val n = size(col("__toks"))
+    val segLo = (i: org.apache.spark.sql.Column) =>
+      when(i === 0, lit(0)).otherwise(element_at(ivs, i)("hi"))
+    val segHi = (i: org.apache.spark.sql.Column) =>
+      when(i === size(ivs), n).otherwise(element_at(ivs, i + 1)("lo"))
+    val cleaned = concat_ws(" ", flatten(transform(sequence(lit(0), size(ivs)),
+      i => slice(col("__toks"), segLo(i) + 1, greatest(segHi(i) - segLo(i), lit(0))))))
+    new Df(base.join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__ivs").isNull, concat_ws(" ", col("__toks")))
+          .otherwise(cleaned).as(textCol),
+        n.cast("long").as("n_tokens"),
+        coalesce(col("n_tokens_removed"), lit(0L)).as("n_tokens_removed")))
+      .retaining(base)
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a coarse bucket column
     * (label, LSH bucket, …) so the pairwise check never crosses buckets.
     * Null bucket values form their OWN block (sentinel-coalesced): an

@@ -5,11 +5,11 @@ import graft.operators.Curation
 import org.apache.spark.sql.functions._
 import QueryUtil._
 
-/** Corpus-curation suite (q119–q125, q131, q135–q136): PII redaction,
+/** Corpus-curation suite (q119–q125, q131, q135–q137): PII redaction,
   * domain blocklist filtering, corpus-level line dedup, character
   * entropy, sequence packing + materialized packs, corpus mixing,
-  * edit-distance verification, duplicated-window detection, URL
-  * canonicalization + URL dedup.
+  * edit-distance verification, duplicated-window detection + removal,
+  * URL canonicalization + URL dedup.
   *
   * The synthetic corpus contains no PII/URLs/newlines, so each query
   * first AUGMENTS the text deterministically from `doc_id` (emails,
@@ -155,6 +155,21 @@ object CurationQueries {
           concat(col("text"), lit(" zq tail marker "),
             col("doc_id").cast("string")).as("text"))))
       graft.operators.Dedup.duplicatedWindows(aug, "text", "doc_id", k = 10)
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- duplicated-window REMOVAL (the Lee et al. rewrite over the
+    // q131 corpus): originals keep their text (first occurrence wins by
+    // (doc_id, start)), variants lose the duplicated prefix spans and
+    // keep their unique tails; corpus-inherent exact dups collapse to
+    // one surviving copy ----
+    "q137_remove_dup_windows" -> ((s, dir) => {
+      val d = T(s, dir, "documents").where(col("doc_id") < 150)
+      val aug = new Df(d.sdf.select(col("doc_id"), col("text"))
+        .union(d.sdf.select((col("doc_id") + 2000).as("doc_id"),
+          concat(col("text"), lit(" zq tail marker "),
+            col("doc_id").cast("string")).as("text"))))
+      graft.operators.Dedup.removeDuplicatedWindows(aug, "text", "doc_id", k = 10)
         .sortValues(Seq("doc_id")).sdf
     }),
 
@@ -339,6 +354,48 @@ object CurationQueries {
          |ROUND(COALESCE(cov.covered, 0)::DOUBLE / GREATEST(t.n_tokens, 1), 6)
          |  AS dup_token_fraction
          |FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+    // removal replay: non-first window instances (ROW_NUMBER over
+    // (doc_id, start) per hash ≡ the operator's min(struct) argmin) →
+    // LAG-merged disjoint spans → removed positions relationally
+    // (UNNEST range) → rebuild via string_agg of the kept tokens
+    "q137_remove_dup_windows" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id + 2000, text || ' zq tail marker ' || doc_id::VARCHAR
+         |  FROM documents WHERE doc_id < 150),
+         |d AS (SELECT doc_id, ${ExtensionQueries.toksSql()} AS toks FROM src),
+         |t AS (SELECT doc_id, toks, len(toks)::BIGINT AS n_tokens,
+         |  CASE WHEN len(toks) >= 10 THEN list_transform(range(len(toks) - 9),
+         |    i -> ('0x' || substr(md5(array_to_string(toks[i+1:i+10], ' ')),1,8))::BIGINT)
+         |  ELSE []::BIGINT[] END AS whs FROM d),
+         |w AS (SELECT doc_id, UNNEST(range(len(whs))) AS start, whs FROM t),
+         |wh AS (SELECT doc_id, start, whs[(start+1)::INT] AS h FROM w),
+         |rw AS (SELECT doc_id, start FROM (
+         |  SELECT doc_id, start,
+         |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+         |  FROM wh) WHERE rn > 1),
+         |g AS (SELECT doc_id, start,
+         |  SUM(CASE WHEN prev IS NULL OR start - prev > 10 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY start) AS grp
+         |  FROM (SELECT doc_id, start,
+         |    LAG(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev FROM rw)),
+         |ivs AS (SELECT doc_id, grp, MIN(start) AS lo, MAX(start) + 10 AS hi
+         |  FROM g GROUP BY doc_id, grp),
+         |rp AS (SELECT doc_id, UNNEST(range(lo, hi)) AS pos FROM ivs),
+         |tok AS (SELECT doc_id, UNNEST(range(len(toks))) AS pos, toks FROM t),
+         |kept AS (SELECT k.doc_id, k.pos, k.toks[(k.pos+1)::INT] AS tk FROM tok k
+         |  WHERE NOT EXISTS (SELECT 1 FROM rp
+         |    WHERE rp.doc_id = k.doc_id AND rp.pos = k.pos)),
+         |reb AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS text
+         |  FROM kept GROUP BY doc_id),
+         |nrm AS (SELECT doc_id, SUM(hi - lo)::BIGINT AS n_tokens_removed
+         |  FROM ivs GROUP BY doc_id)
+         |SELECT t.doc_id, COALESCE(reb.text, '') AS text, t.n_tokens,
+         |COALESCE(nrm.n_tokens_removed, 0)::BIGINT AS n_tokens_removed
+         |FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
+         |LEFT JOIN nrm ON t.doc_id = nrm.doc_id
          |ORDER BY t.doc_id""".stripMargin,
     // the SAME gated path/query-split pipeline as Curation.normalizeUrl,
     // with DuckDB's \1 backreference syntax (Java uses $1) and the 'g'

@@ -274,6 +274,40 @@ class CurationSpec extends AnyFunSuite {
     assert(out((2L, 3L)) == 1)          // the variants differ by one char
   }
 
+  test("removeDuplicatedWindows: cleaned realistic corpus re-detects zero dup windows") {
+    // the Lee-et-al corollary on the q137 corpus shape (originals +
+    // tail-suffixed variants): after keep-first removal, re-running
+    // detection at the same k finds nothing. This holds on realistic
+    // vocabularies; FuzzSpec documents why adversarial 3-token corpora
+    // can re-create k-grams across cut seams.
+    val docs = Df.readParquet(spark, s"${TestSpark.sf}/documents.parquet")
+      .where(col("doc_id") < 40)
+    val aug = new Df(docs.sdf.select(col("doc_id"), col("text"))
+      .union(docs.sdf.select((col("doc_id") + 2000).as("doc_id"),
+        concat(col("text"), lit(" zq tail marker "),
+          col("doc_id").cast("string")).as("text"))))
+    val cleaned = graft.operators.Dedup
+      .removeDuplicatedWindows(aug, "text", "doc_id", k = 10)
+    val out = cleaned.sdf.collect().map(r =>
+      r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    cleaned.unpersistIntermediates()
+    // every ≥10-token variant lost its duplicated prefix spans (its
+    // original, with the lower doc_id, is the surviving first copy)
+    out.foreach { case (id, (_, nTok, nRem)) =>
+      if (id >= 2000L && nTok >= 10L)
+        assert(nRem > 0L, s"variant $id kept its duplicated prefix")
+    }
+    val redetect = graft.operators.Dedup.duplicatedWindows(
+      new Df(Df.fromRows(spark,
+        out.toSeq.sortBy(_._1).map { case (id, (t, _, _)) => Row(id, t) },
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType)))).sdf),
+      "text", "doc_id", k = 10)
+    val dupLeft = redetect.sdf.where(col("n_dup_windows") > 0).count()
+    redetect.unpersistIntermediates()
+    assert(dupLeft == 0L, s"$dupLeft docs still carry duplicated windows")
+  }
+
   test("curation ops plan without cartesian products or UDFs") {
     val d = mkDocs(1L -> "a\nb", 2L -> "b\nc")
     val plan = Curation.dedupLines(d, "text", "doc_id")

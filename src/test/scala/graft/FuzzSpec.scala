@@ -371,6 +371,42 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("removeDuplicatedWindows keep-first rewrite matches a reference implementation") {
+    // differential form of the Lee-et-al property: scanning window
+    // instances in (doc, start) order, every instance whose window was
+    // seen before loses its span; the survivor set is exactly the
+    // first occurrences. (A blanket "cleaned corpus has zero dup
+    // windows" assertion would be UNSOUND here: with a 3-token vocab,
+    // cutting a span can juxtapose a new k-gram that collides with an
+    // existing one — the operator scaladoc documents that residual.
+    // DedupSpec checks the zero-dup corollary on the realistic corpus.)
+    val corpus: Gen[(List[List[String]], Int)] = for {
+      nDocs <- Gen.choose(2, 6)
+      docs <- Gen.listOfN(nDocs, Gen.choose(0, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c"))))
+      k <- Gen.choose(1, 4)
+    } yield (docs, k)
+    trials(corpus, n = 8) { case (docs, k) =>
+      val d = mkTextDf(docs.zipWithIndex.map { case (ts, i) => i.toLong -> ts.mkString(" ") })
+      val res = graft.operators.Dedup.removeDuplicatedWindows(d, "text", "doc_id", k)
+      val got = res.sdf.collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      res.unpersistIntermediates()
+      val seen = scala.collection.mutable.Set[String]()
+      val removed = docs.map(_ => scala.collection.mutable.Set[Int]())
+      for (i <- docs.indices; s <- 0 to docs(i).size - k) {
+        val w = docs(i).slice(s, s + k).mkString(" ")
+        if (!seen.add(w)) removed(i) ++= (s until s + k)
+      }
+      docs.indices.foreach { i =>
+        val ts = docs(i)
+        val cleaned = ts.indices.filterNot(removed(i)).map(ts).mkString(" ")
+        assert(got(i.toLong) == ((cleaned, ts.size.toLong, removed(i).size.toLong)),
+          s"doc $i: got ${got(i.toLong)}, toks=$ts k=$k")
+      }
+    }
+  }
+
   test("binopAligned union-of-index semantics") {
     val a = Df.fromRows(spark, Seq(Row(1L, 10.0), Row(2L, 20.0)),
       StructType(Seq(StructField("i", LongType), StructField("x", DoubleType))))
