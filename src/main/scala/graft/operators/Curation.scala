@@ -68,41 +68,84 @@ object Curation {
       coalesce(!arrays_overlap(doms, typedlit(blocklist)), lit(true))))
   }
 
+  /** The hex letters an escape's digits may carry in lowercase — each
+    * gets one literal first-position rule and one single-capture
+    * second-position rule in [[normalizeUrl]]'s case pass (RE2 has no
+    * lookaround and no engine can case-map a capture). */
+  private[graft] val PctHexLetters: Seq[Char] = "abcdef".toSeq
+
+  /** RFC 3986 §6.2.2 unreserved octets, as (uppercase-hex escape →
+    * decoded char): ALPHA / DIGIT / `-` / `.` / `_` / `~`. Escapes of
+    * every OTHER octet (reserved, `%25` itself) stay encoded — decoding
+    * them would change which resource the URL names. Single-sourced
+    * into the q135 oracle so the DuckDB replay can never drift. */
+  private[graft] val PctDecode: Seq[(String, String)] =
+    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~'))
+      .map(ch => (f"%%${ch.toInt}%02X", ch.toString))
+
   /** URL canonicalization — the CommonCrawl-style pre-content dedup
     * key. Canonical form, in order:
-    *  1. scheme + host lowercased (paths stay case-sensitive);
-    *  2. fragment stripped (`#…` never reaches the server);
-    *  3. `www.` host prefix stripped (a run of them in one pass —
-    *     idempotence is FuzzSpec-property-tested);
-    *  4. default ports stripped (`:80` for http, `:443` for https);
-    *  5. QUERY-ONLY rewrites (the URL is split at the first `?` so no
+    *  1. fragment stripped (`#…` never reaches the server);
+    *  2. percent-encoding normalized (RFC 3986 §6.2.2): escape hex
+    *     uppercased (`%7e` → `%7E`), then unreserved escapes decoded
+    *     (`%7E` → `~`, [[PctDecode]]) so the encoded and plain
+    *     spellings of the same resource share one key; reserved
+    *     escapes (`%2F`, `%3F`, `%25`, …) stay encoded;
+    *  3. scheme + host lowercased (paths stay case-sensitive; runs
+    *     AFTER step 2 so a host letter decoded from `%41` still
+    *     lowercases);
+    *  4. `www.` host prefix stripped (a run of them in one pass) —
+    *     ONLY while at least two host labels remain, so a registrable
+    *     `www.com` is not merged into `com` (`www.www.com` keeps one);
+    *  5. default ports stripped (`:80` for http, `:443` for https);
+    *  6. QUERY-ONLY rewrites (the URL is split at the first `?` so no
     *     query rule can ever mutate path content — a path like
     *     `/AT&&T/x` is data, not separators): tracking params stripped
     *     (`utm_*`, `gclid`, `fbclid`), empty `&&` components collapsed
     *     (raw `&` inside a query IS a separator per RFC 3986), dangling
     *     `?`/`&` dropped;
-    *  6. PATH-ONLY rewrites: trailing path slashes stripped, and the
+    *  7. PATH-ONLY rewrites: trailing path slashes stripped, and the
     *     root forms unified (`https://h` ≡ `https://h/` →
     *     `https://h` — RFC-equivalent resources, one key).
-    * Documented residual: a RAW `?` or `&` inside a query VALUE (legal
+    * Documented residuals: a RAW `?` or `&` inside a query VALUE (legal
     * but rare — unencoded data) is treated as a separator boundary by
-    * the param-strip, matching how crawl-scale canonicalizers behave.
-    * Pure codegen'd regex pipeline over the COMMON Java/RE2 subset (the
-    * [[EmailRe]] convention) so DuckDB oracles replay it verbatim.
+    * the param-strip, matching how crawl-scale canonicalizers behave;
+    * and a RAW `%` starting a MALFORMED escape (`%ax`) gets its hex
+    * letters case-normalized as if it opened an escape.
+    * Pure codegen'd regex/replace pipeline over the COMMON Java/RE2
+    * subset (the [[EmailRe]] convention — no lookaround) so DuckDB
+    * oracles replay it verbatim.
     * Input WITHOUT a `scheme://` authority is returned verbatim — the
     * whole pipeline is gated on the scheme match, so free text with
     * `?`/`&&`/`#` in it is never rewritten. NULL stays NULL. */
   def normalizeUrl(c: Column): Column = {
-    // 1. lowercase "scheme://host[:port]" — regexp can't lowercase a
+    val noFrag = regexp_replace(c, lit("#.*$"), lit(""))
+    // percent pass a: uppercase the FIRST hex position (literal rules —
+    // '%a…' can only be an escape opener), then the second position
+    // (the first is uppercase by now, so one [0-9A-F] capture carries
+    // it over). Two sequenced folds: interleaving them would leave
+    // '%fa'-style both-lowercase escapes half-fixed.
+    val pctU1 = PctHexLetters.foldLeft(noFrag)((u, ch) =>
+      replace(u, lit(s"%$ch"), lit(s"%${ch.toUpper}")))
+    val pctU2 = PctHexLetters.foldLeft(pctU1)((u, ch) =>
+      regexp_replace(u, lit(s"%([0-9A-F])$ch"), lit(s"%$$1${ch.toUpper}")))
+    // percent pass b: decode the unreserved escapes (uppercase-hex by
+    // now, so literal replaces suffice). %25 is not in the table, so
+    // decoding can never mint a new escape opener — one pass converges
+    // (FuzzSpec idempotence covers it).
+    val pct = PctDecode.foldLeft(pctU2) { case (u, (esc, chr)) =>
+      replace(u, lit(esc), lit(chr)) }
+    // lowercase "scheme://host[:port]" — regexp can't lowercase a
     // capture, so split at the authority boundary and rejoin
-    val head = regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
-    val lowered = concat(lower(head), substr(c, length(head) + 1))
-    val noFrag = regexp_replace(lowered, lit("#.*$"), lit(""))
+    val head = regexp_extract(pct, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val lowered = concat(lower(head), substr(pct, length(head) + 1))
     val auth = Seq(
-      "^(https?://)(www\\.)+" -> "$1",
+      // the guard group needs a dot in what remains of the host: on
+      // 'www.www.com' the engine backs off to stripping ONE 'www.'
+      "^(https?://)(www\\.)+([^/:?#]*\\.[^/:?#]+)" -> "$1$3",
       "^(http://[^/:?#]+):80([/?]|$)" -> "$1$2",
       "^(https://[^/:?#]+):443([/?]|$)" -> "$1$2")
-      .foldLeft(noFrag) { case (u, (p, r)) => regexp_replace(u, lit(p), lit(r)) }
+      .foldLeft(lowered) { case (u, (p, r)) => regexp_replace(u, lit(p), lit(r)) }
     // split at the FIRST '?': path rules never see the query and query
     // rules never see the path
     val qpos = instr(auth, "?")

@@ -174,13 +174,16 @@ object CurationQueries {
     }),
 
     // ---- URL canonicalization + URL dedup (the CommonCrawl-style
-    // pre-content key): three waves of the same logical URL in
+    // pre-content key): four waves of the same logical URL in
     // different disguises (www + default port + upper-cased authority +
-    // tracking params + fragment + trailing slash) must collapse to one
-    // canonical row each; NULL urls are all kept ----
+    // tracking params + fragment + trailing slash + percent-encoded
+    // unreserved path char + doubled www) must collapse to one
+    // canonical row each; a fifth wave's registrable `www.com` host
+    // must SURVIVE the www-strip (the guard), with its `%7e` decoding
+    // to `~`; NULL urls are all kept ----
     "q135_url_dedup" -> ((s, dir) => {
       val d = T(s, dir, "documents")
-      val aug = new Df(d.where(col("doc_id") < 300).sdf.selectExpr("doc_id",
+      val aug = new Df(d.where(col("doc_id") < 500).sdf.selectExpr("doc_id",
         """CASE (doc_id div 100)
           |WHEN 0 THEN concat('https://www.site',
           |  CAST((doc_id % 100) % 7 AS STRING), '.example.com/p/',
@@ -188,15 +191,32 @@ object CurationQueries {
           |WHEN 1 THEN concat('HTTPS://SITE',
           |  CAST((doc_id % 100) % 7 AS STRING), '.EXAMPLE.COM:443/p/',
           |  CAST(doc_id % 100 AS STRING))
-          |ELSE concat('https://site',
+          |WHEN 2 THEN concat('https://site',
           |  CAST((doc_id % 100) % 7 AS STRING), '.example.com/p/',
           |  CAST(doc_id % 100 AS STRING), '/?utm_source=a&gclid=xyz#sec')
+          |WHEN 3 THEN concat('https://www.www.site',
+          |  CAST((doc_id % 100) % 7 AS STRING), '.example.com/%70/',
+          |  CAST(doc_id % 100 AS STRING))
+          |ELSE concat('https://www.com/%7e', CAST(doc_id % 100 AS STRING))
           |END AS url""".stripMargin)
         .union(d.where(col("doc_id") < 10).sdf
-          .selectExpr("doc_id + 300 AS doc_id", "CAST(NULL AS STRING) AS url")))
+          .selectExpr("doc_id + 500 AS doc_id", "CAST(NULL AS STRING) AS url")))
       Curation.dedupByUrl(aug, "url", "doc_id")
         .sortValues(Seq("doc_id")).sdf
     }))
+
+  /** DuckDB replay of [[Curation.normalizeUrl]]'s percent-encoding
+    * pass, folded from the SAME tables the operator folds over
+    * ([[Curation.PctHexLetters]] / [[Curation.PctDecode]]) — the
+    * escape set can never drift between the engines. */
+  private def pctSql(e: String): String = {
+    val u1 = Curation.PctHexLetters.foldLeft(e)((acc, ch) =>
+      s"replace($acc, '%$ch', '%${ch.toUpper}')")
+    val u2 = Curation.PctHexLetters.foldLeft(u1)((acc, ch) =>
+      s"regexp_replace($acc, '%([0-9A-F])$ch', '%\\1${ch.toUpper}', 'g')")
+    Curation.PctDecode.foldLeft(u2) { case (acc, (esc, chr)) =>
+      s"replace($acc, '$esc', '$chr')" }
+  }
 
   val oracles: Map[String, String] = Map(
     // patterns are single-sourced from Curation.* so the oracle can
@@ -399,48 +419,54 @@ object CurationQueries {
          |ORDER BY t.doc_id""".stripMargin,
     // the SAME gated path/query-split pipeline as Curation.normalizeUrl,
     // with DuckDB's \1 backreference syntax (Java uses $1) and the 'g'
-    // flag (Spark regexp_replace is global by default): lowercase
-    // authority → fragment → www/ports → split at first '?' →
-    // path rules (trailing slashes, lone root slash) / query rules
-    // (tracking params, && collapse, dangling separators) → no-scheme
-    // inputs returned verbatim
+    // flag (Spark regexp_replace is global by default): fragment →
+    // percent-encoding normalization (pctSql, folded from the
+    // operator's own tables) → lowercase authority → guarded www strip
+    // + ports → split at first '?' → path rules (trailing slashes,
+    // lone root slash) / query rules (tracking params, && collapse,
+    // dangling separators) → no-scheme inputs returned verbatim
     "q135_url_dedup" ->
-      """WITH src AS (
+      s"""WITH src AS (
         |  SELECT doc_id, CASE (doc_id // 100)
         |    WHEN 0 THEN 'https://www.site' || ((doc_id % 100) % 7)::VARCHAR
         |      || '.example.com/p/' || (doc_id % 100)::VARCHAR
         |    WHEN 1 THEN 'HTTPS://SITE' || ((doc_id % 100) % 7)::VARCHAR
         |      || '.EXAMPLE.COM:443/p/' || (doc_id % 100)::VARCHAR
-        |    ELSE 'https://site' || ((doc_id % 100) % 7)::VARCHAR
+        |    WHEN 2 THEN 'https://site' || ((doc_id % 100) % 7)::VARCHAR
         |      || '.example.com/p/' || (doc_id % 100)::VARCHAR
         |      || '/?utm_source=a&gclid=xyz#sec'
+        |    WHEN 3 THEN 'https://www.www.site' || ((doc_id % 100) % 7)::VARCHAR
+        |      || '.example.com/%70/' || (doc_id % 100)::VARCHAR
+        |    ELSE 'https://www.com/%7e' || (doc_id % 100)::VARCHAR
         |    END AS url
-        |  FROM documents WHERE doc_id < 300
+        |  FROM documents WHERE doc_id < 500
         |  UNION ALL
-        |  SELECT doc_id + 300, NULL FROM documents WHERE doc_id < 10),
-        |h AS (SELECT doc_id, url,
-        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0) AS head
-        |  FROM src),
+        |  SELECT doc_id + 500, NULL FROM documents WHERE doc_id < 10),
+        |nf AS (SELECT doc_id, url,
+        |  regexp_replace(url, '#.*$$', '', 'g') AS u0 FROM src),
+        |p AS (SELECT doc_id, url, ${pctSql("u0")} AS pu FROM nf),
+        |h AS (SELECT doc_id, url, pu,
+        |  regexp_extract(pu, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0) AS head
+        |  FROM p),
         |a AS (SELECT doc_id, url, head,
-        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |    lower(head) || substr(url, length(head) + 1),
-        |    '#.*$', '', 'g'),
-        |    '^(https?://)(www\.)+', '\1', 'g'),
-        |    '^(http://[^/:?#]+):80([/?]|$)', '\1\2', 'g'),
-        |    '^(https://[^/:?#]+):443([/?]|$)', '\1\2', 'g') AS auth
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    lower(head) || substr(pu, length(head) + 1),
+        |    '^(https?://)(www\\.)+([^/:?#]*\\.[^/:?#]+)', '\\1\\3', 'g'),
+        |    '^(http://[^/:?#]+):80([/?]|$$)', '\\1\\2', 'g'),
+        |    '^(https://[^/:?#]+):443([/?]|$$)', '\\1\\2', 'g') AS auth
         |  FROM h),
         |s AS (SELECT doc_id, url, head, auth, strpos(auth, '?') AS qpos FROM a),
         |bq AS (SELECT doc_id, url, head,
         |  regexp_replace(regexp_replace(
         |    CASE WHEN qpos > 0 THEN substr(auth, 1, qpos - 1) ELSE auth END,
-        |    '(://[^/?#]*/[^?#]*?)/+$', '\1', 'g'),
-        |    '^(https?://[^/?#]+)/$', '\1', 'g') AS base,
+        |    '(://[^/?#]*/[^?#]*?)/+$$', '\\1', 'g'),
+        |    '^(https?://[^/?#]+)/$$', '\\1', 'g') AS base,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |    CASE WHEN qpos > 0 THEN substr(auth, qpos) ELSE '' END,
-        |    '([?&])(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*', '\1', 'g'),
+        |    '([?&])(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*', '\\1', 'g'),
         |    '&&+', '&', 'g'),
-        |    '^\?&+', '?', 'g'),
-        |    '[?&]+$', '', 'g') AS query
+        |    '^\\?&+', '?', 'g'),
+        |    '[?&]+$$', '', 'g') AS query
         |  FROM s),
         |c9 AS (SELECT doc_id,
         |  CASE WHEN head = '' THEN url ELSE base || query END AS u FROM bq),

@@ -205,7 +205,23 @@ class CurationSpec extends AnyFunSuite {
       "https://ex.com/AT&&T/x" -> "https://ex.com/AT&&T/x", // path && is DATA
       "https://ex.com/a?x=1&&y=2" -> "https://ex.com/a?x=1&y=2", // query && is separators
       "no scheme at all" -> "no scheme at all",
-      "free text? with && and #marks" -> "free text? with && and #marks")
+      "free text? with && and #marks" -> "free text? with && and #marks",
+      // percent-encoding (RFC 3986 §6.2.2): hex uppercased, unreserved
+      // decoded, reserved escapes kept
+      "https://ex.com/%7e" -> "https://ex.com/~",
+      "https://ex.com/%7E" -> "https://ex.com/~",
+      "https://ex.com/a%2Fb" -> "https://ex.com/a%2Fb",   // '/' stays encoded
+      "https://ex.com/a%2fb" -> "https://ex.com/a%2Fb",   // …but hex uppercases
+      "https://ex.com/%41%62%30%2d%2E%5f" -> "https://ex.com/Ab0-._",
+      "https://ex.com/x%fa%aF" -> "https://ex.com/x%FA%AF", // both positions
+      "https://ex.com/%2525" -> "https://ex.com/%2525",   // %25 never decodes
+      "https://ex.com/a?x=%7e#f" -> "https://ex.com/a?x=~",
+      // www guard: a registrable www.com survives; runs still collapse
+      // when a dotted host remains
+      "https://www.com/a" -> "https://www.com/a",
+      "https://www.www.com/a" -> "https://www.com/a",
+      "HTTP://WWW.COM:80/a" -> "http://www.com/a",
+      "https://www.%65x.com/a" -> "https://ex.com/a")     // decode feeds www strip
     val d = Df.fromRows(spark,
       cases.zipWithIndex.map { case ((in, _), i) => Row(i.toLong, in) },
       StructType(Seq(StructField("id", LongType), StructField("url", StringType))))

@@ -314,10 +314,12 @@ class FuzzSpec extends AnyFunSuite {
     val urlGen: Gen[String] = for {
       scheme <- Gen.oneOf("http", "https", "HTTP", "HtTpS")
       wwws <- Gen.choose(0, 2)
-      host <- Gen.oneOf("Ex.COM", "a.b.org", "x1.example.net")
+      host <- Gen.oneOf("Ex.COM", "a.b.org", "x1.example.net",
+        "www.com", "WWW.www.Com", "www.%65x.com")
       port <- Gen.oneOf("", ":80", ":443", ":8080")
       segs <- Gen.choose(0, 3).flatMap(n =>
-        Gen.listOfN(n, Gen.oneOf("A", "p", "q2", "")))
+        Gen.listOfN(n, Gen.oneOf("A", "p", "q2", "",
+          "%7e", "%2f", "%aB", "a%41b", "%2525")))
       trail <- Gen.oneOf("", "/", "//")
       params <- Gen.choose(0, 3).flatMap(n => Gen.listOfN(n,
         Gen.oneOf("utm_source=x", "utm_a=", "a=1", "b=2", "gclid=g", "fbclid=f")))
