@@ -40,6 +40,7 @@ object Bench {
         // drop persisted blocks (Dedup LSH indexes) so one query's cache
         // never pressures the next — the r2 bench showed 3-10× swings on
         // identical code from exactly this leak.
+        graft.api.Df.releaseRetained()
         spark.catalog.clearCache()
         t
       }.min

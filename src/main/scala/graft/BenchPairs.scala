@@ -72,22 +72,26 @@ object BenchPairs {
           sum(when(col("bucket_size") > maxBucket,
             col("bucket_size")).otherwise(0L)).as("rows_in_overcap_buckets"))
         .collect()(0)
+      graft.api.Df.releaseRetained()
       spark.catalog.clearCache()
       val (nExact, tExact) = timed(
         Dedup.exactByFingerprint(d, "text", "doc_id").sdf.count())
       val (nMinhash, tMinhash) = timed(
         Dedup.minhashPairs(d, "text", "doc_id", minJaccard = 0.5,
           maxBucket = maxBucket).sdf.count())
+      graft.api.Df.releaseRetained()
       spark.catalog.clearCache()
       val (nNgram, tNgram) = timed(
         Dedup.ngramJaccardPairs(d, "text", "doc_id", minJaccard = 0.5,
           maxBucket = maxBucket).sdf.count())
+      graft.api.Df.releaseRetained()
       spark.catalog.clearCache()
       val e = embsX(m)
       val nVecs = e.sdf.count()
       val (nEmb, tEmb) = timed(
         Dedup.embeddingCosinePairs(e, "embedding", "vec_id", "label", 0.99,
           maxBucket = maxBucket).sdf.count())
+      graft.api.Df.releaseRetained()
       spark.catalog.clearCache()
       val json =
         s"""{"scale":$m,"docs":$nDocs,"vecs":$nVecs,""" +

@@ -35,7 +35,9 @@ object Verify {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(s"$outDir/$name")).deleteRecursively()
       }
-      // release persisted blocks (Dedup LSH indexes) between queries
+      // release persisted blocks (Dedup LSH indexes) between queries:
+      // drain the registry first, then the catalog catch-all
+      graft.api.Df.releaseRetained()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -46,20 +46,23 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * so keep a handle to the operator result and release through it.
     * Lost the handle? [[Df.releaseRetained]] drops every
     * graft-operator-persisted intermediate still live in the JVM. */
-  private var retained: List[DataFrame] = Nil
+  private val retained =
+    new java.util.concurrent.atomic.AtomicReference[List[DataFrame]](Nil)
   /** operator-internal: attach persisted frames to this result */
   private[graft] def retaining(frames: DataFrame*): Df = {
-    retained = frames.toList ::: retained
+    retained.getAndUpdate(frames.toList ::: _)
     frames.foreach(Df.retainedRegistry.add)
     this
   }
   /** Release the persisted intermediates behind this operator result.
     * Call AFTER the terminal action — the blocks back every reference
     * to the intermediate in the plan; derived frames recompute from
-    * source if acted on later. Idempotent. */
+    * source if acted on later. Idempotent; the atomic swap makes a
+    * racing double-release from two driver threads a no-op for one of
+    * them. */
   def unpersistIntermediates(): Unit = {
-    retained.foreach { f => f.unpersist(); Df.retainedRegistry.remove(f) }
-    retained = Nil
+    val fs = retained.getAndSet(Nil)
+    fs.foreach { f => f.unpersist(); Df.retainedRegistry.remove(f) }
   }
 
   // ---- projections (`Projection`, `_expr.py:1366`) ----
@@ -756,7 +759,16 @@ object Df {
   /** every frame any graft operator persisted and attached, JVM-wide —
     * the fallback release path when the operator result Df was not kept
     * (see the instance-level caveat). Entries leave the registry when
-    * their owning Df releases them. */
+    * their owning Df releases them or when [[releaseRetained]] drains
+    * them. References are STRONG on purpose: the fallback must still be
+    * able to unpersist a frame whose every caller-side handle is gone
+    * (a weak referent would be collected first, stranding the cache
+    * entry). The flip side — long-lived drivers that release through
+    * NEITHER path accumulate plans here — is handled where it bites:
+    * the harness loops (graft.Verify / graft.Bench / graft.BenchPairs)
+    * call [[releaseRetained]] right before their per-query
+    * `spark.catalog.clearCache()` fallback, so the registry drains once
+    * per query; long-lived embedders should do the same. */
   private[api] val retainedRegistry =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
   /** Release EVERY graft-operator-persisted intermediate still live in

@@ -130,14 +130,20 @@ object Similarity {
     val fitInput = (if (fitSample >= 1.0) c else c.sample(fitSample, 42L))
       .where(col("c_vec").isNotNull && !exists(col("c_vec"), _.isNull))
       .select(array_to_vector(col("c_vec")).as("features"))
-    // fail BEFORE KMeans: an empty fit (tiny fitSample × small corpus, or
-    // all-NULL vectors) otherwise dies deep in MLlib with an opaque error
-    if (fitInput.isEmpty) throw new IllegalArgumentException(
+    // name the knob when the fit input is empty (tiny fitSample × small
+    // corpus, or all-NULL vectors) instead of dying deep in MLlib with
+    // an opaque error. The emptiness probe is an eager Spark job, so it
+    // runs only OFF the happy path: upfront when the caller actually
+    // sampled (the risky case), otherwise lazily on the failure path.
+    def emptyFit = new IllegalArgumentException(
       s"ivfTopK: the quantizer fit input is empty - fitSample=$fitSample " +
         "sampled no rows with non-NULL, fully-defined vectors; raise " +
         "fitSample or check the vector column")
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("features").fit(fitInput)
+    if (fitSample < 1.0 && fitInput.isEmpty) throw emptyFit
+    val model =
+      try new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("features").fit(fitInput)
+      catch { case e: Exception if fitInput.isEmpty => throw emptyFit.initCause(e) }
     // nlist centroids (driver-side, tiny) become expression literals —
     // the plan carries them to every executor, no broadcast variable.
     val centers = model.clusterCenters.map(_.toArray)

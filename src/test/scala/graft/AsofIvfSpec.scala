@@ -129,6 +129,14 @@ class AsofIvfSpec extends AnyFunSuite {
     val empty = intercept[IllegalArgumentException](
       Similarity.ivfTopK(q, tiny, "embedding", "vec_id", 3, fitSample = 1e-9))
     assert(empty.getMessage.contains("empty"))
+    // fitSample = 1.0 skips the upfront probe (no eager job on the
+    // happy path); an all-NULL corpus still gets the named-knob
+    // message via the failure-path catch, not a raw MLlib error
+    val allNull = new Df(e.sdf.limit(5)
+      .selectExpr("vec_id", "CAST(NULL AS ARRAY<FLOAT>) AS embedding"))
+    val nullFit = intercept[IllegalArgumentException](
+      Similarity.ivfTopK(q, allNull, "embedding", "vec_id", 3))
+    assert(nullFit.getMessage.contains("empty"))
   }
 
   test("IVF with partial probes returns k ranked results per query") {
