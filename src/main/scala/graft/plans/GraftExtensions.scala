@@ -12,6 +12,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   *  - [[GraftExtensions]]: `SparkSessionExtensions` hook for
   *    `spark.sql.extensions=graft.plans.GraftExtensions`, making
   *    `graft_cosine` available in every session of a cluster.
+  *
+  * The optional scan-CSE optimizer rule activates separately via
+  * [[ScanCSE.install]]: it must sit in the LAST logical batch
+  * (`experimental.extraOptimizations`), which no
+  * `SparkSessionExtensions` injection point reaches — see the
+  * [[ScanCSE]] scaladoc for the batch-ordering argument.
   */
 object GraftFunctions {
   val names: Seq[String] = Seq("graft_cosine", "graft_jaccard_sorted")

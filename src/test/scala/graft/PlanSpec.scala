@@ -155,17 +155,47 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("ReusedExchange"), p)
       assert("Scan parquet".r.findAllIn(p).length == 1, p)
 
-      // Residual (DESIGNED) divergence — DIVERGENCES.md #15: bare
-      // exchange-less scans side by side plan one scan EACH, because a
-      // tree-shaped logical plan has no multicast node (sharing is
-      // physical-only: ReusedExchange/ReusedSubquery). No
-      // Rule[LogicalPlan] can merge them; each scan prunes to its own
-      // columns, which at 100 TB beats the reference's merged scan
-      // reading the UNION of columns for both consumers.
+      // DEFAULT divergence — DIVERGENCES.md #15: bare exchange-less
+      // scans side by side plan one scan EACH out of the box; each
+      // prunes to its own columns, which for hot columnar data beats
+      // the reference's merged scan reading the UNION of columns.
       val bare = Df.readParquet(spark, s"$sf/lineitem.parquet").select("l_orderkey").sdf
         .crossJoin(Df.readParquet(spark, s"$sf/lineitem.parquet").select("l_partkey").sdf.limit(1))
       assert("Scan parquet".r.findAllIn(plan(bare)).length == 2)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("ScanCSE (opt-in) merges independently built bare same-path reads into ONE scan") {
+    // the reference merges two ReadParquet nodes built independently
+    // (combine_similar, io/parquet.py:123-160) unconditionally — its
+    // executor computes each node once, so merging is free. In Spark
+    // the merge buys N-1 scans at the price of one shuffle
+    // materialization, so graft ships it conf-gated (ScanCSE scaladoc
+    // argues the 100 TB trade) — enabled, the two consumers share one
+    // ReusedExchange over a single union-column file scan.
+    import graft.plans.ScanCSE
+    ScanCSE.install(spark)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // the broadcast side is an AGGREGATE, not limit(1): a limit with no
+    // order is free to return a different row once the shared shuffle
+    // reorders the scan, which would fail the value comparison below
+    // for non-determinism, not incorrectness
+    def q() = Df.readParquet(spark, s"$sf/nation.parquet").select("n_nationkey").sdf
+      .crossJoin(Df.readParquet(spark, s"$sf/nation.parquet")
+        .select("n_regionkey").sdf.groupBy().max("n_regionkey"))
+    val before = q().collect().map(_.toSeq).sortBy(_.toString)
+    spark.conf.set(ScanCSE.ConfKey, "true")
+    try {
+      val p = plan(q())
+      assert("Scan parquet".r.findAllIn(p).length == 1, p)
+      assert(p.contains("ReusedExchange"), p)
+      // same rows as the unmerged plan — the rewrite is pure sharing
+      assert(q().collect().map(_.toSeq).sortBy(_.toString).toSeq == before.toSeq)
+    } finally {
+      spark.conf.set(ScanCSE.ConfKey, "false")
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   test("lshTopK broadcasts the query side; corpus never cross-joins") {
