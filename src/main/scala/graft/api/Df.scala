@@ -746,8 +746,15 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     sdf.write.mode("overwrite").option("header", "true").csv(path)
   /** JSON Lines sink — the interchange format most corpus pipelines
     * ingest/emit. One JSON object per line, splittable for parallel
-    * re-reads. */
-  def toJson(path: String): Unit = sdf.write.mode("overwrite").json(path)
+    * re-reads when UNCOMPRESSED. `compression` rides through to the
+    * codec ("none", "gzip", "bzip2", "snappy", "lz4", "zstd"…); at
+    * 100 TB pick a SPLITTABLE one (bzip2) or write many sized files:
+    * a gzip stream decodes on a single task end-to-end, so one
+    * monolithic .jsonl.gz file serializes the whole re-read no matter
+    * how many executors wait (Df.readJson handles any of them
+    * transparently — the hazard is parallelism, not correctness). */
+  def toJson(path: String, compression: String = "none"): Unit =
+    sdf.write.mode("overwrite").option("compression", compression).json(path)
   /** ORC sink — the other columnar format Spark ships natively
     * (predicate pushdown + column pruning, like parquet). */
   def toOrc(path: String): Unit = sdf.write.mode("overwrite").orc(path)

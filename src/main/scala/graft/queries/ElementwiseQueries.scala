@@ -47,6 +47,22 @@ object ElementwiseQueries {
       back.where(col("lang") === "en").sortValues(Seq("doc_id")).sdf
     }),
 
+    // ---- gzip'd JSONL round-trip (the shape corpus feeds actually
+    // arrive in — .jsonl.gz): same schema-first read contract as
+    // q132; Spark detects the codec from the file extension. The
+    // at-scale caveat lives on Df.toJson: gzip is NOT splittable, so
+    // one giant member file = one decode task — prefer bzip2/zstd-
+    // framed or many sized files for 100 TB feeds ----
+    "q139_read_json_gz" -> ((s, dir) => {
+      val p = tmp("json_gz_documents")
+      val d = T(s, dir, "documents")
+      d.select("doc_id", "lang", "text").toJson(p, compression = "gzip")
+      val back = Df.readJson(s, p, schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("text", StringType))))
+      back.where(col("doc_id") % 3 === 0).sortValues(Seq("doc_id")).sdf
+    }),
+
     // ---- ORC round-trip (the other native columnar format; same
     // pushdown contract as parquet, asserted in PlanSpec) ----
     "q133_read_orc" -> ((s, dir) => {
@@ -235,6 +251,9 @@ object ElementwiseQueries {
     "q132_read_json" ->
       """SELECT doc_id, lang, text FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+    "q139_read_json_gz" ->
+      """SELECT doc_id, lang, text FROM documents
+        |WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
     "q133_read_orc" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_totalprice > 400000.0 ORDER BY o_orderkey""".stripMargin,
