@@ -88,6 +88,80 @@ object Dedup {
       .agg(count(lit(1)).as("bucket_size"))).retaining(sh)
   }
 
+  /** MinHash-LSH recall audit — what did the banding + `maxBucket` cap
+    * actually trade? On a DETERMINISTIC hash-sample of the corpus (the
+    * [[graft.api.Df.splitByHash]] md5-bucket convention — replayable by
+    * an external engine, unlike `rand()`), run the [[minhashPairs]]
+    * pipeline with the production knobs AND exact all-pairs ground
+    * truth, and emit ONE row:
+    * `sampled_docs, true_pairs, lsh_pairs, recall, overcap_buckets,
+    * rows_in_overcap_buckets`.
+    *
+    * `recall = lsh_pairs / true_pairs` exactly, because the LSH side's
+    * verification step makes its pairs a SUBSET of ground truth (both
+    * sides apply the same exact-jaccard ≥ `minJaccard` filter); with no
+    * true pairs in the sample recall is vacuously 1.0. The cap columns
+    * count the UNCAPPED index's over-limit buckets and the rows inside
+    * them — the raw material the cap discards.
+    *
+    * Ground truth is an all-pairs check WITHIN the sample — a
+    * deliberate O(s²) brute force (the [[Similarity.topKBrute]]
+    * convention): size `sampleFraction` so s stays thousands, not
+    * millions; the output is a statistical recall bound for the full
+    * corpus, not an exhaustive audit of it. */
+  def lshRecallAudit(docs: Df, textCol: String, idCol: String,
+                     sampleFraction: Double, shingleN: Int = 3,
+                     bands: Int = 3, r: Int = 4, minJaccard: Double = 0.5,
+                     maxBucket: Int = DefaultMaxBucket): Df = {
+    requireArgs("lshRecallAudit")(
+      (sampleFraction > 0.0 && sampleFraction <= 1.0,
+        s"sampleFraction must be a fraction in (0, 1]: $sampleFraction"),
+      (shingleN >= 1, s"shingleN must be >= 1: $shingleN"),
+      (bands >= 1 && r >= 1, s"bands and r must be >= 1: bands=$bands r=$r"),
+      (minJaccard >= 0.0 && minJaccard <= 1.0,
+        s"minJaccard must be in [0, 1]: $minJaccard"),
+      (maxBucket >= 1, s"maxBucket must be >= 1: $maxBucket"))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val buckets = 10000
+    val sampled = docs.sdf.where(
+      hash32(col(idCol).cast("string")) % buckets <
+        math.round(sampleFraction * buckets))
+    val sh = shingleTable(new Df(sampled), textCol, idCol, shingleN).persist(lvl)
+    // UNCAPPED index: feeds both the cap audit and (through capBuckets)
+    // the candidate join — one signature pass, two consumers
+    val bandedAll = bandedIndex(sh, idCol, bands, r).persist(lvl)
+    val banded = capBuckets(bandedAll, maxBucket)
+    val a = banded.select(col(idCol).as("id_a"), col("__band"), col("__key"))
+    val b = banded.select(col(idCol).as("id_b"), col("__band"), col("__key"))
+    val candidates = a.join(b, Seq("__band", "__key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val lshPairs = verifyJaccard(candidates, sh, sh, idCol, minJaccard)
+    val truthCands = sh.select(col(idCol).as("id_a"))
+      .crossJoin(sh.select(col(idCol).as("id_b")))
+      .where(col("id_a") < col("id_b"))
+    val truthPairs = verifyJaccard(truthCands, sh, sh, idCol, minJaccard)
+    val capStats = bandedAll
+      .groupBy(col("__band"), col("__key")).agg(count(lit(1)).as("__bs"))
+      .agg(
+        coalesce(sum(when(col("__bs") > maxBucket, 1L)), lit(0L))
+          .as("overcap_buckets"),
+        coalesce(sum(when(col("__bs") > maxBucket, col("__bs"))), lit(0L))
+          .as("rows_in_overcap_buckets"))
+    // 1-row scalar aggregates composed via broadcast cross joins (the
+    // q59b scalar shape — never a data-sized cartesian)
+    val row = sampled.agg(count(lit(1)).as("sampled_docs"))
+      .crossJoin(truthPairs.agg(count(lit(1)).as("true_pairs")))
+      .crossJoin(lshPairs.agg(count(lit(1)).as("lsh_pairs")))
+      .crossJoin(capStats)
+    new Df(row.select(col("sampled_docs"), col("true_pairs"), col("lsh_pairs"),
+      when(col("true_pairs") > 0,
+        round(col("lsh_pairs").cast("double") / col("true_pairs"), 6))
+        .otherwise(lit(1.0)).as("recall"),
+      col("overcap_buckets"), col("rows_in_overcap_buckets")))
+      .retaining(sh, bandedAll)
+  }
+
   /** Drop rows in over-large buckets (partitioned by `cols`). The
     * window count shuffles once on the bucket key — the SAME
     * partitioning the candidate self-join needs, so AQE/exchange-reuse

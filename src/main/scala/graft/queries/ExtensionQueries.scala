@@ -91,6 +91,25 @@ object ExtensionQueries {
         .sortValues(Seq("id_a", "id_b")).sdf
     }),
 
+    // ---- LSH recall audit: a 21-copy family whose buckets overflow
+    // the cap (pairs lost) plus 4-copy families inside it (pairs kept)
+    // make recall land strictly informative; the md5 doc-id sample is
+    // deterministic so the oracle replays the EXACT subset ----
+    "q140_lsh_recall_audit" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val base = d.where(col("doc_id") < 60).sdf.select(col("doc_id"), col("text"))
+      val famBig = d.where(col("doc_id") < 6).sdf
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(19))).as("v"))
+        .select((lit(1000) + col("doc_id") * 100 + col("v")).as("doc_id"), col("text"))
+      val famMed = d.where(col("doc_id") >= 6 && col("doc_id") < 12).sdf
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(2))).as("v"))
+        .select((lit(2000) + col("doc_id") * 100 + col("v")).as("doc_id"), col("text"))
+      Dedup.lshRecallAudit(new Df(base.union(famBig).union(famMed)),
+        "text", "doc_id", sampleFraction = 0.6, maxBucket = 8).sdf
+    }),
+
     // ---- SimHash signatures (60-bit, portable bit sums) ----
     "q65_simhash" -> ((s, dir) => {
       val d = T(s, dir, "documents")
@@ -496,6 +515,60 @@ object ExtensionQueries {
        |  WHERE a.doc_id < b.doc_id),
        |$jaccardVerifySql""".stripMargin
 
+  /** lshRecallAudit oracle: replay the md5 doc-id sample, the full
+    * signature/banding chain UNCAPPED (cap audit), the cap-filtered
+    * candidate join, and all-pairs exact-jaccard ground truth — same
+    * round-then-filter convention as [[jaccardVerifySql]]. */
+  private val lshRecallAuditSql: String = {
+    val inter = "len(list_filter(sh_a, x -> list_contains(sh_b, x)))"
+    val jacc =
+      s"ROUND($inter / (CAST(len(sh_a) + len(sh_b) AS DOUBLE) - $inter), 6)"
+    s"""WITH corpus0 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 60
+       |  UNION ALL
+       |  SELECT 1000 + doc_id*100 + v AS doc_id, text
+       |    FROM documents, range(20) t(v) WHERE doc_id < 6
+       |  UNION ALL
+       |  SELECT 2000 + doc_id*100 + v AS doc_id, text
+       |    FROM documents, range(3) t(v) WHERE doc_id >= 6 AND doc_id < 12),
+       |corpus AS (SELECT doc_id, text FROM corpus0
+       |  WHERE ('0x' || substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 10000 < 6000),
+       |sh AS (SELECT doc_id, ${shinglesSql()} AS shingles FROM corpus
+       |  WHERE len(${shinglesSql()}) > 0),
+       |hashed AS (SELECT doc_id, shingles,
+       |  list_transform(shingles, s -> ('0x' || substr(md5(s),1,8))::BIGINT) AS hs FROM sh),
+       |sigs AS (SELECT doc_id, shingles,
+       |  list_transform(range(12), j -> list_min(list_transform(hs,
+       |    h -> ((1073741789 - 7919*j) * h + (15485863 * (j+1)) % 4294967311) % 4294967311))) AS sig
+       |  FROM hashed),
+       |bandedall AS (SELECT doc_id, shingles, b,
+       |  array_to_string(sig[b*4+1:b*4+4], '_') AS key
+       |  FROM sigs, range(3) t(b)),
+       |bstats AS (SELECT b, key, COUNT(*) AS bs FROM bandedall GROUP BY 1, 2),
+       |capstats AS (SELECT
+       |  COALESCE(SUM(CASE WHEN bs > 8 THEN 1 END), 0)::BIGINT AS overcap_buckets,
+       |  COALESCE(SUM(CASE WHEN bs > 8 THEN bs END), 0)::BIGINT AS rows_in_overcap_buckets
+       |  FROM bstats),
+       |banded AS (SELECT ba.doc_id, ba.shingles, ba.b, ba.key
+       |  FROM bandedall ba JOIN bstats USING (b, key) WHERE bs <= 8),
+       |lshp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  a.shingles AS sh_a, b.shingles AS sh_b
+       |  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key
+       |  WHERE a.doc_id < b.doc_id),
+       |lshc AS (SELECT COUNT(*) AS lsh_pairs FROM lshp WHERE $jacc >= 0.5),
+       |truthp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  a.shingles AS sh_a, b.shingles AS sh_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+       |truthc AS (SELECT COUNT(*) AS true_pairs FROM truthp WHERE $jacc >= 0.5),
+       |sc AS (SELECT COUNT(*) AS sampled_docs FROM corpus)
+       |SELECT sampled_docs, true_pairs, lsh_pairs,
+       |CASE WHEN true_pairs > 0
+       |  THEN ROUND(lsh_pairs / CAST(true_pairs AS DOUBLE), 6)
+       |  ELSE CAST(1.0 AS DOUBLE) END AS recall,
+       |overcap_buckets, rows_in_overcap_buckets
+       |FROM sc, truthc, lshc, capstats""".stripMargin
+  }
+
   /** n-gram Jaccard CTE chain mirroring Dedup.ngramJaccardPairs exactly
     * (sorted hashed shingles, prefix-filtered inverted index, full-set
     * verification) over a CTE named `corpus` — ends in
@@ -654,6 +727,7 @@ object ExtensionQueries {
       s"""SELECT COUNT(*) AS n_docs, COUNT(DISTINCT $fpSql) AS n_fingerprints
          |FROM documents""".stripMargin,
     "q64_minhash_pairs" -> minhashSql,
+    "q140_lsh_recall_audit" -> lshRecallAuditSql,
     "q113_minhash_join" -> minhashJoinSql,
     // joins on the 32-bit md5-prefix hash EXACTLY like the operator
     // (every sibling oracle replays the hash; joining raw strings would

@@ -190,6 +190,53 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out(4L) == ((6L, 3L, 0L, 0.0)))
   }
 
+  test("removeDuplicatedWindows: keep-first rewrite on mixed cross/within-doc dups") {
+    val d = mkDocs(
+      1L -> "a b c d e f",          // first occurrence of [a b c d]: kept whole
+      2L -> "x y a b c d z",        // loses its copy: [2,6) cut
+      3L -> "p q p q p q p q",      // internal: first [p q p q] kept, rest cut
+      4L -> "entirely novel words never repeated anywhere")
+    val res = graft.operators.Dedup.removeDuplicatedWindows(d, "text", "doc_id", k = 4)
+    val out = res.sdf.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    res.unpersistIntermediates()
+    assert(out(1L) == (("a b c d e f", 6L, 0L)))
+    assert(out(2L) == (("x y z", 7L, 4L)))
+    // doc 3: [p q p q]@0 AND [q p q p]@1 are both FIRST occurrences of
+    // their hashes; dup instances at starts 2..4 merge to [2, 8) ->
+    // "p q" survives
+    assert(out(3L) == (("p q", 8L, 6L)))
+    assert(out(4L) == (("entirely novel words never repeated anywhere", 6L, 0L)))
+  }
+
+  test("lshRecallAudit: subset recall, exact cap accounting, deterministic sample") {
+    // one 12-copy family: identical docs share all 3 band buckets, so a
+    // cap of 8 drops every one of its C(12,2)=66 pairs; the 3-copy
+    // family stays within cap and keeps its 3 pairs
+    val docs =
+      (0 until 12).map(i => (100L + i) -> "the quick brown fox jumps over the lazy dog") ++
+      (0 until 3).map(i => (200L + i) -> "an entirely different document about spark engines") ++
+      Seq(300L -> "a unique singleton document with no duplicates at all")
+    val d = mkDocs(docs: _*)
+    val audit = graft.operators.Dedup.lshRecallAudit(
+      d, "text", "doc_id", sampleFraction = 1.0, maxBucket = 8)
+    val r = audit.sdf.collect()(0)
+    audit.unpersistIntermediates()
+    assert(r.getLong(0) == 16L, "sampled_docs")          // fraction 1.0 keeps all
+    assert(r.getLong(1) == 69L, "true_pairs")            // 66 + 3
+    assert(r.getLong(2) == 3L, "lsh_pairs")              // big family dropped
+    assert(r.getDouble(3) == 0.043478, "recall")         // round(3/69, 6)
+    assert(r.getLong(4) == 3L, "overcap_buckets")        // 3 bands x 1 key
+    assert(r.getLong(5) == 36L, "rows_in_overcap_buckets")
+    // with a generous cap the same corpus audits at full recall
+    val full = graft.operators.Dedup.lshRecallAudit(
+      d, "text", "doc_id", sampleFraction = 1.0, maxBucket = 1000)
+    val f = full.sdf.collect()(0)
+    full.unpersistIntermediates()
+    assert(f.getLong(1) == 69L && f.getLong(2) == 69L && f.getDouble(3) == 1.0)
+    assert(f.getLong(4) == 0L && f.getLong(5) == 0L)
+  }
+
   test("duplicatedWindows: docs shorter than k yield zero windows, fraction 0") {
     val d = mkDocs(1L -> "a b", 2L -> "a b")  // exact dups but < k tokens
     val res = graft.operators.Dedup.duplicatedWindows(d, "text", "doc_id", k = 4)
