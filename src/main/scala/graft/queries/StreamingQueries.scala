@@ -122,6 +122,33 @@ object StreamingQueries {
         .orderBy("fp")
     }),
 
+    // ---- streaming URL dedup (normalizeUrl ∘ bounded-state dedup —
+    // the crawl-ingest composition): three URL disguises per logical
+    // page arrive twice (staged re-delivery); the canonical key
+    // collapses all six arrivals to one emission. NULL urls (every
+    // 50th doc) are all kept via per-id sentinel keys. The oracle is
+    // INDEPENDENT: it computes the expected canonical analytically
+    // instead of replaying the canonicalizer ----
+    "q138_stream_url_dedup" -> ((s, dir) => {
+      val src = s"$dir/documents.parquet"
+      val st = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage(src, 2))
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+        .selectExpr("doc_id", "ts",
+          """CASE WHEN doc_id % 50 = 0 THEN CAST(NULL AS STRING)
+            |WHEN doc_id % 3 = 0 THEN concat('https://www.site.example.com/p/',
+            |  CAST(doc_id div 3 AS STRING), '/#frag')
+            |WHEN doc_id % 3 = 1 THEN concat('HTTPS://SITE.EXAMPLE.COM:443/p/',
+            |  CAST(doc_id div 3 AS STRING))
+            |ELSE concat('https://site.example.com/p/',
+            |  CAST(doc_id div 3 AS STRING), '?utm_source=x')
+            |END AS url""".stripMargin)
+      StreamOps.runToCompletion(
+        StreamOps.streamingUrlDedup(st, "url", "doc_id", "ts", "2 hours"),
+        "q138_sink", mode = "append")
+        .select("canonical_url").orderBy("canonical_url")
+    }),
+
     // ---- flatMapGroupsWithState running totals: the final state per
     // user (its LAST emission = the max cumulative count) must equal
     // the batch per-user count. total_value is deliberately excluded:
@@ -181,6 +208,18 @@ object StreamingQueries {
     // construction, so bounded-state dedup equals global distinct
     "q134_stream_dedup_bounded" ->
       s"SELECT DISTINCT ${ExtensionQueries.fpSql} AS fp FROM documents ORDER BY fp",
+    // independent oracle: every non-null disguise of page g
+    // canonicalizes to https://site.example.com/p/g (computed directly,
+    // not replayed); null-url docs emit one NULL row each
+    "q138_stream_url_dedup" ->
+      """WITH canon AS (SELECT DISTINCT
+        |  'https://site.example.com/p/' || (doc_id // 3)::VARCHAR AS canonical_url
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |nulls AS (SELECT CAST(NULL AS VARCHAR) AS canonical_url
+        |  FROM documents WHERE doc_id % 50 = 0)
+        |SELECT canonical_url FROM canon
+        |UNION ALL SELECT canonical_url FROM nulls
+        |ORDER BY canonical_url""".stripMargin,
     // the operator drops null keys/values up front (tuple-encoder
     // contract) — mirrored in the oracle's WHERE
     "q130_stream_stateful" ->

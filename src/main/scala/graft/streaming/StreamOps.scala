@@ -143,6 +143,32 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming URL dedup — the realistic crawl-ingest composition:
+    * canonicalize each arriving URL with
+    * [[graft.operators.Curation.normalizeUrl]] (a pure codegen'd column
+    * expression, so it runs unchanged inside a streaming plan), then
+    * bounded-state dedup on the canonical form within the watermark
+    * horizon — the first arrival of each logical URL is emitted with
+    * its `canonical_url`, re-crawls and disguised duplicates
+    * (www/ports/tracking params/fragments/percent-encoding) are
+    * dropped, and state evicts as the watermark passes (the
+    * [[streamingDedupWithinWatermark]] trade).
+    *
+    * NULL urls are all KEPT — an unknown URL is not evidence of
+    * duplication ([[graft.operators.Curation.dedupByUrl]]'s batch
+    * contract). `dropDuplicatesWithinWatermark` would treat NULL keys
+    * as equal and collapse them, so null rows get a per-row sentinel
+    * key derived from `idCol` instead. */
+  def streamingUrlDedup(docs: DataFrame, urlCol: String, idCol: String,
+                        tsCol: String, watermark: String = "2 hours"): DataFrame =
+    docs.withColumn("canonical_url",
+        graft.operators.Curation.normalizeUrl(col(urlCol)))
+      .withColumn("__k", coalesce(col("canonical_url"),
+        concat(lit("\u0000id:"), col(idCol).cast("string"))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__k")
+      .drop("__k")
+
   /** run a streaming plan to completion against the bounded test input
     * and return the materialized result (memory sink).
     *

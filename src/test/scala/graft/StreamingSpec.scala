@@ -110,6 +110,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(result.count() > 0 && result.count() < spark.read.parquet(d.toString).count())
   }
 
+  test("streaming URL dedup collapses disguises to one emission; NULL urls all survive") {
+    val d = java.nio.file.Files.createTempDirectory("graft_url_dedup_stream")
+    val rows = Seq(
+      (1L, "https://www.ex.com/a"),        // three disguises of /a
+      (2L, "HTTPS://EX.COM:443/a#frag"),
+      (3L, "https://ex.com/a?utm_source=t"),
+      (4L, "https://ex.com/b"),
+      (5L, null.asInstanceOf[String]),     // two null-url docs: both kept
+      (6L, null.asInstanceOf[String]))
+    // the stream source lists top-level files only: write to a side dir
+    // and hoist the part file up as a flat a.parquet
+    val side = java.nio.file.Files.createTempDirectory("graft_url_dedup_write")
+    spark.createDataFrame(rows).toDF("doc_id", "url")
+      .coalesce(1).write.mode("overwrite").parquet(side.toString)
+    val part = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(side).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+    }
+    java.nio.file.Files.copy(part, d.resolve("a.parquet"))
+    val schema = spark.read.parquet(d.resolve("a.parquet").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(d.toString)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val result = StreamOps.runToCompletion(
+      StreamOps.streamingUrlDedup(stream, "url", "doc_id", "ts", "2 hours"),
+      "url_dedup_stream", mode = "append")
+      .select("doc_id", "canonical_url").collect()
+    val byCanon = result.groupBy(r => Option(r.getString(1)))
+    // /a emitted once (FIRST arrival of the canonical key wins is not
+    // guaranteed across engines, but exactly ONE of ids 1..3 survives)
+    assert(byCanon(Some("https://ex.com/a")).map(_.getLong(0)).toSet.subsetOf(Set(1L, 2L, 3L)))
+    assert(byCanon(Some("https://ex.com/a")).length == 1)
+    assert(byCanon(Some("https://ex.com/b")).map(_.getLong(0)).toSeq == Seq(4L))
+    assert(byCanon(None).map(_.getLong(0)).toSet == Set(5L, 6L))
+    assert(result.length == 4)
+  }
+
   test("flatMapGroupsWithState: stateful totals equal batch groupBy") {
     val stream = StreamOps.readEventsStream(spark, stageDir)
     val result = StreamOps.runToCompletion(
