@@ -68,20 +68,22 @@ object Curation {
       coalesce(!arrays_overlap(doms, typedlit(blocklist)), lit(true))))
   }
 
-  /** The hex letters an escape's digits may carry in lowercase — each
-    * gets one literal first-position rule and one single-capture
-    * second-position rule in [[normalizeUrl]]'s case pass (RE2 has no
-    * lookaround and no engine can case-map a capture). */
-  private[graft] val PctHexLetters: Seq[Char] = "abcdef".toSeq
+  /** The hex letters an escape's digits may carry in lowercase — one
+    * literal first-position rule and one single-capture second-position
+    * rule each in the oracle's replay chain (RE2 has no lookaround and
+    * no engine can case-map a capture). Forwarded from the native
+    * kernel so operator, expression, and oracle share ONE table. */
+  private[graft] val PctHexLetters: Seq[Char] =
+    graft.plans.PercentNormalize.hexLetters
 
   /** RFC 3986 §6.2.2 unreserved octets, as (uppercase-hex escape →
     * decoded char): ALPHA / DIGIT / `-` / `.` / `_` / `~`. Escapes of
     * every OTHER octet (reserved, `%25` itself) stay encoded — decoding
     * them would change which resource the URL names. Single-sourced
-    * into the q135 oracle so the DuckDB replay can never drift. */
+    * from [[graft.plans.PercentNormalize.decodeTable]] into the q135
+    * oracle so the DuckDB replay can never drift. */
   private[graft] val PctDecode: Seq[(String, String)] =
-    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~'))
-      .map(ch => (f"%%${ch.toInt}%02X", ch.toString))
+    graft.plans.PercentNormalize.decodeTable
 
   /** URL canonicalization — the CommonCrawl-style pre-content dedup
     * key. Canonical form, in order:
@@ -120,21 +122,18 @@ object Curation {
     * `?`/`&&`/`#` in it is never rewritten. NULL stays NULL. */
   def normalizeUrl(c: Column): Column = {
     val noFrag = regexp_replace(c, lit("#.*$"), lit(""))
-    // percent pass a: uppercase the FIRST hex position (literal rules —
-    // '%a…' can only be an escape opener), then the second position
-    // (the first is uppercase by now, so one [0-9A-F] capture carries
-    // it over). Two sequenced folds: interleaving them would leave
-    // '%fa'-style both-lowercase escapes half-fixed.
-    val pctU1 = PctHexLetters.foldLeft(noFrag)((u, ch) =>
-      replace(u, lit(s"%$ch"), lit(s"%${ch.toUpper}")))
-    val pctU2 = PctHexLetters.foldLeft(pctU1)((u, ch) =>
-      regexp_replace(u, lit(s"%([0-9A-F])$ch"), lit(s"%$$1${ch.toUpper}")))
-    // percent pass b: decode the unreserved escapes (uppercase-hex by
-    // now, so literal replaces suffice). %25 is not in the table, so
-    // decoding can never mint a new escape opener — one pass converges
-    // (FuzzSpec idempotence covers it).
-    val pct = PctDecode.foldLeft(pctU2) { case (u, (esc, chr)) =>
-      replace(u, lit(esc), lit(chr)) }
+    // percent pass: uppercase escape hex, decode unreserved escapes —
+    // ONE native codegen'd expression (graft.plans.PercentNormalize).
+    // The equivalent column formulation is a ~78-step replace chain
+    // whose generated code blows Janino's 64 KB method limit and
+    // knocks the whole stage out of whole-stage codegen (measured on
+    // the q135 plan); the native kernel is one static call, '%'-gated
+    // so escape-free URLs pay a single scan. The DuckDB oracle replays
+    // the chain folded from the SAME tables (PctHexLetters/PctDecode),
+    // and NativeExprSpec pins expression ≡ chain differentially.
+    val pct = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.PercentNormalize(
+        org.apache.spark.sql.graft.ColumnBridge.expression(noFrag)))
     // lowercase "scheme://host[:port]" — regexp can't lowercase a
     // capture, so split at the authority boundary and rejoin
     val head = regexp_extract(pct, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)

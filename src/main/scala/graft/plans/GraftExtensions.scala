@@ -20,7 +20,8 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * [[ScanCSE]] scaladoc for the batch-ordering argument.
   */
 object GraftFunctions {
-  val names: Seq[String] = Seq("graft_cosine", "graft_jaccard_sorted")
+  val names: Seq[String] =
+    Seq("graft_cosine", "graft_jaccard_sorted", "graft_pct_normalize")
 
   /** arity gate: bad call sites get an analysis-time message naming the
     * function, not an IndexOutOfBoundsException from exprs(1). */
@@ -32,6 +33,14 @@ object GraftFunctions {
     mk(exprs(0), exprs(1))
   }
 
+  private[plans] def unary(name: String, argTypes: String,
+                           mk: Expression => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1,
+      s"$name expects exactly 1 argument $argTypes, got ${exprs.length}")
+    mk(exprs(0))
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_cosine",
@@ -39,6 +48,9 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction("graft_jaccard_sorted",
       binary("graft_jaccard_sorted", "(array<bigint>, array<bigint>)", SortedJaccard),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_pct_normalize",
+      unary("graft_pct_normalize", "(string)", PercentNormalize),
       "built-in")
   }
 }
@@ -57,5 +69,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[SortedJaccard].getName, "graft_jaccard_sorted"),
       GraftFunctions.binary("graft_jaccard_sorted",
         "(array<bigint>, array<bigint>)", SortedJaccard)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_pct_normalize"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PercentNormalize].getName, "graft_pct_normalize"),
+      GraftFunctions.unary("graft_pct_normalize", "(string)", PercentNormalize)))
   }
 }

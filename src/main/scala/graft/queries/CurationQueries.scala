@@ -214,8 +214,11 @@ object CurationQueries {
       s"replace($acc, '%$ch', '%${ch.toUpper}')")
     val u2 = Curation.PctHexLetters.foldLeft(u1)((acc, ch) =>
       s"regexp_replace($acc, '%([0-9A-F])$ch', '%\\1${ch.toUpper}', 'g')")
-    Curation.PctDecode.foldLeft(u2) { case (acc, (esc, chr)) =>
+    val full = Curation.PctDecode.foldLeft(u2) { case (acc, (esc, chr)) =>
       s"replace($acc, '$esc', '$chr')" }
+    // same '%' gate as the operator (the chain is the identity on a
+    // '%'-free string, so the gate is semantics-preserving)
+    s"CASE WHEN strpos($e, '%') > 0 THEN $full ELSE $e END"
   }
 
   val oracles: Map[String, String] = Map(

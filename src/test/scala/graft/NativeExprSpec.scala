@@ -81,6 +81,45 @@ class NativeExprSpec extends AnyFunSuite {
     assert(edge.getDouble(0) == 1.0 && edge.getDouble(1) == 0.0)
   }
 
+  test("graft_pct_normalize equals the sequential replace chain (differential, fuzzed)") {
+    GraftFunctions.register(spark)
+    // reference: the literal 78-pass chain the DuckDB oracle replays,
+    // folded from the SAME tables as the native kernel
+    def chain(s: String): String = {
+      if (s == null || s.indexOf('%') < 0) return s
+      var u = s
+      graft.plans.PercentNormalize.hexLetters.foreach(ch =>
+        u = u.replace(s"%$ch", s"%${ch.toUpper}"))
+      graft.plans.PercentNormalize.hexLetters.foreach(ch =>
+        u = u.replaceAll(s"%([0-9A-F])$ch", s"%$$1${ch.toUpper}"))
+      graft.plans.PercentNormalize.decodeTable.foreach { case (esc, c) =>
+        u = u.replace(esc, c) }
+      u
+    }
+    val rnd = new scala.util.Random(42)
+    val frags = Array("%7e", "%7E", "%2f", "%aB", "%fa", "%41", "%3", "%",
+      "%%", "%2525", "%30", "%5a", "%5A", "a", "/", "?", "%e", "%ax", "x")
+    val inputs = (0 until 400).map(_ =>
+      (0 until rnd.nextInt(8)).map(_ => frags(rnd.nextInt(frags.length))).mkString) ++
+      Seq("", "no escapes at all", "%%32E", "%3%30", "%a%41", "%%af")
+    val d = spark.createDataFrame(
+      inputs.zipWithIndex.map { case (s, i) => (i.toLong, s) }).toDF("id", "s")
+    val got = d.selectExpr("id", "graft_pct_normalize(s) AS n", "s")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    got.foreach { case (i, n, s) =>
+      assert(n == chain(s), s"input $i: '$s' -> native '$n' vs chain '${chain(s)}'") }
+    // NULL propagates
+    assert(spark.sql("SELECT graft_pct_normalize(CAST(NULL AS STRING))")
+      .collect()(0).isNullAt(0))
+    // the expression stays inside whole-stage codegen (the reason it
+    // exists: the column chain blows the 64 KB method limit). A
+    // range-backed source, not LocalTableScan, so a real stage plans.
+    val plan = spark.range(10)
+      .selectExpr("graft_pct_normalize(concat('%7e/p', id))")
+      .queryExecution.executedPlan.toString
+    assert(plan.startsWith("*("), plan)   // '*' = inside WholeStageCodegen
+  }
+
   test("SparkSessionExtensions wiring registers the function") {
     val s2 = TestSpark.spark.newSession()
     new graft.plans.GraftExtensions().apply(

@@ -233,6 +233,19 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("removeDuplicatedWindows plans hash joins + one doc-keyed window, never cartesian") {
+    val d = Df.readParquet(spark, s"$sf/documents.parquet")
+    val r = graft.operators.Dedup.removeDuplicatedWindows(d, "text", "doc_id", k = 10)
+    val p = plan(r.sdf)
+    r.unpersistIntermediates()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the span merge is ONE running window pass per doc, not an
+    // interval tree or a per-position explode
+    assert("Window".r.findAllIn(p).length >= 1, p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+    spark.catalog.clearCache()
+  }
+
   test("rangeJoin plans as an equi-join on buckets, never nested-loop") {
     val li = Df.readParquet(spark, s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
