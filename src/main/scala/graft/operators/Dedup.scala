@@ -128,9 +128,12 @@ object Dedup {
         math.round(sampleFraction * buckets))
     val sh = shingleTable(new Df(sampled), textCol, idCol, shingleN).persist(lvl)
     // UNCAPPED index: feeds both the cap audit and (through capBuckets)
-    // the candidate join — one signature pass, two consumers
+    // the candidate join — one signature pass, two consumers. The
+    // capped index is persisted too: it feeds BOTH candidate self-join
+    // sides (the minhashPairs convention), and unpersisted the
+    // bucket-count window would run once per side.
     val bandedAll = bandedIndex(sh, idCol, bands, r).persist(lvl)
-    val banded = capBuckets(bandedAll, maxBucket)
+    val banded = capBuckets(bandedAll, maxBucket).persist(lvl)
     val a = banded.select(col(idCol).as("id_a"), col("__band"), col("__key"))
     val b = banded.select(col(idCol).as("id_b"), col("__band"), col("__key"))
     val candidates = a.join(b, Seq("__band", "__key"))
@@ -159,7 +162,7 @@ object Dedup {
         round(col("lsh_pairs").cast("double") / col("true_pairs"), 6))
         .otherwise(lit(1.0)).as("recall"),
       col("overcap_buckets"), col("rows_in_overcap_buckets")))
-      .retaining(sh, bandedAll)
+      .retaining(sh, bandedAll, banded)
   }
 
   /** Drop rows in over-large buckets (partitioned by `cols`). The

@@ -20,8 +20,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * to ONE static call (the preference-order step (b) "custom
   * Expression" from the build rules, the [[FloatCosine]] precedent).
   *
-  * Semantics are EXACTLY the sequential chain the DuckDB oracle
-  * replays (CurationQueries.pctSql — both fold the SAME tables below):
+  * Semantics are the sequential chain the DuckDB oracle replays
+  * (CurationQueries.pctSql — both fold the SAME tables below),
+  * iterated to fixpoint (see [[PercentNormalize.normalize]] for why):
   *  1. gate: a '%'-free string returns unchanged;
   *  2. case pass: first-position escape hex letters uppercase
   *     (`%a…` → `%A…`), then second-position
@@ -31,9 +32,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     with '%' and contains none);
   *  3. decode pass: the [[PercentNormalize.decodeTable]] literal
   *     replaces IN TABLE ORDER — sequential exactly like the chain, so
-  *     even adversarial double-'%' inputs (`%%32E`, where one
-  *     replacement's output completes a later pattern) agree with the
-  *     oracle bit-for-bit.
+  *     adversarial double-'%' inputs (`%%32E`, where one replacement's
+  *     output completes a later pattern) agree with the oracle's pass
+  *     algorithm;
+  *  4. repeat 2–3 until stable, so the whole expression is idempotent
+  *     on EVERY input, not just well-formed URLs.
   */
 case class PercentNormalize(child: Expression) extends UnaryExpression {
 
@@ -77,12 +80,9 @@ object PercentNormalize {
   private def isUpperHex(c: Char): Boolean =
     (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F')
 
-  /** the runtime kernel — called from generated code, one invocation
-    * per row. Kept on the companion so codegen resolves it as a static
-    * forwarder. */
-  def normalize(u: UTF8String): UTF8String = {
-    val s = u.toString
-    if (s.indexOf('%') < 0) return u
+  /** one full chain pass: the case scan then the sequential
+    * table-order decode — exactly what the DuckDB oracle replays. */
+  private def chainOnce(s: String): String = {
     // case pass (in-place scan ≡ the two global replace passes)
     val a = s.toCharArray
     var i = 0
@@ -97,7 +97,7 @@ object PercentNormalize {
       i += 1
     }
     // decode pass: sequential literal replaces in table order (the
-    // oracle's exact algorithm); indexOf guard skips absent escapes
+    // oracle's exact algorithm); contains guard skips absent escapes
     var out = new String(a)
     var k = 0
     while (k < decodeArr.length) {
@@ -105,6 +105,31 @@ object PercentNormalize {
       if (out.contains(esc)) out = out.replace(esc, ch)
       k += 1
     }
-    UTF8String.fromString(out)
+    out
+  }
+
+  /** the runtime kernel — called from generated code, one invocation
+    * per row. Kept on the companion so codegen resolves it as a static
+    * forwarder.
+    *
+    * The chain is iterated to FIXPOINT: a decode can mint a new escape
+    * when a literal '%' directly precedes a well-formed one (`%%341` →
+    * `%41` → `A` — the inner `%34` decodes to '4', which lands between
+    * the outer '%' and the '1'). A single pass would decode one level
+    * per CALL and break [[graft.operators.Curation.normalizeUrl]]'s
+    * idempotence contract (a re-canonicalized stored key must not keep
+    * moving). Termination: every decode strictly shortens the string
+    * and case fixes are monotone, so the loop is bounded by length/2.
+    * The DuckDB oracle replays ONE pass — identical for any input
+    * whose '%'s all open well-formed escapes (the q135 corpus, and any
+    * spec-compliant URL); adversarial double-'%' soup is the
+    * documented residual where engines are compared on the fixpoint
+    * side only (NativeExprSpec). */
+  def normalize(u: UTF8String): UTF8String = {
+    var s = u.toString
+    if (s.indexOf('%') < 0) return u
+    var prev: String = null
+    while (s != prev) { prev = s; s = chainOnce(s) }
+    UTF8String.fromString(s)
   }
 }

@@ -55,23 +55,27 @@ object ScanCSE extends Rule[LogicalPlan] {
       spark.experimental.extraOptimizations = cur :+ this
   }
 
-  /** same file set + format + file schema ⇒ the same read, modulo
-    * required columns (options that change parsing are format-level
-    * and land in dataSchema for the sources graft ships). */
-  private def relKey(r: LogicalRelation): Option[(String, String, String)] =
+  /** same file set + format + file schema + READER OPTIONS ⇒ the same
+    * read, modulo required columns. Options are part of the identity:
+    * two CSV reads of one path with different `header`/`delimiter`
+    * parse different DATA — merging them would silently hand one
+    * consumer the other's rows, not just a worse plan. */
+  private def relKey(r: LogicalRelation): Option[(String, String, String, String)] =
     r.relation match {
       case fs: HadoopFsRelation =>
         Some((fs.location.rootPaths.mkString(","),
-          fs.fileFormat.getClass.getName, fs.dataSchema.catalogString))
+          fs.fileFormat.getClass.getName, fs.dataSchema.catalogString,
+          fs.options.toSeq.sorted.mkString(",")))
       case _ => None
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(ConfKey, "false").toBoolean) return plan
     // candidate occurrences, in traversal order: a pruning/aliasing
-    // Project directly over a file relation, or a bare file relation.
-    // Anything else above the relation (Filter, Sample, …) makes the
-    // read semantically different — out of scope, like the reference.
+    // Project directly over a file relation, or a bare file relation
+    // consumed whole by a Join/Union. Anything else above the relation
+    // (Filter, Sample, limits, …) makes the read semantically
+    // different or narrower — out of scope, like the reference.
     val projected = scala.collection.mutable.ArrayBuffer
       .empty[(Project, LogicalRelation)]
     plan.foreach {
@@ -81,15 +85,19 @@ object ScanCSE extends Rule[LogicalPlan] {
         projected += ((p, r))
       case _ =>
     }
-    val underProject =
-      java.util.Collections.newSetFromMap(
-        new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean])
-    projected.foreach { case (_, r) => underProject.add(r) }
+    // bare relations merge ONLY under parents that consume the full
+    // relation as-is (Join/Union): a relation under a Filter (or
+    // Sample, limit, …) is a semantically narrower read — merging it
+    // would trade its pushed-down pruned scan for a full-width shared
+    // scan + shuffle, the exact anti-pattern the scaladoc excludes
     val bare = scala.collection.mutable.ArrayBuffer.empty[LogicalRelation]
-    plan.foreach {
-      case r: LogicalRelation
-          if relKey(r).isDefined && !underProject.contains(r) => bare += r
-      case _ =>
+    plan.foreach { node =>
+      val allowed = node.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join] ||
+        node.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Union]
+      if (allowed) node.children.foreach {
+        case r: LogicalRelation if relKey(r).isDefined => bare += r
+        case _ =>
+      }
     }
     val occurrences: Seq[(LogicalPlan, LogicalRelation)] =
       (projected.toSeq: Seq[(LogicalPlan, LogicalRelation)]) ++

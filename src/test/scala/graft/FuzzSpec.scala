@@ -319,7 +319,7 @@ class FuzzSpec extends AnyFunSuite {
       port <- Gen.oneOf("", ":80", ":443", ":8080")
       segs <- Gen.choose(0, 3).flatMap(n =>
         Gen.listOfN(n, Gen.oneOf("A", "p", "q2", "",
-          "%7e", "%2f", "%aB", "a%41b", "%2525")))
+          "%7e", "%2f", "%aB", "a%41b", "%2525", "%%341", "%%34a")))
       trail <- Gen.oneOf("", "/", "//")
       params <- Gen.choose(0, 3).flatMap(n => Gen.listOfN(n,
         Gen.oneOf("utm_source=x", "utm_a=", "a=1", "b=2", "gclid=g", "fbclid=f")))

@@ -84,9 +84,11 @@ class NativeExprSpec extends AnyFunSuite {
   test("graft_pct_normalize equals the sequential replace chain (differential, fuzzed)") {
     GraftFunctions.register(spark)
     // reference: the literal 78-pass chain the DuckDB oracle replays,
-    // folded from the SAME tables as the native kernel
-    def chain(s: String): String = {
-      if (s == null || s.indexOf('%') < 0) return s
+    // folded from the SAME tables as the native kernel — iterated to
+    // fixpoint exactly like the kernel (a decode can mint an escape:
+    // '%%341' -> '%41' -> 'A'; one pass per CALL would break the
+    // normalizeUrl idempotence contract)
+    def chainOnce(s: String): String = {
       var u = s
       graft.plans.PercentNormalize.hexLetters.foreach(ch =>
         u = u.replace(s"%$ch", s"%${ch.toUpper}"))
@@ -96,9 +98,16 @@ class NativeExprSpec extends AnyFunSuite {
         u = u.replace(esc, c) }
       u
     }
+    def chain(s: String): String = {
+      if (s == null || s.indexOf('%') < 0) return s
+      var u = s; var prev: String = null
+      while (u != prev) { prev = u; u = chainOnce(u) }
+      u
+    }
     val rnd = new scala.util.Random(42)
     val frags = Array("%7e", "%7E", "%2f", "%aB", "%fa", "%41", "%3", "%",
-      "%%", "%2525", "%30", "%5a", "%5A", "a", "/", "?", "%e", "%ax", "x")
+      "%%", "%2525", "%30", "%5a", "%5A", "a", "/", "?", "%e", "%ax", "x",
+      "%%341", "%%34a", "%%25")
     val inputs = (0 until 400).map(_ =>
       (0 until rnd.nextInt(8)).map(_ => frags(rnd.nextInt(frags.length))).mkString) ++
       Seq("", "no escapes at all", "%%32E", "%3%30", "%a%41", "%%af")
@@ -107,7 +116,8 @@ class NativeExprSpec extends AnyFunSuite {
     val got = d.selectExpr("id", "graft_pct_normalize(s) AS n", "s")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     got.foreach { case (i, n, s) =>
-      assert(n == chain(s), s"input $i: '$s' -> native '$n' vs chain '${chain(s)}'") }
+      assert(n == chain(s), s"input $i: '$s' -> native '$n' vs chain '${chain(s)}'")
+      assert(chain(n) == n, s"input $i: not idempotent: '$n' -> '${chain(n)}'") }
     // NULL propagates
     assert(spark.sql("SELECT graft_pct_normalize(CAST(NULL AS STRING))")
       .collect()(0).isNullAt(0))

@@ -192,6 +192,16 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("ReusedExchange"), p)
       // same rows as the unmerged plan — the rewrite is pure sharing
       assert(q().collect().map(_.toSeq).sortBy(_.toString).toSeq == before.toSeq)
+      // a FILTERED scan never merges: its pushed-down pruned read is
+      // semantically narrower, and trading it for a full-width shared
+      // scan + shuffle would be the anti-pattern the rule excludes
+      val filtered = Df.readParquet(spark, s"$sf/nation.parquet")
+        .where(col("n_nationkey") > 20).select("n_name").sdf
+        .crossJoin(Df.readParquet(spark, s"$sf/nation.parquet")
+          .select("n_regionkey").sdf.groupBy().max("n_regionkey"))
+      val pf = plan(filtered)
+      assert("Scan parquet".r.findAllIn(pf).length == 2, pf)
+      assert(pf.contains("PushedFilters: [IsNotNull(n_nationkey), GreaterThan(n_nationkey,20)]"), pf)
     } finally {
       spark.conf.set(ScanCSE.ConfKey, "false")
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
