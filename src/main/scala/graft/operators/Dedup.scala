@@ -206,6 +206,82 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("__fp"))
 
+  /** Incremental exact dedup of a NEW batch against an EXISTING corpus
+    * with two-sided Bloom semi-join reduction — the crawl-refresh shape
+    * where |corpus| >> |batch| and shuffling corpus fingerprints against
+    * every batch would dominate the pipeline.
+    *
+    * Result is EXACTLY the null-safe anti-join
+    * `newDocs WHERE fingerprint NOT IN corpus` (a Bloom filter has no
+    * false negatives, and every Bloom hit is re-verified by a real
+    * anti-join), so `expectedCorpusItems` trades prefilter selectivity
+    * only, never correctness. Plan shape:
+    *  1. aggregate corpus fingerprints into ONE fixed-size Bloom sketch
+    *     (map-side partial merge — the only full corpus pass, no
+    *     shuffle of corpus rows, the [[graft.api.Ser.nuniqueApprox]]
+    *     sketch posture);
+    *  2. batch rows whose fingerprint misses the sketch are DEFINITELY
+    *     new — they bypass the join entirely;
+    *  3. the hits (true dupes + ~fpp of the batch) build a second Bloom
+    *     that prunes CORPUS rows map-side before the verify anti-join,
+    *     so the join shuffles candidates-sized inputs on both sides —
+    *     the classic two-sided Bloom reduction.
+    * The two `head` calls collect one serialized sketch each — BOUNDED
+    * by `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (8 MiB
+    * default), never data-sized, the same driver-boundedness class as
+    * the capped `withCatCodes` dictionary. NULL fingerprints (null
+    * text) never match in the anti-join and are kept as new — step 2's
+    * `might_contain` is made null-safe by hashing BEFORE the filter
+    * (xxhash64 never returns NULL), so both paths agree. */
+  def bloomDedupNew(newDocs: Df, corpus: Df, textCol: String, idCol: String,
+                    expectedCorpusItems: Long = 1L << 22): Df = {
+    requireArgs("bloomDedupNew")(
+      (expectedCorpusItems >= 1,
+        s"expectedCorpusItems must be >= 1: $expectedCorpusItems"))
+    graft.plans.GraftFunctions.register(newDocs.spark)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val outCols = newDocs.sdf.columns.toSeq
+    val h = xxhash64(col("__fp"))
+    val newFp = newDocs.sdf
+      .withColumn("__fp", fingerprint(col(textCol))).persist(lvl)
+    val corpusFp = corpus.sdf.select(fingerprint(col(textCol)).as("__fp"))
+    val corpusBloom = corpusFp.agg(bloomAgg(h, expectedCorpusItems).as("b"))
+      .head.getAs[Array[Byte]](0)
+    if (corpusBloom == null) // empty corpus: the whole batch is new
+      return new Df(newFp.select(outCols.map(col): _*)).retaining(newFp)
+    val cand = newFp.where(bloomMightContain(corpusBloom, h)).persist(lvl)
+    val definitelyNew = newFp.where(!bloomMightContain(corpusBloom, h))
+    // batch-candidate sketch sized to the batch side (bounded by the
+    // same conf cap); null only when cand is empty
+    val candBloom = cand.agg(bloomAgg(h, expectedCorpusItems).as("b"))
+      .head.getAs[Array[Byte]](0)
+    val verified =
+      if (candBloom == null) cand.limit(0)
+      else cand.join(
+        corpusFp.where(bloomMightContain(candBloom, xxhash64(col("__fp")))),
+        Seq("__fp"), "left_anti")
+    new Df(definitelyNew.unionByName(verified).select(outCols.map(col): _*))
+      .retaining(newFp, cand)
+  }
+
+  /** One-pass fixed-size Bloom sketch over a LongType hash column —
+    * Spark's own `BloomFilterAggregate` (the engine's runtime-filter
+    * sketch), reached through the graft function registry since it has
+    * no public DSL wrapper (`GraftFunctions.register` is the file-wide
+    * convention for native expressions). */
+  private def bloomAgg(hashed: org.apache.spark.sql.Column,
+                       expectedItems: Long): org.apache.spark.sql.Column =
+    call_function("graft_bloom_agg", hashed, lit(expectedItems))
+
+  /** Membership probe against a serialized sketch embedded as a LITERAL
+    * (required: `BloomFilterMightContain` type-checks only foldable /
+    * subquery sketch sides, and a literal ships with the task binary
+    * like any broadcast scalar). */
+  private def bloomMightContain(bloom: Array[Byte],
+                                hashed: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    call_function("graft_might_contain", lit(bloom), hashed)
+
   /** MinHash-LSH candidate pairs: returns (id_a, id_b, jaccard) for
     * document pairs sharing at least one LSH band, with the EXACT
     * shingle-set jaccard computed for verification (standard

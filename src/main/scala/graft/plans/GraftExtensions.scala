@@ -21,7 +21,26 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object GraftFunctions {
   val names: Seq[String] =
-    Seq("graft_cosine", "graft_jaccard_sorted", "graft_pct_normalize")
+    Seq("graft_cosine", "graft_jaccard_sorted", "graft_pct_normalize",
+      "graft_bloom_agg", "graft_might_contain")
+
+  /** Spark's Bloom sketch pair (`BloomFilterAggregate` /
+    * `BloomFilterMightContain`) — engine-native, codegen'd, but with no
+    * public DSL wrapper and (in this build) no SQL registration for the
+    * probe side; exposed here for [[graft.operators.Dedup.bloomDedupNew]].
+    * The aggregate's estimated-items argument is CAST to LongType so SQL
+    * integer literals type-check; the probe's sketch side must be
+    * foldable (a literal) per the expression's own input check. */
+  private[plans] val bloomAggBuilder: Seq[Expression] => Expression =
+    binary("graft_bloom_agg", "(bigint hash, bigint estimated_items)",
+      (child, est) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(child,
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              est, org.apache.spark.sql.types.LongType)))
+  private[plans] val mightContainBuilder: Seq[Expression] => Expression =
+    binary("graft_might_contain", "(binary sketch, bigint hash)",
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(_, _))
 
   /** arity gate: bad call sites get an analysis-time message naming the
     * function, not an IndexOutOfBoundsException from exprs(1). */
@@ -52,6 +71,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_pct_normalize",
       unary("graft_pct_normalize", "(string)", PercentNormalize),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_agg", bloomAggBuilder,
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_might_contain", mightContainBuilder,
+      "built-in")
   }
 }
 
@@ -74,5 +97,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[PercentNormalize].getName, "graft_pct_normalize"),
       GraftFunctions.unary("graft_pct_normalize", "(string)", PercentNormalize)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_agg"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getName, "graft_bloom_agg"),
+      GraftFunctions.bloomAggBuilder))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_might_contain"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getName, "graft_might_contain"),
+      GraftFunctions.mightContainBuilder))
   }
 }

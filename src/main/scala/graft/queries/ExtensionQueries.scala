@@ -44,6 +44,19 @@ object ExtensionQueries {
         .sortValues(Seq("doc_id")).sdf
     }),
 
+    // ---- incremental dedup: new batch vs existing corpus, two-sided
+    // bloom semi-join reduction; result ≡ the exact anti-join ----
+    "q141_bloom_dedup" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      val corpus = d.where(col("doc_id") % 10 < 7)
+      val fresh = Df.concat(Seq(
+        d.where(col("doc_id") % 10 >= 7),
+        corpus.where(col("doc_id") % 5 === 0)
+          .selectExpr("doc_id + 20000 AS doc_id", "text")))
+      Dedup.bloomDedupNew(fresh, corpus, "text", "doc_id")
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
     // ---- per-document text statistics + quality score ----
     "q61_text_stats" -> ((s, dir) => {
       val d = T(s, dir, "documents")
@@ -701,6 +714,20 @@ object ExtensionQueries {
         |  t -> ('0x' || substr(md5(t),1,8))::BIGINT % 2147483647),
         |  (a, b) -> (a*131 + b) % 2147483647) END) AS rfp
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    // NOT EXISTS, not NOT IN: a NULL fingerprint in the corpus subquery
+    // would make NOT IN return zero rows; the operator's left_anti is
+    // null-safe the same way NOT EXISTS is
+    "q141_bloom_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT $fpSql AS fp FROM documents WHERE doc_id % 10 < 7),
+         |newb AS (
+         |  SELECT doc_id, text, $fpSql AS fp FROM (
+         |    SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 7
+         |    UNION ALL SELECT doc_id + 20000 AS doc_id, text FROM documents
+         |    WHERE doc_id % 10 < 7 AND doc_id % 5 = 0))
+         |SELECT doc_id, text FROM newb n
+         |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = n.fp)
+         |ORDER BY doc_id""".stripMargin,
     "q60_dedup_exact" ->
       s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM (
          |SELECT doc_id, text FROM documents

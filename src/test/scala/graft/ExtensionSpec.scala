@@ -499,6 +499,50 @@ class ExtensionSpec extends AnyFunSuite {
     assert(nj.length == 1 && nj(0).getLong(0) == 4L && nj(0).getLong(1) == 5L)
   }
 
+  test("bloomDedupNew equals the exact anti-join; empty corpus/batch edges") {
+    val corpus = mkDocs(1L -> "a b c", 2L -> "x y", 3L -> "q r s")
+    val batch = mkDocs(
+      10L -> "c  b a",          // fingerprint-dup of 1 (order/whitespace)
+      11L -> "x y",             // exact dup of 2
+      12L -> "brand new doc",
+      13L -> "q r s t")         // near, NOT a fingerprint dup
+    val got = Dedup.bloomDedupNew(batch, corpus, "text", "doc_id")
+    val gotIds = got.sdf.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    got.unpersistIntermediates()
+    assert(gotIds == Seq(12L, 13L))
+    // empty corpus: the whole batch is new (null-sketch path)
+    val all = Dedup.bloomDedupNew(batch, new Df(corpus.sdf.limit(0)), "text", "doc_id")
+    val allIds = all.sdf.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    all.unpersistIntermediates()
+    assert(allIds == Seq(10L, 11L, 12L, 13L))
+    // empty batch: empty result (null candidate-sketch path)
+    val none = Dedup.bloomDedupNew(new Df(batch.sdf.limit(0)), corpus, "text", "doc_id")
+    val n = none.sdf.count()
+    none.unpersistIntermediates()
+    assert(n == 0)
+  }
+
+  test("bloomDedupNew differential vs plain anti-join on the documents corpus") {
+    val d = docs.select("doc_id", "text")
+    val corpus = d.where(col("doc_id") % 3 < 2)
+    // batch = remaining docs + mutated-id copies of corpus docs, so real
+    // cross-batch dupes exist by construction
+    val batch = Df.concat(Seq(
+      d.where(col("doc_id") % 3 === 2),
+      corpus.where(col("doc_id") % 11 === 0)
+        .selectExpr("doc_id + 90000 AS doc_id", "text")))
+    val total = batch.sdf.count()
+    val expected = batch.sdf.withColumn("__fp", fingerprint(col("text")))
+      .join(corpus.sdf.select(fingerprint(col("text")).as("__fp")),
+        Seq("__fp"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = Dedup.bloomDedupNew(batch, corpus, "text", "doc_id")
+    val gotIds = got.sdf.select("doc_id").collect().map(_.getLong(0)).toSet
+    got.unpersistIntermediates()
+    assert(gotIds == expected)
+    assert(gotIds.size < total) // the planted dupes were actually removed
+  }
+
   test("simhashPairs recall contract: finds EVERY pair within maxHamming") {
     // family of docs at graded distances from a 40-token base
     val base = (1 to 40).map(i => s"tok$i")

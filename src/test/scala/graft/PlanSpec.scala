@@ -243,6 +243,20 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("bloomDedupNew probes literal sketches map-side; verify join is hash, never cartesian") {
+    val d = Df.readParquet(spark, s"$sf/documents.parquet").select("doc_id", "text")
+    val corpus = d.where(col("doc_id") % 10 < 7)
+    val fresh = d.where(col("doc_id") % 10 >= 7)
+    val got = graft.operators.Dedup.bloomDedupNew(fresh, corpus, "text", "doc_id")
+    val p = plan(got.sdf)
+    got.unpersistIntermediates()
+    // the sketch probes are literal predicates in the scan-side filters
+    // (no subquery, no extra join to ship the bloom)
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    spark.catalog.clearCache()
+  }
+
   test("removeDuplicatedWindows plans hash joins + one doc-keyed window, never cartesian") {
     val d = Df.readParquet(spark, s"$sf/documents.parquet")
     val r = graft.operators.Dedup.removeDuplicatedWindows(d, "text", "doc_id", k = 10)
