@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.api.Df
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators — clustering a table so downstream scans prune.
+  *
+  * Beyond the reference's surface (it controls partition COUNT via
+  * `repartition`/`npartitions`, `/root/reference/pandas_expr/_collection
+  * .py`, but has no multi-dimensional layout story): at 100 TB the
+  * dominant cost of a filtered scan is row groups that cannot be skipped.
+  * Sorting by a Z-order (Morton) key interleaves the bits of several
+  * columns so ALL of them become partially sort-clustered — parquet
+  * min/max row-group stats then prune selective filters on ANY of the
+  * interleaved dimensions, not just the leading sort column.
+  *
+  * Scale design: bucket bounds come from ONE min/max aggregation
+  * (driver result is 2·n doubles — bounded, never data-sized), the
+  * Z-value is pure codegen'd arithmetic, and the layout itself is
+  * `repartitionByRange` (sampled range exchange — the same machinery as
+  * any global sort, one shuffle) + an in-partition sort. Nothing else
+  * touches the driver.
+  */
+object Layout {
+
+  /** Interleave pre-bucketed coordinates into a Morton key: bit j of
+    * bucket i lands at position `j * n + i`. Buckets MUST already be in
+    * `[0, 2^bits)` — [[withZValue]] produces them; arbitrary inputs
+    * would silently overlap bit lanes. n·bits ≤ 63 keeps the key in one
+    * signed long. */
+  def zvalue(buckets: Seq[Column], bits: Int): Column = {
+    require(buckets.nonEmpty, "zvalue: need at least one column")
+    require(bits >= 1 && buckets.size * bits <= 63,
+      s"zvalue: need 1 <= bits and cols*bits <= 63, got ${buckets.size} cols x $bits bits")
+    val n = buckets.size
+    val terms = for {
+      j <- 0 until bits
+      (b, i) <- buckets.zipWithIndex
+    } yield shiftleft(shiftright(b.cast("long"), j).bitwiseAND(lit(1L)),
+      j * n + i)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Uniform quantization of a numeric column into `[0, 2^bits)` given
+    * data min/max: `floor((v - min) / (max - min) * 2^bits)` clamped at
+    * the top (v = max lands in the last bucket), 0 for a constant
+    * column. Uniform (not quantile) binning is deliberate: it is exactly
+    * replayable by any engine from (min, max) alone — skewed columns
+    * trade some bucket balance for that determinism, the knob being
+    * `bits`. NULL stays NULL and sorts first, its own cluster. */
+  private def bucketize(v: Column, mn: Double, mx: Double, bits: Int): Column =
+    if (mx == mn) when(v.isNull, lit(null)).otherwise(lit(0L))
+    else least(greatest(
+      floor((v.cast("double") - lit(mn)) / (lit(mx) - lit(mn))
+        * lit((1L << bits).toDouble)).cast("long"),
+      lit(0L)), lit((1L << bits) - 1L))
+
+  /** Append the Morton key of `cols` as `outCol`. One bounded min/max
+    * action sizes the buckets; the key itself is codegen'd arithmetic. */
+  def withZValue(df: Df, cols: Seq[String], bits: Int = 8,
+                 outCol: String = "zval"): Df = {
+    require(cols.nonEmpty, "withZValue: need at least one column")
+    require(bits >= 1 && cols.size * bits <= 63,
+      s"withZValue: need 1 <= bits and cols*bits <= 63, got ${cols.size} cols x $bits bits")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val row = df.sdf.agg(aggs.head, aggs.tail: _*).head
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      // all-NULL column: min/max are NULL — treat as constant, so the
+      // column contributes nothing and NULLs still pass through as NULL
+      val (mn, mx) =
+        if (row.isNullAt(2 * i)) (0.0, 0.0)
+        else (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+      bucketize(col(c), mn, mx, bits)
+    }
+    new Df(df.sdf.withColumn(outCol, zvalue(buckets, bits)))
+  }
+
+  /** Cluster `df` for multi-dimensional scan pruning: compute the
+    * Morton key, range-repartition on it (sampled range exchange — one
+    * shuffle), sort within partitions, and keep the key column so a
+    * writer can verify the layout. `numPartitions = 0` leaves the
+    * partition count to `spark.sql.shuffle.partitions`/AQE. */
+  def zorderBy(df: Df, cols: Seq[String], bits: Int = 8,
+               numPartitions: Int = 0): Df = {
+    val keyed = withZValue(df, cols, bits).sdf
+    val ranged =
+      if (numPartitions > 0) keyed.repartitionByRange(numPartitions, col("zval"))
+      else keyed.repartitionByRange(col("zval"))
+    new Df(ranged.sortWithinPartitions("zval"))
+  }
+}

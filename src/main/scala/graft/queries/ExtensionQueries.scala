@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.api.Df
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Layout, Similarity}
 import org.apache.spark.sql.functions._
 import QueryUtil._
 
@@ -55,6 +55,13 @@ object ExtensionQueries {
           .selectExpr("doc_id + 20000 AS doc_id", "text")))
       Dedup.bloomDedupNew(fresh, corpus, "text", "doc_id")
         .sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- z-order (Morton) clustering key over two order dimensions ----
+    "q142_zorder_key" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      Layout.withZValue(o, Seq("o_totalprice", "o_custkey"), bits = 8)
+        .select("o_orderkey", "zval").sortValues(Seq("o_orderkey")).sdf
     }),
 
     // ---- per-document text statistics + quality score ----
@@ -447,6 +454,31 @@ object ExtensionQueries {
     s"list_filter(regexp_split_to_array($e, '\\s+'), w -> w <> '')"
   private[queries] val fpSql =
     s"md5(array_to_string(list_sort(list_distinct(${toksSql()})), ' '))"
+
+  /** Program-generated replay of [[Layout.withZValue]] over
+    * (o_totalprice, o_custkey) at bits=8: uniform buckets from data
+    * min/max — `floor((v-min)/(max-min)*256)` clamped to [0,255], the
+    * SAME double arithmetic in the same association order as the Spark
+    * side — then explicit bit-interleave terms. `+` instead of `|` is
+    * safe: every term occupies a disjoint bit lane. */
+  private val zorderSql: String = {
+    val bits = 8
+    def bucket(v: String, mn: String, mx: String) =
+      s"""(CASE WHEN $mx = $mn THEN 0 ELSE
+         |LEAST(GREATEST(CAST(FLOOR((CAST($v AS DOUBLE) - $mn) / ($mx - $mn)
+         |  * 256.0) AS BIGINT), 0), 255) END)""".stripMargin
+    val lanes = Seq(bucket("o_totalprice", "b.mn1", "b.mx1"),
+      bucket("o_custkey", "b.mn2", "b.mx2"))
+    val terms = (for { j <- 0 until bits; (bk, i) <- lanes.zipWithIndex }
+      yield s"((($bk >> $j) & 1) << ${j * lanes.size + i})").mkString(" + ")
+    s"""WITH b AS (SELECT
+       |  MIN(CAST(o_totalprice AS DOUBLE)) AS mn1,
+       |  MAX(CAST(o_totalprice AS DOUBLE)) AS mx1,
+       |  MIN(CAST(o_custkey AS DOUBLE)) AS mn2,
+       |  MAX(CAST(o_custkey AS DOUBLE)) AS mx2 FROM orders)
+       |SELECT o_orderkey, $terms AS zval FROM orders, b
+       |ORDER BY o_orderkey""".stripMargin
+  }
   private def shinglesSql(textExpr: String = "text") =
     s"""list_distinct(list_transform(range(len(${toksSql(textExpr)}) - 2),
        |i -> array_to_string(${toksSql(textExpr)}[i+1:i+3], ' ')))""".stripMargin
@@ -714,6 +746,7 @@ object ExtensionQueries {
         |  t -> ('0x' || substr(md5(t),1,8))::BIGINT % 2147483647),
         |  (a, b) -> (a*131 + b) % 2147483647) END) AS rfp
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "q142_zorder_key" -> zorderSql,
     // NOT EXISTS, not NOT IN: a NULL fingerprint in the corpus subquery
     // would make NOT IN return zero rows; the operator's left_anti is
     // null-safe the same way NOT EXISTS is

@@ -543,6 +543,45 @@ class ExtensionSpec extends AnyFunSuite {
     assert(gotIds.size < total) // the planted dupes were actually removed
   }
 
+  test("zvalue matches a driver-side Morton reference (fuzzed)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map(i =>
+      Row(i.toLong, rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val d = Df.fromRows(spark, rows, StructType(Seq(
+      StructField("id", LongType), StructField("b1", LongType),
+      StructField("b2", LongType))))
+    def ref(b1: Long, b2: Long): Long = (0 until 8).foldLeft(0L)((acc, j) =>
+      acc | (((b1 >> j) & 1L) << (2 * j)) | (((b2 >> j) & 1L) << (2 * j + 1)))
+    val got = d.sdf.select(col("id"), col("b1"), col("b2"),
+      operators.Layout.zvalue(Seq(col("b1"), col("b2")), 8).as("z"))
+      .collect()
+    got.foreach(r => assert(r.getLong(3) == ref(r.getLong(1), r.getLong(2)),
+      s"id=${r.getLong(0)}"))
+    // bad knobs fail at call time with the knob named
+    val e = intercept[IllegalArgumentException](
+      operators.Layout.zvalue(Seq(col("b1"), col("b2")), 32))
+    assert(e.getMessage.contains("cols*bits"))
+  }
+
+  test("zorderBy range-clusters the Morton key: sorted partitions, disjoint ranges") {
+    val o = Df.readParquet(spark, s"$sf/orders.parquet")
+    val zb = operators.Layout.zorderBy(
+      o, Seq("o_totalprice", "o_custkey"), bits = 8, numPartitions = 8)
+    import spark.implicits._
+    val parts = zb.sdf.select("zval").as[Long].mapPartitions { it =>
+      val s = it.toArray
+      if (s.isEmpty) Iterator.empty
+      else Iterator((s.head, s.last, s.sliding(2).forall(p => p.length < 2 || p(0) <= p(1))))
+    }.collect().sortBy(_._1)
+    assert(parts.nonEmpty && parts.forall(_._3), "every partition sorted by zval")
+    parts.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0)._2 <= w(1)._1, s"overlapping ranges: $w")
+    }
+    // 2 lanes x 8 bits -> the key fits 16 bits
+    val mx = zb.sdf.agg(max(col("zval"))).head.getLong(0)
+    assert(mx >= 0 && mx < (1L << 16))
+  }
+
   test("simhashPairs recall contract: finds EVERY pair within maxHamming") {
     // family of docs at graded distances from a 40-token base
     val base = (1 to 40).map(i => s"tok$i")

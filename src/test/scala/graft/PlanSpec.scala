@@ -257,6 +257,16 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("zorderBy plans ONE range exchange on the Morton key, no global sort") {
+    val o = Df.readParquet(spark, s"$sf/orders.parquet")
+    val p = plan(graft.operators.Layout
+      .zorderBy(o, Seq("o_totalprice", "o_custkey"), bits = 8).sdf)
+    assert(p.contains("rangepartitioning(zval"), p)
+    // in-partition sort only: the Sort node is non-global
+    assert("Sort \\[zval.*\\], false".r.findFirstIn(p).isDefined, p)
+    assert("rangepartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("removeDuplicatedWindows plans hash joins + one doc-keyed window, never cartesian") {
     val d = Df.readParquet(spark, s"$sf/documents.parquet")
     val r = graft.operators.Dedup.removeDuplicatedWindows(d, "text", "doc_id", k = 10)
