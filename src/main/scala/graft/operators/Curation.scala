@@ -288,6 +288,39 @@ object Curation {
             s => s(textCol))).as(textCol)))
   }
 
+  /** Temperature-based domain rebalancing — the standard multilingual /
+    * multi-domain pretraining mixture rule (sampling mass ∝ share^α,
+    * α ∈ [0, 1]): α = 1 keeps the natural distribution, α = 0 flattens
+    * every domain to the smallest one, values between damp the head
+    * without starving the tail. Downsample-only realization: each
+    * domain keeps fraction `(n_d / n_min)^(α−1)` — the smallest domain
+    * keeps everything, larger domains shrink toward it — decided by the
+    * same deterministic md5 hash rule as [[mixCorpora]], so the sample
+    * is stable under re-runs, reshuffles, and appends.
+    *
+    * The keep fraction is ROUNDed to 6 decimals before thresholding:
+    * `pow` is not correctly rounded IEEE, so engines may differ in the
+    * last ulp — the round pins the 4-decimal threshold
+    * `round(f·buckets)` to one agreed value (the repo-wide float-oracle
+    * convention). Same scale shape as [[mixCorpora]]: one count
+    * aggregate, a broadcast scalar, a broadcast map-side keep filter —
+    * the corpus scan is one pass, nothing collects. */
+  def temperatureResample(docs: Df, domainCol: String, idCol: String,
+                          alpha: Double, buckets: Int = 10000): Df = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1]: $alpha")
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val counts = docs.sdf.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+    val nmin = counts.agg(min(col("__n")).as("__nmin"))
+    val fracs = counts.crossJoin(broadcast(nmin))
+      .select(col(domainCol),
+        round(least(pow(col("__n").cast("double") / col("__nmin").cast("double"),
+          lit(alpha - 1.0)), lit(1.0)), 6).as("__f"))
+    new Df(docs.sdf.join(broadcast(fracs), Seq(domainCol))
+      .where(hash32(col(idCol).cast("string")) % buckets <
+        round(col("__f") * buckets).cast("long"))
+      .drop("__f"))
+  }
+
   /** Deterministic corpus mixing: downsample so the `sourceCol`
     * distribution of the OUTPUT matches the target `weights` (the
     * domain-mixture step before training). The largest feasible total

@@ -120,6 +120,14 @@ object CurationQueries {
         .select("doc_id", "lang").sortValues(Seq("doc_id")).sdf
     }),
 
+    // ---- temperature rebalancing at α = 0.5: every lang keeps
+    // (n/nmin)^-0.5 of its rows, smallest lang keeps all ----
+    "q143_temperature_resample" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Curation.temperatureResample(d, "lang", "doc_id", alpha = 0.5)
+        .select("doc_id", "lang").sortValues(Seq("doc_id")).sdf
+    }),
+
     // ---- edit-distance verification: the corpus has no near-dups
     // (min equal-length pair distance is 44), so near-dup VARIANTS are
     // injected — doc i+1000 = doc i plus an x-run of length i%40, an
@@ -317,6 +325,19 @@ object CurationQueries {
     // capped at 1, keep iff hash-bucket < ROUND(f·buckets) — every
     // step double-typed (a bare 0.5 literal is DECIMAL in DuckDB and
     // would change the arithmetic)
+    // POW differs from the JVM in the last ulp; both sides ROUND the
+    // keep fraction to 6 decimals before thresholding (operator
+    // scaladoc), so the replay is exact
+    "q143_temperature_resample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |m AS (SELECT MIN(n) AS nmin FROM c),
+        |f AS (SELECT lang, ROUND(LEAST(
+        |  POW(CAST(n AS DOUBLE) / CAST((SELECT nmin FROM m) AS DOUBLE), -0.5),
+        |  CAST(1.0 AS DOUBLE)), 6) AS f FROM c)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN f ON d.lang = f.lang
+        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR),1,8))::BIGINT % 10000
+        |  < CAST(ROUND(f.f * 10000) AS BIGINT)
+        |ORDER BY d.doc_id""".stripMargin,
     "q124_mix_corpora" ->
       """WITH mixw(lang, wt) AS (VALUES
         |  ('en', 0.5::DOUBLE), ('de', 0.25::DOUBLE), ('fr', 0.25::DOUBLE)),

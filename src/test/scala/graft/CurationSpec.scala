@@ -171,6 +171,36 @@ class CurationSpec extends AnyFunSuite {
     assert(!n.contains("junk"))
   }
 
+  test("temperatureResample: alpha=1 identity, alpha=0 flattens, tail intact") {
+    // head lang 320 docs, mid 80, tail 20
+    val rows = (0L until 420L).map { i =>
+      val lang = if (i < 320) "en" else if (i < 400) "de" else "fr"
+      Row(i, lang)
+    }
+    val d = Df.fromRows(spark, rows,
+      StructType(Seq(StructField("doc_id", LongType), StructField("lang", StringType))))
+    def counts(alpha: Double): Map[String, Int] =
+      Curation.temperatureResample(d, "lang", "doc_id", alpha)
+        .sdf.collect().groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    // alpha = 1: natural distribution untouched
+    assert(counts(1.0) == Map("en" -> 320, "de" -> 80, "fr" -> 20))
+    // any alpha: the smallest domain keeps everything (f = 1 exactly)
+    val half = counts(0.5)
+    assert(half("fr") == 20)
+    // alpha = 0: every domain flattens toward n_min (hash rule targets
+    // round(nmin/n · buckets); binomial wobble -> wide bands)
+    val flat = counts(0.0)
+    assert(flat("fr") == 20)
+    assert(flat("en") >= 8 && flat("en") <= 36, flat.toString)
+    assert(flat("de") >= 8 && flat("de") <= 36, flat.toString)
+    // monotone damping: bigger domains keep a smaller FRACTION
+    assert(half("en").toDouble / 320 < half("de").toDouble / 80 + 1e-9)
+    // bad knob fails at call time
+    val e = intercept[IllegalArgumentException](
+      Curation.temperatureResample(d, "lang", "doc_id", 1.5))
+    assert(e.getMessage.contains("alpha"))
+  }
+
   test("mixCorpora: kept rows are a stable subset under re-partitioning") {
     val rows = (0L until 200L).map(i => Row(i, if (i % 2 == 0) "a" else "b"))
     val d = Df.fromRows(spark, rows,
