@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.api.Df
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for training-data pipelines: PII
@@ -304,22 +304,40 @@ object Curation {
     * `round(f·buckets)` to one agreed value (the repo-wide float-oracle
     * convention). Same scale shape as [[mixCorpora]]: one count
     * aggregate, a broadcast scalar, a broadcast map-side keep filter —
-    * the corpus scan is one pass, nothing collects. */
+    * the corpus scan is one pass, nothing collects.
+    *
+    * NULL-domain rows are dropped, like [[mixCorpora]]'s unweighted
+    * sources — and they are excluded from the counts BEFORE `n_min` is
+    * taken: `groupBy` keeps a NULL group, and a stray handful of
+    * unlabeled rows becoming the smallest "domain" would silently
+    * collapse every real domain's keep fraction toward zero. */
   def temperatureResample(docs: Df, domainCol: String, idCol: String,
                           alpha: Double, buckets: Int = 10000): Df = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1]: $alpha")
     require(buckets > 0, s"buckets must be positive: $buckets")
-    val counts = docs.sdf.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+    val counts = docs.sdf.where(col(domainCol).isNotNull)
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
     val nmin = counts.agg(min(col("__n")).as("__nmin"))
     val fracs = counts.crossJoin(broadcast(nmin))
       .select(col(domainCol),
         round(least(pow(col("__n").cast("double") / col("__nmin").cast("double"),
           lit(alpha - 1.0)), lit(1.0)), 6).as("__f"))
-    new Df(docs.sdf.join(broadcast(fracs), Seq(domainCol))
+    new Df(keepByHashFraction(docs.sdf, domainCol, idCol, fracs, buckets))
+  }
+
+  /** The deterministic keep rule shared by [[temperatureResample]] and
+    * [[mixCorpora]] (and mirrored by both oracles): broadcast the
+    * per-domain fraction frame (`__f` ∈ [0, 1]), keep a row iff its
+    * md5-bucket falls under `round(__f · buckets)`. ONE home for the
+    * hash/threshold arithmetic — the float-oracle convention lives
+    * here, not in two drifting copies. */
+  private def keepByHashFraction(docs: DataFrame, keyCol: String,
+                                 idCol: String, fracs: DataFrame,
+                                 buckets: Int): DataFrame =
+    docs.join(broadcast(fracs), Seq(keyCol))
       .where(hash32(col(idCol).cast("string")) % buckets <
         round(col("__f") * buckets).cast("long"))
-      .drop("__f"))
-  }
+      .drop("__f")
 
   /** Deterministic corpus mixing: downsample so the `sourceCol`
     * distribution of the OUTPUT matches the target `weights` (the
@@ -349,10 +367,7 @@ object Curation {
     val fracs = counts.crossJoin(broadcast(t))
       .select(col(sourceCol),
         least(col("__w") * col("__t") / col("__n"), lit(1.0)).as("__f"))
-    new Df(docs.sdf.join(broadcast(fracs), Seq(sourceCol))
-      .where(hash32(col(idCol).cast("string")) % buckets <
-        round(col("__f") * buckets).cast("long"))
-      .drop("__f"))
+    new Df(keepByHashFraction(docs.sdf, sourceCol, idCol, fracs, buckets))
   }
 
   /** Shannon entropy (nats) of the per-document CHARACTER distribution —

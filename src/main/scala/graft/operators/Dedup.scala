@@ -217,9 +217,11 @@ object Dedup {
     * anti-join), so `expectedCorpusItems` trades prefilter selectivity
     * only, never correctness. Plan shape:
     *  1. aggregate corpus fingerprints into ONE fixed-size Bloom sketch
-    *     (map-side partial merge — the only full corpus pass, no
-    *     shuffle of corpus rows, the [[graft.api.Ser.nuniqueApprox]]
-    *     sketch posture);
+    *     (map-side partial merge — no shuffle of corpus rows, the
+    *     [[graft.api.Ser.nuniqueApprox]] sketch posture; the verify
+    *     step re-SCANS the corpus, but pruned map-side to candidate
+    *     fingerprints — two cheap scans instead of caching a
+    *     corpus-sized intermediate);
     *  2. batch rows whose fingerprint misses the sketch are DEFINITELY
     *     new — they bypass the join entirely;
     *  3. the hits (true dupes + ~fpp of the batch) build a second Bloom
@@ -232,12 +234,34 @@ object Dedup {
     * the capped `withCatCodes` dictionary. NULL fingerprints (null
     * text) never match in the anti-join and are kept as new — step 2's
     * `might_contain` is made null-safe by hashing BEFORE the filter
-    * (xxhash64 never returns NULL), so both paths agree. */
+    * (xxhash64 never returns NULL), so both paths agree.
+    *
+    * Size `expectedCorpusItems` near the corpus' distinct-fingerprint
+    * count: the sketch allocates per PARTIAL-aggregation task, so a
+    * 100 TB-sized default against a small corpus pays megabytes of
+    * buffer churn per task for no selectivity (the q141 bench query
+    * sizes it to its corpus). Oversizing is a cost knob only — never a
+    * correctness one. Spark CLAMPS the estimate at
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (4M by
+    * default) — silently, which at a 500M-fingerprint corpus would put
+    * the false-positive rate near 1 and quietly degrade the operator to
+    * a plain anti-join with extra passes. This call REFUSES estimates
+    * over the clamp instead: raise the conf (and its `maxNumBits`
+    * sibling) to match the corpus, then pass the honest estimate. */
   def bloomDedupNew(newDocs: Df, corpus: Df, textCol: String, idCol: String,
-                    expectedCorpusItems: Long = 1L << 22): Df = {
+                    expectedCorpusItems: Long = 4000000L): Df = {
+    val maxItems = newDocs.spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000")
+      .toLong
     requireArgs("bloomDedupNew")(
       (expectedCorpusItems >= 1,
-        s"expectedCorpusItems must be >= 1: $expectedCorpusItems"))
+        s"expectedCorpusItems must be >= 1: $expectedCorpusItems"),
+      (expectedCorpusItems <= maxItems,
+        s"expectedCorpusItems=$expectedCorpusItems exceeds " +
+          s"spark.sql.optimizer.runtime.bloomFilter.maxNumItems=$maxItems — " +
+          "Spark would clamp the sketch silently and its false-positive " +
+          "rate would approach 1; raise the conf (and maxNumBits) to the " +
+          "corpus size first"))
     graft.plans.GraftFunctions.register(newDocs.spark)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val outCols = newDocs.sdf.columns.toSeq
@@ -251,15 +275,24 @@ object Dedup {
       return new Df(newFp.select(outCols.map(col): _*)).retaining(newFp)
     val cand = newFp.where(bloomMightContain(corpusBloom, h)).persist(lvl)
     val definitelyNew = newFp.where(!bloomMightContain(corpusBloom, h))
-    // batch-candidate sketch sized to the batch side (bounded by the
-    // same conf cap); null only when cand is empty
-    val candBloom = cand.agg(bloomAgg(h, expectedCorpusItems).as("b"))
-      .head.getAs[Array[Byte]](0)
+    // candidate sketch sized from the ACTUAL candidate count — cand is
+    // already persisted, so the count is one cached scan, and a
+    // corpus-sized buffer per partial task for a handful of hits is
+    // exactly the waste the sizing scaladoc warns about. Above the conf
+    // clamp the sketch just loses selectivity on this secondary prune —
+    // cap rather than refuse (the primary corpus sketch already
+    // fail-fasted above).
+    val candCount = cand.count()
     val verified =
-      if (candBloom == null) cand.limit(0)
-      else cand.join(
-        corpusFp.where(bloomMightContain(candBloom, xxhash64(col("__fp")))),
-        Seq("__fp"), "left_anti")
+      if (candCount == 0) cand.limit(0)
+      else {
+        val candBloom = cand
+          .agg(bloomAgg(h, math.min(math.max(candCount, 1L), maxItems)).as("b"))
+          .head.getAs[Array[Byte]](0)
+        cand.join(
+          corpusFp.where(bloomMightContain(candBloom, xxhash64(col("__fp")))),
+          Seq("__fp"), "left_anti")
+      }
     new Df(definitelyNew.unionByName(verified).select(outCols.map(col): _*))
       .retaining(newFp, cand)
   }

@@ -48,13 +48,18 @@ object Layout {
     * column. Uniform (not quantile) binning is deliberate: it is exactly
     * replayable by any engine from (min, max) alone — skewed columns
     * trade some bucket balance for that determinism, the knob being
-    * `bits`. NULL stays NULL and sorts first, its own cluster. */
+    * `bits`. NULL stays NULL — guarded EXPLICITLY on both branches,
+    * because Spark's `greatest`/`least` SKIP null arguments rather than
+    * propagate them: unguarded, a NULL value would silently land in
+    * bucket 0 and mix into the min-value cluster. A row with any NULL
+    * coordinate therefore gets a NULL Morton key and range-partitions
+    * into its own leading cluster. */
   private def bucketize(v: Column, mn: Double, mx: Double, bits: Int): Column =
     if (mx == mn) when(v.isNull, lit(null)).otherwise(lit(0L))
-    else least(greatest(
+    else when(v.isNull, lit(null)).otherwise(least(greatest(
       floor((v.cast("double") - lit(mn)) / (lit(mx) - lit(mn))
         * lit((1L << bits).toDouble)).cast("long"),
-      lit(0L)), lit((1L << bits) - 1L))
+      lit(0L)), lit((1L << bits) - 1L)))
 
   /** Append the Morton key of `cols` as `outCol`. One bounded min/max
     * action sizes the buckets; the key itself is codegen'd arithmetic. */
@@ -68,12 +73,19 @@ object Layout {
       max(col(c).cast("double")).as(s"__mx_$c")))
     val row = df.sdf.agg(aggs.head, aggs.tail: _*).head
     val buckets = cols.zipWithIndex.map { case (c, i) =>
-      // all-NULL column: min/max are NULL — treat as constant, so the
-      // column contributes nothing and NULLs still pass through as NULL
-      val (mn, mx) =
-        if (row.isNullAt(2 * i)) (0.0, 0.0)
-        else (row.getDouble(2 * i), row.getDouble(2 * i + 1))
-      bucketize(col(c), mn, mx, bits)
+      // all-NULL column: a constant-0 LANE (not NULL-per-row, which
+      // would NULL the whole key and erase the other dimensions'
+      // clustering) — the column genuinely contributes nothing
+      if (row.isNullAt(2 * i)) lit(0L)
+      else {
+        val (mn, mx) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+        // one NaN would otherwise poison the division for EVERY row
+        // (max() sorts NaN greatest) and silently zero the lane —
+        // fail at call time with the column named instead
+        require(!mn.isNaN && !mx.isNaN,
+          s"withZValue: column '$c' contains NaN — filter or clean it first")
+        bucketize(col(c), mn, mx, bits)
+      }
     }
     new Df(df.sdf.withColumn(outCol, zvalue(buckets, bits)))
   }

@@ -329,7 +329,8 @@ object CurationQueries {
     // keep fraction to 6 decimals before thresholding (operator
     // scaladoc), so the replay is exact
     "q143_temperature_resample" ->
-      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY lang),
         |m AS (SELECT MIN(n) AS nmin FROM c),
         |f AS (SELECT lang, ROUND(LEAST(
         |  POW(CAST(n AS DOUBLE) / CAST((SELECT nmin FROM m) AS DOUBLE), -0.5),

@@ -53,7 +53,10 @@ object ExtensionQueries {
         d.where(col("doc_id") % 10 >= 7),
         corpus.where(col("doc_id") % 5 === 0)
           .selectExpr("doc_id + 20000 AS doc_id", "text")))
-      Dedup.bloomDedupNew(fresh, corpus, "text", "doc_id")
+      // sketch sized to the corpus (~tens of KB), not the 100 TB
+      // default — the operator scaladoc's sizing rule
+      Dedup.bloomDedupNew(fresh, corpus, "text", "doc_id",
+        expectedCorpusItems = 1L << 16)
         .sortValues(Seq("doc_id")).sdf
     }),
 

@@ -199,6 +199,15 @@ class CurationSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       Curation.temperatureResample(d, "lang", "doc_id", 1.5))
     assert(e.getMessage.contains("alpha"))
+    // NULL-domain rows are dropped AND excluded before n_min: a stray
+    // unlabeled row must not become the smallest "domain" and collapse
+    // every real domain's keep fraction
+    val withNull = new Df(d.sdf.unionByName(
+      d.sdf.limit(1).select((col("doc_id") + 9000).as("doc_id"),
+        lit(null).cast("string").as("lang"))))
+    val nulled = Curation.temperatureResample(withNull, "lang", "doc_id", 1.0)
+      .sdf.collect()
+    assert(nulled.length == 420 && nulled.forall(_.getString(0) != null))
   }
 
   test("mixCorpora: kept rows are a stable subset under re-partitioning") {

@@ -515,11 +515,17 @@ class ExtensionSpec extends AnyFunSuite {
     val allIds = all.sdf.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     all.unpersistIntermediates()
     assert(allIds == Seq(10L, 11L, 12L, 13L))
-    // empty batch: empty result (null candidate-sketch path)
+    // empty batch: empty result (zero-candidate path)
     val none = Dedup.bloomDedupNew(new Df(batch.sdf.limit(0)), corpus, "text", "doc_id")
     val n = none.sdf.count()
     none.unpersistIntermediates()
     assert(n == 0)
+    // an estimate beyond Spark's silent runtime-filter clamp is REFUSED
+    // with the conf named, instead of quietly degrading fpp toward 1
+    val e = intercept[IllegalArgumentException](
+      Dedup.bloomDedupNew(batch, corpus, "text", "doc_id",
+        expectedCorpusItems = 500000000L))
+    assert(e.getMessage.contains("maxNumItems"))
   }
 
   test("bloomDedupNew differential vs plain anti-join on the documents corpus") {
@@ -561,6 +567,34 @@ class ExtensionSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       operators.Layout.zvalue(Seq(col("b1"), col("b2")), 32))
     assert(e.getMessage.contains("cols*bits"))
+  }
+
+  test("withZValue NULL/NaN/all-NULL edges: own cluster, fail-fast, constant lane") {
+    val rows = Seq(Row(1L, 10.0, 5.0), Row(2L, null, 7.0), Row(3L, 20.0, 9.0))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("a", DoubleType), StructField("b", DoubleType)))
+    val d = Df.fromRows(spark, rows, schema)
+    // a NULL coordinate -> NULL Morton key (its own leading cluster),
+    // never bucket 0 (Spark's greatest/least SKIP nulls — the guard is
+    // explicit on both bucketize branches)
+    val z = operators.Layout.withZValue(d, Seq("a", "b"), bits = 4)
+      .sdf.orderBy("id").collect()
+    assert(!z(0).isNullAt(3) && z(1).isNullAt(3) && !z(2).isNullAt(3))
+    // all-NULL column: constant-0 lane — the OTHER dimension still
+    // clusters, the key is non-NULL
+    val dn = Df.fromRows(spark,
+      Seq(Row(1L, 1.0, null), Row(2L, 2.0, null), Row(3L, 3.0, null)),
+      schema)
+    val zn = operators.Layout.withZValue(dn, Seq("a", "b"), bits = 4)
+      .sdf.orderBy("id").collect()
+    assert(zn.forall(!_.isNullAt(3)))
+    assert(zn.map(_.getLong(3)).distinct.length > 1, "dimension a still clusters")
+    // one NaN would poison the division for every row — named fail-fast
+    val dnan = Df.fromRows(spark,
+      Seq(Row(1L, 1.0, 2.0), Row(2L, Double.NaN, 3.0)), schema)
+    val e2 = intercept[IllegalArgumentException](
+      operators.Layout.withZValue(dnan, Seq("a", "b"), bits = 4))
+    assert(e2.getMessage.contains("NaN") && e2.getMessage.contains("'a'"))
   }
 
   test("zorderBy range-clusters the Morton key: sorted partitions, disjoint ranges") {
