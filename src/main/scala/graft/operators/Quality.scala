@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.api.Df
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Rule-based document quality filters — the Gopher heuristics (Rae et
+  * al. 2021, "Scaling Language Models", Table A1) that most public LLM
+  * corpus pipelines (MassiveText, RefinedWeb, Dolma) apply before any
+  * model-based scoring. North-star extension beyond the reference's
+  * surface (it has no string functions at all — SURVEY.md §2.4).
+  *
+  * Every signal is a composition of codegen'd Catalyst expressions
+  * over the tokenized text (split/filter/transform/aggregate) — no
+  * UDFs, no shuffle: the whole rule battery is ONE map-side projection
+  * that scales embarrassingly at 100 TB. Ratios are rounded to 6
+  * decimals so DuckDB oracles replay them bit-for-bit (the QueryUtil
+  * float-parity convention).
+  */
+object Quality {
+
+  private def requireArgs(op: String)(checks: (Boolean, String)*): Unit =
+    checks.foreach { case (ok, msg) => require(ok, s"$op: $msg") }
+
+  /** Gopher's stopword list — the "contains at least 2" rule is a
+    * cheap has-real-prose test (word salads and navigation chrome
+    * rarely contain function words). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** chars-of-`needle` count via replace-and-measure: non-overlapping
+    * left-to-right occurrences, identical semantics in Java and DuckDB
+    * `replace`. Returns the OCCURRENCE count. */
+  private def occurrences(c: Column, needle: String): Column =
+    ((length(c) - length(replace(c, lit(needle), lit("")))) / needle.length)
+      .cast("long")
+
+  /** Per-document Gopher quality signals + the keep verdict. Emits one
+    * row per input row (this is the audit view — [[gopherQualityFilter]]
+    * is the corpus-rewrite view):
+    *
+    *  - `n_words`, `avg_word_len` (NULL for token-less docs — the ANSI
+    *    0/0 guard, see [[graft.functions.TextFunctions.stopwordRatio]])
+    *  - `symbol_word_ratio` — (`#` + `...`/`…` occurrences) / words
+    *  - `bullet_line_fraction` — lines starting `•` or `- `
+    *  - `ellipsis_line_fraction` — lines ending `...` or `…`
+    *  - `alpha_word_fraction` — words containing ≥1 [A-Za-z]
+    *  - `n_stopwords` — total occurrences (not distinct) of `stopwords`
+    *  - `keep` — the conjunction of all eight rule thresholds
+    *
+    * Threshold defaults are Gopher's published values; callers tune
+    * them per corpus (the synthetic test corpus uses minWords=10).
+    * Token-less docs: every ratio is NULL and `keep` is false via the
+    * word-count rule — a single empty doc must not NULL-poison the
+    * verdict column, so `keep` tests ratios only when n_words > 0.
+    */
+  def gopherQualityStats(docs: Df, textCol: String, idCol: String,
+                         minWords: Int = 50, maxWords: Int = 100000,
+                         minAvgWordLen: Double = 3.0,
+                         maxAvgWordLen: Double = 10.0,
+                         maxSymbolWordRatio: Double = 0.1,
+                         maxBulletLineFraction: Double = 0.9,
+                         maxEllipsisLineFraction: Double = 0.3,
+                         minAlphaWordFraction: Double = 0.8,
+                         minStopwordCount: Int = 2,
+                         stopwords: Seq[String] = GopherStopwords): Df = {
+    val (sig, keep) = gopherSignals(textCol, minWords, maxWords,
+      minAvgWordLen, maxAvgWordLen, maxSymbolWordRatio,
+      maxBulletLineFraction, maxEllipsisLineFraction, minAlphaWordFraction,
+      minStopwordCount, stopwords)
+    new Df(docs.sdf.select(col(idCol) +:
+      sig.map { case (n, c) => c.as(n) } :+ keep.as("keep"): _*))
+  }
+
+  /** The corpus-rewrite view of [[gopherQualityStats]]: input columns,
+    * filtered to the docs that pass every rule — a pure map-side
+    * predicate (the verdict is a projection of the row; no join, no
+    * shuffle, pushes past the scan like any other filter). */
+  def gopherQualityFilter(docs: Df, textCol: String,
+                          minWords: Int = 50, maxWords: Int = 100000,
+                          minAvgWordLen: Double = 3.0,
+                          maxAvgWordLen: Double = 10.0,
+                          maxSymbolWordRatio: Double = 0.1,
+                          maxBulletLineFraction: Double = 0.9,
+                          maxEllipsisLineFraction: Double = 0.3,
+                          minAlphaWordFraction: Double = 0.8,
+                          minStopwordCount: Int = 2,
+                          stopwords: Seq[String] = GopherStopwords): Df = {
+    val (_, keep) = gopherSignals(textCol, minWords, maxWords,
+      minAvgWordLen, maxAvgWordLen, maxSymbolWordRatio,
+      maxBulletLineFraction, maxEllipsisLineFraction, minAlphaWordFraction,
+      minStopwordCount, stopwords)
+    new Df(docs.sdf.where(keep))
+  }
+
+  /** shared signal battery: (named signal columns, keep verdict) */
+  private def gopherSignals(textCol: String,
+                            minWords: Int, maxWords: Int,
+                            minAvgWordLen: Double, maxAvgWordLen: Double,
+                            maxSymbolWordRatio: Double,
+                            maxBulletLineFraction: Double,
+                            maxEllipsisLineFraction: Double,
+                            minAlphaWordFraction: Double,
+                            minStopwordCount: Int,
+                            stopwords: Seq[String]): (Seq[(String, Column)], Column) = {
+    requireArgs("gopherQualityStats")(
+      (minWords >= 0 && maxWords >= minWords,
+        s"need 0 <= minWords <= maxWords: $minWords, $maxWords"),
+      (minAvgWordLen <= maxAvgWordLen,
+        s"need minAvgWordLen <= maxAvgWordLen: $minAvgWordLen, $maxAvgWordLen"),
+      (stopwords.nonEmpty, "stopwords must be non-empty"))
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = size(toks).cast("long")
+    val avgLen = when(nWords > 0,
+      round(aggregate(toks, lit(0L), (a, w) => a + length(w)).cast("double")
+        / nWords, 6))
+    // Gopher's "symbols": hash signs and ellipses (both spellings)
+    val nSymbols = occurrences(t, "#") + occurrences(t, "…") +
+      occurrences(t, "...")
+    val symbolRatio = when(nWords > 0,
+      round(nSymbols.cast("double") / nWords, 6))
+    // split("") yields [""] — a doc always has >= 1 line, no 0/0 here
+    val lines = split(t, "\n")
+    val nLines = size(lines)
+    val bulletFrac = round(
+      size(filter(lines, l => l.startsWith("•") || l.startsWith("- ")))
+        .cast("double") / nLines, 6)
+    val ellipsisFrac = round(
+      size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
+        .cast("double") / nLines, 6)
+    val alphaFrac = when(nWords > 0,
+      round(size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double")
+        / nWords, 6))
+    val nStops = size(filter(toks,
+      w => w.isin(stopwords.map(x => x: Any): _*))).cast("long")
+    val keep = nWords.between(minWords, maxWords) &&
+      avgLen.between(minAvgWordLen, maxAvgWordLen) &&
+      (symbolRatio <= maxSymbolWordRatio) &&
+      (bulletFrac <= maxBulletLineFraction) &&
+      (ellipsisFrac <= maxEllipsisLineFraction) &&
+      (alphaFrac >= minAlphaWordFraction) &&
+      (nStops >= minStopwordCount)
+    (Seq(
+      "n_words" -> nWords, "avg_word_len" -> avgLen,
+      "symbol_word_ratio" -> symbolRatio,
+      "bullet_line_fraction" -> bulletFrac,
+      "ellipsis_line_fraction" -> ellipsisFrac,
+      "alpha_word_fraction" -> alphaFrac,
+      "n_stopwords" -> nStops),
+      coalesce(keep, lit(false)))
+  }
+}

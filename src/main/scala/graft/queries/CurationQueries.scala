@@ -5,11 +5,12 @@ import graft.operators.Curation
 import org.apache.spark.sql.functions._
 import QueryUtil._
 
-/** Corpus-curation suite (q119–q125, q131, q135–q137): PII redaction,
-  * domain blocklist filtering, corpus-level line dedup, character
-  * entropy, sequence packing + materialized packs, corpus mixing,
-  * edit-distance verification, duplicated-window detection + removal,
-  * URL canonicalization + URL dedup.
+/** Corpus-curation suite (q119–q125, q131, q135–q137, q143, q144):
+  * PII redaction, domain blocklist filtering, corpus-level line dedup,
+  * character entropy, sequence packing + materialized packs, corpus
+  * mixing, temperature resampling, edit-distance verification,
+  * duplicated-window detection + removal, URL canonicalization + URL
+  * dedup, Gopher rule-based quality signals.
   *
   * The synthetic corpus contains no PII/URLs/newlines, so each query
   * first AUGMENTS the text deterministically from `doc_id` (emails,
@@ -53,6 +54,22 @@ object CurationQueries {
   private val lineAugSql =
     "text || chr(10) || 'shared boilerplate footer' || chr(10) || " +
       "'doc specific ' || doc_id::VARCHAR"
+
+  /** deterministic Gopher-rule classes: doc_id % 7 selects which rule
+    * the doc trips (0 bullets, 1 ellipses, 2 symbols, 3 too-short,
+    * 4 non-alpha words, 5 too-long words, 6 stopword-guaranteed).
+    * Written to the Spark/DuckDB common SQL subset (concat/repeat/chr)
+    * so both engines build byte-identical texts. */
+  private val gopherAug =
+    """CASE CAST(doc_id % 7 AS INT)
+      |WHEN 0 THEN concat(text, repeat(concat(chr(10), '• bullet item'), 10))
+      |WHEN 1 THEN concat(text, repeat(concat(chr(10), 'trailing line...'), 5))
+      |WHEN 2 THEN concat(text, ' ', repeat('# ', 5))
+      |WHEN 3 THEN 'tiny doc'
+      |WHEN 4 THEN repeat('num1 2345 ', 8)
+      |WHEN 5 THEN repeat('extraordinarily sophisticated vocabularies ', 5)
+      |ELSE concat(text, ' the of and that') END""".stripMargin
+  private val gopherAugSql = gopherAug
 
   val defs: Map[String, Q] = Map(
     // ---- PII audit + redaction: counts from the original text, the
@@ -126,6 +143,19 @@ object CurationQueries {
       val d = T(s, dir, "documents")
       Curation.temperatureResample(d, "lang", "doc_id", alpha = 0.5)
         .select("doc_id", "lang").sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- Gopher rule-based quality signals: seven deterministic doc
+    // classes (doc_id % 7) each trip one rule — bullet lines, ellipsis
+    // lines, symbol ratio, word-count floor, non-alpha words, long
+    // words, and a guaranteed-stopword class; thresholds tuned to the
+    // ~25-word synthetic docs (minWords 10, maxWords 1000) ----
+    "q144_gopher_quality" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val aug = new Df(d.sdf.selectExpr("doc_id", s"$gopherAug AS text"))
+      graft.operators.Quality.gopherQualityStats(aug, "text", "doc_id",
+        minWords = 10, maxWords = 1000)
+        .sortValues(Seq("doc_id")).sdf
     }),
 
     // ---- edit-distance verification: the corpus has no near-dups
@@ -339,6 +369,51 @@ object CurationQueries {
         |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR),1,8))::BIGINT % 10000
         |  < CAST(ROUND(f.f * 10000) AS BIGINT)
         |ORDER BY d.doc_id""".stripMargin,
+    // full rule-battery replay: same tokenizer, same replace-and-measure
+    // symbol counts, ratios rounded 6dp; threshold literals cast to
+    // DOUBLE (bare decimals are DECIMAL in DuckDB and would compare in
+    // decimal arithmetic)
+    "q144_gopher_quality" ->
+      s"""WITH src AS (SELECT doc_id, $gopherAugSql AS text FROM documents),
+         |d AS (SELECT doc_id, text, ${ExtensionQueries.toksSql()} AS toks,
+         |  string_split(text, chr(10)) AS lines FROM src),
+         |m AS (SELECT doc_id, len(toks)::BIGINT AS n_words, len(lines) AS n_lines,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    ROUND(list_sum(list_transform(toks, w -> length(w)))::DOUBLE
+         |      / len(toks), 6) END AS avg_word_len,
+         |  (length(text) - length(replace(text, '#', '')))::BIGINT
+         |    + (length(text) - length(replace(text, '…', '')))::BIGINT
+         |    + ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT
+         |    AS n_symbols,
+         |  len(list_filter(lines, l -> starts_with(l, '•')
+         |    OR starts_with(l, '- '))) AS n_bullet,
+         |  len(list_filter(lines, l -> ends_with(l, '...')
+         |    OR ends_with(l, '…'))) AS n_ellipsis,
+         |  len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         |  len(list_filter(toks, w -> list_contains(
+         |    ['the','be','to','of','and','that','have','with'], w)))::BIGINT
+         |    AS n_stopwords
+         |FROM d),
+         |r AS (SELECT doc_id, n_words, avg_word_len,
+         |  CASE WHEN n_words > 0
+         |    THEN ROUND(n_symbols::DOUBLE / n_words, 6) END AS symbol_word_ratio,
+         |  ROUND(n_bullet::DOUBLE / n_lines, 6) AS bullet_line_fraction,
+         |  ROUND(n_ellipsis::DOUBLE / n_lines, 6) AS ellipsis_line_fraction,
+         |  CASE WHEN n_words > 0
+         |    THEN ROUND(n_alpha::DOUBLE / n_words, 6) END AS alpha_word_fraction,
+         |  n_stopwords FROM m)
+         |SELECT doc_id, n_words, avg_word_len, symbol_word_ratio,
+         |  bullet_line_fraction, ellipsis_line_fraction, alpha_word_fraction,
+         |  n_stopwords,
+         |  COALESCE(n_words BETWEEN 10 AND 1000
+         |    AND avg_word_len BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE)
+         |    AND symbol_word_ratio <= CAST(0.1 AS DOUBLE)
+         |    AND bullet_line_fraction <= CAST(0.9 AS DOUBLE)
+         |    AND ellipsis_line_fraction <= CAST(0.3 AS DOUBLE)
+         |    AND alpha_word_fraction >= CAST(0.8 AS DOUBLE)
+         |    AND n_stopwords >= 2, false) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
+
     "q124_mix_corpora" ->
       """WITH mixw(lang, wt) AS (VALUES
         |  ('en', 0.5::DOUBLE), ('de', 0.25::DOUBLE), ('fr', 0.25::DOUBLE)),
