@@ -325,6 +325,33 @@ object Curation {
     new Df(keepByHashFraction(docs.sdf, domainCol, idCol, fracs, buckets))
   }
 
+  /** Deterministic epoch-wise corpus shuffle — the training-data
+    * ordering primitive: every epoch sees the corpus in a different
+    * pseudo-random order, reproducible from (seed, epoch) alone (no RNG
+    * state to persist, no engine-specific randomness — DuckDB replays
+    * the order bit-for-bit). Each row is keyed by
+    * `md5(seed:epoch:id)` and the corpus totally ordered by
+    * (key, id) — the id tiebreak keeps the order total even under an
+    * md5 prefix collision.
+    *
+    * Scale design: md5 keys are uniform by construction, so the range
+    * exchange behind the total order is balanced with NO sampling skew
+    * — exactly as many output partitions as shuffle partitions, each
+    * the same size. The global ordinal comes from
+    * [[graft.api.Df.withRowIndexScalable]] (two-pass zip-with-index —
+    * a per-partition offset array, never a single-partition window).
+    * Writers consume the result partition-ordered; at 100 TB this is
+    * one shuffle plus two map passes, the floor for any total order. */
+  def epochShuffle(docs: Df, idCol: String, seed: Long, epoch: Int,
+                   posCol: String = "position"): Df = {
+    require(epoch >= 0, s"epoch must be non-negative: $epoch")
+    val key = md5(concat_ws(":", lit(seed), lit(epoch),
+      col(idCol).cast("string")))
+    new Df(docs.sdf.withColumn("__shuffle_key", key))
+      .withRowIndexScalable(Seq("__shuffle_key", idCol), posCol)
+      .drop("__shuffle_key").resetIndex
+  }
+
   /** The deterministic keep rule shared by [[temperatureResample]] and
     * [[mixCorpora]] (and mirrored by both oracles): broadcast the
     * per-domain fraction frame (`__f` ∈ [0, 1]), keep a row iff its

@@ -158,6 +158,17 @@ object CurationQueries {
         .sortValues(Seq("doc_id")).sdf
     }),
 
+    // ---- seeded epoch shuffle: the training-data ordering primitive.
+    // Epoch 3 under seed 42 — the oracle replays the exact md5 order,
+    // proving the position column is the deterministic global ordinal
+    // (not an engine artifact) ----
+    "q146_epoch_shuffle" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Curation.epochShuffle(d, "doc_id", seed = 42L, epoch = 3)
+        .select("position", "doc_id", "lang")
+        .sortValues(Seq("position")).sdf
+    }),
+
     // ---- edit-distance verification: the corpus has no near-dups
     // (min equal-length pair distance is 44), so near-dup VARIANTS are
     // injected — doc i+1000 = doc i plus an x-run of length i%40, an
@@ -413,6 +424,14 @@ object CurationQueries {
          |    AND alpha_word_fraction >= CAST(0.8 AS DOUBLE)
          |    AND n_stopwords >= 2, false) AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // exact order replay: ROW_NUMBER over (md5 key, id) — byte-equal
+    // key strings on both engines, so the permutation is identical
+    "q146_epoch_shuffle" ->
+      """SELECT ROW_NUMBER() OVER (
+        |    ORDER BY md5(concat_ws(':', 42, 3, doc_id)), doc_id) - 1
+        |  AS position, doc_id, lang
+        |FROM documents ORDER BY position""".stripMargin,
 
     "q124_mix_corpora" ->
       """WITH mixw(lang, wt) AS (VALUES

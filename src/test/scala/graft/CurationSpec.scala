@@ -363,6 +363,29 @@ class CurationSpec extends AnyFunSuite {
     assert(dupLeft == 0L, s"$dupLeft docs still carry duplicated windows")
   }
 
+  test("epochShuffle: deterministic bijective permutation, epoch-sensitive") {
+    val d = mkDocs((0L until 50L).map(i => i -> s"doc $i"): _*)
+    val e1 = Curation.epochShuffle(d, "doc_id", seed = 7L, epoch = 1)
+      .sdf.select("position", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // positions are exactly 0..n-1, every doc appears once
+    assert(e1.map(_._1).toSeq == (0L until 50L))
+    assert(e1.map(_._2).toSet == (0L until 50L).toSet)
+    // reproducible: same (seed, epoch) -> same permutation
+    val e1again = Curation.epochShuffle(d, "doc_id", seed = 7L, epoch = 1)
+      .sdf.select("position", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(e1.toSeq == e1again.toSeq)
+    // a different epoch produces a different order (50! permutations —
+    // an md5 collision across all 50 keys is not a thing)
+    val e2 = Curation.epochShuffle(d, "doc_id", seed = 7L, epoch = 2)
+      .sdf.select("position", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(e1.map(_._2).toSeq != e2.map(_._2).toSeq)
+    // not the identity order either
+    assert(e1.map(_._2).toSeq != (0L until 50L).toSeq)
+  }
+
   test("curation ops plan without cartesian products or UDFs") {
     val d = mkDocs(1L -> "a\nb", 2L -> "b\nc")
     val plan = Curation.dedupLines(d, "text", "doc_id")
