@@ -94,6 +94,118 @@ object Quality {
     new Df(docs.sdf.where(keep))
   }
 
+  /** Per-document Gopher repetition signals + keep verdict (Rae et al.
+    * 2021 Table A1's repetition family, re-scoped to within-document
+    * duplication — the cross-corpus version is
+    * [[Dedup.duplicatedWindows]]):
+    *
+    *  - `dup_line_fraction` — duplicate line instances / lines
+    *  - `dup_line_char_fraction` — chars in duplicate line instances
+    *    (beyond each line's first occurrence) / total line chars
+    *  - `top_ngram_char_fraction` — chars of the most frequent word
+    *    `topN`-gram (count × its token chars) / total token chars;
+    *    ties broken by (count, gram chars, gram) descending. Can
+    *    exceed 1.0 on pathological self-overlap ("a a a a") — the
+    *    threshold comparison is unaffected.
+    *  - `dup_ngram_char_fraction` — token chars covered by the UNION
+    *    of all duplicated `dupN`-token windows / total token chars
+    *    (char-exact interval union in token-position space, the q131
+    *    machinery scoped per doc).
+    *
+    * Char fractions count TOKEN characters only (separators excluded)
+    * — a deliberate, documented divergence from Gopher's raw-char
+    * accounting that makes both engines' replays byte-exact.
+    *
+    * Scale: one projection pass for the line family (pure array
+    * expressions), then explode → aggregate keyed by (doc, gram) /
+    * (doc, window-hash) for the n-gram family — high-cardinality keys,
+    * partial aggregation applies, no global windows. The token table
+    * is persisted once and shared by all three subtrees (attached via
+    * the cache contract — the terminal-action owner releases it). */
+  def gopherRepetitionStats(docs: Df, textCol: String, idCol: String,
+                            topN: Int = 2, dupN: Int = 5,
+                            maxDupLineFraction: Double = 0.30,
+                            maxDupLineCharFraction: Double = 0.20,
+                            maxTopNgramCharFraction: Double = 0.20,
+                            maxDupNgramCharFraction: Double = 0.15): Df = {
+    requireArgs("gopherRepetitionStats")(
+      (topN >= 1, s"topN must be >= 1: $topN"),
+      (dupN >= 1, s"dupN must be >= 1: $dupN"))
+    val charsOf = (arr: Column) =>
+      aggregate(arr, lit(0L), (a, x) => a + length(x))
+    val tokTab = docs.sdf.select(col(idCol).as("__id"),
+      tokens(col(textCol)).as("__toks"), split(col(textCol), "\n").as("__lines"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val toks = col("__toks")
+    val lines = col("__lines")
+    val lineChars = charsOf(lines)
+    val dupLineChars = lineChars - charsOf(array_distinct(lines))
+    val base = tokTab.select(col("__id"),
+      size(toks).cast("long").as("n_tokens"),
+      charsOf(toks).as("__tokchars"),
+      round((size(lines) - size(array_distinct(lines))).cast("double")
+        / size(lines), 6).as("dup_line_fraction"),
+      when(lineChars > 0,
+        round(dupLineChars.cast("double") / lineChars, 6))
+        .otherwise(lit(0.0)).as("dup_line_char_fraction"))
+
+    // most frequent topN-gram: explode all grams (duplicates kept),
+    // count per (doc, gram), argmax by (count, gram chars, gram)
+    val gramsTop = when(size(toks) >= topN,
+      transform(sequence(lit(0), size(toks) - topN),
+        i => concat_ws(" ", slice(toks, i + 1, lit(topN)))))
+      .otherwise(array().cast("array<string>"))
+    val topCnt = tokTab.select(col("__id"), explode(gramsTop).as("__g"))
+      .groupBy(col("__id"), col("__g")).agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("__id"))
+      .agg(max(struct(col("__cnt"),
+        (length(col("__g")) - (topN - 1)).cast("long").as("__gchars"),
+        col("__g"))).as("__m"))
+      .select(col("__id"),
+        (col("__m.__cnt") * col("__m.__gchars")).as("__topchars"))
+
+    // duplicated dupN-windows: hashed windows with a same-doc count
+    // > 1; covered = union of their [start, start+dupN) positions
+    val winHashes = when(size(toks) >= dupN,
+      transform(sequence(lit(0), size(toks) - dupN),
+        i => hash32(concat_ws(" ", slice(toks, i + 1, lit(dupN))))))
+      .otherwise(array().cast("array<long>"))
+    val wins = tokTab.select(col("__id"),
+      posexplode(winHashes).as(Seq("__start", "__h")))
+    val dupWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id"), col("__h"))
+    val dupStarts = wins
+      .withColumn("__c", count(lit(1)).over(dupWin)).where(col("__c") > 1)
+    val covered = dupStarts.select(col("__id"),
+      explode(sequence(col("__start"), col("__start") + (dupN - 1))).as("__p"))
+      .distinct()
+    val tokLens = tokTab.select(col("__id"),
+      posexplode(toks).as(Seq("__p", "__tok")))
+      .select(col("__id"), col("__p"), length(col("__tok")).cast("long").as("__l"))
+    val cov = covered.join(tokLens, Seq("__id", "__p"))
+      .groupBy(col("__id")).agg(sum(col("__l")).as("__covchars"))
+
+    val joined = base
+      .join(topCnt, Seq("__id"), "left")
+      .join(cov, Seq("__id"), "left")
+    val topFrac = when(col("__tokchars") > 0,
+      round(coalesce(col("__topchars"), lit(0L)).cast("double")
+        / col("__tokchars"), 6)).otherwise(lit(0.0))
+    val dupFrac = when(col("__tokchars") > 0,
+      round(coalesce(col("__covchars"), lit(0L)).cast("double")
+        / col("__tokchars"), 6)).otherwise(lit(0.0))
+    val keep = (col("dup_line_fraction") <= maxDupLineFraction) &&
+      (col("dup_line_char_fraction") <= maxDupLineCharFraction) &&
+      (topFrac <= maxTopNgramCharFraction) &&
+      (dupFrac <= maxDupNgramCharFraction)
+    new Df(joined.select(col("__id").as(idCol), col("n_tokens"),
+      col("dup_line_fraction"), col("dup_line_char_fraction"),
+      topFrac.as("top_ngram_char_fraction"),
+      dupFrac.as("dup_ngram_char_fraction"),
+      keep.as("keep"))).retaining(tokTab)
+  }
+
   /** shared signal battery: (named signal columns, keep verdict) */
   private def gopherSignals(textCol: String,
                             minWords: Int, maxWords: Int,

@@ -5,12 +5,12 @@ import graft.operators.Curation
 import org.apache.spark.sql.functions._
 import QueryUtil._
 
-/** Corpus-curation suite (q119–q125, q131, q135–q137, q143, q144):
+/** Corpus-curation suite (q119–q125, q131, q135–q137, q143–q146):
   * PII redaction, domain blocklist filtering, corpus-level line dedup,
   * character entropy, sequence packing + materialized packs, corpus
   * mixing, temperature resampling, edit-distance verification,
   * duplicated-window detection + removal, URL canonicalization + URL
-  * dedup, Gopher rule-based quality signals.
+  * dedup, Gopher quality + repetition signals, seeded epoch shuffle.
   *
   * The synthetic corpus contains no PII/URLs/newlines, so each query
   * first AUGMENTS the text deterministically from `doc_id` (emails,
@@ -54,6 +54,16 @@ object CurationQueries {
   private val lineAugSql =
     "text || chr(10) || 'shared boilerplate footer' || chr(10) || " +
       "'doc specific ' || doc_id::VARCHAR"
+
+  /** deterministic repetition classes: doc_id % 4 selects the
+    * duplication shape (0 duplicate lines, 1 a hammered 2-gram,
+    * 2 a repeated 6-token phrase, 3 untouched). */
+  private val repAug =
+    """CASE CAST(doc_id % 4 AS INT)
+      |WHEN 0 THEN concat(text, repeat(concat(chr(10), 'dup line body'), 4))
+      |WHEN 1 THEN concat(text, repeat(' foo bar', 10))
+      |WHEN 2 THEN concat(text, repeat(' p q r s t u', 5))
+      |ELSE text END""".stripMargin
 
   /** deterministic Gopher-rule classes: doc_id % 7 selects which rule
     * the doc trips (0 bullets, 1 ellipses, 2 symbols, 3 too-short,
@@ -156,6 +166,19 @@ object CurationQueries {
       graft.operators.Quality.gopherQualityStats(aug, "text", "doc_id",
         minWords = 10, maxWords = 1000)
         .sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- Gopher repetition signals: four deterministic classes
+    // (doc_id % 4) — duplicated lines, a hammered 2-gram, a repeated
+    // 6-token phrase (dup 5-windows), and untouched docs whose natural
+    // repetition the oracle replays as-is ----
+    "q145_gopher_repetition" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val aug = new Df(d.sdf.selectExpr("doc_id", s"$repAug AS text"))
+      val out = graft.operators.Quality
+        .gopherRepetitionStats(aug, "text", "doc_id")
+        .sortValues(Seq("doc_id"))
+      out.sdf
     }),
 
     // ---- seeded epoch shuffle: the training-data ordering primitive.
@@ -424,6 +447,72 @@ object CurationQueries {
          |    AND alpha_word_fraction >= CAST(0.8 AS DOUBLE)
          |    AND n_stopwords >= 2, false) AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // full repetition replay: line family from list exprs, top-2-gram
+    // argmax via ROW_NUMBER (≡ Spark's max(struct(cnt, gchars, gram))
+    // — gchars is monotone in length(g)), dup-5-window coverage via
+    // the q131 hash + position-union machinery scoped per doc
+    "q145_gopher_repetition" ->
+      s"""WITH src AS (SELECT doc_id, $repAug AS text FROM documents),
+         |d AS (SELECT doc_id, ${ExtensionQueries.toksSql()} AS toks,
+         |  string_split(text, chr(10)) AS lines FROM src),
+         |b AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    list_sum(list_transform(toks, w -> length(w)))::BIGINT
+         |    ELSE 0 END AS tokchars,
+         |  ROUND((len(lines) - len(list_distinct(lines)))::DOUBLE
+         |    / len(lines), 6) AS dup_line_fraction,
+         |  CASE WHEN COALESCE(list_sum(list_transform(lines, l -> length(l))), 0) > 0
+         |    THEN ROUND((list_sum(list_transform(lines, l -> length(l)))
+         |      - COALESCE(list_sum(list_transform(list_distinct(lines),
+         |          l -> length(l))), 0))::DOUBLE
+         |      / list_sum(list_transform(lines, l -> length(l))), 6)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS dup_line_char_fraction
+         |  FROM d),
+         |g2 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+         |    list_transform(range(len(toks) - 1),
+         |      i -> array_to_string(toks[i+1:i+2], ' '))
+         |    ELSE []::VARCHAR[] END) AS g FROM d),
+         |c2 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, g),
+         |r2 AS (SELECT doc_id, cnt, (length(g) - 1)::BIGINT AS gchars,
+         |  ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY cnt DESC, length(g) DESC, g DESC) AS rn FROM c2),
+         |top2 AS (SELECT doc_id, (cnt * gchars)::BIGINT AS topchars
+         |  FROM r2 WHERE rn = 1),
+         |w5 AS (SELECT doc_id, CASE WHEN len(toks) >= 5 THEN
+         |    list_transform(range(len(toks) - 4), i ->
+         |      ('0x' || substr(md5(array_to_string(toks[i+1:i+5], ' ')),1,8))::BIGINT)
+         |    ELSE []::BIGINT[] END AS whs FROM d),
+         |wse AS (SELECT doc_id, unnest(range(len(whs))) AS start, whs FROM w5),
+         |wh AS (SELECT doc_id, start, whs[(start+1)::INT] AS h FROM wse),
+         |ds AS (SELECT doc_id, start FROM (SELECT doc_id, start,
+         |  COUNT(*) OVER (PARTITION BY doc_id, h) AS c FROM wh) WHERE c > 1),
+         |pos AS (SELECT DISTINCT doc_id, p FROM
+         |  (SELECT doc_id, unnest(range(start, start + 5)) AS p FROM ds)),
+         |tp AS (SELECT doc_id, unnest(range(len(toks))) AS p, toks FROM d),
+         |tl AS (SELECT doc_id, p, length(toks[(p+1)::INT])::BIGINT AS l FROM tp),
+         |cov AS (SELECT tl.doc_id, SUM(tl.l)::BIGINT AS covchars FROM tl
+         |  JOIN pos ON tl.doc_id = pos.doc_id AND tl.p = pos.p
+         |  GROUP BY tl.doc_id)
+         |SELECT b.doc_id, b.n_tokens, b.dup_line_fraction,
+         |  b.dup_line_char_fraction,
+         |  CASE WHEN b.tokchars > 0 THEN
+         |    ROUND(COALESCE(top2.topchars, 0)::DOUBLE / b.tokchars, 6)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS top_ngram_char_fraction,
+         |  CASE WHEN b.tokchars > 0 THEN
+         |    ROUND(COALESCE(cov.covchars, 0)::DOUBLE / b.tokchars, 6)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS dup_ngram_char_fraction,
+         |  (b.dup_line_fraction <= CAST(0.3 AS DOUBLE)
+         |   AND b.dup_line_char_fraction <= CAST(0.2 AS DOUBLE)
+         |   AND CASE WHEN b.tokchars > 0 THEN
+         |     ROUND(COALESCE(top2.topchars, 0)::DOUBLE / b.tokchars, 6)
+         |     ELSE CAST(0.0 AS DOUBLE) END <= CAST(0.2 AS DOUBLE)
+         |   AND CASE WHEN b.tokchars > 0 THEN
+         |     ROUND(COALESCE(cov.covchars, 0)::DOUBLE / b.tokchars, 6)
+         |     ELSE CAST(0.0 AS DOUBLE) END <= CAST(0.15 AS DOUBLE)) AS keep
+         |FROM b LEFT JOIN top2 ON b.doc_id = top2.doc_id
+         |LEFT JOIN cov ON b.doc_id = cov.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
 
     // exact order replay: ROW_NUMBER over (md5 key, id) — byte-equal
     // key strings on both engines, so the permutation is identical

@@ -99,6 +99,60 @@ class QualitySpec extends AnyFunSuite {
       .sdf.columns.toSeq == Seq("doc_id", "text"))
   }
 
+  test("repetition: duplicate lines counted by instance and by chars") {
+    val d = mkDocs(1L -> "base line\ndup\ndup\ndup")
+    val out = Quality.gopherRepetitionStats(d, "text", "doc_id")
+    val r = out.sdf.collect().head
+    out.unpersistIntermediates()
+    // 4 lines, 2 distinct -> 2 dup instances; chars 18 total, 6 dup
+    assert(r.getAs[Double]("dup_line_fraction") == 0.5)
+    assert(r.getAs[Double]("dup_line_char_fraction") == math.round(6.0 / 18 * 1e6) / 1e6)
+    assert(!r.getAs[Boolean]("keep"))
+  }
+
+  test("repetition: top 2-gram char fraction is count x gram token chars") {
+    val d = mkDocs(1L -> "x y x y x y")
+    val out = Quality.gopherRepetitionStats(d, "text", "doc_id")
+    val r = out.sdf.collect().head
+    out.unpersistIntermediates()
+    // "x y" occurs 3x, 2 token chars -> 6 / 6 total token chars
+    assert(r.getAs[Double]("top_ngram_char_fraction") == 1.0)
+    // the two distinct 5-windows are unique -> no dup coverage
+    assert(r.getAs[Double]("dup_ngram_char_fraction") == 0.0)
+    assert(!r.getAs[Boolean]("keep"))
+  }
+
+  test("repetition: duplicated 5-window union covers both instances") {
+    val d = mkDocs(1L -> "a b c d e a b c d e")
+    val out = Quality.gopherRepetitionStats(d, "text", "doc_id")
+    val r = out.sdf.collect().head
+    out.unpersistIntermediates()
+    // window (a b c d e) duplicates at starts 0 and 5 -> positions
+    // 0-4 and 5-9 union to all ten 1-char tokens
+    assert(r.getAs[Double]("dup_ngram_char_fraction") == 1.0)
+    assert(!r.getAs[Boolean]("keep"))
+  }
+
+  test("repetition: clean and empty docs keep; count-1 top gram still scores") {
+    // 20 distinct 3-char tokens: the top 2-gram has count 1 and
+    // 6 token chars -> 6/60 (the metric never reads zero on a
+    // non-empty doc; the threshold does the work)
+    val clean = (1 to 20).map(i => f"t$i%02d").mkString(" ")
+    val d = mkDocs(1L -> clean, 2L -> "")
+    val out = Quality.gopherRepetitionStats(d, "text", "doc_id")
+    val rows = out.sdf.orderBy("doc_id").collect()
+    out.unpersistIntermediates()
+    val r1 = rows(0)
+    assert(r1.getAs[Double]("dup_line_fraction") == 0.0)
+    assert(r1.getAs[Double]("top_ngram_char_fraction") == 0.1)
+    assert(r1.getAs[Double]("dup_ngram_char_fraction") == 0.0)
+    assert(r1.getAs[Boolean]("keep"))
+    val r2 = rows(1)
+    assert(r2.getAs[Long]("n_tokens") == 0L)
+    assert(r2.getAs[Double]("top_ngram_char_fraction") == 0.0)
+    assert(r2.getAs[Boolean]("keep"))
+  }
+
   test("knob validation fails fast") {
     val d = mkDocs(1L -> goodText)
     intercept[IllegalArgumentException] {
@@ -106,6 +160,9 @@ class QualitySpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       Quality.gopherQualityStats(d, "text", "doc_id", stopwords = Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Quality.gopherRepetitionStats(d, "text", "doc_id", topN = 0)
     }
   }
 }
