@@ -842,6 +842,25 @@ object Df {
     val base = spark.read.orc(path)
     new Df(if (columns.isEmpty) base else base.select(columns.map(base(_)): _*))
   }
+  /** Binary-file ingest — the multimodal ON-RAMP (images/audio/video
+    * arrive as loose files; [[graft.operators.Multimodal]] is where
+    * they live once packed). Wraps Spark's `binaryFile` source: one row
+    * per file with (path, modificationTime, length, content).
+    * `globFilter` narrows at the LISTING level, before any content IO.
+    *
+    * 100 TB notes: the source parallelizes over files (maxPartitionBytes
+    * packs small files into shared tasks), but a billion loose blobs
+    * bottleneck on listing and per-file opens, not bytes — ingest once,
+    * then store blobs in parquet binary columns (Multimodal.pack) where
+    * scans are columnar and prunable. `spark.sql.sources.binaryFile
+    * .maxLength` (default 2 GiB) fails fast on oversized files. */
+  def readBinaryFiles(spark: SparkSession, path: String,
+                      globFilter: String = null): Df = {
+    var r = spark.read.format("binaryFile")
+    if (globFilter != null) r = r.option("pathGlobFilter", globFilter)
+    new Df(r.load(path))
+  }
+
   /** `PandasIO` (`io/io.py:17`): in-memory rows as a LocalRelation. */
   def fromRows(spark: SparkSession, rows: Seq[org.apache.spark.sql.Row], schema: StructType): Df =
     new Df(spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))

@@ -74,6 +74,34 @@ object ElementwiseQueries {
         .sortValues(Seq("o_orderkey")).sdf
     }),
 
+    // ---- binaryFile ingest (the multimodal on-ramp): stage one loose
+    // .txt blob per doc, read them back as (path, length, content),
+    // recover the id from the filename and fingerprint the bytes; the
+    // oracle computes the same (byte length, md5) from the source rows.
+    // A .skip decoy proves pathGlobFilter prunes at listing time ----
+    "q147_binary_ingest" -> ((s, dir) => {
+      val p = tmp("binary_docs")
+      import java.nio.file.{Files, Paths}
+      import java.nio.charset.StandardCharsets.UTF_8
+      val root = Paths.get(p)
+      if (Files.exists(root))
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+      Files.createDirectories(root)
+      T(s, dir, "documents").where(col("doc_id") < 120)
+        .select("doc_id", "text").sdf.collect().foreach { r =>
+          Files.write(root.resolve(s"${r.getLong(0)}.txt"),
+            r.getString(1).getBytes(UTF_8))
+        }
+      Files.write(root.resolve("decoy.skip"), "not a doc".getBytes(UTF_8))
+      Df.readBinaryFiles(s, p, globFilter = "*.txt").sdf
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.txt$", 1)
+            .cast(LongType).as("doc_id"),
+          col("length"), md5(col("content")).as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- PandasIO / Literal (`io/io.py:17`, `_expr.py:860`) ----
     "q16_from_rows" -> ((s, dir) => {
       import org.apache.spark.sql.Row
@@ -257,6 +285,12 @@ object ElementwiseQueries {
     "q133_read_orc" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_totalprice > 400000.0 ORDER BY o_orderkey""".stripMargin,
+    // byte length + md5 of the staged blob == strlen + md5 of the
+    // source text (UTF-8 both sides); the .skip decoy must not appear
+    "q147_binary_ingest" ->
+      """SELECT doc_id, strlen(text)::BIGINT AS length,
+        |md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
     "q16_from_rows" ->
       """SELECT k, v, k*2 AS doubled FROM (VALUES
         |(1::BIGINT,'a'),(2::BIGINT,'b'),(3::BIGINT,'c')) t(k, v) ORDER BY k""".stripMargin,

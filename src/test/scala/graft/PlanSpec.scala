@@ -34,6 +34,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Scan orc"), p)
   }
 
+  test("readBinaryFiles: glob prunes listing, content round-trips exactly") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_bin"
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(dir)
+    if (Files.exists(root))
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    Files.createDirectories(root)
+    val payload = Array[Byte](0, 1, -128, 127, 42)
+    Files.write(root.resolve("a.bin"), payload)
+    Files.write(root.resolve("skip.txt"), "nope".getBytes)
+    val rows = Df.readBinaryFiles(spark, dir, globFilter = "*.bin")
+      .sdf.select("path", "length", "content").collect()
+    assert(rows.length == 1)  // the glob dropped skip.txt at listing
+    assert(rows.head.getAs[String]("path").endsWith("a.bin"))
+    assert(rows.head.getAs[Long]("length") == 5L)
+    assert(rows.head.getAs[Array[Byte]]("content").toSeq == payload.toSeq)
+  }
+
   test("duplicatedWindows plans hash-keyed (dup-detect reuses the window exchange; no cartesian)") {
     val d = Df.readParquet(spark, s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_returnflag")
