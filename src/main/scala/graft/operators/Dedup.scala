@@ -628,6 +628,39 @@ object Dedup {
       .drop("cluster"))
   }
 
+  /** [[keepRepresentatives]] with a QUALITY rule: each cluster keeps
+    * its member with the highest `scoreCol` (ties → highest id — the
+    * `max(struct(score, id))` lexicographic order, deterministic for
+    * any orderable id). Min-id representatives throw away signal: when
+    * a crawl snapshot near-dups against a cleaner re-crawl, the keeper
+    * should be the best-scoring copy, not the numerically-smallest id.
+    *
+    * Contract: `scoreCol` must be non-null (coalesce upstream) —
+    * engines disagree on where NULL ranks in tuple comparisons, and a
+    * silently engine-dependent keeper is worse than a fail-fast.
+    *
+    * Scale: the argmax aggregate runs ONLY over edge-touched docs (the
+    * inner join with the component labels — near-dup clusters are a
+    * small fraction of a deduped corpus); singletons bypass both the
+    * aggregate and the rep join via the coalesce fallback, so the
+    * full-corpus cost is the same left-join as the min-id variant plus
+    * one aggregate over the clustered slice. */
+  def keepRepresentativesBy(docs: Df, pairs: Df, idCol: String,
+                            scoreCol: String,
+                            aCol: String = "id_a", bCol: String = "id_b"): Df = {
+    val cc = connectedComponents(pairs, aCol, bCol).sdf
+      .withColumnRenamed("id", idCol)
+    val withCluster = docs.sdf.join(cc, Seq(idCol), "left")
+    val reps = docs.sdf.join(cc, Seq(idCol))
+      .groupBy(col("cluster"))
+      .agg(max(struct(col(scoreCol).as("__s"), col(idCol).as("__i"))).as("__m"))
+      .select(col("cluster"), col("__m.__i").as("representative"))
+    new Df(withCluster.join(reps, Seq("cluster"), "left")
+      .withColumn("representative",
+        coalesce(col("representative"), col(idCol)))
+      .drop("cluster"))
+  }
+
   /** Exact edit-distance verification of candidate near-dup pairs — the
     * precision tail for ANY blocker in this file ([[minhashPairs]]/
     * [[simhashPairs]]/length blocking): join texts back onto the (id_a,

@@ -292,6 +292,26 @@ object ExtensionQueries {
         .sortValues(Seq("id")).sdf
     }),
 
+    // ---- quality-ranked dedup representatives over the q107 cluster
+    // corpus: score = token count, so the ' zzz yyy' variants outrank
+    // their originals — each cluster's keeper is the argmax(score, id),
+    // singletons keep themselves ----
+    "q149_dedup_rep_by_quality" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val base = d.where(col("doc_id") < 300).select("doc_id", "text")
+      val g1 = base.where(col("doc_id") % 5 === 0)
+        .selectExpr("doc_id + 10000 AS doc_id", "text || ' zzz' AS text")
+      val g2 = base.where(col("doc_id") % 5 === 0)
+        .selectExpr("doc_id + 20000 AS doc_id", "text || ' zzz yyy' AS text")
+      val corpus = Df.concat(Seq(base, g1, g2))
+        .assign("score", size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+      val pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+        n = 3, minJaccard = 0.5)
+      Dedup.keepRepresentativesBy(corpus, pairs, "doc_id", "score")
+        .select("doc_id", "score", "representative")
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
     // ---- cross-corpus MinHash join (incremental dedup: new batch vs
     // existing corpus, A×B never A×A); both band indexes replayed ----
     "q113_minhash_join" -> ((s, dir) => {
@@ -670,6 +690,40 @@ object ExtensionQueries {
        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
        |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** componentsSql's cluster labels + the quality-argmax keeper rule:
+    * ROW_NUMBER over (score DESC, id DESC) ≡ Spark's
+    * max(struct(score, id)); singletons (no component row) keep
+    * themselves via the COALESCE fallbacks. */
+  private val repByQualitySql: String =
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+       |  UNION ALL SELECT doc_id + 10000, text || ' zzz'
+       |    FROM documents WHERE doc_id < 300 AND doc_id % 5 = 0
+       |  UNION ALL SELECT doc_id + 20000, text || ' zzz yyy'
+       |    FROM documents WHERE doc_id < 300 AND doc_id % 5 = 0),
+       |${ngramJaccardCtes(0.5)},
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM scored WHERE jaccard >= 0.5
+       |  UNION SELECT id_b, id_a FROM scored WHERE jaccard >= 0.5),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+       |comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+       |scorec AS (SELECT doc_id,
+       |  len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> ''))::BIGINT
+       |    AS score FROM corpus),
+       |members AS (SELECT s.doc_id, s.score, comp.cluster
+       |  FROM scorec s JOIN comp ON s.doc_id = comp.id),
+       |reps AS (SELECT cluster, doc_id AS representative FROM (
+       |  SELECT cluster, doc_id, ROW_NUMBER() OVER (PARTITION BY cluster
+       |    ORDER BY score DESC, doc_id DESC) AS rn FROM members) WHERE rn = 1)
+       |SELECT s.doc_id, s.score,
+       |  COALESCE(reps.representative, s.doc_id) AS representative
+       |FROM scorec s
+       |LEFT JOIN comp ON s.doc_id = comp.id
+       |LEFT JOIN reps ON comp.cluster = reps.cluster
+       |ORDER BY s.doc_id""".stripMargin
+
   /** One side's MinHash CTE chain (shingles → hashes → signatures →
     * capped banded index) with prefixed names, for the cross-corpus
     * join oracle — each side capped independently, exactly like
@@ -832,6 +886,7 @@ object ExtensionQueries {
     "q65_simhash" -> simhashSql,
     "q99_simhash_pairs" -> simhashPairsSql,
     "q107_dedup_components" -> componentsSql,
+    "q149_dedup_rep_by_quality" -> repByQualitySql,
     "q117_embedding_lsh_dedup" ->
       s"""WITH corpus0 AS (
          |SELECT vec_id, embedding FROM embeddings

@@ -323,6 +323,23 @@ class ExtensionSpec extends AnyFunSuite {
     assert(rep == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 4L))
   }
 
+  test("keepRepresentativesBy: cluster keeps highest score, ties break to highest id") {
+    val docs = new Df(Df.fromRows(spark, Seq(
+      Row(1L, "a", 5L), Row(2L, "b", 1L), Row(3L, "c", 9L),
+      Row(4L, "d", 9L), Row(5L, "e", 2L)),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("score", LongType)))).sdf)
+    // cluster {2,3,4}: scores 1,9,9 -> tie between 3 and 4 -> keeper 4
+    val pairs = Df.fromRows(spark, Seq(Row(2L, 3L), Row(3L, 4L)),
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    val rep = Dedup.keepRepresentativesBy(docs, pairs, "doc_id", "score")
+      .sdf.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("representative")).toMap
+    assert(rep == Map(1L -> 1L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 5L))
+    // original columns survive alongside the representative
+    val cols = Dedup.keepRepresentativesBy(docs, pairs, "doc_id", "score").sdf.columns.toSet
+    assert(Set("doc_id", "text", "score", "representative").subsetOf(cols))
+  }
+
   test("tfidf: smoothed idf downweights ubiquitous terms") {
     // 'x' appears in all 3 docs, 'rare' in one: idf(x) = ln(4/4)+1 = 1,
     // idf(rare) = ln(4/2)+1; tf counts are raw occurrences
