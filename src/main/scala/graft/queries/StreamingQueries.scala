@@ -149,6 +149,30 @@ object StreamingQueries {
         .select("canonical_url").orderBy("canonical_url")
     }),
 
+    // ---- stream-static enrichment: arriving docs pick up (weight,
+    // category) from a broadcast 4-row dim; site4 has no dim row and
+    // rides the left join with NULL attributes. Two staged arrival
+    // waves -> every doc appends twice; the oracle doubles the batch
+    // counts ----
+    "q148_stream_enrich" -> ((s, dir) => {
+      val src = s"$dir/documents.parquet"
+      val st = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage(src, 2))
+        .selectExpr("doc_id",
+          "concat('site', CAST(doc_id % 5 AS STRING), '.example.com') AS domain")
+      val dim = s.range(0, 4).selectExpr(
+        "concat('site', CAST(id AS STRING), '.example.com') AS domain",
+        "CAST(id AS DOUBLE) / 10 AS weight",
+        "CASE WHEN id % 2 = 0 THEN 'news' ELSE 'blog' END AS category")
+      StreamOps.runToCompletion(
+        StreamOps.streamStaticEnrich(st, dim, Seq("domain")),
+        "q148_sink", mode = "append")
+        .groupBy("category")
+        .agg(count(lit(1)).as("n_docs"),
+          decSum(col("weight")).as("weight_sum"))
+        .orderBy("category")
+    }),
+
     // ---- flatMapGroupsWithState running totals: the final state per
     // user (its LAST emission = the max cumulative count) must equal
     // the batch per-user count. total_value is deliberately excluded:
@@ -164,6 +188,22 @@ object StreamingQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // the batch join doubled (two staged arrival waves); decimal-exact
+    // weight sums; the NULL-category group is site4's unmatched rows
+    "q148_stream_enrich" ->
+      """WITH dim(domain, weight, category) AS (VALUES
+        |  ('site0.example.com', CAST(0.0 AS DOUBLE), 'news'),
+        |  ('site1.example.com', CAST(0.1 AS DOUBLE), 'blog'),
+        |  ('site2.example.com', CAST(0.2 AS DOUBLE), 'news'),
+        |  ('site3.example.com', CAST(0.3 AS DOUBLE), 'blog')),
+        |src AS (SELECT doc_id,
+        |  'site' || (doc_id % 5)::VARCHAR || '.example.com' AS domain
+        |  FROM documents),
+        |j AS (SELECT d.weight, d.category FROM src s
+        |  LEFT JOIN dim d ON s.domain = d.domain)
+        |SELECT category, (2 * COUNT(*))::BIGINT AS n_docs,
+        |  CAST(2 * SUM(CAST(weight AS DECIMAL(18,2))) AS DOUBLE) AS weight_sum
+        |FROM j GROUP BY category ORDER BY category""".stripMargin,
     // identical to the q96 oracle: the streaming and batch tumbling
     // aggregations must agree with the same SQL
     "q126_stream_tumbling" ->

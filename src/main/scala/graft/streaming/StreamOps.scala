@@ -169,6 +169,29 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__k")
       .drop("__k")
 
+  /** Stream-static enrichment — the crawl-ingest join: every arriving
+    * row picks up its dimension attributes (domain weights, category,
+    * blocklist flags) from a STATIC table. Spark plans the join fresh
+    * per micro-batch, which is exactly why `broadcastDim` defaults
+    * true: a shuffled stream-static join re-shuffles the static side
+    * EVERY trigger (the per-batch planner has no AQE to save it), while
+    * a broadcast dim is shipped once per executor and the stream side
+    * never leaves its source partitioning. Set it false only when the
+    * dim is genuinely too big to broadcast — and then pre-bucket both
+    * sides on the key so the per-batch exchange is map-side.
+    *
+    * `how`: "left" keeps unmatched stream rows with null attributes
+    * (enrichment); "inner" drops them (allowlist); both are
+    * append-safe stateless joins — no watermark, no state store. */
+  def streamStaticEnrich(stream: DataFrame, dim: DataFrame,
+                         keys: Seq[String], how: String = "left",
+                         broadcastDim: Boolean = true): DataFrame = {
+    require(how == "left" || how == "inner",
+      s"streamStaticEnrich supports left/inner, got: $how")
+    val d = if (broadcastDim) broadcast(dim) else dim
+    stream.join(d, keys, how)
+  }
+
   /** run a streaming plan to completion against the bounded test input
     * and return the materialized result (memory sink).
     *

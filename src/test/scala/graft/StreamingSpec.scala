@@ -148,6 +148,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(result.length == 4)
   }
 
+  test("stream-static enrich equals the batch join; dim side broadcasts") {
+    val dir = stageDir
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+      .selectExpr("user_id", "CAST(user_id % 3 AS STRING) AS k")
+    val dim = spark.range(0, 2).selectExpr(
+      "CAST(id AS STRING) AS k", "id * 100 AS bonus")
+    val enriched = StreamOps.streamStaticEnrich(stream, dim, Seq("k"))
+    val out = StreamOps.runToCompletion(enriched, "enrich_sink",
+      mode = "append")
+      .groupBy("k").agg(count(lit(1)).as("n"),
+        sum(col("bonus")).as("bonus_sum")).orderBy("k").collect()
+    val batch = spark.read.parquet(dir)
+      .selectExpr("user_id", "CAST(user_id % 3 AS STRING) AS k")
+      .join(dim, Seq("k"), "left")
+      .groupBy("k").agg(count(lit(1)).as("n"),
+        sum(col("bonus")).as("bonus_sum")).orderBy("k").collect()
+    assert(out.toSeq == batch.toSeq && out.length == 3)
+    // k=2 has no dim row: kept by the left join with a null bonus
+    assert(out.find(_.getString(0) == "2").exists(_.isNullAt(2)))
+    // inner mode drops it
+    val inner = StreamOps.runToCompletion(
+      StreamOps.streamStaticEnrich(stream, dim, Seq("k"), how = "inner"),
+      "enrich_inner_sink", mode = "append")
+      .select("k").distinct().collect().map(_.getString(0)).toSet
+    assert(inner == Set("0", "1"))
+    intercept[IllegalArgumentException] {
+      StreamOps.streamStaticEnrich(stream, dim, Seq("k"), how = "full")
+    }
+  }
+
   test("flatMapGroupsWithState: stateful totals equal batch groupBy") {
     val stream = StreamOps.readEventsStream(spark, stageDir)
     val result = StreamOps.runToCompletion(
