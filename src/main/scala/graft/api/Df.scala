@@ -758,6 +758,9 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   /** ORC sink — the other columnar format Spark ships natively
     * (predicate pushdown + column pruning, like parquet). */
   def toOrc(path: String): Unit = sdf.write.mode("overwrite").orc(path)
+  /** XML sink (ingest-format interchange; see [[Df.readXml]]). */
+  def toXml(path: String, rowTag: String = "row"): Unit =
+    sdf.write.mode("overwrite").option("rowTag", rowTag).xml(path)
   def explain(): Unit = sdf.explain("formatted")
   def pprint(): Unit = explain()
 }
@@ -842,6 +845,21 @@ object Df {
     val base = spark.read.orc(path)
     new Df(if (columns.isEmpty) base else base.select(columns.map(base(_)): _*))
   }
+  /** XML reader (native in Spark 4 — the spark-xml package folded into
+    * core): one row per `rowTag` element. Same at-scale contract as
+    * [[readJson]]: ALWAYS pass `schema` (inference is a second full
+    * pass), and XML is an INGEST format — a text parse with no
+    * row-group pruning; convert to parquet/orc for hot data. Multiline
+    * documents (one element spanning lines) are not splittable within
+    * a file; feeds should arrive as many files. */
+  def readXml(spark: SparkSession, path: String, rowTag: String,
+              schema: StructType = null, columns: Seq[String] = Nil): Df = {
+    var r = spark.read.option("rowTag", rowTag)
+    if (schema != null) r = r.schema(schema)
+    val base = r.xml(path)
+    new Df(if (columns.isEmpty) base else base.select(columns.map(base(_)): _*))
+  }
+
   /** Binary-file ingest — the multimodal ON-RAMP (images/audio/video
     * arrive as loose files; [[graft.operators.Multimodal]] is where
     * they live once packed). Wraps Spark's `binaryFile` source: one row

@@ -6,7 +6,9 @@ import org.apache.spark.sql.types._
 import QueryUtil._
 
 /** Sources + elementwise operator suite (SURVEY.md §2.1–§2.4).
-  * q14–q29. Conventions as in [[CoreQueries]]. */
+  * q14–q29, plus the ingest-format family: JSONL (q132, gzip q139),
+  * ORC (q133), loose binary blobs (q147), XML (q150). Conventions as
+  * in [[CoreQueries]]. */
 object ElementwiseQueries {
 
   private def tmp(name: String): String =
@@ -61,6 +63,18 @@ object ElementwiseQueries {
         StructField("doc_id", LongType), StructField("lang", StringType),
         StructField("text", StringType))))
       back.where(col("doc_id") % 3 === 0).sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- XML round-trip (Spark 4 native XML; ingest-format reader
+    // with the q132 schema-first contract) ----
+    "q150_read_xml" -> ((s, dir) => {
+      val p = tmp("xml_documents")
+      val d = T(s, dir, "documents")
+      d.select("doc_id", "lang", "text").toXml(p, rowTag = "doc")
+      val back = Df.readXml(s, p, rowTag = "doc", schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("text", StringType))))
+      back.where(col("doc_id") % 4 === 1).sortValues(Seq("doc_id")).sdf
     }),
 
     // ---- ORC round-trip (the other native columnar format; same
@@ -285,6 +299,9 @@ object ElementwiseQueries {
     "q133_read_orc" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_totalprice > 400000.0 ORDER BY o_orderkey""".stripMargin,
+    "q150_read_xml" ->
+      """SELECT doc_id, lang, text FROM documents
+        |WHERE doc_id % 4 = 1 ORDER BY doc_id""".stripMargin,
     // byte length + md5 of the staged blob == strlen + md5 of the
     // source text (UTF-8 both sides); the .skip decoy must not appear
     "q147_binary_ingest" ->
