@@ -325,6 +325,43 @@ object Curation {
     new Df(keepByHashFraction(docs.sdf, domainCol, idCol, fracs, buckets))
   }
 
+  /** Per-domain quota cap — the crawl-curation rule that stops a
+    * handful of mega-sites from owning the corpus: each domain keeps at
+    * most `cap` docs, picked deterministically by md5(id) order (a
+    * seedless uniform draw both engines replay; ties broken by id).
+    *
+    * Scale design: the obvious single-pass window (`row_number over
+    * partition by domain`) funnels every mega-domain through one task —
+    * exactly the skew this operator exists to fight. Instead, two
+    * phases: (1) count per domain (partial-agg, tiny result, broadcast
+    * back); (2) domains within quota bypass ranking entirely (most of
+    * the corpus, a map-side filter), and ONLY over-cap domains' rows
+    * enter the ranking window — a small slice, and bounded further
+    * because anything beyond the cap only needs to lose, not to be
+    * ordered. The join is a broadcast of (domain, n) pairs — domains
+    * are bounded in practice; if yours are not, swap for a plain
+    * equi-join (the phases still hold). */
+  def domainQuotaCap(docs: Df, domainCol: String, idCol: String,
+                     cap: Int): Df = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    val counts = docs.sdf.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__n"))
+    val tagged = docs.sdf.join(broadcast(counts), Seq(domainCol), "left")
+    // NULL domains never match the equi-join (__n stays null): an
+    // unknown domain is not evidence of over-crawling — keep them all
+    // (the dedupByUrl null contract)
+    val under = tagged.where(col("__n").isNull || col("__n") <= cap)
+      .drop("__n")
+    val overW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val over = tagged.where(col("__n") > cap).drop("__n")
+      .withColumn("__rn", row_number().over(overW))
+      .where(col("__rn") <= cap).drop("__rn")
+    // the equi-join hoisted the key column first; restore input order
+    new Df(under.unionByName(over).select(docs.columns.map(col): _*))
+  }
+
   /** Deterministic epoch-wise corpus shuffle — the training-data
     * ordering primitive: every epoch sees the corpus in a different
     * pseudo-random order, reproducible from (seed, epoch) alone (no RNG

@@ -181,6 +181,19 @@ object CurationQueries {
       out.sdf
     }),
 
+    // ---- per-domain quota cap: five ~100-doc domains capped at 30
+    // (deterministic md5-order picks), doc_id % 11 rows have NULL
+    // domain and are all kept ----
+    "q151_domain_quota" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val aug = new Df(d.sdf.selectExpr("doc_id",
+        """CASE WHEN doc_id % 11 = 0 THEN CAST(NULL AS STRING)
+          |ELSE concat('site', CAST(doc_id % 5 AS STRING), '.example.com')
+          |END AS domain""".stripMargin))
+      Curation.domainQuotaCap(aug, "domain", "doc_id", cap = 30)
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
     // ---- seeded epoch shuffle: the training-data ordering primitive.
     // Epoch 3 under seed 42 — the oracle replays the exact md5 order,
     // proving the position column is the deterministic global ordinal
@@ -513,6 +526,20 @@ object CurationQueries {
          |FROM b LEFT JOIN top2 ON b.doc_id = top2.doc_id
          |LEFT JOIN cov ON b.doc_id = cov.doc_id
          |ORDER BY b.doc_id""".stripMargin,
+
+    // rank everywhere ≡ the operator's two-phase split: under-quota
+    // domains have every rn <= cap by construction
+    "q151_domain_quota" ->
+      """WITH src AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN NULL
+        |  ELSE 'site' || (doc_id % 5)::VARCHAR || '.example.com'
+        |  END AS domain FROM documents),
+        |ranked AS (SELECT doc_id, domain, ROW_NUMBER() OVER (
+        |  PARTITION BY domain ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |  FROM src WHERE domain IS NOT NULL)
+        |SELECT doc_id, domain FROM ranked WHERE rn <= 30
+        |UNION ALL SELECT doc_id, domain FROM src WHERE domain IS NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // exact order replay: ROW_NUMBER over (md5 key, id) — byte-equal
     // key strings on both engines, so the permutation is identical

@@ -363,6 +363,33 @@ class CurationSpec extends AnyFunSuite {
     assert(dupLeft == 0L, s"$dupLeft docs still carry duplicated windows")
   }
 
+  test("domainQuotaCap: over-cap domains trimmed deterministically, nulls kept") {
+    val rows = (0L until 40L).map(i => Row(i, "big.com")) ++
+      (100L until 103L).map(i => Row(i, "small.org")) ++
+      Seq(Row(200L, null), Row(201L, null))
+    val d = new Df(Df.fromRows(spark, rows,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("domain", StringType)))).sdf)
+    val out = Curation.domainQuotaCap(d, "domain", "doc_id", cap = 10)
+      .sdf.collect()
+      .map(r => (r.getAs[Long]("doc_id"), Option(r.getAs[String]("domain")))).toSeq
+    val byDomain = out.groupBy(_._2)
+    assert(byDomain(Some("big.com")).size == 10)
+    assert(byDomain(Some("small.org")).size == 3)   // under quota: all kept
+    assert(byDomain(None).size == 2)                // null domain: all kept
+    // deterministic: same picks on a re-run
+    val again = Curation.domainQuotaCap(d, "domain", "doc_id", cap = 10)
+      .sdf.collect()
+      .map(r => (r.getAs[Long]("doc_id"), Option(r.getAs[String]("domain")))).toSeq
+    assert(out.toSet == again.toSet)
+    // input column order survives the internal join
+    assert(Curation.domainQuotaCap(d, "domain", "doc_id", cap = 10)
+      .sdf.columns.toSeq == Seq("doc_id", "domain"))
+    intercept[IllegalArgumentException] {
+      Curation.domainQuotaCap(d, "domain", "doc_id", cap = 0)
+    }
+  }
+
   test("epochShuffle: deterministic bijective permutation, epoch-sensitive") {
     val d = mkDocs((0L until 50L).map(i => i -> s"doc $i"): _*)
     val e1 = Curation.epochShuffle(d, "doc_id", seed = 7L, epoch = 1)
