@@ -125,16 +125,72 @@ object TextAnalytics {
     * before summing so the per-doc sum is order-independent (double
     * addition is not). */
   def unigramLogLoss(docs: Df, textCol: String, idCol: String): Df = {
+    val (scored, toks) = unigramNllCore(docs, textCol, idCol)
+    new Df(scored).retaining(toks)
+  }
+
+  /** shared NLL core: (per-doc avg_nll frame, the persisted token
+    * table the caller must attach via `retaining`) */
+  private def unigramNllCore(docs: Df, textCol: String, idCol: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val toks = docs.sdf.select(col(idCol), explode(tokens(col(textCol))).as("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("ct"))
     val total = toks.agg(count(lit(1)).as("total"))
-    new Df(toks.join(freq, Seq("t")).crossJoin(broadcast(total))
+    val scored = toks.join(freq, Seq("t")).crossJoin(broadcast(total))
       .withColumn("nll",
         (-log(col("ct").cast("double") / col("total"))).cast("decimal(18,8)"))
       .groupBy(col(idCol))
       .agg(round(sum(col("nll")).cast("double") / count(lit(1)), 4).as("avg_nll"),
-        count(lit(1)).as("n_tokens"))).retaining(toks)
+        count(lit(1)).as("n_tokens"))
+    (scored, toks)
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score each
+    * doc by LM surprise ([[unigramLogLoss]] here — swap in a real LM
+    * score upstream and pass it through the same cuts), then split
+    * each `groupCol` cohort (language, domain) into head / middle /
+    * tail at the `lowCut`/`highCut` quantiles of that cohort. Training
+    * recipes then sample the buckets at different rates instead of
+    * hard-filtering.
+    *
+    * `exact = true` (default) ranks with Spark's exact interpolated
+    * `percentile` — memory grows with distinct scores per cohort, fine
+    * for bounded cohorts and REQUIRED for cross-engine oracle replay
+    * (DuckDB's `quantile_cont` computes the identical interpolation;
+    * both sides round thresholds to 6dp). At 100 TB with huge cohorts
+    * set `exact = false` for `approx_percentile` (bounded-memory KLL
+    * sketch; thresholds then carry sketch error and are NOT
+    * oracle-replayable — the documented trade).
+    *
+    * Domain: docs with ≥1 token (the [[unigramLogLoss]] domain —
+    * token-less docs have no surprise to rank). NULL-group docs get a
+    * NULL bucket: no cohort, no quantiles to compare against. */
+  def perplexityBuckets(docs: Df, textCol: String, idCol: String,
+                        groupCol: String,
+                        lowCut: Double = 1.0 / 3, highCut: Double = 2.0 / 3,
+                        exact: Boolean = true): Df = {
+    require(lowCut > 0 && lowCut <= highCut && highCut < 1,
+      s"need 0 < lowCut <= highCut < 1: $lowCut, $highCut")
+    val (nll, toks) = unigramNllCore(docs, textCol, idCol)
+    val scored = nll
+      .join(docs.sdf.select(col(idCol), col(groupCol)), Seq(idCol))
+    val pct =
+      if (exact) s"percentile(avg_nll, array($lowCut, $highCut))"
+      else s"approx_percentile(avg_nll, array($lowCut, $highCut), 10000)"
+    val cuts = scored.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(expr(pct).as("__c"))
+      .select(col(groupCol),
+        round(element_at(col("__c"), 1), 6).as("__t1"),
+        round(element_at(col("__c"), 2), 6).as("__t2"))
+    val out = scored.join(broadcast(cuts), Seq(groupCol), "left")
+      .withColumn("bucket",
+        when(col("__t1").isNull, lit(null).cast("string"))
+          .when(col("avg_nll") <= col("__t1"), "head")
+          .when(col("avg_nll") <= col("__t2"), "middle")
+          .otherwise("tail"))
+      .drop("__t1", "__t2")
+    new Df(out).retaining(toks)
   }
 
   /** Top-k TF-IDF terms per document (the "document keywords" shape) —

@@ -341,6 +341,15 @@ object ExtensionQueries {
         .sortValues(Seq("doc_id")).sdf
     }),
 
+    // ---- CCNet perplexity buckets: per-lang head/middle/tail at the
+    // exact NLL terciles; NULL-lang docs get a NULL bucket ----
+    "q152_perplexity_buckets" -> ((s, dir) => {
+      graft.operators.TextAnalytics.perplexityBuckets(
+        T(s, dir, "documents"), "text", "doc_id", "lang")
+        .select("doc_id", "lang", "avg_nll", "bucket")
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
     // ---- embedding near-dup for UNLABELED corpora: LSH-signature
     // blocks + in-block cosine; every bucket bit replayed in SQL ----
     "q117_embedding_lsh_dedup" -> ((s, dir) => {
@@ -883,6 +892,32 @@ object ExtensionQueries {
          |COUNT(*) AS n_tokens
          |FROM toks JOIN freq USING (t) CROSS JOIN total
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q115's NLL chain + per-lang quantile_cont terciles (the same
+    // interpolation formula as Spark's exact percentile; thresholds
+    // rounded 6dp on both sides); Scala prints the cut literals, so
+    // both engines parse the identical double
+    "q152_perplexity_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, UNNEST(${toksSql()}) AS t FROM documents),
+         |freq AS (SELECT t, COUNT(*) AS ct FROM toks GROUP BY t),
+         |total AS (SELECT COUNT(*) AS total FROM toks),
+         |nll AS (SELECT doc_id,
+         |  ROUND(CAST(SUM(CAST(-LN(ct::DOUBLE / total) AS DECIMAL(18,8))) AS DOUBLE)
+         |    / COUNT(*), 4) AS avg_nll
+         |  FROM toks JOIN freq USING (t) CROSS JOIN total GROUP BY doc_id),
+         |scored AS (SELECT nll.doc_id, nll.avg_nll, d.lang
+         |  FROM nll JOIN documents d ON nll.doc_id = d.doc_id),
+         |cuts AS (SELECT lang,
+         |  ROUND(quantile_cont(avg_nll, ${1.0 / 3}::DOUBLE), 6) AS t1,
+         |  ROUND(quantile_cont(avg_nll, ${2.0 / 3}::DOUBLE), 6) AS t2
+         |  FROM scored WHERE lang IS NOT NULL GROUP BY lang)
+         |SELECT s.doc_id, s.lang, s.avg_nll,
+         |  CASE WHEN c.t1 IS NULL THEN NULL
+         |       WHEN s.avg_nll <= c.t1 THEN 'head'
+         |       WHEN s.avg_nll <= c.t2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM scored s LEFT JOIN cuts c ON s.lang = c.lang
+         |ORDER BY s.doc_id""".stripMargin,
+
     "q65_simhash" -> simhashSql,
     "q99_simhash_pairs" -> simhashPairsSql,
     "q107_dedup_components" -> componentsSql,

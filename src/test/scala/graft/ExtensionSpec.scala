@@ -340,6 +340,40 @@ class ExtensionSpec extends AnyFunSuite {
     assert(Set("doc_id", "text", "score", "representative").subsetOf(cols))
   }
 
+  test("perplexityBuckets: terciles split head/middle/tail; null group -> null bucket") {
+    // one token per doc: nll(doc) = -ln(freq/total). freq 3/2/1 over
+    // total 6 gives three distinct nll levels; terciles land exactly
+    // on the level boundaries (interpolation between equal neighbors)
+    val d = new Df(Df.fromRows(spark, Seq(
+      Row(1L, "a", "en"), Row(2L, "a", "en"), Row(3L, "a", "en"),
+      Row(4L, "b", "en"), Row(5L, "b", "en"), Row(6L, "c", "en"),
+      Row(7L, "a", null)),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("lang", StringType)))).sdf)
+    val out = graft.operators.TextAnalytics
+      .perplexityBuckets(d, "text", "doc_id", "lang")
+    val rows = out.sdf.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    out.unpersistIntermediates()
+    // doc 7's 'a' raises freq(a) to 4 of 7 total, but stays the
+    // lowest-nll token: docs 1-3 head, 4-5 middle, 6 tail
+    assert(Seq(1L, 2L, 3L).forall(rows(_) == "head"))
+    assert(Seq(4L, 5L).forall(rows(_) == "middle"))
+    assert(rows(6L) == "tail")
+    assert(rows(7L) == null)  // no cohort, no bucket
+    // the approx path assigns the same buckets on small data
+    val approx = graft.operators.TextAnalytics
+      .perplexityBuckets(d, "text", "doc_id", "lang", exact = false)
+    val arows = approx.sdf.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    approx.unpersistIntermediates()
+    assert(arows == rows)
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalytics.perplexityBuckets(
+        d, "text", "doc_id", "lang", lowCut = 0.9, highCut = 0.1)
+    }
+  }
+
   test("tfidf: smoothed idf downweights ubiquitous terms") {
     // 'x' appears in all 3 docs, 'rare' in one: idf(x) = ln(4/4)+1 = 1,
     // idf(rare) = ln(4/2)+1; tf counts are raw occurrences
