@@ -661,6 +661,31 @@ object Dedup {
       .drop("cluster"))
   }
 
+  /** Semantic dedup ENDGAME (the SemDeDup recipe, Abbas et al. 2023,
+    * re-expressed on this file's blocks): embedding-near vectors
+    * cluster via [[embeddingLshPairs]] (sign-bit blocks + in-block
+    * cosine ≥ `minCosine`) → connected components → each cluster keeps
+    * its best-scoring member ([[keepRepresentativesBy]]) → the deduped
+    * corpus is the representatives themselves. The score column is the
+    * caller's quality signal (an LM score, recency, resolution); pass
+    * the id itself to reproduce plain min/max-id dedup.
+    *
+    * Scale: inherits its pieces' contracts — banded LSH equi-join with
+    * capped buckets (never all-pairs), one shuffle per component round,
+    * argmax only over edge-touched vectors. NULL embeddings never pair
+    * ([[graft.operators.Similarity.lshSignature]]'s NULL contract) and
+    * survive as their own representatives. */
+  def semanticDedup(vecs: Df, vecCol: String, idCol: String,
+                    scoreCol: String, minCosine: Double,
+                    planes: Int = 8, dim: Int = 64,
+                    maxBucket: Int = DefaultMaxBucket): Df = {
+    val pairs = embeddingLshPairs(vecs, vecCol, idCol, minCosine,
+      planes, dim, maxBucket)
+    val rep = keepRepresentativesBy(vecs, pairs, idCol, scoreCol)
+    new Df(rep.sdf.where(col(idCol) === col("representative"))
+      .drop("representative"))
+  }
+
   /** Exact edit-distance verification of candidate near-dup pairs — the
     * precision tail for ANY blocker in this file ([[minhashPairs]]/
     * [[simhashPairs]]/length blocking): join texts back onto the (id_a,

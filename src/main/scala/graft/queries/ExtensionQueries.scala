@@ -363,6 +363,24 @@ object ExtensionQueries {
         .sortValues(Seq("id_a", "id_b")).sdf
     }),
 
+    // ---- semantic dedup endgame over the q117 corpus: half-scaled
+    // copies collide with their originals (sign bits are scale-
+    // invariant); score = first embedding component, so the keeper per
+    // cluster is the argmax(e[0], id) — every step SQL-replayed ----
+    "q153_semantic_dedup" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val copies = e.where(col("vec_id") % 20 === 0)
+        .selectExpr("vec_id + 10000 AS vec_id",
+          "transform(embedding, x -> x * cast(0.5 as float)) AS embedding")
+      val corpus = Df.concat(Seq(e.select("vec_id", "embedding"), copies))
+        .assign("score",
+          round(element_at(col("embedding"), 1).cast("double"), 6))
+      Dedup.semanticDedup(corpus, "embedding", "vec_id", "score",
+        minCosine = 0.99, planes = 8, dim = 64)
+        .select("vec_id", "score")
+        .sortValues(Seq("vec_id")).sdf
+    }),
+
     // ---- deterministic hash split (train/holdout): md5-bucketed, so
     // the EXACT assignment replays in DuckDB — counts AND key checksums ----
     "q118_hash_split" -> ((s, dir) => {
@@ -940,6 +958,47 @@ object ExtensionQueries {
          |FROM capped a JOIN capped c ON a.bk = c.bk AND a.vec_id < c.vec_id
          |WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) >= 0.99
          |ORDER BY id_a, id_b""".stripMargin,
+    // q117's LSH-pair chain + q107's recursive closure + q149's
+    // argmax(score, id) keeper rule, then keep only id = representative;
+    // score = round(embedding[1]::double, 6) on both sides (float→double
+    // widening is exact, so the 6dp rounding sees the identical value)
+    "q153_semantic_dedup" ->
+      s"""WITH RECURSIVE corpus0 AS (
+         |SELECT vec_id, embedding FROM embeddings
+         |UNION ALL SELECT vec_id + 10000,
+         |  list_transform(embedding, x -> x * 0.5::FLOAT)
+         |FROM embeddings WHERE vec_id % 20 = 0),
+         |b0 AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS e FROM corpus0),
+         |b AS (SELECT vec_id, embedding,
+         |  (CASE WHEN e IS NULL OR len(list_filter(e, x -> x IS NULL)) > 0
+         |   THEN NULL ELSE ${lshSigSql("e")} END) AS bk
+         |  FROM b0),
+         |capped AS (SELECT * FROM b
+         |  QUALIFY COUNT(*) OVER (PARTITION BY bk) <= 100000),
+         |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b
+         |  FROM capped a JOIN capped c ON a.bk = c.bk AND a.vec_id < c.vec_id
+         |  WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+         |    c.embedding::DOUBLE[]), 6) >= 0.99),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+         |  UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+         |scorec AS (SELECT vec_id,
+         |  ROUND(embedding[1]::DOUBLE, 6) AS score FROM corpus0),
+         |members AS (SELECT s.vec_id, s.score, comp.cluster
+         |  FROM scorec s JOIN comp ON s.vec_id = comp.id),
+         |reps AS (SELECT cluster, vec_id AS representative FROM (
+         |  SELECT cluster, vec_id, ROW_NUMBER() OVER (PARTITION BY cluster
+         |    ORDER BY score DESC, vec_id DESC) AS rn FROM members) WHERE rn = 1)
+         |SELECT s.vec_id, s.score
+         |FROM scorec s
+         |LEFT JOIN comp ON s.vec_id = comp.id
+         |LEFT JOIN reps ON comp.cluster = reps.cluster
+         |WHERE COALESCE(reps.representative, s.vec_id) = s.vec_id
+         |ORDER BY s.vec_id""".stripMargin,
     "q118_hash_split" ->
       """SELECT CASE WHEN
         |  ('0x' || substr(md5(o_orderkey::VARCHAR),1,8))::BIGINT % 10000 < 1000

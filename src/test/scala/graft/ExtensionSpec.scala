@@ -340,6 +340,24 @@ class ExtensionSpec extends AnyFunSuite {
     assert(Set("doc_id", "text", "score", "representative").subsetOf(cols))
   }
 
+  test("semanticDedup keeps each cluster's best-scoring vector, singletons survive") {
+    // v and 0.5v share every sign-bit block (scale invariance) and pass
+    // the cosine gate -> one cluster; the negated vector is a singleton.
+    // Scores make the COPY the keeper - semantic dedup by quality, not id.
+    val rng = new scala.util.Random(29)
+    val v = Array.fill(64)(rng.nextFloat() - 0.5f)
+    val d = Df.fromRows(spark, Seq(
+      Row(1L, v.toSeq, 1.0), Row(2L, v.map(_ * 0.5f).toSeq, 7.0),
+      Row(3L, v.map(x => -x).toSeq, 3.0)),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("score", DoubleType))))
+    val kept = Dedup.semanticDedup(d, "embedding", "vec_id", "score",
+      minCosine = 0.99).sdf
+    assert(!kept.columns.contains("representative"))
+    assert(kept.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+  }
+
   test("perplexityBuckets: terciles split head/middle/tail; null group -> null bucket") {
     // one token per doc: nll(doc) = -ln(freq/total). freq 3/2/1 over
     // total 6 gives three distinct nll levels; terciles land exactly
