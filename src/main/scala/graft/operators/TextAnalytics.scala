@@ -86,6 +86,38 @@ object TextAnalytics {
       .agg(count(lit(1)).as("n_contaminated_ngrams")))
   }
 
+  /** Benchmark decontamination REMOVAL — the enforcement half of
+    * [[ngramContamination]]: drop every corpus document whose
+    * contaminated-n-gram fraction exceeds `maxFraction` (0.0 = drop on
+    * ANY shared n-gram, the GPT-3/Llama rule). Emits the surviving
+    * corpus rows plus `contaminated_fraction` (6dp) so downstream
+    * audits can see how close each keeper came to the line.
+    *
+    * Fraction = shared-n-gram OCCURRENCES / total n-gram occurrences in
+    * the doc (both non-distinct — a doc that repeats a leaked benchmark
+    * line scores higher than one that mentions it once). Docs with no
+    * n-grams at all (shorter than n tokens) have fraction 0 and are
+    * kept. Scale shape: the benchmark's distinct gram set broadcasts
+    * into the corpus-side equi-join; the left join back onto the
+    * corpus is a hash join on the id — no self-join, no all-pairs. */
+  def decontaminate(corpus: Df, benchmark: Df, textCol: String,
+                    idCol: String, n: Int = 3,
+                    maxFraction: Double = 0.0): Df = {
+    require(n >= 1, s"decontaminate: n must be >= 1: $n")
+    require(maxFraction >= 0.0 && maxFraction <= 1.0,
+      s"decontaminate: maxFraction must be in [0, 1]: $maxFraction")
+    val hits = ngramContamination(corpus, benchmark, textCol, idCol, n).sdf
+    new Df(corpus.sdf
+      .withColumn("__n_grams",
+        org.apache.spark.sql.functions.size(wordShingles(col(textCol), n)).cast("long"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("contaminated_fraction",
+        round(coalesce(col("n_contaminated_ngrams"), lit(0L)).cast("double") /
+          greatest(col("__n_grams"), lit(1L)), 6))
+      .where(col("contaminated_fraction") <= maxFraction)
+      .drop("__n_grams", "n_contaminated_ngrams"))
+  }
+
   /** Per-document n-gram repetition statistics — the Gopher/RefinedWeb
     * repetition rules: how much of a document is the same n-gram over
     * and over. Emits, per doc: total n-gram occurrences, distinct

@@ -332,6 +332,17 @@ object ExtensionQueries {
         .sortValues(Seq("doc_id")).sdf
     }),
 
+    // ---- decontamination REMOVAL: drop docs whose contaminated-ngram
+    // fraction exceeds 10%; the survivors carry the audit fraction ----
+    "q154_decontaminate" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val bench = d.where(col("doc_id") % 50 === 0).select("doc_id", "text")
+      graft.operators.TextAnalytics.decontaminate(d, bench, "text", "doc_id",
+        n = 3, maxFraction = 0.1)
+        .select("doc_id", "contaminated_fraction")
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
     // ---- unigram LM negative log-likelihood (CCNet-style quality
     // signal; corpus as its own model); decimal-summed ln terms so the
     // per-doc sum is order-independent ----
@@ -886,6 +897,26 @@ object ExtensionQueries {
          |SELECT doc_id, COUNT(*) AS n_contaminated_ngrams
          |FROM docs_g JOIN bench USING (gh)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q114's contamination count over the FULL corpus, divided by the
+    // doc's total n-gram occurrences (GREATEST(...,1) guards the
+    // shorter-than-n docs on both sides), 6dp-rounded BEFORE the
+    // threshold compare so the boundary is engine-identical
+    "q154_decontaminate" ->
+      s"""WITH bench AS (SELECT DISTINCT
+         |  ('0x' || substr(md5(g),1,8))::BIGINT AS gh FROM
+         |  (SELECT UNNEST(${shinglesSql()}) AS g
+         |   FROM documents WHERE doc_id % 50 = 0)),
+         |docs_g AS (SELECT doc_id, ('0x' || substr(md5(g),1,8))::BIGINT AS gh
+         |  FROM (SELECT doc_id, UNNEST(${shinglesSql()}) AS g FROM documents)),
+         |cont AS (SELECT doc_id, COUNT(*) AS c
+         |  FROM docs_g JOIN bench USING (gh) GROUP BY doc_id),
+         |tot AS (SELECT doc_id, len(${shinglesSql()}) AS t FROM documents)
+         |SELECT tot.doc_id,
+         |  ROUND(COALESCE(cont.c, 0) / GREATEST(tot.t, 1)::DOUBLE, 6)
+         |    AS contaminated_fraction
+         |FROM tot LEFT JOIN cont ON tot.doc_id = cont.doc_id
+         |WHERE ROUND(COALESCE(cont.c, 0) / GREATEST(tot.t, 1)::DOUBLE, 6) <= 0.1
+         |ORDER BY tot.doc_id""".stripMargin,
     // bigram list per doc is NOT distinct (repetition is the signal);
     // range() here is the scalar list form (lateral-safe)
     "q116_repetition" ->

@@ -256,6 +256,29 @@ class ExtensionSpec extends AnyFunSuite {
     assert(hits == Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("decontaminate drops docs over the contamination threshold, keeps the rest") {
+    val corpus = mkDocs(1L -> "a b c d e", 2L -> "x y z w v", 3L -> "a b c q r s t u")
+    val bench = mkDocs(100L -> "a b c d")
+    // doc1: 3 of 3 trigrams shared (abc, bcd + cde? no — shares abc,bcd) = 2/3
+    // doc2: 0/3; doc3: shares abc only = 1/6
+    val kept = graft.operators.TextAnalytics
+      .decontaminate(corpus, bench, "text", "doc_id", n = 3, maxFraction = 0.2)
+      .sdf.collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("contaminated_fraction")).toMap
+    assert(kept.keySet == Set(2L, 3L))
+    assert(kept(2L) == 0.0 && kept(3L) == 0.166667)
+    // threshold 0 = the strict GPT-3 rule: any shared n-gram kills the doc
+    val strict = graft.operators.TextAnalytics
+      .decontaminate(corpus, bench, "text", "doc_id", n = 3, maxFraction = 0.0)
+      .sdf.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(strict == Set(2L))
+    // a doc shorter than n tokens has no n-grams: fraction 0, always kept
+    val short = graft.operators.TextAnalytics
+      .decontaminate(mkDocs(9L -> "a b"), bench, "text", "doc_id", n = 3)
+      .sdf.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(short == Set(9L))
+  }
+
   test("unigramLogLoss: repetitive docs score lower than diverse ones") {
     val d = mkDocs(1L -> "w w w w w w w w", 2L -> "q r s t u v x y")
     val nll = graft.operators.TextAnalytics.unigramLogLoss(d, "text", "doc_id")
