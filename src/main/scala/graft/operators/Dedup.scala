@@ -541,6 +541,45 @@ object Dedup {
       vecCol, idCol, "__bk", minCosine, maxBucket)
   }
 
+  /** Cross-corpus embedding near-dup join — INCREMENTAL semantic dedup
+    * (the [[minhashJoin]] shape over vectors): which new vectors are
+    * embedding-near an existing corpus. Each side gets its own
+    * hyperplane-LSH signature ([[graft.operators.Similarity.lshSignature]]
+    * — same deterministic planes on both sides, so near-identical
+    * vectors collide) and its own bucket cap, candidates collide on the
+    * signature, the codegen'd cosine kernel verifies. Output
+    * (id_a = corpus vector, id_b = new vector, cosine ≥ minCosine) —
+    * anti-join the batch on id_b to admit only novel content.
+    *
+    * Scale: one equi-join keyed on the signature; one signature per
+    * vector means each (a, b) pair is produced at most once — no
+    * DISTINCT pass needed (unlike banded MinHash). The corpus side is
+    * the big one; the batch's bucketed index is small and AQE
+    * broadcasts it. NULL/NaN-element vectors get NULL signatures and
+    * never pair (lshSignature's contract). */
+  def embeddingJoin(corpus: Df, newVecs: Df, vecCol: String, idCol: String,
+                    minCosine: Double, planes: Int = 8, dim: Int = 64,
+                    maxBucket: Int = DefaultMaxBucket): Df = {
+    requireArgs("embeddingJoin")(
+      (planes >= 1 && dim >= 1, s"planes and dim must be >= 1: planes=$planes dim=$dim"),
+      (minCosine >= -1.0 && minCosine <= 1.0,
+        s"minCosine must be in [-1, 1]: $minCosine"),
+      (maxBucket >= 1, s"maxBucket must be >= 1: $maxBucket"))
+    graft.plans.GraftFunctions.register(corpus.spark)
+    def side(d: Df, idAs: String, vAs: String) =
+      capBuckets(d.sdf
+        .withColumn("__bk",
+          graft.operators.Similarity.lshSignature(col(vecCol), planes, dim))
+        .where(col("__bk").isNotNull)
+        .select(col(idCol).as(idAs), col(vecCol).as(vAs), col("__bk")),
+        maxBucket, cols = Seq("__bk"))
+    new Df(side(corpus, "id_a", "v_a")
+      .join(side(newVecs, "id_b", "v_b"), Seq("__bk"))
+      .withColumn("cosine", round(expr("graft_cosine(v_a, v_b)"), 6))
+      .where(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine"))
+  }
+
   /** Connected components over a near-dup pair graph — the dedup
     * ENDGAME: candidate pairs ([[minhashPairs]]/[[simhashPairs]]/
     * [[ngramJaccardPairs]]/[[embeddingCosinePairs]]) → clusters → one

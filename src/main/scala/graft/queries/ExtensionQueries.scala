@@ -374,6 +374,22 @@ object ExtensionQueries {
         .sortValues(Seq("id_a", "id_b")).sdf
     }),
 
+    // ---- incremental semantic dedup: a new batch (half-scaled copies
+    // that must collide + negated vectors that must not) joined against
+    // the full corpus on hyperplane-LSH buckets, cosine-gated ----
+    "q155_embedding_join" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val batch = Df.concat(Seq(
+        e.where(col("vec_id") % 20 === 0)
+          .selectExpr("vec_id + 10000 AS vec_id",
+            "transform(embedding, x -> x * cast(0.5 as float)) AS embedding"),
+        e.where(col("vec_id") % 20 === 7)
+          .selectExpr("vec_id + 20000 AS vec_id",
+            "transform(embedding, x -> -x) AS embedding")))
+      Dedup.embeddingJoin(e, batch, "embedding", "vec_id", minCosine = 0.99)
+        .sortValues(Seq("id_a", "id_b")).sdf
+    }),
+
     // ---- semantic dedup endgame over the q117 corpus: half-scaled
     // copies collide with their originals (sign bits are scale-
     // invariant); score = first embedding component, so the keeper per
@@ -988,6 +1004,37 @@ object ExtensionQueries {
          |ROUND(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
          |FROM capped a JOIN capped c ON a.bk = c.bk AND a.vec_id < c.vec_id
          |WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) >= 0.99
+         |ORDER BY id_a, id_b""".stripMargin,
+    // each side's signature chain is the q117 replica with its own cap;
+    // the join keys on the bucket only (A×B, no id ordering — the
+    // sides are different corpora)
+    "q155_embedding_join" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+         |batch AS (
+         |  SELECT vec_id + 10000 AS vec_id,
+         |    list_transform(embedding, x -> x * 0.5::FLOAT) AS embedding
+         |  FROM embeddings WHERE vec_id % 20 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 20000, list_transform(embedding, x -> -x)
+         |  FROM embeddings WHERE vec_id % 20 = 7),
+         |a0 AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS e FROM corpus),
+         |a1 AS (SELECT vec_id, embedding,
+         |  (CASE WHEN e IS NULL OR len(list_filter(e, x -> x IS NULL)) > 0
+         |   THEN NULL ELSE ${lshSigSql("e")} END) AS bk FROM a0),
+         |ac AS (SELECT * FROM a1 WHERE bk IS NOT NULL
+         |  QUALIFY COUNT(*) OVER (PARTITION BY bk) <= 100000),
+         |b0 AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS e FROM batch),
+         |b1 AS (SELECT vec_id, embedding,
+         |  (CASE WHEN e IS NULL OR len(list_filter(e, x -> x IS NULL)) > 0
+         |   THEN NULL ELSE ${lshSigSql("e")} END) AS bk FROM b0),
+         |bc AS (SELECT * FROM b1 WHERE bk IS NOT NULL
+         |  QUALIFY COUNT(*) OVER (PARTITION BY bk) <= 100000)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+         |  b.embedding::DOUBLE[]), 6) AS cosine
+         |FROM ac a JOIN bc b ON a.bk = b.bk
+         |WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+         |  b.embedding::DOUBLE[]), 6) >= 0.99
          |ORDER BY id_a, id_b""".stripMargin,
     // q117's LSH-pair chain + q107's recursive closure + q149's
     // argmax(score, id) keeper rule, then keep only id = representative;

@@ -96,6 +96,27 @@ class ExtensionSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("embeddingJoin pairs batch near-dups against the corpus, never A-within-A") {
+    // batch: 0.5v collides with corpus v (scale-invariant sign bits);
+    // -v flips every bit -> different bucket, never a candidate. The
+    // two near-identical CORPUS vectors (1, 2) must NOT pair - this is
+    // a cross-corpus join, not a self-join.
+    val rng = new scala.util.Random(31)
+    val v = Array.fill(64)(rng.nextFloat() - 0.5f)
+    val corpus = Df.fromRows(spark, Seq(
+      Row(1L, v.toSeq), Row(2L, v.map(_ * 2.0f).toSeq)),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val batch = Df.fromRows(spark, Seq(
+      Row(10L, v.map(_ * 0.5f).toSeq), Row(11L, v.map(x => -x).toSeq)),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val pairs = Dedup.embeddingJoin(corpus, batch, "embedding", "vec_id",
+      minCosine = 0.99).sdf.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pairs == Seq((1L, 10L), (2L, 10L)))
+  }
+
   test("embeddingCosinePairs drops over-cap blocks, keeps the rest") {
     // label 0 holds 3 identical vectors (> maxBucket=2 → dropped whole),
     // label 1 holds 2 identical vectors (= cap → kept). Without the cap
