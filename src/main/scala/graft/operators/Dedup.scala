@@ -700,6 +700,41 @@ object Dedup {
       .drop("cluster"))
   }
 
+  /** Leakage-free train/holdout split — [[graft.api.Df.splitByHash]]'s
+    * md5-bucket rule, but keyed on the near-dup CLUSTER instead of the
+    * row: every member of a connected component hashes the same key
+    * (the component's min-id label), so near-duplicates can never
+    * straddle train and eval (the benchmark-contamination failure mode
+    * a row-keyed split leaves open — Lee et al. 2022 §6.2 measure the
+    * resulting eval inflation). Singletons (no near-dup pair) key on
+    * their own id, which IS their would-be cluster label, so adding or
+    * removing unrelated pairs never reshuffles untouched docs.
+    *
+    * Output = `docs` + `split_key` (cluster label or own id) + `split`
+    * (matchLabel/restLabel). Scale: one component run over the pair
+    * graph (bounded by near-dup candidates, not the corpus) + one
+    * broadcast-sized left join per doc; the md5 bucket needs no global
+    * state — the same doc gets the same side on every re-run and every
+    * incremental batch. */
+  def clusterSafeSplit(docs: Df, pairs: Df, idCol: String, fraction: Double,
+                       matchLabel: String = "holdout", restLabel: String = "train",
+                       aCol: String = "id_a", bCol: String = "id_b",
+                       buckets: Int = 10000): Df = {
+    requireArgs("clusterSafeSplit")(
+      (fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]: $fraction"),
+      (buckets >= 1, s"buckets must be >= 1: $buckets"))
+    val cc = connectedComponents(pairs, aCol, bCol).sdf
+      .withColumnRenamed("id", idCol)
+    val bucket = graft.functions.TextFunctions
+      .hash32(col("split_key").cast("string")) % buckets
+    new Df(docs.sdf.join(cc, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("cluster"), col(idCol)))
+      .drop("cluster")
+      .withColumn("split",
+        when(bucket < math.round(fraction * buckets), lit(matchLabel))
+          .otherwise(lit(restLabel))))
+  }
+
   /** Semantic dedup ENDGAME (the SemDeDup recipe, Abbas et al. 2023,
     * re-expressed on this file's blocks): embedding-near vectors
     * cluster via [[embeddingLshPairs]] (sign-bit blocks + in-block

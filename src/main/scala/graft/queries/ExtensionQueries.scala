@@ -390,6 +390,26 @@ object ExtensionQueries {
         .sortValues(Seq("id_a", "id_b")).sdf
     }),
 
+    // ---- leakage-free split over the q107 cluster corpus: each
+    // near-dup component hashes ONE md5 split key (its min-id label),
+    // so a cluster lands whole on one side; singletons key on their
+    // own id ----
+    "q156_cluster_safe_split" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val base = d.where(col("doc_id") < 300).select("doc_id", "text")
+      val g1 = base.where(col("doc_id") % 5 === 0)
+        .selectExpr("doc_id + 10000 AS doc_id", "text || ' zzz' AS text")
+      val g2 = base.where(col("doc_id") % 5 === 0)
+        .selectExpr("doc_id + 20000 AS doc_id", "text || ' zzz yyy' AS text")
+      val corpus = Df.concat(Seq(base, g1, g2))
+      val pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+        n = 3, minJaccard = 0.5)
+      Dedup.clusterSafeSplit(corpus, pairs, "doc_id", fraction = 0.1,
+        matchLabel = "holdout", restLabel = "train")
+        .select("doc_id", "split_key", "split")
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
     // ---- semantic dedup endgame over the q117 corpus: half-scaled
     // copies collide with their originals (sign bits are scale-
     // invariant); score = first embedding component, so the keeper per
@@ -1036,6 +1056,28 @@ object ExtensionQueries {
          |WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
          |  b.embedding::DOUBLE[]), 6) >= 0.99
          |ORDER BY id_a, id_b""".stripMargin,
+    // q107's recursive closure labels the clusters; the split replays
+    // q118's md5-bucket rule over COALESCE(cluster, doc_id)
+    "q156_cluster_safe_split" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+         |  UNION ALL SELECT doc_id + 10000, text || ' zzz'
+         |    FROM documents WHERE doc_id < 300 AND doc_id % 5 = 0
+         |  UNION ALL SELECT doc_id + 20000, text || ' zzz yyy'
+         |    FROM documents WHERE doc_id < 300 AND doc_id % 5 = 0),
+         |${ngramJaccardCtes(0.5)},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM scored WHERE jaccard >= 0.5
+         |  UNION SELECT id_b, id_a FROM scored WHERE jaccard >= 0.5),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+         |SELECT c.doc_id, COALESCE(comp.cluster, c.doc_id) AS split_key,
+         |CASE WHEN ('0x' || substr(md5(COALESCE(comp.cluster, c.doc_id)::VARCHAR),1,8))::BIGINT
+         |  % 10000 < 1000 THEN 'holdout' ELSE 'train' END AS split
+         |FROM corpus c LEFT JOIN comp ON c.doc_id = comp.id
+         |ORDER BY c.doc_id""".stripMargin,
     // q117's LSH-pair chain + q107's recursive closure + q149's
     // argmax(score, id) keeper rule, then keep only id = representative;
     // score = round(embedding[1]::double, 6) on both sides (float→double

@@ -117,6 +117,30 @@ class ExtensionSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 10L), (2L, 10L)))
   }
 
+  test("clusterSafeSplit keeps a near-dup cluster whole on one side") {
+    // pairs: 1-2 and 2-5 chain into one component labeled 1; docs 3, 4
+    // are singletons keyed on their own ids. Cluster members must share
+    // split_key AND side; a singleton's key is its id (so its side
+    // replays splitByHash exactly).
+    val docs = Df.fromRows(spark, Seq(
+      Row(1L), Row(2L), Row(3L), Row(4L), Row(5L)),
+      StructType(Seq(StructField("doc_id", LongType))))
+    val pairs = Df.fromRows(spark, Seq(Row(1L, 2L), Row(2L, 5L)),
+      StructType(Seq(StructField("id_a", LongType),
+        StructField("id_b", LongType))))
+    val out = Dedup.clusterSafeSplit(docs, pairs, "doc_id", fraction = 0.5)
+      .sdf.collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        (r.getLong(r.fieldIndex("split_key")),
+          r.getString(r.fieldIndex("split")))).toMap
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L && out(5L)._1 == 1L)
+    assert(Set(out(1L)._2, out(2L)._2, out(5L)._2).size == 1)
+    assert(out(3L)._1 == 3L && out(4L)._1 == 4L)
+    val bySplitByHash = docs.splitByHash("doc_id", 0.5,
+      matchLabel = "holdout", restLabel = "train")
+      .sdf.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(3L)._2 == bySplitByHash(3L) && out(4L)._2 == bySplitByHash(4L))
+  }
+
   test("embeddingCosinePairs drops over-cap blocks, keeps the rest") {
     // label 0 holds 3 identical vectors (> maxBucket=2 → dropped whole),
     // label 1 holds 2 identical vectors (= cap → kept). Without the cap
