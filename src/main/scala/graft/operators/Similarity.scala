@@ -212,4 +212,69 @@ object Similarity {
       col(idCol).as("corpus_id"), col(vecCol).as("c_vec"), sig.as("bucket"))
     new Df(rerankTopK(c.join(q, Seq("bucket")), k, excludeSelf))
   }
+
+  /** Deterministic Lloyd k-means over an embedding column — the
+    * clustering primitive data-mixing and SemDeDup-style pipelines run
+    * before per-cluster work (Abbas et al. 2023 cluster with k-means,
+    * then dedup inside clusters). Unlike [[ivfTopK]]'s MLlib quantizer
+    * (seeded k-means||, reproducible but not replayable in SQL), every
+    * step here is exact-arithmetic-replayable: init = the `k`
+    * lowest-id vectors (cluster index = id rank), assignment =
+    * argmin of the 6dp-rounded squared L2 distance with cluster-index
+    * tie-break (a total order), update = per-dimension mean through
+    * DECIMAL(28,10) sums ([[meanPool]]'s order-independence trick)
+    * rounded to 6dp. Runs exactly `iters` assignment rounds with an
+    * update between consecutive ones. Vectors that are NULL or carry a
+    * non-finite element are dropped up front (same corpus contract as
+    * the q110 centroid battery). A cluster left empty keeps its
+    * previous centroid.
+    *
+    * Output: (`idCol`, `cluster`). Scale: the corpus is touched once
+    * per round with k×dim centroid LITERALS riding the plan (no
+    * broadcast variable, no MLlib Vector conversion); the update is
+    * one partial+final agg keyed on (cluster, pos) — k×dim rows to the
+    * driver per round, independent of corpus size. Lloyd's driver-side
+    * iteration is inherent (MLlib does the same); rounds = `iters`,
+    * typically ≤ 10 for curation use. */
+  def kMeans(vecs: Df, vecCol: String, idCol: String,
+             k: Int, iters: Int): Df = {
+    require(k >= 1, s"kMeans: k must be >= 1: $k")
+    require(iters >= 1, s"kMeans: iters must be >= 1: $iters")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val corpus = vecs.sdf
+      .select(col(idCol).as("__id"),
+        transform(col(vecCol), _.cast("double")).as("__v"))
+      .where(col("__v").isNotNull &&
+        !exists(col("__v"), x => x.isNull || isnan(x) || abs(x) >= lit(1e18)))
+      .persist(lvl)
+    val init = corpus.sort("__id").limit(k).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(init.nonEmpty,
+      "kMeans: no usable vectors — corpus is empty after dropping " +
+        "NULL/non-finite embeddings")
+    def d2(ctr: Array[Double]) =
+      round(aggregate(zip_with(col("__v"), lit(ctr), (x, w) => (x - w) * (x - w)),
+        lit(0.0), (acc, t) => acc + t), 6)
+    def assign(centers: Array[Array[Double]]) =
+      corpus.withColumn("cluster",
+        array_sort(array(centers.zipWithIndex.toIndexedSeq.map { case (ctr, i) =>
+          struct(d2(ctr).as("d"), lit(i).as("cluster"))
+        }: _*)).getItem(0).getField("cluster"))
+    var centers = init
+    var assigned = assign(centers)
+    for (_ <- 1 until iters) {
+      val next = centers.map(_.clone)
+      assign(centers)
+        .select(col("cluster"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(round(sum(col("x").cast("decimal(28,10)")).cast("double") /
+          count(lit(1)), 6).as("c"))
+        .collect()
+        .foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centers = next
+      assigned = assign(centers)
+    }
+    new Df(assigned.select(col("__id").as(idCol), col("cluster")))
+      .retaining(corpus)
+  }
 }

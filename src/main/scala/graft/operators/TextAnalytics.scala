@@ -236,4 +236,34 @@ object TextAnalytics {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k))
   }
+
+  /** One statistics pass of BPE tokenizer training (Sennrich et al.
+    * 2016 §3.2, the byte-pair merge loop): adjacent symbol-pair
+    * frequencies over the corpus, weighted by word frequency — the
+    * count-argmax pair is the next merge rule. Symbols here are single
+    * characters (the first merge round; re-symbolize and re-run for
+    * later rounds). Pairs print space-joined (`"t h"`), the merges.txt
+    * convention; 1-char words contribute nothing. Output: the top-`k`
+    * pairs by count, ties broken by pair text — a total order, so the
+    * cut is deterministic.
+    *
+    * Scale: the classic distinct-word trick — a 100 TB corpus holds
+    * ~10^11 running words but ~10^7 DISTINCT ones, so the per-word
+    * char-pair explosion rides the vocabulary-sized table; the corpus
+    * itself is touched exactly once by the map-side-combined word
+    * count. Final pair agg is again partial+final; top-k is a
+    * TakeOrdered, never a global sort. */
+  def bpePairCounts(docs: Df, textCol: String, idCol: String, k: Int): Df = {
+    require(k >= 1, s"bpePairCounts: k must be >= 1: $k")
+    val wordFreq = docs.sdf
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wf"))
+    val pairCounts = wordFreq.where(length(col("word")) >= 2)
+      .select(col("wf"), explode(expr(
+        """transform(sequence(1, length(word) - 1),
+          |  i -> concat(substring(word, i, 1), ' ', substring(word, i + 1, 1)))"""
+          .stripMargin)).as("pair"))
+      .groupBy("pair").agg(sum(col("wf")).as("n"))
+    new Df(pairCounts.orderBy(col("n").desc, col("pair").asc).limit(k))
+  }
 }

@@ -410,6 +410,25 @@ object ExtensionQueries {
         .sortValues(Seq("doc_id")).sdf
     }),
 
+    // ---- BPE merge statistics: adjacent char-pair counts weighted by
+    // word frequency over distinct words (the tokenizer-training
+    // step); top-50 by (count desc, pair) — a total order ----
+    "q157_bpe_pair_counts" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      graft.operators.TextAnalytics.bpePairCounts(
+        d.where(col("doc_id") < 200), "text", "doc_id", k = 50).sdf
+    }),
+
+    // ---- deterministic Lloyd k-means over the embedding corpus:
+    // lowest-id init, 6dp-rounded argmin with index tie-break, decimal
+    // centroid means — every step exact-replayable in SQL ----
+    "q158_kmeans" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      graft.operators.Similarity.kMeans(e, "embedding", "vec_id",
+        k = 4, iters = 2)
+        .sortValues(Seq("vec_id")).sdf
+    }),
+
     // ---- semantic dedup endgame over the q117 corpus: half-scaled
     // copies collide with their originals (sign bits are scale-
     // invariant); score = first embedding component, so the keeper per
@@ -839,6 +858,41 @@ object ExtensionQueries {
     s"CASE WHEN ($dot) > 0 THEN ${1L << j} ELSE 0 END"
   }.mkString(" + ")
 
+  /** kMeans oracle: the Lloyd recipe replayed CTE-by-CTE — lowest-id
+    * init (ROW_NUMBER rank = cluster index), per-round argmin over the
+    * 6dp-rounded squared L2 (list_reduce folds dims left-to-right like
+    * Spark's `aggregate`), decimal centroid means re-assembled into
+    * arrays ordered by position. k=4, iters=2 to match q158. */
+  private val kmeansSql: String = {
+    def dist(v: String, c: String) =
+      s"""ROUND(list_reduce(list_transform(range(1, len($v) + 1),
+         |    i -> ($v[i::INT] - $c[i::INT]) * ($v[i::INT] - $c[i::INT])),
+         |    (x, y) -> x + y), 6)""".stripMargin
+    s"""WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(list_filter(embedding,
+       |    x -> x IS NULL OR isnan(x) OR abs(x) >= 1e18)) = 0),
+       |c0 AS (SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INT AS cluster,
+       |  v AS cvec FROM corpus ORDER BY vec_id LIMIT 4),
+       |a0 AS (SELECT vec_id, v, cluster FROM (
+       |  SELECT e.vec_id, e.v, c.cluster,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dist("e.v", "c.cvec")}, c.cluster) AS rn
+       |  FROM corpus e CROSS JOIN c0 c) WHERE rn = 1),
+       |u1 AS (SELECT cluster, i AS pos,
+       |  ROUND(CAST(SUM(CAST(v[(i+1)::INT] AS DECIMAL(28,10))) AS DOUBLE)
+       |    / COUNT(*), 6) AS c
+       |  FROM (SELECT cluster, v, UNNEST(range(len(v))) AS i FROM a0)
+       |  GROUP BY cluster, i),
+       |c1 AS (SELECT cluster, array_agg(c ORDER BY pos) AS cvec
+       |  FROM u1 GROUP BY cluster),
+       |a1 AS (SELECT vec_id, cluster FROM (
+       |  SELECT e.vec_id, c.cluster,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dist("e.v", "c.cvec")}, c.cluster) AS rn
+       |  FROM corpus e CROSS JOIN c1 c) WHERE rn = 1)
+       |SELECT vec_id, cluster FROM a1 ORDER BY vec_id""".stripMargin
+  }
+
   /** LSH ANN top-k oracle: signatures via [[lshSigSql]], bucket
     * equi-join, exact rerank. */
   private val lshTopkSql: String = {
@@ -1056,6 +1110,7 @@ object ExtensionQueries {
          |WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
          |  b.embedding::DOUBLE[]), 6) >= 0.99
          |ORDER BY id_a, id_b""".stripMargin,
+    "q158_kmeans" -> kmeansSql,
     // q107's recursive closure labels the clusters; the split replays
     // q118's md5-bucket rule over COALESCE(cluster, doc_id)
     "q156_cluster_safe_split" ->
@@ -1078,6 +1133,18 @@ object ExtensionQueries {
          |  % 10000 < 1000 THEN 'holdout' ELSE 'train' END AS split
          |FROM corpus c LEFT JOIN comp ON c.doc_id = comp.id
          |ORDER BY c.doc_id""".stripMargin,
+    // same distinct-word weighting: wf counts running words, the pair
+    // explosion rides DISTINCT words only; HUGEINT sum cast back to
+    // BIGINT to match Spark's long
+    "q157_bpe_pair_counts" ->
+      s"""WITH toks AS (SELECT UNNEST(${toksSql()}) AS word
+         |  FROM documents WHERE doc_id < 200),
+         |wf AS (SELECT word, COUNT(*) AS wf FROM toks GROUP BY 1),
+         |p AS (SELECT wf, UNNEST(list_transform(generate_series(1, length(word) - 1),
+         |  i -> substr(word, i::INT, 1) || ' ' || substr(word, (i + 1)::INT, 1))) AS pair
+         |  FROM wf WHERE length(word) >= 2),
+         |agg AS (SELECT pair, CAST(SUM(wf) AS BIGINT) AS n FROM p GROUP BY 1)
+         |SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     // q117's LSH-pair chain + q107's recursive closure + q149's
     // argmax(score, id) keeper rule, then keep only id = representative;
     // score = round(embedding[1]::double, 6) on both sides (float→double

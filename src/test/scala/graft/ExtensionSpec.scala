@@ -141,6 +141,53 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out(3L)._2 == bySplitByHash(3L) && out(4L)._2 == bySplitByHash(4L))
   }
 
+  test("bpePairCounts weights pairs by word frequency, skips 1-char words") {
+    // words: aa x1, ab x2, x x1 -> pairs "a a" x1, "a b" x2; the
+    // 1-char word contributes nothing; order is (count desc, pair asc)
+    val docs = Df.fromRows(spark, Seq(Row(1L, "aa ab x"), Row(2L, "ab")),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    val out = graft.operators.TextAnalytics
+      .bpePairCounts(docs, "text", "doc_id", k = 10)
+      .sdf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a b", 2L), ("a a", 1L)))
+  }
+
+  test("kMeans separates an obviously clustered corpus in two rounds") {
+    // init = ids 1, 2 (one seed per true group); one update round lands
+    // the centroids on the group means and the assignment is stable
+    val docs = Df.fromRows(spark, Seq(
+      Row(1L, Seq(0.0f, 0.0f)), Row(2L, Seq(10.0f, 10.0f)),
+      Row(3L, Seq(0.5f, 0.0f)), Row(4L, Seq(10.0f, 9.0f))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val out = graft.operators.Similarity
+      .kMeans(docs, "embedding", "vec_id", k = 2, iters = 2)
+      .sdf.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1))
+    Df.releaseRetained()
+  }
+
+  test("kMeans keeps an empty cluster's centroid and drops NaN vectors") {
+    // ids 1 and 2 are identical: both seed centroids coincide, the
+    // index tie-break sends every row to cluster 0 in round 1, so
+    // cluster 1 is EMPTY through the update and must keep its previous
+    // centroid (not crash). That kept centroid [1,1] then recaptures
+    // the duplicate points in round 2 (classic Lloyd), while the moved
+    // cluster-0 centroid keeps the outlier. The NaN vector is dropped
+    // up front.
+    val docs = Df.fromRows(spark, Seq(
+      Row(1L, Seq(1.0f, 1.0f)), Row(2L, Seq(1.0f, 1.0f)),
+      Row(3L, Seq(1.5f, 1.0f)), Row(4L, Seq(Float.NaN, 1.0f))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val out = graft.operators.Similarity
+      .kMeans(docs, "embedding", "vec_id", k = 2, iters = 3)
+      .sdf.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 1, 2L -> 1, 3L -> 0))
+    Df.releaseRetained()
+  }
+
   test("embeddingCosinePairs drops over-cap blocks, keeps the rest") {
     // label 0 holds 3 identical vectors (> maxBucket=2 → dropped whole),
     // label 1 holds 2 identical vectors (= cap → kept). Without the cap
