@@ -173,6 +173,26 @@ object StreamingQueries {
         .orderBy("category")
     }),
 
+    // ---- stream-stream interval join (attribution): clicks within
+    // 1h after a view by the same user, both sides streaming with
+    // watermarks (bounded join state). One staged file per side — all
+    // rows arrive inside the watermark, so the append-mode join emits
+    // exactly the batch interval join; the memory-sink pairs are then
+    // batch-aggregated per user ----
+    "q159_stream_interval_join" -> ((s, dir) => {
+      val src = stage(s"$dir/events.parquet", 1)
+      val views = StreamOps.readEventsStream(s, src)
+        .where(col("event_type") === "view" && col("user_id") < 30)
+      val clicks = StreamOps.readEventsStream(s, src)
+        .where(col("event_type") === "click" && col("user_id") < 30)
+      StreamOps.runToCompletion(
+        StreamOps.streamStreamIntervalJoin(views, clicks, "user_id"),
+        "q159_sink", mode = "append")
+        .groupBy(col("key").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
+
     // ---- flatMapGroupsWithState running totals: the final state per
     // user (its LAST emission = the max cumulative count) must equal
     // the batch per-user count. total_value is deliberately excluded:
@@ -188,6 +208,18 @@ object StreamingQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // the batch interval join: views x clicks per user with the click
+    // inside [view_ts, view_ts + 1h] — the streaming join over fully
+    // on-time bounded input must emit exactly this
+    "q159_stream_interval_join" ->
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type
+        |  FROM events WHERE user_id < 30),
+        |v AS (SELECT user_id, ts FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts FROM e WHERE event_type = 'click')
+        |SELECT v.user_id AS user_id, COUNT(*) AS n_pairs
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '1 hour'
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
     // the batch join doubled (two staged arrival waves); decimal-exact
     // weight sums; the NULL-category group is site4's unmatched rows
     "q148_stream_enrich" ->

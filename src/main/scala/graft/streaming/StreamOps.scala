@@ -192,6 +192,34 @@ object StreamOps {
     stream.join(d, keys, how)
   }
 
+  /** Stream-stream inner interval join — the attribution shape: every
+    * right event on the same key within `[l_ts, l_ts + upper]` of a
+    * left event (click-after-view, download-after-crawl). The ONLY
+    * stream-stream join Spark can run with bounded state: both sides
+    * carry a watermark and the join condition carries the time bound,
+    * so the state store evicts a row once the other side's watermark
+    * passes its match window — without both, state grows forever and a
+    * 100 TB/day feed OOMs the cluster (the condition is what turns the
+    * join into a sliding band, not a full history join).
+    *
+    * Output: (key, l_ts, r_ts) per matched pair, append-mode only
+    * (inner stream-stream joins cannot run complete). Late rows beyond
+    * `watermark` are dropped by contract — size it to the feed's
+    * real-world disorder. */
+  def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
+                               keyCol: String, tsCol: String = "ts",
+                               watermark: String = "2 hours",
+                               upper: String = "1 hour"): DataFrame = {
+    val l = left.select(col(keyCol).as("key"), col(tsCol).as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col(keyCol).as("__rkey"), col(tsCol).as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, col("key") === col("__rkey") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $upper"))
+      .select(col("key"), col("l_ts"), col("r_ts"))
+  }
+
   /** run a streaming plan to completion against the bounded test input
     * and return the materialized result (memory sink).
     *

@@ -204,4 +204,29 @@ class StreamingSpec extends AnyFunSuite {
     // each event lands in exactly 2 sliding windows (1h window, 30m slide)
     assert(total == 2 * rows)
   }
+
+  test("stream-stream interval join matches inside the bound, drops outside, equals batch") {
+    // views/clicks split from the same bounded feed: the join must
+    // reproduce the batch interval join exactly (all rows on time)
+    val dir = stageDir
+    def side(t: String) = StreamOps.readEventsStream(spark, dir)
+      .where(col("event_type") === t && col("user_id") < 10)
+    val streamed = StreamOps.runToCompletion(
+      StreamOps.streamStreamIntervalJoin(side("view"), side("click"), "user_id"),
+      "interval_join", mode = "append").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).sorted.toSeq
+    val e = spark.read.parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .where(col("user_id") < 10)
+    val v = e.where(col("event_type") === "view").select(col("user_id"), col("ts").as("l_ts"))
+    val c = e.where(col("event_type") === "click").select(col("user_id"), col("ts").as("r_ts"))
+    val batch = v.join(c, Seq("user_id"))
+      .where(col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 1 hour"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // every emitted pair respects the band by construction
+    assert(streamed.forall { case (_, l, r) =>
+      r.getTime >= l.getTime && r.getTime <= l.getTime + 3600000L })
+  }
 }
