@@ -103,4 +103,34 @@ object Layout {
       else keyed.repartitionByRange(col("zval"))
     new Df(ranged.sortWithinPartitions("zval"))
   }
+
+  /** Compact a small-files parquet dataset into a bounded number of
+    * bounded-size files — the maintenance pass every streaming or
+    * per-trigger ingest needs: a micro-batch sink writing every few
+    * seconds accretes millions of tiny files, and at 100 TB the
+    * re-read then pays a task per file (scheduler + open/footer
+    * overhead dwarfing the IO) while the namenode/listing chokes on
+    * the metadata. One round-robin repartition to
+    * ceil(rows / targetRecordsPerFile) tasks rebuilds the directory as
+    * evenly-sized files; `maxRecordsPerFile` is the belt-and-braces
+    * cap so a future append through the same writer can't regress a
+    * file past the target. The count() sizing pass reads only parquet
+    * footers (count-star pushdown — no row materialization).
+    *
+    * Returns the re-read compacted dataset; rows are bit-identical to
+    * the source (layout changes, data does not). */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+                     srcDir: String, dstDir: String,
+                     targetRecordsPerFile: Long): Df = {
+    require(targetRecordsPerFile >= 1,
+      s"compactParquet: targetRecordsPerFile must be >= 1: $targetRecordsPerFile")
+    val src = spark.read.parquet(srcDir)
+    val n = src.count()
+    val files = math.max(1L,
+      (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    src.repartition(files).write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .parquet(dstDir)
+    new Df(spark.read.parquet(dstDir))
+  }
 }

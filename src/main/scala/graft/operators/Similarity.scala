@@ -213,6 +213,36 @@ object Similarity {
     new Df(rerankTopK(c.join(q, Seq("bucket")), k, excludeSelf))
   }
 
+  /** Per-vector symmetric int8 scalar quantization — the standard 4×
+    * memory/bandwidth reduction before ANN serving at scale: a 100 TB
+    * float32 embedding store becomes 25 TB, and integer dot products
+    * SIMD-vectorize. `scale = max(|v|)/127`, `q_i = round(v_i/scale)`
+    * (half-away-from-zero, so |q_i| ≤ 127 with no clamp — the max
+    * component lands on ±127 exactly); reconstruct with `q_i · scale`.
+    * The all-zero vector gets scale 0 and all-zero codes. Output in
+    * LONG format (`idCol`, pos, q, scale) — relational, exactly
+    * SQL-replayable, re-assembleable with sort_array(collect_list).
+    * Vectors that are NULL or carry a non-finite element are dropped
+    * (the q110/q158 corpus contract).
+    *
+    * Scale: pure per-row codegen'd expressions — no shuffle at all;
+    * the posexplode is the only row multiplication (×dim) and exists
+    * for the relational output shape, not the algorithm. */
+  def quantizeInt8(vecs: Df, vecCol: String, idCol: String): Df = {
+    val corpus = vecs.sdf
+      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("__v"))
+      .where(col("__v").isNotNull &&
+        !exists(col("__v"), x => x.isNull || isnan(x) || abs(x) >= lit(1e18)))
+    new Df(corpus
+      .withColumn("scale", array_max(transform(col("__v"), x => abs(x))) / lit(127.0))
+      .select(col(idCol), col("scale"),
+        posexplode(col("__v")).as(Seq("pos", "x")))
+      .select(col(idCol), col("pos"),
+        when(col("scale") === 0, lit(0))
+          .otherwise(round(col("x") / col("scale"))).cast("int").as("q"),
+        col("scale")))
+  }
+
   /** Deterministic Lloyd k-means over an embedding column — the
     * clustering primitive data-mixing and SemDeDup-style pipelines run
     * before per-cluster work (Abbas et al. 2023 cluster with k-means,

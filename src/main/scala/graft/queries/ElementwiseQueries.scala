@@ -35,6 +35,19 @@ object ElementwiseQueries {
       Df.readParquet(s, p).sortValues(Seq("l_orderkey", "l_linenumber")).sdf
     }),
 
+    // ---- small-file compaction: scatter documents across 64 tiny
+    // files (the per-trigger ingest shape), compact to ~200-row files,
+    // read back — data identical, layout rebuilt ----
+    "q160_compact_files" -> ((s, dir) => {
+      val scattered = tmp("scatter_docs")
+      val compacted = tmp("compact_docs")
+      T(s, dir, "documents").select("doc_id", "lang", "text")
+        .sdf.repartition(64).write.mode("overwrite").parquet(scattered)
+      graft.operators.Layout.compactParquet(s, scattered, compacted,
+          targetRecordsPerFile = 200)
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
     // ---- JSONL round-trip (ingest-format reader; beyond the
     // reference's surface): sink documents as JSON Lines, read back
     // with an explicit schema (the at-scale contract — no inference
@@ -288,6 +301,9 @@ object ElementwiseQueries {
     "q15_to_parquet" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // compaction changes layout, never data: identity on the source
+    "q160_compact_files" ->
+      """SELECT doc_id, lang, text FROM documents ORDER BY doc_id""",
     // round-trip identities: the JSONL/ORC write+read must reproduce
     // the source rows exactly
     "q132_read_json" ->

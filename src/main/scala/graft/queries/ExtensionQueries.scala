@@ -419,6 +419,15 @@ object ExtensionQueries {
         d.where(col("doc_id") < 200), "text", "doc_id", k = 50).sdf
     }),
 
+    // ---- int8 symmetric quantization of the embedding corpus, long
+    // format: scale = max|v|/127, q = round(v/scale) — max component
+    // hits ±127 exactly, every step IEEE-replayable ----
+    "q161_quantize_int8" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      graft.operators.Similarity.quantizeInt8(e, "embedding", "vec_id")
+        .sortValues(Seq("vec_id", "pos")).sdf
+    }),
+
     // ---- deterministic Lloyd k-means over the embedding corpus:
     // lowest-id init, 6dp-rounded argmin with index tie-break, decimal
     // centroid means — every step exact-replayable in SQL ----
@@ -1111,6 +1120,18 @@ object ExtensionQueries {
          |  b.embedding::DOUBLE[]), 6) >= 0.99
          |ORDER BY id_a, id_b""".stripMargin,
     "q158_kmeans" -> kmeansSql,
+    // exact-arithmetic replay: list_max of |v| is exact, /127.0 and
+    // the ROUND are IEEE-deterministic; q cast to INT on both sides
+    "q161_quantize_int8" ->
+      """WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(list_filter(embedding,
+        |    x -> x IS NULL OR isnan(x) OR abs(x) >= 1e18)) = 0),
+        |s AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM corpus),
+        |x AS (SELECT vec_id, scale, UNNEST(range(len(v))) AS i, v FROM s)
+        |SELECT vec_id, i::INT AS pos,
+        |(CASE WHEN scale = 0 THEN 0 ELSE ROUND(v[(i+1)::INT] / scale) END)::INT AS q,
+        |scale FROM x ORDER BY vec_id, pos""".stripMargin,
     // q107's recursive closure labels the clusters; the split replays
     // q118's md5-bucket rule over COALESCE(cluster, doc_id)
     "q156_cluster_safe_split" ->

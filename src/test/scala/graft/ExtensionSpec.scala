@@ -188,6 +188,37 @@ class ExtensionSpec extends AnyFunSuite {
     Df.releaseRetained()
   }
 
+  test("compactParquet bounds file count and size, preserves every row") {
+    // 530 rows scattered over 40 tiny files -> target 100/file must
+    // produce ceil(530/100) = 6 files, each <= 100 rows, data identical
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val scattered = s"$base/scattered"
+    val compacted = s"$base/compacted"
+    spark.range(0, 530).selectExpr("id", "concat('d', CAST(id AS STRING)) AS s")
+      .repartition(40).write.mode("overwrite").parquet(scattered)
+    val out = graft.operators.Layout
+      .compactParquet(spark, scattered, compacted, targetRecordsPerFile = 100)
+    assert(out.sdf.count() == 530)
+    assert(out.sdf.agg(sum(col("id"))).collect()(0).getLong(0) == 530L * 529 / 2)
+    val perFile = out.sdf.groupBy(input_file_name()).count().collect()
+    assert(perFile.length == 6)
+    assert(perFile.forall(_.getLong(1) <= 100))
+  }
+
+  test("quantizeInt8: max hits ±127, zero vector gets zero codes, NaN dropped") {
+    val docs = Df.fromRows(spark, Seq(
+      Row(1L, Seq(0.5f, -1.0f, 0.25f)),   // scale 1/127: q = 64, -127, 32
+      Row(2L, Seq(0.0f, 0.0f, 0.0f)),     // zero vector: scale 0, all q 0
+      Row(3L, Seq(Float.NaN, 1.0f, 0f))), // dropped
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val out = graft.operators.Similarity
+      .quantizeInt8(docs, "embedding", "vec_id")
+      .sdf.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(out == Set((1L, 0, 64), (1L, 1, -127), (1L, 2, 32),
+      (2L, 0, 0), (2L, 1, 0), (2L, 2, 0)))
+  }
+
   test("embeddingCosinePairs drops over-cap blocks, keeps the rest") {
     // label 0 holds 3 identical vectors (> maxBucket=2 → dropped whole),
     // label 1 holds 2 identical vectors (= cap → kept). Without the cap
