@@ -458,4 +458,40 @@ object Curation {
           .cast("decimal(28,10)")).cast("double") / sum(col("ct")),
         4).as("entropy")))
   }
+
+  /** Linear quality-classifier scoring over hashed bag-of-words
+    * features — the fastText-style shape (Joulin et al. 2017) most
+    * production corpus filters run (CCNet's LM filter, the GPT-3/LLaMA
+    * "looks-like-Wikipedia" logistic classifier): each token hashes to
+    * one of `buckets` feature slots, the model is a (bucket → weight)
+    * table, a document's score is the MEAN weight of its token stream
+    * (counting duplicates), `keep = score > 0`. Training happens
+    * offline (any logistic-regression fit); this operator is the
+    * cluster-scale APPLY step. Tokens hash with the portable
+    * [[graft.functions.TextFunctions.hash32]], so the features are
+    * engine-independent; the mean rides an exact DECIMAL(18,2) sum
+    * (weights are expected at ≤2dp — quantize the model accordingly),
+    * making the score bit-reproducible under any aggregation order.
+    * Token-less documents have no feature stream and drop out.
+    *
+    * Scale: tokens explode → bucket hash (pure codegen) → broadcast
+    * join against the weight table (buckets ≤ a few million — always
+    * broadcast-able) → one partial+final agg per doc. No shuffle of
+    * the corpus beyond the per-doc agg; the model rides the plan. */
+  def hashedLinearScore(docs: Df, textCol: String, idCol: String,
+                        weights: Df, buckets: Int = 1 << 20): Df = {
+    require(buckets >= 1, s"hashedLinearScore: buckets must be >= 1: $buckets")
+    val toks = docs.sdf.select(col(idCol),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+      .withColumn("bucket",
+        graft.functions.TextFunctions.hash32(col("tok")) % buckets)
+    new Df(toks
+      .join(broadcast(weights.sdf), Seq("bucket"), "left")
+      .withColumn("weight", coalesce(col("weight"), lit(0.0)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("weight").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)), 6).as("score"))
+      .withColumn("keep", col("score") > 0))
+  }
 }

@@ -243,6 +243,48 @@ object Similarity {
         col("scale")))
   }
 
+  /** Brute-force top-k over int8-quantized vectors — the serving-side
+    * payoff of [[quantizeInt8]]: the score is the reconstructed inner
+    * product `(q_a·q_b) · scale_a · scale_b`, whose integer dot product
+    * is EXACT (≤ 64·127² fits a long with room to spare) and
+    * SIMD-friendly, touching 4× less memory bandwidth than the float
+    * path — at 100 TB of embeddings, ANN is bandwidth-bound and this
+    * is the difference between scanning 25 TB and 100 TB per probe.
+    * Queries broadcast (small side); ranking is per-query with
+    * corpus-id tie-break on the 6dp-rounded score — a total order.
+    * Compose with [[lshSignature]] bucketing for the sub-linear path;
+    * this is the in-bucket scorer. Same non-finite-vector drop
+    * contract as [[quantizeInt8]]. */
+  def int8TopK(queries: Df, corpus: Df, vecCol: String, idCol: String,
+               k: Int, excludeSelf: Boolean = true): Df = {
+    require(k >= 1, s"int8TopK: k must be >= 1: $k")
+    def quant(d: org.apache.spark.sql.DataFrame, idAs: String,
+              qAs: String, sAs: String) =
+      d.select(col(idCol).as(idAs),
+          transform(col(vecCol), _.cast("double")).as("__v"))
+        .where(col("__v").isNotNull &&
+          !exists(col("__v"), x => x.isNull || isnan(x) || abs(x) >= lit(1e18)))
+        .withColumn(sAs, array_max(transform(col("__v"), x => abs(x))) / lit(127.0))
+        .withColumn(qAs,
+          when(col(sAs) === 0, transform(col("__v"), _ => lit(0)))
+            .otherwise(transform(col("__v"), x => round(x / col(sAs)).cast("int"))))
+        .select(col(idAs), col(qAs), col(sAs))
+    val q = broadcast(quant(queries.sdf, "query_id", "q_q", "q_s"))
+    val c = quant(corpus.sdf, "corpus_id", "c_q", "c_s")
+    val dot = aggregate(
+      zip_with(col("q_q"), col("c_q"), (a, b) => (a * b).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
+    val joined = c.join(q,
+      if (excludeSelf) col("query_id") =!= col("corpus_id") else lit(true))
+    new Df(joined
+      .withColumn("score", round(dot * col("q_s") * col("c_s"), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "score"))
+  }
+
   /** Deterministic Lloyd k-means over an embedding column — the
     * clustering primitive data-mixing and SemDeDup-style pipelines run
     * before per-cluster work (Abbas et al. 2023 cluster with k-means,

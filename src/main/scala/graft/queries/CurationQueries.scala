@@ -168,6 +168,19 @@ object CurationQueries {
         .sortValues(Seq("doc_id")).sdf
     }),
 
+    // ---- fastText-style quality classifier APPLY: tokens hash into
+    // 1024 feature buckets, a synthetic-but-deterministic weight table
+    // ((bucket % 7 - 3)/10) broadcast-joins in, score = mean weight,
+    // keep = score > 0 ----
+    "q163_quality_classifier" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val w = new Df(s.range(0, 1024).selectExpr("id AS bucket",
+        "CAST((id % 7) - 3 AS DOUBLE) / 10.0 AS weight"))
+      graft.operators.Curation.hashedLinearScore(
+        d.where(col("doc_id") < 300), "text", "doc_id", w, buckets = 1024)
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
     // ---- Gopher repetition signals: four deterministic classes
     // (doc_id % 4) — duplicated lines, a hammered 2-gram, a repeated
     // 6-token phrase (dup 5-windows), and untouched docs whose natural
@@ -307,6 +320,21 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the weight table IS the formula, so the oracle inlines it:
+    // bucket = md5-hash32 % 1024, weight = ((bucket % 7) - 3)/10,
+    // mean through an exact DECIMAL(18,2) sum
+    "q163_quality_classifier" ->
+      s"""WITH toks AS (SELECT doc_id, UNNEST(${ExtensionQueries.toksSql()}) AS tok
+         |  FROM documents WHERE doc_id < 300),
+         |w AS (SELECT doc_id,
+         |  CAST(((('0x' || substr(md5(tok),1,8))::BIGINT % 1024) % 7) - 3 AS DOUBLE)
+         |    / 10.0 AS weight FROM toks)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |ROUND(CAST(SUM(CAST(weight AS DECIMAL(18,2))) AS DOUBLE)
+         |  / COUNT(*), 6) AS score,
+         |(ROUND(CAST(SUM(CAST(weight AS DECIMAL(18,2))) AS DOUBLE)
+         |  / COUNT(*), 6) > 0) AS keep
+         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // patterns are single-sourced from Curation.* so the oracle can
     // never drift from the operator; counts via len(regexp_extract_all),
     // replacement with the 'g' flag (DuckDB defaults to first-match)

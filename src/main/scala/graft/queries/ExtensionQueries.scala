@@ -428,6 +428,15 @@ object ExtensionQueries {
         .sortValues(Seq("vec_id", "pos")).sdf
     }),
 
+    // ---- quantized ANN: top-3 neighbors for 5 probe vectors by
+    // reconstructed int8 inner product (exact integer dot × scales) ----
+    "q162_int8_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      graft.operators.Similarity.int8TopK(
+        e.where(col("vec_id") < 5), e, "embedding", "vec_id", k = 3)
+        .sortValues(Seq("query_id", "rank")).sdf
+    }),
+
     // ---- deterministic Lloyd k-means over the embedding corpus:
     // lowest-id init, 6dp-rounded argmin with index tie-break, decimal
     // centroid means — every step exact-replayable in SQL ----
@@ -1120,6 +1129,28 @@ object ExtensionQueries {
          |  b.embedding::DOUBLE[]), 6) >= 0.99
          |ORDER BY id_a, id_b""".stripMargin,
     "q158_kmeans" -> kmeansSql,
+    // q161's quantizer inlined on both sides, integer dot exact in
+    // BIGINT, score = dot * scale_a * scale_b left-to-right (the
+    // Spark column expression's evaluation order), 6dp-rounded
+    "q162_int8_topk" ->
+      """WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(list_filter(embedding,
+        |    x -> x IS NULL OR isnan(x) OR abs(x) >= 1e18)) = 0),
+        |qz AS (SELECT vec_id, scale,
+        |  (CASE WHEN scale = 0 THEN list_transform(v, x -> 0::BIGINT)
+        |   ELSE list_transform(v, x -> ROUND(x / scale)::BIGINT) END) AS q
+        |  FROM (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM corpus)),
+        |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+        |  ROUND(list_reduce(list_transform(range(1, len(a.q) + 1),
+        |      i -> a.q[i::INT] * b.q[i::INT]), (x, y) -> x + y)
+        |    * a.scale * b.scale, 6) AS score
+        |  FROM qz a JOIN qz b ON a.vec_id < 5 AND a.vec_id != b.vec_id),
+        |ranked AS (SELECT query_id, corpus_id, score,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, corpus_id) AS rank FROM scored)
+        |SELECT query_id, rank::INT AS rank, corpus_id, score FROM ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     // exact-arithmetic replay: list_max of |v| is exact, /127.0 and
     // the ROUND are IEEE-deterministic; q cast to INT on both sides
     "q161_quantize_int8" ->

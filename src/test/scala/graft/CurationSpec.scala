@@ -413,6 +413,25 @@ class CurationSpec extends AnyFunSuite {
     assert(e1.map(_._2).toSeq != (0L until 50L).toSeq)
   }
 
+  test("hashedLinearScore: mean hashed-bucket weight, zero for unknown buckets") {
+    val d = mkDocs(1L -> "a a b", 2L -> "b", 3L -> "c")
+    // weight table keyed on the ACTUAL buckets of a and b; c unmapped -> 0
+    val bucketOf = d.sdf.select(explode(graft.functions.TextFunctions
+        .tokens(col("text"))).as("tok")).distinct()
+      .withColumn("bucket", graft.functions.TextFunctions.hash32(col("tok")) % 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = Df.fromRows(spark, Seq(
+      Row(bucketOf("a"), 0.2), Row(bucketOf("b"), -0.1)),
+      StructType(Seq(StructField("bucket", LongType),
+        StructField("weight", DoubleType))))
+    val out = Curation.hashedLinearScore(d, "text", "doc_id", w, buckets = 1024)
+      .sdf.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((3L, 0.1, true)))   // (0.2 + 0.2 - 0.1) / 3
+    assert(out(2L) == ((1L, -0.1, false)))
+    assert(out(3L) == ((1L, 0.0, false)))  // unknown bucket -> weight 0
+  }
+
   test("curation ops plan without cartesian products or UDFs") {
     val d = mkDocs(1L -> "a\nb", 2L -> "b\nc")
     val plan = Curation.dedupLines(d, "text", "doc_id")

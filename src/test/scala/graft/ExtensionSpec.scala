@@ -219,6 +219,21 @@ class ExtensionSpec extends AnyFunSuite {
       (2L, 0, 0), (2L, 1, 0), (2L, 2, 0)))
   }
 
+  test("int8TopK ranks by reconstructed inner product, exact on axis vectors") {
+    // axis-aligned vectors quantize exactly: [1,0]·[2,0] reconstructs
+    // to 2.0, orthogonal to 0.0, antiparallel to -1.0
+    val d = Df.fromRows(spark, Seq(
+      Row(1L, Seq(1.0f, 0.0f)), Row(2L, Seq(2.0f, 0.0f)),
+      Row(3L, Seq(0.0f, 1.0f)), Row(4L, Seq(-1.0f, 0.0f))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val out = graft.operators.Similarity
+      .int8TopK(d.where(col("vec_id") === 1), d, "embedding", "vec_id", k = 2)
+      .sdf.orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq((1, 2L, 2.0), (2, 3L, 0.0)))
+  }
+
   test("embeddingCosinePairs drops over-cap blocks, keeps the rest") {
     // label 0 holds 3 identical vectors (> maxBucket=2 → dropped whole),
     // label 1 holds 2 identical vectors (= cap → kept). Without the cap
