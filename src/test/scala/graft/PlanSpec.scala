@@ -318,4 +318,37 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(c.semiJoin(o, Seq("c_custkey")).sdf)
     assert(p.contains("LeftSemi"), p)
   }
+
+  test("kMeans assignment plan is join-free: centroid literals ride the expressions") {
+    val e = Df.readParquet(spark, s"$sf/embeddings.parquet")
+    val p = plan(graft.operators.Similarity
+      .kMeans(e, "embedding", "vec_id", k = 2, iters = 1).sdf)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    Df.releaseRetained()
+  }
+
+  test("bpePairCounts compiles to partial+final aggs and a TakeOrdered top-k") {
+    val d = Df.readParquet(spark, s"$sf/documents.parquet")
+    val p = plan(graft.operators.TextAnalytics
+      .bpePairCounts(d, "text", "doc_id", k = 20).sdf)
+    assert(p.contains("TakeOrderedAndProject"), p)  // never a global sort
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
+  test("hashedLinearScore broadcasts the model; int8TopK broadcasts probes") {
+    val d = Df.readParquet(spark, s"$sf/documents.parquet")
+    val w = new Df(spark.range(0, 64).selectExpr("id AS bucket",
+      "CAST(id % 3 AS DOUBLE) / 10.0 AS weight"))
+    val p1 = plan(graft.operators.Curation
+      .hashedLinearScore(d, "text", "doc_id", w, buckets = 64).sdf)
+    assert(p1.contains("BroadcastHashJoin"), p1)
+    assert(!p1.contains("CartesianProduct"), p1)
+    val e = Df.readParquet(spark, s"$sf/embeddings.parquet")
+    val p2 = plan(graft.operators.Similarity
+      .int8TopK(e.where(e("vec_id") < 3), e, "embedding", "vec_id", k = 3).sdf)
+    // brute-force in-bucket scorer: broadcast NLJ over the tiny probe
+    // side is the intended shape; an un-broadcast cartesian is not
+    assert(p2.contains("BroadcastNestedLoopJoin"), p2)
+    assert(!p2.contains("CartesianProduct"), p2)
+  }
 }
