@@ -459,6 +459,54 @@ object Curation {
         4).as("entropy")))
   }
 
+  /** Quality-ordered corpus selection under a token budget — the
+    * "select the best 1T tokens out of 10T" step every pretraining mix
+    * ends with: rank docs by `scoreCol` (desc, `idCol` tiebreak — a
+    * total order), take the prefix whose running token total stays
+    * ≤ `budget`. Output keeps `cum_tokens` (the running total INCLUDING
+    * the row) so the cut is auditable.
+    *
+    * Scale: a naive `SUM OVER (ORDER BY …)` is a single-partition
+    * window — one task owns the whole corpus. This runs the standard
+    * distributed prefix sum instead: range-partition on the rank key,
+    * partition-LOCAL cumulative windows, and per-partition totals
+    * (one bounded driver round-trip, |partitions| longs) turned into
+    * exclusive offsets that broadcast back. The result is independent
+    * of the sampled range boundaries because the rank key is a strict
+    * total order and long addition is associative. NULL token counts
+    * add nothing (SQL SUM semantics) but stay eligible rows; NULL
+    * scores rank last (desc_nulls_last on both engines by contract). */
+  def selectByTokenBudget(docs: Df, scoreCol: String, tokensCol: String,
+                          idCol: String, budget: Long,
+                          numPartitions: Int = 0): Df = {
+    require(budget >= 0, s"selectByTokenBudget: budget must be >= 0: $budget")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val keys = Seq(col(scoreCol).desc_nulls_last, col(idCol).asc)
+    val ranged0 = if (numPartitions > 0)
+      docs.sdf.repartitionByRange(numPartitions, keys: _*)
+    else docs.sdf.repartitionByRange(keys: _*)
+    val ranged = ranged0.sortWithinPartitions(keys: _*)
+      .withColumn("__pid", spark_partition_id()).persist(lvl)
+    val totals = ranged.groupBy("__pid")
+      .agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L)).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
+      (pid, acc + t)
+    }.sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
+    val offsetDf = ranged.sparkSession
+      .createDataFrame(offsets.map { case (p, o) => (p, o) })
+      .toDF("__pid", "__offset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(keys: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    new Df(ranged
+      .join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn("cum_tokens",
+        col("__offset") + coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
+      .where(col("cum_tokens") <= budget)
+      .drop("__pid", "__offset")).retaining(ranged)
+  }
+
   /** Linear quality-classifier scoring over hashed bag-of-words
     * features — the fastText-style shape (Joulin et al. 2017) most
     * production corpus filters run (CCNet's LM filter, the GPT-3/LLaMA

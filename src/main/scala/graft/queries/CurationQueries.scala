@@ -168,6 +168,19 @@ object CurationQueries {
         .sortValues(Seq("doc_id")).sdf
     }),
 
+    // ---- token-budget selection: best docs by n_chars until the
+    // running token total passes 15000 (just over half the corpus) —
+    // distributed prefix sum, exact long arithmetic ----
+    "q164_token_budget" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val withTok = new Df(d.sdf.withColumn("n_tokens",
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")))
+      graft.operators.Curation.selectByTokenBudget(
+        withTok, "n_chars", "n_tokens", "doc_id", budget = 15000L)
+        .select("doc_id", "n_chars", "n_tokens", "cum_tokens")
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
     // ---- fastText-style quality classifier APPLY: tokens hash into
     // 1024 feature buckets, a synthetic-but-deterministic weight table
     // ((bucket % 7 - 3)/10) broadcast-joins in, score = mean weight,
@@ -320,6 +333,18 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // single-window replay of the distributed prefix sum (the total
+    // order (n_chars DESC, doc_id) makes them identical); HUGEINT
+    // window sum cast back to BIGINT
+    "q164_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, n_chars,
+         |  len(${ExtensionQueries.toksSql()})::BIGINT AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_chars, n_tokens,
+         |  SUM(n_tokens) OVER (ORDER BY n_chars DESC NULLS LAST, doc_id
+         |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens FROM d)
+         |SELECT doc_id, n_chars, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 15000 ORDER BY doc_id""".stripMargin,
     // the weight table IS the formula, so the oracle inlines it:
     // bucket = md5-hash32 % 1024, weight = ((bucket % 7) - 3)/10,
     // mean through an exact DECIMAL(18,2) sum

@@ -419,6 +419,21 @@ object ExtensionQueries {
         d.where(col("doc_id") < 200), "text", "doc_id", k = 50).sdf
     }),
 
+    // ---- per-column profile of documents: one aggregation pass,
+    // exact distincts, long format ----
+    "q165_profile" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      graft.operators.Profiling.profile(d)
+        .rename(Map("column" -> "col_name"))
+        .sortValues(Seq("col_name")).sdf
+    }),
+
+    // ---- key-skew diagnostics for a prospective join key ----
+    "q166_skew_stats" -> ((s, dir) => {
+      graft.operators.Profiling.skewStats(T(s, dir, "lineitem"), "l_orderkey")
+        .sdf
+    }),
+
     // ---- int8 symmetric quantization of the embedding corpus, long
     // format: scale = max|v|/127, q = round(v/scale) — max component
     // hits ±127 exactly, every step IEEE-replayable ----
@@ -1129,6 +1144,23 @@ object ExtensionQueries {
          |  b.embedding::DOUBLE[]), 6) >= 0.99
          |ORDER BY id_a, id_b""".stripMargin,
     "q158_kmeans" -> kmeansSql,
+    // one UNION ALL branch per documents column; counts cast BIGINT
+    "q165_profile" -> {
+      def br(c: String) =
+        s"""SELECT '$c' AS col_name, COUNT(*)::BIGINT AS n,
+           |(COUNT(*) - COUNT($c))::BIGINT AS n_nulls,
+           |COUNT(DISTINCT $c)::BIGINT AS n_distinct FROM documents""".stripMargin
+      Seq("doc_id", "text", "lang", "source", "n_chars").map(br)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+    },
+    // exact integer inputs -> IEEE-deterministic skew ratio
+    "q166_skew_stats" ->
+      """WITH k AS (SELECT l_orderkey, COUNT(*) AS kn FROM lineitem GROUP BY 1)
+        |SELECT CAST(SUM(kn) AS BIGINT) AS n_rows, COUNT(*)::BIGINT AS n_keys,
+        |CAST(MAX(kn) AS BIGINT) AS max_key_n,
+        |ROUND((CAST(MAX(kn) AS BIGINT) * COUNT(*))
+        |  / CAST(SUM(kn) AS BIGINT)::DOUBLE, 4) AS skew
+        |FROM k""".stripMargin,
     // q161's quantizer inlined on both sides, integer dot exact in
     // BIGINT, score = dot * scale_a * scale_b left-to-right (the
     // Spark column expression's evaluation order), 6dp-rounded

@@ -432,6 +432,25 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 0.0, false)))  // unknown bucket -> weight 0
   }
 
+  test("selectByTokenBudget takes the quality prefix; offsets cross partitions exactly") {
+    // scores 50..10, 10 tokens each, budget 25 -> exactly the top two
+    // (cum 10, 20); the NULL-score doc ranks last and never makes it;
+    // the NULL-token doc (score 35, between the winners) adds nothing
+    // to the running total and stays eligible. 3 range partitions
+    // force the offset path.
+    val docs = Df.fromRows(spark, Seq(
+      Row(1L, 50L, 10L), Row(2L, 40L, 10L), Row(3L, 35L, null),
+      Row(4L, 30L, 10L), Row(5L, null, 10L)),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("score", LongType), StructField("n_tokens", LongType))))
+    val out = graft.operators.Curation.selectByTokenBudget(
+      docs, "score", "n_tokens", "doc_id", budget = 25L, numPartitions = 3)
+      .sdf.collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getLong(r.fieldIndex("cum_tokens"))).toMap
+    assert(out == Map(1L -> 10L, 2L -> 20L, 3L -> 20L))
+    Df.releaseRetained()
+  }
+
   test("curation ops plan without cartesian products or UDFs") {
     val d = mkDocs(1L -> "a\nb", 2L -> "b\nc")
     val plan = Curation.dedupLines(d, "text", "doc_id")

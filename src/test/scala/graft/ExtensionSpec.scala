@@ -234,6 +234,25 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out == Seq((1, 2L, 2.0), (2, 3L, 0.0)))
   }
 
+  test("profile counts nulls and exact distincts per column; skewStats flags the hot key") {
+    val d = Df.fromRows(spark, Seq(
+      Row(1L, "a"), Row(2L, "a"), Row(3L, null), Row(4L, "b")),
+      StructType(Seq(StructField("id", LongType),
+        StructField("k", StringType))))
+    val prof = graft.operators.Profiling.profile(d)
+      .sdf.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(prof("id") == ((4L, 0L, 4L)))
+    assert(prof("k") == ((4L, 1L, 2L)))   // null excluded from distinct
+    intercept[IllegalArgumentException] {
+      graft.operators.Profiling.profile(d, Seq("nope"))
+    }
+    // keys: a x2, b x1, null x1 -> 3 keys, max 2, skew = 2*3/4 = 1.5
+    val skew = graft.operators.Profiling.skewStats(d, "k").sdf.collect()(0)
+    assert((skew.getLong(0), skew.getLong(1), skew.getLong(2), skew.getDouble(3)) ==
+      ((4L, 3L, 2L, 1.5)))
+  }
+
   test("embeddingCosinePairs drops over-cap blocks, keeps the rest") {
     // label 0 holds 3 identical vectors (> maxBucket=2 → dropped whole),
     // label 1 holds 2 identical vectors (= cap → kept). Without the cap
