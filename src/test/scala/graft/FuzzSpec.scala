@@ -409,6 +409,75 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("quantizeInt8: codes bounded, reconstruction within scale/2 (random vectors)") {
+    val vecGen = Gen.listOfN(8,
+      Gen.listOfN(6, Gen.choose(-100.0f, 100.0f)))
+    trials(vecGen, n = 5) { vecs =>
+      val d = Df.fromRows(spark,
+        vecs.zipWithIndex.map { case (v, i) => Row(i.toLong, v) },
+        StructType(Seq(StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+      val rows = graft.operators.Similarity
+        .quantizeInt8(d, "embedding", "vec_id")
+        .sdf.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      assert(rows.length == vecs.size * 6)
+      rows.foreach { case (id, pos, q, scale) =>
+        assert(math.abs(q) <= 127, s"code out of range: $q")
+        val orig = vecs(id.toInt)(pos).toDouble
+        // half-away rounding: |q*scale - v| <= scale/2 (+ fp slack)
+        assert(math.abs(q * scale - orig) <= scale / 2 + 1e-9,
+          s"reconstruction off: v=$orig q=$q scale=$scale")
+      }
+    }
+  }
+
+  test("kMeans: total assignment, labels in range, deterministic (random corpora)") {
+    val vecGen = Gen.listOfN(12, Gen.listOfN(4, Gen.choose(-10.0f, 10.0f)))
+    trials(vecGen, n = 4) { vecs =>
+      val d = Df.fromRows(spark,
+        vecs.zipWithIndex.map { case (v, i) => Row(i.toLong, v) },
+        StructType(Seq(StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+      def run() = graft.operators.Similarity
+        .kMeans(d, "embedding", "vec_id", k = 3, iters = 2)
+        .sdf.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val a = run(); val b = run()
+      Df.releaseRetained()
+      assert(a.size == vecs.size)               // every vector labeled
+      assert(a.values.forall(c => c >= 0 && c < 3))
+      assert(a == b)                            // bit-deterministic
+    }
+  }
+
+  test("selectByTokenBudget output is exactly the maximal quality prefix (random corpora)") {
+    val rowGen = Gen.listOfN(20, Gen.zip(
+      Gen.choose(0L, 50L), Gen.choose(1L, 30L)))
+    trials(rowGen, n = 5) { xs =>
+      val docs = xs.zipWithIndex.map { case ((score, tok), i) =>
+        (i.toLong, score, tok) }
+      val d = Df.fromRows(spark, docs.map { case (i, s, t) => Row(i, s, t) },
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("score", LongType), StructField("n_tokens", LongType))))
+      val budget = xs.map(_._2).sum / 2
+      val got = graft.operators.Curation.selectByTokenBudget(
+        d, "score", "n_tokens", "doc_id", budget, numPartitions = 3)
+        .sdf.collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+          r.getLong(r.fieldIndex("cum_tokens"))).toMap
+      Df.releaseRetained()
+      // local reference: running total over the FULL ordered stream,
+      // keep rows while it stays <= budget (a strict prefix — once the
+      // total passes the budget nothing later re-enters)
+      var cum = 0L
+      val expect = scala.collection.mutable.Map[Long, Long]()
+      docs.sortBy { case (i, s, _) => (-s, i) }.foreach { case (i, _, t) =>
+        cum += t
+        if (cum <= budget) expect(i) = cum
+      }
+      assert(got == expect.toMap, s"budget=$budget")
+    }
+  }
+
   test("binopAligned union-of-index semantics") {
     val a = Df.fromRows(spark, Seq(Row(1L, 10.0), Row(2L, 20.0)),
       StructType(Seq(StructField("i", LongType), StructField("x", DoubleType))))
