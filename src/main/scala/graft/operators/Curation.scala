@@ -481,6 +481,14 @@ object Curation {
                           numPartitions: Int = 0): Df = {
     require(budget >= 0, s"selectByTokenBudget: budget must be >= 0: $budget")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // a negative token count (tokenizer failure sentinel) would make
+    // the running total non-monotone and silently re-admit rows after
+    // the cut — the result would no longer be a prefix. Fail loudly at
+    // scan time instead; NULL stays allowed (adds nothing).
+    val tok = when(col(tokensCol) < 0, raise_error(concat(
+        lit(s"selectByTokenBudget: negative token count in '$tokensCol': "),
+        col(tokensCol).cast("string"))))
+      .otherwise(col(tokensCol)).cast("long")
     val keys = Seq(col(scoreCol).desc_nulls_last, col(idCol).asc)
     val ranged0 = if (numPartitions > 0)
       docs.sdf.repartitionByRange(numPartitions, keys: _*)
@@ -488,7 +496,7 @@ object Curation {
     val ranged = ranged0.sortWithinPartitions(keys: _*)
       .withColumn("__pid", spark_partition_id()).persist(lvl)
     val totals = ranged.groupBy("__pid")
-      .agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L)).as("__t"))
+      .agg(coalesce(sum(tok), lit(0L)).as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
       (pid, acc + t)
@@ -502,7 +510,7 @@ object Curation {
     new Df(ranged
       .join(broadcast(offsetDf), Seq("__pid"))
       .withColumn("cum_tokens",
-        col("__offset") + coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
+        col("__offset") + coalesce(sum(tok).over(w), lit(0L)))
       .where(col("cum_tokens") <= budget)
       .drop("__pid", "__offset")).retaining(ranged)
   }

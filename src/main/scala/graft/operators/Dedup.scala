@@ -555,8 +555,12 @@ object Dedup {
     * vector means each (a, b) pair is produced at most once — no
     * DISTINCT pass needed (unlike banded MinHash). The corpus side is
     * the big one; the batch's bucketed index is small and AQE
-    * broadcasts it. NULL/NaN-element vectors get NULL signatures and
-    * never pair (lshSignature's contract). */
+    * broadcasts it. Vectors that are NULL or carry a non-finite
+    * element never pair: dropped up front by the
+    * [[graft.operators.Similarity.fullyFinite]] corpus contract
+    * (lshSignature alone only NULLs NULL-element vectors — NaN
+    * elements would set every sign bit and funnel all damaged vectors
+    * into one hot bucket, evicting legitimate ones via the cap). */
   def embeddingJoin(corpus: Df, newVecs: Df, vecCol: String, idCol: String,
                     minCosine: Double, planes: Int = 8, dim: Int = 64,
                     maxBucket: Int = DefaultMaxBucket): Df = {
@@ -568,9 +572,9 @@ object Dedup {
     graft.plans.GraftFunctions.register(corpus.spark)
     def side(d: Df, idAs: String, vAs: String) =
       capBuckets(d.sdf
+        .where(graft.operators.Similarity.fullyFinite(col(vecCol)))
         .withColumn("__bk",
           graft.operators.Similarity.lshSignature(col(vecCol), planes, dim))
-        .where(col("__bk").isNotNull)
         .select(col(idCol).as(idAs), col(vecCol).as(vAs), col("__bk")),
         maxBucket, cols = Seq("__bk"))
     new Df(side(corpus, "id_a", "v_a")
@@ -722,14 +726,19 @@ object Dedup {
                        buckets: Int = 10000): Df = {
     requireArgs("clusterSafeSplit")(
       (fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]: $fraction"),
-      (buckets >= 1, s"buckets must be >= 1: $buckets"))
+      (buckets >= 1, s"buckets must be >= 1: $buckets"),
+      // fail loudly instead of silently clobbering caller data, and
+      // keep the join unambiguous when docs went through an earlier
+      // clustering step that left its own 'cluster' column
+      (!docs.columns.contains("split_key") && !docs.columns.contains("split"),
+        "docs already has a split_key/split column — rename it first"))
     val cc = connectedComponents(pairs, aCol, bCol).sdf
-      .withColumnRenamed("id", idCol)
+      .select(col("id").as(idCol), col("cluster").as("__cc_cluster"))
     val bucket = graft.functions.TextFunctions
       .hash32(col("split_key").cast("string")) % buckets
     new Df(docs.sdf.join(cc, Seq(idCol), "left")
-      .withColumn("split_key", coalesce(col("cluster"), col(idCol)))
-      .drop("cluster")
+      .withColumn("split_key", coalesce(col("__cc_cluster"), col(idCol)))
+      .drop("__cc_cluster")
       .withColumn("split",
         when(bucket < math.round(fraction * buckets), lit(matchLabel))
           .otherwise(lit(restLabel))))

@@ -127,8 +127,13 @@ object Layout {
     val src = spark.read.parquet(srcDir)
     val n = src.count()
     val files = math.max(1L,
-      (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
-    src.repartition(files).write.mode("overwrite")
+      (n + targetRecordsPerFile - 1) / targetRecordsPerFile)
+    // ceil(n/target) beyond Int range would silently wrap through toInt
+    // into a garbage repartition count — name the fix instead
+    require(files <= Int.MaxValue,
+      s"compactParquet: $n rows / $targetRecordsPerFile per file needs " +
+        s"$files output files (> Int.MaxValue) — raise targetRecordsPerFile")
+    src.repartition(files.toInt).write.mode("overwrite")
       .option("maxRecordsPerFile", targetRecordsPerFile)
       .parquet(dstDir)
     new Df(spark.read.parquet(dstDir))

@@ -31,13 +31,18 @@ object Profiling {
     require(cs.nonEmpty, "profile: no columns to profile")
     val missing = cs.filterNot(df.columns.contains)
     require(missing.isEmpty, s"profile: no such column(s): ${missing.mkString(", ")}")
-    val aggs = count(lit(1)).as("__n") +: cs.flatMap { c =>
-      Seq(count(col(c)).as(s"__present_$c"),
-        count_distinct(col(c)).as(s"__distinct_$c"))
+    // positional internal names + backtick-quoted references: column
+    // names are DATA here (they ride a generated selectExpr), so a
+    // space, quote, or backtick in a CSV-ingested header must not
+    // break the parse or the label literal
+    val aggs = count(lit(1)).as("__n") +: cs.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(col(c)).as(s"__present_$i"),
+        count_distinct(col(c)).as(s"__distinct_$i"))
     }
     val one = df.sdf.agg(aggs.head, aggs.tail: _*)
-    val stacked = cs.map { c =>
-      s"'$c', __n, __n - __present_$c, __distinct_$c"
+    val stacked = cs.zipWithIndex.map { case (c, i) =>
+      val label = c.replace("\\", "\\\\").replace("'", "\\'")
+      s"'$label', __n, __n - __present_$i, __distinct_$i"
     }.mkString(", ")
     new Df(one.selectExpr(
       s"stack(${cs.size}, $stacked) AS (column, n, n_nulls, n_distinct)"))

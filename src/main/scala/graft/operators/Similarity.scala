@@ -213,6 +213,16 @@ object Similarity {
     new Df(rerankTopK(c.join(q, Seq("bucket")), k, excludeSelf))
   }
 
+  /** The cross-engine "usable vector" corpus contract shared by the
+    * quantization / k-means / embedding-join family and their DuckDB
+    * oracles: non-NULL, and every element defined and finite (not
+    * NULL, not NaN, |x| < 1e18). Single-sourced so the three operator
+    * copies and the oracle CASE clauses cannot drift apart — the
+    * threshold and the comparison direction ARE the contract. */
+  private[operators] def fullyFinite(v: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    v.isNotNull && !exists(v, x => x.isNull || isnan(x) || abs(x) >= lit(1e18))
+
   /** Per-vector symmetric int8 scalar quantization — the standard 4×
     * memory/bandwidth reduction before ANN serving at scale: a 100 TB
     * float32 embedding store becomes 25 TB, and integer dot products
@@ -231,8 +241,7 @@ object Similarity {
   def quantizeInt8(vecs: Df, vecCol: String, idCol: String): Df = {
     val corpus = vecs.sdf
       .select(col(idCol), transform(col(vecCol), _.cast("double")).as("__v"))
-      .where(col("__v").isNotNull &&
-        !exists(col("__v"), x => x.isNull || isnan(x) || abs(x) >= lit(1e18)))
+      .where(fullyFinite(col("__v")))
     new Df(corpus
       .withColumn("scale", array_max(transform(col("__v"), x => abs(x))) / lit(127.0))
       .select(col(idCol), col("scale"),
@@ -316,8 +325,7 @@ object Similarity {
     val corpus = vecs.sdf
       .select(col(idCol).as("__id"),
         transform(col(vecCol), _.cast("double")).as("__v"))
-      .where(col("__v").isNotNull &&
-        !exists(col("__v"), x => x.isNull || isnan(x) || abs(x) >= lit(1e18)))
+      .where(fullyFinite(col("__v")))
       .persist(lvl)
     val init = corpus.sort("__id").limit(k).collect()
       .map(_.getSeq[Double](1).toArray)

@@ -341,8 +341,8 @@ object CurationQueries {
          |  len(${ExtensionQueries.toksSql()})::BIGINT AS n_tokens
          |  FROM documents),
          |c AS (SELECT doc_id, n_chars, n_tokens,
-         |  SUM(n_tokens) OVER (ORDER BY n_chars DESC NULLS LAST, doc_id
-         |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens FROM d)
+         |  COALESCE(SUM(n_tokens) OVER (ORDER BY n_chars DESC NULLS LAST, doc_id
+         |    ROWS UNBOUNDED PRECEDING), 0)::BIGINT AS cum_tokens FROM d)
          |SELECT doc_id, n_chars, n_tokens, cum_tokens FROM c
          |WHERE cum_tokens <= 15000 ORDER BY doc_id""".stripMargin,
     // the weight table IS the formula, so the oracle inlines it:

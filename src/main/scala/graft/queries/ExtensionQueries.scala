@@ -916,8 +916,10 @@ object ExtensionQueries {
        |    / COUNT(*), 6) AS c
        |  FROM (SELECT cluster, v, UNNEST(range(len(v))) AS i FROM a0)
        |  GROUP BY cluster, i),
-       |c1 AS (SELECT cluster, array_agg(c ORDER BY pos) AS cvec
+       |u1v AS (SELECT cluster, array_agg(c ORDER BY pos) AS cvec
        |  FROM u1 GROUP BY cluster),
+       |c1 AS (SELECT c0.cluster, COALESCE(u1v.cvec, c0.cvec) AS cvec
+       |  FROM c0 LEFT JOIN u1v ON c0.cluster = u1v.cluster),
        |a1 AS (SELECT vec_id, cluster FROM (
        |  SELECT e.vec_id, c.cluster,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1126,13 +1128,15 @@ object ExtensionQueries {
          |  FROM embeddings WHERE vec_id % 20 = 7),
          |a0 AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS e FROM corpus),
          |a1 AS (SELECT vec_id, embedding,
-         |  (CASE WHEN e IS NULL OR len(list_filter(e, x -> x IS NULL)) > 0
+         |  (CASE WHEN e IS NULL OR len(list_filter(e,
+         |    x -> x IS NULL OR isnan(x) OR abs(x) >= 1e18)) > 0
          |   THEN NULL ELSE ${lshSigSql("e")} END) AS bk FROM a0),
          |ac AS (SELECT * FROM a1 WHERE bk IS NOT NULL
          |  QUALIFY COUNT(*) OVER (PARTITION BY bk) <= 100000),
          |b0 AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS e FROM batch),
          |b1 AS (SELECT vec_id, embedding,
-         |  (CASE WHEN e IS NULL OR len(list_filter(e, x -> x IS NULL)) > 0
+         |  (CASE WHEN e IS NULL OR len(list_filter(e,
+         |    x -> x IS NULL OR isnan(x) OR abs(x) >= 1e18)) > 0
          |   THEN NULL ELSE ${lshSigSql("e")} END) AS bk FROM b0),
          |bc AS (SELECT * FROM b1 WHERE bk IS NOT NULL
          |  QUALIFY COUNT(*) OVER (PARTITION BY bk) <= 100000)

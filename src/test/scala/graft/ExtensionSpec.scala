@@ -247,6 +247,12 @@ class ExtensionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.operators.Profiling.profile(d, Seq("nope"))
     }
+    // column names are data: spaces and quotes must not break the
+    // generated expression
+    val odd = new Df(d.sdf.withColumnRenamed("k", "it's a 'key' col"))
+    val oddProf = graft.operators.Profiling.profile(odd)
+      .sdf.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(oddProf("it's a 'key' col") == 2L)
     // keys: a x2, b x1, null x1 -> 3 keys, max 2, skew = 2*3/4 = 1.5
     val skew = graft.operators.Profiling.skewStats(d, "k").sdf.collect()(0)
     assert((skew.getLong(0), skew.getLong(1), skew.getLong(2), skew.getDouble(3)) ==
