@@ -696,6 +696,31 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   /** Semi/anti joins — Spark-native extension beyond the reference. */
   def semiJoin(right: Df, on: Seq[String]): Df = new Df(sdf.join(right.sdf, on, "left_semi"))
   def antiJoin(right: Df, on: Seq[String]): Df = new Df(sdf.join(right.sdf, on, "left_anti"))
+
+  /** MERGE-style upsert — the incremental-maintenance primitive for a
+    * corpus/metadata table kept current across crawl batches: rows of
+    * `updates` REPLACE same-key rows here (matched → update), keys only
+    * in `updates` append (not-matched → insert), everything else stays.
+    * Schemas must match column-for-column (order-insensitive).
+    * Duplicate keys inside `updates` are the caller's contract to
+    * avoid — they pass through untouched, like SQL MERGE's "multiple
+    * matched rows" would error only per-engine.
+    *
+    * Scale: ONE left-anti join on the key (AQE broadcasts `updates`
+    * when it's batch-sized — the common case: daily delta vs full
+    * corpus) + a union; never a full-outer join, never a shuffle of
+    * the union itself. Pair with [[toParquetPartitioned]] to rewrite
+    * only touched partitions downstream. */
+  def upsert(updates: Df, on: Seq[String]): Df = {
+    require(on.nonEmpty, "upsert: need at least one key column")
+    require(columns.toSet == updates.columns.toSet,
+      s"upsert: schemas differ — target [${columns.mkString(", ")}] vs " +
+        s"updates [${updates.columns.mkString(", ")}]")
+    val missing = on.filterNot(columns.contains)
+    require(missing.isEmpty, s"upsert: no such key column(s): ${missing.mkString(", ")}")
+    new Df(updates.sdf.select(columns.map(col): _*)
+      .unionByName(sdf.join(updates.sdf.select(on.map(col): _*), on, "left_anti")))
+  }
   def crossJoin(right: Df): Df = new Df(sdf.crossJoin(right.sdf))
   /** Broadcast the (small) frame for subsequent joins. */
   def broadcastHint: Df = new Df(broadcast(sdf))

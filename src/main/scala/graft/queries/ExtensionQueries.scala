@@ -419,6 +419,20 @@ object ExtensionQueries {
         d.where(col("doc_id") < 200), "text", "doc_id", k = 50).sdf
     }),
 
+    // ---- MERGE-style upsert: every 10th order gets a price bump
+    // (update), every 7th re-keys past the id space (insert), the rest
+    // pass through ----
+    "q167_upsert" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val updates = Df.concat(Seq(
+        o.where(col("o_orderkey") % 10 === 0)
+          .selectExpr("o_orderkey", "o_totalprice + 1.0 AS o_totalprice"),
+        o.where(col("o_orderkey") % 7 === 0)
+          .selectExpr("o_orderkey + 10000000 AS o_orderkey", "o_totalprice")))
+      o.upsert(updates, Seq("o_orderkey"))
+        .sortValues(Seq("o_orderkey")).sdf
+    }),
+
     // ---- per-column profile of documents: one aggregation pass,
     // exact distincts, long format ----
     "q165_profile" -> ((s, dir) => {
@@ -1148,6 +1162,18 @@ object ExtensionQueries {
          |  b.embedding::DOUBLE[]), 6) >= 0.99
          |ORDER BY id_a, id_b""".stripMargin,
     "q158_kmeans" -> kmeansSql,
+    // updates win by NOT EXISTS; insert keys can't collide (offset past
+    // the id space)
+    "q167_upsert" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |u AS (SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL SELECT o_orderkey + 10000000, o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT * FROM u
+        |UNION ALL SELECT * FROM t
+        |WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.o_orderkey = t.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     // one UNION ALL branch per documents column; counts cast BIGINT
     "q165_profile" -> {
       def br(c: String) =

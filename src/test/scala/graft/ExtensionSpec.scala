@@ -259,6 +259,20 @@ class ExtensionSpec extends AnyFunSuite {
       ((4L, 3L, 2L, 1.5)))
   }
 
+  test("upsert: updates replace, inserts append, untouched rows survive; schema checked") {
+    val t = Df.fromRows(spark, Seq(Row(1L, "a"), Row(2L, "b")),
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))))
+    val u = Df.fromRows(spark, Seq(Row(2L, "B"), Row(3L, "c")),
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))))
+    val out = t.upsert(u, Seq("k")).sdf.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    intercept[IllegalArgumentException] {
+      t.upsert(u.rename(Map("v" -> "w")), Seq("k"))
+    }
+    intercept[IllegalArgumentException] { t.upsert(u, Seq("nope")) }
+  }
+
   test("embeddingCosinePairs drops over-cap blocks, keeps the rest") {
     // label 0 holds 3 identical vectors (> maxBucket=2 → dropped whole),
     // label 1 holds 2 identical vectors (= cap → kept). Without the cap
