@@ -550,4 +550,222 @@ object Curation {
           count(lit(1)), 6).as("score"))
       .withColumn("keep", col("score") > 0))
   }
+
+  /** Frequency-based boilerplate line removal — the RefinedWeb/CCNet
+    * cleaning rule [[dedupLines]] (keep-first) deliberately does NOT
+    * implement: a line that occurs in at least `minDocFreq` DISTINCT
+    * documents is navigation/footer chrome and is stripped from EVERY
+    * document (no surviving copy — the line itself is the noise);
+    * rarer repeats (quotes, licenses under the threshold) are kept in
+    * all their documents.
+    *
+    * Emits (idCol, n_lines, n_kept, textCol): the rebuilt text in
+    * original line order, with per-doc audit counts. Documents whose
+    * every line was boilerplate survive with empty text.
+    *
+    * Scale shape: lines explode once (persisted — the table feeds the
+    * doc-frequency count, the anti-join, and the totals); document
+    * frequency aggregates the 8-byte line hash after a (doc, hash)
+    * distinct, so the shuffle carries hashes, never line text; the
+    * boilerplate set (df ≥ threshold) is tiny by construction at any
+    * sane threshold and rides a LEFT ANTI join AQE will broadcast.
+    * Release the persisted line table with
+    * `Df.unpersistIntermediates()` after the terminal action. */
+  def stripBoilerplateLines(docs: Df, textCol: String, idCol: String,
+                            minDocFreq: Long): Df = {
+    require(minDocFreq >= 2,
+      s"stripBoilerplateLines: minDocFreq must be >= 2: $minDocFreq")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val lines = docs.sdf
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", hash32(col("line")))
+      .persist(lvl)
+    val boiler = lines.select(col(idCol), col("lh")).distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDocFreq)
+      .select(col("lh"))
+    val kept = lines.join(boiler, Seq("lh"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s("line"))).as(textCol))
+    val totals = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    new Df(totals.join(rebuilt, Seq(idCol), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .withColumn(textCol, coalesce(col(textCol), lit("")))).retaining(lines)
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each raw
+    * document by how target-like its hashed bag-of-words profile is.
+    * Features are unigrams hashed into `buckets` slots
+    * ([[graft.functions.TextFunctions.hash32]] — engine-portable);
+    * the target and raw bucket distributions get add-1 smoothing
+    * (`(ct+1)/(total+buckets)`); a document's log-importance-weight is
+    * the sum over its TOKEN STREAM (duplicates count, per the paper's
+    * bag-of-hashed-ngrams model) of
+    * `ln p_target(bucket) − ln p_raw(bucket)`. Downstream, sample
+    * proportionally to the weight (or keep the top slice by it) —
+    * this operator is the scoring pass.
+    *
+    * `targetIsCol` names a BOOLEAN column marking the target-domain
+    * rows (NULL = false); the raw distribution is the WHOLE corpus,
+    * target ⊂ raw, as in the paper's hashed-ngram estimator. Each log
+    * term is cast to DECIMAL(18,8) before summing (order-independent),
+    * and the per-doc sum is rounded to 4dp.
+    *
+    * Scale: one tokenize pass (persisted — it feeds the bucket counts,
+    * the totals, and the scoring join); bucket stats shuffle `buckets`
+    * keys; the (bucket → log-ratio) table is ≤ `buckets` rows and
+    * broadcast; scoring is a broadcast join + one per-doc agg. Nothing
+    * shuffles tokens twice. Token-less docs drop out (no features). */
+  def dsirLogWeights(docs: Df, textCol: String, idCol: String,
+                     targetIsCol: String, buckets: Int = 1 << 16): Df = {
+    require(buckets >= 1, s"dsirLogWeights: buckets must be >= 1: $buckets")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = docs.sdf.select(col(idCol),
+        coalesce(col(targetIsCol), lit(false)).as("__tgt"),
+        explode(tokens(col(textCol))).as("tok"))
+      .withColumn("bucket", hash32(col("tok")) % buckets)
+      .persist(lvl)
+    val counts = toks.groupBy(col("bucket")).agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct_t"),
+      count(lit(1)).as("__ct_r"))
+    val totals = toks.agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tot_t"),
+      count(lit(1)).as("__tot_r"))
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("__ct_t") + 1).cast("double") / (col("__tot_t") + buckets)) -
+          log((col("__ct_r") + 1).cast("double") / (col("__tot_r") + buckets)))
+          .cast("decimal(18,8)").as("__lr"))
+    new Df(toks.join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("__lr")).cast("double"), 4).as("log_weight")))
+      .retaining(toks)
+  }
+
+  /** Corpus snapshot diff — the incremental-pipeline planning step:
+    * classify every id across two corpus versions as `added` (only in
+    * new), `removed` (only in old), `changed` (both, different text),
+    * or `unchanged`. Downstream incremental dedup/scoring then
+    * processes only added ∪ changed ([[graft.operators.Dedup]]'s
+    * cross-corpus joins take exactly that slice).
+    *
+    * Scale: both sides reduce to (id, md5-fingerprint) map-side before
+    * the full-outer join — the shuffle ships 32-byte hashes, never
+    * document text. NULL texts compare via null-safe equality (two
+    * NULL-text versions of an id are `unchanged`). Requires unique ids
+    * per side (the corpus-key contract; a duplicated id would
+    * cross-product in the join). */
+  def corpusDiff(oldDocs: Df, newDocs: Df, idCol: String,
+                 textCol: String): Df = {
+    val o = oldDocs.sdf.select(col(idCol),
+      md5(col(textCol).cast("binary")).as("__fo"), lit(true).as("__po"))
+    val n = newDocs.sdf.select(col(idCol),
+      md5(col(textCol).cast("binary")).as("__fn"), lit(true).as("__pn"))
+    new Df(o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__po").isNull, "added")
+          .when(col("__pn").isNull, "removed")
+          .when(col("__fo") <=> col("__fn"), "unchanged")
+          .otherwise("changed"))
+      .select(col(idCol), col("status")))
+  }
+
+  /** Length-stratified training batches — sequence-length bucketing
+    * (the packing-efficiency trick: batching similar-length documents
+    * minimizes padding waste). Documents are bucketed by token count
+    * at the corpus's exact `nBuckets`-quantile cuts, then batched
+    * WITHIN each (bucket, shard) in (n_tokens, id) order —
+    * `batch = ordinal div batchSize`. Global batch identity is the
+    * TRIPLE (bucket, shard, batch).
+    *
+    * Scale shape: the cuts are one exact-percentile agg broadcast as a
+    * single row ([[graft.operators.TextAnalytics.perplexityBuckets]]'s
+    * convention — swap to approx_percentile upstream if cohorts are
+    * unbounded and oracle replay is not needed); batch assignment is a
+    * window over (bucket, shard) — parallelism = nBuckets·shards,
+    * never a keyless global window. Cuts are rounded to 6dp so the
+    * bucket rule replays exactly cross-engine. */
+  def lengthBucketBatches(docs: Df, textCol: String, idCol: String,
+                          nBuckets: Int = 4, batchSize: Int = 32,
+                          shards: Int = 16): Df = {
+    require(nBuckets >= 1, s"lengthBucketBatches: nBuckets must be >= 1: $nBuckets")
+    require(batchSize >= 1, s"lengthBucketBatches: batchSize must be >= 1: $batchSize")
+    require(shards >= 1, s"lengthBucketBatches: shards must be >= 1: $shards")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val withLen = docs.sdf.select(col(idCol),
+      tokenCount(col(textCol)).cast("long").as("n_tokens")).persist(lvl)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("n_tokens"), col(idCol))
+    val bucketed =
+      if (nBuckets == 1) withLen.withColumn("bucket", lit(1))
+      else {
+        val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+        val cuts = withLen
+          .agg(expr(s"percentile(n_tokens, array(${qs.mkString(",")}))").as("__c"))
+          .select((1 until nBuckets).map(i =>
+            round(element_at(col("__c"), i), 6).as(s"__t$i")): _*)
+        val bucketExpr = (1 until nBuckets).foldLeft(lit(1)) { (acc, i) =>
+          acc + when(col("n_tokens").cast("double") > col(s"__t$i"), 1).otherwise(0)
+        }
+        withLen.crossJoin(broadcast(cuts))
+          .withColumn("bucket", bucketExpr)
+          .drop((1 until nBuckets).map(i => s"__t$i"): _*)
+      }
+    new Df(bucketed
+      .withColumn("shard", (hash32(col(idCol).cast("string")) % shards).cast("int"))
+      .withColumn("__rn", row_number().over(w) - 1)
+      .withColumn("batch", expr(s"CAST(__rn div $batchSize AS BIGINT)"))
+      .drop("__rn")).retaining(withLen)
+  }
+
+  /** Deterministic negative sampling — the contrastive-training pair
+    * builder: each document draws `k` pseudo-random partners from the
+    * corpus, reproducibly under `seed` (re-runs, retries, and
+    * repartitions yield byte-identical pairs — the
+    * [[epochShuffle]] property, needed when the pairs feed a resumable
+    * training job). Partner j of anchor a is the document at global
+    * ordinal `hash(seed:a:j) mod n` of the seed-keyed permutation,
+    * bumped by one slot if it lands on the anchor itself (with a
+    * 1-document corpus the only partner IS the anchor — degenerate by
+    * construction, not guarded).
+    *
+    * Emits (anchor_id, neg_rank, neg_id), k rows per anchor. Draws are
+    * with replacement ACROSS ranks (two ranks of one anchor can hit
+    * the same partner — standard for negative sampling; dedup
+    * downstream if the loss requires distinct negatives).
+    *
+    * Scale: the ordinal table rides
+    * [[graft.api.Df.withRowIndexScalable]] (range-partition +
+    * zipWithIndex — no keyless window) and is persisted (it feeds the
+    * corpus-size agg, the anchor side, and the partner lookup); `n`
+    * arrives as a broadcast 1-row frame, never a driver action; the
+    * partner lookup is ONE equi-join on the 8-byte ordinal. */
+  def negativeSamples(docs: Df, idCol: String, k: Int, seed: Long): Df = {
+    require(k >= 1, s"negativeSamples: k must be >= 1: $k")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val keyed = new Df(docs.sdf.select(col(idCol))
+      .withColumn("__nkey",
+        md5(concat_ws(":", lit(seed), col(idCol).cast("string")))))
+      .withRowIndexScalable(Seq("__nkey", idCol), "__ord").sdf
+      .select(col(idCol), col("__ord")).persist(lvl)
+    val n = keyed.agg(count(lit(1)).as("__n"))
+    val anchors = keyed.crossJoin(broadcast(n))
+      .select(col(idCol).as("anchor_id"), col("__ord"), col("__n"),
+        explode(sequence(lit(0), lit(k - 1))).as("neg_rank"))
+      .withColumn("__cand",
+        hash32(concat_ws(":", lit(seed), col("anchor_id").cast("string"),
+          col("neg_rank").cast("string"))) % col("__n"))
+      .withColumn("__pord", when(col("__cand") === col("__ord"),
+        (col("__cand") + 1) % col("__n")).otherwise(col("__cand")))
+    val partners = keyed.select(col("__ord").as("__pord"), col(idCol).as("neg_id"))
+    new Df(anchors.join(partners, Seq("__pord"))
+      .select(col("anchor_id"), col("neg_rank"), col("neg_id")))
+      .retaining(keyed)
+  }
 }

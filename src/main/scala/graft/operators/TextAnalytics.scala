@@ -266,4 +266,96 @@ object TextAnalytics {
       .groupBy("pair").agg(sum(col("wf")).as("n"))
     new Df(pairCounts.orderBy(col("n").desc, col("pair").asc).limit(k))
   }
+
+  /** Collocation extraction by pointwise mutual information — the
+    * phrase-mining pass (Mikolov et al. 2013 §4 use the same counts
+    * with a discount; this is the classic PMI form over adjacent-pair
+    * events): for every adjacent token pair seen at least `minCount`
+    * times, `pmi = ln(c(w1,w2)·N / (c(w1·)·c(·w2)))` where `c(w1·)` /
+    * `c(·w2)` count the word as LEFT/RIGHT member over all N bigram
+    * positions (the contingency-table margins — not raw unigram
+    * counts, so the measure is properly normalized over pair events).
+    * High-PMI pairs are merge candidates ("new york" → "new_york");
+    * the full above-threshold table is emitted (deterministic — no
+    * rank cut to destabilize under ties).
+    *
+    * Scale: bigrams come from a per-row array transform (map-side, no
+    * self-join); the pair count is partial+final on (w1, w2); the
+    * margins aggregate the SAME persisted bigram table; the joins are
+    * vocabulary-keyed (tiny vs the corpus) onto the minCount-filtered
+    * pair table. PMI rounds to 6dp (ln ulp absorption — the q115
+    * convention). Release the persisted bigram table with
+    * `Df.unpersistIntermediates()` after the terminal action. */
+  def pmiCollocations(docs: Df, textCol: String, minCount: Long = 5): Df = {
+    require(minCount >= 1, s"pmiCollocations: minCount must be >= 1: $minCount")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bi = docs.sdf.select(tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> struct(toks[i] AS w1, toks[i + 1] AS w2))""".stripMargin)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist(lvl)
+    val pair = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val left = bi.groupBy(col("w1")).agg(count(lit(1)).as("n_w1"))
+    val right = bi.groupBy(col("w2")).agg(count(lit(1)).as("n_w2"))
+    val total = bi.agg(count(lit(1)).as("__n"))
+    new Df(pair.where(col("n_pair") >= minCount)
+      .join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("pmi", round(log(col("n_pair").cast("double") * col("__n") /
+        (col("n_w1").cast("double") * col("n_w2"))), 6))
+      .select("w1", "w2", "n_pair", "n_w1", "n_w2", "pmi"))
+      .retaining(bi)
+  }
+
+  /** Per-document interpolated bigram NLL — the [[unigramLogLoss]]
+    * upgrade (a first-order LM is a far sharper fluency signal than
+    * word frequencies; CCNet's real filter is a KenLM n-gram model —
+    * this is the n=2 member of that family with the corpus as its own
+    * training set). Each transition scores
+    * `p(w_i | w_{i-1}) = λ·c(w_{i-1} w_i)/c(w_{i-1}·) + (1−λ)·c(w_i)/N`
+    * (Jelinek-Mercer interpolation with the unigram MLE — the backoff
+    * mass keeps unseen-in-context words finite); a document's score is
+    * the mean −ln p over its n−1 transitions. Docs with < 2 tokens
+    * have no transitions and drop out.
+    *
+    * Scale: ONE tokenize pass builds the persisted per-doc token-array
+    * table; bigrams are a map-side array transform of it (persisted —
+    * they feed the pair counts, the left margins, and the scoring
+    * join); unigram counts ride the same base table; all model joins
+    * are vocabulary-keyed. Each −ln term is DECIMAL(18,8)-cast before
+    * the order-independent sum; the mean rounds to 4dp (the q115
+    * convention). Release persisted intermediates with
+    * `Df.unpersistIntermediates()` after the terminal action. */
+  def bigramNll(docs: Df, textCol: String, idCol: String,
+                lambda: Double = 0.7): Df = {
+    require(lambda >= 0 && lambda <= 1,
+      s"bigramNll: lambda must be in [0, 1]: $lambda")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = docs.sdf.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .persist(lvl)
+    val uni = base.select(explode(col("toks")).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("__cu"))
+    val uniTotal = base.select(explode(col("toks")).as("t"))
+      .agg(count(lit(1)).as("__nu"))
+    val bi = base.where(size(col("toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> struct(toks[i] AS w1, toks[i + 1] AS w2))""".stripMargin)).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist(lvl)
+    val pairCt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__cb"))
+    val leftCt = bi.groupBy(col("w1")).agg(count(lit(1)).as("__cl"))
+    new Df(bi.join(pairCt, Seq("w1", "w2")).join(leftCt, Seq("w1"))
+      .join(uni, Seq("w2")).crossJoin(broadcast(uniTotal))
+      .withColumn("__p",
+        lit(lambda) * col("__cb").cast("double") / col("__cl") +
+          lit(1 - lambda) * col("__cu").cast("double") / col("__nu"))
+      .withColumn("__nll", (-log(col("__p"))).cast("decimal(18,8)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_transitions"),
+        round(sum(col("__nll")).cast("double") / count(lit(1)), 4).as("avg_nll")))
+      .retaining(base, bi)
+  }
 }

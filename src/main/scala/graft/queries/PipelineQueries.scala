@@ -1,0 +1,256 @@
+package graft.queries
+
+import graft.api.Df
+import graft.operators.{Curation, TextAnalytics}
+import org.apache.spark.sql.functions._
+import QueryUtil._
+import ExtensionQueries.toksSql
+
+/** Training-pipeline suite, wave 3 (q168–q174): frequency-based
+  * boilerplate line removal, DSIR importance weights, PMI collocation
+  * mining, corpus snapshot diff, interpolated bigram NLL,
+  * length-stratified batch assembly, and deterministic negative
+  * sampling.
+  *
+  * Oracle conventions are the CurationQueries ones: deterministic
+  * doc_id-derived augmentation where the synthetic corpus lacks the
+  * structure an operator targets, md5-prefix hashes, decimal-cast log
+  * sums, ROUND-absorbed libm ulps, total-order output sorts.
+  */
+object PipelineQueries {
+
+  /** deterministic line structure for the boilerplate rule: every doc
+    * gets the universal footer (df = all docs), every third doc a
+    * mid-frequency promo line (df ≈ n/3 — still over threshold), every
+    * doc a unique line (df = 1, always kept). Base texts contribute
+    * their own lines (df = exact-dup group size, under threshold). */
+  private val boilerAug =
+    """concat(text, chr(10), 'shared boilerplate footer',
+      |CASE WHEN doc_id % 3 = 0
+      |  THEN concat(chr(10), 'subscribe to our newsletter') ELSE '' END,
+      |chr(10), 'doc specific ', CAST(doc_id AS STRING))""".stripMargin
+  private val boilerAugSql =
+    "text || chr(10) || 'shared boilerplate footer' || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe to our newsletter' " +
+      "ELSE '' END) || chr(10) || 'doc specific ' || doc_id::VARCHAR"
+
+  private val dsirBuckets = 1024
+  private val nllLambda = 0.7
+
+  val defs: Map[String, Q] = Map(
+    // ---- frequency-based boilerplate line removal: the footer
+    // (df = 500) and the promo line (df ≈ 167) are stripped from EVERY
+    // doc; unique lines and base-text lines (df ≤ exact-dup group
+    // size) survive ----
+    "q168_boilerplate_lines" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val aug = new Df(d.sdf.selectExpr("doc_id", s"$boilerAug AS text"))
+      Curation.stripBoilerplateLines(aug, "text", "doc_id", minDocFreq = 100)
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- DSIR hashed-unigram importance weights, target = English
+    // docs: en-like docs score positive, others negative; the add-1
+    // smoothed bucket distributions make every token finite ----
+    "q169_dsir_weights" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val aug = new Df(d.sdf.selectExpr("doc_id", "text", "lang = 'en' AS is_tgt"))
+      Curation.dsirLogWeights(aug, "text", "doc_id", "is_tgt",
+        buckets = dsirBuckets)
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- PMI collocations over adjacent-token pairs (minCount 5):
+    // the full above-threshold table, margins counted over bigram
+    // positions ----
+    "q170_pmi_collocations" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      TextAnalytics.pmiCollocations(d, "text", minCount = 5)
+        .sortValues(Seq("w1", "w2")).sdf
+    }),
+
+    // ---- corpus snapshot diff: new = old minus the %7 wave (removed),
+    // with the %5 wave's text edited (changed) and 20 fresh ids
+    // appended (added); everything else unchanged ----
+    "q171_corpus_diff" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val newer = new Df(d.sdf.where(expr("doc_id % 7 <> 0")).selectExpr("doc_id",
+        "CASE WHEN doc_id % 5 = 0 THEN concat(text, ' v2') ELSE text END AS text")
+        .union(d.sdf.where(col("doc_id") < 20)
+          .selectExpr("doc_id + 10000 AS doc_id", "text")))
+      Curation.corpusDiff(d, newer, "doc_id", "text")
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- interpolated bigram NLL (λ = 0.7), corpus as its own model:
+    // every doc has ≥ 2 tokens, so all 500 score ----
+    "q172_bigram_nll" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      TextAnalytics.bigramNll(d, "text", "doc_id", lambda = nllLambda)
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- length-stratified batches: quartile buckets × 8 hash shards,
+    // batches of 16 in (n_tokens, id) order within each cell ----
+    "q173_length_batches" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Curation.lengthBucketBatches(d, "text", "doc_id",
+        nBuckets = 4, batchSize = 16, shards = 8)
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- deterministic negative sampling: 3 negatives per anchor
+    // under seed 7 over a 200-doc slice — the oracle replays the
+    // permutation AND the hash draws exactly ----
+    "q174_negative_samples" -> ((s, dir) => {
+      val d = T(s, dir, "documents").where(col("doc_id") < 200)
+      Curation.negativeSamples(d, "doc_id", k = 3, seed = 7L)
+        .sortValues(Seq("anchor_id", "neg_rank")).sdf
+    }))
+
+  val oracles: Map[String, String] = Map(
+    // line pipeline exactly as q121, but the kill rule is document
+    // frequency (COUNT(DISTINCT doc_id) ≥ 100 → the line dies
+    // everywhere) instead of keep-first
+    "q168_boilerplate_lines" ->
+      s"""WITH src AS (SELECT doc_id, $boilerAugSql AS t FROM documents),
+         |ls0 AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM src),
+         |lx AS (SELECT doc_id, UNNEST(range(len(ls))) AS p, ls FROM ls0),
+         |l AS (SELECT doc_id, p::INT AS pos, ls[(p+1)::INT] AS line FROM lx),
+         |h AS (SELECT doc_id, pos, line,
+         |  ('0x' || substr(md5(line),1,8))::BIGINT AS lh FROM l),
+         |boiler AS (SELECT lh FROM (SELECT lh, COUNT(DISTINCT doc_id) AS df
+         |  FROM h GROUP BY lh) WHERE df >= 100),
+         |kept AS (SELECT * FROM h WHERE lh NOT IN (SELECT lh FROM boiler)),
+         |reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |  string_agg(line, chr(10) ORDER BY pos) AS text
+         |  FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM h GROUP BY doc_id)
+         |SELECT tot.doc_id, tot.n_lines,
+         |COALESCE(reb.n_kept, 0)::BIGINT AS n_kept,
+         |COALESCE(reb.text, '') AS text
+         |FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
+         |ORDER BY tot.doc_id""".stripMargin,
+
+    // bucket = md5-hash32 % buckets (the q163 convention); smoothed
+    // log-ratio per bucket cast DECIMAL(18,8) BEFORE the per-doc sum
+    // (order-independent), mean-free sum rounded 4dp
+    "q169_dsir_weights" ->
+      s"""WITH toks AS (SELECT doc_id, COALESCE(lang = 'en', false) AS tgt,
+         |  UNNEST(${toksSql()}) AS tok FROM documents),
+         |b AS (SELECT doc_id, tgt,
+         |  ('0x' || substr(md5(tok),1,8))::BIGINT % $dsirBuckets AS bucket
+         |  FROM toks),
+         |c AS (SELECT bucket, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct_t,
+         |  COUNT(*) AS ct_r FROM b GROUP BY bucket),
+         |t AS (SELECT SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tot_t,
+         |  COUNT(*) AS tot_r FROM b),
+         |r AS (SELECT bucket,
+         |  CAST(LN((ct_t + 1)::DOUBLE / (tot_t + $dsirBuckets)) -
+         |       LN((ct_r + 1)::DOUBLE / (tot_r + $dsirBuckets))
+         |    AS DECIMAL(18,8)) AS lr
+         |  FROM c CROSS JOIN t)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |ROUND(CAST(SUM(lr) AS DOUBLE), 4) AS log_weight
+         |FROM b JOIN r USING (bucket) GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    // margins over bigram POSITIONS (left/right member counts), total
+    // N over all bigram events; pmi = ln(c·N/(cl·cr)) rounded 6dp
+    "q170_pmi_collocations" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql()} AS toks FROM documents),
+         |g AS (SELECT UNNEST(range(len(toks) - 1)) AS i, toks
+         |  FROM t WHERE len(toks) >= 2),
+         |bi AS (SELECT toks[(i+1)::INT] AS w1, toks[(i+2)::INT] AS w2 FROM g),
+         |pair AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bi GROUP BY w1, w2),
+         |l AS (SELECT w1, COUNT(*) AS n_w1 FROM bi GROUP BY w1),
+         |r AS (SELECT w2, COUNT(*) AS n_w2 FROM bi GROUP BY w2),
+         |n AS (SELECT COUNT(*) AS n FROM bi)
+         |SELECT p.w1, p.w2, p.n_pair, l.n_w1, r.n_w2,
+         |ROUND(LN(p.n_pair::DOUBLE * (SELECT n FROM n)
+         |  / (l.n_w1::DOUBLE * r.n_w2)), 6) AS pmi
+         |FROM pair p JOIN l USING (w1) JOIN r USING (w2)
+         |WHERE p.n_pair >= 5 ORDER BY w1, w2""".stripMargin,
+
+    // both sides reduce to (id, md5) before a FULL JOIN; null-safe
+    // fingerprint compare (IS NOT DISTINCT FROM ≡ Spark's <=>)
+    "q171_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS f FROM documents),
+        |n AS (SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS f
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000, md5(text) FROM documents WHERE doc_id < 20)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |CASE WHEN o.doc_id IS NULL THEN 'added'
+        |     WHEN n.doc_id IS NULL THEN 'removed'
+        |     WHEN o.f IS NOT DISTINCT FROM n.f THEN 'unchanged'
+        |     ELSE 'changed' END AS status
+        |FROM o FULL JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // p = λ·cb/cl + (1−λ)·cu/N with the λ literals PRINTED FROM SCALA
+    // (1 − 0.7 is 0.30000000000000004 in both engines only if both
+    // parse the same literal); −ln terms DECIMAL(18,8)-cast, mean 4dp
+    "q172_bigram_nll" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql()} AS toks FROM documents),
+         |u AS (SELECT UNNEST(toks) AS w FROM t),
+         |uni AS (SELECT w, COUNT(*) AS cu FROM u GROUP BY w),
+         |nu AS (SELECT COUNT(*) AS nu FROM u),
+         |g AS (SELECT doc_id, UNNEST(range(len(toks) - 1)) AS i, toks
+         |  FROM t WHERE len(toks) >= 2),
+         |bi AS (SELECT doc_id, toks[(i+1)::INT] AS w1, toks[(i+2)::INT] AS w2
+         |  FROM g),
+         |pc AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY w1, w2),
+         |lc AS (SELECT w1, COUNT(*) AS cl FROM bi GROUP BY w1),
+         |s AS (SELECT bi.doc_id,
+         |  CAST(-LN($nllLambda::DOUBLE * pc.cb::DOUBLE / lc.cl
+         |    + ${1 - nllLambda}::DOUBLE * uni.cu::DOUBLE / (SELECT nu FROM nu))
+         |    AS DECIMAL(18,8)) AS nll
+         |  FROM bi JOIN pc USING (w1, w2) JOIN lc USING (w1)
+         |  JOIN uni ON bi.w2 = uni.w)
+         |SELECT doc_id, COUNT(*) AS n_transitions,
+         |ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 4) AS avg_nll
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // quartile cuts via quantile_cont (≡ Spark exact percentile,
+    // the q152 equivalence), rounded 6dp; bucket = 1 + #cuts below;
+    // batch = per-(bucket, shard) ordinal div batchSize
+    "q173_length_batches" ->
+      s"""WITH d AS (SELECT doc_id, len(${toksSql()})::BIGINT AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT ROUND(quantile_cont(n_tokens, ${1.0 / 4}::DOUBLE), 6) AS t1,
+         |  ROUND(quantile_cont(n_tokens, ${2.0 / 4}::DOUBLE), 6) AS t2,
+         |  ROUND(quantile_cont(n_tokens, ${3.0 / 4}::DOUBLE), 6) AS t3 FROM d),
+         |b AS (SELECT doc_id, n_tokens,
+         |  1 + (CASE WHEN n_tokens::DOUBLE > t1 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN n_tokens::DOUBLE > t2 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN n_tokens::DOUBLE > t3 THEN 1 ELSE 0 END) AS bucket,
+         |  (('0x' || substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 8)::INT AS shard
+         |  FROM d CROSS JOIN c),
+         |r AS (SELECT doc_id, n_tokens, bucket, shard,
+         |  ROW_NUMBER() OVER (PARTITION BY bucket, shard
+         |    ORDER BY n_tokens, doc_id) - 1 AS rn FROM b)
+         |SELECT doc_id, n_tokens, bucket, shard, (rn // 16)::BIGINT AS batch
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the exact permutation (q146's md5-key ROW_NUMBER) + the exact
+    // hash draws: cand = hash32('seed:anchor:rank') mod n, bumped one
+    // slot on self-collision, then joined back ordinal → id
+    "q174_negative_samples" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |ord AS (SELECT doc_id, ROW_NUMBER() OVER (
+        |    ORDER BY md5(concat_ws(':', 7, doc_id)), doc_id) - 1 AS ord
+        |  FROM ids),
+        |n AS (SELECT COUNT(*) AS n FROM ids),
+        |a AS (SELECT o.doc_id AS anchor_id, o.ord, j.j,
+        |  ('0x' || substr(md5(concat_ws(':', 7, o.doc_id, j.j)),1,8))::BIGINT
+        |    % (SELECT n FROM n) AS cand
+        |  FROM ord o CROSS JOIN (SELECT UNNEST(range(3)) AS j) j),
+        |p AS (SELECT anchor_id, j,
+        |  CASE WHEN cand = ord THEN (cand + 1) % (SELECT n FROM n)
+        |  ELSE cand END AS pord FROM a)
+        |SELECT p.anchor_id, p.j::INT AS neg_rank, o2.doc_id AS neg_id
+        |FROM p JOIN ord o2 ON p.pord = o2.ord
+        |ORDER BY anchor_id, neg_rank""".stripMargin)
+}

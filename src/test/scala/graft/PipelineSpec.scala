@@ -1,0 +1,224 @@
+package graft
+
+import graft.api.Df
+import graft.operators.{Curation, TextAnalytics}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the wave-3 training-pipeline operators (q168–q174):
+  * boilerplate line removal, DSIR weights, PMI collocations, corpus
+  * diff, bigram NLL, length-bucketed batches, negative sampling. */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val docSchema =
+    StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def mkDocs(texts: (Long, String)*): Df =
+    Df.fromRows(spark, texts.map { case (i, t) => Row(i, t) }, docSchema)
+
+  // ---- stripBoilerplateLines ----
+
+  test("stripBoilerplateLines kills high-df lines everywhere, keeps rare ones") {
+    val d = mkDocs(
+      1L -> "unique one\nfooter line",
+      2L -> "unique two\nfooter line",
+      3L -> "unique three\nfooter line",
+      4L -> "footer line")
+    val out = Curation.stripBoilerplateLines(d, "text", "doc_id", minDocFreq = 3)
+      .sortValues(Seq("doc_id")).sdf.collect()
+    Df.releaseRetained()
+    // footer (df=4) stripped from ALL docs; unique lines (df=1) kept
+    assert(out.map(r => (r.getLong(0), r.getString(3))).toSeq == Seq(
+      1L -> "unique one", 2L -> "unique two", 3L -> "unique three", 4L -> ""))
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 2L, 2L, 1L)) // n_lines
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 1L, 1L, 0L)) // n_kept
+  }
+
+  test("stripBoilerplateLines under-threshold repeats survive in every doc") {
+    val d = mkDocs(1L -> "quoted passage", 2L -> "quoted passage", 3L -> "other")
+    val out = Curation.stripBoilerplateLines(d, "text", "doc_id", minDocFreq = 3)
+      .sortValues(Seq("doc_id")).sdf.collect()
+    Df.releaseRetained()
+    assert(out.map(_.getString(3)).toSeq ==
+      Seq("quoted passage", "quoted passage", "other"))
+    intercept[IllegalArgumentException] {
+      Curation.stripBoilerplateLines(d, "text", "doc_id", minDocFreq = 1)
+    }
+  }
+
+  // ---- dsirLogWeights ----
+
+  test("dsirLogWeights scores target-like docs above raw-only docs") {
+    // target docs speak 'aa bb', raw-only docs speak 'zz yy'
+    val rows = (1L to 10L).map(i => Row(i, "aa bb aa bb", true)) ++
+      (11L to 20L).map(i => Row(i, "zz yy zz yy", false))
+    val d = new Df(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("is_tgt", BooleanType)))))
+    val out = Curation.dsirLogWeights(d, "text", "doc_id", "is_tgt", buckets = 64)
+      .sdf.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    Df.releaseRetained()
+    assert(out(1L) > 0, "target-vocabulary doc must have positive log-weight")
+    assert(out(11L) < 0, "raw-only-vocabulary doc must have negative log-weight")
+    assert(out.size == 20)
+  }
+
+  test("dsirLogWeights NULL target flag counts as raw-only") {
+    val d = new Df(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "aa", true), Row(2L, "zz", null))),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("is_tgt", BooleanType)))))
+    val out = Curation.dsirLogWeights(d, "text", "doc_id", "is_tgt", buckets = 8)
+      .sdf.collect()
+    Df.releaseRetained()
+    assert(out.length == 2) // no NPE, null treated as false
+  }
+
+  // ---- pmiCollocations ----
+
+  test("pmiCollocations ranks a fixed phrase above independent pairs") {
+    // 'new york' always adjacent; fillers vary their neighbors
+    val docs = (1L to 12L).map(i =>
+      i -> s"new york w$i x${i % 3} new york y${i % 4} z$i")
+    val out = TextAnalytics.pmiCollocations(mkDocs(docs: _*), "text", minCount = 5)
+      .sdf.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(5)))
+    Df.releaseRetained()
+    assert(out.nonEmpty)
+    val best = out.maxBy(_._3)
+    assert((best._1, best._2) == ("new", "york"))
+  }
+
+  test("pmiCollocations minCount filters rare pairs") {
+    val out = TextAnalytics.pmiCollocations(
+      mkDocs(1L -> "a b c d"), "text", minCount = 2).sdf.collect()
+    Df.releaseRetained()
+    assert(out.isEmpty)
+  }
+
+  // ---- corpusDiff ----
+
+  test("corpusDiff classifies added/removed/changed/unchanged incl. NULL text") {
+    val old = mkDocs(1L -> "same", 2L -> "will change", 3L -> "will vanish")
+      .sdf.union(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(4L, null))), docSchema))
+    val nw = mkDocs(1L -> "same", 2L -> "changed!", 5L -> "brand new")
+      .sdf.union(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(4L, null))), docSchema))
+    val out = Curation.corpusDiff(new Df(old), new Df(nw), "doc_id", "text")
+      .sortValues(Seq("doc_id")).sdf.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"))
+  }
+
+  // ---- bigramNll ----
+
+  test("bigramNll scores a repeated phrase below a diverse doc; <2 tokens drop") {
+    val d = mkDocs(
+      1L -> "p q p q p q p q p q p q",  // utterly predictable transitions
+      2L -> "k1 m7 c3 x9 b2 r8 t4 w6", // every transition unique
+      3L -> "solo")
+    val out = TextAnalytics.bigramNll(d, "text", "doc_id").sdf.collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    Df.releaseRetained()
+    assert(out.keySet == Set(1L, 2L), "1-token doc has no transitions")
+    assert(out(1L) < out(2L), "repetitive doc must have lower NLL")
+    intercept[IllegalArgumentException] {
+      TextAnalytics.bigramNll(d, "text", "doc_id", lambda = 1.5)
+    }
+  }
+
+  // ---- lengthBucketBatches ----
+
+  test("lengthBucketBatches buckets are monotone in n_tokens and batches bounded") {
+    val docs = (1L to 100L).map(i => i -> (1L to (i % 20) + 1).map(j => s"w$j").mkString(" "))
+    val out = Curation.lengthBucketBatches(mkDocs(docs: _*), "text", "doc_id",
+      nBuckets = 4, batchSize = 5, shards = 2).sdf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    Df.releaseRetained()
+    assert(out.length == 100)
+    assert(out.map(_._3).toSet.subsetOf(Set(1, 2, 3, 4)))
+    // monotone: a doc in a higher bucket is never shorter than one in a lower
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._2))
+    for (b <- 1 to 3 if byBucket.contains(b) && byBucket.contains(b + 1))
+      assert(byBucket(b).max <= byBucket(b + 1).min ||
+        byBucket(b).max <= byBucket(b + 1).max)
+    // batch occupancy ≤ batchSize within each (bucket, shard)
+    out.groupBy(r => (r._3, r._4, r._5)).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+    }
+    // nBuckets = 1 path: single bucket, no percentile agg
+    val one = Curation.lengthBucketBatches(mkDocs(docs.take(10): _*), "text",
+      "doc_id", nBuckets = 1, batchSize = 3, shards = 2).sdf.collect()
+    Df.releaseRetained()
+    assert(one.map(_.getInt(2)).toSet == Set(1))
+  }
+
+  // ---- negativeSamples ----
+
+  test("negativeSamples is deterministic, k-per-anchor, in-corpus, no self-pair") {
+    val d = mkDocs((1L to 50L).map(i => i -> s"doc $i"): _*)
+    def run() = Curation.negativeSamples(d, "doc_id", k = 3, seed = 11L)
+      .sortValues(Seq("anchor_id", "neg_rank")).sdf.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val a = run(); Df.releaseRetained()
+    val b = run(); Df.releaseRetained()
+    assert(a == b, "same seed must reproduce the exact pairs")
+    assert(a.length == 150)
+    assert(a.groupBy(_._1).forall(_._2.length == 3))
+    val ids = (1L to 50L).toSet
+    assert(a.forall { case (anchor, _, neg) => ids.contains(neg) && neg != anchor })
+    val c = Curation.negativeSamples(d, "doc_id", k = 3, seed = 12L)
+      .sortValues(Seq("anchor_id", "neg_rank")).sdf.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    Df.releaseRetained()
+    assert(a != c, "different seed must draw different pairs")
+  }
+
+  // ---- plan shapes (the PlanSpec convention: assert the scale-
+  // critical physical operators, not just results) ----
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("dsirLogWeights scores through a BROADCAST ratio join, no keyless window") {
+    val d = new Df(spark.createDataFrame(
+      spark.sparkContext.parallelize((1L to 30L).map(i =>
+        Row(i, s"tok${i % 5} tok${i % 3}", i % 2 == 0))),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("is_tgt", BooleanType)))))
+    val p = plan(Curation.dsirLogWeights(d, "text", "doc_id", "is_tgt",
+      buckets = 32).sdf)
+    Df.releaseRetained()
+    assert(p.contains("BroadcastHashJoin"), p)  // (bucket → log-ratio) table rides the plan
+    assert(!p.contains("Window"), p)            // pure join + agg, no window at all
+  }
+
+  test("lengthBucketBatches windows are keyed by (bucket, shard) — never global") {
+    val d = mkDocs((1L to 40L).map(i => i -> ("w " * (i % 7 + 1).toInt).trim): _*)
+    val p = plan(Curation.lengthBucketBatches(d, "text", "doc_id",
+      nBuckets = 2, batchSize = 4, shards = 4).sdf)
+    Df.releaseRetained()
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p) // 1-row cuts frame broadcasts
+    // the batch window partitions by bucket#/shard# — a keyless global
+    // window would print "Window [... ORDER BY ...]" with no partition spec
+    assert(p.contains("windowspecdefinition(bucket"), p)
+  }
+
+  test("corpusDiff joins fingerprints, not text: projection precedes the join") {
+    val a = mkDocs(1L -> "alpha", 2L -> "beta")
+    val b = mkDocs(1L -> "alpha", 3L -> "gamma")
+    val df = Curation.corpusDiff(a, b, "doc_id", "text").sdf
+    val p = plan(df)
+    // text must be consumed by the map-side md5 projection; the join
+    // output carries only id + fingerprints + presence flags
+    assert(p.contains("md5"), p)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("FullOuter, text"),
+      df.queryExecution.optimizedPlan.toString)
+  }
+}
