@@ -746,6 +746,61 @@ object Curation {
     * corpus-size agg, the anchor side, and the partner lookup); `n`
     * arrives as a broadcast 1-row frame, never a driver action; the
     * partner lookup is ONE equi-join on the 8-byte ordinal. */
+  /** Deterministic importance sampling without replacement — the
+    * Gumbel-top-k trick (Vieira 2014; the selection step DSIR-style
+    * weighting feeds): each row's key is
+    * `logWeight + Gumbel(hash(seed:id))`, and the top `n` keys are a
+    * without-replacement sample with inclusion probability ∝ weight.
+    * The Gumbel noise derives from the portable md5 hash
+    * (`u = (hash32 + 0.5) / 2^32`, `g = −ln(−ln u)`), so the sample is
+    * byte-reproducible under `seed` across re-runs and engines — no
+    * RNG state, the [[epochShuffle]] property.
+    *
+    * Keys round to 6dp (libm-ulp absorption) with id as tiebreak, so
+    * the selected set is a deterministic function of (corpus, seed).
+    * NULL log-weights drop out (no weight, no draw).
+    *
+    * Scale: key assignment is map-side; the top-n compiles to
+    * TakeOrderedAndProject (per-partition heaps + driver merge of n
+    * rows), never a global sort. `n` must fit driver memory — it is a
+    * SAMPLE size, not a filtered corpus. */
+  def importanceSample(docs: Df, logWeightCol: String, idCol: String,
+                       n: Int, seed: Long): Df = {
+    require(n >= 1, s"importanceSample: n must be >= 1: $n")
+    val u = (hash32(concat_ws(":", lit(seed), col(idCol).cast("string"))) + 0.5) /
+      lit(4294967296.0)
+    new Df(docs.sdf
+      .where(col(logWeightCol).isNotNull)
+      .withColumn("gumbel_key",
+        round(col(logWeightCol).cast("double") + -log(-log(u)), 6))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(n))
+  }
+
+  /** Winsorization — clip a numeric column at its exact [lo, hi]
+    * corpus quantiles (the robust-scaling step before a signal feeds a
+    * threshold or a model; outliers saturate instead of dominating).
+    * Adds `<valueCol>_w` (or `outCol`) with the clipped DOUBLE value;
+    * the cuts round to 6dp so the rule replays exactly cross-engine.
+    *
+    * Scale: one exact-percentile agg (broadcast as a 1-row frame) +
+    * a map-side clip — the corpus is scanned twice, shuffled never.
+    * Swap to approx_percentile upstream for unbounded-cardinality
+    * columns where sketch error is acceptable. */
+  def winsorize(df: Df, valueCol: String, lo: Double = 0.05,
+                hi: Double = 0.95, outCol: String = ""): Df = {
+    require(lo >= 0 && lo < hi && hi <= 1,
+      s"winsorize: need 0 <= lo < hi <= 1: $lo, $hi")
+    val out = if (outCol.isEmpty) s"${valueCol}_w" else outCol
+    val cuts = df.sdf.agg(expr(s"percentile($valueCol, array($lo, $hi))").as("__c"))
+      .select(round(element_at(col("__c"), 1), 6).as("__lo"),
+        round(element_at(col("__c"), 2), 6).as("__hi"))
+    new Df(df.sdf.crossJoin(broadcast(cuts))
+      .withColumn(out,
+        least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi"))
+  }
+
   def negativeSamples(docs: Df, idCol: String, k: Int, seed: Long): Df = {
     require(k >= 1, s"negativeSamples: k must be >= 1: $k")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

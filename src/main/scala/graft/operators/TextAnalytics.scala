@@ -328,6 +328,107 @@ object TextAnalytics {
     * the order-independent sum; the mean rounds to 4dp (the q115
     * convention). Release persisted intermediates with
     * `Df.unpersistIntermediates()` after the terminal action. */
+  /** Content-defined chunking (the FastCDC/rsync family idea applied
+    * at token level): a chunk boundary falls wherever the rolling
+    * window hash satisfies `hash % modulus == 0`, so boundaries are
+    * determined by CONTENT, not position — insert a sentence at the
+    * head of a document and every downstream chunk still hashes the
+    * same, which is what makes chunk-level dedup robust to shifts
+    * (fixed-size chunking loses alignment on a 1-token edit).
+    * Expected chunk length ≈ `modulus` tokens; `window` is the
+    * rolling-hash width.
+    *
+    * Emits one row per chunk: (idCol, chunk_idx, n_tokens, chunk_hash,
+    * textCol) — `chunk_hash` is the portable
+    * [[graft.functions.TextFunctions.hash32]] of the space-joined
+    * chunk, ready for an exact-dedup groupBy. Zero-token documents
+    * emit no chunks.
+    *
+    * Scale: tokenize once (persisted); window hashes explode and a
+    * map-side filter keeps only the ~1/modulus CUT positions, so the
+    * per-doc aggregation and the rebuild join shuffle cut offsets
+    * (8 bytes each), never text; the chunk rebuild is an in-row slice
+    * over the joined arrays. No UDFs anywhere. */
+  def cdcChunks(docs: Df, textCol: String, idCol: String,
+                window: Int = 4, modulus: Int = 64): Df = {
+    require(window >= 1, s"cdcChunks: window must be >= 1: $window")
+    require(modulus >= 2, s"cdcChunks: modulus must be >= 2: $modulus")
+    // Pipeline shape: tokenize once (persisted — the table feeds the
+    // boundary pass and the rebuild join), EXPLODE window hashes as
+    // rows, reduce to cut positions, re-aggregate the per-doc cut
+    // array, and join it back for an in-row slice rebuild. The
+    // Generate/Aggregate/Join nodes are deliberate optimizer barriers:
+    // a pure expression-tree formulation is algebraically identical
+    // but CollapseProject inlines the aliases and interpreted
+    // higher-order functions then re-evaluate the tokenize+hash chain
+    // per ELEMENT — measured as minutes of CPU on a 500-doc corpus.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val t = col("__toks")
+    val base = docs.sdf
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .where(size(t) >= 1)
+      .persist(lvl)
+    // window starting at i (0-based) ends at i+window-1; a zero hash
+    // cuts AFTER it, so the next chunk starts at token i+window; cuts
+    // at or past the end are no-ops. The size guard matters: Spark's
+    // sequence(0, -1) DESCENDS ([0, -1]) where DuckDB's range(0) is
+    // empty.
+    val whsExpr = when(size(t) >= window,
+      transform(sequence(lit(0), size(t) - window),
+        i => hash32(concat_ws(" ", slice(t, i + 1, lit(window))))))
+      .otherwise(array().cast("array<long>"))
+    val cutRows = base
+      .select(col(idCol), size(t).as("__n"), posexplode(whsExpr).as(Seq("__i", "__wh")))
+      .where(col("__wh") % modulus === 0 && col("__i") + window < col("__n"))
+      .select(col(idCol), (col("__i") + window).as("__cut"))
+    val cutArrs = cutRows.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__cut"))).as("__bounds"))
+    val cu = col("__cuts")
+    val chunksExpr = transform(sequence(lit(0), size(cu) - 2),
+      k => struct(
+        (element_at(cu, k + 2) - element_at(cu, k + 1)).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(t, element_at(cu, k + 1) + 1,
+          element_at(cu, k + 2) - element_at(cu, k + 1))).as("chunk")))
+    new Df(base
+      .join(cutArrs, Seq(idCol), "left")
+      .withColumn("__cuts", concat(array(lit(0)),
+        coalesce(col("__bounds"), array().cast("array<int>")), array(size(t))))
+      .select(col(idCol), col("__toks"),
+        posexplode(chunksExpr).as(Seq("chunk_idx", "c")))
+      .select(col(idCol), col("chunk_idx"),
+        col("c.n_tokens").as("n_tokens"),
+        hash32(col("c.chunk")).as("chunk_hash"),
+        col("c.chunk").as(textCol)))
+      .retaining(base)
+  }
+
+  /** Corpus n-gram diversity profile — the repetitiveness diagnostic
+    * (self-BLEU's cheap cousin): for each n, the distinct/total
+    * n-gram ratio over the whole corpus. A collapsing ratio at higher
+    * n flags template spam or synthetic-data mode collapse before
+    * training does. One row per n: (n, total, n_distinct,
+    * distinct_ratio).
+    *
+    * Scale: each n-gram stream is a map-side array transform; the
+    * tagged union aggregates by `n` in ONE partial+final shuffle whose
+    * exact-distinct expands per n — at extreme scale swap the
+    * count_distinct for approx_count_distinct upstream (HLL, the
+    * documented q37 trade). */
+  def ngramDiversity(docs: Df, textCol: String,
+                     ns: Seq[Int] = Seq(1, 2, 3)): Df = {
+    require(ns.nonEmpty && ns.forall(_ >= 1),
+      s"ngramDiversity: ns must be non-empty positive: $ns")
+    val tagged = ns.map { n =>
+      docs.sdf.select(lit(n).as("n"),
+        explode(wordGramsAll(col(textCol), n)).as("g"))
+    }.reduce(_ union _)
+    new Df(tagged.groupBy(col("n"))
+      .agg(count(lit(1)).as("total"),
+        count_distinct(col("g")).as("n_distinct"))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct").cast("double") / col("total"), 6)))
+  }
+
   def bigramNll(docs: Df, textCol: String, idCol: String,
                 lambda: Double = 0.7): Df = {
     require(lambda >= 0 && lambda <= 1,

@@ -106,6 +106,43 @@ object PipelineQueries {
       val d = T(s, dir, "documents").where(col("doc_id") < 200)
       Curation.negativeSamples(d, "doc_id", k = 3, seed = 7L)
         .sortValues(Seq("anchor_id", "neg_rank")).sdf
+    }),
+
+    // ---- content-defined chunking: 4-token rolling hash, cut where
+    // hash % 8 == 0 (≈8-token chunks over ~25-token docs) — the
+    // oracle replays every boundary and slice ----
+    "q175_cdc_chunks" -> ((s, dir) => {
+      val d = T(s, dir, "documents").where(col("doc_id") < 200)
+      TextAnalytics.cdcChunks(d, "text", "doc_id", window = 4, modulus = 8)
+        .sortValues(Seq("doc_id", "chunk_idx")).sdf
+    }),
+
+    // ---- Gumbel-top-k importance sampling: weight = ln(n_chars),
+    // 100 of 500 docs selected ∝ weight, byte-reproducible draws ----
+    "q176_importance_sample" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val scored = new Df(d.sdf.selectExpr("doc_id",
+        "ROUND(LN(CAST(n_chars AS DOUBLE)), 6) AS log_weight"))
+      Curation.importanceSample(scored, "log_weight", "doc_id",
+        n = 100, seed = 7L)
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- corpus n-gram diversity profile at n = 1, 2, 3 ----
+    "q177_ngram_diversity" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      TextAnalytics.ngramDiversity(d, "text", Seq(1, 2, 3))
+        .sortValues(Seq("n")).sdf
+    }),
+
+    // ---- winsorize l_extendedprice at the exact [5%, 95%] corpus
+    // quantiles — broadcast cuts, map-side clip ----
+    "q178_winsorize" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      Curation.winsorize(
+        new Df(li.sdf.select("l_orderkey", "l_linenumber", "l_extendedprice")),
+        "l_extendedprice", lo = 0.05, hi = 0.95)
+        .sortValues(Seq("l_orderkey", "l_linenumber")).sdf
     }))
 
   val oracles: Map[String, String] = Map(
@@ -237,6 +274,74 @@ object PipelineQueries {
     // the exact permutation (q146's md5-key ROW_NUMBER) + the exact
     // hash draws: cand = hash32('seed:anchor:rank') mod n, bumped one
     // slot on self-collision, then joined back ordinal → id
+    // boundary i+4 wherever window-hash i hits 0 mod 8; cuts =
+    // [0] ++ bounds ++ [n]; chunk k = toks[cuts[k]+1 .. cuts[k+1]]
+    // (1-based inclusive slices on both engines)
+    "q175_cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql()} AS toks
+         |  FROM documents WHERE doc_id < 200),
+         |t2 AS (SELECT doc_id, toks, CASE WHEN len(toks) >= 4 THEN
+         |    list_transform(range(len(toks) - 3), i ->
+         |      ('0x' || substr(md5(array_to_string(toks[i+1:i+4], ' ')),1,8))::BIGINT)
+         |  ELSE []::BIGINT[] END AS whs FROM t WHERE len(toks) >= 1),
+         |b AS (SELECT doc_id, toks,
+         |  list_filter(list_transform(range(len(whs)), i ->
+         |    CASE WHEN whs[(i+1)::INT] % 8 = 0 THEN i + 4 ELSE -1 END),
+         |    x -> x > 0 AND x < len(toks)) AS bounds FROM t2),
+         |c AS (SELECT doc_id, toks, list_concat(list_concat(
+         |  [0::BIGINT], bounds), [len(toks)::BIGINT]) AS cuts FROM b),
+         |kk AS (SELECT doc_id, toks, cuts,
+         |  UNNEST(range(len(cuts) - 1)) AS k FROM c),
+         |ch AS (SELECT doc_id, k::INT AS chunk_idx,
+         |  (cuts[(k+2)::INT] - cuts[(k+1)::INT])::BIGINT AS n_tokens,
+         |  array_to_string(
+         |    toks[(cuts[(k+1)::INT]+1)::INT : (cuts[(k+2)::INT])::INT], ' ') AS text
+         |  FROM kk)
+         |SELECT doc_id, chunk_idx, n_tokens,
+         |('0x' || substr(md5(text),1,8))::BIGINT AS chunk_hash, text
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // u = (hash32 + 0.5)/2^32, g = −ln(−ln u), key = ROUND(lw + g, 6);
+    // top-100 by (key DESC, id) — the rounded key makes the cut
+    // engine-exact
+    "q176_importance_sample" ->
+      """WITH s AS (SELECT doc_id,
+        |  ROUND(LN(n_chars::DOUBLE), 6) AS log_weight FROM documents),
+        |k AS (SELECT doc_id, log_weight,
+        |  ROUND(log_weight + -LN(-LN(
+        |    ((('0x' || substr(md5(concat_ws(':', 7, doc_id)),1,8))::BIGINT + 0.5)
+        |      / 4294967296.0))), 6) AS gumbel_key FROM s)
+        |SELECT doc_id, log_weight, gumbel_key FROM k
+        |ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q177_ngram_diversity" ->
+      s"""WITH t AS (SELECT ${toksSql()} AS toks FROM documents),
+         |g AS (
+         |  SELECT 1 AS n, UNNEST(toks) AS g FROM t
+         |  UNION ALL
+         |  SELECT 2, UNNEST(list_transform(range(len(toks) - 1),
+         |    i -> array_to_string(toks[i+1:i+2], ' ')))
+         |  FROM t WHERE len(toks) >= 2
+         |  UNION ALL
+         |  SELECT 3, UNNEST(list_transform(range(len(toks) - 2),
+         |    i -> array_to_string(toks[i+1:i+3], ' ')))
+         |  FROM t WHERE len(toks) >= 3)
+         |SELECT n, COUNT(*) AS total, COUNT(DISTINCT g) AS n_distinct,
+         |ROUND(COUNT(DISTINCT g)::DOUBLE / COUNT(*), 6) AS distinct_ratio
+         |FROM g GROUP BY n ORDER BY n""".stripMargin,
+
+    // quantile_cont ≡ Spark exact percentile (the q152 equivalence);
+    // cuts ROUND 6 on both sides, then a plain double clip
+    "q178_winsorize" ->
+      s"""WITH c AS (SELECT
+         |  ROUND(quantile_cont(l_extendedprice, ${0.05}::DOUBLE), 6) AS lo,
+         |  ROUND(quantile_cont(l_extendedprice, ${0.95}::DOUBLE), 6) AS hi
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, l_extendedprice,
+         |LEAST(GREATEST(l_extendedprice::DOUBLE, lo), hi) AS l_extendedprice_w
+         |FROM lineitem CROSS JOIN c
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     "q174_negative_samples" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
         |ord AS (SELECT doc_id, ROW_NUMBER() OVER (

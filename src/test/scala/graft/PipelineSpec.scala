@@ -180,6 +180,78 @@ class PipelineSpec extends AnyFunSuite {
     assert(a != c, "different seed must draw different pairs")
   }
 
+  // ---- cdcChunks ----
+
+  test("cdcChunks partitions the token stream exactly and is shift-stable") {
+    val base = (1 to 60).map(i => s"tok${i % 13}x$i").mkString(" ")
+    val d = mkDocs(1L -> base, 2L -> s"PREFIX $base", 3L -> "tiny", 4L -> "")
+    val out = TextAnalytics.cdcChunks(d, "text", "doc_id",
+      window = 3, modulus = 4).sdf.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(4)))
+    // chunks reassemble to the original token stream, in order
+    val re1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._4).mkString(" ")
+    assert(re1 == base)
+    assert(out.filter(_._1 == 1L).map(_._3).sum == 60L)
+    // content-defined: doc 2 = doc 1 plus a 1-token prefix; after the
+    // first boundary the chunk sequences must re-align (shift-stable)
+    val c1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._4)
+    val c2 = out.filter(_._1 == 2L).sortBy(_._2).map(_._4)
+    assert(c1.drop(1).toSet.subsetOf(c2.toSet) ||
+      c1.toSet.intersect(c2.toSet).nonEmpty,
+      s"no chunk re-alignment between shifted copies:\n$c1\n$c2")
+    // a doc shorter than the window is one whole chunk
+    assert(out.filter(_._1 == 3L).map(_._4).toSeq == Seq("tiny"))
+    // a zero-token doc emits nothing
+    assert(!out.exists(_._1 == 4L))
+  }
+
+  // ---- importanceSample ----
+
+  test("importanceSample is deterministic, weight-sensitive, and n-bounded") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("log_weight", DoubleType)))
+    // ids 1..100 heavy (lw=3), 101..200 light (lw=-3)
+    val rows = (1L to 100L).map(Row(_, 3.0)) ++ (101L to 200L).map(Row(_, -3.0))
+    val d = new Df(spark.createDataFrame(spark.sparkContext.parallelize(rows), schema))
+    def run(seed: Long) = Curation.importanceSample(d, "log_weight", "doc_id",
+      n = 50, seed = seed).sdf.collect().map(_.getLong(0)).toSet
+    val a = run(1L)
+    assert(a == run(1L), "same seed, same sample")
+    assert(a.size == 50)
+    val heavy = a.count(_ <= 100L)
+    assert(heavy > 40, s"heavy items must dominate the sample: $heavy/50")
+    assert(run(2L) != a, "different seed, different sample")
+  }
+
+  // ---- ngramDiversity ----
+
+  test("ngramDiversity counts totals and distincts per n") {
+    val d = mkDocs(1L -> "a b a b", 2L -> "a b c")
+    val out = TextAnalytics.ngramDiversity(d, "text", Seq(1, 2)).sdf
+      .orderBy("n").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // unigrams: 7 total, 3 distinct; bigrams: 5 total ("a b","b a",
+    // "a b" | "a b","b c") → 3 distinct
+    assert(out.toSeq == Seq((1, 7L, 3L), (2, 5L, 3L)))
+  }
+
+  // ---- winsorize ----
+
+  test("winsorize clips to the corpus quantiles and preserves interior values") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", DoubleType)))
+    val rows = (1L to 99L).map(i => Row(i, i.toDouble)) :+ Row(100L, 1e9)
+    val d = new Df(spark.createDataFrame(spark.sparkContext.parallelize(rows), schema))
+    val out = Curation.winsorize(d, "v", lo = 0.05, hi = 0.9).sdf.collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(50L) == 50.0, "interior values untouched")
+    assert(out(100L) < 1e9, "outlier clipped to the hi cut")
+    assert(out(1L) > 1.0, "low tail clipped up")
+    intercept[IllegalArgumentException] {
+      Curation.winsorize(d, "v", lo = 0.9, hi = 0.5)
+    }
+  }
+
   // ---- plan shapes (the PlanSpec convention: assert the scale-
   // critical physical operators, not just results) ----
 
@@ -208,6 +280,26 @@ class PipelineSpec extends AnyFunSuite {
     // the batch window partitions by bucket#/shard# — a keyless global
     // window would print "Window [... ORDER BY ...]" with no partition spec
     assert(p.contains("windowspecdefinition(bucket"), p)
+  }
+
+  test("importanceSample top-n compiles to TakeOrdered; cdcChunks shuffles only cuts") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("log_weight", DoubleType)))
+    val d = new Df(spark.createDataFrame(
+      spark.sparkContext.parallelize((1L to 50L).map(Row(_, 1.0))), schema))
+    val p1 = plan(Curation.importanceSample(d, "log_weight", "doc_id",
+      n = 5, seed = 1L).sdf)
+    assert(p1.contains("TakeOrderedAndProject"), p1)
+    val docs = mkDocs(1L -> "a b c d e f g h")
+    val df2 = TextAnalytics.cdcChunks(docs, "text", "doc_id").sdf
+    val op = df2.queryExecution.optimizedPlan.toString
+    Df.releaseRetained()
+    // the cut aggregation must see only (id, cut-offset) rows — if the
+    // token array or text ever rode the shuffle the Aggregate's child
+    // projection would carry __toks
+    val aggChild = op.linesIterator.dropWhile(!_.contains("Aggregate")).drop(1)
+      .takeWhile(!_.contains("Join")).mkString("\n")
+    assert(!aggChild.contains("__toks,"), op)
   }
 
   test("corpusDiff joins fingerprints, not text: projection precedes the join") {
