@@ -409,19 +409,20 @@ object TextAnalytics {
     * training does. One row per n: (n, total, n_distinct,
     * distinct_ratio).
     *
-    * Scale: each n-gram stream is a map-side array transform; the
-    * tagged union aggregates by `n` in ONE partial+final shuffle whose
-    * exact-distinct expands per n — at extreme scale swap the
-    * count_distinct for approx_count_distinct upstream (HLL, the
-    * documented q37 trade). */
+    * Scale: ONE corpus scan — every n's gram stream is built in the
+    * same row (tagged structs, flattened, one explode), then a single
+    * partial+final agg by `n`; the exact-distinct expands per n — at
+    * extreme scale swap the count_distinct for approx_count_distinct
+    * upstream (HLL, the documented q37 trade). */
   def ngramDiversity(docs: Df, textCol: String,
                      ns: Seq[Int] = Seq(1, 2, 3)): Df = {
     require(ns.nonEmpty && ns.forall(_ >= 1),
       s"ngramDiversity: ns must be non-empty positive: $ns")
-    val tagged = ns.map { n =>
-      docs.sdf.select(lit(n).as("n"),
-        explode(wordGramsAll(col(textCol), n)).as("g"))
-    }.reduce(_ union _)
+    val tagged = docs.sdf.select(explode(flatten(array(ns.map { n =>
+      transform(wordGramsAll(col(textCol), n),
+        g => struct(lit(n).as("n"), g.as("g")))
+    }: _*))).as("t"))
+      .select(col("t.n").as("n"), col("t.g").as("g"))
     new Df(tagged.groupBy(col("n"))
       .agg(count(lit(1)).as("total"),
         count_distinct(col("g")).as("n_distinct"))
