@@ -724,6 +724,59 @@ object Curation {
       .drop("__rn")).retaining(withLen)
   }
 
+  /** Per-group z-score standardization — the feature-normalization
+    * step before scores from different cohorts (languages, domains)
+    * share one threshold. Adds `<valueCol>_z` (or `outCol`):
+    * `(v − mean) / std` with the SAMPLE std (ddof = 1), NULL for
+    * groups smaller than 2 (no spread to divide by).
+    *
+    * Determinism: mean and std derive from EXACT decimal sums of v
+    * (DECIMAL(18,2) — quantize inputs accordingly) and v²
+    * (DECIMAL(28,4)), so both moments are order-independent and
+    * bit-identical cross-engine; the z-value rounds to 6dp. This is
+    * why the operator does not call the builtin `stddev` (whose
+    * partial-merge order wobbles the low bits).
+    *
+    * Scale: one partial+final moment agg per group, stats broadcast
+    * back, map-side standardize. Two corpus scans, zero wide rows. */
+  def standardizeBy(df: Df, valueCol: String, groupCols: Seq[String],
+                    outCol: String = ""): Df = {
+    require(groupCols.nonEmpty, "standardizeBy: need at least one group column")
+    val out = if (outCol.isEmpty) s"${valueCol}_z" else outCol
+    val v = col(valueCol)
+    val stats = df.sdf.groupBy(groupCols.map(col): _*).agg(
+      count(v).as("__n"),
+      sum(v.cast("decimal(18,2)")).cast("double").as("__s1"),
+      sum((v * v).cast("decimal(28,4)")).cast("double").as("__s2"))
+    val mean = col("__s1") / col("__n")
+    val varS = (col("__s2") - col("__s1") * col("__s1") / col("__n")) /
+      (col("__n") - 1)
+    new Df(df.sdf.join(broadcast(stats), groupCols)
+      .withColumn(out, when(col("__n") >= 2,
+        round((v - mean) / sqrt(varS), 6)))
+      .drop("__n", "__s1", "__s2"))
+  }
+
+  /** Aggressive text normalization for match keys (the fingerprint
+    * preprocessing most dedup recipes run): lowercase, strip every
+    * non-alphanumeric to a space, collapse whitespace runs, trim.
+    * DESTRUCTIVE by design — normalize a COPY for keying, keep the
+    * original for training. ASCII-safe rules only (the common
+    * Java/RE2 subset; no locale-dependent case folding). */
+  def normalizeTextCol(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), lit("[^a-z0-9\\s]+"), lit(" ")),
+      lit("\\s+"), lit(" ")))
+
+  /** [[normalizeTextCol]] applied as an audit frame: (idCol, the
+    * normalized text, original and normalized char counts). Pure
+    * map-side projection. */
+  def withNormalizedText(docs: Df, textCol: String, idCol: String): Df =
+    new Df(docs.sdf.select(col(idCol),
+      length(col(textCol)).as("n_chars"),
+      normalizeTextCol(col(textCol)).as(s"${textCol}_norm"))
+      .withColumn("n_chars_norm", length(col(s"${textCol}_norm"))))
+
   /** Deterministic negative sampling — the contrastive-training pair
     * builder: each document draws `k` pseudo-random partners from the
     * corpus, reproducibly under `seed` (re-runs, retries, and

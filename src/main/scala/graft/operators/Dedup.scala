@@ -206,6 +206,28 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("__fp"))
 
+  /** One-row corpus duplication report — the health check a pipeline
+    * runs BEFORE deciding whether the expensive near-dup passes are
+    * worth scheduling: total docs, distinct exact texts (raw md5, not
+    * the canonical [[exactByFingerprint]] key — this is the audit of
+    * byte-duplication), docs belonging to a duplicate group, the
+    * largest group, and the fraction of rows a keep-one exact dedup
+    * would delete. Two aggregations over 8-byte-ish hashes; text never
+    * shuffles. */
+  def dedupReport(docs: Df, textCol: String): Df = {
+    val groups = docs.sdf
+      .select(md5(col(textCol).cast("binary")).as("__fp"))
+      .groupBy(col("__fp")).agg(count(lit(1)).as("__ct"))
+    new Df(groups.agg(
+      sum(col("__ct")).cast("long").as("n_docs"),
+      count(lit(1)).as("n_unique"),
+      sum(when(col("__ct") > 1, col("__ct")).otherwise(0L)).cast("long")
+        .as("n_in_dup_groups"),
+      max(col("__ct")).as("max_group"),
+      round((sum(col("__ct")) - count(lit(1))).cast("double") /
+        sum(col("__ct")), 6).as("removable_fraction")))
+  }
+
   /** Incremental exact dedup of a NEW batch against an EXISTING corpus
     * with two-sided Bloom semi-join reduction — the crawl-refresh shape
     * where |corpus| >> |batch| and shuffling corpus fingerprints against

@@ -70,7 +70,7 @@ object CurationQueries {
     * 4 non-alpha words, 5 too-long words, 6 stopword-guaranteed).
     * Written to the Spark/DuckDB common SQL subset (concat/repeat/chr)
     * so both engines build byte-identical texts. */
-  private val gopherAug =
+  private[queries] val gopherAug =
     """CASE CAST(doc_id % 7 AS INT)
       |WHEN 0 THEN concat(text, repeat(concat(chr(10), '• bullet item'), 10))
       |WHEN 1 THEN concat(text, repeat(concat(chr(10), 'trailing line...'), 5))

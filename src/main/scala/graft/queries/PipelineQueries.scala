@@ -143,6 +143,35 @@ object PipelineQueries {
         new Df(li.sdf.select("l_orderkey", "l_linenumber", "l_extendedprice")),
         "l_extendedprice", lo = 0.05, hi = 0.95)
         .sortValues(Seq("l_orderkey", "l_linenumber")).sdf
+    }),
+
+    // ---- per-group z-scores from exact decimal moments: quantity
+    // standardized within each return-flag cohort ----
+    "q180_standardize" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      Curation.standardizeBy(
+        new Df(li.sdf.select("l_orderkey", "l_linenumber", "l_returnflag",
+          "l_quantity")),
+        "l_quantity", Seq("l_returnflag"))
+        .sortValues(Seq("l_orderkey", "l_linenumber")).sdf
+    }),
+
+    // ---- match-key text normalization: case folded, punctuation
+    // stripped, whitespace collapsed — exercised on augmented text
+    // carrying all three noise classes ----
+    "q181_normalize_text" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val aug = new Df(d.sdf.selectExpr("doc_id",
+        "concat(upper(substring(text, 1, 10)), '  ', text, ' !!! Mixed-CASE, punct.') AS text"))
+      Curation.withNormalizedText(aug, "text", "doc_id")
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- one-row corpus duplication report (the corpus's inherent
+    // exact dups: 500 docs, 446 unique) ----
+    "q182_dedup_report" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      graft.operators.Dedup.dedupReport(d, "text").sdf
     }))
 
   val oracles: Map[String, String] = Map(
@@ -270,6 +299,43 @@ object PipelineQueries {
          |    ORDER BY n_tokens, doc_id) - 1 AS rn FROM b)
          |SELECT doc_id, n_tokens, bucket, shard, (rn // 16)::BIGINT AS batch
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // moments from EXACT decimal sums (order-independent), then the
+    // identical double formula on both engines; ROUND 6 for belt and
+    // braces though the inputs are bit-equal
+    "q180_standardize" ->
+      """WITH st AS (SELECT l_returnflag, COUNT(l_quantity) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS s2
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber, l.l_quantity,
+        |CASE WHEN st.n >= 2 THEN
+        |  ROUND((l.l_quantity - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6)
+        |END AS l_quantity_z
+        |FROM lineitem l JOIN st USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // same augmentation, same ASCII-safe regex chain with the 'g' flag
+    "q181_normalize_text" ->
+      """WITH src AS (SELECT doc_id,
+        |  upper(substr(text, 1, 10)) || '  ' || text
+        |    || ' !!! Mixed-CASE, punct.' AS t FROM documents)
+        |SELECT doc_id, length(t)::INT AS n_chars,
+        |trim(regexp_replace(regexp_replace(lower(t),
+        |  '[^a-z0-9\s]+', ' ', 'g'), '\s+', ' ', 'g')) AS text_norm,
+        |length(trim(regexp_replace(regexp_replace(lower(t),
+        |  '[^a-z0-9\s]+', ' ', 'g'), '\s+', ' ', 'g')))::INT AS n_chars_norm
+        |FROM src ORDER BY doc_id""".stripMargin,
+
+    "q182_dedup_report" ->
+      """WITH g AS (SELECT md5(text) AS fp, COUNT(*) AS ct
+        |  FROM documents GROUP BY md5(text))
+        |SELECT CAST(SUM(ct) AS BIGINT) AS n_docs, COUNT(*) AS n_unique,
+        |CAST(SUM(CASE WHEN ct > 1 THEN ct ELSE 0 END) AS BIGINT)
+        |  AS n_in_dup_groups,
+        |MAX(ct) AS max_group,
+        |ROUND((SUM(ct) - COUNT(*))::DOUBLE / SUM(ct), 6) AS removable_fraction
+        |FROM g""".stripMargin,
 
     // the exact permutation (q146's md5-key ROW_NUMBER) + the exact
     // hash draws: cand = hash32('seed:anchor:rank') mod n, bumped one

@@ -193,6 +193,24 @@ object StreamingQueries {
         .orderBy("user_id")
     }),
 
+    // ---- streaming Gopher quality battery: the stateless rule
+    // projection (q144's exact augmentation + thresholds) applied to
+    // ARRIVING documents — proves the map-side curation family
+    // composes with readStream; oracle = q144's battle-tested battery
+    // replay, verbatim ----
+    "q179_stream_gopher" -> ((s, dir) => {
+      val src = s"$dir/documents.parquet"
+      val st = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage(src, 1))
+        .selectExpr("doc_id", s"${CurationQueries.gopherAug} AS text")
+      StreamOps.runToCompletion(
+        graft.operators.Quality.gopherQualityStats(
+          new graft.api.Df(st), "text", "doc_id",
+          minWords = 10, maxWords = 1000).sdf,
+        "q179_sink", mode = "append")
+        .orderBy("doc_id")
+    }),
+
     // ---- flatMapGroupsWithState running totals: the final state per
     // user (its LAST emission = the max cumulative count) must equal
     // the batch per-user count. total_value is deliberately excluded:
@@ -208,6 +226,8 @@ object StreamingQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // stateless streaming = the batch rule battery, verbatim
+    "q179_stream_gopher" -> CurationQueries.oracles("q144_gopher_quality"),
     // the batch interval join: views x clicks per user with the click
     // inside [view_ts, view_ts + 1h] — the streaming join over fully
     // on-time bounded input must emit exactly this

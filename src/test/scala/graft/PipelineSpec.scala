@@ -252,6 +252,45 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  // ---- standardizeBy ----
+
+  test("standardizeBy computes sample z-scores per group; singletons go NULL") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("g", StringType), StructField("v", DoubleType)))
+    val d = new Df(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "a", 1.0), Row(2L, "a", 2.0), Row(3L, "a", 3.0),
+      Row(4L, "b", 7.0))), schema))
+    val out = Curation.standardizeBy(d, "v", Seq("g")).sdf.collect()
+      .map(r => r.getLong(r.fieldIndex("id")) ->
+        Option(r.get(r.fieldIndex("v_z"))).map(_.asInstanceOf[Double])).toMap
+    // group a: mean 2, sample std 1 → z = -1, 0, 1
+    assert(out(1L).contains(-1.0) && out(2L).contains(0.0) && out(3L).contains(1.0))
+    assert(out(4L).isEmpty, "singleton group has no spread")
+  }
+
+  // ---- normalizeTextCol ----
+
+  test("normalizeTextCol folds case, strips punctuation, collapses whitespace") {
+    val d = mkDocs(1L -> "  Hello,   WORLD!! a-b c_9  ", 2L -> "!!!")
+    val out = Curation.withNormalizedText(d, "text", "doc_id")
+      .sortValues(Seq("doc_id")).sdf.collect()
+    assert(out(0).getString(2) == "hello world a b c 9")
+    assert(out(1).getString(2) == "", "all-punctuation text normalizes to empty")
+    assert(out(1).getInt(3) == 0)
+  }
+
+  // ---- dedupReport ----
+
+  test("dedupReport summarizes exact duplication in one row") {
+    val d = mkDocs(1L -> "x", 2L -> "x", 3L -> "x", 4L -> "y", 5L -> "z")
+    val r = graft.operators.Dedup.dedupReport(d, "text").sdf.collect()(0)
+    assert(r.getLong(0) == 5L)           // n_docs
+    assert(r.getLong(1) == 3L)           // n_unique
+    assert(r.getLong(2) == 3L)           // n_in_dup_groups
+    assert(r.getLong(3) == 3L)           // max_group
+    assert(r.getDouble(4) == 0.4)        // (5-3)/5 removable
+  }
+
   // ---- plan shapes (the PlanSpec convention: assert the scale-
   // critical physical operators, not just results) ----
 
