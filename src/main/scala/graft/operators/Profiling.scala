@@ -68,4 +68,71 @@ object Profiling {
       .withColumn("skew",
         round(col("max_key_n") * col("n_keys") / col("n_rows"), 4)))
   }
+
+  /** Equal-width value histogram — the distribution snapshot a
+    * pipeline takes before picking thresholds or bucketing schemes.
+    * `bins` uniform buckets over the data [min, max]; NULLs excluded;
+    * a constant column collapses into bucket 0. Emits one row per
+    * NON-EMPTY bucket: (bucket, lo, hi, n), bounds rounded 6dp.
+    *
+    * Scale: one min/max agg broadcast as a 1-row frame, one map-side
+    * bucket assignment, one partial+final count by bucket (≤ bins
+    * groups). The [[graft.operators.Layout]] Z-order bucket arithmetic
+    * convention — same double expression order cross-engine. */
+  def histogram(df: Df, valueCol: String, bins: Int = 20): Df = {
+    require(bins >= 1, s"histogram: bins must be >= 1: $bins")
+    val v = col(valueCol).cast("double")
+    val mm = df.sdf.agg(min(v).as("__mn"), max(v).as("__mx"))
+    val bucket = when(col("__mx") === col("__mn"), lit(0)).otherwise(
+      least(greatest(
+        floor((v - col("__mn")) / (col("__mx") - col("__mn")) * bins).cast("int"),
+        lit(0)), lit(bins - 1)))
+    val counts = df.sdf.where(col(valueCol).isNotNull)
+      .crossJoin(broadcast(mm))
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    new Df(counts.crossJoin(broadcast(mm))
+      .withColumn("lo", round(
+        col("__mn") + col("bucket") * (col("__mx") - col("__mn")) / bins, 6))
+      .withColumn("hi", round(
+        col("__mn") + (col("bucket") + 1) * (col("__mx") - col("__mn")) / bins, 6))
+      .select(col("bucket"), col("lo"), col("hi"), col("n")))
+  }
+
+  /** Pairwise Pearson correlation in LONG form — (col_a, col_b, corr)
+    * for every a < b pair. Rows with a NULL in ANY profiled column are
+    * excluded (one common support for every pair — the listwise
+    * convention). All five moments per pair come from EXACT decimal
+    * sums (values DECIMAL(18,2)-exact, products DECIMAL(28,4)-exact —
+    * quantize inputs accordingly), so the double formula is
+    * bit-identical cross-engine; corr rounds to 6dp. A zero-variance
+    * column yields NULL (0/0 guarded).
+    *
+    * Scale: ONE aggregation pass computes every sum; the pair table is
+    * |cols|² driver-side literals over the single aggregated row. */
+  def correlation(df: Df, cols: Seq[String]): Df = {
+    require(cols.size >= 2, s"correlation: need >= 2 columns: $cols")
+    require(cols.distinct.size == cols.size, s"correlation: duplicate column in $cols")
+    val idx = cols.zipWithIndex
+    val pairs = for { (a, i) <- idx; (b, j) <- idx if i < j } yield (a, i, b, j)
+    val aggs = (count(lit(1)).as("__n") +: idx.flatMap { case (c, i) =>
+      Seq(sum(col(c).cast("decimal(18,2)")).cast("double").as(s"__s$i"),
+        sum((col(c) * col(c)).cast("decimal(28,4)")).cast("double").as(s"__q$i"))
+    }) ++ pairs.map { case (a, i, b, j) =>
+      sum((col(a) * col(b)).cast("decimal(28,4)")).cast("double").as(s"__p${i}_$j")
+    }
+    val m = df.sdf
+      .where(cols.map(col(_).isNotNull).reduce(_ && _))
+      .agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, i, b, j) =>
+      val n = col("__n")
+      val cov = n * col(s"__p${i}_$j") - col(s"__s$i") * col(s"__s$j")
+      val va = n * col(s"__q$i") - col(s"__s$i") * col(s"__s$i")
+      val vb = n * col(s"__q$j") - col(s"__s$j") * col(s"__s$j")
+      m.select(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(va > 0 && vb > 0,
+          round(cov / (sqrt(va) * sqrt(vb)), 6)).as("corr"))
+    }
+    new Df(rows.reduce(_ union _))
+  }
 }

@@ -328,6 +328,44 @@ object TextAnalytics {
     * the order-independent sum; the mean rounds to 4dp (the q115
     * convention). Release persisted intermediates with
     * `Df.unpersistIntermediates()` after the terminal action. */
+  /** Class-based TF-IDF (the BERTopic c-TF-IDF formula, Grootendorst
+    * 2022 §2.3): treat each class (cluster, language, domain) as ONE
+    * pseudo-document and score its terms by
+    * `tf_c(t) · ln(1 + A / f_t)` — `tf_c` the term's count inside the
+    * class, `f_t` its corpus-wide count, `A` the average token count
+    * per class. The top-`k` terms per class are that class's label —
+    * the standard way to name clusters after a k-means/LSH grouping.
+    * NULL-class rows are excluded (no cohort).
+    *
+    * Determinism: scores round to 6dp and rank with the term string as
+    * tiebreak — a total order, so the top-k cut replays exactly.
+    *
+    * Scale: one tokenize pass (persisted — it feeds tf, f_t, and A);
+    * both model aggs are vocabulary-keyed; A broadcasts as one row;
+    * the rank window partitions by class. Release with
+    * `Df.unpersistIntermediates()` after the terminal action. */
+  def classTfidf(docs: Df, textCol: String, classCol: String,
+                 k: Int = 10): Df = {
+    require(k >= 1, s"classTfidf: k must be >= 1: $k")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = docs.sdf.where(col(classCol).isNotNull)
+      .select(col(classCol), explode(tokens(col(textCol))).as("term"))
+      .persist(lvl)
+    val tf = toks.groupBy(col(classCol), col("term")).agg(count(lit(1)).as("tf"))
+    val ft = toks.groupBy(col("term")).agg(count(lit(1)).as("ft"))
+    val a = toks.groupBy(col(classCol)).agg(count(lit(1)).as("__ct"))
+      .agg((sum(col("__ct")).cast("double") / count(lit(1))).as("__A"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol)).orderBy(col("score").desc, col("term").asc)
+    new Df(tf.join(ft, Seq("term")).crossJoin(broadcast(a))
+      .withColumn("score",
+        round(col("tf") * log(lit(1.0) + col("__A") / col("ft")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(classCol), col("rank"), col("term"), col("tf"), col("score")))
+      .retaining(toks)
+  }
+
   /** Content-defined chunking (the FastCDC/rsync family idea applied
     * at token level): a chunk boundary falls wherever the rolling
     * window hash satisfies `hash % modulus == 0`, so boundaries are

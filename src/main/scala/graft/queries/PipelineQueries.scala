@@ -172,6 +172,31 @@ object PipelineQueries {
     "q182_dedup_report" -> ((s, dir) => {
       val d = T(s, dir, "documents")
       graft.operators.Dedup.dedupReport(d, "text").sdf
+    }),
+
+    // ---- 20-bin equal-width histogram of l_extendedprice ----
+    "q183_histogram" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      graft.operators.Profiling.histogram(li, "l_extendedprice", bins = 20)
+        .sortValues(Seq("bucket")).sdf
+    }),
+
+    // ---- pairwise Pearson correlations from exact decimal moments.
+    // Small-magnitude columns on purpose: their moment sums stay under
+    // 2^53 decimal quanta, so BOTH engines' decimal→double casts are
+    // exact (price² sums would round) ----
+    "q184_correlation" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      graft.operators.Profiling.correlation(li,
+        Seq("l_quantity", "l_discount", "l_tax"))
+        .sortValues(Seq("col_a", "col_b")).sdf
+    }),
+
+    // ---- c-TF-IDF cluster labels: top-10 terms per language ----
+    "q186_class_tfidf" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      TextAnalytics.classTfidf(d, "text", "lang", k = 10)
+        .sortValues(Seq("lang", "rank")).sdf
     }))
 
   val oracles: Map[String, String] = Map(
@@ -336,6 +361,68 @@ object PipelineQueries {
         |MAX(ct) AS max_group,
         |ROUND((SUM(ct) - COUNT(*))::DOUBLE / SUM(ct), 6) AS removable_fraction
         |FROM g""".stripMargin,
+
+    // same double arithmetic, same association order as the operator
+    // (the Layout z-bucket convention)
+    "q183_histogram" ->
+      """WITH mm AS (SELECT MIN(l_extendedprice::DOUBLE) AS mn,
+        |  MAX(l_extendedprice::DOUBLE) AS mx FROM lineitem),
+        |b AS (SELECT CASE WHEN mx = mn THEN 0 ELSE
+        |  LEAST(GREATEST(CAST(FLOOR((l_extendedprice::DOUBLE - mn)
+        |    / (mx - mn) * 20) AS INT), 0), 19) END AS bucket
+        |  FROM lineitem CROSS JOIN mm WHERE l_extendedprice IS NOT NULL),
+        |c AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket)
+        |SELECT bucket, ROUND(mn + bucket * (mx - mn) / 20, 6) AS lo,
+        |ROUND(mn + (bucket + 1) * (mx - mn) / 20, 6) AS hi, n
+        |FROM c CROSS JOIN mm ORDER BY bucket""".stripMargin,
+
+    // five exact-decimal moments per pair → the identical double
+    // formula; listwise NULL exclusion fixes one common support
+    "q184_correlation" ->
+      """WITH m AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s0,
+        |  CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS q0,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |  CAST(SUM(CAST(l_discount*l_discount AS DECIMAL(28,4))) AS DOUBLE) AS q1,
+        |  CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+        |  CAST(SUM(CAST(l_tax*l_tax AS DECIMAL(28,4))) AS DOUBLE) AS q2,
+        |  CAST(SUM(CAST(l_quantity*l_discount AS DECIMAL(28,4))) AS DOUBLE) AS p01,
+        |  CAST(SUM(CAST(l_quantity*l_tax AS DECIMAL(28,4))) AS DOUBLE) AS p02,
+        |  CAST(SUM(CAST(l_discount*l_tax AS DECIMAL(28,4))) AS DOUBLE) AS p12
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL)
+        |SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b,
+        |  CASE WHEN n*q0 - s0*s0 > 0 AND n*q1 - s1*s1 > 0 THEN
+        |    ROUND((n*p01 - s0*s1) / (sqrt(n*q0 - s0*s0) * sqrt(n*q1 - s1*s1)), 6)
+        |  END AS corr FROM m
+        |UNION ALL
+        |SELECT 'l_quantity', 'l_tax',
+        |  CASE WHEN n*q0 - s0*s0 > 0 AND n*q2 - s2*s2 > 0 THEN
+        |    ROUND((n*p02 - s0*s2) / (sqrt(n*q0 - s0*s0) * sqrt(n*q2 - s2*s2)), 6)
+        |  END FROM m
+        |UNION ALL
+        |SELECT 'l_discount', 'l_tax',
+        |  CASE WHEN n*q1 - s1*s1 > 0 AND n*q2 - s2*s2 > 0 THEN
+        |    ROUND((n*p12 - s1*s2) / (sqrt(n*q1 - s1*s1) * sqrt(n*q2 - s2*s2)), 6)
+        |  END FROM m
+        |ORDER BY col_a, col_b""".stripMargin,
+
+    // c-TF-IDF: tf_c · ln(1 + A/f_t), A = avg tokens per class;
+    // ROUND-6 scores + term tiebreak make the top-10 cut a total order
+    "q186_class_tfidf" ->
+      s"""WITH toks AS (SELECT lang, UNNEST(${toksSql()}) AS term
+         |  FROM documents WHERE lang IS NOT NULL),
+         |tf AS (SELECT lang, term, COUNT(*) AS tf FROM toks GROUP BY lang, term),
+         |ft AS (SELECT term, COUNT(*) AS ft FROM toks GROUP BY term),
+         |a AS (SELECT CAST(SUM(ct) AS DOUBLE) / COUNT(*) AS A FROM
+         |  (SELECT lang, COUNT(*) AS ct FROM toks GROUP BY lang)),
+         |s AS (SELECT tf.lang, tf.term, tf.tf,
+         |  ROUND(tf.tf * LN(1.0 + (SELECT A FROM a) / ft.ft), 6) AS score
+         |  FROM tf JOIN ft USING (term)),
+         |r AS (SELECT lang, term, tf, score, ROW_NUMBER() OVER (
+         |  PARTITION BY lang ORDER BY score DESC, term) AS rank FROM s)
+         |SELECT lang, rank::INT AS rank, term, tf, score FROM r
+         |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
 
     // the exact permutation (q146's md5-key ROW_NUMBER) + the exact
     // hash draws: cand = hash32('seed:anchor:rank') mod n, bumped one

@@ -211,6 +211,21 @@ object StreamingQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- streaming PARQUET file sink round-trip: arriving docs land
+    // in an append-mode file sink (real commit protocol + checkpoint,
+    // not the memory sink) and are read back — identity vs the batch
+    // table proves the landing-zone write path ----
+    "q185_stream_sink" -> ((s, dir) => {
+      val src = s"$dir/documents.parquet"
+      val st = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage(src, 1))
+        .select("doc_id", "lang", "n_chars")
+      val out = java.nio.file.Files.createTempDirectory("graft_sinkq")
+      out.toFile.deleteOnExit()
+      StreamOps.runToParquet(st, s"$out/data", s"$out/cp")
+        .orderBy("doc_id")
+    }),
+
     // ---- flatMapGroupsWithState running totals: the final state per
     // user (its LAST emission = the max cumulative count) must equal
     // the batch per-user count. total_value is deliberately excluded:
@@ -228,6 +243,9 @@ object StreamingQueries {
   val oracles: Map[String, String] = Map(
     // stateless streaming = the batch rule battery, verbatim
     "q179_stream_gopher" -> CurationQueries.oracles("q144_gopher_quality"),
+    // file-sink identity: what arrived is what landed
+    "q185_stream_sink" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
     // the batch interval join: views x clicks per user with the click
     // inside [view_ts, view_ts + 1h] — the streaming join over fully
     // on-time bounded input must emit exactly this

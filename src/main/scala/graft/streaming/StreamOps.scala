@@ -228,6 +228,27 @@ object StreamOps {
     * would never emit. Production unbounded pipelines use `append` (only
     * finalized windows, bounded state); for batch-equivalence testing
     * `complete` emits all windows. */
+  /** Drain a bounded stream into a PARQUET file sink (the production
+    * landing-zone shape: append-mode files + a checkpoint directory
+    * for exactly-once restart semantics) and read the result back.
+    * Unlike the memory sink, this exercises the real file-commit
+    * protocol — partial trigger output is never visible to readers,
+    * and a restart from `checkpointDir` resumes without duplicating
+    * files. Stateless/append plans only (a complete-mode aggregation
+    * has no file-sink representation). */
+  def runToParquet(streamed: DataFrame, outDir: String,
+                   checkpointDir: String): DataFrame = {
+    val q = streamed.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    streamed.sparkSession.read.parquet(outDir)
+  }
+
   def runToCompletion(streamed: DataFrame, name: String,
                       mode: String = "complete"): DataFrame = {
     val q = streamed.writeStream

@@ -291,6 +291,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 0.4)        // (5-3)/5 removable
   }
 
+  // ---- histogram ----
+
+  test("histogram covers [min,max] with equal bins; constant column collapses") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", DoubleType)))
+    val d = new Df(spark.createDataFrame(spark.sparkContext.parallelize(
+      (0L to 99L).map(i => Row(i, i.toDouble))), schema))
+    val out = graft.operators.Profiling.histogram(d, "v", bins = 10)
+      .sortValues(Seq("bucket")).sdf.collect()
+    assert(out.length == 10)
+    assert(out.map(_.getLong(3)).sum == 100L)
+    assert(out(0).getDouble(1) == 0.0 && out(9).getDouble(2) == 99.0)
+    // max lands in the LAST bucket (clamped), not an overflow bucket
+    assert(out(9).getLong(3) == 10L)
+    val const = new Df(spark.createDataFrame(spark.sparkContext.parallelize(
+      (0L to 4L).map(i => Row(i, 7.0))), schema))
+    val c = graft.operators.Profiling.histogram(const, "v", bins = 10)
+      .sdf.collect()
+    assert(c.length == 1 && c(0).getInt(0) == 0 && c(0).getLong(3) == 5L)
+  }
+
+  // ---- correlation ----
+
+  test("correlation finds perfect/anti/zero-variance relationships") {
+    val schema = StructType(Seq(StructField("a", DoubleType),
+      StructField("b", DoubleType), StructField("c", DoubleType),
+      StructField("k", DoubleType)))
+    val d = new Df(spark.createDataFrame(spark.sparkContext.parallelize(
+      (1 to 50).map(i => Row(i.toDouble, 2.0 * i, 50.0 - i, 3.0))), schema))
+    val out = graft.operators.Profiling.correlation(d, Seq("a", "b", "c", "k"))
+      .sdf.collect().map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(out(("a", "b")).contains(1.0))
+    assert(out(("a", "c")).contains(-1.0))
+    assert(out(("a", "k")).isEmpty, "zero-variance column must yield NULL")
+    assert(out.size == 6)
+    intercept[IllegalArgumentException] {
+      graft.operators.Profiling.correlation(d, Seq("a"))
+    }
+  }
+
+  // ---- classTfidf ----
+
+  test("classTfidf surfaces class-distinctive terms first") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    val rows = (1L to 10L).map(i => Row(i, "en", "shared words plus apple")) ++
+      (11L to 20L).map(i => Row(i, "de", "shared words plus banane"))
+    val d = new Df(spark.createDataFrame(spark.sparkContext.parallelize(rows), schema))
+    val out = TextAnalytics.classTfidf(d, "text", "lang", k = 2).sdf.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    Df.releaseRetained()
+    val top = out.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    assert(top("en") == "apple", s"en top term: $top")
+    assert(top("de") == "banane", s"de top term: $top")
+    assert(out.count(_._1 == "en") == 2)
+  }
+
   // ---- plan shapes (the PlanSpec convention: assert the scale-
   // critical physical operators, not just results) ----
 
