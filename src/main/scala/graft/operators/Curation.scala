@@ -728,7 +728,8 @@ object Curation {
     * step before scores from different cohorts (languages, domains)
     * share one threshold. Adds `<valueCol>_z` (or `outCol`):
     * `(v − mean) / std` with the SAMPLE std (ddof = 1), NULL for
-    * groups smaller than 2 (no spread to divide by).
+    * groups smaller than 2 and for zero-variance groups (no spread to
+    * divide by — a constant cohort gets no z-scores, not ±∞ ones).
     *
     * Determinism: mean and std derive from EXACT decimal sums of v
     * (DECIMAL(18,2) — quantize inputs accordingly) and v²
@@ -752,7 +753,7 @@ object Curation {
     val varS = (col("__s2") - col("__s1") * col("__s1") / col("__n")) /
       (col("__n") - 1)
     new Df(df.sdf.join(broadcast(stats), groupCols)
-      .withColumn(out, when(col("__n") >= 2,
+      .withColumn(out, when(col("__n") >= 2 && varS > 0,
         round((v - mean) / sqrt(varS), 6)))
       .drop("__n", "__s1", "__s2"))
   }

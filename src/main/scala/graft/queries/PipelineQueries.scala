@@ -334,7 +334,7 @@ object PipelineQueries {
         |  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS s2
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber, l.l_quantity,
-        |CASE WHEN st.n >= 2 THEN
+        |CASE WHEN st.n >= 2 AND (s2 - s1 * s1 / n) / (n - 1) > 0 THEN
         |  ROUND((l.l_quantity - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6)
         |END AS l_quantity_z
         |FROM lineitem l JOIN st USING (l_returnflag)

@@ -489,4 +489,122 @@ class FuzzSpec extends AnyFunSuite {
     val m = s.sdf.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(m(1L).isEmpty && m(2L).contains(25.0) && m(3L).isEmpty)
   }
+
+  test("cdcChunks reassembles the exact token stream; boundaries are content-local (random corpora)") {
+    val corpus: Gen[(List[List[String]], Int, Int)] = for {
+      nDocs <- Gen.choose(1, 5)
+      docs <- Gen.listOfN(nDocs, Gen.choose(0, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))))
+      w <- Gen.choose(1, 4)
+      m <- Gen.choose(2, 6)
+    } yield (docs, w, m)
+    trials(corpus, n = 8) { case (docs, w, m) =>
+      val d = mkTextDf(docs.zipWithIndex.map { case (ts, i) => i.toLong -> ts.mkString(" ") })
+      val res = graft.operators.TextAnalytics.cdcChunks(d, "text", "doc_id", w, m)
+      val got = res.sdf.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(4)))
+      Df.releaseRetained()
+      docs.indices.foreach { i =>
+        val ts = docs(i)
+        val chunks = got.filter(_._1 == i.toLong).sortBy(_._2)
+        if (ts.isEmpty) assert(chunks.isEmpty, s"doc $i: empty doc must emit no chunks")
+        else {
+          // chunks partition the token stream exactly, in order
+          assert(chunks.map(_._4).mkString(" ") == ts.mkString(" "),
+            s"doc $i reassembly: $chunks vs $ts")
+          assert(chunks.map(_._3).sum == ts.size.toLong)
+          assert(chunks.forall(_._3 >= 1), s"doc $i: zero-token chunk")
+          // chunk indexes are dense from 0
+          assert(chunks.map(_._2).toSeq == chunks.indices.toSeq)
+        }
+      }
+      // content-defined: two docs with identical token streams chunk
+      // identically (boundaries depend only on content)
+      val dupPairs = docs.zipWithIndex.groupBy(_._1).values.filter(_.size > 1)
+      dupPairs.foreach { grp =>
+        val idxs = grp.map(_._2)
+        val ref = got.filter(_._1 == idxs.head.toLong).sortBy(_._2).map(c => (c._2, c._4)).toSeq
+        idxs.tail.foreach { j =>
+          assert(got.filter(_._1 == j.toLong).sortBy(_._2).map(c => (c._2, c._4)).toSeq == ref)
+        }
+      }
+    }
+  }
+
+  test("stripBoilerplateLines output never contains an over-threshold line (random corpora)") {
+    val corpus: Gen[(List[List[String]], Int)] = for {
+      nDocs <- Gen.choose(2, 6)
+      docs <- Gen.listOfN(nDocs, Gen.choose(1, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("l1", "l2", "l3", "l4"))))  // tiny line vocab
+      thr <- Gen.choose(2, 4)
+    } yield (docs, thr)
+    trials(corpus, n = 8) { case (docs, thr) =>
+      val d = mkTextDf(docs.zipWithIndex.map { case (ls, i) => i.toLong -> ls.mkString("\n") })
+      val res = graft.operators.Curation.stripBoilerplateLines(d, "text", "doc_id", thr)
+      val got = res.sdf.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      Df.releaseRetained()
+      val docFreq = docs.zipWithIndex
+        .flatMap { case (ls, i) => ls.distinct.map(_ -> i) }
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val boiler = docFreq.filter(_._2 >= thr).keySet
+      docs.indices.foreach { i =>
+        val (_, nLines, nKept, text) = got.find(_._1 == i.toLong).get
+        val keptLines = if (text.isEmpty) Nil else text.split("\n").toList
+        assert(nLines == docs(i).size.toLong)
+        assert(nKept == keptLines.size.toLong)
+        // the property: no surviving line is boilerplate, and every
+        // non-boilerplate line survives in original order
+        assert(keptLines == docs(i).filterNot(boiler.contains),
+          s"doc $i: kept=$keptLines, expected=${docs(i).filterNot(boiler.contains)}, boiler=$boiler")
+      }
+    }
+  }
+
+  test("standardizeBy: group moments normalize to mean 0 / sample std 1 (random groups)") {
+    val corpus: Gen[List[(String, Double)]] = Gen.choose(4, 30).flatMap(n =>
+      Gen.listOfN(n, for {
+        g <- Gen.oneOf("g1", "g2", "g3")
+        // 2dp-quantized values (the operator's decimal contract)
+        v <- Gen.choose(-10000, 10000).map(_ / 100.0)
+      } yield (g, v)))
+    trials(corpus, n = 8) { xs =>
+      val d = Df.fromRows(spark, xs.zipWithIndex.map { case ((g, v), i) => Row(i.toLong, g, v) },
+        StructType(Seq(StructField("id", LongType), StructField("g", StringType),
+          StructField("v", DoubleType))))
+      val out = graft.operators.Curation.standardizeBy(d, "v", Seq("g")).sdf.collect()
+        .map(r => (r.getString(r.fieldIndex("g")),
+          Option(r.get(r.fieldIndex("v_z"))).map(_.asInstanceOf[Double])))
+      out.groupBy(_._1).foreach { case (g, rows) =>
+        val vs = xs.filter(_._1 == g).map(_._2)
+        val n = vs.size
+        if (n < 2 || vs.distinct.size == 1)
+          assert(rows.forall(_._2.isEmpty),
+            s"group $g (n=$n, constant=${vs.distinct.size == 1}) must be NULL")
+        else {
+          val zs = rows.map(_._2.get)
+          assert(math.abs(zs.sum) < 1e-3, s"group $g: z mean ${zs.sum / n}")
+          val s2 = zs.map(z => z * z).sum / (n - 1)
+          assert(math.abs(s2 - 1.0) < 1e-3, s"group $g: z var $s2")
+        }
+      }
+    }
+  }
+
+  test("negativeSamples: k in-corpus non-self draws per anchor at any corpus size") {
+    val sizes: Gen[(Int, Int)] = for {
+      n <- Gen.choose(2, 40)
+      k <- Gen.choose(1, 4)
+    } yield (n, k)
+    trials(sizes, n = 6) { case (n, k) =>
+      val d = mkTextDf((1L to n.toLong).map(i => i -> s"d$i"))
+      val out = graft.operators.Curation.negativeSamples(d, "doc_id", k, seed = n * 31L + k)
+        .sdf.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      Df.releaseRetained()
+      assert(out.length == n * k)
+      val ids = (1L to n.toLong).toSet
+      assert(out.forall { case (a, _, b) => ids.contains(b) && a != b })
+      assert(out.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq == (0 until k)))
+    }
+  }
 }
