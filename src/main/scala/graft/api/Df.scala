@@ -204,6 +204,29 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
         .otherwise(lit(restLabel))))
   }
 
+  /** Three-way [[splitByHash]] — the train/val/test shape. Ordered
+    * label fractions carve adjacent bucket ranges
+    * (`[0, f1) [f1, f1+f2) [rest]`), so the same determinism and
+    * add-data stability hold, and SHRINKING a fraction never moves a
+    * row between the surviving ranges' shared boundary sides. Each
+    * threshold rounds (the [[splitByHash]] binary-inexactness guard). */
+  def splitByHash3(keyCol: String, valFraction: Double, testFraction: Double,
+                   labels: (String, String, String) = ("val", "test", "train"),
+                   out: String = "split", buckets: Int = 10000): Df = {
+    require(valFraction >= 0 && testFraction >= 0 &&
+      valFraction + testFraction <= 1,
+      s"need valFraction, testFraction >= 0 with sum <= 1: $valFraction, $testFraction")
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val bucket =
+      graft.functions.TextFunctions.hash32(col(keyCol).cast("string")) % buckets
+    val t1 = math.round(valFraction * buckets)
+    val t2 = t1 + math.round(testFraction * buckets)
+    new Df(sdf.withColumn(out,
+      when(bucket < t1, lit(labels._1))
+        .when(bucket < t2, lit(labels._2))
+        .otherwise(lit(labels._3))))
+  }
+
   // ---- index emulation (SURVEY.md §7.4.1) ----
   /** `SetIndex` (`_expr.py:1118`): Spark rows are unordered, so the
     * pandas index is just a designated key column. We track the name;

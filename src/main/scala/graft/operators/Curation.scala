@@ -778,6 +778,27 @@ object Curation {
       normalizeTextCol(col(textCol)).as(s"${textCol}_norm"))
       .withColumn("n_chars_norm", length(col(s"${textCol}_norm"))))
 
+  /** Exact dedup on the NORMALIZED text key — collapses case,
+    * punctuation, and whitespace variants of one document the way raw
+    * [[graft.operators.Dedup.exactByFingerprint]] cannot (its
+    * canonical fingerprint is still token-content-sensitive to
+    * punctuation glued onto words). Keeps the minimum id per
+    * normalized key; emits (idCol, n_copies, textCol) with the
+    * SURVIVOR'S ORIGINAL text — normalization is a match key, never a
+    * rewrite ([[normalizeTextCol]]'s contract).
+    *
+    * Scale: the groupBy shuffles (normalized-md5, id) — 40-ish bytes
+    * per row, never text; the survivor join brings text back keyed by
+    * the unique id. */
+  def dedupByNormalizedText(docs: Df, textCol: String, idCol: String): Df = {
+    val keyed = docs.sdf.select(col(idCol),
+      md5(normalizeTextCol(col(textCol)).cast("binary")).as("__nk"))
+    val survivors = keyed.groupBy(col("__nk"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("__nk")
+    new Df(survivors.join(docs.sdf.select(col(idCol), col(textCol)), Seq(idCol)))
+  }
+
   /** Deterministic negative sampling — the contrastive-training pair
     * builder: each document draws `k` pseudo-random partners from the
     * corpus, reproducibly under `seed` (re-runs, retries, and

@@ -197,6 +197,27 @@ object PipelineQueries {
       val d = T(s, dir, "documents")
       TextAnalytics.classTfidf(d, "text", "lang", k = 10)
         .sortValues(Seq("lang", "rank")).sdf
+    }),
+
+    // ---- three-way deterministic split (10% val / 10% test), exact
+    // per-doc assignment replayed ----
+    "q187_split3" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      d.splitByHash3("doc_id", valFraction = 0.1, testFraction = 0.1)
+        .select("doc_id", "split").sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- dedup on the normalized-text key: injected case/punct
+    // variants (doc_id+5000 = UPPER(text) + ' !!!') collapse with
+    // their originals; survivors keep ORIGINAL text ----
+    "q188_normalized_dedup" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val aug = new Df(d.sdf.select(col("doc_id"), col("text"))
+        .union(d.sdf.where(col("doc_id") < 100)
+          .selectExpr("doc_id + 5000 AS doc_id",
+            "concat(upper(text), ' !!!') AS text")))
+      Curation.dedupByNormalizedText(aug, "text", "doc_id")
+        .sortValues(Seq("doc_id")).sdf
     }))
 
   val oracles: Map[String, String] = Map(
@@ -406,6 +427,32 @@ object PipelineQueries {
         |    ROUND((n*p12 - s1*s2) / (sqrt(n*q1 - s1*s1) * sqrt(n*q2 - s2*s2)), 6)
         |  END FROM m
         |ORDER BY col_a, col_b""".stripMargin,
+
+    // adjacent bucket ranges off the q118 hash rule; thresholds
+    // ROUND(f·buckets) exactly like the operator
+    "q187_split3" ->
+      """SELECT doc_id, CASE
+        |WHEN ('0x' || substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 10000 < 1000
+        |  THEN 'val'
+        |WHEN ('0x' || substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 10000 < 2000
+        |  THEN 'test'
+        |ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the q181 normalization chain as an md5 MATCH KEY (never a
+    // rewrite): min-id survivor per key, original text joined back
+    "q188_normalized_dedup" ->
+      """WITH src AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 5000, upper(text) || ' !!!'
+        |  FROM documents WHERE doc_id < 100),
+        |k AS (SELECT doc_id, text,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]+', ' ', 'g'), '\s+', ' ', 'g'))) AS nk FROM src),
+        |g AS (SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |  FROM k GROUP BY nk)
+        |SELECT g.doc_id, g.n_copies, k2.text
+        |FROM g JOIN k k2 ON g.doc_id = k2.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
 
     // c-TF-IDF: tf_c · ln(1 + A/f_t), A = avg tokens per class;
     // ROUND-6 scores + term tiebreak make the top-10 cut a total order

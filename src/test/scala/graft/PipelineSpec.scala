@@ -349,6 +349,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.count(_._1 == "en") == 2)
   }
 
+  // ---- splitByHash3 / dedupByNormalizedText ----
+
+  test("splitByHash3 carves adjacent stable ranges; 2-way boundary is shared") {
+    val d = mkDocs((1L to 400L).map(i => i -> s"d$i"): _*)
+    val out = d.splitByHash3("doc_id", 0.1, 0.2).sdf.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val counts = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("val", "test", "train"))
+    assert(counts("train") > counts("test") && counts("test") > counts("val"))
+    // the val range matches the 2-way split's holdout at the same fraction
+    val twoWay = d.splitByHash("doc_id", 0.1).sdf.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.filter(_._2 == "val").keySet ==
+      twoWay.filter(_._2 == "holdout").keySet)
+    intercept[IllegalArgumentException] { d.splitByHash3("doc_id", 0.6, 0.6) }
+  }
+
+  test("dedupByNormalizedText collapses case/punct variants, keeps original text") {
+    val d = mkDocs(
+      1L -> "Hello, World!",
+      2L -> "hello   world",
+      3L -> "HELLO WORLD.",
+      4L -> "different doc")
+    val out = Curation.dedupByNormalizedText(d, "text", "doc_id")
+      .sortValues(Seq("doc_id")).sdf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq((1L, 3L, "Hello, World!"), (4L, 1L, "different doc")))
+  }
+
   // ---- plan shapes (the PlanSpec convention: assert the scale-
   // critical physical operators, not just results) ----
 
