@@ -93,29 +93,44 @@ object TextAnalytics {
     * corpus rows plus `contaminated_fraction` (6dp) so downstream
     * audits can see how close each keeper came to the line.
     *
-    * Fraction = shared-n-gram OCCURRENCES / total n-gram occurrences in
-    * the doc (both non-distinct — a doc that repeats a leaked benchmark
-    * line scores higher than one that mentions it once). Docs with no
+    * Fraction = contaminated DISTINCT n-grams / the doc's DISTINCT
+    * n-grams (the [[ngramContamination]] semantics — repeating a
+    * leaked line does not inflate the score; what matters is how much
+    * of the doc's content overlaps the benchmark). Docs with no
     * n-grams at all (shorter than n tokens) have fraction 0 and are
-    * kept. Scale shape: the benchmark's distinct gram set broadcasts
-    * into the corpus-side equi-join; the left join back onto the
-    * corpus is a hash join on the id — no self-join, no all-pairs. */
+    * kept. Scale shape: the corpus shingles explode ONCE (persisted —
+    * the table feeds both the per-doc totals and the benchmark hit
+    * join; an earlier version re-shingled the corpus for the totals
+    * and doubled the dominant cost); the benchmark's distinct gram
+    * set rides an equi-join AQE broadcasts; the join back onto the
+    * corpus is id-keyed. Release the persisted shingle table with
+    * `Df.unpersistIntermediates()` after the terminal action. */
   def decontaminate(corpus: Df, benchmark: Df, textCol: String,
                     idCol: String, n: Int = 3,
                     maxFraction: Double = 0.0): Df = {
     require(n >= 1, s"decontaminate: n must be >= 1: $n")
     require(maxFraction >= 0.0 && maxFraction <= 1.0,
       s"decontaminate: maxFraction must be in [0, 1]: $maxFraction")
-    val hits = ngramContamination(corpus, benchmark, textCol, idCol, n).sdf
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bench = benchmark.sdf
+      .select(explode(wordShingles(col(textCol), n)).as("g"))
+      .select(hash32(col("g")).as("gh")).distinct()
+    val docShingles = corpus.sdf.select(col(idCol),
+        explode(wordShingles(col(textCol), n)).as("g"))
+      .select(col(idCol), hash32(col("g")).as("gh"))
+      .persist(lvl)
+    val totals = docShingles.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_grams"))
+    val hits = docShingles.join(bench, Seq("gh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__n_cont"))
     new Df(corpus.sdf
-      .withColumn("__n_grams",
-        org.apache.spark.sql.functions.size(wordShingles(col(textCol), n)).cast("long"))
+      .join(totals, Seq(idCol), "left")
       .join(hits, Seq(idCol), "left")
       .withColumn("contaminated_fraction",
-        round(coalesce(col("n_contaminated_ngrams"), lit(0L)).cast("double") /
-          greatest(col("__n_grams"), lit(1L)), 6))
+        round(coalesce(col("__n_cont"), lit(0L)).cast("double") /
+          greatest(coalesce(col("__n_grams"), lit(0L)), lit(1L)), 6))
       .where(col("contaminated_fraction") <= maxFraction)
-      .drop("__n_grams", "n_contaminated_ngrams"))
+      .drop("__n_grams", "__n_cont")).retaining(docShingles)
   }
 
   /** Per-document n-gram repetition statistics — the Gopher/RefinedWeb
