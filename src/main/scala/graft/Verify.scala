@@ -12,8 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark rejects;
-      // read as long and convert (see graft.queries.QueryUtil.events).
+      // events.parquet has shipped both TIMESTAMP(NANOS) and
+      // TIMESTAMP(MICROS) across testdata generations; keep the legacy
+      // read on so NANOS loads as long instead of erroring, and let
+      // graft.queries.QueryUtil.adaptTs convert whichever dtype arrives.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

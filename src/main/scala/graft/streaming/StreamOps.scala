@@ -16,21 +16,27 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** events schema with ts as long nanos (as the driver's parquet
-    * delivers it under nanosAsLong) — converted on ingest. */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** open the events directory as an unbounded stream; ts converted via
-    * the canonical [[graft.queries.QueryUtil.nanosColToTs]] so stream
-    * and batch results stay comparable bit-for-bit. */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsRawSchema)
+  /** Open the events directory as an unbounded stream. The schema is
+    * DERIVED from a batch read of the same path — never hardcoded: a
+    * hardcoded `ts: LongType` once read a TIMESTAMP(MICROS) column as
+    * micros-as-long, the ÷1000 nanos conversion collapsed every event to
+    * ~1970, and the windowed queries emitted confidently wrong rows with
+    * zero errors (the r9 incident). `ts` is adapted via the canonical
+    * [[graft.queries.QueryUtil.adaptTs]] (same conversion as batch, so
+    * stream and batch results stay comparable bit-for-bit) and the batch
+    * twin is unit-sanity-checked up front so drift throws at plan time
+    * instead of corrupting state downstream. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.QueryUtil
+    val batch = spark.read.parquet(dir)
+    val tsType = batch.schema("ts").dataType
+    QueryUtil.assertPlausibleTs(
+      batch.withColumn("ts", QueryUtil.adaptTs(tsType, "ts")), "ts", dir)
+    spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumn("ts", graft.queries.QueryUtil.nanosColToTs("ts"))
+      .withColumn("ts", QueryUtil.adaptTs(tsType, "ts"))
+  }
 
   /** tumbling-window counts+sums per event type with late-data bound.
     * The value sum rides DECIMAL(18,4) (emitted as double): decimal

@@ -37,8 +37,7 @@ class BucketingSpec extends AnyFunSuite {
   }
 
   test("session windows merge events within gap") {
-    val e = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val e = graft.queries.QueryUtil.events(spark, sf).sdf
     val sessions = graft.streaming.StreamOps.userSessions(e, "30 minutes")
     // sanity: sessions per user ≤ events per user; windows don't overlap
     val perUser = sessions.groupBy("user_id")

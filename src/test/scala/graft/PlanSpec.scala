@@ -118,9 +118,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("partitioned layout prunes directories via PartitionFilters") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
-    val e = new Df(spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000"))))
+    val e = graft.queries.QueryUtil.events(spark, sf)
     e.toParquetPartitioned(tmp, Seq("event_type"))
     val back = Df.readParquet(spark, tmp)
     val q = back.where(back("event_type") === "purchase").select("event_id").sdf

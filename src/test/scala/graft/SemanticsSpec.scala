@@ -165,4 +165,59 @@ class SemanticsSpec extends AnyFunSuite {
       .sdf.collect().map(r => Option(r.getString(1)))
     assert(b.toSeq == Seq(Some("low"), Some("high"), None))
   }
+
+  // ---- event-time ingest: encoding adaptation + unit-drift guard ----
+  // (the r9 incident: testdata flipped nanos-as-long -> TIMESTAMP(MICROS);
+  // batch queries died with analysis errors, streaming windows silently
+  // collapsed to ~1970. Ingest must adapt to the loaded dtype and REJECT
+  // implausible event times instead of computing over them.)
+
+  /** write an events.parquet whose ts is a raw LONG of the given values */
+  private def writeLongTsEvents(values: Seq[Long]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts_guard").toString
+    val rows = values.zipWithIndex.map { case (v, i) => Row(i.toLong, v, i.toLong % 7) }
+    Df.fromRows(spark, rows, StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType)))).sdf
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("events ingest adapts the current testdata encoding to a plausible TIMESTAMP") {
+    val e = graft.queries.QueryUtil.events(spark, sf)
+    assert(e.sdf.schema("ts").dataType == TimestampType)
+    val t = e.sdf.select(min(col("ts")), max(col("ts"))).collect()(0)
+    val years = Seq(t.getTimestamp(0), t.getTimestamp(1))
+      .map(_.toInstant.atOffset(java.time.ZoneOffset.UTC).getYear)
+    assert(years.forall(y => y >= 1990 && y <= 2100), years)
+  }
+
+  test("events ingest converts legacy nanos-as-long with micros truncation") {
+    val base = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z in nanos
+    val dir = writeLongTsEvents(Seq(base + 123456789L, base + 987654321L))
+    val got = graft.queries.QueryUtil.events(spark, dir)
+      .sdf.orderBy("event_id").select("ts").collect().map(_.getTimestamp(0))
+    assert(got(0).toInstant.toEpochMilli == 1704067200123L)
+    // micros truncation, not rounding: .987654321s -> .987654s
+    assert(got(1).getNanos == 987654000)
+  }
+
+  test("unit drift fails loudly: micros stored as long throws, never windows over ~1970") {
+    val micros = 1704067200L * 1000000L // 2024 in MICROS; nanos read -> 1970
+    val dir = writeLongTsEvents(Seq(micros, micros + 1000L))
+    val ex = intercept[IllegalArgumentException] {
+      graft.queries.QueryUtil.events(spark, dir)
+    }
+    assert(ex.getMessage.contains("drift"), ex.getMessage)
+    // the streaming reader shares the guard: same drifted dir, same error
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.readEventsStream(spark, s"$dir/events.parquet")
+    }
+  }
+
+  test("adaptTs refuses to guess unknown encodings") {
+    intercept[IllegalArgumentException] {
+      graft.queries.QueryUtil.adaptTs(StringType, "ts")
+    }
+  }
 }

@@ -27,8 +27,7 @@ class StreamingSpec extends AnyFunSuite {
     val result = StreamOps.runToCompletion(
       StreamOps.windowedTypeCounts(stream), "win_counts")
 
-    val batch = spark.read.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = graft.queries.QueryUtil.events(spark, dir).sdf
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
@@ -215,8 +214,7 @@ class StreamingSpec extends AnyFunSuite {
       StreamOps.streamStreamIntervalJoin(side("view"), side("click"), "user_id"),
       "interval_join", mode = "append").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).sorted.toSeq
-    val e = spark.read.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val e = graft.queries.QueryUtil.events(spark, dir).sdf
       .where(col("user_id") < 10)
     val v = e.where(col("event_type") === "view").select(col("user_id"), col("ts").as("l_ts"))
     val c = e.where(col("event_type") === "click").select(col("user_id"), col("ts").as("r_ts"))
