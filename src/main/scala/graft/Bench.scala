@@ -28,37 +28,65 @@ object Bench {
     // what a round-over-round comparison should see.
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).getOrElse(2))
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val dt = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        // noop sink: materializes EVERY column of the result. A count()
-        // action would let Catalyst prune unreferenced projections, so
-        // elementwise queries would time the scan instead of the work.
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => }
-        val t = (System.nanoTime() - t0) / 1e9
-        // drop persisted blocks (Dedup LSH indexes) so one query's cache
-        // never pressures the next — the r2 bench showed 3-10× swings on
-        // identical code from exactly this leak.
-        graft.api.Df.releaseRetained()
-        spark.catalog.clearCache()
-        t
-      }.min
-      name -> dt
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // a failed query must NEVER time as fast (the r9 incident: 18 queries
+    // died at plan construction in ~0.06s each and the bench reported
+    // plausible-looking timings with rc 0) — carry ok/err per query.
+    val results: Seq[(String, Double, Option[String])] =
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
+        var err: Option[String] = None
+        val dt = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          // noop sink: materializes EVERY column of the result. A count()
+          // action would let Catalyst prune unreferenced projections, so
+          // elementwise queries would time the scan instead of the work.
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+          catch { case t: Throwable =>
+            err = Some((t.getClass.getName + ": " +
+              Option(t.getMessage).getOrElse("")).replaceAll("\\s+", " ").take(300))
+            System.err.println(s"[bench] $name FAILED: ${err.get}") }
+          val t = (System.nanoTime() - t0) / 1e9
+          // drop persisted blocks (Dedup LSH indexes) so one query's cache
+          // never pressures the next — the r2 bench showed 3-10× swings on
+          // identical code from exactly this leak.
+          graft.api.Df.releaseRetained()
+          spark.catalog.clearCache()
+          t
+        }.min
+        (name, dt, err)
+      }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val ok = results.filter(_._3.isEmpty)
+    val failed = results.filter(_._3.nonEmpty)
+    // driver-contract line: queries stay numeric (ONLY successful runs —
+    // a failure latency is not a timing); failures ride alongside.
+    val qs = ok.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val fs = failed.map { case (k, _, e) => jstr(k) + ":" + jstr(e.get) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val total = ok.map(_._2).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","n_ok":${ok.size},"n_failed":${failed.size},"failed":$fs}"""
     println(line)
     // the driver's log capture truncates long tails (BENCH_r06 kept only
-    // 61/125 per-query timings and lost the total) — persist the full
-    // JSON line as a file artifact too
+    // 61/125 per-query timings and lost the total) — persist a FULL
+    // per-query {sec, ok, err} record as the file artifact.
+    val detail = results.map { case (k, v, e) =>
+      jstr(k) + s""":{"sec":$v,"ok":${e.isEmpty},"err":""" +
+        e.map(jstr).getOrElse("null") + "}"
+    }.mkString("{", ",", "}")
+    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""n_ok":${ok.size},"n_failed":${failed.size},"queries":$detail,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fileLine + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} queries FAILED: " +
+        failed.map(_._1).mkString(", "))
+      sys.exit(2) // a bench over broken queries must not look green
+    }
   }
 }
