@@ -206,10 +206,15 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
 
   /** Three-way [[splitByHash]] — the train/val/test shape. Ordered
     * label fractions carve adjacent bucket ranges
-    * (`[0, f1) [f1, f1+f2) [rest]`), so the same determinism and
-    * add-data stability hold, and SHRINKING a fraction never moves a
-    * row between the surviving ranges' shared boundary sides. Each
-    * threshold rounds (the [[splitByHash]] binary-inexactness guard). */
+    * (`[0, f1) [f1, f1+f2) [rest]`), with the same per-row determinism
+    * and add-data stability as [[splitByHash]]. The thresholds are
+    * CUMULATIVE, so range stability is asymmetric: changing
+    * `valFraction` shifts the test range bodily (rows can move between
+    * test and train even though `testFraction` was untouched), while
+    * changing only `testFraction` leaves the val range fixed. Pin the
+    * earlier fractions if downstream jobs depend on a stable split.
+    * Each threshold rounds (the [[splitByHash]] binary-inexactness
+    * guard). */
   def splitByHash3(keyCol: String, valFraction: Double, testFraction: Double,
                    labels: (String, String, String) = ("val", "test", "train"),
                    out: String = "split", buckets: Int = 10000): Df = {

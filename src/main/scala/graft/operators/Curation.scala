@@ -799,28 +799,6 @@ object Curation {
     new Df(survivors.join(docs.sdf.select(col(idCol), col(textCol)), Seq(idCol)))
   }
 
-  /** Deterministic negative sampling — the contrastive-training pair
-    * builder: each document draws `k` pseudo-random partners from the
-    * corpus, reproducibly under `seed` (re-runs, retries, and
-    * repartitions yield byte-identical pairs — the
-    * [[epochShuffle]] property, needed when the pairs feed a resumable
-    * training job). Partner j of anchor a is the document at global
-    * ordinal `hash(seed:a:j) mod n` of the seed-keyed permutation,
-    * bumped by one slot if it lands on the anchor itself (with a
-    * 1-document corpus the only partner IS the anchor — degenerate by
-    * construction, not guarded).
-    *
-    * Emits (anchor_id, neg_rank, neg_id), k rows per anchor. Draws are
-    * with replacement ACROSS ranks (two ranks of one anchor can hit
-    * the same partner — standard for negative sampling; dedup
-    * downstream if the loss requires distinct negatives).
-    *
-    * Scale: the ordinal table rides
-    * [[graft.api.Df.withRowIndexScalable]] (range-partition +
-    * zipWithIndex — no keyless window) and is persisted (it feeds the
-    * corpus-size agg, the anchor side, and the partner lookup); `n`
-    * arrives as a broadcast 1-row frame, never a driver action; the
-    * partner lookup is ONE equi-join on the 8-byte ordinal. */
   /** Deterministic importance sampling without replacement — the
     * Gumbel-top-k trick (Vieira 2014; the selection step DSIR-style
     * weighting feeds): each row's key is
@@ -876,6 +854,28 @@ object Curation {
       .drop("__lo", "__hi"))
   }
 
+  /** Deterministic negative sampling — the contrastive-training pair
+    * builder: each document draws `k` pseudo-random partners from the
+    * corpus, reproducibly under `seed` (re-runs, retries, and
+    * repartitions yield byte-identical pairs — the
+    * [[epochShuffle]] property, needed when the pairs feed a resumable
+    * training job). Partner j of anchor a is the document at global
+    * ordinal `hash(seed:a:j) mod n` of the seed-keyed permutation,
+    * bumped by one slot if it lands on the anchor itself (with a
+    * 1-document corpus the only partner IS the anchor — degenerate by
+    * construction, not guarded).
+    *
+    * Emits (anchor_id, neg_rank, neg_id), k rows per anchor. Draws are
+    * with replacement ACROSS ranks (two ranks of one anchor can hit
+    * the same partner — standard for negative sampling; dedup
+    * downstream if the loss requires distinct negatives).
+    *
+    * Scale: the ordinal table rides
+    * [[graft.api.Df.withRowIndexScalable]] (range-partition +
+    * zipWithIndex — no keyless window) and is persisted (it feeds the
+    * corpus-size agg, the anchor side, and the partner lookup); `n`
+    * arrives as a broadcast 1-row frame, never a driver action; the
+    * partner lookup is ONE equi-join on the 8-byte ordinal. */
   def negativeSamples(docs: Df, idCol: String, k: Int, seed: Long): Df = {
     require(k >= 1, s"negativeSamples: k must be >= 1: $k")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

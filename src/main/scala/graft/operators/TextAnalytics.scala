@@ -324,25 +324,6 @@ object TextAnalytics {
       .retaining(bi)
   }
 
-  /** Per-document interpolated bigram NLL — the [[unigramLogLoss]]
-    * upgrade (a first-order LM is a far sharper fluency signal than
-    * word frequencies; CCNet's real filter is a KenLM n-gram model —
-    * this is the n=2 member of that family with the corpus as its own
-    * training set). Each transition scores
-    * `p(w_i | w_{i-1}) = λ·c(w_{i-1} w_i)/c(w_{i-1}·) + (1−λ)·c(w_i)/N`
-    * (Jelinek-Mercer interpolation with the unigram MLE — the backoff
-    * mass keeps unseen-in-context words finite); a document's score is
-    * the mean −ln p over its n−1 transitions. Docs with < 2 tokens
-    * have no transitions and drop out.
-    *
-    * Scale: ONE tokenize pass builds the persisted per-doc token-array
-    * table; bigrams are a map-side array transform of it (persisted —
-    * they feed the pair counts, the left margins, and the scoring
-    * join); unigram counts ride the same base table; all model joins
-    * are vocabulary-keyed. Each −ln term is DECIMAL(18,8)-cast before
-    * the order-independent sum; the mean rounds to 4dp (the q115
-    * convention). Release persisted intermediates with
-    * `Df.unpersistIntermediates()` after the terminal action. */
   /** Class-based TF-IDF (the BERTopic c-TF-IDF formula, Grootendorst
     * 2022 §2.3): treat each class (cluster, language, domain) as ONE
     * pseudo-document and score its terms by
@@ -483,6 +464,25 @@ object TextAnalytics {
         round(col("n_distinct").cast("double") / col("total"), 6)))
   }
 
+  /** Per-document interpolated bigram NLL — the [[unigramLogLoss]]
+    * upgrade (a first-order LM is a far sharper fluency signal than
+    * word frequencies; CCNet's real filter is a KenLM n-gram model —
+    * this is the n=2 member of that family with the corpus as its own
+    * training set). Each transition scores
+    * `p(w_i | w_{i-1}) = λ·c(w_{i-1} w_i)/c(w_{i-1}·) + (1−λ)·c(w_i)/N`
+    * (Jelinek-Mercer interpolation with the unigram MLE — the backoff
+    * mass keeps unseen-in-context words finite); a document's score is
+    * the mean −ln p over its n−1 transitions. Docs with < 2 tokens
+    * have no transitions and drop out.
+    *
+    * Scale: ONE tokenize pass builds the persisted per-doc token-array
+    * table; bigrams are a map-side array transform of it (persisted —
+    * they feed the pair counts, the left margins, and the scoring
+    * join); unigram counts ride the same base table; all model joins
+    * are vocabulary-keyed. Each −ln term is DECIMAL(18,8)-cast before
+    * the order-independent sum; the mean rounds to 4dp (the q115
+    * convention). Release persisted intermediates with
+    * `Df.unpersistIntermediates()` after the terminal action. */
   def bigramNll(docs: Df, textCol: String, idCol: String,
                 lambda: Double = 0.7): Df = {
     require(lambda >= 0 && lambda <= 1,

@@ -252,7 +252,11 @@ object StreamOps {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    streamed.sparkSession.read.parquet(outDir)
+    // read back under the stream's own schema: a bounded stream that
+    // emitted ZERO rows leaves no part files, and a schema-inferring
+    // read would throw "unable to infer schema" instead of returning
+    // the empty frame the caller asked for
+    streamed.sparkSession.read.schema(streamed.schema).parquet(outDir)
   }
 
   def runToCompletion(streamed: DataFrame, name: String,

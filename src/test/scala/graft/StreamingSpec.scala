@@ -204,6 +204,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(total == 2 * rows)
   }
 
+  test("runToParquet round-trips an EMPTY bounded stream as an empty frame") {
+    // a filter no row passes: the file sink commits zero part files and
+    // the read-back must yield the empty frame (under the stream's own
+    // schema), not an "unable to infer schema" error
+    val stream = StreamOps.readEventsStream(spark, stageDir)
+      .where(col("event_type") === "__no_such_type")
+    val out = java.nio.file.Files.createTempDirectory("graft_empty_sink")
+    val got = StreamOps.runToParquet(stream,
+      out.resolve("data").toString, out.resolve("cp").toString)
+    assert(got.count() == 0)
+    assert(got.columns.contains("event_type") && got.columns.contains("ts"))
+  }
+
   test("stream-stream interval join matches inside the bound, drops outside, equals batch") {
     // views/clicks split from the same bounded feed: the join must
     // reproduce the batch interval join exactly (all rows on time)
