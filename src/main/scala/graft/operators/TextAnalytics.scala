@@ -513,4 +513,121 @@ object TextAnalytics {
         round(sum(col("__nll")).cast("double") / count(lit(1)), 4).as("avg_nll")))
       .retaining(base, bi)
   }
+
+  /** Vocabulary coverage curve — for each requested vocabulary size V,
+    * the share of total token OCCURRENCES covered by the top-V terms
+    * (frequency-ranked, ties broken by term — fully deterministic and
+    * replayable cross-engine). The standard tokenizer/vocab sizing
+    * instrument: "how big must V be to cover 99% of the corpus".
+    *
+    * Emits (v, vocab_terms, covered, total, coverage) per V —
+    * vocab_terms = min(V, distinct terms); coverage rounds 6dp.
+    *
+    * Scale: one tokenize pass → term-keyed partial+final count (the
+    * vocabulary table — tiny relative to the corpus, but NOT
+    * driver-tiny); ranking rides
+    * [[graft.api.Df.withRowIndexScalable]] (range-partition +
+    * zipWithIndex — no single-partition window even at 100 M-term
+    * vocabularies); each vocab row then fans out only to the
+    * requested Vs (|vs| small) for the covered sums, and the corpus
+    * total arrives as a broadcast 1-row frame. */
+  def vocabCoverage(docs: Df, textCol: String, vs: Seq[Int]): Df = {
+    require(vs.nonEmpty && vs.forall(_ >= 1),
+      s"vocabCoverage: vs must be non-empty positive: $vs")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cnt = docs.sdf.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("__c")).persist(lvl)
+    val ranked = new Df(cnt.withColumn("__negc", -col("__c")))
+      .withRowIndexScalable(Seq("__negc", "term"), "__rk").sdf
+    val total = cnt.agg(sum(col("__c")).as("total"))
+    val perV = ranked
+      .select(col("__c"), col("__rk"),
+        explode(array(vs.map(lit(_)): _*)).as("v"))
+      .where(col("__rk") < col("v"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("vocab_terms"), sum(col("__c")).as("covered"))
+    new Df(perV.crossJoin(broadcast(total))
+      .withColumn("coverage",
+        round(col("covered").cast("double") / col("total"), 6))
+      .select(col("v"), col("vocab_terms"), col("covered"), col("total"),
+        col("coverage")))
+      .retaining(cnt)
+  }
+
+  /** Zipf slope — least-squares fit of `ln(count) ~ ln(rank)` over the
+    * top-`topK` frequency-ranked terms (term tiebreak, the
+    * [[vocabCoverage]] ranking). Natural corpora run near slope −1;
+    * large deviations flag template/boilerplate floods (too steep) or
+    * token-soup noise (too flat) — a one-row corpus-health signal for
+    * curation dashboards.
+    *
+    * Emits ONE row (n_terms, slope, intercept), 6dp. Numerics follow
+    * the q169 convention: each ln() is DECIMAL(18,8)-cast (absorbing
+    * cross-engine libm ulps) and all four moment sums are exact
+    * decimal — order-independent, so the distributed sums replay
+    * bit-identically in a serial oracle; the closed-form fit then runs
+    * in double on the exact sums.
+    *
+    * Scale: tokenize pass → vocabulary count → scalable rank (no
+    * single-partition window) → ONE partial+final agg of four moments
+    * over topK rows. Nothing driver-side. */
+  def zipfSlope(docs: Df, textCol: String, topK: Int = 1000): Df = {
+    require(topK >= 2, s"zipfSlope: topK must be >= 2: $topK")
+    val cnt = docs.sdf.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("__c"))
+    val ranked = new Df(cnt.withColumn("__negc", -col("__c")))
+      .withRowIndexScalable(Seq("__negc", "term"), "__rk").sdf
+      .where(col("__rk") < topK)
+    val pts = ranked.select(
+      log(col("__rk") + 1).cast("decimal(18,8)").as("x"),
+      log(col("__c")).cast("decimal(18,8)").as("y"))
+    val m = pts.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    new Df(m.select(col("n").as("n_terms"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("__b"),
+        col("sy").cast("double").as("__my"), col("sx").cast("double").as("__mx"),
+        col("n").cast("double").as("__nd"))
+      .select(col("n_terms"), round(col("__b"), 6).as("slope"),
+        round((col("__my") - col("__b") * col("__mx")) / col("__nd"), 6)
+          .as("intercept")))
+  }
+
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-`vocabSize` vocabulary (the [[vocabCoverage]] ranking): the
+    * fraction of a document's tokens a tokenizer/embedding table of
+    * that size would map to `<unk>`. High-OOV documents are the
+    * classic casualties of a fixed vocabulary (code, tables, other
+    * languages) — filter or re-route them before training.
+    *
+    * Emits (idCol, n_tokens, n_oov, oov_rate) per document with ≥ 1
+    * token; rate rounds 6dp.
+    *
+    * Scale: ONE tokenize pass persisted (it feeds the vocabulary
+    * count, the per-doc totals, and the membership join); the
+    * vocabulary is term-keyed and vocabulary-sized, so membership is
+    * one token-by-term shuffle join (AQE broadcasts the vocab side
+    * while it fits). No driver-side vocabulary materialization. */
+  def oovRate(docs: Df, textCol: String, idCol: String, vocabSize: Int): Df = {
+    require(vocabSize >= 1, s"oovRate: vocabSize must be >= 1: $vocabSize")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = docs.sdf.select(col(idCol),
+      explode(tokens(col(textCol))).as("term")).persist(lvl)
+    val cnt = toks.groupBy(col("term")).agg(count(lit(1)).as("__c"))
+    val vocab = new Df(cnt.withColumn("__negc", -col("__c")))
+      .withRowIndexScalable(Seq("__negc", "term"), "__rk").sdf
+      .where(col("__rk") < vocabSize).select(col("term"))
+    val perDoc = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
+    val inVocab = toks.join(vocab, Seq("term"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__n_in"))
+    new Df(perDoc.join(inVocab, Seq(idCol), "left")
+      .withColumn("n_oov", col("n_tokens") - coalesce(col("__n_in"), lit(0L)))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .select(col(idCol), col("n_tokens"), col("n_oov"), col("oov_rate")))
+      .retaining(toks)
+  }
 }

@@ -218,6 +218,28 @@ object PipelineQueries {
             "concat(upper(text), ' !!!') AS text")))
       Curation.dedupByNormalizedText(aug, "text", "doc_id")
         .sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- vocabulary coverage curve at V = 100 / 1000 / 5000:
+    // frequency-ranked top-V occupancy of total token occurrences ----
+    "q189_vocab_coverage" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      TextAnalytics.vocabCoverage(d, "text", Seq(100, 1000, 5000))
+        .sortValues(Seq("v")).sdf
+    }),
+
+    // ---- per-doc OOV rate against the corpus's own top-1000 vocab ----
+    "q190_oov_rate" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      TextAnalytics.oovRate(d, "text", "doc_id", vocabSize = 1000)
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- Zipf slope over the top-500 ranked terms: the one-row
+    // corpus-health fit, decimal moments replayed exactly ----
+    "q191_zipf_slope" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      TextAnalytics.zipfSlope(d, "text", topK = 500).sdf
     }))
 
   val oracles: Map[String, String] = Map(
@@ -453,6 +475,61 @@ object PipelineQueries {
         |SELECT g.doc_id, g.n_copies, k2.text
         |FROM g JOIN k k2 ON g.doc_id = k2.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+
+    // frequency rank with term tiebreak (1-based ROW_NUMBER <= v ≡ the
+    // Spark side's 0-based scalable ordinal < v); coverage = exact
+    // integer division rounded 6dp
+    "q189_vocab_coverage" ->
+      s"""WITH toks AS (SELECT UNNEST(${toksSql()}) AS term FROM documents),
+         |cnt AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+         |rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS r
+         |  FROM cnt),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cnt),
+         |vs AS (SELECT UNNEST([100, 1000, 5000]) AS v)
+         |SELECT v::INT AS v, CAST(COUNT(*) AS BIGINT) AS vocab_terms,
+         |CAST(SUM(c) AS BIGINT) AS covered, tot.total,
+         |ROUND(CAST(SUM(c) AS DOUBLE) / tot.total, 6) AS coverage
+         |FROM rk CROSS JOIN vs CROSS JOIN tot WHERE rk.r <= vs.v
+         |GROUP BY vs.v, tot.total ORDER BY v""".stripMargin,
+
+    "q190_oov_rate" ->
+      s"""WITH toks AS (SELECT doc_id, UNNEST(${toksSql()}) AS term
+         |  FROM documents),
+         |cnt AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+         |vocab AS (SELECT term FROM (SELECT term,
+         |  ROW_NUMBER() OVER (ORDER BY c DESC, term) AS r FROM cnt)
+         |  WHERE r <= 1000),
+         |pd AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id),
+         |iv AS (SELECT doc_id, COUNT(*) AS n_in FROM toks
+         |  JOIN vocab USING (term) GROUP BY doc_id)
+         |SELECT pd.doc_id, pd.n_tokens,
+         |CAST(pd.n_tokens - COALESCE(iv.n_in, 0) AS BIGINT) AS n_oov,
+         |ROUND(CAST(pd.n_tokens - COALESCE(iv.n_in, 0) AS DOUBLE)
+         |  / pd.n_tokens, 6) AS oov_rate
+         |FROM pd LEFT JOIN iv USING (doc_id)
+         |ORDER BY pd.doc_id""".stripMargin,
+
+    // ln() DECIMAL(18,8)-cast per point (libm-ulp absorption), exact
+    // decimal moment sums (order-independent ≡ the distributed sums),
+    // closed-form fit in double on the exact sums; 1-based LN(r) ≡ the
+    // Spark side's ln(0-based rank + 1)
+    "q191_zipf_slope" ->
+      s"""WITH toks AS (SELECT UNNEST(${toksSql()}) AS term FROM documents),
+         |cnt AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+         |rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS r
+         |  FROM cnt QUALIFY r <= 500),
+         |pts AS (SELECT CAST(LN(r) AS DECIMAL(18,8)) AS x,
+         |  CAST(LN(c) AS DECIMAL(18,8)) AS y FROM rk),
+         |m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         |  SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM pts)
+         |SELECT n AS n_terms,
+         |ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+         |  / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+         |ROUND((CAST(sy AS DOUBLE)
+         |  - (CAST(n * sxy - sx * sy AS DOUBLE)
+         |     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         |  / CAST(n AS DOUBLE), 6) AS intercept
+         |FROM m""".stripMargin,
 
     // c-TF-IDF: tf_c · ln(1 + A/f_t), A = avg tokens per class;
     // ROUND-6 scores + term tiebreak make the top-10 cut a total order

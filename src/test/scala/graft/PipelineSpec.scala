@@ -439,4 +439,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(!df.queryExecution.optimizedPlan.toString.contains("FullOuter, text"),
       df.queryExecution.optimizedPlan.toString)
   }
+
+  // ---- vocabCoverage / oovRate ----
+
+  test("vocabCoverage: hand-computed curve, V beyond vocab saturates at 1.0") {
+    // counts: a=3, b=2, c=1; total=6
+    val d = mkDocs(1L -> "a a a b", 2L -> "b c")
+    val out = TextAnalytics.vocabCoverage(d, "text", Seq(1, 2, 10))
+      .sortValues(Seq("v")).sdf.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    Df.releaseRetained()
+    assert(out.toSeq == Seq(
+      (1, 1L, 3L, 6L, 0.5),       // top-1 = {a}
+      (2, 2L, 5L, 6L, 0.833333),  // top-2 = {a, b}
+      (10, 3L, 6L, 6L, 1.0)))     // whole vocab
+  }
+
+  test("vocabCoverage ranks ties lexicographically (deterministic boundary)") {
+    // a and b tie at count 1: top-1 must be 'a' by the term tiebreak
+    val d = mkDocs(1L -> "b a")
+    val out = TextAnalytics.vocabCoverage(d, "text", Seq(1))
+      .sdf.collect()(0)
+    Df.releaseRetained()
+    assert(out.getLong(1) == 1L && out.getLong(2) == 1L &&
+      out.getDouble(4) == 0.5)
+  }
+
+  test("oovRate: tokens outside the top-V vocab count as OOV per doc") {
+    // vocab(2) = {a, b}; doc 1 fully covered, doc 2 half OOV
+    val d = mkDocs(1L -> "a a a b", 2L -> "b c")
+    val out = TextAnalytics.oovRate(d, "text", "doc_id", vocabSize = 2)
+      .sortValues(Seq("doc_id")).sdf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    Df.releaseRetained()
+    assert(out.toSeq == Seq((1L, 4L, 0L, 0.0), (2L, 2L, 1L, 0.5)))
+  }
+
+  test("zipfSlope recovers a constructed power law; flat corpus fits ~0") {
+    // counts 8/4/2/1 over ranks 1..4: y = ln 16 - 1·ln(2^(r-1)) is NOT
+    // linear in ln r, but the fit must be negative and steep; a uniform
+    // corpus (all counts equal) must fit slope 0 exactly
+    val steep = mkDocs(1L ->
+      ("a " * 8 + "b " * 4 + "c " * 2 + "d").trim)
+    val s = TextAnalytics.zipfSlope(steep, "text", topK = 4).sdf.collect()(0)
+    assert(s.getLong(0) == 4L && s.getDouble(1) < -1.0)
+    val flat = mkDocs(1L -> "a b c d")
+    val f = TextAnalytics.zipfSlope(flat, "text", topK = 4).sdf.collect()(0)
+    assert(f.getLong(0) == 4L && f.getDouble(1) == 0.0 && f.getDouble(2) == 0.0)
+    intercept[IllegalArgumentException] {
+      TextAnalytics.zipfSlope(flat, "text", topK = 1)
+    }
+  }
+
+  test("oovRate rejects a non-positive vocab; empty docs drop out") {
+    intercept[IllegalArgumentException] {
+      TextAnalytics.oovRate(mkDocs(1L -> "x"), "text", "doc_id", 0)
+    }
+    val out = TextAnalytics.oovRate(
+      mkDocs(1L -> "a", 2L -> "   "), "text", "doc_id", 1).sdf.collect()
+    Df.releaseRetained()
+    // doc 2 has zero tokens -> no row (never a 0/0 rate)
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }
