@@ -397,6 +397,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)            // pure join + agg, no window at all
   }
 
+  test("vocabCoverage/oovRate/zipfSlope rank with the scalable ordinal — no Window operator") {
+    val d = mkDocs((1L to 30L).map(i => i -> s"tok${i % 7} tok${i % 3} x"): _*)
+    Seq(TextAnalytics.vocabCoverage(d, "text", Seq(5)).sdf,
+        TextAnalytics.oovRate(d, "text", "doc_id", vocabSize = 5).sdf,
+        TextAnalytics.zipfSlope(d, "text", topK = 5).sdf).foreach { q =>
+      val p = plan(q)
+      // the frequency rank must ride range-partition + zipWithIndex,
+      // never a keyless row_number window (the one-task funnel)
+      assert(!p.contains("Window"), p)
+    }
+    Df.releaseRetained()
+  }
+
   test("lengthBucketBatches windows are keyed by (bucket, shard) — never global") {
     val d = mkDocs((1L to 40L).map(i => i -> ("w " * (i % 7 + 1).toInt).trim): _*)
     val p = plan(Curation.lengthBucketBatches(d, "text", "doc_id",
