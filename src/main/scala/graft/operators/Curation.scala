@@ -898,4 +898,48 @@ object Curation {
       .select(col("anchor_id"), col("neg_rank"), col("neg_id")))
       .retaining(keyed)
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — combine several
+    * quality signals into ONE curation ranking without calibrating
+    * their scales: each signal ranks the corpus independently
+    * (descending, id tiebreak) and a document's fused score is
+    * `Σ_s 1/(k + rank_s)`. Rank fusion is the standard fix for "my
+    * perplexity is in nats, my dedup quality is a ratio, my classifier
+    * is a logit" — ranks are scale-free, and `k` (60 in the paper)
+    * damps the head so no single signal dominates.
+    *
+    * Emits (idCol, rank_<signal>…, rrf_score), score rounded 6dp; the
+    * term-addition order is the `signalCols` order (fixed plan, no
+    * float reassociation), so results replay exactly cross-engine.
+    * Rows with a NULL in ANY signal are excluded BEFORE ranking — an
+    * unscored document has no rank, inventing one (best or worst)
+    * would bias the fusion, and ranking only the fully-scored
+    * population keeps every rank column an exact permutation of the
+    * emitted rows. Pre-impute upstream to keep partial rows.
+    *
+    * Scale: one global ranking per signal over (id, signal) pairs —
+    * each rides [[graft.api.Df.withRowIndexScalable]] (range-partition
+    * + zipWithIndex, no single-partition window), then |signals|
+    * id-keyed joins reassemble the fused row. Per-signal global
+    * ranking is inherent to RRF, not an implementation choice. */
+  def rankFusion(df: Df, signalCols: Seq[String], idCol: String,
+                 k: Int = 60): Df = {
+    require(signalCols.nonEmpty, "rankFusion: need at least one signal")
+    require(k >= 1, s"rankFusion: k must be >= 1: $k")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = df.sdf
+      .select(col(idCol) +: signalCols.map(col): _*)
+      .where(signalCols.map(col(_).isNotNull).reduce(_ && _))
+      .persist(lvl)
+    val ranked = signalCols.map { c =>
+      new Df(base.select(col(idCol), col(c)).withColumn("__neg", -col(c)))
+        .withRowIndexScalable(Seq("__neg", idCol), "__rk").sdf
+        .select(col(idCol), (col("__rk") + 1).as(s"rank_$c"))
+    }
+    val joined = ranked.reduce(_.join(_, Seq(idCol)))
+    val score = signalCols.map(c => lit(1.0) / (lit(k) + col(s"rank_$c")))
+      .reduce(_ + _)
+    new Df(joined.withColumn("rrf_score", round(score, 6)))
+      .retaining(base)
+  }
 }

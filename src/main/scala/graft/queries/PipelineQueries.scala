@@ -240,6 +240,22 @@ object PipelineQueries {
     "q191_zipf_slope" -> ((s, dir) => {
       val d = T(s, dir, "documents")
       TextAnalytics.zipfSlope(d, "text", topK = 500).sdf
+    }),
+
+    // ---- reciprocal-rank fusion of three scale-incompatible quality
+    // signals (chars, tokens, distinct-token ratio) — every rank and
+    // the fused score replayed exactly ----
+    "q192_rank_fusion" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      val d = T(s, dir, "documents")
+      val sigs = d.sdf.select(col("doc_id"),
+        length(col("text")).as("s_chars"),
+        size(tokens(col("text"))).as("s_tokens"),
+        round(size(array_distinct(tokens(col("text")))).cast("double") /
+          size(tokens(col("text"))), 6).as("s_distinct"))
+      Curation.rankFusion(new Df(sigs),
+          Seq("s_chars", "s_tokens", "s_distinct"), "doc_id")
+        .sortValues(Seq("doc_id")).sdf
     }))
 
   val oracles: Map[String, String] = Map(
@@ -530,6 +546,29 @@ object PipelineQueries {
          |     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
          |  / CAST(n AS DOUBLE), 6) AS intercept
          |FROM m""".stripMargin,
+
+    // per-signal ROW_NUMBER (DESC, doc_id tiebreak) ≡ the Spark side's
+    // scalable ordinal on (-signal, doc_id); the fused sum adds terms
+    // in the same fixed signal order, so the doubles match bitwise
+    // before the ROUND
+    "q192_rank_fusion" ->
+      s"""WITH s AS (SELECT doc_id, LENGTH(text)::INT AS s_chars,
+         |  len(toks)::INT AS s_tokens,
+         |  ROUND(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS s_distinct
+         |  FROM (SELECT doc_id, text, ${toksSql()} AS toks FROM documents)),
+         |f AS (SELECT * FROM s WHERE s_chars IS NOT NULL
+         |  AND s_tokens IS NOT NULL AND s_distinct IS NOT NULL),
+         |r1 AS (SELECT doc_id, ROW_NUMBER() OVER
+         |  (ORDER BY s_chars DESC, doc_id) AS rank_s_chars FROM f),
+         |r2 AS (SELECT doc_id, ROW_NUMBER() OVER
+         |  (ORDER BY s_tokens DESC, doc_id) AS rank_s_tokens FROM f),
+         |r3 AS (SELECT doc_id, ROW_NUMBER() OVER
+         |  (ORDER BY s_distinct DESC, doc_id) AS rank_s_distinct FROM f)
+         |SELECT doc_id, rank_s_chars, rank_s_tokens, rank_s_distinct,
+         |ROUND(1.0 / (60 + rank_s_chars) + 1.0 / (60 + rank_s_tokens)
+         |  + 1.0 / (60 + rank_s_distinct), 6) AS rrf_score
+         |FROM r1 JOIN r2 USING (doc_id) JOIN r3 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // c-TF-IDF: tf_c · ln(1 + A/f_t), A = avg tokens per class;
     // ROUND-6 scores + term tiebreak make the top-10 cut a total order

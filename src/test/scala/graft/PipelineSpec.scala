@@ -505,6 +505,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("rankFusion: hand-computed RRF, null signals drop the row") {
+    val d = new Df(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 10.0, 1.0),   // rank 1 on a, rank 3 on b
+        Row(2L, 5.0, 2.0),    // rank 2 on a, rank 2 on b
+        Row(3L, 5.0, 3.0),    // rank 3 on a (id tiebreak), rank 1 on b
+        Row(4L, null, 9.0))), // null a -> dropped from the fusion
+      StructType(Seq(StructField("id", LongType),
+        StructField("a", DoubleType), StructField("b", DoubleType)))))
+    val out = Curation.rankFusion(d, Seq("a", "b"), "id", k = 60)
+      .sortValues(Seq("id")).sdf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    Df.releaseRetained()
+    def rrf(ra: Int, rb: Int) =
+      math.rint((1.0 / (60 + ra) + 1.0 / (60 + rb)) * 1e6) / 1e6
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, rrf(1, 3)),
+      (2L, 2L, 2L, rrf(2, 2)),
+      (3L, 3L, 1L, rrf(3, 1))))
+    intercept[IllegalArgumentException] {
+      Curation.rankFusion(d, Seq(), "id")
+    }
+  }
+
   test("oovRate rejects a non-positive vocab; empty docs drop out") {
     intercept[IllegalArgumentException] {
       TextAnalytics.oovRate(mkDocs(1L -> "x"), "text", "doc_id", 0)
