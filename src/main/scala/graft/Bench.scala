@@ -31,8 +31,15 @@ object Bench {
     // a failed query must NEVER time as fast (the r9 incident: 18 queries
     // died at plan construction in ~0.06s each and the bench reported
     // plausible-looking timings with rc 0) — carry ok/err per query.
+    // local-iteration filter (the Verify SPARK_GRAFT_ONLY convention):
+    // SPARK_GRAFT_BENCH_ONLY=q177_ngram_diversity,... — unset in the
+    // driver's run → full surface
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val results: Seq[(String, Double, Option[String])] =
-      SparkEntry.queries.toSeq.map { case (name, fn) =>
+      SparkEntry.queries.toSeq
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         var err: Option[String] = None
         val dt = (1 to reps).map { _ =>
           val t0 = System.nanoTime()

@@ -457,9 +457,19 @@ object TextAnalytics {
         g => struct(lit(n).as("n"), g.as("g")))
     }: _*))).as("t"))
       .select(col("t.n").as("n"), col("t.g").as("g"))
-    new Df(tagged.groupBy(col("n"))
-      .agg(count(lit(1)).as("total"),
-        count_distinct(col("g")).as("n_distinct"))
+    // two-stage exact distinct: pre-aggregate per (n, gram), then roll
+    // up per n — COUNT(*) of the pre-agg is the distinct count and
+    // SUM(cnt) the total, in ONE pass each. The single-agg
+    // count_distinct alternative plans an Expand (one input replica
+    // per aggregate) and shuffles every raw n-gram occurrence; the
+    // pre-agg shape map-side combines duplicates first and measured
+    // 1.6× faster at sf0.1 (BENCHLOG round 10). approx_count_distinct
+    // remains the escape hatch when exactness is negotiable (q37).
+    val perGram = tagged.groupBy(col("n"), col("g"))
+      .agg(count(lit(1)).as("__cnt"))
+    new Df(perGram.groupBy(col("n"))
+      .agg(sum(col("__cnt")).as("total"),
+        count(lit(1)).as("n_distinct"))
       .withColumn("distinct_ratio",
         round(col("n_distinct").cast("double") / col("total"), 6)))
   }
