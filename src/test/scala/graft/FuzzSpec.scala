@@ -591,6 +591,87 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabCoverage: monotone non-decreasing in V, bounded by 1, exact at full vocab") {
+    val corpora: Gen[Seq[(Long, String)]] = for {
+      n <- Gen.choose(1, 15)
+      texts <- Gen.listOfN(n,
+        Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "ee")).map(_.mkString(" ")))
+    } yield texts.zipWithIndex.map { case (t, i) => (i + 1).toLong -> t }
+    trials(corpora, n = 6) { docs =>
+      val total = docs.flatMap(_._2.split("\\s+")).count(_.nonEmpty)
+      if (total > 0) {
+        val d = mkTextDf(docs)
+        val out = graft.operators.TextAnalytics
+          .vocabCoverage(d, "text", Seq(1, 2, 100))
+          .sortValues(Seq("v")).sdf.collect()
+          .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        Df.releaseRetained()
+        // covered monotone in V; coverage within (0, 1]; V=100 ⊇ vocab
+        assert(out.map(_._2).toSeq == out.map(_._2).sorted.toSeq)
+        assert(out.forall { case (_, cov, tot, frac) =>
+          cov >= 1 && cov <= tot && frac > 0.0 && frac <= 1.0 })
+        assert(out.last._2 == total && out.last._4 == 1.0)
+        assert(out.forall(_._3 == total))
+      }
+    }
+  }
+
+  test("oovRate: rates in [0,1], n_oov <= n_tokens, full vocab -> all zero") {
+    val corpora: Gen[Seq[(Long, String)]] = for {
+      n <- Gen.choose(1, 12)
+      texts <- Gen.listOfN(n,
+        Gen.nonEmptyListOf(Gen.oneOf("x", "y", "z", "w")).map(_.mkString(" ")))
+    } yield texts.zipWithIndex.map { case (t, i) => (i + 1).toLong -> t }
+    trials(corpora, n = 6) { docs =>
+      val d = mkTextDf(docs)
+      val out = graft.operators.TextAnalytics
+        .oovRate(d, "text", "doc_id", vocabSize = 2)
+        .sdf.collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      Df.releaseRetained()
+      assert(out.length == docs.count(_._2.trim.nonEmpty))
+      assert(out.forall { case (nt, no, rate) =>
+        no >= 0 && no <= nt && rate >= 0.0 && rate <= 1.0 })
+      // a vocab that covers everything zeroes every rate
+      val full = graft.operators.TextAnalytics
+        .oovRate(d, "text", "doc_id", vocabSize = 100).sdf.collect()
+      Df.releaseRetained()
+      assert(full.forall(r => r.getLong(2) == 0L && r.getDouble(3) == 0.0))
+    }
+  }
+
+  test("rankFusion: ranks are a permutation; scores bounded and order-consistent") {
+    val frames: Gen[Seq[(Long, Double, Double)]] = for {
+      n <- Gen.choose(2, 20)
+      as <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+      bs <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+    } yield (1L to n.toLong).zip(as).zip(bs).map { case ((i, a), b) => (i, a, b) }
+    trials(frames, n = 6) { rows =>
+      val d = new Df(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (i, a, b) => Row(i, a, b) }),
+        StructType(Seq(StructField("id", LongType),
+          StructField("a", DoubleType), StructField("b", DoubleType)))))
+      val out = graft.operators.Curation.rankFusion(d, Seq("a", "b"), "id")
+        .sdf.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      Df.releaseRetained()
+      val n = rows.length
+      // each rank column is exactly the permutation 1..n
+      assert(out.map(_._2).sorted.toSeq == (1L to n.toLong).toSeq)
+      assert(out.map(_._3).sorted.toSeq == (1L to n.toLong).toSeq)
+      // score bounds: both ranks 1 vs both ranks n (slack = the 6dp
+      // rounding of the emitted score, up to 5e-7 past the bound)
+      val hi = 2.0 / 61.0; val lo = 2.0 / (60.0 + n)
+      assert(out.forall { case (_, _, _, s) => s >= lo - 1e-6 && s <= hi + 1e-6 })
+      // better on BOTH signals -> strictly better fused score
+      out.foreach { case (_, ra1, rb1, s1) =>
+        out.foreach { case (_, ra2, rb2, s2) =>
+          if (ra1 < ra2 && rb1 < rb2) assert(s1 > s2)
+        }
+      }
+    }
+  }
+
   test("negativeSamples: k in-corpus non-self draws per anchor at any corpus size") {
     val sizes: Gen[(Int, Int)] = for {
       n <- Gen.choose(2, 40)
