@@ -564,6 +564,76 @@ object TextAnalytics {
       .retaining(cnt)
   }
 
+  /** Okapi BM25 weight per (doc, term) — the retrieval scorer [[tfidf]]
+    * approximates: `idf · tf(k1+1) / (tf + k1(1 − b + b·len/avglen))`
+    * with the Lucene idf `ln(1 + (N − df + 0.5)/(df + 0.5))` (always
+    * positive). Length normalization (`b`) is what tfidf lacks: long
+    * boilerplate docs stop winning on raw term counts. In a curation
+    * pipeline this scores corpus docs against domain seed queries
+    * (see [[bm25Search]]).
+    *
+    * Emits (idCol, term, tf, bm25), score rounded 6dp. The idf is
+    * DECIMAL(18,8)-cast after the ln (cross-engine libm-ulp
+    * absorption, the q169 convention); every other factor is plain
+    * double arithmetic in a fixed association order, so the oracle
+    * replays the score bit-for-bit before the ROUND.
+    *
+    * Scale: the [[tfidf]] plan plus one per-doc length aggregate off
+    * the SAME persisted tokenize pass; (N, total tokens) arrive as a
+    * broadcast 1-row frame, df/idf ride the vocabulary-keyed join. */
+  def bm25(docs: Df, textCol: String, idCol: String,
+           k1: Double = 1.2, b: Double = 0.75): Df = {
+    require(k1 >= 0, s"bm25: k1 must be >= 0: $k1")
+    require(b >= 0 && b <= 1, s"bm25: b must be in [0,1]: $b")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = docs.sdf.select(col(idCol),
+      explode(tokens(col(textCol))).as("term")).persist(lvl)
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val lens = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__len"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val stats = lens.agg(count(lit(1)).as("__n"), sum(col("__len")).as("__total"))
+    val idf = dfT.crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5))).cast("decimal(18,8)"))
+      .select(col("term"), col("__idf"), col("__n"), col("__total"))
+    val avg = col("__total").cast("double") / col("__n")
+    new Df(tf.join(idf, Seq("term")).join(lens, Seq(idCol))
+      .withColumn("bm25", round(col("__idf").cast("double") *
+        ((col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("__len") / avg)))), 6))
+      .select(col(idCol), col("term"), col("tf"), col("bm25")))
+      .retaining(toks)
+  }
+
+  /** BM25 top-N search — score every document against a bag-of-words
+    * query and keep the N best: the domain-targeted corpus selection
+    * shape ("find the docs that look like my seed topic"). Per-doc
+    * score = Σ over matched query terms of the [[bm25]] weight, summed
+    * as DECIMAL(18,8) (order-independent — the rounded per-term
+    * scores are exact at 6dp) and tie-broken by id so the cut is a
+    * total order.
+    *
+    * Scale: the query is a literal IN-list pushed into the (doc,term)
+    * table — only matching rows survive to the per-doc agg; the top-N
+    * compiles to TakeOrderedAndProject (per-partition heaps + driver
+    * merge of N rows), never a global sort. */
+  def bm25Search(docs: Df, textCol: String, idCol: String,
+                 query: Seq[String], topN: Int,
+                 k1: Double = 1.2, b: Double = 0.75): Df = {
+    require(query.nonEmpty, "bm25Search: query must be non-empty")
+    require(topN >= 1, s"bm25Search: topN must be >= 1: $topN")
+    val scored = bm25(docs, textCol, idCol, k1, b).sdf
+      .where(col("term").isin(query: _*))
+    new Df(scored
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("bm25").cast("decimal(18,8)")).cast("double").as("score"))
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topN))
+  }
+
   /** Zipf slope — least-squares fit of `ln(count) ~ ln(rank)` over the
     * top-`topK` frequency-ranked terms (term tiebreak, the
     * [[vocabCoverage]] ranking). Natural corpora run near slope −1;

@@ -256,6 +256,23 @@ object PipelineQueries {
       Curation.rankFusion(new Df(sigs),
           Seq("s_chars", "s_tokens", "s_distinct"), "doc_id")
         .sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- Okapi BM25 weights (corpus-wide stats, output bounded to
+    // doc_id < 100 — the q104 convention) ----
+    "q193_bm25" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      new Df(TextAnalytics.bm25(d, "text", "doc_id").sdf
+        .where(col("doc_id") < 100))
+        .sortValues(Seq("doc_id", "term")).sdf
+    }),
+
+    // ---- BM25 top-20 search for a 3-term query: the domain-seed
+    // corpus selection shape, deterministic (score, id) cut ----
+    "q194_bm25_search" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      TextAnalytics.bm25Search(d, "text", "doc_id",
+        query = Seq("hash", "join", "scan"), topN = 20).sdf
     }))
 
   val oracles: Map[String, String] = Map(
@@ -569,6 +586,48 @@ object PipelineQueries {
          |  + 1.0 / (60 + rank_s_distinct), 6) AS rrf_score
          |FROM r1 JOIN r2 USING (doc_id) JOIN r3 USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // every fractional literal is ::DOUBLE (a bare 0.5 is DECIMAL in
+    // DuckDB and would shift the arithmetic off Spark's double path);
+    // idf DECIMAL(18,8)-cast after LN (libm-ulp absorption); the
+    // score's association order mirrors the Spark expression exactly
+    "q193_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, UNNEST(${toksSql()}) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |l AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n, SUM(len) AS total FROM l),
+         |d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |i AS (SELECT term, CAST(LN(1.0::DOUBLE +
+         |  ((n - df)::DOUBLE + 0.5::DOUBLE) / (df::DOUBLE + 0.5::DOUBLE))
+         |  AS DECIMAL(18,8)) AS idf FROM d CROSS JOIN st)
+         |SELECT tf.doc_id, tf.term, tf.tf,
+         |ROUND(CAST(i.idf AS DOUBLE) * ((tf.tf * 2.2::DOUBLE) /
+         |  (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE *
+         |    (l.len / (CAST(st.total AS DOUBLE) / st.n))))), 6) AS bm25
+         |FROM tf JOIN i USING (term) JOIN l USING (doc_id) CROSS JOIN st
+         |WHERE tf.doc_id < 100 ORDER BY tf.doc_id, tf.term""".stripMargin,
+
+    "q194_bm25_search" ->
+      s"""WITH toks AS (SELECT doc_id, UNNEST(${toksSql()}) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |l AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n, SUM(len) AS total FROM l),
+         |d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |i AS (SELECT term, CAST(LN(1.0::DOUBLE +
+         |  ((n - df)::DOUBLE + 0.5::DOUBLE) / (df::DOUBLE + 0.5::DOUBLE))
+         |  AS DECIMAL(18,8)) AS idf FROM d CROSS JOIN st),
+         |s AS (SELECT tf.doc_id,
+         |  ROUND(CAST(i.idf AS DOUBLE) * ((tf.tf * 2.2::DOUBLE) /
+         |    (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE *
+         |      (l.len / (CAST(st.total AS DOUBLE) / st.n))))), 6) AS bm25
+         |  FROM tf JOIN i USING (term) JOIN l USING (doc_id) CROSS JOIN st
+         |  WHERE tf.term IN ('hash', 'join', 'scan'))
+         |SELECT doc_id, COUNT(*) AS n_matched,
+         |ROUND(CAST(SUM(CAST(bm25 AS DECIMAL(18,8))) AS DOUBLE), 6) AS score
+         |FROM s GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // c-TF-IDF: tf_c · ln(1 + A/f_t), A = avg tokens per class;
     // ROUND-6 scores + term tiebreak make the top-10 cut a total order

@@ -489,6 +489,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 4L, 0L, 0.0), (2L, 2L, 1L, 0.5)))
   }
 
+  test("bm25: idf favors rare terms, length norm favors short docs; search picks the right doc") {
+    // docs: 1 -> "a a b" (len 3), 2 -> "b c" (len 2); df: a=1, b=2, c=1
+    val d = mkDocs(1L -> "a a b", 2L -> "b c")
+    val w = TextAnalytics.bm25(d, "text", "doc_id").sdf.collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getDouble(3))).toMap
+    Df.releaseRetained()
+    // rare term (df=1) outscores the corpus-wide one (df=2) in-doc
+    assert(w((1L, "a")) > w((1L, "b")))
+    assert(w((2L, "c")) > w((2L, "b")))
+    // same term, same tf: the shorter doc scores higher (b-norm)
+    assert(w((2L, "b")) > w((1L, "b")))
+    // query {a, c}: doc1 matches a (tf 2, score ~0.902) vs doc2's c
+    // (~0.755) -> doc1 is the top-1
+    val top = TextAnalytics.bm25Search(d, "text", "doc_id",
+      Seq("a", "c"), topN = 1).sdf.collect()
+    Df.releaseRetained()
+    assert(top.length == 1 && top(0).getLong(0) == 1L && top(0).getLong(1) == 1L)
+    intercept[IllegalArgumentException] {
+      TextAnalytics.bm25Search(d, "text", "doc_id", Seq(), topN = 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalytics.bm25(d, "text", "doc_id", b = 1.5)
+    }
+  }
+
   test("zipfSlope recovers a constructed power law; flat corpus fits ~0") {
     // counts 8/4/2/1 over ranks 1..4: y = ln 16 - 1·ln(2^(r-1)) is NOT
     // linear in ln r, but the fit must be negative and steep; a uniform
