@@ -317,6 +317,187 @@ object Similarity {
     * driver per round, independent of corpus size. Lloyd's driver-side
     * iteration is inherent (MLlib does the same); rounds = `iters`,
     * typically ≤ 10 for curation use. */
+  /** Deterministic Lloyd loop over a pre-sliced subvector frame
+    * (`__id`, `__s: Array[Double]`) returning the FINAL centroids —
+    * the [[kMeans]] recipe (lowest-id init, 6dp-rounded argmin with
+    * index tie-break, decimal means) factored so product quantization
+    * can train one codebook per subspace with the exact same
+    * SQL-replayable arithmetic. Runs `iters` assignment rounds with a
+    * centroid update between consecutive ones; empty clusters keep
+    * their previous centroid. */
+  private def lloydCenters(sub: org.apache.spark.sql.DataFrame,
+                           codes: Int, iters: Int): Array[Array[Double]] = {
+    val init = sub.sort("__id").limit(codes).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(init.nonEmpty,
+      "pq: no usable vectors — corpus is empty after dropping " +
+        "NULL/non-finite embeddings")
+    def d2c(ctr: Array[Double]) =
+      round(aggregate(zip_with(col("__s"), lit(ctr), (x, w) => (x - w) * (x - w)),
+        lit(0.0), (acc, t) => acc + t), 6)
+    def assign(centers: Array[Array[Double]]) =
+      sub.withColumn("code",
+        array_sort(array(centers.zipWithIndex.toIndexedSeq.map { case (ctr, i) =>
+          struct(d2c(ctr).as("d"), lit(i).as("code"))
+        }: _*)).getItem(0).getField("code"))
+    var centers = init
+    for (_ <- 1 until iters) {
+      val next = centers.map(_.clone)
+      assign(centers)
+        .select(col("code"), posexplode(col("__s")).as(Seq("pos", "x")))
+        .groupBy("code", "pos")
+        .agg(round(sum(col("x").cast("decimal(28,10)")).cast("double") /
+          count(lit(1)), 6).as("c"))
+        .collect()
+        .foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centers = next
+    }
+    centers
+  }
+
+  /** Product-quantization codebooks: the corpus dimension is split into
+    * `m` contiguous subspaces and each gets its own deterministic Lloyd
+    * codebook of `codes` centroids. Returns (dim, books) where
+    * `books(j)(c)` is centroid c of subspace j. The corpus frame must
+    * already carry (`__id`, `__v: Array[Double]`) with the
+    * [[fullyFinite]] contract applied. */
+  private def pqTrain(corpus: org.apache.spark.sql.DataFrame,
+                      m: Int, codes: Int, iters: Int)
+      : (Int, Array[Array[Array[Double]]]) = {
+    val dim = corpus.sort("__id").limit(1).collect().headOption
+      .map(_.getSeq[Double](1).length)
+      .getOrElse(throw new IllegalArgumentException(
+        "pq: no usable vectors — corpus is empty after dropping " +
+          "NULL/non-finite embeddings"))
+    require(m >= 1 && dim % m == 0,
+      s"pq: dim=$dim must split evenly into m=$m subspaces")
+    val sd = dim / m
+    val books = (0 until m).map { j =>
+      lloydCenters(
+        corpus.select(col("__id"), slice(col("__v"), j * sd + 1, sd).as("__s")),
+        codes, iters)
+    }.toArray
+    (dim, books)
+  }
+
+  /** Per-subspace nearest-codebook-entry expression: argmin of the
+    * 6dp-rounded squared L2 with code-index tie-break — the same total
+    * order the training assignment used, so encode(train corpus) IS the
+    * final Lloyd assignment. A dim mismatch vs the trained codebooks
+    * fails loudly (a silent slice of a wrong-length vector would encode
+    * garbage codes). */
+  private def pqCodeExpr(v: org.apache.spark.sql.Column, dim: Int, sd: Int,
+                         j: Int, book: Array[Array[Double]])
+      : org.apache.spark.sql.Column = {
+    val sub = slice(v, j * sd + 1, sd)
+    def d2c(ctr: Array[Double]) =
+      round(aggregate(zip_with(sub, lit(ctr), (x, w) => (x - w) * (x - w)),
+        lit(0.0), (acc, t) => acc + t), 6)
+    when(size(v) === dim,
+      array_sort(array(book.zipWithIndex.toIndexedSeq.map { case (ctr, c) =>
+        struct(d2c(ctr).as("d"), lit(c).as("code"))
+      }: _*)).getItem(0).getField("code"))
+      .otherwise(raise_error(concat(
+        lit(s"pq: expected dim=$dim, got vector of length "),
+        size(v).cast("string"))))
+  }
+
+  /** Product quantization encode — the 32–64× compression tier of the
+    * ANN family (int8 is 4×; PQ stores m small code ints per vector):
+    * at 100 TB of float32 embeddings the PQ code table is ~1.5 TB and
+    * fits hot storage. Each vector's dimension range is split into `m`
+    * contiguous subspaces; each subspace is encoded as the index of its
+    * nearest centroid in a per-subspace deterministic Lloyd codebook
+    * ([[kMeans]] rules: lowest-id init, 6dp argmin with index
+    * tie-break, decimal centroid means — every step SQL-replayable).
+    * Output in LONG format (`idCol`, subspace, code). Vectors that are
+    * NULL or carry a non-finite element are dropped (the corpus
+    * contract); a dim mismatch fails loudly.
+    *
+    * Scale: training touches the corpus `m × iters` times with
+    * codes×subDim centroid LITERALS riding the plan; encoding is one
+    * pure codegen'd projection pass, no shuffle (the explode to long
+    * format is ×m, for the relational output shape only). */
+  def pqEncode(vecs: Df, vecCol: String, idCol: String,
+               m: Int = 2, codes: Int = 4, iters: Int = 2): Df = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val corpus = vecs.sdf
+      .select(col(idCol).as("__id"),
+        transform(col(vecCol), _.cast("double")).as("__v"))
+      .where(fullyFinite(col("__v")))
+      .persist(lvl)
+    val (dim, books) = pqTrain(corpus, m, codes, iters)
+    val sd = dim / m
+    val pairs = (0 until m).map { j =>
+      struct(lit(j).as("subspace"),
+        pqCodeExpr(col("__v"), dim, sd, j, books(j)).as("code"))
+    }
+    new Df(corpus
+      .select(col("__id").as(idCol), explode(array(pairs: _*)).as("sc"))
+      .select(col(idCol), col("sc.subspace").as("subspace"),
+        col("sc.code").as("code")))
+      .retaining(corpus)
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: the corpus is scanned as
+    * codes, never as floats. Each query precomputes an m×codes distance
+    * table (exact 6dp-rounded squared L2 from its subvectors to every
+    * codebook centroid); a corpus row's approximate distance is m table
+    * lookups summed — `round(Σ_j dt_j[code_j], 6)`, ranked ascending
+    * with corpus-id tie-break. Queries broadcast with their tables; the
+    * corpus is touched in one codegen'd pass over m ints per row, so
+    * the scan is bandwidth-bound on the COMPRESSED representation —
+    * compose with [[ivfTopK]] cells or [[lshSignature]] buckets for the
+    * sub-linear candidate path; this is the in-cell scorer at scale.
+    * Same corpus/query vector contract and loud dim-mismatch behavior
+    * as [[pqEncode]]. */
+  def pqTopK(queries: Df, corpus: Df, vecCol: String, idCol: String,
+             k: Int, m: Int = 2, codes: Int = 4, iters: Int = 2,
+             excludeSelf: Boolean = true): Df = {
+    require(k >= 1, s"pqTopK: k must be >= 1: $k")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val corpusD = corpus.sdf
+      .select(col(idCol).as("__id"),
+        transform(col(vecCol), _.cast("double")).as("__v"))
+      .where(fullyFinite(col("__v")))
+      .persist(lvl)
+    val (dim, books) = pqTrain(corpusD, m, codes, iters)
+    val sd = dim / m
+    val coded = corpusD.select(
+      col("__id").as("corpus_id") +:
+        (0 until m).map(j =>
+          pqCodeExpr(col("__v"), dim, sd, j, books(j)).as(s"code_$j")): _*)
+    def dtable(qv: org.apache.spark.sql.Column, j: Int) = {
+      val sub = slice(qv, j * sd + 1, sd)
+      array(books(j).toIndexedSeq.map { ctr =>
+        round(aggregate(zip_with(sub, lit(ctr), (x, w) => (x - w) * (x - w)),
+          lit(0.0), (acc, t) => acc + t), 6)
+      }: _*)
+    }
+    val q = broadcast(queries.sdf
+      .select(col(idCol).as("query_id"),
+        transform(col(vecCol), _.cast("double")).as("__q"))
+      .where(fullyFinite(col("__q")))
+      .select(col("query_id") +:
+        (0 until m).map(j =>
+          when(size(col("__q")) === dim, dtable(col("__q"), j))
+            .otherwise(raise_error(concat(
+              lit(s"pqTopK: expected dim=$dim, got query vector of length "),
+              size(col("__q")).cast("string")))).as(s"dt_$j")): _*))
+    val joined = coded.join(q,
+      if (excludeSelf) col("query_id") =!= col("corpus_id") else lit(true))
+    val approx = round((0 until m).map(j =>
+      element_at(col(s"dt_$j"), col(s"code_$j") + 1)).reduce(_ + _), 6)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_d2").asc, col("corpus_id"))
+    new Df(joined
+      .withColumn("approx_d2", approx)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "approx_d2"))
+      .retaining(corpusD)
+  }
+
   def kMeans(vecs: Df, vecCol: String, idCol: String,
              k: Int, iters: Int): Df = {
     require(k >= 1, s"kMeans: k must be >= 1: $k")

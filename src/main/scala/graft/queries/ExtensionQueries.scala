@@ -476,6 +476,27 @@ object ExtensionQueries {
         .sortValues(Seq("vec_id")).sdf
     }),
 
+    // ---- product quantization encode: per-subspace deterministic
+    // Lloyd codebooks (m=2 subspaces × 4 codes, the kMeans rules), long
+    // format (vec_id, subspace, code) — every step SQL-replayable ----
+    "q195_pq_encode" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      graft.operators.Similarity.pqEncode(e, "embedding", "vec_id",
+        m = 2, codes = 4, iters = 2)
+        .sortValues(Seq("vec_id", "subspace")).sdf
+    }),
+
+    // ---- PQ asymmetric-distance top-3 for 5 probe vectors: per-query
+    // m×codes distance tables, approx d2 = sum of table lookups over
+    // the corpus codes, rank ascending with id tie-break ----
+    "q196_pq_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      graft.operators.Similarity.pqTopK(
+        e.where(col("vec_id") < 5), e, "embedding", "vec_id",
+        k = 3, m = 2, codes = 4, iters = 2)
+        .sortValues(Seq("query_id", "rank")).sdf
+    }),
+
     // ---- semantic dedup endgame over the q117 corpus: half-scaled
     // copies collide with their originals (sign bits are scale-
     // invariant); score = first embedding component, so the keeper per
@@ -942,6 +963,73 @@ object ExtensionQueries {
        |SELECT vec_id, cluster FROM a1 ORDER BY vec_id""".stripMargin
   }
 
+  /** PQ oracles: the [[kmeansSql]] Lloyd recipe replayed once per
+    * subspace over sliced subvectors (m=2 × 32 dims, 4 codes, 2
+    * assignment rounds — matching q195/q196's knobs), then the encode /
+    * ADC tails. `s{j}a1` is subspace j's final assignment (= the
+    * operator's encode), `s{j}c1` its final codebook. */
+  private def pqDist(v: String, c: String) =
+    s"""ROUND(list_reduce(list_transform(range(1, len($v) + 1),
+       |    i -> ($v[i::INT] - $c[i::INT]) * ($v[i::INT] - $c[i::INT])),
+       |    (x, y) -> x + y), 6)""".stripMargin
+  private def pqSubCtes(j: Int, sd: Int): String = {
+    val a = j * sd + 1
+    val b = (j + 1) * sd
+    s"""s${j}c AS (SELECT vec_id, v[$a:$b] AS s FROM corpus),
+       |s${j}c0 AS (SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INT AS code,
+       |  s AS cvec FROM s${j}c ORDER BY vec_id LIMIT 4),
+       |s${j}a0 AS (SELECT vec_id, s, code FROM (
+       |  SELECT e.vec_id, e.s, c.code,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${pqDist("e.s", "c.cvec")}, c.code) AS rn
+       |  FROM s${j}c e CROSS JOIN s${j}c0 c) WHERE rn = 1),
+       |s${j}u1 AS (SELECT code, i AS pos,
+       |  ROUND(CAST(SUM(CAST(s[(i+1)::INT] AS DECIMAL(28,10))) AS DOUBLE)
+       |    / COUNT(*), 6) AS c
+       |  FROM (SELECT code, s, UNNEST(range(len(s))) AS i FROM s${j}a0)
+       |  GROUP BY code, i),
+       |s${j}u1v AS (SELECT code, array_agg(c ORDER BY pos) AS cvec
+       |  FROM s${j}u1 GROUP BY code),
+       |s${j}c1 AS (SELECT c0.code, COALESCE(u.cvec, c0.cvec) AS cvec
+       |  FROM s${j}c0 c0 LEFT JOIN s${j}u1v u ON c0.code = u.code),
+       |s${j}a1 AS (SELECT vec_id, code FROM (
+       |  SELECT e.vec_id, c.code,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${pqDist("e.s", "c.cvec")}, c.code) AS rn
+       |  FROM s${j}c e CROSS JOIN s${j}c1 c) WHERE rn = 1)""".stripMargin
+  }
+  private val pqCorpusCte =
+    """corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(list_filter(embedding,
+      |    x -> x IS NULL OR isnan(x) OR abs(x) >= 1e18)) = 0)""".stripMargin
+  private val pqEncodeSql: String =
+    s"""WITH $pqCorpusCte,
+       |${pqSubCtes(0, 32)},
+       |${pqSubCtes(1, 32)}
+       |SELECT vec_id, subspace, code FROM (
+       |  SELECT vec_id, 0::INT AS subspace, code FROM s0a1
+       |  UNION ALL SELECT vec_id, 1::INT, code FROM s1a1)
+       |ORDER BY vec_id, subspace""".stripMargin
+  private val pqTopkSql: String =
+    s"""WITH $pqCorpusCte,
+       |${pqSubCtes(0, 32)},
+       |${pqSubCtes(1, 32)},
+       |codes AS (SELECT a0.vec_id AS corpus_id, a0.code AS code0, a1.code AS code1
+       |  FROM s0a1 a0 JOIN s1a1 a1 USING (vec_id)),
+       |scored AS (SELECT q.query_id, c.corpus_id,
+       |  ROUND(${pqDist("q.v[1:32]", "b0.cvec")}
+       |      + ${pqDist("q.v[33:64]", "b1.cvec")}, 6) AS approx_d2
+       |  FROM (SELECT vec_id AS query_id, v FROM corpus WHERE vec_id < 5) q
+       |  CROSS JOIN codes c
+       |  JOIN s0c1 b0 ON b0.code = c.code0
+       |  JOIN s1c1 b1 ON b1.code = c.code1
+       |  WHERE q.query_id != c.corpus_id),
+       |ranked AS (SELECT query_id, corpus_id, approx_d2,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY approx_d2 ASC, corpus_id) AS rank FROM scored)
+       |SELECT query_id, rank::INT AS rank, corpus_id, approx_d2 FROM ranked
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   /** LSH ANN top-k oracle: signatures via [[lshSigSql]], bucket
     * equi-join, exact rerank. */
   private val lshTopkSql: String = {
@@ -967,6 +1055,11 @@ object ExtensionQueries {
 
   val oracles: Map[String, String] = Map(
     "q87_lsh_topk" -> lshTopkSql,
+    "q195_pq_encode" -> pqEncodeSql,
+    // ADC tail: per-query distance to each FINAL codebook centroid,
+    // approx = ROUND(d0 + d1, 6) — exactly the Spark side's two
+    // 6dp-rounded table lookups summed then re-rounded
+    "q196_pq_topk" -> pqTopkSql,
     // list_reduce has no initial accumulator: it folds from the first
     // element — identical to the Spark side's 0 seed since 0·B + t₁ = t₁.
     // Token-less docs are CASE-guarded to the seed value 0: DuckDB's
