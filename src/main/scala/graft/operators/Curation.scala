@@ -379,6 +379,41 @@ object Curation {
     * a per-partition offset array, never a single-partition window).
     * Writers consume the result partition-ordered; at 100 TB this is
     * one shuffle plus two map passes, the floor for any total order. */
+  /** Leakage-free temporal train/holdout split: the LAST
+    * `max(1, floor(n_days × holdoutFrac))` distinct event-time days
+    * become the holdout — every holdout row is strictly later (by day)
+    * than every train row, the property a time-series eval needs and a
+    * random split silently violates (training on the future of the
+    * test set). Day granularity makes the boundary calendar-stable: a
+    * re-run over late-arriving data moves whole days, never splits
+    * one.
+    *
+    * Scale: the day inventory is one partial+final DISTINCT over
+    * day-truncated timestamps — bounded by calendar days, not data
+    * size (a decade is ~3.7k rows); the cutoff is a driver-side min
+    * over the holdout tail of that tiny frame, and the labeling pass
+    * is one codegen'd comparison against a literal. Rows with a NULL
+    * timestamp are dropped (they have no position in time — labeling
+    * them either side would be a silent guess). */
+  def timeSplit(df: Df, tsCol: String, holdoutFrac: Double,
+                trainLabel: String = "train",
+                holdoutLabel: String = "holdout"): Df = {
+    require(holdoutFrac > 0.0 && holdoutFrac < 1.0,
+      s"timeSplit: holdoutFrac must be in (0, 1): $holdoutFrac")
+    require(trainLabel != holdoutLabel,
+      s"timeSplit: labels must differ: '$trainLabel'")
+    val rows = df.sdf.where(col(tsCol).isNotNull)
+    val days = rows.select(date_trunc("DAY", col(tsCol)).as("__d")).distinct()
+    val n = days.count()
+    require(n > 0, s"timeSplit: no non-NULL values in '$tsCol'")
+    val hold = math.max(1L, math.floor(n * holdoutFrac).toLong).toInt
+    val cutoff = days.sort(col("__d").desc).limit(hold)
+      .agg(min("__d")).head.getTimestamp(0)
+    new Df(rows.withColumn("split",
+      when(date_trunc("DAY", col(tsCol)) >= lit(cutoff),
+        lit(holdoutLabel)).otherwise(lit(trainLabel))))
+  }
+
   def epochShuffle(docs: Df, idCol: String, seed: Long, epoch: Int,
                    posCol: String = "position"): Df = {
     require(epoch >= 0, s"epoch must be non-negative: $epoch")

@@ -13,6 +13,47 @@ import org.apache.spark.sql.functions._
   */
 object Profiling {
 
+  /** Exact heavy hitters (keys with count ≥ `minCount`) with a
+    * count-min-sketch prefilter — the high-cardinality-key shape of
+    * "top domains / hottest users in the crawl". Two passes:
+    *
+    *  1. one scan folds every key into a CMS (size O(1/eps·ln 1/conf),
+    *     a few MB — driver-merged, broadcast back out);
+    *  2. a second scan keeps only rows whose sketch ESTIMATE reaches
+    *     `minCount`, then counts the survivors exactly and re-applies
+    *     the threshold.
+    *
+    * CMS only ever OVER-estimates, so the prefilter has no false
+    * negatives and the final exact filter makes the result identical to
+    * plain `GROUP BY … HAVING count ≥ minCount` — sketch randomness
+    * (seeded, fixed) can cost extra candidates, never correctness.
+    * The payoff is at 100 TB with zipfian keys (urls, users, shingles):
+    * a plain groupBy shuffles one partial count per (partition,
+    * distinct key) — billions of singleton keys — where the prefilter
+    * drops the long tail BEFORE the shuffle and only candidate rows
+    * (the heavy keys' rows, a tiny fraction) reach it. The sketch is
+    * probed on the key's canonical string rendering (type-agnostic);
+    * the exact count groups on the NATIVE key, so collisions in the
+    * rendering could only add candidates. NULL keys are excluded
+    * (COUNT(col) semantics). The probe is a broadcast-sketch UDF — the
+    * one place a UDF is the right tool: a CMS lookup has no Catalyst
+    * expression form, and it sits behind a pushed-down scan, not in an
+    * agg hot loop. */
+  def heavyHitters(df: Df, keyCol: String, minCount: Long,
+                   eps: Double = 1e-4, confidence: Double = 0.99): Df = {
+    require(minCount >= 1, s"heavyHitters: minCount must be >= 1: $minCount")
+    val rows = df.sdf.select(col(keyCol)).where(col(keyCol).isNotNull)
+    val sketch = rows.select(col(keyCol).cast("string").as("__k"))
+      .stat.countMinSketch("__k", eps, confidence, seed = 42)
+    val bc = rows.sparkSession.sparkContext.broadcast(sketch)
+    val mc = minCount
+    val probe = udf((k: String) => k != null && bc.value.estimateCount(k) >= mc)
+    new Df(rows
+      .where(probe(col(keyCol).cast("string")))
+      .groupBy(keyCol).agg(count(lit(1)).as("n"))
+      .where(col("n") >= mc))
+  }
+
   /** Per-column profile in LONG format: (column, n, n_nulls,
     * n_distinct) — one row per profiled column. `n_distinct` is the
     * EXACT distinct count (nulls excluded, SQL COUNT(DISTINCT)

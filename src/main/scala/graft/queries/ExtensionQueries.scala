@@ -476,6 +476,29 @@ object ExtensionQueries {
         .sortValues(Seq("vec_id")).sdf
     }),
 
+    // ---- leakage-free temporal split: last 20% of distinct event
+    // days = holdout; per-split day ranges in the output PROVE the
+    // no-overlap property (holdout first_day > train last_day) ----
+    "q199_time_split" -> ((s, dir) => {
+      graft.operators.Curation.timeSplit(events(s, dir), "ts",
+        holdoutFrac = 0.2)
+        .groupby("split")
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).cast("long").as("id_sum"),
+          min(date_trunc("DAY", col("ts"))).as("first_day"),
+          max(date_trunc("DAY", col("ts"))).as("last_day"))
+        .sortValues(Seq("split")).sdf
+    }),
+
+    // ---- exact heavy hitters over a high-cardinality key, CMS
+    // prefilter + exact verify: result identical to GROUP BY/HAVING
+    // (CMS only over-estimates), shuffle sees candidates only ----
+    "q197_heavy_hitters" -> ((s, dir) => {
+      graft.operators.Profiling.heavyHitters(
+        T(s, dir, "events"), "user_id", minCount = 75)
+        .sortValues(Seq("user_id")).sdf
+    }),
+
     // ---- product quantization encode: per-subspace deterministic
     // Lloyd codebooks (m=2 subspaces × 4 codes, the kMeans rules), long
     // format (vec_id, subspace, code) — every step SQL-replayable ----
@@ -1055,6 +1078,27 @@ object ExtensionQueries {
 
   val oracles: Map[String, String] = Map(
     "q87_lsh_topk" -> lshTopkSql,
+    // the day-tail cutoff replayed with a window over the (tiny)
+    // distinct-day inventory
+    "q199_time_split" ->
+      """WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts,
+        |  date_trunc('day', ts::TIMESTAMP) AS d
+        |  FROM events WHERE ts IS NOT NULL),
+        |days AS (SELECT DISTINCT d FROM e),
+        |dd AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d DESC) AS rn,
+        |  COUNT(*) OVER () AS nd FROM days),
+        |cut AS (SELECT MIN(d) AS cutoff FROM dd
+        |  WHERE rn <= GREATEST(1, FLOOR(nd * 0.2)))
+        |SELECT CASE WHEN e.d >= c.cutoff THEN 'holdout' ELSE 'train' END AS split,
+        |COUNT(*)::BIGINT AS n, SUM(event_id)::BIGINT AS id_sum,
+        |MIN(d) AS first_day, MAX(d) AS last_day
+        |FROM e, cut c GROUP BY 1 ORDER BY split""".stripMargin,
+    // plain HAVING replay — the CMS prefilter is a no-false-negative
+    // optimization, so the exact SQL IS the contract
+    "q197_heavy_hitters" ->
+      """SELECT user_id, COUNT(*)::BIGINT AS n FROM events
+        |WHERE user_id IS NOT NULL GROUP BY user_id
+        |HAVING COUNT(*) >= 75 ORDER BY user_id""".stripMargin,
     "q195_pq_encode" -> pqEncodeSql,
     // ADC tail: per-query distance to each FINAL codebook centroid,
     // approx = ROUND(d0 + d1, 6) — exactly the Spark side's two

@@ -69,6 +69,17 @@ object StreamingQueries {
         .orderBy("win_start", "event_type")
     }),
 
+    // ---- streaming per-window heavy hitters: users clearing 2 events
+    // inside a tumbling hour — the threshold filter rides ON the
+    // windowed agg state, only finalized heavy rows emit ----
+    "q198_stream_heavy_hitters" -> ((s, dir) => {
+      val stream = StreamOps.readEventsStream(s, stage(s"$dir/events.parquet", 1))
+      StreamOps.runToCompletion(
+        StreamOps.windowedHeavyHitters(stream, "user_id", minCount = 2),
+        "q198_sink")
+        .orderBy("win_start", "user_id")
+    }),
+
     // ---- streaming sliding windows (1h/30m — every event in exactly
     // two windows), per-user, users < 50 to mirror q97's scale ----
     "q127_stream_sliding" -> ((s, dir) => {
@@ -281,6 +292,12 @@ object StreamingQueries {
         |event_type, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // the q126 tumbling replay with the HAVING threshold on top
+    "q198_stream_heavy_hitters" ->
+      """SELECT win_start, user_id, n FROM (
+        |SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS win_start,
+        |user_id, COUNT(*) AS n FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1, 2) WHERE n >= 2 ORDER BY win_start, user_id""".stripMargin,
     // the q97 two-row VALUES expansion, keyed by user instead of type
     "q127_stream_sliding" ->
       """SELECT win_start, user_id, COUNT(*) AS n_events FROM (

@@ -54,6 +54,25 @@ object StreamOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Per-window heavy hitters: keys whose count inside a tumbling
+    * window reaches `minCount` — the streaming twin of
+    * [[graft.operators.Profiling.heavyHitters]] (hot users/domains per
+    * hour, live). The threshold filter sits ON TOP of the windowed
+    * aggregation, so state is one count per (window, key) — bounded by
+    * the watermark like every windowed agg here — and only rows that
+    * clear the bar are emitted when the window finalizes. */
+  def windowedHeavyHitters(events: DataFrame, keyCol: String,
+                           minCount: Long,
+                           windowLen: String = "1 hour",
+                           watermark: String = "2 hours"): DataFrame =
+    events
+      .where(col(keyCol).isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .select(col("window.start").as("win_start"), col(keyCol), col("n"))
+
   /** sliding-window per-user activity rate */
   def slidingUserActivity(events: DataFrame,
                           windowLen: String = "1 hour",

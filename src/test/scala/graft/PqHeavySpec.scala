@@ -1,0 +1,145 @@
+package graft
+
+import graft.api.Df
+import graft.operators.{Curation, Profiling, Similarity}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization, CMS heavy hitters, and temporal split specs. */
+class PqHeavySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def vecDf(rows: Seq[(Long, Seq[Float])]): Df =
+    Df.fromRows(spark,
+      rows.map { case (id, v) => Row(id, if (v == null) null else v) },
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+
+  private val tinyCorpus = vecDf(Seq(
+    0L -> Seq(0f, 0f, 0f, 0f),
+    1L -> Seq(1f, 0f, 0f, 0f),
+    2L -> Seq(0f, 2f, 0f, 0f),
+    3L -> Seq(3f, 3f, 0f, 1f)))
+
+  test("pqEncode: m rows per usable vector, codes in range, undefined vectors dropped") {
+    val withBad = vecDf(Seq(
+      0L -> Seq(0f, 0f, 0f, 0f),
+      1L -> Seq(1f, 0f, 0f, 0f),
+      2L -> Seq(0f, 2f, 0f, 0f),
+      3L -> Seq(3f, 3f, 0f, 1f),
+      4L -> null,
+      5L -> Seq(Float.NaN, 0f, 0f, 0f)))
+    val enc = Similarity.pqEncode(withBad, "embedding", "vec_id",
+      m = 2, codes = 2, iters = 2).sdf.collect()
+    assert(enc.length == 8) // 4 usable vectors × m=2
+    assert(enc.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
+    assert(enc.map(_.getInt(1)).toSet == Set(0, 1))
+    assert(enc.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 2))
+  }
+
+  test("pqTopK with codes >= corpus size and iters=1 is exact squared-L2 ranking") {
+    // every corpus vector becomes its own codebook centroid (lowest-id
+    // init over 4 vectors with codes=4 = the whole corpus; one
+    // assignment round maps each vector to itself at distance 0), so
+    // ADC distance degenerates to the exact distance
+    val res = Similarity.pqTopK(tinyCorpus, tinyCorpus, "embedding", "vec_id",
+      k = 3, m = 1, codes = 4, iters = 1).sdf.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // exact d2 from 0: →1 (1), →2 (4), →3 (19)
+    assert(res((0L, 1)) == (1L, 1.0))
+    assert(res((0L, 2)) == (2L, 4.0))
+    assert(res((0L, 3)) == (3L, 19.0))
+    // exact d2 from 3: →2 (11²? no: (3-0)²+(3-2)²+0+1 = 11), →1 (14), →0 (19)
+    assert(res((3L, 1)) == (2L, 11.0))
+    assert(res((3L, 2)) == (1L, 14.0))
+    assert(res((3L, 3)) == (0L, 19.0))
+  }
+
+  test("pqEncode/pqTopK: dim mismatch fails loudly, never silent garbage codes") {
+    val mixed = vecDf(Seq(
+      0L -> Seq(0f, 0f, 0f, 0f),
+      1L -> Seq(1f, 0f, 0f, 0f),
+      2L -> Seq(0f, 2f, 0f, 0f),
+      3L -> Seq(3f, 3f, 0f)))
+    val e = intercept[Exception] {
+      Similarity.pqEncode(mixed, "embedding", "vec_id",
+        m = 2, codes = 2, iters = 1).sdf.collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("expected dim=4")))
+  }
+
+  test("pq requires dim divisible by m") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqEncode(tinyCorpus, "embedding", "vec_id",
+        m = 3, codes = 2, iters = 1).sdf.collect()
+    }
+    assert(e.getMessage.contains("must split evenly"))
+  }
+
+  test("heavyHitters equals plain GROUP BY/HAVING; NULL keys excluded") {
+    val rows = (1 to 200).map(i => Row("hot": Any)) ++
+      (1 to 40).map(i => Row("warm": Any)) ++
+      (1 to 200).map(i => Row(s"cold_$i": Any)) ++
+      Seq(Row(null: Any), Row(null: Any))
+    val df = Df.fromRows(spark, rows,
+      StructType(Seq(StructField("k", StringType))))
+    val hh = Profiling.heavyHitters(df, "k", minCount = 40)
+      .sdf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == Map("hot" -> 200L, "warm" -> 40L))
+  }
+
+  test("heavyHitters on a long key (sketch probes the string rendering)") {
+    val rows = (1 to 50).map(_ => Row(7L: Any)) ++ (1 to 3).map(_ => Row(8L: Any))
+    val df = Df.fromRows(spark, rows,
+      StructType(Seq(StructField("k", LongType))))
+    val hh = Profiling.heavyHitters(df, "k", minCount = 10)
+      .sdf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hh == Map(7L -> 50L))
+  }
+
+  test("timeSplit: holdout days strictly after train days, NULL ts dropped") {
+    val base = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
+    def ts(day: Int) = new java.sql.Timestamp(
+      base.getTime + day.toLong * 24 * 3600 * 1000)
+    val rows = (0 until 10).flatMap(d =>
+      Seq(Row(d.toLong * 2, ts(d)), Row(d.toLong * 2 + 1, ts(d)))) :+
+      Row(99L, null)
+    val df = Df.fromRows(spark, rows,
+      StructType(Seq(StructField("id", LongType),
+        StructField("ts", TimestampType))))
+    val split = Curation.timeSplit(df, "ts", holdoutFrac = 0.2)
+    val got = split.sdf.collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("split")))
+    assert(got.length == 20) // the NULL-ts row is dropped
+    // 10 distinct days × 0.2 → last 2 days (days 8, 9 = ids 16..19) hold out
+    val hold = got.filter(_._2 == "holdout").map(_._1).toSet
+    assert(hold == Set(16L, 17L, 18L, 19L))
+    val trainMax = split.sdf.where(col("split") === "train")
+      .agg(max("ts")).head.getTimestamp(0)
+    val holdMin = split.sdf.where(col("split") === "holdout")
+      .agg(min("ts")).head.getTimestamp(0)
+    assert(trainMax.before(holdMin))
+  }
+
+  test("timeSplit validates its knobs") {
+    val df = Df.fromRows(spark,
+      Seq(Row(1L, java.sql.Timestamp.valueOf("2024-03-01 12:00:00"))),
+      StructType(Seq(StructField("id", LongType),
+        StructField("ts", TimestampType))))
+    assert(intercept[IllegalArgumentException] {
+      Curation.timeSplit(df, "ts", 1.0)
+    }.getMessage.contains("holdoutFrac"))
+    assert(intercept[IllegalArgumentException] {
+      Curation.timeSplit(df, "ts", 0.5, "same", "same")
+    }.getMessage.contains("labels must differ"))
+    val empty = df.where(col("id") < 0)
+    assert(intercept[IllegalArgumentException] {
+      Curation.timeSplit(empty, "ts", 0.5)
+    }.getMessage.contains("no non-NULL"))
+  }
+}
