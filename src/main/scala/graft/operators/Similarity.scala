@@ -174,6 +174,126 @@ object Similarity {
     new Df(rerankTopK(assigned.join(q, Seq("cell")), k, excludeSelf))
   }
 
+  /** Materialize an IVF index as a PARTITIONED parquet layout: the
+    * corpus is coarse-quantized with the [[ivfTopK]] MLlib k-means fit
+    * and written under `path`/index partitioned by cell, with the
+    * centroids (the only state a searcher needs) in long format under
+    * `path`/centroids. This moves the inverted-file idea to the
+    * STORAGE layer: at 100 TB the index is built once, and every probe
+    * after that reads only its nprobe cell DIRECTORIES — partition
+    * pruning at the scan, so the other nlist−nprobe cells cost zero
+    * I/O (vs ivfTopK recomputing assignment per search). Same vector
+    * contract as [[ivfTopK]] (undefined vectors drop out via NULL
+    * cells). Returns per-cell row counts — the balance audit that
+    * tells you whether the quantizer needs refitting before you pay
+    * for a skewed layout. */
+  def buildIvfIndex(corpus: Df, vecCol: String, idCol: String, path: String,
+                    nlist: Int = 16, fitSample: Double = 1.0): Df = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(fitSample > 0.0 && fitSample <= 1.0,
+      s"buildIvfIndex: fitSample must be a fraction in (0, 1]: $fitSample")
+    val c = corpus.sdf.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("c_vec"))
+    val fitInput = (if (fitSample >= 1.0) c else c.sample(fitSample, 42L))
+      .where(col("c_vec").isNotNull && !exists(col("c_vec"), _.isNull))
+      .select(array_to_vector(col("c_vec")).as("features"))
+    def emptyFit = new IllegalArgumentException(
+      s"buildIvfIndex: the quantizer fit input is empty - fitSample=$fitSample " +
+        "sampled no rows with non-NULL, fully-defined vectors; raise " +
+        "fitSample or check the vector column")
+    if (fitSample < 1.0 && fitInput.isEmpty) throw emptyFit
+    val model =
+      try new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("features").fit(fitInput)
+      catch { case e: Exception if fitInput.isEmpty => throw emptyFit.initCause(e) }
+    val centers = model.clusterCenters.map(_.toArray)
+    val dim = centers.head.length
+    def dist2(v: org.apache.spark.sql.Column, ctr: Array[Double]) =
+      aggregate(zip_with(v, lit(ctr), (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
+        lit(0.0), (acc, t) => acc + t)
+    val cellOf =
+      when(col("c_vec").isNull || exists(col("c_vec"), _.isNull), lit(null))
+        .when(size(col("c_vec")) === dim,
+          array_sort(array(centers.zipWithIndex.toIndexedSeq.map { case (ctr, i) =>
+            struct(dist2(col("c_vec"), ctr).as("d"), lit(i).as("cell"))
+          }: _*)).getItem(0).getField("cell"))
+        .otherwise(raise_error(concat(
+          lit(s"buildIvfIndex: expected dim=$dim, got vector of length "),
+          size(col("c_vec")).cast("string"))))
+    // co-locate each cell before the write: without this every task
+    // writes a fragment into every cell directory (tasks × nlist small
+    // files); with it each cell's rows land in contiguous files — the
+    // layout the probe-side partition pruning is buying I/O from
+    c.withColumn("cell", cellOf).where(col("cell").isNotNull)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
+    val spark = corpus.spark
+    val centroidRows = for {
+      (ctr, i) <- centers.zipWithIndex.toSeq
+      (x, p) <- ctr.zipWithIndex
+    } yield org.apache.spark.sql.Row(i, p, x)
+    Df.fromRows(spark, centroidRows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.DoubleType))))
+      .sdf.coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    new Df(spark.read.parquet(s"$path/index").groupBy("cell")
+      .agg(count(lit(1)).as("n")))
+  }
+
+  /** Probe a [[buildIvfIndex]] layout: each query ranks the stored
+    * centroids (read back from `path`/centroids — nlist×dim rows, a
+    * driver-side literal again after one tiny read), explodes into its
+    * `nprobe` nearest cells, and joins the index scan FILTERED to the
+    * union of probed cells — a static `cell IN (…)` predicate the
+    * parquet source turns into partition pruning (the probe list is
+    * |queries|×nprobe values, driver-known because the query side is
+    * small by the same assumption that lets it broadcast). Exact
+    * graft_cosine rerank inside the probed cells; with nprobe = nlist
+    * the result provably equals brute force — the oracle contract —
+    * while any smaller nprobe trades recall for reading
+    * nprobe/nlist of the data. */
+  def searchIvfIndex(queries: Df, vecCol: String, idCol: String,
+                     path: String, k: Int, nprobe: Int = 4,
+                     excludeSelf: Boolean = true): Df = {
+    require(k >= 1, s"searchIvfIndex: k must be >= 1: $k")
+    require(nprobe >= 1, s"searchIvfIndex: nprobe must be >= 1: $nprobe")
+    val spark = queries.spark
+    graft.plans.GraftFunctions.register(spark)
+    val centers = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toArray }.toArray
+    require(centers.nonEmpty, s"searchIvfIndex: no centroids under $path")
+    val dim = centers.head.length
+    def dist2(v: org.apache.spark.sql.Column, ctr: Array[Double]) =
+      aggregate(zip_with(v, lit(ctr), (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
+        lit(0.0), (acc, t) => acc + t)
+    val nearest =
+      when(col("q_vec").isNull || exists(col("q_vec"), _.isNull), lit(null))
+        .when(size(col("q_vec")) === dim,
+          slice(array_sort(array(centers.zipWithIndex.toIndexedSeq.map { case (ctr, i) =>
+            struct(dist2(col("q_vec"), ctr).as("d"), lit(i).as("cell"))
+          }: _*)), 1, math.min(nprobe, centers.length)))
+        .otherwise(raise_error(concat(
+          lit(s"searchIvfIndex: expected dim=$dim, got vector of length "),
+          size(col("q_vec")).cast("string"))))
+    val q = broadcast(queries.sdf
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("cell",
+        explode(transform(nearest, s => s.getField("cell")))))
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(s"$path/index")
+      .where(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
+    new Df(rerankTopK(c.join(q, Seq("cell")), k, excludeSelf))
+  }
+
   /** Per-key mean embedding (centroid / mean-pool) in LONG format —
     * one row per (key, dim position): posexplode + one partial+final
     * aggregate pair keyed by (key, pos). Long format keeps the result

@@ -282,6 +282,83 @@ object TextAnalytics {
     new Df(pairCounts.orderBy(col("n").desc, col("pair").asc).limit(k))
   }
 
+  /** Full BPE merge-rule learning (Sennrich et al. 2016 §3.2): the
+    * iterative loop [[bpePairCounts]] is one round of. Each round
+    * counts adjacent SYMBOL pairs over the vocabulary (weighted by
+    * word frequency), takes the argmax pair as the next merge rule —
+    * ties broken by (left, right) text, a total order — and
+    * re-symbolizes the vocabulary by merging every non-overlapping
+    * occurrence left-to-right (greedy, the reference-BPE application
+    * order). Symbols start as single characters; merged symbols are
+    * concatenations. Training pre-tokenizes to alphanumeric word forms
+    * (standard BPE practice — punctuation never crosses a merge), so
+    * the `|`-wrapped internal sequence encoding (`"low"` →
+    * `"|l||o||w|"`) is collision-free and one engine-portable
+    * `replace('|l||o|', '|lo|')` applies a merge exactly: the wrapper
+    * keeps token boundaries intact THROUGH a replacement, so a run
+    * like `a a a` merges to `aa a` (greedy non-overlap), identically
+    * in Spark and any SQL engine. Stops early if no pair remains.
+    * Output: (`merge_rank`, `lhs`, `rhs`, `pair_count`) — the
+    * merges.txt table.
+    *
+    * Scale: the corpus is touched ONCE (the map-side-combined word
+    * count); all `nMerges` rounds ride the DISTINCT-word table (~10^7
+    * rows for a 10^11-word corpus), each round one partial+final pair
+    * agg + a 1-row TakeOrdered to the driver. The merge table itself
+    * is driver-sized by definition (vocab_size − |alphabet| rows). */
+  def bpeMerges(docs: Df, textCol: String, nMerges: Int): Df = {
+    require(nMerges >= 1 && nMerges <= 1000,
+      s"bpeMerges: nMerges must be in [1, 1000]: $nMerges")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val vocab0 = docs.sdf
+      .select(explode(tokens(col(textCol))).as("word"))
+      .where(col("word").rlike("^[A-Za-z0-9]+$"))
+      .groupBy("word").agg(count(lit(1)).as("wf"))
+      // split between characters only: (?!^)(?!$) excludes the string
+      // edges — Spark's split keeps trailing empties (limit -1), so a
+      // bare (?!^) would append an empty symbol to every word
+      .select(concat(lit("|"),
+        concat_ws("||", split(col("word"), "(?!^)(?!$)")), lit("|")).as("seq"),
+        col("wf"))
+      .persist(lvl)
+    var vocab = vocab0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val toks = split(regexp_replace(col("seq"), "^\\||\\|$", ""), "\\|\\|")
+      val top = vocab
+        .select(col("wf"), explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wf")).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, rr, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += org.apache.spark.sql.Row(r, l, rr, n)
+        // alnum-only symbols: no escaping needed inside the literal
+        vocab = vocab.withColumn("seq",
+          expr(s"replace(seq, '|$l||$rr|', '|$l$rr|')"))
+        r += 1
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("merge_rank",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("lhs",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("rhs",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("pair_count",
+        org.apache.spark.sql.types.LongType)))
+    Df.fromRows(docs.spark, merges.toSeq, schema).retaining(vocab0)
+  }
+
   /** Collocation extraction by pointwise mutual information — the
     * phrase-mining pass (Mikolov et al. 2013 §4 use the same counts
     * with a discount; this is the classic PMI form over adjacent-pair

@@ -95,6 +95,20 @@ object AnalyticsQueries {
         .sortValues(Seq("query_id", "rank")).sdf
     }),
 
+    // ---- disk-materialized IVF index: corpus written partitioned by
+    // coarse cell, probes prune partitions at the scan; nprobe=nlist
+    // so the brute-force SQL is the exact oracle (q73's contract) ----
+    "q201_ivf_index" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index"
+      graft.operators.Similarity.buildIvfIndex(e, "embedding", "vec_id",
+        path, nlist = 8, fitSample = 0.25)
+      graft.operators.Similarity.searchIvfIndex(
+        e.where(col("vec_id") < 4), "embedding", "vec_id", path,
+        k = 3, nprobe = 8)
+        .sortValues(Seq("query_id", "rank")).sdf
+    }),
+
     // ---- as-of join, forward direction + tolerance (merge_asof
     // parity); oracle = DuckDB ASOF with the inequality flipped and a
     // post-join tolerance gate — semantically identical to pandas ----
@@ -176,6 +190,16 @@ object AnalyticsQueries {
         |  c.vec_id) AS rank
         |FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
         |WHERE q.vec_id < 3)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q201_ivf_index" ->
+      """SELECT query_id, rank, corpus_id, cosine FROM (
+        |SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+        |ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |  ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+        |  c.vec_id) AS rank
+        |FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |WHERE q.vec_id < 4)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q72_asof_join" ->
       """SELECT p.event_id, p.user_id, c.value AS click_value

@@ -476,6 +476,15 @@ object ExtensionQueries {
         .sortValues(Seq("vec_id")).sdf
     }),
 
+    // ---- full BPE merge learning: 8 rounds of count-argmax-merge
+    // over the distinct-word vocabulary; output = the merges.txt
+    // table, every round SQL-replayed in the oracle ----
+    "q200_bpe_merges" -> ((s, dir) => {
+      graft.operators.TextAnalytics.bpeMerges(
+        T(s, dir, "documents"), "text", nMerges = 8)
+        .sortValues(Seq("merge_rank")).sdf
+    }),
+
     // ---- leakage-free temporal split: last 20% of distinct event
     // days = holdout; per-split day ranges in the output PROVE the
     // no-overlap property (holdout first_day > train last_day) ----
@@ -1053,6 +1062,37 @@ object ExtensionQueries {
        |SELECT query_id, rank::INT AS rank, corpus_id, approx_d2 FROM ranked
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** BPE merge-learning oracle: 8 unrolled rounds. Each round counts
+    * adjacent-symbol pairs over the `|`-wrapped vocab sequences, picks
+    * the (count desc, l, r) argmax, and applies it with one
+    * `replace('|l||r|' → '|lr|')` — the wrapper keeps boundaries
+    * intact through a replacement, so DuckDB's left-to-right
+    * non-overlapping replace IS the greedy BPE application, matching
+    * the Spark operator's identical replace call. */
+  private val bpeMergesSql: String = {
+    val n = 8
+    val rounds = (1 to n).map { r =>
+      s"""p$r AS (SELECT t[i] AS l, t[i+1] AS r, CAST(SUM(wf) AS BIGINT) AS n
+         |  FROM (SELECT wf, t, UNNEST(range(1, len(t))) AS i FROM
+         |    (SELECT wf, string_split(trim(seq, '|'), '||') AS t FROM v$r))
+         |  GROUP BY 1, 2),
+         |top$r AS (SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
+         |v${r + 1} AS (SELECT replace(seq, '|' || l || '||' || r || '|',
+         |  '|' || l || r || '|') AS seq, wf FROM v$r, top$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to n).map(r =>
+      s"SELECT $r::INT AS merge_rank, l AS lhs, r AS rhs, n AS pair_count FROM top$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH toks AS (SELECT UNNEST(${toksSql()}) AS word FROM documents),
+       |wf0 AS (SELECT word, COUNT(*) AS wf FROM toks
+       |  WHERE regexp_matches(word, '^[A-Za-z0-9]+$$') GROUP BY 1),
+       |v1 AS (SELECT '|' || array_to_string(string_split(word, ''), '||') || '|' AS seq,
+       |  wf FROM wf0),
+       |$rounds
+       |$out
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   /** LSH ANN top-k oracle: signatures via [[lshSigSql]], bucket
     * equi-join, exact rerank. */
   private val lshTopkSql: String = {
@@ -1078,6 +1118,7 @@ object ExtensionQueries {
 
   val oracles: Map[String, String] = Map(
     "q87_lsh_topk" -> lshTopkSql,
+    "q200_bpe_merges" -> bpeMergesSql,
     // the day-tail cutoff replayed with a window over the (tiny)
     // distinct-day inventory
     "q199_time_split" ->

@@ -126,6 +126,59 @@ class PqHeavySpec extends AnyFunSuite {
     assert(trainMax.before(holdMin))
   }
 
+  test("bpeMerges learns the obvious merge first and re-symbolizes greedily") {
+    val docs = Df.fromRows(spark,
+      // "abab" ×3, "aaa" ×2 — pair counts round 1: (a,b)=6, (b,a)=3,
+      // (a,a)=2 (greedy within "aaa" yields 2 adjacent positions,
+      // weighted by word count: wf-weighted over DISTINCT words:
+      // (a,b)=2·1, (b,a)=1·1, (a,a)=2·1 — wf weighting counts words)
+      Seq(Row(1L, "abab abab abab aaa aaa")),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    val m = graft.operators.TextAnalytics.bpeMerges(docs, "text", nMerges = 2)
+      .sdf.collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // word freqs: abab×3, aaa×2. round 1 pairs: (a,b) 3+3=6, (b,a) 3,
+    // (a,a) 2+2=4 → merge (a,b). round 2 over "|ab||ab|", "|a||a||a|":
+    // (ab,ab) 3, (a,a) 4 → merge (a,a) — and greedy non-overlap means
+    // "aaa" contributed BOTH adjacent pairs before, but only one
+    // merged occurrence after
+    assert(m(0) == ((1, "a", "b", 6L)))
+    assert(m(1) == ((2, "a", "a", 4L)))
+  }
+
+  test("bpeMerges stops early when no pairs remain") {
+    val docs = Df.fromRows(spark, Seq(Row(1L, "a b c a b")),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    // all words are single chars — zero pairs, zero merges
+    val m = graft.operators.TextAnalytics.bpeMerges(docs, "text", nMerges = 5)
+    assert(m.sdf.collect().isEmpty)
+  }
+
+  test("searchIvfIndex prunes cell partitions at the scan") {
+    val e = Df.readParquet(spark, s"$sf/embeddings.parquet")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_spec"
+    val cells = graft.operators.Similarity.buildIvfIndex(
+      e, "embedding", "vec_id", path, nlist = 4)
+    assert(cells.sdf.agg(sum("n")).head.getLong(0) == e.count())
+    val res = graft.operators.Similarity.searchIvfIndex(
+      e.where(col("vec_id") < 2), "embedding", "vec_id", path,
+      k = 2, nprobe = 1)
+    val plan = res.sdf.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    val got = res.sdf.collect()
+    assert(got.nonEmpty && got.forall(_.getInt(1) <= 2))
+    // nprobe = nlist reproduces brute force exactly
+    val full = graft.operators.Similarity.searchIvfIndex(
+      e.where(col("vec_id") < 2), "embedding", "vec_id", path,
+      k = 2, nprobe = 4).sdf.collect().map(_.toSeq).toSet
+    val brute = graft.operators.Similarity.bruteForceTopK(
+      e.where(col("vec_id") < 2), e, "embedding", "vec_id", k = 2)
+      .sdf.collect().map(_.toSeq).toSet
+    assert(full == brute)
+  }
+
   test("timeSplit validates its knobs") {
     val df = Df.fromRows(spark,
       Seq(Row(1L, java.sql.Timestamp.valueOf("2024-03-01 12:00:00"))),
