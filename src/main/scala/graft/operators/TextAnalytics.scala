@@ -601,6 +601,79 @@ object TextAnalytics {
       .retaining(base, bi)
   }
 
+  /** Trigram stupid-backoff NLL (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" §4): score each document in
+    * `scoreDocs` against a model counted from `trainDocs`:
+    *
+    *   S(w3|w1w2) = c(w1w2w3)/c(w1w2)           if the trigram is seen
+    *              = α · c(w2w3)/c(w2)           else if the bigram is
+    *              = α² · c(w3)/N                else (unigram MLE;
+    *                an unseen unigram scores as α² · 0.5/N — the
+    *                deterministic OOV floor, mirrored in the oracle).
+    *
+    * A doc's score is the mean −ln S over its n−2 trigram positions;
+    * docs with < 3 tokens have no trigrams and drop out. Unlike the
+    * Jelinek-Mercer [[bigramNll]] (corpus-as-its-own-model), the
+    * train/score split makes all three backoff levels reachable —
+    * this is the KenLM-style heldout perplexity filter of CCNet-like
+    * curation stacks, minus the Kneser-Ney smoothing (stupid backoff
+    * is the published choice AT scale: no discount tuning, counts
+    * only, trivially distributed).
+    *
+    * Scale: one tokenize pass per side; the three model tables are
+    * gram-keyed partial+final counts (vocabulary-sized, NOT
+    * driver-sized — never collected); scoring is three left joins
+    * keyed on the gram columns (AQE broadcasts model sides while they
+    * fit, shuffle-hash beyond); N rides a broadcast 1-row frame. Each
+    * −ln term is DECIMAL(18,8)-cast before the order-independent sum;
+    * the mean rounds to 4dp (q115 convention). */
+  def stupidBackoffNll(trainDocs: Df, scoreDocs: Df, textCol: String,
+                       idCol: String, alpha: Double = 0.4): Df = {
+    require(alpha > 0 && alpha <= 1,
+      s"stupidBackoffNll: alpha must be in (0, 1]: $alpha")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def toks(d: Df) = d.sdf.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val train = toks(trainDocs).persist(lvl)
+
+    def grams(df: org.apache.spark.sql.DataFrame, n: Int) =
+      df.where(size(col("toks")) >= n)
+        .select(col(idCol), explode(expr(
+          s"""transform(sequence(0, size(toks) - $n),
+             |  i -> struct(${(0 until n).map(k => s"toks[i + $k] AS w${k + 1}").mkString(", ")}))"""
+            .stripMargin)).as("g"))
+        .select(col(idCol) +: (1 to n).map(k => col(s"g.w$k").as(s"w$k")): _*)
+
+    val uni = grams(train, 1).groupBy(col("w1").as("w3"))
+      .agg(count(lit(1)).as("__c3"))
+    val nTotal = train.select(explode(col("toks")).as("t"))
+      .agg(count(lit(1)).as("__n"))
+    val bi = grams(train, 2).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__cb")).persist(lvl)
+    val tri = grams(train, 3).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("__ct"))
+
+    val scored = grams(toks(scoreDocs), 3)
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("__cb").as("__cb23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w3").as("w2"), col("__c3").as("__c2")),
+        Seq("w2"), "left")
+      .join(uni, Seq("w3"), "left")
+      .crossJoin(broadcast(nTotal))
+      .withColumn("__s", when(col("__ct").isNotNull,
+          col("__ct").cast("double") / col("__cb"))
+        .when(col("__cb23").isNotNull,
+          lit(alpha) * col("__cb23").cast("double") / col("__c2"))
+        .otherwise(lit(alpha * alpha) *
+          coalesce(col("__c3").cast("double"), lit(0.5)) / col("__n")))
+      .withColumn("__nll", (-log(col("__s"))).cast("decimal(18,8)"))
+    new Df(scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(sum(col("__nll")).cast("double") / count(lit(1)), 4).as("avg_nll")))
+      .retaining(train, bi)
+  }
+
   /** Vocabulary coverage curve — for each requested vocabulary size V,
     * the share of total token OCCURRENCES covered by the top-V terms
     * (frequency-ranked, ties broken by term — fully deterministic and

@@ -36,6 +36,7 @@ object PipelineQueries {
 
   private val dsirBuckets = 1024
   private val nllLambda = 0.7
+  private val sbAlpha = 0.4
 
   val defs: Map[String, Q] = Map(
     // ---- frequency-based boilerplate line removal: the footer
@@ -273,6 +274,18 @@ object PipelineQueries {
       val d = T(s, dir, "documents")
       TextAnalytics.bm25Search(d, "text", "doc_id",
         query = Seq("hash", "join", "scan"), topN = 20).sdf
+    }),
+
+    // ---- trigram stupid-backoff NLL: model counted on even doc_ids,
+    // odd doc_ids scored — the heldout split makes all three backoff
+    // levels reachable (unseen trigrams/bigrams actually back off) ----
+    "q202_backoff_nll" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val train = new Df(d.sdf.where(col("doc_id") % 2 === 0))
+      val score = new Df(d.sdf.where(col("doc_id") % 2 === 1))
+      TextAnalytics.stupidBackoffNll(train, score, "text", "doc_id",
+        alpha = sbAlpha)
+        .sortValues(Seq("doc_id")).sdf
     }))
 
   val oracles: Map[String, String] = Map(
@@ -732,5 +745,45 @@ object PipelineQueries {
         |  ELSE cand END AS pord FROM a)
         |SELECT p.anchor_id, p.j::INT AS neg_rank, o2.doc_id AS neg_id
         |FROM p JOIN ord o2 ON p.pord = o2.ord
-        |ORDER BY anchor_id, neg_rank""".stripMargin)
+        |ORDER BY anchor_id, neg_rank""".stripMargin,
+
+    // stupid backoff with the α / α² literals PRINTED FROM SCALA (the
+    // q172 convention — 0.4·0.4 is 0.16000000000000002 in both engines
+    // only when both parse the same printed double); trigram-seen ⇒
+    // its prefix bigram is seen, so ct/cb never divides by NULL;
+    // unseen unigram takes the 0.5 floor; −ln DECIMAL(18,8), mean 4dp
+    "q202_backoff_nll" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql()} AS toks FROM documents),
+         |tr AS (SELECT * FROM t WHERE doc_id % 2 = 0),
+         |sc AS (SELECT * FROM t WHERE doc_id % 2 = 1),
+         |u AS (SELECT UNNEST(toks) AS w FROM tr),
+         |uni AS (SELECT w, COUNT(*) AS c FROM u GROUP BY w),
+         |n AS (SELECT COUNT(*) AS n FROM u),
+         |bi AS (SELECT toks[(i+1)::INT] AS w1, toks[(i+2)::INT] AS w2
+         |  FROM (SELECT UNNEST(range(len(toks) - 1)) AS i, toks
+         |        FROM tr WHERE len(toks) >= 2)),
+         |bic AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY w1, w2),
+         |tri AS (SELECT toks[(i+1)::INT] AS w1, toks[(i+2)::INT] AS w2,
+         |  toks[(i+3)::INT] AS w3
+         |  FROM (SELECT UNNEST(range(len(toks) - 2)) AS i, toks
+         |        FROM tr WHERE len(toks) >= 3)),
+         |tric AS (SELECT w1, w2, w3, COUNT(*) AS ct FROM tri GROUP BY 1, 2, 3),
+         |g AS (SELECT doc_id, toks[(i+1)::INT] AS w1, toks[(i+2)::INT] AS w2,
+         |  toks[(i+3)::INT] AS w3
+         |  FROM (SELECT doc_id, UNNEST(range(len(toks) - 2)) AS i, toks
+         |        FROM sc WHERE len(toks) >= 3)),
+         |s AS (SELECT g.doc_id, CAST(-LN(
+         |  CASE WHEN tc.ct IS NOT NULL THEN tc.ct::DOUBLE / bc.cb
+         |  WHEN b23.cb IS NOT NULL THEN $sbAlpha::DOUBLE * b23.cb::DOUBLE / u2.c
+         |  ELSE ${sbAlpha * sbAlpha}::DOUBLE * COALESCE(u3.c::DOUBLE, 0.5)
+         |    / (SELECT n FROM n) END) AS DECIMAL(18,8)) AS nll
+         |  FROM g
+         |  LEFT JOIN tric tc ON g.w1 = tc.w1 AND g.w2 = tc.w2 AND g.w3 = tc.w3
+         |  LEFT JOIN bic bc ON g.w1 = bc.w1 AND g.w2 = bc.w2
+         |  LEFT JOIN bic b23 ON g.w2 = b23.w1 AND g.w3 = b23.w2
+         |  LEFT JOIN uni u2 ON g.w2 = u2.w
+         |  LEFT JOIN uni u3 ON g.w3 = u3.w)
+         |SELECT doc_id, COUNT(*) AS n_trigrams,
+         |ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 4) AS avg_nll
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

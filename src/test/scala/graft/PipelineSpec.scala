@@ -133,6 +133,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  // ---- stupidBackoffNll ----
+
+  test("stupidBackoffNll hits all three backoff levels with hand-computed scores") {
+    // train: trigrams {abc, bca, cab, abd}, bigrams {ab:2, bc, ca, bd}, N=6
+    val train = mkDocs(0L -> "a b c a b d")
+    val score = mkDocs(
+      1L -> "a b c",     // trigram seen: S = 1/2        → ln 2
+      3L -> "c a b d x", // seen(S=1), seen(S=1/2), OOV floor α²·0.5/6
+      5L -> "d a b",     // trigram unseen, bigram ab: α·2/2 = 0.4
+      7L -> "a b")       // < 3 tokens: drops
+    val out = TextAnalytics.stupidBackoffNll(train, score, "text", "doc_id")
+      .sdf.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    Df.releaseRetained()
+    assert(out.keySet == Set(1L, 3L, 5L))
+    assert(out(1L) == ((1L, 0.6931)))
+    // (0 + ln 2 + ln(6/(0.16·0.5))) / 3 = 1.6702
+    assert(out(3L) == ((3L, 1.6702)))
+    assert(out(5L) == ((1L, 0.9163)))
+    intercept[IllegalArgumentException] {
+      TextAnalytics.stupidBackoffNll(train, score, "text", "doc_id", alpha = 0.0)
+    }
+  }
+
   // ---- lengthBucketBatches ----
 
   test("lengthBucketBatches buckets are monotone in n_tokens and batches bounded") {
