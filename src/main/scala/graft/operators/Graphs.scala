@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.api.Df
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge-list DataFrames — the web-graph
+  * quality-signal family (Common Crawl ranks hosts with centrality
+  * scores before curation; a corpus pipeline wants the same signal for
+  * source weighting). Complements the connected-components machinery
+  * in [[Dedup]] (which is union-find-shaped, not power-iteration).
+  */
+object Graphs {
+
+  /** PageRank by synchronous power iteration (Page et al. 1999), over
+    * a weighted edge list — multi-edges count as weight.
+    *
+    * Semantics (mirrored exactly by the SQL oracle):
+    *  - nodes = distinct(src) ∪ distinct(dst); r₀(v) = 1/N
+    *  - rₖ₊₁(v) = (1−d)/N + d · Σ_{(s,v)∈E} rₖ(s) · w(s,v)/outW(s)
+    *  - dangling nodes (no out-edges) keep their rank but contribute
+    *    nothing — their mass is NOT redistributed, so ranks sum to
+    *    < 1 when danglers exist (the documented simplification; the
+    *    RELATIVE ordering, which is what source weighting consumes,
+    *    is unaffected).
+    *
+    * Each iteration's inbound sum goes through a DECIMAL(28,16) cast
+    * (order-independent — both engines land on bit-identical doubles
+    * every iteration, so no drift compounds); the emitted rank rounds
+    * to 8dp.
+    *
+    * Scale: the edge table is normalized ONCE (two edge-keyed
+    * partial+final counts + one src-keyed join), hash-partitioned by
+    * src and persisted — per iteration only the RANK table (|V| rows,
+    * vocabulary-sized, never collected) shuffles to meet it; the
+    * contribution aggregation is a dst-keyed partial+final sum. Each
+    * iteration persists its rank table and drops the previous one, so
+    * plan depth stays O(1) regardless of `iterations`. Driver holds
+    * only the scalar N. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 5, damping: Double = 0.85): Df = {
+    require(iterations >= 1, s"pageRank: iterations must be >= 1: $iterations")
+    require(damping > 0 && damping < 1,
+      s"pageRank: damping must be in (0, 1): $damping")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull)
+    val w = e.groupBy(col("__src"), col("__dst")).agg(count(lit(1)).as("__w"))
+    val outW = w.groupBy(col("__src")).agg(sum(col("__w")).as("__ow"))
+    val eNorm = w.join(outW, Seq("__src"))
+      .select(col("__src"), col("__dst"),
+        (col("__w").cast("double") / col("__ow")).as("__frac"))
+      .repartition(col("__src")).persist(lvl)
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst"))).distinct().persist(lvl)
+    val n = nodes.count()
+    val teleport = (1 - damping) / n
+
+    def step(rank: DataFrame): DataFrame = {
+      val contrib = eNorm.join(rank, eNorm("__src") === rank("node"))
+        .select(col("__dst"),
+          (col("rank") * col("__frac")).cast("decimal(28,16)").as("__c"))
+        .groupBy(col("__dst")).agg(sum(col("__c")).cast("double").as("__in"))
+      nodes.join(contrib, nodes("node") === contrib("__dst"), "left")
+        .select(col("node"),
+          (lit(teleport) + lit(damping) * coalesce(col("__in"), lit(0.0)))
+            .as("rank"))
+    }
+
+    var rank = nodes.select(col("node"), lit(1.0 / n).as("rank")).persist(lvl)
+    rank.count()
+    for (_ <- 1 to iterations) {
+      val next = step(rank).persist(lvl)
+      next.count()
+      rank.unpersist()
+      rank = next
+    }
+    new Df(rank.select(col("node"), round(col("rank"), 8).as("rank")))
+      .retaining(rank, eNorm, nodes)
+  }
+
+  /** Consecutive-pair edge extraction: order rows per `groupCol` by
+    * `orderCols` (a total order — include a tiebreaker) and emit one
+    * (src, dst) edge per adjacent pair of `nodeCol` values. The
+    * standard session-transition graph builder (page A → page B).
+    *
+    * Scale: one group-keyed window (lead) — a single shuffle on the
+    * group key, no self-join. */
+  def transitionEdges(df: DataFrame, groupCol: String, orderCols: Seq[String],
+                      nodeCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "transitionEdges: orderCols must be non-empty")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(orderCols.map(col): _*)
+    df.select(col(nodeCol).as("src"),
+        lead(col(nodeCol), 1).over(win).as("dst"))
+      .where(col("dst").isNotNull)
+  }
+}

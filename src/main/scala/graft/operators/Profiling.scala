@@ -176,4 +176,43 @@ object Profiling {
     }
     new Df(rows.reduce(_ union _))
   }
+
+  /** Order-independent dataset fingerprint — ONE aggregate row that
+    * identifies the content of `cols` regardless of row order or
+    * partitioning: the reproducibility receipt a 100 TB curation run
+    * logs after every stage (two runs produced byte-identical corpora
+    * ⟺ fingerprints match; a lost/duplicated partition moves n_rows,
+    * xor_sig AND sum_sig).
+    *
+    * Per row: canonical string = cols cast to string, NULL → chr(0)
+    * sentinel (distinct from empty string), joined with chr(31) (the
+    * ASCII unit separator — never in numeric/key casts); row hash =
+    * md5 prefix. Emitted signatures, all order/partition-independent:
+    *  - xor_sig: bit-XOR of 60-bit hashes (catches any single-row
+    *    change; blind to even-multiplicity duplicates on its own)
+    *  - sum_sig: exact DECIMAL(38,0) sum of the same hashes (catches
+    *    the duplicate-pair case xor misses)
+    *  - min_sig/max_sig: hash order statistics (cheap spot probes)
+    *
+    * CALLER CONTRACT: `cols` must cast to string identically across
+    * engines that want to reproduce the fingerprint — integer/string/
+    * date columns do; raw doubles may format differently (round or
+    * decimal-cast them first).
+    *
+    * Scale: a single map-side expression + one partial+final aggregate
+    * — no shuffle of data rows, no distinct, nothing driver-side. */
+  def datasetFingerprint(df: Df, cols: Seq[String]): Df = {
+    require(cols.nonEmpty, "datasetFingerprint: cols must be non-empty")
+    val canon = concat_ws("\u001f",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    val h60 = conv(substring(md5(canon.cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    new Df(df.sdf
+      .select(h60.as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("xor_sig"),
+        sum(col("__h").cast("decimal(38,0)")).as("sum_sig"),
+        min(col("__h")).as("min_sig"),
+        max(col("__h")).as("max_sig")))
+  }
 }

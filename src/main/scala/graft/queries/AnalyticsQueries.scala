@@ -7,6 +7,21 @@ import QueryUtil._
   * pivot, rank, binning, JSON, scalar broadcast). q54–q59b. */
 object AnalyticsQueries {
 
+  private val prIters = 5
+  private val prDamp = 0.85
+
+  /** one unrolled power-iteration CTE: rank over `prev`, the
+    * contribution sum DECIMAL(28,16)-cast exactly as the operator's */
+  private def prStep(k: Int): String =
+    s"""r$k AS (SELECT nd.node,
+       |  ${1 - prDamp}::DOUBLE / (SELECT n FROM nn)
+       |    + $prDamp::DOUBLE * COALESCE(c.s, 0::DOUBLE) AS rank
+       |  FROM nodes nd LEFT JOIN (
+       |    SELECT en.dst, CAST(SUM(CAST(r.rank * en.frac AS DECIMAL(28,16)))
+       |      AS DOUBLE) AS s
+       |    FROM en JOIN r${k - 1} r ON en.src = r.node GROUP BY en.dst) c
+       |  ON nd.node = c.dst)""".stripMargin
+
   val defs: Map[String, Q] = Map(
     // ---- exact interpolated quantiles, global and grouped ----
     "q54_quantiles" -> ((s, dir) => {
@@ -109,6 +124,22 @@ object AnalyticsQueries {
         .sortValues(Seq("query_id", "rank")).sdf
     }),
 
+    // ---- PageRank over the per-user event-transition graph (props.k
+    // page i → page i+1), 5 synchronous power iterations — the
+    // web-graph source-weighting signal; the oracle unrolls the same
+    // five iterations as CTEs with the identical decimal-summed
+    // contributions ----
+    "q203_pagerank" -> ((s, dir) => {
+      val e = events(s, dir)
+      val ev = e.sdf.select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val edges = graft.operators.Graphs.transitionEdges(
+        ev, "user_id", Seq("ts", "event_id"), "k")
+      graft.operators.Graphs.pageRank(edges, "src", "dst",
+        iterations = prIters, damping = prDamp)
+        .sortValues(Seq("node")).sdf
+    }),
+
     // ---- as-of join, forward direction + tolerance (merge_asof
     // parity); oracle = DuckDB ASOF with the inequality flipped and a
     // post-join tolerance gate — semantically identical to pandas ----
@@ -201,6 +232,23 @@ object AnalyticsQueries {
         |FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
         |WHERE q.vec_id < 4)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q203_pagerank" ->
+      s"""WITH ev AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+         |  json_extract_string(props, '$$.k')::BIGINT AS k FROM events),
+         |ed AS (SELECT k AS src, LEAD(k) OVER (
+         |  PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev),
+         |e AS (SELECT src, dst FROM ed
+         |  WHERE src IS NOT NULL AND dst IS NOT NULL),
+         |w AS (SELECT src, dst, COUNT(*) AS w FROM e GROUP BY 1, 2),
+         |ow AS (SELECT src, SUM(w) AS ow FROM w GROUP BY 1),
+         |en AS (SELECT w.src, w.dst, w.w::DOUBLE / ow.ow AS frac
+         |  FROM w JOIN ow USING (src)),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |r0 AS (SELECT node, 1::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes),
+         |${(1 to prIters).map(prStep).mkString(",\n")}
+         |SELECT node, ROUND(rank, 8) AS rank FROM r$prIters
+         |ORDER BY node""".stripMargin,
     "q72_asof_join" ->
       """SELECT p.event_id, p.user_id, c.value AS click_value
         |FROM (SELECT * FROM events WHERE event_type='purchase') p

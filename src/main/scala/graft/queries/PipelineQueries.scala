@@ -286,6 +286,15 @@ object PipelineQueries {
       TextAnalytics.stupidBackoffNll(train, score, "text", "doc_id",
         alpha = sbAlpha)
         .sortValues(Seq("doc_id")).sdf
+    }),
+
+    // ---- order-independent dataset fingerprint: the reproducibility
+    // receipt (count + xor/sum/min/max of 60-bit row hashes) over
+    // integer/string key columns — the oracle recomputes every hash ----
+    "q204_fingerprint_ds" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      graft.operators.Profiling.datasetFingerprint(li,
+        Seq("l_orderkey", "l_linenumber", "l_returnflag")).sdf
     }))
 
   val oracles: Map[String, String] = Map(
@@ -785,5 +794,17 @@ object PipelineQueries {
          |  LEFT JOIN uni u3 ON g.w3 = u3.w)
          |SELECT doc_id, COUNT(*) AS n_trigrams,
          |ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 4) AS avg_nll
-         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same md5-prefix row hash (unit-separator joined, chr(0) NULL
+    // sentinel), xor/sum/min/max all order-independent
+    "q204_fingerprint_ds" ->
+      """SELECT COUNT(*) AS n_rows, BIT_XOR(h) AS xor_sig,
+        |CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_sig,
+        |MIN(h) AS min_sig, MAX(h) AS max_sig
+        |FROM (SELECT ('0x' || substr(md5(concat_ws(chr(31),
+        |  COALESCE(l_orderkey::VARCHAR, chr(0)),
+        |  COALESCE(l_linenumber::VARCHAR, chr(0)),
+        |  COALESCE(l_returnflag::VARCHAR, chr(0)))), 1, 15))::BIGINT AS h
+        |FROM lineitem)""".stripMargin)
 }

@@ -259,6 +259,33 @@ class ExtensionSpec extends AnyFunSuite {
       ((4L, 3L, 2L, 1.5)))
   }
 
+  test("datasetFingerprint: order/partition-invariant, row-change-sensitive, NULL≠empty") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    val d = Df.fromRows(spark, Seq(Row(1L, "x"), Row(2L, "y"), Row(3L, null)), schema)
+    def fp(df: Df) = graft.operators.Profiling
+      .datasetFingerprint(df, Seq("id", "v")).sdf.collect()(0)
+    val base = fp(d)
+    assert(base.getLong(0) == 3L)
+    // reversed row order + different partitioning → identical signatures
+    val shuffled = new Df(Df.fromRows(spark,
+      Seq(Row(3L, null), Row(1L, "x"), Row(2L, "y")), schema).sdf.repartition(7))
+    assert(fp(shuffled).toSeq == base.toSeq)
+    // one changed row moves xor and sum
+    val changed = fp(Df.fromRows(spark, Seq(Row(1L, "x"), Row(2L, "Y"), Row(3L, null)), schema))
+    assert(changed.getLong(1) != base.getLong(1))
+    assert(changed.getDecimal(2) != base.getDecimal(2))
+    // NULL and empty string are distinct contents
+    val empty = fp(Df.fromRows(spark, Seq(Row(1L, "x"), Row(2L, "y"), Row(3L, "")), schema))
+    assert(empty.getLong(1) != base.getLong(1))
+    // a duplicated pair is invisible to xor but NOT to sum/count
+    val pair = fp(Df.fromRows(spark, Seq(Row(1L, "x"), Row(1L, "x")), schema))
+    assert(pair.getLong(0) == 2L && pair.getLong(1) == 0L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Profiling.datasetFingerprint(d, Nil)
+    }
+  }
+
   test("upsert: updates replace, inserts append, untouched rows survive; schema checked") {
     val t = Df.fromRows(spark, Seq(Row(1L, "a"), Row(2L, "b")),
       StructType(Seq(StructField("k", LongType), StructField("v", StringType))))

@@ -1,0 +1,76 @@
+package graft
+
+import graft.api.Df
+import graft.operators.Graphs
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the graph-analytics operators (q203): PageRank power
+  * iteration and the transition-edge extractor. */
+class GraphSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val edgeSchema =
+    StructType(Seq(StructField("src", StringType), StructField("dst", StringType)))
+
+  private def mkEdges(es: (String, String)*) =
+    Df.fromRows(spark, es.map { case (s, d) => Row(s, d) }, edgeSchema).sdf
+
+  test("pageRank: a symmetric 2-cycle is the fixed point 1/N") {
+    // a⇄b: r = 0.15/2 + 0.85·0.5 = 0.5 every iteration, exactly
+    val out = Graphs.pageRank(mkEdges("a" -> "b", "b" -> "a"),
+      "src", "dst", iterations = 5).sdf.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Df.releaseRetained()
+    assert(out == Map("a" -> 0.5, "b" -> 0.5))
+  }
+
+  test("pageRank: dangling node keeps teleport-only rank (no redistribution)") {
+    // a→b only. r1 = (0.075, 0.5); r2 = (0.075, 0.075 + 0.85·0.075)
+    val out = Graphs.pageRank(mkEdges("a" -> "b"),
+      "src", "dst", iterations = 2).sdf.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Df.releaseRetained()
+    assert(out("a") == 0.075)
+    assert(out("b") == 0.13875)
+  }
+
+  test("pageRank: multi-edges weight the split; guards reject bad params") {
+    // a→b, a→b, a→c: a's mass splits 2/3 : 1/3
+    val out = Graphs.pageRank(mkEdges("a" -> "b", "a" -> "b", "a" -> "c"),
+      "src", "dst", iterations = 1).sdf.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Df.releaseRetained()
+    val third = 1.0 / 3
+    assert(math.abs(out("b") - (0.15 / 3 + 0.85 * third * (2.0 / 3))) < 1e-8)
+    assert(math.abs(out("c") - (0.15 / 3 + 0.85 * third * (1.0 / 3))) < 1e-8)
+    intercept[IllegalArgumentException] {
+      Graphs.pageRank(mkEdges("a" -> "b"), "src", "dst", iterations = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graphs.pageRank(mkEdges("a" -> "b"), "src", "dst", damping = 1.0)
+    }
+  }
+
+  test("transitionEdges emits consecutive pairs per group in total order") {
+    val schema = StructType(Seq(StructField("g", LongType),
+      StructField("t", LongType), StructField("page", StringType)))
+    val df = Df.fromRows(spark, Seq(
+      Row(1L, 1L, "x"), Row(1L, 2L, "y"), Row(1L, 3L, "z"),
+      Row(2L, 1L, "q")), schema).sdf
+    val out = Graphs.transitionEdges(df, "g", Seq("t"), "page")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(out == Set("x" -> "y", "y" -> "z"))
+  }
+
+  test("pageRank plan: rank⋈edges never cartesian, contributions partial-agg") {
+    val ranked = Graphs.pageRank(mkEdges("a" -> "b", "b" -> "c", "c" -> "a"),
+      "src", "dst", iterations = 1).sdf
+    val p = ranked.queryExecution.executedPlan.toString
+    Df.releaseRetained()
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
