@@ -889,6 +889,41 @@ object Curation {
       .drop("__lo", "__hi"))
   }
 
+  /** MAD-based robust outlier flag (Iglewicz & Hoaglin 1993 modified
+    * z-score): median and MAD = median(|x − med|) are exact
+    * interpolated percentiles (both rounded 6dp — the cross-engine
+    * quantile convention); robust_z = 0.6745·(x − med)/MAD rounded
+    * 6dp; is_outlier ⟺ |robust_z| > `threshold` (3.5 is the published
+    * default). Unlike [[winsorize]]'s mean/σ cousins, the cut survives
+    * the very outliers it hunts — the right pre-filter for corpus
+    * stats with heavy tails (doc lengths, token counts).
+    *
+    * Degenerate scale (MAD = 0, >50% of values identical): robust_z
+    * is NULL and is_outlier false for every row — documented, not
+    * guessed. NULL values pass through with NULL z / false flag.
+    *
+    * Scale: two percentile aggregations (each one pass + a broadcast
+    * 1-row frame) and a map-side flag — no per-key shuffle of the
+    * data. */
+  def robustOutliers(df: Df, valueCol: String,
+                     threshold: Double = 3.5): Df = {
+    require(threshold > 0, s"robustOutliers: threshold must be > 0: $threshold")
+    val x = col(valueCol).cast("double")
+    val med = df.sdf.agg(
+      round(expr(s"percentile($valueCol, 0.5)"), 6).as("__med"))
+    val withMed = df.sdf.crossJoin(broadcast(med))
+    val mad = withMed
+      .select(abs(x - col("__med")).as("__ad"))
+      .agg(round(expr("percentile(__ad, 0.5)"), 6).as("__mad"))
+    val z = when(col("__mad") > 0,
+      round(lit(0.6745) * (x - col("__med")) / col("__mad"), 6))
+    new Df(withMed.crossJoin(broadcast(mad))
+      .withColumn("robust_z", z)
+      .withColumn("is_outlier",
+        coalesce(abs(col("robust_z")) > threshold, lit(false)))
+      .drop("__med", "__mad"))
+  }
+
   /** Deterministic negative sampling — the contrastive-training pair
     * builder: each document draws `k` pseudo-random partners from the
     * corpus, reproducibly under `seed` (re-runs, retries, and

@@ -658,4 +658,49 @@ object Similarity {
     new Df(assigned.select(col("__id").as(idCol), col("cluster")))
       .retaining(corpus)
   }
+
+  /** Population covariance matrix of an embedding column, upper
+    * triangle incl. diagonal: (i, j, cov) for 0 ≤ i ≤ j < d, with
+    * cov(i,j) = Σxᵢxⱼ/n − (Σxᵢ/n)(Σxⱼ/n), rounded 6dp. The input to
+    * every driver-side spectral step (PCA whitening before SemDeDup,
+    * OPQ rotation for [[pqEncode]]): d×d is driver-sized even when n
+    * is 100 TB, so THIS is the operator that must distribute — the
+    * eigendecomposition downstream is a numpy-sized afterthought.
+    *
+    * Rows with NULL or non-finite embeddings are dropped (the
+    * [[fullyFinite]] contract). Both sums go through decimal casts
+    * (products DECIMAL(28,12), elements DECIMAL(18,8) — exact and
+    * order-independent; headroom to ~1e10 rows of unit-scale values).
+    *
+    * Scale: the d(d+1)/2 products per row are built by a codegen'd
+    * nested `transform` (array expression — no UDF, no self-join) and
+    * fed straight into a partial+final aggregate: the explosion is
+    * CPU-only and map-side, combined to d(d+1)/2 groups BEFORE the
+    * shuffle, so shuffle volume is O(d² · partitions), independent of
+    * n. The per-dimension mean table (d rows) broadcasts to the pair
+    * table. */
+  def covarianceMatrix(vecs: Df, vecCol: String): Df = {
+    val v = vecs.sdf
+      .select(transform(col(vecCol), _.cast("double")).as("__v"))
+      .where(fullyFinite(col("__v")))
+    val pairs = v.select(explode(expr(
+      """flatten(transform(__v, (xi, i) ->
+        |  transform(slice(__v, i + 1, size(__v) - i), (xj, k) ->
+        |    struct(i AS i, i + k AS j, xi * xj AS p))))""".stripMargin)).as("g"))
+      .select(col("g.i").as("i"), col("g.j").as("j"), col("g.p").as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p").cast("decimal(28,12)")).cast("double").as("__sp"),
+        count(lit(1)).as("__n"))
+    val means = v.select(posexplode(col("__v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(sum(col("x").cast("decimal(18,8)")).cast("double").as("__sm"))
+    new Df(pairs
+      .join(broadcast(means.select(col("i"), col("__sm").as("__smi"))), Seq("i"))
+      .join(broadcast(means.select(col("i").as("j"), col("__sm").as("__smj"))),
+        Seq("j"))
+      .select(col("i"), col("j"),
+        round(col("__sp") / col("__n") -
+          (col("__smi") / col("__n")) * (col("__smj") / col("__n")), 6)
+          .as("cov")))
+  }
 }

@@ -140,6 +140,15 @@ object AnalyticsQueries {
         .sortValues(Seq("node")).sdf
     }),
 
+    // ---- population covariance matrix of the embedding column,
+    // upper triangle — the distributed half of PCA/OPQ; the oracle
+    // recomputes every decimal-summed moment with a lateral unnest ----
+    "q205_covariance" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      graft.operators.Similarity.covarianceMatrix(e, "embedding")
+        .sortValues(Seq("i", "j")).sdf
+    }),
+
     // ---- as-of join, forward direction + tolerance (merge_asof
     // parity); oracle = DuckDB ASOF with the inequality flipped and a
     // post-join tolerance gate — semantically identical to pandas ----
@@ -232,6 +241,24 @@ object AnalyticsQueries {
         |FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
         |WHERE q.vec_id < 4)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q205_covariance" ->
+      """WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |p AS (SELECT i::INT AS i, j::INT AS j,
+        |  e[(i+1)::INT] * e[(j+1)::INT] AS p
+        |  FROM v, UNNEST(range(len(e))) t1(i), UNNEST(range(len(e))) t2(j)
+        |  WHERE j >= i),
+        |s AS (SELECT i, j,
+        |  CAST(SUM(CAST(p AS DECIMAL(28,12))) AS DOUBLE) AS sp,
+        |  COUNT(*) AS n FROM p GROUP BY i, j),
+        |m AS (SELECT i::INT AS i,
+        |  CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) AS sm
+        |  FROM (SELECT UNNEST(e) AS x, UNNEST(range(len(e))) AS i FROM v)
+        |  GROUP BY 1)
+        |SELECT s.i, s.j,
+        |ROUND(sp / n - (mi.sm / n) * (mj.sm / n), 6) AS cov
+        |FROM s JOIN m mi ON s.i = mi.i JOIN m mj ON s.j = mj.i
+        |ORDER BY s.i, s.j""".stripMargin,
     "q203_pagerank" ->
       s"""WITH ev AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id,
          |  json_extract_string(props, '$$.k')::BIGINT AS k FROM events),

@@ -295,6 +295,14 @@ object PipelineQueries {
       val li = T(s, dir, "lineitem")
       graft.operators.Profiling.datasetFingerprint(li,
         Seq("l_orderkey", "l_linenumber", "l_returnflag")).sdf
+    }),
+
+    // ---- MAD robust outliers on order totals (threshold 2.0 so the
+    // uniform-ish synthetic distribution still flags its tails) ----
+    "q206_robust_outliers" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      Curation.robustOutliers(o, "o_totalprice", threshold = 2.0)
+        .sortValues(Seq("o_orderkey")).sdf
     }))
 
   val oracles: Map[String, String] = Map(
@@ -806,5 +814,20 @@ object PipelineQueries {
         |  COALESCE(l_orderkey::VARCHAR, chr(0)),
         |  COALESCE(l_linenumber::VARCHAR, chr(0)),
         |  COALESCE(l_returnflag::VARCHAR, chr(0)))), 1, 15))::BIGINT AS h
-        |FROM lineitem)""".stripMargin)
+        |FROM lineitem)""".stripMargin,
+
+    // quantile_cont ≡ Spark exact percentile (q152/q178 equivalence);
+    // med/MAD ROUND 6, modified z ROUND 6, MAD=0 ⇒ NULL z / false flag
+    "q206_robust_outliers" ->
+      """WITH m AS (SELECT ROUND(quantile_cont(o_totalprice, 0.5::DOUBLE), 6)
+        |  AS med FROM orders),
+        |a AS (SELECT ROUND(quantile_cont(ABS(o_totalprice::DOUBLE - med),
+        |  0.5::DOUBLE), 6) AS mad FROM orders CROSS JOIN m),
+        |z AS (SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN mad > 0 THEN
+        |    ROUND(0.6745::DOUBLE * (o_totalprice::DOUBLE - med) / mad, 6)
+        |  END AS robust_z FROM orders CROSS JOIN m CROSS JOIN a)
+        |SELECT o_orderkey, o_totalprice, robust_z,
+        |COALESCE(ABS(robust_z) > 2.0::DOUBLE, FALSE) AS is_outlier
+        |FROM z ORDER BY o_orderkey""".stripMargin)
 }

@@ -259,6 +259,39 @@ class ExtensionSpec extends AnyFunSuite {
       ((4L, 3L, 2L, 1.5)))
   }
 
+  test("covarianceMatrix: hand-computed upper triangle; non-finite rows dropped") {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val d = Df.fromRows(spark, Seq(
+      Row(1L, Seq(1.0f, 2.0f)), Row(2L, Seq(3.0f, 4.0f)),
+      Row(3L, Seq(5.0f, 6.0f)), Row(4L, Seq(Float.NaN, 0.0f)), Row(5L, null)),
+      schema)
+    val out = graft.operators.Similarity.covarianceMatrix(d, "embedding")
+      .sdf.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // dims: (1,3,5) and (2,4,6) — every pairwise covariance is 8/3
+    assert(out == Map((0, 0) -> 2.666667, (0, 1) -> 2.666667, (1, 1) -> 2.666667))
+  }
+
+  test("robustOutliers: modified z-score flags the heavy tail; MAD=0 degenerates to NULL") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", DoubleType)))
+    val d = Df.fromRows(spark,
+      ((1L to 9L).map(i => Row(i, i.toDouble)) :+ Row(10L, 100.0)), schema)
+    val out = graft.operators.Curation.robustOutliers(d, "v").sdf.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    // med 5.5, MAD 2.5: z(100) = 0.6745·94.5/2.5 = 25.4961; z(1) = -1.2141
+    assert(out(10L) == ((25.4961, true)))
+    assert(out(1L) == ((-1.2141, false)))
+    assert(out.values.count(_._2) == 1)
+    val flat = Df.fromRows(spark, Seq(Row(1L, 5.0), Row(2L, 5.0),
+      Row(3L, 5.0), Row(4L, 9.0)), schema)
+    val fz = graft.operators.Curation.robustOutliers(flat, "v").sdf.collect()
+    assert(fz.forall(r => r.isNullAt(2) && !r.getBoolean(3)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Curation.robustOutliers(d, "v", threshold = 0.0)
+    }
+  }
+
   test("datasetFingerprint: order/partition-invariant, row-change-sensitive, NULL≠empty") {
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("v", StringType)))

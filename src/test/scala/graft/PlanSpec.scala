@@ -309,6 +309,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("covarianceMatrix: expression-built pairs, partial agg, broadcast means, no self-join") {
+    val e = Df.readParquet(spark, s"$sf/embeddings.parquet")
+    val p = plan(graft.operators.Similarity.covarianceMatrix(e, "embedding").sdf)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)   // no all-pairs row join
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)      // d-row means side broadcasts
+    assert(!p.toLowerCase.contains("scalaudf"), p)  // codegen'd expressions only
+  }
+
   test("semi join plans as LeftSemi (no row multiplication)") {
     val c = Df.readParquet(spark, s"$sf/customer.parquet")
     val o = Df.readParquet(spark, s"$sf/orders.parquet")
