@@ -679,6 +679,126 @@ object Similarity {
     * shuffle, so shuffle volume is O(d² · partitions), independent of
     * n. The per-dimension mean table (d rows) broadcasts to the pair
     * table. */
+  /** PCA basis: all `d` eigenvalues (descending) and the top-`k`
+    * eigenvectors of the population covariance matrix, plus the
+    * per-dimension means. The distributed half is [[covarianceMatrix]]
+    * + one mean aggregation; the d×d symmetric eigenproblem is solved
+    * DRIVER-SIDE by cyclic Jacobi — the Spark-MLlib-style split (RowMatrix
+    * .computePrincipalComponents does the same: covariance on the
+    * cluster, LAPACK on the driver), because d×d is driver-sized even
+    * when n is 100 TB. Practical d ≲ 10⁴ (d² doubles on the driver).
+    *
+    * Determinism: Jacobi on the 6dp-rounded covariance, eigenpairs
+    * sorted by (−λ, then first-differing component), each vector's
+    * sign fixed so its largest-|component| entry is positive. */
+  case class PcaBasis(eigenvalues: Array[Double],
+                      components: Array[Array[Double]],
+                      means: Array[Double])
+
+  def pcaBasis(vecs: Df, vecCol: String, k: Int): PcaBasis = {
+    require(k >= 1, s"pcaBasis: k must be >= 1: $k")
+    val covRows = covarianceMatrix(vecs, vecCol).sdf.collect()
+    require(covRows.nonEmpty, "pcaBasis: empty corpus after dropping " +
+      "NULL/non-finite embeddings")
+    val d = covRows.iterator.map(_.getInt(1)).max + 1
+    require(k <= d, s"pcaBasis: k=$k exceeds dimension $d")
+    val c = Array.ofDim[Double](d, d)
+    covRows.foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      c(i)(j) = v; c(j)(i) = v
+    }
+    val (lam, vecsM) = jacobiEigen(c)
+    val means = vecs.sdf
+      .select(transform(col(vecCol), _.cast("double")).as("__v"))
+      .where(fullyFinite(col("__v")))
+      .select(posexplode(col("__v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg((sum(col("x").cast("decimal(18,8)")).cast("double") /
+        count(lit(1))).as("m"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    PcaBasis(lam, vecsM.take(k), means)
+  }
+
+  /** Cyclic Jacobi for a symmetric matrix: returns (eigenvalues desc,
+    * eigenvectors as rows, matching order), deterministically
+    * sign-fixed. O(d³) per sweep, driver-side only. */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone)
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 100 && off > 1e-24) {
+      off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) {
+        off += a(p)(q) * a(p)(q)
+        if (math.abs(a(p)(q)) > 1e-14) {
+          val theta = (a(q)(q) - a(p)(p)) / (2 * a(p)(q))
+          // sign(0) must be +1: equal diagonal entries take the full
+          // 45° rotation, not a no-op
+          val t = (if (theta >= 0) 1.0 else -1.0) /
+            (math.abs(theta) + math.sqrt(theta * theta + 1))
+          val cos = 1 / math.sqrt(t * t + 1)
+          val sin = t * cos
+          for (i <- 0 until d) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = cos * aip - sin * aiq
+            a(i)(q) = sin * aip + cos * aiq
+          }
+          for (i <- 0 until d) {
+            val api = a(p)(i); val aqi = a(q)(i)
+            a(p)(i) = cos * api - sin * aqi
+            a(q)(i) = sin * api + cos * aqi
+          }
+          for (i <- 0 until d) {
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = cos * vip - sin * viq
+            v(i)(q) = sin * vip + cos * viq
+          }
+        }
+      }
+      sweep += 1
+    }
+    val pairs = (0 until d).map { j =>
+      val vec = Array.tabulate(d)(i => v(i)(j))
+      val am = vec.indices.maxBy(i => (math.abs(vec(i)), -i))
+      val fixed = if (vec(am) < 0) vec.map(-_) else vec
+      (a(j)(j), fixed)
+    }.sortBy(-_._1)   // stable: λ-ties keep deterministic Jacobi order
+    (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+  }
+
+  /** PCA projection: each embedding → its top-`k` principal
+    * coordinates pcₐ = vₐ·(x − μ), emitted as (idCol, pcs
+    * Array[Double]). The basis is computed once ([[pcaBasis]]) and
+    * rides the k·d projection expressions as broadcast literals — the
+    * projection itself is one codegen'd map-side pass, no shuffle, no
+    * UDF (the [[kMeans]] centroid-literal pattern). Rows with NULL or
+    * non-finite embeddings are dropped. */
+  def pcaProject(vecs: Df, vecCol: String, idCol: String, k: Int): Df = {
+    val basis = pcaBasis(vecs, vecCol, k)
+    projectOnBasis(vecs, vecCol, idCol, basis)
+  }
+
+  /** Projection against an already-computed basis (so callers can
+    * reuse one [[pcaBasis]] across corpora — train-fit, apply-many). */
+  def projectOnBasis(vecs: Df, vecCol: String, idCol: String,
+                     basis: PcaBasis): Df = {
+    val centered = expr("zip_with(__v, __mu, (x, m) -> x - m)")
+    val pcs = basis.components.toIndexedSeq.map { comp =>
+      aggregate(zip_with(col("__c"), lit(comp), (x, w) => x * w),
+        lit(0.0), (acc, t) => acc + t)
+    }
+    new Df(vecs.sdf
+      .select(col(idCol),
+        transform(col(vecCol), _.cast("double")).as("__v"))
+      .where(fullyFinite(col("__v")))
+      .withColumn("__mu", lit(basis.means))
+      .withColumn("__c", centered)
+      .select(col(idCol), array(pcs: _*).as("pcs")))
+  }
+
   def covarianceMatrix(vecs: Df, vecCol: String): Df = {
     val v = vecs.sdf
       .select(transform(col(vecCol), _.cast("double")).as("__v"))

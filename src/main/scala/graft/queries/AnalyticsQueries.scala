@@ -149,6 +149,54 @@ object AnalyticsQueries {
         .sortValues(Seq("i", "j")).sdf
     }),
 
+    // ---- PCA (top-8): distributed covariance + driver Jacobi +
+    // broadcast projection. Oracle checks three mathematical
+    // invariants: per-component projected variance ≡ eigenvalue
+    // (comp 0..7, |gap| rounds to 0), Σ all eigenvalues ≡ trace of
+    // the covariance (comp 1000 — the trace recomputed in SQL from
+    // raw embeddings), and basis orthonormality (comp 2000, max
+    // |V·Vᵀ − I| rounds to 0) ----
+    "q207_pca" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val e = T(s, dir, "embeddings")
+      val k = 8
+      val basis = graft.operators.Similarity.pcaBasis(e, "embedding", k)
+      val proj = graft.operators.Similarity
+        .projectOnBasis(e, "embedding", "vec_id", basis)
+      val pv = proj.sdf
+        .select(posexplode(col("pcs")).as(Seq("comp", "pc")))
+        .groupBy(col("comp"))
+        .agg(sum(col("pc").cast("decimal(28,12)")).cast("double").as("__s1"),
+          sum((col("pc") * col("pc")).cast("decimal(28,12)"))
+            .cast("double").as("__s2"),
+          count(lit(1)).as("__n"))
+      val lamSchema = StructType(Seq(StructField("comp", IntegerType),
+        StructField("lam", DoubleType)))
+      val lam = graft.api.Df.fromRows(s,
+        basis.eigenvalues.take(k).zipWithIndex
+          .map { case (l, i) => Row(i, l) }.toIndexedSeq, lamSchema).sdf
+      val gaps = pv.join(broadcast(lam), Seq("comp"))
+        .select(col("comp").cast("long").as("comp"),
+          round(abs(col("__s2") / col("__n") -
+            (col("__s1") / col("__n")) * (col("__s1") / col("__n")) -
+            col("lam")), 4).as("value"))
+      val comps = basis.components
+      val gramDev = (for (a <- comps.indices; b <- comps.indices) yield {
+        val dot = comps(a).lazyZip(comps(b)).map(_ * _).sum
+        math.abs(dot - (if (a == b) 1.0 else 0.0))
+      }).max
+      val extraSchema = StructType(Seq(StructField("comp", LongType),
+        StructField("value", DoubleType)))
+      val extra = graft.api.Df.fromRows(s, Seq(
+        Row(1000L, BigDecimal(basis.eigenvalues.sum)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble),
+        Row(2000L, BigDecimal(gramDev)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)),
+        extraSchema).sdf
+      gaps.union(extra).orderBy("comp")
+    }),
+
     // ---- as-of join, forward direction + tolerance (merge_asof
     // parity); oracle = DuckDB ASOF with the inequality flipped and a
     // post-join tolerance gate — semantically identical to pandas ----
@@ -241,6 +289,25 @@ object AnalyticsQueries {
         |FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
         |WHERE q.vec_id < 4)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q207_pca" ->
+      s"""WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |p AS (SELECT i::INT AS i, e[(i+1)::INT] * e[(i+1)::INT] AS p
+         |  FROM v, UNNEST(range(len(e))) t1(i)),
+         |s AS (SELECT i, CAST(SUM(CAST(p AS DECIMAL(28,12))) AS DOUBLE) AS sp,
+         |  COUNT(*) AS n FROM p GROUP BY i),
+         |m AS (SELECT i::INT AS i,
+         |  CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) AS sm
+         |  FROM (SELECT UNNEST(e) AS x, UNNEST(range(len(e))) AS i FROM v)
+         |  GROUP BY 1),
+         |diag AS (SELECT s.i, ROUND(sp / n - (m.sm / n) * (m.sm / n), 6)
+         |  AS var FROM s JOIN m ON s.i = m.i),
+         |tr AS (SELECT ROUND(SUM(var), 4) AS t FROM diag)
+         |SELECT comp::BIGINT AS comp, val::DOUBLE AS value FROM (
+         |  SELECT * FROM (VALUES ${(0 until 8).map(i => s"($i, 0.0)")
+            .mkString(", ")}, (2000, 0.0)) x(comp, val)
+         |  UNION ALL SELECT 1000, t FROM tr) u
+         |ORDER BY comp""".stripMargin,
     "q205_covariance" ->
       """WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
         |  WHERE embedding IS NOT NULL),

@@ -272,6 +272,37 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out == Map((0, 0) -> 2.666667, (0, 1) -> 2.666667, (1, 1) -> 2.666667))
   }
 
+  test("pcaBasis/pcaProject: known 2-d spectrum, orthonormal sign-fixed basis, exact line projection") {
+    // [[2,1],[1,2]]: λ = (3,1), eigvecs (1,1)/√2 and (1,−1)/√2 after sign fix
+    val (lam, vecs) = graft.operators.Similarity.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(lam(0) - 3.0) < 1e-12 && math.abs(lam(1) - 1.0) < 1e-12)
+    val r2 = 1 / math.sqrt(2)
+    assert(vecs(0).lazyZip(Array(r2, r2)).forall((a, b) => math.abs(a - b) < 1e-12))
+    assert(vecs(1).lazyZip(Array(r2, -r2)).forall((a, b) => math.abs(a - b) < 1e-12))
+
+    // collinear points (1,1),(2,2),(3,3): one component carries all variance
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val d = Df.fromRows(spark, Seq(
+      Row(1L, Seq(1.0f, 1.0f)), Row(2L, Seq(2.0f, 2.0f)), Row(3L, Seq(3.0f, 3.0f))),
+      schema)
+    val basis = graft.operators.Similarity.pcaBasis(d, "embedding", 1)
+    assert(math.abs(basis.eigenvalues(0) - 4.0 / 3) < 1e-6)
+    assert(math.abs(basis.eigenvalues(1)) < 1e-6)
+    assert(basis.means.lazyZip(Array(2.0, 2.0)).forall((a, b) => math.abs(a - b) < 1e-9))
+    val proj = graft.operators.Similarity
+      .projectOnBasis(d, "embedding", "vec_id", basis)
+      .sdf.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).head).toMap
+    val s2 = math.sqrt(2)
+    assert(math.abs(proj(1L) + s2) < 1e-6)
+    assert(math.abs(proj(2L)) < 1e-6)
+    assert(math.abs(proj(3L) - s2) < 1e-6)
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.pcaBasis(d, "embedding", 3)
+    }
+  }
+
   test("robustOutliers: modified z-score flags the heavy tail; MAD=0 degenerates to NULL") {
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("v", DoubleType)))
