@@ -359,6 +359,52 @@ object TextAnalytics {
     Df.fromRows(docs.spark, merges.toSeq, schema).retaining(vocab0)
   }
 
+  /** BPE ENCODING with a learned merge table — the other half of the
+    * [[bpeMerges]] loop: apply the merges to every document IN RANK
+    * ORDER (greedy left-to-right non-overlapping, the reference-BPE
+    * application semantics) and emit per-doc token accounting:
+    * (idCol, n_words, n_tokens, chars_per_token 4dp) — the "how many
+    * tokens is my corpus" costing pass every training run starts with.
+    *
+    * Alphanumeric words ride the same collision-free `|`-wrapped
+    * sequence encoding as training, so ONE portable string `replace`
+    * per merge rule applies it exactly; any other word counts as a
+    * single opaque token (the byte-fallback analog — merges are
+    * learned on alnum words only and can never apply). Docs with no
+    * tokens drop out (no words to account).
+    *
+    * Scale: encoding is ONE codegen'd map-side expression chain (the
+    * |merges| nested replaces) over the exploded token stream — no
+    * UDF, no join, no shuffle except the final per-doc partial+final
+    * sum. The merge table is driver-sized by definition (it IS the
+    * tokenizer), so passing it as literals is the broadcast. Keep
+    * |merges| ≲ a few hundred for expression-depth sanity; a
+    * production 50k-rule tokenizer wants the same loop in a
+    * mapPartitions batch instead. */
+  def bpeEncode(docs: Df, textCol: String, idCol: String,
+                merges: Seq[(String, String)]): Df = {
+    require(merges.nonEmpty && merges.size <= 1000,
+      s"bpeEncode: need 1..1000 merges: ${merges.size}")
+    require(merges.forall { case (l, r) =>
+      l.matches("[A-Za-z0-9]+") && r.matches("[A-Za-z0-9]+") },
+      "bpeEncode: merge symbols must be alphanumeric (the bpeMerges contract)")
+    val seq0 = "concat('|', concat_ws('||', split(word, '(?!^)(?!$)')), '|')"
+    val chain = merges.foldLeft(seq0) { case (acc, (l, r)) =>
+      s"replace($acc, '|$l||$r|', '|$l$r|')"
+    }
+    val nt = when(col("word").rlike("^[A-Za-z0-9]+$"),
+      size(split(regexp_replace(expr(chain), "^\\||\\|$", ""), "\\|\\|")))
+      .otherwise(lit(1))
+    new Df(docs.sdf
+      .select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .select(col(idCol), length(col("word")).as("__chars"), nt.as("__nt"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__nt")).cast("long").as("n_tokens"),
+        round(sum(col("__chars")).cast("double") / sum(col("__nt")), 4)
+          .as("chars_per_token")))
+  }
+
   /** Collocation extraction by pointwise mutual information — the
     * phrase-mining pass (Mikolov et al. 2013 §4 use the same counts
     * with a discount; this is the classic PMI form over adjacent-pair

@@ -197,6 +197,16 @@ object AnalyticsQueries {
       gaps.union(extra).orderBy("comp")
     }),
 
+    // ---- ordered conversion funnel view→click→purchase inside a 2 h
+    // window, greedy-earliest step times; the oracle replays every
+    // per-user MIN chain ----
+    "q209_funnel" -> ((s, dir) => {
+      val e = events(s, dir)
+      graft.operators.Funnels.funnel(e.sdf, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), withinSec = 7200L)
+        .sortValues(Seq("step_idx")).sdf
+    }),
+
     // ---- as-of join, forward direction + tolerance (merge_asof
     // parity); oracle = DuckDB ASOF with the inequality flipped and a
     // post-join tolerance gate — semantically identical to pandas ----
@@ -289,6 +299,29 @@ object AnalyticsQueries {
         |FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
         |WHERE q.vec_id < 4)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q209_funnel" ->
+      """WITH ev AS (SELECT user_id AS u, ts::TIMESTAMP AS ts,
+        |  event_type AS t FROM events),
+        |u1 AS (SELECT u, MIN(ts) AS t1 FROM ev WHERE t = 'view' GROUP BY u),
+        |u2 AS (SELECT e.u, u1.t1, MIN(e.ts) AS t2 FROM ev e
+        |  JOIN u1 ON e.u = u1.u
+        |  WHERE e.t = 'click' AND e.ts >= u1.t1
+        |    AND e.ts <= u1.t1 + INTERVAL 7200 SECOND
+        |  GROUP BY e.u, u1.t1),
+        |u3 AS (SELECT e.u, u2.t1, MIN(e.ts) AS t3 FROM ev e
+        |  JOIN u2 ON e.u = u2.u
+        |  WHERE e.t = 'purchase' AND e.ts >= u2.t2
+        |    AND e.ts <= u2.t1 + INTERVAL 7200 SECOND
+        |  GROUP BY e.u, u2.t1),
+        |n AS (SELECT (SELECT COUNT(*) FROM u1) AS n1,
+        |  (SELECT COUNT(*) FROM u2) AS n2,
+        |  (SELECT COUNT(*) FROM u3) AS n3)
+        |SELECT step_idx::INT AS step_idx, step, n_users::BIGINT AS n_users,
+        |CASE WHEN n1 > 0 THEN ROUND(n_users::DOUBLE / n1, 4) END AS conversion
+        |FROM (SELECT 1 AS step_idx, 'view' AS step, n1 AS n_users, n1 FROM n
+        |  UNION ALL SELECT 2, 'click', n2, n1 FROM n
+        |  UNION ALL SELECT 3, 'purchase', n3, n1 FROM n)
+        |ORDER BY step_idx""".stripMargin,
     "q207_pca" ->
       s"""WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
          |  WHERE embedding IS NOT NULL),

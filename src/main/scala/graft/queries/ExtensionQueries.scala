@@ -485,6 +485,20 @@ object ExtensionQueries {
         .sortValues(Seq("merge_rank")).sdf
     }),
 
+    // ---- BPE encoding with the 8 learned merges: per-doc token
+    // accounting; the oracle re-learns the same merges AND re-applies
+    // every replace per word ----
+    "q208_bpe_encode" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val merges = graft.operators.TextAnalytics
+        .bpeMerges(d, "text", nMerges = 8)
+        .sdf.orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+      graft.api.Df.releaseRetained()
+      graft.operators.TextAnalytics.bpeEncode(d, "text", "doc_id", merges)
+        .sortValues(Seq("doc_id")).sdf
+    }),
+
     // ---- leakage-free temporal split: last 20% of distinct event
     // days = holdout; per-split day ranges in the output PROVE the
     // no-overlap property (holdout first_day > train last_day) ----
@@ -1093,6 +1107,46 @@ object ExtensionQueries {
        |ORDER BY merge_rank""".stripMargin
   }
 
+  /** BPE-encode oracle: re-learn the 8 merges with [[bpeMergesSql]]'s
+    * unrolled rounds, then re-apply the replace chain to every word of
+    * every document (tops cross-joined in as 1-row frames). */
+  private val bpeEncodeSql: String = {
+    val n = 8
+    val rounds = (1 to n).map { r =>
+      s"""p$r AS (SELECT t[i] AS l, t[i+1] AS r, CAST(SUM(wf) AS BIGINT) AS n
+         |  FROM (SELECT wf, t, UNNEST(range(1, len(t))) AS i FROM
+         |    (SELECT wf, string_split(trim(seq, '|'), '||') AS t FROM v$r))
+         |  GROUP BY 1, 2),
+         |top$r AS (SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
+         |v${r + 1} AS (SELECT replace(seq, '|' || l || '||' || r || '|',
+         |  '|' || l || r || '|') AS seq, wf FROM v$r, top$r)""".stripMargin
+    }.mkString(",\n")
+    val crossTops = (1 to n)
+      .map(r => s"CROSS JOIN (SELECT l AS l$r, r AS r$r FROM top$r) t$r")
+      .mkString("\n  ")
+    val chain = (1 to n).foldLeft(
+      "'|' || array_to_string(string_split(word, ''), '||') || '|'") {
+      (acc, k) =>
+        s"replace($acc, '|' || l$k || '||' || r$k || '|', '|' || l$k || r$k || '|')"
+    }
+    s"""WITH toks AS (SELECT UNNEST(${toksSql()}) AS word FROM documents),
+       |wf0 AS (SELECT word, COUNT(*) AS wf FROM toks
+       |  WHERE regexp_matches(word, '^[A-Za-z0-9]+$$') GROUP BY 1),
+       |v1 AS (SELECT '|' || array_to_string(string_split(word, ''), '||') || '|' AS seq,
+       |  wf FROM wf0),
+       |$rounds,
+       |d AS (SELECT doc_id, UNNEST(${toksSql()}) AS word FROM documents),
+       |enc AS (SELECT doc_id, word,
+       |  CASE WHEN regexp_matches(word, '^[A-Za-z0-9]+$$')
+       |  THEN len(string_split(trim($chain, '|'), '||'))
+       |  ELSE 1 END AS nt
+       |  FROM d
+       |  $crossTops)
+       |SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       |ROUND(SUM(len(word))::DOUBLE / SUM(nt), 4) AS chars_per_token
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** LSH ANN top-k oracle: signatures via [[lshSigSql]], bucket
     * equi-join, exact rerank. */
   private val lshTopkSql: String = {
@@ -1119,6 +1173,7 @@ object ExtensionQueries {
   val oracles: Map[String, String] = Map(
     "q87_lsh_topk" -> lshTopkSql,
     "q200_bpe_merges" -> bpeMergesSql,
+    "q208_bpe_encode" -> bpeEncodeSql,
     // the day-tail cutoff replayed with a window over the (tiny)
     // distinct-day inventory
     "q199_time_split" ->

@@ -272,6 +272,31 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out == Map((0, 0) -> 2.666667, (0, 1) -> 2.666667, (1, 1) -> 2.666667))
   }
 
+  test("bpeEncode: rank-ordered greedy merges, non-alnum fallback, accounting") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val d = Df.fromRows(spark, Seq(
+      Row(1L, "low lower a-b"), Row(2L, "aaa"), Row(3L, "   ")), schema)
+    val out = graft.operators.TextAnalytics
+      .bpeEncode(d, "text", "doc_id", Seq("l" -> "o", "lo" -> "w"))
+      .sdf.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // low→[low]=1, lower→[low,e,r]=3, a-b→fallback 1; chars 11, cpt 2.2
+    assert(out(1L) == ((3L, 5L, 2.2)))
+    assert(!out.contains(3L), "whitespace-only doc has no words")
+    // greedy non-overlap: aaa + (a,a) → [aa, a] = 2 tokens
+    val out2 = graft.operators.TextAnalytics
+      .bpeEncode(d, "text", "doc_id", Seq("a" -> "a"))
+      .sdf.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out2(2L) == 2L)
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalytics.bpeEncode(d, "text", "doc_id", Seq("a" -> "|"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalytics.bpeEncode(d, "text", "doc_id", Nil)
+    }
+  }
+
   test("pcaBasis/pcaProject: known 2-d spectrum, orthonormal sign-fixed basis, exact line projection") {
     // [[2,1],[1,2]]: λ = (3,1), eigvecs (1,1)/√2 and (1,−1)/√2 after sign fix
     val (lam, vecs) = graft.operators.Similarity.jacobiEigen(

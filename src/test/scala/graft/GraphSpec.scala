@@ -65,6 +65,35 @@ class GraphSpec extends AnyFunSuite {
     assert(out == Set("x" -> "y", "y" -> "z"))
   }
 
+  test("funnel: greedy-earliest ordered steps, window cutoff, same-ts allowed") {
+    import java.sql.Timestamp
+    val schema = StructType(Seq(StructField("u", StringType),
+      StructField("ts", TimestampType), StructField("t", StringType)))
+    def ev(u: String, sec: Long, t: String) = Row(u, new Timestamp(sec * 1000), t)
+    val rows = Seq(
+      ev("u1", 0, "view"), ev("u1", 100, "click"), ev("u1", 200, "purchase"),
+      ev("u2", 0, "view"), ev("u2", 8000, "click"),          // outside 7200 s
+      ev("u3", 0, "click"), ev("u3", 100, "view"), ev("u3", 50, "purchase"),
+      ev("u4", 0, "view"), ev("u4", 15, "purchase"), ev("u4", 20, "click"),
+      ev("u5", 0, "view"), ev("u5", 0, "click"), ev("u5", 0, "purchase"))
+    val e = Df.fromRows(spark, rows, schema).sdf
+    val out = graft.operators.Funnels
+      .funnel(e, "u", "ts", "t", Seq("view", "click", "purchase"), 7200L)
+      .sdf.collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    Df.releaseRetained()
+    assert(out(1) == (("view", 5L, 1.0)))
+    assert(out(2) == (("click", 3L, 0.6)))    // u1, u4, u5
+    assert(out(3) == (("purchase", 2L, 0.4))) // u1, u5
+    intercept[IllegalArgumentException] {
+      graft.operators.Funnels.funnel(e, "u", "ts", "t", Seq("view"), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Funnels.funnel(e, "u", "ts", "t",
+        Seq("view", "view"), 10L)
+    }
+  }
+
   test("pageRank plan: rank⋈edges never cartesian, contributions partial-agg") {
     val ranked = Graphs.pageRank(mkEdges("a" -> "b", "b" -> "c", "c" -> "a"),
       "src", "dst", iterations = 1).sdf
