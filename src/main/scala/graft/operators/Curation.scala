@@ -924,6 +924,68 @@ object Curation {
       .drop("__med", "__mad"))
   }
 
+  /** Incremental aggregate maintenance — fold a RAW delta batch into a
+    * previously materialized per-key aggregate WITHOUT rescanning the
+    * historical data: the 100 TB ingest pattern (daily corpus stats,
+    * per-domain counts) where "recompute from scratch" is the
+    * scale-killer. Only MERGEABLE aggregates are offered — sum, count,
+    * min, max — because their merge is the same function over partial
+    * states; avg/var callers keep (sum, count) / (sum, sumsq, count)
+    * states and finish the division at read time.
+    *
+    * `prev` must carry `keys` plus one `<col>_<fn>` state column per
+    * spec entry (the shape THIS operator emits — it composes with
+    * itself day after day; an empty-but-schema-correct `prev`
+    * bootstraps). Sums are DECIMAL(28,6)-cast (exact,
+    * order-independent — a merged state is bit-identical to a full
+    * rescan); counts are COUNT(col) (null-excluding) as long.
+    *
+    * Scale: the delta aggregates with one partial+final shuffle on
+    * `keys`; the merge is a union + second keyed agg whose left side
+    * is the (key-cardinality-sized) state table, NOT the history.
+    * Nothing rescans `prev`'s source data. */
+  /** The initial (or per-batch) aggregate state for [[incrementalAgg]]
+    * — aggregating a raw batch into the `<col>_<fn>` state shape. */
+  def aggState(delta: Df, keys: Seq[String],
+               spec: Seq[(String, String)]): Df = {
+    val aggs = spec.map {
+      case (c, "sum")   => sum(col(c).cast("decimal(28,6)")).as(s"${c}_sum")
+      case (c, "count") => count(col(c)).as(s"${c}_count")
+      case (c, "min")   => min(col(c)).as(s"${c}_min")
+      case (c, "max")   => max(col(c)).as(s"${c}_max")
+      case (c, f) => throw new IllegalArgumentException(
+        s"aggState: '$f' on '$c' is not mergeable (use sum/count/min/max)")
+    }
+    new Df(delta.sdf.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select((keys ++ spec.map { case (c, f) => s"${c}_$f" }).map(col): _*))
+  }
+
+  def incrementalAgg(prev: Df, delta: Df, keys: Seq[String],
+                     spec: Seq[(String, String)]): Df = {
+    require(keys.nonEmpty, "incrementalAgg: keys must be non-empty")
+    require(spec.nonEmpty, "incrementalAgg: spec must be non-empty")
+    val fns = Set("sum", "count", "min", "max")
+    spec.foreach { case (c, f) => require(fns(f),
+      s"incrementalAgg: '$f' on '$c' is not mergeable (use ${fns.mkString("/")})") }
+    val stateCols = spec.map { case (c, f) => s"${c}_$f" }
+    require(stateCols.distinct.size == stateCols.size,
+      s"incrementalAgg: duplicate spec entry in $spec")
+    val missing = (keys ++ stateCols).filterNot(prev.columns.contains)
+    require(missing.isEmpty,
+      s"incrementalAgg: prev is missing state column(s): ${missing.mkString(", ")}")
+    val deltaAgg = aggState(delta, keys, spec).sdf
+    val mergeAggs = spec.map {
+      case (c, "sum")   => sum(col(s"${c}_sum")).as(s"${c}_sum")
+      case (c, "count") => sum(col(s"${c}_count")).cast("long").as(s"${c}_count")
+      case (c, "min")   => min(col(s"${c}_min")).as(s"${c}_min")
+      case (c, "max")   => max(col(s"${c}_max")).as(s"${c}_max")
+    }
+    new Df(prev.sdf.select((keys ++ stateCols).map(col): _*)
+      .union(deltaAgg)
+      .groupBy(keys.map(col): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*))
+  }
+
   /** Deterministic negative sampling — the contrastive-training pair
     * builder: each document draws `k` pseudo-random partners from the
     * corpus, reproducibly under `seed` (re-runs, retries, and

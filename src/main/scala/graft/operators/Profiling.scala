@@ -140,6 +140,37 @@ object Profiling {
       .select(col("bucket"), col("lo"), col("hi"), col("n")))
   }
 
+  /** Equi-DEPTH histogram — `buckets` quantile buckets (≈ equal row
+    * counts) where [[histogram]] is equi-width: the right shape for
+    * heavy-tailed pipeline stats (doc lengths, token counts) whose
+    * equi-width version puts 99% of rows in bucket 0. Cuts are exact
+    * interpolated percentiles at k/buckets (rounded 6dp, the
+    * cross-engine quantile convention); a value lands in bucket
+    * #cuts-strictly-below (the q173 `>` convention — deterministic on
+    * ties); NULLs are excluded. Emits one row per non-empty bucket:
+    * (bucket, n, lo, hi) with lo/hi the observed min/max.
+    *
+    * Scale: one percentile aggregation broadcast as a 1-row frame, one
+    * map-side bucket assignment, one partial+final agg over ≤ buckets
+    * groups. */
+  def equiDepthHistogram(df: Df, valueCol: String, buckets: Int): Df = {
+    require(buckets >= 2, s"equiDepthHistogram: buckets must be >= 2: $buckets")
+    val fr = (1 until buckets).map(_.toDouble / buckets)
+    val cuts = df.sdf.agg(
+      expr(s"percentile($valueCol, array(${fr.mkString(", ")}))").as("__c"))
+      .select((1 until buckets).map(k =>
+        round(element_at(col("__c"), k), 6).as(s"__c$k")): _*)
+    val v = col(valueCol).cast("double")
+    val bucket = (1 until buckets)
+      .map(k => when(v > col(s"__c$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    new Df(df.sdf.where(col(valueCol).isNotNull)
+      .crossJoin(broadcast(cuts))
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(v).as("lo"), max(v).as("hi")))
+  }
+
   /** Pairwise Pearson correlation in LONG form — (col_a, col_b, corr)
     * for every a < b pair. Rows with a NULL in ANY profiled column are
     * excluded (one common support for every pair — the listwise

@@ -303,6 +303,30 @@ object PipelineQueries {
       val o = T(s, dir, "orders").select("o_orderkey", "o_totalprice")
       Curation.robustOutliers(o, "o_totalprice", threshold = 2.0)
         .sortValues(Seq("o_orderkey")).sdf
+    }),
+
+    // ---- incremental aggregate maintenance: state from even order
+    // keys + raw delta of odd ones; the oracle does the FULL rescan —
+    // proving merge ≡ recompute without ever rescanning history ----
+    "q210_incremental_agg" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val spec = Seq("l_quantity" -> "sum", "l_quantity" -> "count",
+        "l_extendedprice" -> "max")
+      val prev = Curation.aggState(
+        new Df(li.sdf.where(col("l_orderkey") % 2 === 0)),
+        Seq("l_returnflag"), spec)
+      Curation.incrementalAgg(prev,
+        new Df(li.sdf.where(col("l_orderkey") % 2 === 1)),
+        Seq("l_returnflag"), spec)
+        .sortValues(Seq("l_returnflag")).sdf
+    }),
+
+    // ---- equi-depth histogram of order totals: 8 quantile buckets,
+    // the q173 strictly-greater bucket convention ----
+    "q211_equidepth_hist" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      graft.operators.Profiling.equiDepthHistogram(o, "o_totalprice", 8)
+        .sortValues(Seq("bucket")).sdf
     }))
 
   val oracles: Map[String, String] = Map(
@@ -829,5 +853,28 @@ object PipelineQueries {
         |  END AS robust_z FROM orders CROSS JOIN m CROSS JOIN a)
         |SELECT o_orderkey, o_totalprice, robust_z,
         |COALESCE(ABS(robust_z) > 2.0::DOUBLE, FALSE) AS is_outlier
-        |FROM z ORDER BY o_orderkey""".stripMargin)
+        |FROM z ORDER BY o_orderkey""".stripMargin,
+
+    // the oracle rescans everything the merged state never touched
+    "q210_incremental_agg" ->
+      """SELECT l_returnflag,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DECIMAL(38,6))
+        |  AS l_quantity_sum,
+        |COUNT(l_quantity) AS l_quantity_count,
+        |MAX(l_extendedprice) AS l_extendedprice_max
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // quantile_cont cuts ROUND 6 (q152/q178 equivalence), bucket =
+    // #cuts strictly below (the q173 convention)
+    "q211_equidepth_hist" ->
+      s"""WITH c AS (SELECT ${(1 until 8).map(k =>
+            s"ROUND(quantile_cont(o_totalprice, ${k / 8.0}::DOUBLE), 6) AS c$k")
+            .mkString(", ")} FROM orders),
+         |b AS (SELECT ${(1 until 8).map(k =>
+            s"(CASE WHEN o_totalprice::DOUBLE > c$k THEN 1 ELSE 0 END)")
+            .mkString(" + ")} AS bucket,
+         |  o_totalprice::DOUBLE AS v
+         |  FROM orders CROSS JOIN c WHERE o_totalprice IS NOT NULL)
+         |SELECT bucket, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)
 }

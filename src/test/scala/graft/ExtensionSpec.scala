@@ -272,6 +272,49 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out == Map((0, 0) -> 2.666667, (0, 1) -> 2.666667, (1, 1) -> 2.666667))
   }
 
+  test("incrementalAgg: merged state ≡ full rescan; composes over batches; guards") {
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("v", DoubleType)))
+    def mk(rows: (String, Double)*) =
+      Df.fromRows(spark, rows.map { case (k, v) => Row(k, v) }, schema)
+    val b1 = mk("a" -> 1.0, "a" -> 2.0, "b" -> 5.0)
+    val b2 = mk("a" -> 3.0, "c" -> 7.0)
+    val b3 = mk("b" -> -1.0)
+    val spec = Seq("v" -> "sum", "v" -> "count", "v" -> "min", "v" -> "max")
+    val full = graft.operators.Curation
+      .aggState(mk((Seq("a" -> 1.0, "a" -> 2.0, "b" -> 5.0, "a" -> 3.0,
+        "c" -> 7.0, "b" -> -1.0)): _*), Seq("k"), spec)
+      .sortValues(Seq("k")).sdf.collect().toSeq
+    val folded = Seq(b2, b3).foldLeft(
+      graft.operators.Curation.aggState(b1, Seq("k"), spec)) { (st, d) =>
+      graft.operators.Curation.incrementalAgg(st, d, Seq("k"), spec)
+    }.sortValues(Seq("k")).sdf.collect().toSeq
+    assert(folded == full)
+    intercept[IllegalArgumentException] {
+      graft.operators.Curation.incrementalAgg(
+        graft.operators.Curation.aggState(b1, Seq("k"), Seq("v" -> "sum")),
+        b2, Seq("k"), Seq("v" -> "count"))   // prev lacks v_count state
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Curation.aggState(b1, Seq("k"), Seq("v" -> "avg"))
+    }
+  }
+
+  test("equiDepthHistogram: quantile buckets balance counts; guards") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", DoubleType)))
+    val d = Df.fromRows(spark,
+      (1L to 8L).map(i => Row(i, i.toDouble)), schema)
+    val out = graft.operators.Profiling.equiDepthHistogram(d, "v", 4)
+      .sdf.collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out == Map(0 -> ((2L, 1.0, 2.0)), 1 -> ((2L, 3.0, 4.0)),
+      2 -> ((2L, 5.0, 6.0)), 3 -> ((2L, 7.0, 8.0))))
+    intercept[IllegalArgumentException] {
+      graft.operators.Profiling.equiDepthHistogram(d, "v", 1)
+    }
+  }
+
   test("bpeEncode: rank-ordered greedy merges, non-alnum fallback, accounting") {
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
