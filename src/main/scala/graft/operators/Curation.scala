@@ -944,6 +944,55 @@ object Curation {
     * `keys`; the merge is a union + second keyed agg whose left side
     * is the (key-cardinality-sized) state table, NOT the history.
     * Nothing rescans `prev`'s source data. */
+  /** UniMax-style water-filling budget allocation (Chung et al. 2023):
+    * given per-group availability (tokens per language/source) and a
+    * total budget `budget`, find the common cap L (the "water level")
+    * with Σ min(availₖ, L) = budget and allocate alloc = min(avail, L)
+    * — small groups keep everything they have, large groups are capped
+    * at the SAME level, the unique allocation maximizing the minimum
+    * share without oversampling anyone. When Σ avail ≤ budget the
+    * budget isn't binding and every group keeps its availability.
+    *
+    * Emits (groupCol, available, alloc 4dp, capped) — `capped` ⟺
+    * available strictly exceeds the level. Level selection is the
+    * exact prefix-scan: order groups by (avail, group), L_k =
+    * (budget − prefix_{k−1}) / (n − k + 1); the first k with
+    * L_k ≤ avail_k yields the level.
+    *
+    * Scale: availability is one partial+final agg over the corpus; the
+    * scan rides the AGGREGATED per-group table (cardinality = #sources
+    * /languages — bounded by construction), so its single-partition
+    * window is over a driver-scale frame, never the data. */
+  def waterFillBudget(avail: Df, groupCol: String, availCol: String,
+                      budget: Double): Df = {
+    require(budget > 0, s"waterFillBudget: budget must be > 0: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("available"), col(groupCol))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val o = avail.sdf.select(col(groupCol),
+        col(availCol).cast("double").as("available"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cum", sum(col("available")).over(w))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__cand", (lit(budget) - (col("__cum") - col("available"))) /
+        (col("__n") - col("__rn") + 1))
+    val level = o.where(col("__cand") <= col("available"))
+      .orderBy(col("__rn")).limit(1)
+      .select(col("__cand").as("__level"))
+    // empty level frame (budget not binding) → pad with a NULL-level
+    // row so the cross join never annihilates the output
+    val levelOrNull = level.unionAll(level.sparkSession.range(1)
+        .select(lit(null).cast("double").as("__level")))
+      .orderBy(col("__level").asc_nulls_last).limit(1)
+    new Df(o.select(col(groupCol), col("available"))
+      .crossJoin(broadcast(levelOrNull))
+      .withColumn("capped",
+        col("__level").isNotNull && col("available") > col("__level"))
+      .withColumn("alloc", round(when(col("capped"),
+        col("__level")).otherwise(col("available")), 4))
+      .select(col(groupCol), col("available"), col("alloc"), col("capped")))
+  }
+
   /** The initial (or per-batch) aggregate state for [[incrementalAgg]]
     * — aggregating a raw batch into the `<col>_<fn>` state shape. */
   def aggState(delta: Df, keys: Seq[String],

@@ -90,6 +90,69 @@ object Layout {
     new Df(df.sdf.withColumn(outCol, zvalue(buckets, bits)))
   }
 
+  /** Append the 2-D HILBERT curve key of `cols` as `outCol` — the
+    * locality upgrade over [[withZValue]]: consecutive Hilbert cells
+    * are always grid-NEIGHBORS (Morton order jumps across the map at
+    * every power-of-two boundary), so range-clustered row groups cover
+    * tighter rectangles and prune better on box filters. The modern
+    * lakehouse clustering default for two hot filter dimensions.
+    *
+    * Buckets come from the same one-pass min/max + uniform
+    * quantization as Z-order; the xy→d walk (the standard iterative
+    * rotate/reflect loop) is unrolled into `bits` chained projections
+    * of plain integer arithmetic — codegen'd, no UDF, and
+    * deliberately NOT one giant nested expression (each step's (x, y)
+    * feeds the next twice; inlining would grow the tree 3^bits).
+    * A row with a NULL coordinate gets a NULL key, matching
+    * [[withZValue]] (all-NULL columns degrade to a constant lane).
+    * 2·bits ≤ 62 keeps d in a signed long. */
+  def withHilbertValue(df: Df, cols: Seq[String], bits: Int = 8,
+                       outCol: String = "hval"): Df = {
+    require(cols.size == 2,
+      s"withHilbertValue: exactly 2 columns (2-D curve): $cols")
+    require(bits >= 1 && bits <= 16,
+      s"withHilbertValue: need 1 <= bits <= 16: $bits")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val row = df.sdf.agg(aggs.head, aggs.tail: _*).head
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      if (row.isNullAt(2 * i)) lit(0L)
+      else {
+        val (mn, mx) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+        require(!mn.isNaN && !mx.isNaN,
+          s"withHilbertValue: column '$c' contains NaN — clean it first")
+        bucketize(col(c), mn, mx, bits)
+      }
+    }
+    var cur = df.sdf.withColumn("__hx", buckets(0))
+      .withColumn("__hy", buckets(1))
+      .withColumn("__hd", lit(0L))
+    for (k <- (bits - 1) to 0 by -1) {
+      val s = 1L << k
+      val rx = shiftright(col("__hx"), k).bitwiseAND(lit(1L))
+      val ry = shiftright(col("__hy"), k).bitwiseAND(lit(1L))
+      cur = cur
+        .withColumn("__rx", rx).withColumn("__ry", ry)
+        .withColumn("__hd", col("__hd") +
+          lit(s * s) * (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
+        .withColumn("__nx", when(col("__ry") === 0,
+          when(col("__rx") === 1, lit(s - 1) - col("__hy"))
+            .otherwise(col("__hy"))).otherwise(col("__hx")))
+        .withColumn("__ny", when(col("__ry") === 0,
+          when(col("__rx") === 1, lit(s - 1) - col("__hx"))
+            .otherwise(col("__hx"))).otherwise(col("__hy")))
+        .withColumn("__hx", col("__nx")).withColumn("__hy", col("__ny"))
+        .drop("__rx", "__ry", "__nx", "__ny")
+    }
+    val nullGuards = cols.zipWithIndex.collect {
+      case (c, i) if !row.isNullAt(2 * i) => col(c).isNull
+    }
+    val hval = if (nullGuards.isEmpty) col("__hd")
+      else when(nullGuards.reduce(_ || _), lit(null)).otherwise(col("__hd"))
+    new Df(cur.withColumn(outCol, hval).drop("__hx", "__hy", "__hd"))
+  }
+
   /** Cluster `df` for multi-dimensional scan pruning: compute the
     * Morton key, range-repartition on it (sampled range exchange — one
     * shuffle), sort within partitions, and keep the key column so a

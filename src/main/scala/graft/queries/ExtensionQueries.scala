@@ -67,6 +67,14 @@ object ExtensionQueries {
         .select("o_orderkey", "zval").sortValues(Seq("o_orderkey")).sdf
     }),
 
+    // ---- Hilbert clustering key over the same two order dimensions
+    // as q142 — every unrolled rotate/reflect step SQL-replayed ----
+    "q212_hilbert_key" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      Layout.withHilbertValue(o, Seq("o_totalprice", "o_custkey"), bits = 8)
+        .select("o_orderkey", "hval").sortValues(Seq("o_orderkey")).sdf
+    }),
+
     // ---- per-document text statistics + quality score ----
     "q61_text_stats" -> ((s, dir) => {
       val d = T(s, dir, "documents")
@@ -1107,6 +1115,39 @@ object ExtensionQueries {
        |ORDER BY merge_rank""".stripMargin
   }
 
+  /** Hilbert-key oracle: the q142 bucket quantization, then the
+    * standard xy→d rotate/reflect walk unrolled as one CTE per bit. */
+  private val hilbertSql: String = {
+    val bits = 8
+    def bucket(v: String, mn: String, mx: String) =
+      s"""(CASE WHEN $mx = $mn THEN 0 ELSE
+         |LEAST(GREATEST(CAST(FLOOR((CAST($v AS DOUBLE) - $mn) / ($mx - $mn)
+         |  * 256.0) AS BIGINT), 0), 255) END)""".stripMargin
+    val steps = ((bits - 1) to 0 by -1).zipWithIndex.map { case (k, idx) =>
+      val s = 1L << k
+      s"""h${idx + 1} AS (SELECT o_orderkey,
+         |  CASE WHEN ((y >> $k) & 1) = 0 THEN
+         |    (CASE WHEN ((x >> $k) & 1) = 1 THEN ${s - 1} - y ELSE y END)
+         |  ELSE x END AS x,
+         |  CASE WHEN ((y >> $k) & 1) = 0 THEN
+         |    (CASE WHEN ((x >> $k) & 1) = 1 THEN ${s - 1} - x ELSE x END)
+         |  ELSE y END AS y,
+         |  d + ${s * s} * xor(3 * ((x >> $k) & 1), (y >> $k) & 1) AS d
+         |FROM h$idx)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT
+       |  MIN(CAST(o_totalprice AS DOUBLE)) AS mn1,
+       |  MAX(CAST(o_totalprice AS DOUBLE)) AS mx1,
+       |  MIN(CAST(o_custkey AS DOUBLE)) AS mn2,
+       |  MAX(CAST(o_custkey AS DOUBLE)) AS mx2 FROM orders),
+       |h0 AS (SELECT o_orderkey,
+       |  ${bucket("o_totalprice", "b.mn1", "b.mx1")} AS x,
+       |  ${bucket("o_custkey", "b.mn2", "b.mx2")} AS y,
+       |  0::BIGINT AS d FROM orders, b),
+       |$steps
+       |SELECT o_orderkey, d AS hval FROM h$bits ORDER BY o_orderkey""".stripMargin
+  }
+
   /** BPE-encode oracle: re-learn the 8 merges with [[bpeMergesSql]]'s
     * unrolled rounds, then re-apply the replace chain to every word of
     * every document (tops cross-joined in as 1-row frames). */
@@ -1174,6 +1215,7 @@ object ExtensionQueries {
     "q87_lsh_topk" -> lshTopkSql,
     "q200_bpe_merges" -> bpeMergesSql,
     "q208_bpe_encode" -> bpeEncodeSql,
+    "q212_hilbert_key" -> hilbertSql,
     // the day-tail cutoff replayed with a window over the (tiny)
     // distinct-day inventory
     "q199_time_split" ->

@@ -37,6 +37,7 @@ object PipelineQueries {
   private val dsirBuckets = 1024
   private val nllLambda = 0.7
   private val sbAlpha = 0.4
+  private val wfBudget = 10000.0
 
   val defs: Map[String, Q] = Map(
     // ---- frequency-based boilerplate line removal: the footer
@@ -327,6 +328,18 @@ object PipelineQueries {
       val o = T(s, dir, "orders")
       graft.operators.Profiling.equiDepthHistogram(o, "o_totalprice", 8)
         .sortValues(Seq("bucket")).sdf
+    }),
+
+    // ---- UniMax water-filling: per-source token availability vs a
+    // 10k-token budget — small sources keep all, big ones cap at the
+    // common level; the oracle replays the prefix-scan level search ----
+    "q213_budget_fill" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val avail = new Df(d.sdf.groupBy(col("source"))
+        .agg(sum(graft.functions.TextFunctions.tokenCount(col("text")))
+          .cast("double").as("avail")))
+      Curation.waterFillBudget(avail, "source", "avail", budget = wfBudget)
+        .sortValues(Seq("source")).sdf
     }))
 
   val oracles: Map[String, String] = Map(
@@ -876,5 +889,31 @@ object PipelineQueries {
          |  o_totalprice::DOUBLE AS v
          |  FROM orders CROSS JOIN c WHERE o_totalprice IS NOT NULL)
          |SELECT bucket, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi
-         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // the exact prefix-scan: L_k = (B − prefix_{k−1})/(n−k+1), first k
+    // with L_k ≤ avail_k sets the level; NULL level = budget not
+    // binding (the padded-row trick mirrors the operator)
+    "q213_budget_fill" ->
+      s"""WITH a AS (SELECT source,
+         |  CAST(SUM(len(${toksSql()})) AS DOUBLE) AS available
+         |  FROM documents GROUP BY source),
+         |o AS (SELECT source, available,
+         |  ROW_NUMBER() OVER (ORDER BY available, source) AS rn,
+         |  SUM(available) OVER (ORDER BY available, source
+         |    ROWS UNBOUNDED PRECEDING) AS cum,
+         |  COUNT(*) OVER () AS n FROM a),
+         |c AS (SELECT source, available, rn,
+         |  ($wfBudget::DOUBLE - (cum - available)) / (n - rn + 1) AS cand
+         |  FROM o),
+         |lvl AS (SELECT cand AS level FROM c WHERE cand <= available
+         |  ORDER BY rn LIMIT 1),
+         |l2 AS (SELECT level FROM
+         |  (SELECT level FROM lvl UNION ALL SELECT NULL)
+         |  ORDER BY level ASC NULLS LAST LIMIT 1)
+         |SELECT a.source, a.available,
+         |ROUND(CASE WHEN l2.level IS NOT NULL AND a.available > l2.level
+         |  THEN l2.level ELSE a.available END, 4) AS alloc,
+         |(l2.level IS NOT NULL AND a.available > l2.level) AS capped
+         |FROM a CROSS JOIN l2 ORDER BY a.source""".stripMargin)
 }

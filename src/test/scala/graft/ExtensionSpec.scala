@@ -272,6 +272,57 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out == Map((0, 0) -> 2.666667, (0, 1) -> 2.666667, (1, 1) -> 2.666667))
   }
 
+  test("withHilbertValue: bijective on the grid, consecutive cells are NEIGHBORS, NULL propagates") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("x", DoubleType), StructField("y", DoubleType)))
+    val cells = for (x <- 0 to 3; y <- 0 to 3) yield (x, y)
+    val d = Df.fromRows(spark, cells.zipWithIndex.map { case ((x, y), i) =>
+      Row(i.toLong, x.toDouble, y.toDouble) }, schema)
+    val out = graft.operators.Layout
+      .withHilbertValue(d, Seq("x", "y"), bits = 2)
+      .sdf.collect().map(r => r.getLong(3) -> (r.getDouble(1), r.getDouble(2)))
+    assert(out.map(_._1).sorted.toSeq == (0L to 15L), "bijection onto 0..15")
+    // THE Hilbert property (Z-order lacks it): walking the key visits
+    // grid neighbors only
+    val walk = out.sortBy(_._1).map(_._2).toSeq
+    walk.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1.0,
+        s"non-adjacent step ($x1,$y1)→($x2,$y2)")
+    }
+    val withNull = Df.fromRows(spark,
+      Seq(Row(1L, 1.0, 2.0), Row(2L, null, 2.0)), schema)
+    val nv = graft.operators.Layout
+      .withHilbertValue(withNull, Seq("x", "y"), bits = 2)
+      .sdf.collect().map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    assert(nv == Map(1L -> false, 2L -> true))
+    intercept[IllegalArgumentException] {
+      graft.operators.Layout.withHilbertValue(d, Seq("x"), bits = 2)
+    }
+  }
+
+  test("waterFillBudget: level search, non-binding budget, capped flags") {
+    val schema = StructType(Seq(StructField("g", StringType),
+      StructField("avail", DoubleType)))
+    def mk(rows: (String, Double)*) =
+      Df.fromRows(spark, rows.map { case (g, v) => Row(g, v) }, schema)
+    val d = mk("a" -> 10.0, "b" -> 20.0, "c" -> 70.0)
+    def run(df: Df, b: Double) = graft.operators.Curation
+      .waterFillBudget(df, "g", "avail", b).sdf.collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    // B=60: level (60−30)/1 = 30 → a/b keep, c capped at 30
+    assert(run(d, 60.0) == Map("a" -> ((10.0, false)),
+      "b" -> ((20.0, false)), "c" -> ((30.0, true))))
+    // B ≥ Σ avail: not binding
+    assert(run(d, 200.0) == Map("a" -> ((10.0, false)),
+      "b" -> ((20.0, false)), "c" -> ((70.0, false))))
+    // level exactly equals the smallest availability
+    assert(run(mk("a" -> 5.0, "b" -> 50.0, "c" -> 50.0), 15.0) ==
+      Map("a" -> ((5.0, false)), "b" -> ((5.0, true)), "c" -> ((5.0, true))))
+    intercept[IllegalArgumentException] {
+      graft.operators.Curation.waterFillBudget(d, "g", "avail", 0.0)
+    }
+  }
+
   test("incrementalAgg: merged state ≡ full rescan; composes over batches; guards") {
     val schema = StructType(Seq(StructField("k", StringType),
       StructField("v", DoubleType)))
