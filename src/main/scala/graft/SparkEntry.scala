@@ -19,11 +19,13 @@ object SparkEntry {
     CoreQueries.defs ++ ElementwiseQueries.defs ++ ReductionQueries.defs ++
       JoinQueries.defs ++ WindowQueries.defs ++ ExtensionQueries.defs ++
       AnalyticsQueries.defs ++ CoverageQueries.defs ++ CoverageQueries.defs2 ++
-      CurationQueries.defs ++ PipelineQueries.defs ++ StreamingQueries.defs
+      CurationQueries.defs ++ PipelineQueries.defs ++ StreamingQueries.defs ++
+      GovernanceQueries.defs
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ElementwiseQueries.oracles ++ ReductionQueries.oracles ++
       JoinQueries.oracles ++ WindowQueries.oracles ++ ExtensionQueries.oracles ++
       AnalyticsQueries.oracles ++ CoverageQueries.oracles ++ CoverageQueries.oracles2 ++
-      CurationQueries.oracles ++ PipelineQueries.oracles ++ StreamingQueries.oracles
+      CurationQueries.oracles ++ PipelineQueries.oracles ++ StreamingQueries.oracles ++
+      GovernanceQueries.oracles
 }

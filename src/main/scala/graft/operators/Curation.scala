@@ -1123,4 +1123,60 @@ object Curation {
     new Df(joined.withColumn("rrf_score", round(score, 6)))
       .retaining(base)
   }
+
+  /** Deterministic uniform k-per-group sample — the reservoir-sampling
+    * answer without reservoir state: rank each row inside its group by
+    * the md5 of `seed:id` (a uniform permutation of the group,
+    * byte-identical across engines and re-runs) and keep rank ≤ k.
+    * Every k-subset of a group is equally likely over the hash's
+    * randomness, matching per-group reservoir semantics, but the
+    * selection is a pure function of (corpus, seed) — re-runs,
+    * retries and other engines pick the SAME rows, which reservoir
+    * RNG state cannot promise.
+    *
+    * Scale: one shuffle on the group key; the rank-≤-k filter compiles
+    * to WindowGroupLimit (Spark's group-top-k pushdown), so each map
+    * task keeps a k-row heap per group BEFORE the shuffle instead of
+    * sorting whole partitions — the shuffle carries ≤ k·groups rows
+    * per mapper, not the corpus. */
+  def groupSample(df: Df, groupCols: Seq[String], idCol: String, k: Int,
+                  seed: Long = 42L): Df = {
+    require(k >= 1, s"groupSample: k must be >= 1: $k")
+    require(groupCols.nonEmpty, "groupSample: need at least one group column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))),
+        col(idCol))
+    new Df(df.sdf
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k))
+  }
+
+  /** Round-robin interleaved selection of a global budget `n` across
+    * source buckets — the corpus-balancing cut that a plain
+    * quality-top-n gets wrong (it lets one over-represented source
+    * swamp the budget). Each row is ranked inside its source by
+    * `qualityCol` descending (id tiebreak), then the budget takes rows
+    * in (per-source rank, quality, id) order: every source's #1 beats
+    * any source's #2, so sources fill evenly until a source runs dry,
+    * after which the remaining sources keep alternating — UniMax-style
+    * fairness with a total deterministic order.
+    *
+    * Scale: one shuffle on source for the per-source rank (a
+    * WindowGroupLimit candidate when `n` caps the usable per-source
+    * rank at `n`), then the global n-row cut compiles to
+    * TakeOrderedAndProject — per-partition heaps, driver merges n
+    * rows; no global sort. */
+  def interleavedSelect(df: Df, sourceCol: String, qualityCol: String,
+                        idCol: String, n: Int): Df = {
+    require(n >= 1, s"interleavedSelect: n must be >= 1: $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    new Df(df.sdf
+      .withColumn("source_rank", row_number().over(w))
+      .where(col("source_rank") <= n) // no source can supply more than n
+      .orderBy(col("source_rank"), col(qualityCol).desc, col(idCol))
+      .limit(n))
+  }
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.api.Df
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Record linkage: find candidate duplicate ENTITIES (near-identical
+  * records under different ids) without comparing all pairs. The
+  * classic sorted-neighborhood method (Hernández & Stolfo 1995):
+  * records sort inside a blocking key, and only records within a
+  * window of `w` sort-neighbors are compared — O(n·w) comparisons
+  * instead of O(n²), and the sort order is chosen so true matches land
+  * adjacent. Complements the text-shingle dedup family
+  * ([[Dedup]] minhash/simhash target long documents; this targets
+  * short structured records — names, addresses — where edit distance
+  * is the right similarity and blocking keys are natural).
+  */
+object Linkage {
+
+  /** Candidate pairs by sorted-neighborhood: within each block
+    * (`blockCols`), sort by `sortCol` (id tiebreak), compare each
+    * record to its `w` predecessors via Levenshtein distance on
+    * `textCol`, and emit pairs with distance ≤ `maxDist`.
+    *
+    * Output: (left id, right id, left text, right text, `dist`,
+    * `offset` — how many sort positions apart, 1 = adjacent), with
+    * left = the earlier record in sort order.
+    *
+    * Scale: ONE shuffle on the block key; each comparison is a
+    * lag-window lookup + a codegen'd levenshtein — no join, no
+    * row-pair materialization beyond the ≤ w·n emitted lags. Blocks
+    * are window partitions, so a pathological mega-block skews one
+    * task: pick blocking keys with bounded frequency (or pre-salt) the
+    * same way a skewed join side would be handled. */
+  def sortedNeighborhood(df: Df, blockCols: Seq[String], sortCol: String,
+                         textCol: String, idCol: String,
+                         maxDist: Int, w: Int = 1): Df = {
+    require(w >= 1, s"sortedNeighborhood: window must be >= 1: $w")
+    require(maxDist >= 0, s"sortedNeighborhood: maxDist must be >= 0: $maxDist")
+    val win = Window.partitionBy(blockCols.map(col): _*)
+      .orderBy(col(sortCol), col(idCol))
+    val lagged = (1 to w).foldLeft(df.sdf) { (d, off) =>
+      d.withColumn(s"__prev_id_$off", lag(col(idCol), off).over(win))
+        .withColumn(s"__prev_text_$off", lag(col(textCol), off).over(win))
+    }
+    val pairs = (1 to w).map { off =>
+      lagged.select(
+        col(s"__prev_id_$off").as("left_id"),
+        col(idCol).as("right_id"),
+        col(s"__prev_text_$off").as("left_text"),
+        col(textCol).as("right_text"),
+        levenshtein(col(s"__prev_text_$off"), col(textCol)).as("dist"),
+        lit(off).as("offset"))
+        .where(col("left_id").isNotNull)
+    }.reduce(_ unionByName _)
+    new Df(pairs.where(col("dist") <= maxDist))
+  }
+}

@@ -1,0 +1,200 @@
+package graft.queries
+
+import graft.api.Df
+import graft.operators.{Constraints, Curation, Linkage, TimeSeries, Upsert}
+import org.apache.spark.sql.functions._
+import QueryUtil._
+
+/** Round-10 governance wave: data-quality constraint verification,
+  * CDC upsert snapshots, deterministic per-group sampling, sorted-
+  * neighborhood record linkage, scale-safe EWMA, and source-balanced
+  * interleaved selection. q214–q219. */
+object GovernanceQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    // ---- Deequ-style constraint report: 7 constraints, ONE
+    // aggregation pass, exploded to one report row each ----
+    "q214_constraints" -> ((s, dir) => {
+      import Constraints._
+      val d = T(s, dir, "documents")
+      Constraints.verify(d, Seq(
+        Constraint("rows present", rowCount, _ > 0.0),
+        Constraint("text complete", completeness("text"), _ === 1.0),
+        Constraint("lang complete", completeness("lang"), _ === 1.0),
+        Constraint("lang is iso2", matchRatio("lang", "^[a-z]{2}$"), _ === 1.0),
+        Constraint("n_chars nonneg", minOf("n_chars"), _ >= 0.0),
+        Constraint("n_chars bounded", maxOf("n_chars"), _ <= 1.0e6),
+        Constraint("mean chars sane", meanOf("n_chars"),
+          _.between(10.0, 1.0e5))))
+        .sortValues(Seq("constraint")).sdf
+    }),
+
+    // ---- CDC latest-wins merge: +10% price patch on keys %3, with
+    // %21 tombstoned; decimal-exact price arithmetic both engines ----
+    "q215_upsert_merge" -> ((s, dir) => {
+      val o = T(s, dir, "orders").sdf
+      val base = new Df(o
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"), lit(1).as("version")))
+      val changes = new Df(o
+        .where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * " +
+            "CAST(1.1 AS DECIMAL(3,2)) AS DOUBLE)").as("o_totalprice"),
+          col("o_orderpriority"), lit(2).as("version"),
+          (col("o_orderkey") % 21 === 0).as("deleted")))
+      Upsert.applyChanges(base, changes, Seq("o_orderkey"),
+        "version", "deleted")
+        .sortValues(Seq("o_orderkey")).sdf
+    }),
+
+    // ---- deterministic reservoir-equivalent: 5 events per type by
+    // md5(seed:id) permutation; WindowGroupLimit keeps per-mapper
+    // state at k rows per group ----
+    "q216_group_sample" -> ((s, dir) => {
+      val e = events(s, dir)
+      Curation.groupSample(e, Seq("event_type"), "event_id", k = 5,
+        seed = 42L).sdf
+        .select("event_id", "event_type", "sample_rank")
+        .orderBy("event_type", "sample_rank")
+    }),
+
+    // ---- sorted-neighborhood linkage: nation-blocked, name-sorted,
+    // w=2 neighbors, levenshtein ≤ 3 → candidate pairs, O(n·w) not
+    // O(n²) ----
+    "q217_sorted_neighborhood" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      Linkage.sortedNeighborhood(c, Seq("c_nationkey"), "c_name",
+        "c_name", "c_custkey", maxDist = 3, w = 2).sdf
+        .select("left_id", "right_id", "dist", "offset")
+        .orderBy("right_id", "offset")
+    }),
+
+    // ---- per-user EWMA of event values (alpha=.5 → power-of-two
+    // weights, bit-reproducible; W=40 bounded lookback) ----
+    "q218_ewma" -> ((s, dir) => {
+      val e = new Df(events(s, dir).sdf.where(col("user_id") < 50))
+      TimeSeries.ewmaMean(e, Seq("user_id"), Seq("ts", "event_id"),
+        "value", alpha = 0.5, eps = 1e-12).sdf
+        .select(col("user_id"), col("event_id"),
+          round(col("ewma"), 6).as("ewma"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- source-balanced selection: 200-doc budget filled round-
+    // robin across sources by n_chars quality ----
+    "q219_interleave_select" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Curation.interleavedSelect(d, "source", "n_chars", "doc_id",
+        n = 200).sdf
+        .select("doc_id", "source", "n_chars", "source_rank")
+        .orderBy("doc_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+    // one scalar-agg CTE; each constraint row replays the exact
+    // count-ratio / min-max / integer-sum-mean arithmetic
+    "q214_constraints" ->
+      """WITH a AS (SELECT
+        |  COUNT(*)::DOUBLE AS row_count,
+        |  COUNT(text)::DOUBLE / COUNT(*) AS c_text,
+        |  COUNT(lang)::DOUBLE / COUNT(*) AS c_lang,
+        |  SUM(CASE WHEN regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END)::DOUBLE
+        |    / COUNT(lang) AS mr_lang,
+        |  MIN(n_chars)::DOUBLE AS min_c,
+        |  MAX(n_chars)::DOUBLE AS max_c,
+        |  SUM(n_chars)::DOUBLE / COUNT(n_chars) AS mean_c
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'rows present' AS "constraint", 'row_count' AS metric,
+        |    row_count AS value, row_count > 0 AS passed FROM a
+        |  UNION ALL SELECT 'text complete', 'completeness(text)', c_text,
+        |    c_text = 1.0 FROM a
+        |  UNION ALL SELECT 'lang complete', 'completeness(lang)', c_lang,
+        |    c_lang = 1.0 FROM a
+        |  UNION ALL SELECT 'lang is iso2', 'match_ratio(lang)', mr_lang,
+        |    mr_lang = 1.0 FROM a
+        |  UNION ALL SELECT 'n_chars nonneg', 'min(n_chars)', min_c,
+        |    min_c >= 0.0 FROM a
+        |  UNION ALL SELECT 'n_chars bounded', 'max(n_chars)', max_c,
+        |    max_c <= 1e6 FROM a
+        |  UNION ALL SELECT 'mean chars sane', 'mean(n_chars)', mean_c,
+        |    mean_c BETWEEN 10.0 AND 1e5 FROM a)
+        |ORDER BY "constraint"""".stripMargin,
+
+    "q215_upsert_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderpriority,
+        |    1 AS version, FALSE AS deleted, 0 AS pri FROM orders),
+        |chg AS (SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      CAST(1.1 AS DECIMAL(3,2)) AS DOUBLE) AS o_totalprice,
+        |    o_orderpriority, 2 AS version, o_orderkey % 21 = 0 AS deleted,
+        |    1 AS pri
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+        |w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |    ORDER BY version DESC, pri DESC) AS rn FROM u)
+        |SELECT o_orderkey, o_totalprice, o_orderpriority, version
+        |FROM w WHERE rn = 1 AND NOT deleted ORDER BY o_orderkey""".stripMargin,
+
+    "q216_group_sample" ->
+      """WITH r AS (SELECT event_id, event_type,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY md5('42:' || CAST(event_id AS VARCHAR)), event_id)
+        |    AS sample_rank
+        |  FROM events)
+        |SELECT event_id, event_type, sample_rank FROM r
+        |WHERE sample_rank <= 5 ORDER BY event_type, sample_rank""".stripMargin,
+
+    "q217_sorted_neighborhood" ->
+      """WITH s AS (SELECT c_custkey, c_name,
+        |    LAG(c_name, 1) OVER w AS pt1, LAG(c_custkey, 1) OVER w AS pi1,
+        |    LAG(c_name, 2) OVER w AS pt2, LAG(c_custkey, 2) OVER w AS pi2
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_name, c_custkey)),
+        |p AS (
+        |  SELECT pi1 AS left_id, c_custkey AS right_id,
+        |    CAST(levenshtein(pt1, c_name) AS INTEGER) AS dist,
+        |    1 AS "offset" FROM s WHERE pi1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT pi2, c_custkey,
+        |    CAST(levenshtein(pt2, c_name) AS INTEGER), 2
+        |  FROM s WHERE pi2 IS NOT NULL)
+        |SELECT left_id, right_id, dist, "offset" FROM p WHERE dist <= 3
+        |ORDER BY right_id, "offset"""".stripMargin,
+
+    // terms x_j·0.5^d are exact doubles (power-of-two scaling), summed
+    // as DECIMAL(28,16) → order-independent; ROUND-6 absorbs the
+    // engines' double→decimal cast convention gap (shortest-string vs
+    // exact-binary, ~1e-14 relative); denominator closed-form
+    "q218_ewma" ->
+      """WITH r AS (SELECT user_id, event_id, value,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS rn
+        |  FROM events WHERE user_id < 50),
+        |j AS (SELECT a.user_id, a.event_id,
+        |    SUM(CAST(b.value *
+        |      POWER(0.5::DOUBLE, (a.rn - b.rn)::DOUBLE)
+        |      AS DECIMAL(28,16))) AS num,
+        |    COUNT(*) AS n
+        |  FROM r a JOIN r b ON a.user_id = b.user_id
+        |    AND b.rn BETWEEN a.rn - 40 AND a.rn
+        |  GROUP BY 1, 2)
+        |SELECT user_id, event_id,
+        |  ROUND(CAST(num AS DOUBLE) /
+        |    ((1.0::DOUBLE - POWER(0.5::DOUBLE, n::DOUBLE)) / 0.5::DOUBLE),
+        |    6) AS ewma
+        |FROM j ORDER BY user_id, event_id""".stripMargin,
+
+    "q219_interleave_select" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS source_rank
+        |  FROM documents),
+        |t AS (SELECT * FROM r
+        |  ORDER BY source_rank, n_chars DESC, doc_id LIMIT 200)
+        |SELECT doc_id, source, n_chars, source_rank FROM t
+        |ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,246 @@
+package graft
+
+import graft.api.Df
+import graft.operators.{Constraints, Curation, Linkage, TimeSeries, Upsert}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 governance wave: constraint suites, CDC upserts,
+  * deterministic sampling, sorted-neighborhood linkage, EWMA,
+  * interleaved selection — semantics + the plan shapes that carry the
+  * 100 TB posture. */
+class GovernanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def docs = Df.readParquet(spark, s"$sf/documents.parquet")
+
+  // ---- Constraints ----
+
+  test("constraint suite is ONE aggregation pass: no join, no Expand, one scan") {
+    import Constraints._
+    val rep = Constraints.verify(docs, Seq(
+      Constraint("complete", completeness("text"), _ === 1.0),
+      Constraint("sane mean", meanOf("n_chars"), _.between(1.0, 1e6)),
+      Constraint("bounded", maxOf("n_chars"), _ <= 1e6),
+      Constraint("keyish", distinctRatioApprox("doc_id"), _ > 0.9)))
+    val p = plan(rep.sdf)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    val rows = rep.sdf.collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getAs[Boolean]("passed")))
+  }
+
+  test("constraints fail on violated expectations; assertAll throws with names") {
+    import Constraints._
+    val d = Df.fromRows(spark,
+      Seq(Row("en", 5L), Row(null, 50L), Row("xx", 500L)),
+      StructType(Seq(StructField("lang", StringType),
+        StructField("n", LongType))))
+    val rep = Constraints.verify(d, Seq(
+      Constraint("lang complete", completeness("lang"), _ === 1.0),
+      Constraint("n bounded", maxOf("n"), _ <= 100.0),
+      Constraint("rows", rowCount, _ === 3.0))).sdf.collect()
+    val byName = rep.map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(byName == Map("lang complete" -> false, "n bounded" -> false,
+      "rows" -> true))
+    val e = intercept[IllegalArgumentException] {
+      Constraints.assertAll(d, Seq(
+        Constraint("lang complete", completeness("lang"), _ === 1.0)))
+    }
+    assert(e.getMessage.contains("lang complete"), e.getMessage)
+  }
+
+  test("two constraints on the same metric compute the aggregate once") {
+    import Constraints._
+    val m = meanOf("n_chars")
+    val rep = Constraints.verify(docs, Seq(
+      Constraint("lo", m, _ >= 1.0), Constraint("hi", m, _ <= 1e9)))
+    // one shared metric slot → the agg carries exactly one expression
+    val aggs = rep.sdf.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.size
+    }
+    assert(aggs == Seq(1), aggs)
+    assert(rep.sdf.count() == 2)
+  }
+
+  // ---- Upsert ----
+
+  private def upsertBase = Df.fromRows(spark,
+    Seq(Row(1L, "a", 1), Row(2L, "b", 1), Row(3L, "c", 1)),
+    StructType(Seq(StructField("k", LongType), StructField("v", StringType),
+      StructField("version", IntegerType))))
+
+  test("applyChanges: latest version wins, tombstones delete, ties favor changes") {
+    val changes = Df.fromRows(spark,
+      Seq(Row(1L, "a2", 2, false),  // plain update
+          Row(2L, "b2", 2, true),   // tombstone
+          Row(3L, "c2", 1, false),  // version TIE → change wins
+          Row(4L, "d", 2, false)),  // brand-new key
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType),
+        StructField("version", IntegerType),
+        StructField("deleted", BooleanType))))
+    val out = Upsert.applyChanges(upsertBase, changes, Seq("k"),
+      "version", "deleted")
+      .sdf.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(1L -> "a2", 3L -> "c2", 4L -> "d"))
+  }
+
+  test("applyChanges is idempotent: re-applying the same delta is a no-op") {
+    val changes = Df.fromRows(spark,
+      Seq(Row(1L, "a2", 2, false), Row(2L, "b2", 2, true)),
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType),
+        StructField("version", IntegerType),
+        StructField("deleted", BooleanType))))
+    val once = Upsert.applyChanges(upsertBase, changes, Seq("k"),
+      "version", "deleted")
+    val twice = Upsert.applyChanges(once, changes, Seq("k"),
+      "version", "deleted")
+    assert(twice.sdf.orderBy("k").collect().toSeq ==
+      once.sdf.orderBy("k").collect().toSeq)
+  }
+
+  test("applyChanges plans as partial-aggregable max_by — no window sort") {
+    val changes = Df.fromRows(spark,
+      Seq(Row(1L, "a2", 2, false)),
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType),
+        StructField("version", IntegerType),
+        StructField("deleted", BooleanType))))
+    val p = plan(Upsert.applyChanges(upsertBase, changes, Seq("k"),
+      "version", "deleted").sdf)
+    assert(p.contains("max_by"), p)
+    assert(!p.contains("Window"), p)   // the monoid, not a row_number sort
+    // partial agg present: map-side combine collapses multi-change keys
+    assert(p.contains("partial_max_by") || p.contains("partial max_by"), p)
+  }
+
+  // ---- groupSample ----
+
+  test("groupSample: exactly k per group, deterministic, WindowGroupLimit pushdown") {
+    val li = Df.readParquet(spark, s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_returnflag")
+      .assign("id", concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+    val s1 = Curation.groupSample(li, Seq("l_returnflag"), "id", k = 7)
+    val counts = s1.sdf.groupBy("l_returnflag").count().collect()
+      .map(_.getLong(1))
+    assert(counts.nonEmpty && counts.forall(_ == 7L))
+    // pure function of (corpus, seed): a re-run picks the SAME rows
+    val a = s1.sdf.select("id").collect().map(_.getString(0)).sorted.toSeq
+    val b = Curation.groupSample(li, Seq("l_returnflag"), "id", k = 7)
+      .sdf.select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(a == b)
+    // different seed → different permutation (overwhelmingly)
+    val c = Curation.groupSample(li, Seq("l_returnflag"), "id", k = 7,
+      seed = 43L).sdf.select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(a != c)
+    val p = plan(s1.sdf)
+    assert(p.contains("WindowGroupLimit"), p) // k-row heap per group pre-shuffle
+  }
+
+  // ---- sortedNeighborhood ----
+
+  test("sortedNeighborhood finds in-block neighbors only, within w, under maxDist") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("block", StringType), StructField("name", StringType)))
+    val d = Df.fromRows(spark, Seq(
+      Row(1L, "A", "smith john"), Row(2L, "A", "smith jon"),
+      Row(3L, "A", "smith j0hn"), Row(4L, "A", "zzzz totally else"),
+      Row(5L, "B", "smith john")), schema) // same name, OTHER block → never paired
+    val pairs = Linkage.sortedNeighborhood(d, Seq("block"), "name", "name",
+      "id", maxDist = 3, w = 2)
+      .sdf.select("left_id", "right_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // sort order in block A: j0hn(3) < john(1) < jon(2); zzzz too far
+    assert(pairs == Set((3L, 1L, 1), (3L, 2L, 2), (1L, 2L, 1)), pairs)
+  }
+
+  test("sortedNeighborhood is one exchange + window — no join, O(n·w) not O(n²)") {
+    val c = Df.readParquet(spark, s"$sf/customer.parquet")
+    val p = plan(Linkage.sortedNeighborhood(c, Seq("c_nationkey"), "c_name",
+      "c_name", "c_custkey", maxDist = 3, w = 2).sdf)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  // ---- EWMA ----
+
+  test("ewmaMean matches the exact pandas adjusted-ewm recurrence") {
+    val xs = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("t", LongType), StructField("x", DoubleType)))
+    val d = Df.fromRows(spark,
+      xs.zipWithIndex.map { case (x, i) => Row("g", i.toLong, x) }, schema)
+    val got = TimeSeries.ewmaMean(d, Seq("k"), Seq("t"), "x", alpha = 0.5)
+      .sdf.orderBy("t").select("ewma").collect().map(_.getDouble(0))
+    // reference: y_i = Σ (1-a)^j x_{i-j} / Σ (1-a)^j over full history
+    val a = 0.5
+    val want = xs.indices.map { i =>
+      val terms = (0 to i).map(j => math.pow(1 - a, j) * xs(i - j))
+      terms.sum / (0 to i).map(j => math.pow(1 - a, j)).sum
+    }
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-9, s"$g vs $w") }
+  }
+
+  test("ewmaMean lookback is bounded: one window frame, no self-join, no full-history state") {
+    val e = QueryTables.events
+    val p = plan(TimeSeries.ewmaMean(e, Seq("user_id"), Seq("ts", "event_id"),
+      "value").sdf)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    // the frame is ROWS -W..current, not unboundedpreceding$()
+    assert(p.contains("specifiedwindowframe(RowFrame, -40, currentrow$())"), p)
+    assert(!p.contains("unboundedpreceding"), p)
+  }
+
+  test("ewmaMean truncation error is below eps on a long constant-free series") {
+    // 300-row geometric-ish series: truncated (W=40) vs untruncated
+    val xs = (0 until 300).map(i => math.sin(i * 0.7) * 100 + 150)
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("t", LongType), StructField("x", DoubleType)))
+    val d = Df.fromRows(spark,
+      xs.zipWithIndex.map { case (x, i) => Row("g", i.toLong, x) }, schema)
+    val got = TimeSeries.ewmaMean(d, Seq("k"), Seq("t"), "x", alpha = 0.5)
+      .sdf.orderBy("t").select("ewma").collect().map(_.getDouble(0)).last
+    val a = 0.5
+    val n = xs.length
+    val full = xs.indices.map(j => math.pow(1 - a, n - 1 - j) * xs(j)).sum /
+      xs.indices.map(j => math.pow(1 - a, j.toDouble)).sum
+    assert(math.abs(got - full) / math.abs(full) < 1e-10, s"$got vs $full")
+  }
+
+  // ---- interleavedSelect ----
+
+  test("interleavedSelect fills the budget round-robin: per-source counts differ by ≤ 1") {
+    val sel = Curation.interleavedSelect(docs, "source", "n_chars",
+      "doc_id", n = 100)
+    val counts = sel.sdf.groupBy("source").count().collect()
+      .map(_.getLong(1))
+    assert(counts.sum == 100L)
+    assert(counts.max - counts.min <= 1,
+      s"unbalanced: ${counts.mkString(",")}")
+    // vs the naive quality-top-100, which concentrates on long docs
+    // regardless of source — interleave must touch every source
+    val nSources = docs.sdf.select("source").distinct().count()
+    assert(counts.length == nSources)
+  }
+
+  test("interleavedSelect global cut compiles to TakeOrdered, not a global sort") {
+    val p = plan(Curation.interleavedSelect(docs, "source", "n_chars",
+      "doc_id", n = 100).sdf)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
+
+/** Shared small-table handles for governance tests. */
+private object QueryTables {
+  import TestSpark._
+  def events: Df = graft.queries.QueryUtil.events(spark, sf)
+}
