@@ -246,4 +246,92 @@ object Profiling {
         min(col("__h")).as("min_sig"),
         max(col("__h")).as("max_sig")))
   }
+
+  /** Population-stability-index drift between a BASELINE and a CURRENT
+    * snapshot of a numeric column — the "did the incoming crawl's
+    * length/score distribution move" monitor that gates a corpus
+    * refresh. Equi-width bins derive from the BASELINE's [min, max]
+    * (current values outside clamp to the edge bins — drift into the
+    * tails is exactly what the edge bins must absorb, not drop);
+    * per-bin psi_term = (p_cur − p_base)·ln(p_cur/p_base), with both
+    * ratios floored at `eps` so empty bins contribute a finite term
+    * (the standard PSI convention). PSI > 0.25 is the usual
+    * "distribution shifted, investigate" threshold.
+    *
+    * Output: one row per occupied bin — (bin, n_base, n_cur, p_base,
+    * p_cur, psi_term) — plus every row carries `psi_total` (the k-row
+    * sum; k = `bins`, so the window is sketch-sized, not data-sized).
+    *
+    * Determinism: bin assignment is the same IEEE floor((x−min)/w) in
+    * any engine; p's are exact-count divisions; ln goes through the
+    * DECIMAL(18,8) libm-absorption cast and terms round 6dp.
+    *
+    * Scale: one min/max agg over baseline (broadcast 1-row), one
+    * grouped count per snapshot (partial agg), a k-row join — no
+    * data-sized shuffle beyond the two counts. */
+  def psiDrift(baseline: Df, current: Df, valueCol: String,
+               bins: Int = 10, eps: Double = 1e-6): Df = {
+    require(bins >= 2, s"psiDrift: bins must be >= 2: $bins")
+    val v = col(valueCol).cast("double")
+    val stats = baseline.sdf.agg(
+      min(v).cast("double").as("__lo"), max(v).cast("double").as("__hi"))
+    def binned(df: Df) = df.sdf.where(v.isNotNull)
+      .crossJoin(broadcast(stats))
+      .select(least(greatest(
+        floor((v - col("__lo")) / ((col("__hi") - col("__lo")) / bins)),
+        lit(0.0)), lit((bins - 1).toDouble)).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val a = binned(baseline).withColumnRenamed("n", "n_base")
+    val b = binned(current).withColumnRenamed("n", "n_cur")
+    val joined = a.join(b, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    val pB = greatest(col("n_base").cast("double") / sum("n_base").over(w),
+      lit(eps))
+    val pC = greatest(col("n_cur").cast("double") / sum("n_cur").over(w),
+      lit(eps))
+    val term = round((pC - pB) *
+      log(pC / pB).cast("decimal(18,8)").cast("double"), 6)
+    val detail = joined
+      .withColumn("p_base", round(pB, 6)).withColumn("p_cur", round(pC, 6))
+      .withColumn("psi_term", term)
+    new Df(detail.withColumn("psi_total",
+      round(sum(col("psi_term")).over(w), 6)))
+  }
+
+  /** Gaps-and-islands over a per-key integer sequence — the
+    * completeness monitor for anything numbered at ingest (chunk
+    * indices, shard counters, event ids): consecutive runs collapse to
+    * one island row (key…, island_start, island_end, island_len), and
+    * every hole in the sequence is the space between two islands. A
+    * feed that "lost" a range shows up as a split island, not as a
+    * silently smaller count.
+    *
+    * The classic rn-difference trick: within a key, `seq − row_number`
+    * is constant exactly along consecutive runs, so islands are a
+    * groupBy away. `seqCol` must be DISTINCT per key (duplicates shift
+    * every later row's rn and split islands) — dedupe upstream.
+    *
+    * Scale: ONE exchange on the key; the window ranks within it and
+    * the island aggregation groups on (key, run) — a superset of the
+    * window partitioning, so Catalyst reuses the exchange instead of
+    * shuffling again. Output is data-sized only in the worst
+    * all-singletons case; monitored feeds are mostly-consecutive, so
+    * islands ≪ rows. */
+  def sequenceIslands(df: Df, keyCols: Seq[String], seqCol: String): Df = {
+    require(keyCols.nonEmpty, "sequenceIslands: need at least one key column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(seqCol))
+    new Df(df.sdf
+      .where(col(seqCol).isNotNull)
+      .withColumn("__run", col(seqCol).cast("long") - row_number().over(w))
+      .groupBy((keyCols :+ "__run").map(col): _*)
+      .agg(min(col(seqCol)).cast("long").as("island_start"),
+        max(col(seqCol)).cast("long").as("island_end"),
+        count(lit(1)).as("island_len"))
+      .drop("__run"))
+  }
 }

@@ -90,6 +90,26 @@ object GovernanceQueries {
         n = 200).sdf
         .select("doc_id", "source", "n_chars", "source_rank")
         .orderBy("doc_id")
+    }),
+
+    // ---- PSI distribution drift: order prices, pre-1998 baseline vs
+    // 1998+ current, 10 equi-width bins off the baseline range ----
+    "q220_psi_drift" -> ((s, dir) => {
+      val o = T(s, dir, "orders").sdf
+      val base = new Df(o.where(year(col("o_orderdate")) < 1998))
+      val cur = new Df(o.where(year(col("o_orderdate")) >= 1998))
+      graft.operators.Profiling.psiDrift(base, cur, "o_totalprice",
+        bins = 10)
+        .sortValues(Seq("bin")).sdf
+    }),
+
+    // ---- gaps-and-islands: per-user runs of consecutive event ids —
+    // the numbered-feed completeness check ----
+    "q221_gap_islands" -> ((s, dir) => {
+      val e = new Df(events(s, dir).sdf.where(col("user_id") < 100))
+      graft.operators.Profiling.sequenceIslands(e, Seq("user_id"),
+        "event_id")
+        .sortValues(Seq("user_id", "island_start")).sdf
     }))
 
   val oracles: Map[String, String] = Map(
@@ -187,6 +207,48 @@ object GovernanceQueries {
         |    ((1.0::DOUBLE - POWER(0.5::DOUBLE, n::DOUBLE)) / 0.5::DOUBLE),
         |    6) AS ewma
         |FROM j ORDER BY user_id, event_id""".stripMargin,
+
+    // bin = IEEE floor((x−lo)/w) clamped — identical per engine; p's
+    // are exact-count divisions; ln through DECIMAL(18,8); terms
+    // ROUND-6 before the k-row total
+    "q220_psi_drift" ->
+      """WITH st AS (SELECT MIN(o_totalprice::DOUBLE) AS lo,
+        |    MAX(o_totalprice::DOUBLE) AS hi
+        |  FROM orders WHERE YEAR(o_orderdate) < 1998),
+        |a AS (SELECT CAST(LEAST(GREATEST(
+        |      FLOOR((o_totalprice::DOUBLE - lo) / ((hi - lo) / 10)),
+        |      0), 9) AS INTEGER) AS bin, COUNT(*) AS n_base
+        |  FROM orders, st WHERE YEAR(o_orderdate) < 1998 GROUP BY 1),
+        |b AS (SELECT CAST(LEAST(GREATEST(
+        |      FLOOR((o_totalprice::DOUBLE - lo) / ((hi - lo) / 10)),
+        |      0), 9) AS INTEGER) AS bin, COUNT(*) AS n_cur
+        |  FROM orders, st WHERE YEAR(o_orderdate) >= 1998 GROUP BY 1),
+        |j AS (SELECT COALESCE(a.bin, b.bin) AS bin,
+        |    COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+        |  FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+        |t AS (SELECT *,
+        |    GREATEST(n_base::DOUBLE / SUM(n_base) OVER (), 1e-6::DOUBLE)
+        |      AS pb,
+        |    GREATEST(n_cur::DOUBLE / SUM(n_cur) OVER (), 1e-6::DOUBLE)
+        |      AS pc FROM j),
+        |d AS (SELECT bin, n_base, n_cur, ROUND(pb, 6) AS p_base,
+        |    ROUND(pc, 6) AS p_cur,
+        |    ROUND((pc - pb) *
+        |      CAST(CAST(LN(pc / pb) AS DECIMAL(18,8)) AS DOUBLE), 6)
+        |      AS psi_term FROM t)
+        |SELECT bin, n_base, n_cur, p_base, p_cur, psi_term,
+        |  ROUND(SUM(psi_term) OVER (), 6) AS psi_total
+        |FROM d ORDER BY bin""".stripMargin,
+
+    "q221_gap_islands" ->
+      """WITH r AS (SELECT user_id, event_id,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS rn
+        |  FROM events WHERE user_id < 100)
+        |SELECT user_id, MIN(event_id) AS island_start,
+        |  MAX(event_id) AS island_end, COUNT(*) AS island_len
+        |FROM r GROUP BY user_id, event_id - rn
+        |ORDER BY user_id, island_start""".stripMargin,
 
     "q219_interleave_select" ->
       """WITH r AS (SELECT doc_id, source, n_chars,

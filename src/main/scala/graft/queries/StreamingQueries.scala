@@ -249,11 +249,45 @@ object StreamingQueries {
         StreamOps.statefulUserTotals(stream), "q130_sink", mode = "append")
         .groupBy("user_id").agg(max(col("n_events")).as("n_events"))
         .orderBy("user_id")
+    }),
+
+    // ---- streaming EWMA drift monitor: per-type recursive EWMA kept
+    // in the state store, folded in (ts, id) order — the final state
+    // must replay the batch recursion. Oracle = the closed-form
+    // truncated weighted sum over each type's last 41 rows (the
+    // dropped tail is ≤ 0.5^41·|x|, far under the 6dp round) ----
+    "q222_stream_ewma_anomaly" -> ((s, dir) => {
+      val stream = StreamOps.readEventsStream(s, stage(s"$dir/events.parquet", 1))
+      StreamOps.runToCompletion(
+        StreamOps.streamingEwmaAnomaly(stream), "q222_sink", mode = "append")
+        .select(col("event_type"), col("n_events"),
+          round(col("ewma"), 6).as("ewma"))
+        .orderBy("event_type")
     }))
 
   val oracles: Map[String, String] = Map(
     // stateless streaming = the batch rule battery, verbatim
     "q179_stream_gopher" -> CurationQueries.oracles("q144_gopher_quality"),
+    // recursive y_i = ½x_i + ½y_{i-1} closed-form: y_n ≈ ½·Σ_{d≤40}
+    // ½^d·x_{n-d} (power-of-two weights exact; DECIMAL(28,16) terms
+    // order-independent; tail < 0.5^41·|x| ≪ the 6dp round)
+    "q222_stream_ewma_anomaly" ->
+      """WITH r AS (SELECT event_type, value,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |m AS (SELECT event_type, MAX(rn) AS nmax, COUNT(*) AS n
+        |  FROM r GROUP BY 1),
+        |j AS (SELECT m.event_type, m.n,
+        |    SUM(CAST(0.5::DOUBLE * b.value *
+        |      POWER(0.5::DOUBLE, (m.nmax - b.rn)::DOUBLE)
+        |      AS DECIMAL(28,16))) AS y
+        |  FROM m JOIN r b ON b.event_type = m.event_type
+        |    AND b.rn > m.nmax - 41
+        |  GROUP BY 1, 2)
+        |SELECT event_type, n AS n_events, ROUND(CAST(y AS DOUBLE), 6)
+        |  AS ewma
+        |FROM j ORDER BY event_type""".stripMargin,
     // file-sink identity: what arrived is what landed
     "q185_stream_sink" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",

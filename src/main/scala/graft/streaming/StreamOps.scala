@@ -135,6 +135,64 @@ object StreamOps {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Streaming drift monitor: per-key EWMA + EW-variance maintained in
+    * the state store (`flatMapGroupsWithState`), recursive unadjusted
+    * form (`y ← αx + (1−α)y`; `v ← (1−α)(v + α(x−y)²)` — West 1979),
+    * with rows folded in (ts, tiebreak) order inside each trigger so
+    * the recursion is deterministic regardless of partition
+    * interleaving. A row is an anomaly when it lands more than
+    * `z`·σ from the running mean (after a `warmup` so the first rows
+    * can't all flag). This is the ingest-rate/quality-score tripwire
+    * that runs INSIDE the feed — the batch [[graft.operators
+    * .Constraints]] suite verifies a snapshot after the fact; this
+    * catches the drift while it arrives.
+    *
+    * Emits one row per key per trigger: (key, n_events, ewma,
+    * n_anomalies) — the state summary, O(keys) output. State is two
+    * doubles + two longs per key; add an event-time timeout upstream
+    * for unbounded key domains.
+    *
+    * In-trigger buffering sorts each key's batch slice in memory —
+    * bounded by a key's per-trigger arrival, the same bound windowed
+    * aggregation state carries. */
+  def streamingEwmaAnomaly(events: DataFrame, keyCol: String = "event_type",
+                           alpha: Double = 0.5, z: Double = 3.0,
+                           warmup: Int = 10): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(alpha > 0 && alpha < 1, s"streamingEwmaAnomaly: alpha in (0,1): $alpha")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // microsecond ordinal, not a seconds cast — a seconds truncation
+    // would re-order same-second rows vs the (ts, id) contract
+    val typed = events
+      .select(col(keyCol).cast("string"), unix_micros(col("ts")),
+        col("event_id"), col("value"))
+      .na.drop().as[(String, Long, Long, Double)]
+    // state: (n, ewma, ewvar, nAnomalies)
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double, Double, Long),
+        (String, Long, Double, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long, Double)],
+         state: GroupState[(Long, Double, Double, Long)]) =>
+          var (n, y, v, bad) = state.getOption.getOrElse((0L, 0.0, 0.0, 0L))
+          // deterministic fold order: (ts, event_id) within the trigger
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            val x = r._4
+            if (n == 0L) { y = x; v = 0.0 }
+            else {
+              if (n >= warmup && math.abs(x - y) > z * math.sqrt(v)) bad += 1
+              v = (1 - alpha) * (v + alpha * (x - y) * (x - y))
+              y = alpha * x + (1 - alpha) * y
+            }
+            n += 1
+          }
+          state.update((n, y, v, bad))
+          Iterator((key, n, y, bad))
+      }
+      .toDF(keyCol, "n_events", "ewma", "n_anomalies")
+  }
+
   /** Streaming exact dedup — the ingestion-side twin of
     * [[graft.operators.Dedup.exactByFingerprint]]: canonical fingerprint
     * + streaming `dropDuplicates`, so a document that re-arrives (retry,

@@ -237,6 +237,68 @@ class GovernanceSpec extends AnyFunSuite {
       "doc_id", n = 100).sdf)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  // ---- psiDrift ----
+
+  test("psiDrift: identical snapshots score ~0, a shifted one crosses the 0.25 bar") {
+    import graft.operators.Profiling
+    val schema = StructType(Seq(StructField("x", DoubleType)))
+    def frame(xs: Seq[Double]) =
+      Df.fromRows(spark, xs.map(Row(_)), schema)
+    val base = frame((0 until 1000).map(i => (i % 100).toDouble))
+    val same = Profiling.psiDrift(base, frame((0 until 1000).map(i =>
+      (i % 100).toDouble)), "x", bins = 10)
+      .sdf.select("psi_total").head().getDouble(0)
+    assert(same == 0.0, s"identical distributions scored $same")
+    // shift the mass up by 60: most rows change bins
+    val shifted = Profiling.psiDrift(base, frame((0 until 1000).map(i =>
+      ((i % 100) + 60).toDouble)), "x", bins = 10)
+      .sdf.select("psi_total").head().getDouble(0)
+    assert(shifted > 0.25, s"shifted distribution scored only $shifted")
+  }
+
+  test("psiDrift joins only bin-sized frames — no data-sized shuffle join") {
+    import graft.operators.Profiling
+    val o = Df.readParquet(spark, s"$sf/orders.parquet")
+    val base = new Df(o.sdf.where(year(col("o_orderdate")) < 1998))
+    val cur = new Df(o.sdf.where(year(col("o_orderdate")) >= 1998))
+    val out = Profiling.psiDrift(base, cur, "o_totalprice", bins = 10)
+    assert(out.sdf.count() <= 10)
+    // the only join in the plan is the k-row bin join, downstream of
+    // BOTH aggregations (counts collapse before anything joins)
+    val joins = out.sdf.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    // every join must touch an aggregated (≤ bins- or 1-row) side:
+    // raw-x-raw would mean the snapshots were joined data-sized
+    val dataSized = joins.filterNot(_.children.exists(side =>
+      side.collectFirst {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => ()
+      }.isDefined))
+    assert(dataSized.isEmpty,
+      out.sdf.queryExecution.optimizedPlan.toString)
+  }
+
+  // ---- sequenceIslands ----
+
+  test("sequenceIslands collapses runs, exposes gaps, and reuses one exchange") {
+    import graft.operators.Profiling
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("seq", LongType)))
+    val d = Df.fromRows(spark,
+      (Seq(1L, 2L, 3L, 7L, 8L, 12L).map(Row("a", _)) ++
+        Seq(5L, 6L).map(Row("b", _))), schema)
+    val got = Profiling.sequenceIslands(d, Seq("k"), "seq")
+      .sdf.orderBy("k", "island_start").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", 1L, 3L, 3L), ("a", 7L, 8L, 2L),
+      ("a", 12L, 12L, 1L), ("b", 5L, 6L, 2L)))
+    // window partitioning (k) ⊂ agg grouping (k, run) → one exchange
+    val li = Df.readParquet(spark, s"$sf/lineitem.parquet")
+    val p = plan(Profiling.sequenceIslands(li, Seq("l_returnflag"),
+      "l_orderkey").sdf)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
 }
 
 /** Shared small-table handles for governance tests. */

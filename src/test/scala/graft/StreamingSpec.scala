@@ -240,4 +240,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.forall { case (_, l, r) =>
       r.getTime >= l.getTime && r.getTime <= l.getTime + 3600000L })
   }
+
+  /** one-key synthetic feed: steady 100/102 alternation (σ settles
+    * ≈0.8, so the ±1 swing stays inside 3σ) with one 1000 spike at
+    * i=45 — exactly one >3σ excursion */
+  private def ewmaSample(i: Int): Double =
+    if (i == 45) 1000.0 else 100.0 + 2 * (i % 2)
+  private def ewmaFeed(dir: java.nio.file.Path, lo: Int, hi: Int): Unit = {
+    val rows = (lo until hi).map { i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L), "a",
+        ewmaSample(i))
+    }
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+  }
+
+  test("streaming EWMA anomaly: spike flagged, final state equals the batch recursion") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ewma_feed")
+    dir.toFile.deleteOnExit()
+    ewmaFeed(dir, 0, 60)
+    val st = spark.readStream
+      .schema(spark.read.parquet(dir.toString).schema)
+      .parquet(dir.toString)
+    val out = StreamOps.runToCompletion(
+      StreamOps.streamingEwmaAnomaly(st, keyCol = "event_type"),
+      "ewma_anomaly", mode = "append").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 60L)
+    // the lone spike is the only row > 3σ from the running mean
+    assert(r.getLong(3) == 1L, s"n_anomalies = ${r.getLong(3)}")
+    // batch recursion replay
+    var y = 0.0; var started = false
+    (0 until 60).foreach { i =>
+      val x = ewmaSample(i)
+      if (!started) { y = x; started = true } else y = 0.5 * x + 0.5 * y
+    }
+    assert(math.abs(r.getDouble(2) - y) < 1e-9, s"${r.getDouble(2)} vs $y")
+  }
+
+  test("streaming EWMA anomaly: state carries across triggers (two arrival waves)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ewma_feed2")
+    dir.toFile.deleteOnExit()
+    ewmaFeed(dir, 0, 30)   // wave 1
+    ewmaFeed(dir, 30, 60)  // wave 2 (second file → second trigger)
+    val st = spark.readStream
+      .schema(spark.read.parquet(dir.toString).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val out = StreamOps.runToCompletion(
+      StreamOps.streamingEwmaAnomaly(st, keyCol = "event_type"),
+      "ewma_anomaly2", mode = "append").collect()
+    // one emission per trigger; the LAST (n=60) must equal the
+    // single-trigger recursion — state crossed the trigger boundary
+    val last = out.maxBy(_.getLong(1))
+    assert(out.length == 2 && last.getLong(1) == 60L)
+    var y = 0.0; var started = false
+    (0 until 60).foreach { i =>
+      val x = ewmaSample(i)
+      if (!started) { y = x; started = true } else y = 0.5 * x + 0.5 * y
+    }
+    assert(math.abs(last.getDouble(2) - y) < 1e-9)
+    assert(last.getLong(3) == 1L)
+  }
 }
