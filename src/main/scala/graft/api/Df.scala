@@ -232,6 +232,22 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
         .otherwise(lit(labels._3))))
   }
 
+  /** k-fold assignment for cross-validation over a corpus too big to
+    * shuffle: `fold = hash32(seed:key) mod k`, the same portable
+    * md5-prefix rule as [[splitByHash]] — deterministic, engine-
+    * portable, stable under repartitioning, and fold-i membership
+    * never changes when data is added. One codegen'd map-side
+    * expression, no shuffle, no RNG state. Unlike [[splitByHash]]'s
+    * bucket-threshold carve, every fold here is an exact residue
+    * class, so folds are disjoint and exhaustive by construction. */
+  def kFoldSplit(keyCol: String, k: Int, seed: Long = 42L,
+                 out: String = "fold"): Df = {
+    require(k >= 2, s"kFoldSplit: k must be >= 2: $k")
+    val fold = graft.functions.TextFunctions.hash32(
+      concat_ws(":", lit(seed), col(keyCol).cast("string"))) % k
+    new Df(sdf.withColumn(out, fold.cast("int")))
+  }
+
   // ---- index emulation (SURVEY.md §7.4.1) ----
   /** `SetIndex` (`_expr.py:1118`): Spark rows are unordered, so the
     * pandas index is just a designated key column. We track the name;

@@ -1152,6 +1152,40 @@ object Curation {
       .where(col("sample_rank") <= k))
   }
 
+  /** Curriculum ordering: equi-depth difficulty phases + a
+    * deterministic within-phase shuffle key. The corpus cuts into
+    * `phases` equal-mass buckets at the exact `scoreCol` quantiles
+    * (easy → hard curriculum: train on phase 0 first), and inside a
+    * phase the md5(seed:id) key gives a reproducible random order —
+    * the [[epochShuffle]] property, so the training order is a pure
+    * function of (corpus, seed). Sorting by (phase, curriculum_key)
+    * IS the curriculum; no global rank is materialized (a
+    * range-partitioned sort at write time keeps it fully distributed).
+    *
+    * Cuts round 6dp (the cross-engine quantile convention) and phase
+    * = #{cuts < score} — a score exactly ON a cut belongs to the lower
+    * phase. Scale: one exact-percentile agg broadcast as a 1-row
+    * frame + a map-side phase/key projection; swap approx_percentile
+    * upstream when sketch error is acceptable. */
+  def curriculumOrder(df: Df, scoreCol: String, idCol: String,
+                      phases: Int, seed: Long = 42L): Df = {
+    require(phases >= 2, s"curriculumOrder: phases must be >= 2: $phases")
+    val qs = (1 until phases).map(i =>
+      i.toDouble / phases)
+    val cuts = df.sdf
+      .agg(expr(s"percentile($scoreCol, array(${qs.mkString(",")}))").as("__c"))
+      .select((1 until phases).map(i =>
+        round(element_at(col("__c"), i), 6).as(s"__cut$i")): _*)
+    val phase = (1 until phases).map(i =>
+      when(col(scoreCol).cast("double") > col(s"__cut$i"), 1)
+        .otherwise(0)).reduce(_ + _)
+    new Df(df.sdf.crossJoin(broadcast(cuts))
+      .withColumn("phase", phase)
+      .withColumn("curriculum_key",
+        md5(concat_ws(":", lit(seed), col(idCol).cast("string")).cast("binary")))
+      .drop((1 until phases).map(i => s"__cut$i"): _*))
+  }
+
   /** Round-robin interleaved selection of a global budget `n` across
     * source buckets — the corpus-balancing cut that a plain
     * quality-top-n gets wrong (it lets one over-represented source

@@ -55,4 +55,33 @@ object Linkage {
     }.reduce(_ unionByName _)
     new Df(pairs.where(col("dist") <= maxDist))
   }
+
+  /** Survivorship: collapse each resolved entity cluster to ONE golden
+    * record — per column, the modal non-null value (ties → smallest),
+    * plus `n_members`. The endgame after [[sortedNeighborhood]] (or
+    * any matcher) and connected components have assigned `clusterCol`:
+    * duplicates disagree on fields, the golden record keeps the value
+    * most of them agree on.
+    *
+    * Per column: a (cluster, value) count then a cluster-keyed
+    * `min_by(value, (-count, value))` — the monoid form of "mode with
+    * smallest-value tiebreak", partial-aggregable on both levels, so
+    * map-side combine collapses agreeing members before either
+    * shuffle. The per-column frames re-join on the cluster key
+    * (|cols| joins of cluster-sized — already collapsed — frames, not
+    * data-sized ones). All-null columns in a cluster survive as null
+    * via the left join from the membership spine. */
+  def goldenRecord(records: Df, clusterCol: String,
+                   cols: Seq[String]): Df = {
+    require(cols.nonEmpty, "goldenRecord: need at least one column")
+    val spine = records.sdf.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_members"))
+    val survived = cols.map { c =>
+      records.sdf.where(col(c).isNotNull)
+        .groupBy(col(clusterCol), col(c)).agg(count(lit(1)).as("__n"))
+        .groupBy(col(clusterCol))
+        .agg(min_by(col(c), struct((-col("__n")).as("nn"), col(c))).as(c))
+    }
+    new Df(survived.foldLeft(spine)(_.join(_, Seq(clusterCol), "left")))
+  }
 }

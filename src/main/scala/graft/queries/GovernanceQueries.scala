@@ -110,6 +110,38 @@ object GovernanceQueries {
       graft.operators.Profiling.sequenceIslands(e, Seq("user_id"),
         "event_id")
         .sortValues(Seq("user_id", "island_start")).sdf
+    }),
+
+    // ---- k-fold CV assignment: 5 exact md5 residue classes; per-fold
+    // count + key checksum proves the exact membership ----
+    "q223_kfold" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .kFoldSplit("o_orderkey", k = 5, seed = 42L)
+        .groupby("fold")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).cast("long").as("key_sum"))
+        .sortValues(Seq("fold")).sdf
+    }),
+
+    // ---- curriculum ordering: 4 equal-mass difficulty phases over
+    // n_chars, deterministic within-phase shuffle key ----
+    "q224_curriculum" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Curation.curriculumOrder(d, "n_chars", "doc_id", phases = 4,
+        seed = 42L).sdf
+        .select("doc_id", "phase", "curriculum_key")
+        .orderBy("phase", "curriculum_key")
+    }),
+
+    // ---- golden-record survivorship: per resolved entity, the modal
+    // segment/nation (ties → smallest) + member count ----
+    "q225_golden_record" -> ((s, dir) => {
+      val c = T(s, dir, "customer").sdf.where(col("c_custkey") < 600)
+      val clustered = new Df(c.withColumn("entity",
+        expr("c_custkey div 3")))
+      graft.operators.Linkage.goldenRecord(clustered, "entity",
+        Seq("c_mktsegment", "c_nationkey"))
+        .sortValues(Seq("entity")).sdf
     }))
 
   val oracles: Map[String, String] = Map(
@@ -249,6 +281,47 @@ object GovernanceQueries {
         |  MAX(event_id) AS island_end, COUNT(*) AS island_len
         |FROM r GROUP BY user_id, event_id - rn
         |ORDER BY user_id, island_start""".stripMargin,
+
+    "q223_kfold" ->
+      """SELECT CAST(('0x' || substr(md5('42:' || o_orderkey::VARCHAR),
+        |    1, 8))::BIGINT % 5 AS INTEGER) AS fold,
+        |  COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1 ORDER BY fold""".stripMargin,
+
+    // quantile_cont ≡ Spark percentile (both ROUND-6); a score ON a
+    // cut stays in the lower phase (strict >)
+    "q224_curriculum" ->
+      """WITH c AS (SELECT
+        |  ROUND(quantile_cont(n_chars, 0.25), 6) AS c1,
+        |  ROUND(quantile_cont(n_chars, 0.5), 6) AS c2,
+        |  ROUND(quantile_cont(n_chars, 0.75), 6) AS c3 FROM documents)
+        |SELECT doc_id,
+        |  (CASE WHEN n_chars::DOUBLE > c1 THEN 1 ELSE 0 END +
+        |   CASE WHEN n_chars::DOUBLE > c2 THEN 1 ELSE 0 END +
+        |   CASE WHEN n_chars::DOUBLE > c3 THEN 1 ELSE 0 END) AS phase,
+        |  md5('42:' || doc_id::VARCHAR) AS curriculum_key
+        |FROM documents, c ORDER BY phase, curriculum_key""".stripMargin,
+
+    "q225_golden_record" ->
+      """WITH r AS (SELECT c_custkey // 3 AS entity, c_mktsegment,
+        |    c_nationkey
+        |  FROM customer WHERE c_custkey < 600),
+        |spine AS (SELECT entity, COUNT(*) AS n_members FROM r GROUP BY 1),
+        |m1 AS (SELECT entity, c_mktsegment FROM (
+        |  SELECT entity, c_mktsegment, ROW_NUMBER() OVER (
+        |      PARTITION BY entity ORDER BY COUNT(*) DESC, c_mktsegment)
+        |      AS rn
+        |  FROM r WHERE c_mktsegment IS NOT NULL
+        |  GROUP BY entity, c_mktsegment) WHERE rn = 1),
+        |m2 AS (SELECT entity, c_nationkey FROM (
+        |  SELECT entity, c_nationkey, ROW_NUMBER() OVER (
+        |      PARTITION BY entity ORDER BY COUNT(*) DESC, c_nationkey)
+        |      AS rn
+        |  FROM r WHERE c_nationkey IS NOT NULL
+        |  GROUP BY entity, c_nationkey) WHERE rn = 1)
+        |SELECT spine.entity, n_members, c_mktsegment, c_nationkey
+        |FROM spine LEFT JOIN m1 USING (entity) LEFT JOIN m2 USING (entity)
+        |ORDER BY entity""".stripMargin,
 
     "q219_interleave_select" ->
       """WITH r AS (SELECT doc_id, source, n_chars,

@@ -299,6 +299,91 @@ class GovernanceSpec extends AnyFunSuite {
       "l_orderkey").sdf)
     assert("Exchange".r.findAllIn(p).size == 1, p)
   }
+
+  // ---- kFoldSplit ----
+
+  test("kFoldSplit: folds are disjoint residue classes, add-data stable, shuffle-free") {
+    val o = Df.readParquet(spark, s"$sf/orders.parquet")
+    val folded = o.kFoldSplit("o_orderkey", k = 5)
+    val counts = folded.sdf.groupBy("fold").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(0, 1, 2, 3, 4))
+    assert(counts.values.sum == o.sdf.count())
+    // adding data never moves an existing key's fold: the assignment
+    // on a half corpus equals the full corpus's for shared keys
+    val half = new Df(o.sdf.where(col("o_orderkey") % 2 === 0))
+      .kFoldSplit("o_orderkey", k = 5)
+      .sdf.select("o_orderkey", "fold").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val full = folded.sdf.select("o_orderkey", "fold").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(half.forall { case (k, f) => full(k) == f })
+    assert(!plan(folded.sdf).contains("Exchange"),
+      plan(folded.sdf)) // pure map-side expression
+  }
+
+  // ---- curriculumOrder ----
+
+  test("curriculumOrder: equal-mass phases, deterministic key, broadcast cuts") {
+    val cur = Curation.curriculumOrder(docs, "n_chars", "doc_id",
+      phases = 4)
+    val sizes = cur.sdf.groupBy("phase").count().orderBy("phase")
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    assert(sizes.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    val n = sizes.map(_._2).sum
+    // equi-depth: each phase within one tie-cluster of n/4
+    assert(sizes.forall { case (_, c) =>
+      math.abs(c - n / 4.0) <= n * 0.06 }, sizes.mkString(","))
+    // phase boundaries respect the score order: max(n_chars) of phase
+    // i ≤ min(n_chars) of phase i+1 up to cut ties
+    val bounds = cur.sdf.groupBy("phase")
+      .agg(min("n_chars").as("lo"), max("n_chars").as("hi"))
+      .orderBy("phase").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    bounds.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, bounds.mkString(","))
+    }
+    // reproducible: same (corpus, seed) → same key for every doc
+    val k1 = cur.sdf.select("doc_id", "curriculum_key").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val k2 = Curation.curriculumOrder(docs, "n_chars", "doc_id", 4)
+      .sdf.select("doc_id", "curriculum_key").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(k1 == k2)
+    val p = plan(cur.sdf)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p) // cuts ride a 1-row broadcast
+  }
+
+  // ---- goldenRecord ----
+
+  test("goldenRecord: modal value survives, ties pick smallest, all-null stays null") {
+    import graft.operators.Linkage
+    val schema = StructType(Seq(StructField("cl", LongType),
+      StructField("seg", StringType), StructField("nat", LongType)))
+    val d = Df.fromRows(spark, Seq(
+      Row(1L, "AUTO", 7L), Row(1L, "AUTO", 7L), Row(1L, "BIKE", 9L),
+      Row(2L, "SHIP", null), Row(2L, "RAIL", null),  // tie → RAIL; nat all-null
+      Row(3L, null, 4L)), schema)
+    val got = Linkage.goldenRecord(d, "cl", Seq("seg", "nat"))
+      .sdf.orderBy("cl").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 3L, "AUTO", 7L), (2L, 2L, "RAIL", -1L),
+      (3L, 1L, null, 4L)), got.mkString(","))
+  }
+
+  test("goldenRecord aggregates are partial (map-side combine before either shuffle)") {
+    import graft.operators.Linkage
+    val c = Df.readParquet(spark, s"$sf/customer.parquet")
+    val clustered = new Df(c.sdf.withColumn("entity",
+      expr("c_custkey div 3")))
+    val p = plan(Linkage.goldenRecord(clustered, "entity",
+      Seq("c_mktsegment")).sdf)
+    assert(p.contains("partial_min_by") || p.contains("partial min_by") ||
+      p.contains("min_by"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
 
 /** Shared small-table handles for governance tests. */
