@@ -58,6 +58,41 @@ object StreamingQueries {
       d.toString
     })
 
+  /** [[stage]] + two PUNCTUATION waves: one sentinel row each at
+    * max(ts)+1h and +2h (event_id/user_id = −1, the timer-drain
+    * convention [[graft.streaming.StreamOps.streamingSessionizeWithTimers]]
+    * documents) — their only job is advancing the watermark across two
+    * extra triggers so every event-time timer fires before the bounded
+    * feed ends. Memoized per src like [[stage]]. */
+  private val stagedFlush =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def stageWithFlush(s: org.apache.spark.sql.SparkSession,
+                             src: String): String =
+    stagedFlush.computeIfAbsent(src, { src =>
+      import java.nio.file.{Files, Paths}
+      val d = Files.createTempDirectory("graft_stream_flush")
+      d.toFile.deleteOnExit()
+      val real = d.resolve("arrival_01.parquet")
+      Files.copy(Paths.get(src), real)
+      real.toFile.deleteOnExit()
+      val raw = s.read.parquet(src)
+      for ((hours, i) <- Seq(1 -> 2, 2 -> 3)) {
+        val side = Files.createTempDirectory("graft_stream_sent")
+        raw.orderBy(col("ts").desc).limit(1)
+          .withColumn("ts", expr(s"ts + INTERVAL $hours HOUR"))
+          .withColumn("event_id", lit(-1L))
+          .withColumn("user_id", lit(-1L))
+          .coalesce(1).write.mode("overwrite").parquet(side.toString)
+        import scala.jdk.CollectionConverters._
+        val part = Files.list(side).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val t = d.resolve(f"arrival_$i%02d.parquet")
+        Files.copy(part, t)
+        t.toFile.deleteOnExit()
+      }
+      d.toString
+    })
+
   val defs: Map[String, Q] = Map(
     // ---- streaming tumbling windows: the q96 aggregation as an
     // actual streaming query (watermark + state store), emitted via
@@ -263,7 +298,64 @@ object StreamingQueries {
         .select(col("event_type"), col("n_events"),
           round(col("ewma"), 6).as("ewma"))
         .orderBy("event_type")
+    }),
+
+    // ---- transformWithState + EVENT-TIME TIMERS: explicit-state
+    // sessionization; in-batch gap closes emit immediately, idle-key
+    // finals drain when punctuation advances the watermark past each
+    // gap timer. Must equal the q128 session_window oracle exactly ----
+    "q227_stream_timer_sessions" -> ((s, dir) => {
+      val stream = StreamOps
+        .readEventsStream(s, stageWithFlush(s, s"$dir/events.parquet"))
+        .where(col("user_id") < 20)
+      StreamOps.runWithRocksDbState(s) {
+        StreamOps.runToCompletion(
+          StreamOps.streamingSessionizeWithTimers(stream,
+            watermark = "0 seconds"),
+          "q227_sink", mode = "append")
+      }
+        .orderBy("user_id", "session_start")
+    }),
+
+    // ---- transformWithState (Spark 4 arbitrary state, RocksDB):
+    // per-user streaming top-3 selection; single trigger → the
+    // emission IS the batch row_number ≤ 3 cut. No arithmetic, so
+    // values replay exactly ----
+    "q226_stream_topk_state" -> ((s, dir) => {
+      val stream = StreamOps
+        .readEventsStream(s, stage(s"$dir/events.parquet", 1))
+        .where(col("user_id") < 30)
+      StreamOps.runWithRocksDbState(s) {
+        StreamOps.runToCompletion(
+          StreamOps.streamingTopKPerKey(stream, k = 3),
+          "q226_sink", mode = "append")
+      }
+        .select("user_id", "event_id", "value", "rank")
+        .orderBy("user_id", "rank")
     }))
+
+  /** gaps-and-islands session replay (diff >= 30 min splits; end =
+    * last + gap; DECIMAL(18,4) value sums) — shared by the
+    * session_window query (q128) and the timer-state one (q227),
+    * which must agree with each other by construction. */
+  private val sessionsOracleSql: String =
+    """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value
+      |  FROM events WHERE user_id < 20),
+      |flags AS (SELECT user_id, ts, value,
+      |  CASE WHEN LAG(ts) OVER w IS NULL
+      |       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+      |  THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (SELECT user_id, ts, value,
+      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flags)
+      |SELECT MIN(ts) AS session_start,
+      |MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |user_id, COUNT(*) AS n_events,
+      |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // stateless streaming = the batch rule battery, verbatim
@@ -288,6 +380,14 @@ object StreamingQueries {
         |SELECT event_type, n AS n_events, ROUND(CAST(y AS DOUBLE), 6)
         |  AS ewma
         |FROM j ORDER BY event_type""".stripMargin,
+
+    "q226_stream_topk_state" ->
+      """WITH r AS (SELECT user_id, event_id, value,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY value DESC, event_id) AS rank
+        |  FROM events WHERE user_id < 30)
+        |SELECT user_id, event_id, value, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
     // file-sink identity: what arrived is what landed
     "q185_stream_sink" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
@@ -343,24 +443,8 @@ object StreamingQueries {
         |GROUP BY 1, 2 ORDER BY win_start, user_id""".stripMargin,
     // the q90 gaps-and-islands construction (new session when the gap
     // is >= 30 minutes; session end = last event + gap, exclusive)
-    "q128_stream_sessions" ->
-      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value
-        |  FROM events WHERE user_id < 20),
-        |flags AS (SELECT user_id, ts, value,
-        |  CASE WHEN LAG(ts) OVER w IS NULL
-        |       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
-        |  THEN 1 ELSE 0 END AS new_s
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |sess AS (SELECT user_id, ts, value,
-        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |    ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM flags)
-        |SELECT MIN(ts) AS session_start,
-        |MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-        |user_id, COUNT(*) AS n_events,
-        |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
-        |FROM sess GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
+    "q227_stream_timer_sessions" -> sessionsOracleSql,
+    "q128_stream_sessions" -> sessionsOracleSql,
     // distinct canonical fingerprints of the corpus — duplicate
     // arrivals (and the corpus's own exact dups) collapse to one row
     "q129_stream_dedup" ->

@@ -193,6 +193,103 @@ object StreamOps {
       .toDF(keyCol, "n_events", "ewma", "n_anomalies")
   }
 
+  /** Per-key streaming top-k selection on the Spark 4 arbitrary-state
+    * API (`transformWithState` + `ListState`, RocksDB-backed): keep
+    * the `k` best (value, tiebreak id) rows per key as the feed
+    * arrives — "best k docs per domain" corpus selection running
+    * INSIDE ingest instead of as a nightly batch top-k. Each trigger
+    * merges the key's arrivals into its k-row `ListState` and emits
+    * the current top-k with ranks; state per key is EXACTLY k tuples,
+    * so total state is k·|keys| regardless of feed volume. The final
+    * emission equals the batch `row_number ≤ k` over everything that
+    * ever arrived — order-insensitive by construction (max-merge is a
+    * monoid), which is what makes it oracle-checkable.
+    *
+    * transformWithState requires the RocksDB state store; run it via
+    * [[runWithRocksDbState]] (or set
+    * `spark.sql.streaming.stateStore.providerClass` yourself). */
+  def streamingTopKPerKey(events: DataFrame, keyCol: String = "user_id",
+                          k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    require(k >= 1, s"streamingTopKPerKey: k must be >= 1: $k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col(keyCol), col("event_id"), col("value"))
+      .na.drop().as[(Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .transformWithState(new TopKProcessor(k), TimeMode.None(),
+        OutputMode.Append())
+      .toDF(keyCol, "event_id", "value", "rank")
+  }
+
+  /** Event-time sessionization with EXPLICIT gap timers on the Spark 4
+    * arbitrary-state API — what `session_window` cannot express is the
+    * point: the processor owns the session record (start, last, count,
+    * exact decimal value sum), closes a session in-batch the moment a
+    * gap appears, and registers an event-time TIMER at `last + gap` so
+    * the watermark closes the final session of an idle key without any
+    * further input (`handleExpiredTimer`). That idle-key close is the
+    * piece business-rule sessionizers need (emit on abandon, cap
+    * duration, step-aware merges) and windowed aggregation can't do.
+    *
+    * Input contract: rows carry `ts` (timestamp) + `user_id` +
+    * `event_id` + `value`, a watermark is REQUIRED upstream (event-
+    * time timers fire off it). Rows with `event_id < 0` are
+    * PUNCTUATION: they advance the watermark but never join a session
+    * — the bounded-feed flush pattern (stage a far-future sentinel to
+    * drain final sessions; an unbounded production feed just keeps
+    * flowing and needs none).
+    *
+    * Output: one row per CLOSED session — (user_id, start, end =
+    * last + gap, n_events, value sum as DECIMAL(18,4)-exact double) —
+    * emitted exactly once, at close. Session split uses the
+    * `diff >= gap` convention (the session_window/q90 semantics).
+    * State per key: one open-session record + one timer. */
+  def streamingSessionizeWithTimers(events: DataFrame,
+                                    gap: String = "30 minutes",
+                                    watermark: String = "2 hours")
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val gapMicros = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(gap)) match {
+      case iv =>
+        require(iv.months == 0 && iv.days == 0,
+          s"streamingSessionizeWithTimers: gap must be sub-day: $gap")
+        iv.microseconds
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapMicros),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "start_us", "end_us", "n_events", "session_value")
+      .select(
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+  }
+
+  /** Run `body` with the RocksDB state store provider active (required
+    * by transformWithState), restoring the previous provider after —
+    * the rest of the suite keeps the default HDFS-backed store. */
+  def runWithRocksDbState[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Streaming exact dedup — the ingestion-side twin of
     * [[graft.operators.Dedup.exactByFingerprint]]: canonical fingerprint
     * + streaming `dropDuplicates`, so a document that re-arrives (retry,
@@ -349,5 +446,105 @@ object StreamOps {
     try q.processAllAvailable()
     finally q.stop()
     streamed.sparkSession.table(name)
+  }
+}
+
+/** k-best (value desc, id asc) tuples per key in RocksDB ListState —
+  * the [[StreamOps.streamingTopKPerKey]] processor. Kept top-level:
+  * the processor is serialized to executors, and an inner class would
+  * drag the enclosing object graph along. */
+/** Open-session record + gap timer per key — the
+  * [[StreamOps.streamingSessionizeWithTimers]] processor. Value sums
+  * accumulate as exact scale-4 BigDecimal (each double rounds to 4dp
+  * the way Spark's decimal cast does — via the double's shortest
+  * string — so the emitted sum replays in SQL as
+  * `SUM(CAST(value AS DECIMAL(18,4)))`). */
+private[streaming] class SessionProcessor(gapMicros: Long)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, Long, Double), (Long, Long, Long, Long, Double)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  // (startMicros, lastMicros, nEvents, valueSum scale-4)
+  @transient private var session: ValueState[(Long, Long, Long, BigDecimal)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    session = getHandle.getValueState[(Long, Long, Long, BigDecimal)](
+      "session", Encoders.product[(Long, Long, Long, BigDecimal)],
+      TTLConfig.NONE)
+
+  private def dec4(v: Double): BigDecimal =
+    BigDecimal(java.lang.Double.toString(v))
+      .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+
+  private def timerMsFor(lastMicros: Long): Long =
+    (lastMicros + gapMicros) / 1000 + 1 // ceil to the ms timer clock
+
+  override def handleInputRows(key: Long,
+                               rows: Iterator[(Long, Long, Long, Double)],
+                               timers: TimerValues)
+      : Iterator[(Long, Long, Long, Long, Double)] = {
+    val closed = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Double)]
+    var cur: Option[(Long, Long, Long, BigDecimal)] =
+      if (session.exists()) Some(session.get()) else None
+    // deterministic fold: (ts, event_id); event_id < 0 = punctuation
+    rows.toSeq.filter(_._3 >= 0).sortBy(r => (r._2, r._3)).foreach { r =>
+      val (ts, v) = (r._2, r._4)
+      cur match {
+        case Some((start, last, n, sum)) if ts - last < gapMicros =>
+          cur = Some((start, ts, n + 1, sum + dec4(v)))
+        case Some((start, last, n, sum)) => // gap reached: close, reopen
+          closed += ((key, start, last + gapMicros, n, sum.toDouble))
+          cur = Some((ts, ts, 1L, dec4(v)))
+        case None =>
+          cur = Some((ts, ts, 1L, dec4(v)))
+      }
+    }
+    cur.foreach { case s @ (_, last, _, _) =>
+      session.update(s)
+      // one live timer per key: re-arm at the new session horizon
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(timerMsFor(last))
+    }
+    closed.iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                  info: ExpiredTimerInfo)
+      : Iterator[(Long, Long, Long, Long, Double)] =
+    (if (session.exists()) Some(session.get()) else None) match {
+      // fire only the CURRENT session's horizon (a stale timer from a
+      // since-extended session re-arms smaller and is deleted anyway)
+      case Some((start, last, n, sum))
+          if info.getExpiryTimeInMs() >= timerMsFor(last) =>
+        session.clear()
+        Iterator((key, start, last + gapMicros, n, sum.toDouble))
+      case _ => Iterator.empty
+    }
+}
+
+private[streaming] class TopKProcessor(k: Int)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, Double), (Long, Long, Double, Int)] {
+  import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var top: ListState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    top = getHandle.getListState[(Long, Double)]("topk",
+      Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+                               rows: Iterator[(Long, Long, Double)],
+                               timers: TimerValues)
+      : Iterator[(Long, Long, Double, Int)] = {
+    val merged = (top.get().toSeq ++ rows.map(r => (r._2, r._3)))
+      .sortBy { case (id, v) => (-v, id) }.take(k)
+    top.put(merged.toArray)
+    merged.iterator.zipWithIndex.map { case ((id, v), i) =>
+      (key, id, v, i + 1)
+    }
   }
 }

@@ -304,4 +304,98 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(last.getDouble(2) - y) < 1e-9)
     assert(last.getLong(3) == 1L)
   }
+
+  test("transformWithState top-k per key equals the batch row_number cut") {
+    val dir = stageDir
+    val stream = StreamOps.readEventsStream(spark, dir)
+      .where(col("user_id") < 30)
+    val got = StreamOps.runWithRocksDbState(spark) {
+      StreamOps.runToCompletion(
+        StreamOps.streamingTopKPerKey(stream, k = 3),
+        "tws_topk", mode = "append").collect()
+    }.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    val want = graft.queries.QueryUtil.events(spark, dir).sdf
+      .where(col("user_id") < 30)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Int]("rank"))).sorted.toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("transformWithState top-k state merges across triggers (two arrival waves)") {
+    val d = java.nio.file.Files.createTempDirectory("graft_tws_feed")
+    d.toFile.deleteOnExit()
+    // wave 1: key 1 sees values 10..19; wave 2: 5 higher ones arrive
+    def wave(lo: Int, hi: Int): Unit = {
+      import spark.implicits._
+      (lo until hi).map(i => (i.toLong, 1L, i.toDouble)).toDF(
+        "event_id", "user_id", "value")
+        .coalesce(1).write.mode("append").parquet(d.toString)
+    }
+    wave(10, 20); wave(100, 105)
+    val st = spark.readStream
+      .schema(spark.read.parquet(d.toString).schema)
+      .option("maxFilesPerTrigger", "1").parquet(d.toString)
+    val out = StreamOps.runWithRocksDbState(spark) {
+      StreamOps.runToCompletion(
+        StreamOps.streamingTopKPerKey(st, k = 3),
+        "tws_topk2", mode = "append").collect()
+    }
+    // 2 triggers × 3 ranks; the FINAL trigger's top-3 must be the
+    // global best regardless of which wave carried them
+    assert(out.length == 6)
+    val finalTop = out.map(r => (r.getLong(1), r.getInt(3)))
+      .groupBy(_._1).keySet // event_ids emitted
+    val lastWave = out.filter(_.getDouble(2) >= 100.0)
+      .map(r => (r.getLong(1), r.getInt(3))).sorted.toSeq
+    assert(lastWave == Seq((102L, 3), (103L, 2), (104L, 1)),
+      out.mkString(","))
+    assert(finalTop.contains(19L)) // wave-1's best ranked in trigger 1
+  }
+
+  test("timer sessionization equals batch session_window; idle keys drain via timers") {
+    // stage: the real feed, then two punctuation waves (+1h, +2h past
+    // the max event time) whose only job is advancing the watermark so
+    // every final session's gap timer fires
+    val d = java.nio.file.Files.createTempDirectory("graft_tws_sessions")
+    d.toFile.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      d.resolve("arrival_01.parquet"))
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    def sentinel(hours: Int, name: String): Unit = {
+      val side = java.nio.file.Files.createTempDirectory("graft_tws_sent")
+      raw.orderBy(col("ts").desc).limit(1)
+        .withColumn("ts", expr(s"ts + INTERVAL $hours HOUR"))
+        .withColumn("event_id", lit(-1L))
+        .withColumn("user_id", lit(-1L))
+        .coalesce(1).write.mode("overwrite").parquet(side.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(side).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part, d.resolve(name))
+    }
+    sentinel(1, "arrival_02.parquet")
+    sentinel(2, "arrival_03.parquet")
+    val stream = StreamOps.readEventsStream(spark, d.toString)
+      .where(col("user_id") < 20)
+    val got = StreamOps.runWithRocksDbState(spark) {
+      StreamOps.runToCompletion(
+        StreamOps.streamingSessionizeWithTimers(stream,
+          watermark = "0 seconds"),
+        "tws_sessions", mode = "append").collect()
+    }.map(r => (r.getLong(2), r.getTimestamp(0), r.getTimestamp(1),
+      r.getLong(3), math.rint(r.getDouble(4) * 100) / 100)).sorted.toSeq
+    val want = StreamOps.userSessions(
+      graft.queries.QueryUtil.events(spark, s"$sf").sdf
+        .where(col("user_id") < 20 && col("user_id") >= 0))
+      .collect()
+      .map(r => (r.getLong(2), r.getTimestamp(0), r.getTimestamp(1),
+        r.getLong(3), math.rint(r.getDouble(4) * 100) / 100)).sorted.toSeq
+    assert(got.nonEmpty && got == want,
+      s"got ${got.size} sessions vs ${want.size}")
+  }
 }
