@@ -486,6 +486,111 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     new Df(sdf.withColumn(out, rank().over(w)))
   }
 
+  /** pandas `melt` (wide → long): id columns are repeated, each value
+    * column becomes a (variable, value) row. Compiles to Catalyst's
+    * `stack` generator — a per-row expansion inside whole-stage codegen;
+    * NO shuffle, NO extra scan per value column (vs the naive
+    * one-UNION-branch-per-column plan, which re-reads the source
+    * `valueVars.size` times). Value columns are cast to a common type
+    * (`valueType`) since long-format rows share one value column. */
+  def melt(idVars: Seq[String], valueVars: Seq[String],
+           varName: String = "variable", valueName: String = "value",
+           valueType: String = "double"): Df = {
+    require(valueVars.nonEmpty)
+    val stackArgs = valueVars
+      .map(v => s"'$v', CAST(`$v` AS $valueType)").mkString(", ")
+    new Df(sdf.selectExpr(
+      idVars.map(c => s"`$c`") :+
+        s"stack(${valueVars.size}, $stackArgs) AS ($varName, $valueName)": _*))
+  }
+
+  /** pandas `get_dummies` over one column: one 0/1 indicator column per
+    * listed category. The explicit `values` list keeps the schema static
+    * (schema inference over data is a driver-side collect at 100 TB —
+    * refused by design, mirroring [[pivotTable]]). Pure when-chain
+    * projection: codegen'd, no shuffle. */
+  def getDummies(c: String, values: Seq[Any], prefix: String = ""): Df = {
+    val p = if (prefix.nonEmpty) prefix else c
+    val dummies = values.map(v =>
+      when(sdf(c) === lit(v), 1).otherwise(0).as(s"${p}_$v"))
+    new Df(sdf.select(sdf.columns.map(sdf(_)).toSeq ++ dummies: _*))
+  }
+
+  /** pandas `crosstab(index, columns)`: contingency counts, rows = index
+    * values, one column per listed `colValues` entry. Single
+    * partial+final aggregate (map-side combine), never wider than the
+    * explicit value list. */
+  def crosstabCount(index: String, columns: String, colValues: Seq[Any]): Df =
+    new Df(sdf.groupBy(sdf(index)).pivot(columns, colValues)
+      .agg(org.apache.spark.sql.functions.count(lit(1)))
+      // absent combinations pivot to null; pandas crosstab says 0
+      .na.fill(0L, colValues.map(_.toString)))
+
+  /** pandas `ffill`/`bfill` over an explicit order (Spark rows are
+    * unordered; pandas' implicit positional order must be named). The
+    * carried value is `last(_, ignoreNulls)` over an expanding row frame
+    * — one window pass per column, one shuffle total on the partition
+    * keys (or a single-partition sort when `partitionBy` is empty, which
+    * is only for small frames — at scale always partition). */
+  def ffill(cols: Seq[String], orderKeys: Seq[String],
+            partitionBy: Seq[String] = Nil): Df =
+    fillDirectional(cols, orderKeys, partitionBy, forward = true)
+
+  /** see [[ffill]]; carries the NEXT non-null backward instead. */
+  def bfill(cols: Seq[String], orderKeys: Seq[String],
+            partitionBy: Seq[String] = Nil): Df =
+    fillDirectional(cols, orderKeys, partitionBy, forward = false)
+
+  private def fillDirectional(cols: Seq[String], orderKeys: Seq[String],
+                              partitionBy: Seq[String], forward: Boolean): Df = {
+    import org.apache.spark.sql.expressions.Window
+    val w0 = if (partitionBy.isEmpty) Window.partitionBy()
+      else Window.partitionBy(partitionBy.map(sdf(_)): _*)
+    val ordered = w0.orderBy(orderKeys.map(sdf(_).asc): _*)
+    val w = if (forward) ordered.rowsBetween(Window.unboundedPreceding, 0)
+      else ordered.rowsBetween(0, Window.unboundedFollowing)
+    val filled = cols.foldLeft(sdf) { (d, c) =>
+      val carried = if (forward) last(d(c), ignoreNulls = true).over(w)
+        else first(d(c), ignoreNulls = true).over(w)
+      d.withColumn(c, carried)
+    }
+    new Df(filled)
+  }
+
+  /** pandas `pct_change(periods)` over an explicit order: value / lagged
+    * value − 1. Same plan shape as [[diff]] — one window pass. */
+  def pctChange(c: String, orderKeys: Seq[String], out: String,
+                periods: Int = 1, partitionBy: Seq[String] = Nil): Df = {
+    import org.apache.spark.sql.expressions.Window
+    val w0 = if (partitionBy.isEmpty) Window.partitionBy()
+      else Window.partitionBy(partitionBy.map(sdf(_)): _*)
+    val w = w0.orderBy(orderKeys.map(sdf(_).asc): _*)
+    new Df(sdf.withColumn(out, sdf(c) / lag(sdf(c), periods).over(w) - lit(1.0)))
+  }
+
+  /** pandas `qcut(labels=False)`: quantile binning into `q` roughly
+    * equal-population buckets (0-based). Two-phase and scalable: one
+    * aggregation pass computes the q−1 interior break points (exact
+    * interpolated percentile, rounded 6dp so Spark and DuckDB land on
+    * the same doubles), then bucket assignment is a codegen'd sum of
+    * `value > break` comparisons — NO global sort / single-partition
+    * window, which is what a naive ntile-based qcut would need. The
+    * break collect is k−1 scalars, O(1) in table size. */
+  def qcut(c: String, q: Int, out: String): Df = {
+    require(q >= 2)
+    val probs = (1 until q).map(i => i.toDouble / q)
+    // round inside the engine (SQL half-up ROUND, the same rule DuckDB's
+    // ROUND applies) — NOT JVM rint, whose banker's rounding can differ
+    // in the last digit and shift boundary rows across buckets
+    val breaks = sdf.agg(
+      expr(s"transform(percentile(`$c`, array(${probs.mkString(", ")})), " +
+        "x -> round(x, 6))").as("b"))
+      .head.getSeq[Double](0)
+    val bucket = breaks.map(b => when(sdf(c) > lit(b), 1).otherwise(0))
+      .reduce(_ + _)
+    new Df(sdf.withColumn(out, bucket))
+  }
+
   /** frame ⟷ scalar-reduction broadcasting (`df + df.sum()`,
     * reference `tests/test_collection.py:379-387`): cross-join the 1-row
     * aggregate, broadcast — every executor gets the scalar for free. */
