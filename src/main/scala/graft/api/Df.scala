@@ -575,16 +575,24 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * the same doubles), then bucket assignment is a codegen'd sum of
     * `value > break` comparisons — NO global sort / single-partition
     * window, which is what a naive ntile-based qcut would need. The
-    * break collect is k−1 scalars, O(1) in table size. */
-  def qcut(c: String, q: Int, out: String): Df = {
+    * break collect is k−1 scalars, O(1) in table size.
+    *
+    * `exact = false` swaps the exact percentile (sort-based partials —
+    * fine to ~10⁹ rows/partition-group, heavy beyond) for the mergeable
+    * `percentile_approx` sketch — the 100 TB path; bucket POPULATIONS
+    * then deviate by the sketch's rank error but assignment stays
+    * deterministic. */
+  def qcut(c: String, q: Int, out: String, exact: Boolean = true): Df = {
     require(q >= 2)
     val probs = (1 until q).map(i => i.toDouble / q)
     // round inside the engine (SQL half-up ROUND, the same rule DuckDB's
     // ROUND applies) — NOT JVM rint, whose banker's rounding can differ
     // in the last digit and shift boundary rows across buckets
+    val pctExpr =
+      if (exact) s"percentile(`$c`, array(${probs.mkString(", ")}))"
+      else s"percentile_approx(`$c`, array(${probs.mkString(", ")}), 10000)"
     val breaks = sdf.agg(
-      expr(s"transform(percentile(`$c`, array(${probs.mkString(", ")})), " +
-        "x -> round(x, 6))").as("b"))
+      expr(s"transform($pctExpr, x -> round(x, 6))").as("b"))
       .head.getSeq[Double](0)
     val bucket = breaks.map(b => when(sdf(c) > lit(b), 1).otherwise(0))
       .reduce(_ + _)

@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import QueryUtil._
 
-/** Mergeable-sketch state + time-range windows. q234–q235.
+/** Mergeable-sketch state, time-range windows, one-pass model fits.
+  * q234–q236.
   *
   * q234 is the "sketch as a column" pattern: per-language HLL sketches
   * built in ONE partial+final aggregate (kilobytes shuffle, never raw
@@ -56,6 +57,15 @@ object SketchQueries {
         .where(col("event_id") % 20 === 0)
         .select("user_id", "event_id", "ts", "n_1h", "sum_1h")
         .sortValues(Seq("user_id", "ts")).sdf
+    }),
+
+    // ---- closed-form 2-feature OLS inside the plan: ONE exact-decimal
+    // moment pass + a projection solving the centered normal
+    // equations; no driver arithmetic, no iteration ----
+    "q236_ols_fit" -> ((s, dir) => {
+      graft.operators.Regression.olsFit2(
+        T(s, dir, "lineitem"),
+        y = "l_extendedprice", x1 = "l_quantity", x2 = "l_discount").sdf
     }))
 
   val oracles: Map[String, String] = Map(
@@ -69,6 +79,43 @@ object SketchQueries {
         |UNION ALL
         |SELECT 'ALL', COUNT(DISTINCT doc_id)::BIGINT, TRUE FROM documents
         |ORDER BY lang""".stripMargin,
+
+    // q236 replays the identical expression tree (same decimal casts,
+    // same double-op nesting) so both engines land on the same IEEE
+    // doubles before the final ROUND-6
+    "q236_ols_fit" ->
+      """WITH a AS (
+        |  SELECT count(*)::DOUBLE AS n,
+        |    (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sx1,
+        |    (sum(l_discount::DECIMAL(18,2)))::DOUBLE AS sx2,
+        |    (sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE AS sy,
+        |    (sum((l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2))::DECIMAL(38,4)))::DOUBLE AS sx1x1,
+        |    (sum((l_quantity::DECIMAL(18,2) * l_discount::DECIMAL(18,2))::DECIMAL(38,4)))::DOUBLE AS sx1x2,
+        |    (sum((l_discount::DECIMAL(18,2) * l_discount::DECIMAL(18,2))::DECIMAL(38,4)))::DOUBLE AS sx2x2,
+        |    (sum((l_quantity::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2))::DECIMAL(38,4)))::DOUBLE AS sx1y,
+        |    (sum((l_discount::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2))::DECIMAL(38,4)))::DOUBLE AS sx2y,
+        |    (sum((l_extendedprice::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2))::DECIMAL(38,4)))::DOUBLE AS syy
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT n, sx1, sx2, sy,
+        |    sx1x1 - sx1 * sx1 / n AS s11,
+        |    sx1x2 - sx1 * sx2 / n AS s12,
+        |    sx2x2 - sx2 * sx2 / n AS s22,
+        |    sx1y - sx1 * sy / n AS s1y,
+        |    sx2y - sx2 * sy / n AS s2y,
+        |    syy - sy * sy / n AS scy
+        |  FROM a),
+        |b AS (
+        |  SELECT n, sx1, sx2, sy, s1y, s2y, scy,
+        |    (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b1,
+        |    (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS b2
+        |  FROM c)
+        |SELECT
+        |  ROUND((sy - b1 * sx1 - b2 * sx2) / n, 6) AS b0,
+        |  ROUND(b1, 6) AS b1,
+        |  ROUND(b2, 6) AS b2,
+        |  ROUND((b1 * s1y + b2 * s2y) / scy, 6) AS r2
+        |FROM b""".stripMargin,
 
     "q235_rolling_time" ->
       """WITH r AS (

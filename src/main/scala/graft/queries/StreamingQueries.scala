@@ -332,6 +332,29 @@ object StreamingQueries {
       }
         .select("user_id", "event_id", "value", "rank")
         .orderBy("user_id", "rank")
+    }),
+
+    // ---- stream-stream LEFT OUTER interval join: q159's attribution
+    // shape plus the views that never converted (r_ts null). Outer
+    // rows only emit once the watermark proves no match can arrive, so
+    // the bounded feed ends with stageWithFlush's sentinel waves
+    // (user_id = -1: they advance BOTH sides' watermarks, join only
+    // with each other, and are dropped by the key >= 0 cut). The
+    // watermark-0 contract mirrors q227 ----
+    "q237_stream_left_join" -> ((s, dir) => {
+      val src = stageWithFlush(s, s"$dir/events.parquet")
+      def side(t: String) = StreamOps.readEventsStream(s, src)
+        .where(col("user_id") < 0 ||
+          (col("event_type") === t && col("user_id") < 30))
+      StreamOps.runToCompletion(
+        StreamOps.streamStreamIntervalJoin(side("view"), side("click"),
+          "user_id", watermark = "0 seconds", how = "leftOuter"),
+        "q237_sink", mode = "append")
+        .where(col("key") >= 0)
+        .groupBy(col("key").as("user_id"))
+        .agg(count(col("r_ts")).as("n_clicks"),
+          count(lit(1)).cast("long").as("n_rows"))
+        .orderBy("user_id")
     }))
 
   /** gaps-and-islands session replay (diff >= 30 min splits; end =
@@ -401,6 +424,20 @@ object StreamingQueries {
         |c AS (SELECT user_id, ts FROM e WHERE event_type = 'click')
         |SELECT v.user_id AS user_id, COUNT(*) AS n_pairs
         |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '1 hour'
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+    // q237: the batch LEFT join replay — n_rows counts view rows AND
+    // their pair multiplicity, n_clicks only the matched ones; the gap
+    // is exactly the never-converted views the outer side adds
+    "q237_stream_left_join" ->
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type
+        |  FROM events WHERE user_id < 30 AND user_id >= 0),
+        |v AS (SELECT user_id, ts FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts FROM e WHERE event_type = 'click')
+        |SELECT v.user_id AS user_id,
+        |  COUNT(c.ts)::BIGINT AS n_clicks,
+        |  COUNT(*)::BIGINT AS n_rows
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '1 hour'
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
     // the batch join doubled (two staged arrival waves); decimal-exact

@@ -385,18 +385,31 @@ object StreamOps {
     * Output: (key, l_ts, r_ts) per matched pair, append-mode only
     * (inner stream-stream joins cannot run complete). Late rows beyond
     * `watermark` are dropped by contract — size it to the feed's
-    * real-world disorder. */
+    * real-world disorder.
+    *
+    * `how = "leftOuter"` adds the NO-MATCH left rows (r_ts null) — the
+    * "views that never converted" shape. An outer stream-stream row can
+    * only emit once the watermark proves no match can still arrive
+    * (past `l_ts + upper`), so on a BOUNDED feed the tail of the left
+    * side stays withheld unless the feed ends with watermark-advancing
+    * punctuation (the q227 sentinel-wave pattern) — and the null-match
+    * timing is also why outer results trail the matched ones in
+    * production. Same bounded state either way: the time-range
+    * condition is what lets the store evict. */
   def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
                                keyCol: String, tsCol: String = "ts",
                                watermark: String = "2 hours",
-                               upper: String = "1 hour"): DataFrame = {
+                               upper: String = "1 hour",
+                               how: String = "inner"): DataFrame = {
+    require(Set("inner", "leftOuter").contains(how),
+      s"streamStreamIntervalJoin: how must be inner|leftOuter: $how")
     val l = left.select(col(keyCol).as("key"), col(tsCol).as("l_ts"))
       .withWatermark("l_ts", watermark)
     val r = right.select(col(keyCol).as("__rkey"), col(tsCol).as("r_ts"))
       .withWatermark("r_ts", watermark)
     l.join(r, col("key") === col("__rkey") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $upper"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $upper"), how)
       .select(col("key"), col("l_ts"), col("r_ts"))
   }
 

@@ -241,6 +241,50 @@ class StreamingSpec extends AnyFunSuite {
       r.getTime >= l.getTime && r.getTime <= l.getTime + 3600000L })
   }
 
+  test("stream-stream LEFT OUTER interval join emits null-match rows after the watermark passes") {
+    // wave 1: user 1 view@t0 + click@t0+30m (match), view@t0+2h (no
+    // click); user 2 view@t0 (no click). wave 2: a user_id=-1 sentinel
+    // 6h later — with watermark 0s it proves no match can arrive, so
+    // the two never-converted views must emit with r_ts null.
+    val t0 = 1700000000000L
+    def row(id: Long, uid: Long, offMin: Int, t: String) =
+      (id, new java.sql.Timestamp(t0 + offMin * 60000L), uid, t, 1.0, "{}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_louter")
+    dir.toFile.deleteOnExit()
+    import spark.implicits._
+    Seq(row(1, 1, 0, "view"), row(2, 1, 30, "click"),
+      row(3, 1, 120, "view"), row(4, 2, 0, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(dir.resolve("arrival_01").toString)
+    Seq(row(-1, -1, 360, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(dir.resolve("arrival_02").toString)
+    // flatten the two waves into ordered arrival files
+    val feed = java.nio.file.Files.createTempDirectory("graft_louter_feed")
+    feed.toFile.deleteOnExit()
+    for ((w, i) <- Seq("arrival_01", "arrival_02").zipWithIndex) {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(dir.resolve(w))
+      val f = try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+      java.nio.file.Files.copy(f, feed.resolve(f"arrival_$i%02d.parquet"))
+    }
+    def side(t: String) = StreamOps.readEventsStream(spark, feed.toString)
+      .where(col("user_id") < 0 || col("event_type") === t)
+    val got = StreamOps.runToCompletion(
+      StreamOps.streamStreamIntervalJoin(side("view"), side("click"),
+        "user_id", watermark = "0 seconds", how = "leftOuter"),
+      "louter_join", mode = "append").collect()
+      .filter(_.getLong(0) >= 0)
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        Option(r.getTimestamp(2)).map(_.getTime))).sortBy(x => (x._1, x._2)).toSeq
+    assert(got == Seq(
+      (1L, t0, Some(t0 + 30 * 60000L)),
+      (1L, t0 + 120 * 60000L, None),
+      (2L, t0, None)))
+  }
+
   /** one-key synthetic feed: steady 100/102 alternation (σ settles
     * ≈0.8, so the ±1 swing stays inside 3σ) with one 1000 spike at
     * i=45 — exactly one >3σ excursion */
