@@ -20,12 +20,14 @@ object SparkEntry {
       JoinQueries.defs ++ WindowQueries.defs ++ ExtensionQueries.defs ++
       AnalyticsQueries.defs ++ CoverageQueries.defs ++ CoverageQueries.defs2 ++
       CurationQueries.defs ++ PipelineQueries.defs ++ StreamingQueries.defs ++
-      GovernanceQueries.defs ++ ReshapeQueries.defs ++ SketchQueries.defs
+      GovernanceQueries.defs ++ ReshapeQueries.defs ++ SketchQueries.defs ++
+      FeatureQueries.defs
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ElementwiseQueries.oracles ++ ReductionQueries.oracles ++
       JoinQueries.oracles ++ WindowQueries.oracles ++ ExtensionQueries.oracles ++
       AnalyticsQueries.oracles ++ CoverageQueries.oracles ++ CoverageQueries.oracles2 ++
       CurationQueries.oracles ++ PipelineQueries.oracles ++ StreamingQueries.oracles ++
-      GovernanceQueries.oracles ++ ReshapeQueries.oracles ++ SketchQueries.oracles
+      GovernanceQueries.oracles ++ ReshapeQueries.oracles ++ SketchQueries.oracles ++
+      FeatureQueries.oracles
 }

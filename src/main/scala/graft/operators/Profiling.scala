@@ -334,4 +334,38 @@ object Profiling {
         count(lit(1)).as("island_len"))
       .drop("__run"))
   }
+
+  /** Cohort retention triangle: entities grouped by FIRST-activity
+    * period (`granularity`-truncated event time), counted once per
+    * (cohort, periods-since-cohort) they were active in — the
+    * "did the users we acquired in week N come back in week N+k"
+    * health matrix every activity dataset gets asked for.
+    *
+    * Two shuffles, both key-bounded: min-ts per entity (partial+final
+    * agg), then a distinct over (entity, offset) — the cohort table
+    * joins back entity-keyed. Offsets are exact date_diff on truncated
+    * times; no window, no driver state. */
+  def cohortRetention(df: Df, entityCol: String, tsCol: String,
+                      granularity: String = "day"): Df = {
+    val unit = granularity.toLowerCase
+    require(Set("day", "week", "month").contains(unit),
+      s"cohortRetention: granularity must be day|week|month: $granularity")
+    val period = (c: org.apache.spark.sql.Column) => date_trunc(unit, c)
+    val firsts = df.sdf.groupBy(col(entityCol))
+      .agg(min(period(col(tsCol))).as("cohort"))
+    // offset counts PERIODS of the chosen granularity; both operands
+    // are unit-truncated, so the divisions are exact
+    val off = unit match {
+      case "day"   => datediff(col("__p"), col("cohort"))
+      case "week"  => (datediff(col("__p"), col("cohort")) / 7).cast("int")
+      case "month" => months_between(col("__p"), col("cohort")).cast("int")
+    }
+    val active = df.sdf
+      .select(col(entityCol), period(col(tsCol)).as("__p"))
+      .join(firsts, Seq(entityCol))
+      .select(col(entityCol), col("cohort"), off.as("offset"))
+      .dropDuplicates(entityCol, "offset")
+    new Df(active.groupBy(col("cohort"), col("offset"))
+      .agg(count(lit(1)).as("n_active")))
+  }
 }

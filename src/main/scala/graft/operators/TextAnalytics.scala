@@ -906,4 +906,59 @@ object TextAnalytics {
       .select(col(idCol), col("n_tokens"), col("n_oov"), col("oov_rate")))
       .retaining(toks)
   }
+
+  /** χ²-based discriminative terms per class — the feature-selection
+    * companion to [[classTfidf]]: for every (class, term), the χ²
+    * statistic of the 2×2 document-frequency contingency table
+    * (term present/absent × class/rest), top-`k` per class by
+    * (χ² desc, term) with `minDf` noise floor.
+    *
+    * Counts are DOCUMENT frequencies (distinct (doc,term)), so long
+    * docs don't dominate. Scale shape: one tokenize pass → distinct
+    * (doc,class,term) → ONE (class,term) count shuffle; per-term and
+    * per-class margins both derive from that vocabulary-sized table
+    * (grouped sums — never a second corpus scan); the margin joins are
+    * term-/class-keyed on vocabulary-sized frames. χ² is one double
+    * expression over exact long counts, written once for oracle
+    * replay; the final per-class top-k is a bounded rank window over
+    * |vocabulary| rows. */
+  def chi2Terms(docs: Df, textCol: String, classCol: String,
+                idCol: String, k: Int = 10, minDf: Long = 5L): Df = {
+    require(k >= 1 && minDf >= 1)
+    val docTerm = docs.sdf.select(col(classCol).as("cls"), col(idCol),
+        explode(tokens(col(textCol))).as("term"))
+      .dropDuplicates("cls", idCol, "term")
+    val a = docTerm.groupBy(col("cls"), col("term"))
+      .agg(count(lit(1)).as("a"))
+    val termTotals = a.groupBy(col("term")).agg(sum(col("a")).as("ta"))
+    val classTotals = docs.sdf.groupBy(col(classCol).as("cls"))
+      .agg(countDistinct(col(idCol)).as("nc"))
+    val n = docs.sdf.agg(countDistinct(col(idCol)).as("nn"))
+    val scored = a
+      .join(termTotals, Seq("term"))
+      .join(broadcast(classTotals), Seq("cls"))
+      .crossJoin(broadcast(n))
+      .selectExpr("cls", "term", "a", "ta - a AS b", "nc - a AS c",
+        "nn - nc - (ta - a) AS d", "nn")
+      .where(col("a") + col("b") >= minDf)
+      // exact long margins; the statistic itself in double, one tree.
+      // A margin of zero (term in EVERY doc, or a class covering the
+      // whole corpus) carries zero information — χ² := 0, which also
+      // keeps ANSI mode from dividing by zero.
+      .selectExpr("cls", "term",
+        """CASE WHEN c + d = 0 OR b + d = 0 OR a + c = 0 THEN 0.0
+          |ELSE ROUND(CAST(nn AS DOUBLE)
+          |  * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+          |     - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+          |  * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+          |     - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+          |  / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+          |     * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)),
+          |  6) END AS chi2""".stripMargin)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cls"))
+      .orderBy(col("chi2").desc, col("term"))
+    new Df(scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .selectExpr(s"cls AS $classCol", "term", "chi2", "rank"))
+  }
 }

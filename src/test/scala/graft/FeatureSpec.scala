@@ -1,0 +1,69 @@
+package graft
+
+import graft.api.Df
+import graft.operators.{Features, Profiling, TextAnalytics}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Target encoding, cohort retention, χ² term selection. */
+class FeatureSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("targetEncodeLoo: LOO mean excludes the own row; singleton -> null") {
+    val rows = Seq(Row("a", 10.0), Row("a", 20.0), Row("a", 30.0),
+      Row("b", 7.0))
+    val d = Df.fromRows(spark, rows, StructType(Seq(
+      StructField("c", StringType), StructField("y", DoubleType))))
+    val got = Features.targetEncodeLoo(d, "c", "y", "te").sdf
+      .orderBy("c", "y").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    // a@10 -> mean(20,30)=25; a@20 -> 20; a@30 -> 15; b singleton -> null
+    assert(got.toSeq == Seq(Some(25.0), Some(20.0), Some(15.0), None))
+  }
+
+  test("cohortRetention: day-0 row per cohort equals cohort size; " +
+    "offsets count periods") {
+    def t(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-${day}%02d $h%02d:00:00")
+    val rows = Seq(
+      Row(1L, t(1, 5)), Row(1L, t(1, 9)), Row(1L, t(3, 1)),
+      Row(2L, t(1, 7)), Row(3L, t(2, 7)), Row(3L, t(4, 7)))
+    val d = Df.fromRows(spark, rows, StructType(Seq(
+      StructField("u", LongType), StructField("ts", TimestampType))))
+    val got = Profiling.cohortRetention(d, "u", "ts").sdf
+      .orderBy("cohort", "offset").collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getInt(1),
+        r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 2, 1L),
+      ("2024-01-02", 0, 1L), ("2024-01-02", 2, 1L)))
+    // week granularity: day 1 and day 3 fall in the same ISO week
+    val wk = Profiling.cohortRetention(d, "u", "ts", "week").sdf
+      .agg(max(col("offset"))).head.getInt(0)
+    assert(wk == 0)
+  }
+
+  test("chi2Terms: a class-exclusive term dominates its class ranking") {
+    // 'zzz' appears in every A doc and no B doc; shared filler elsewhere
+    val rows = (1 to 12).map { i =>
+      val cls = if (i <= 6) "A" else "B"
+      val text = if (cls == "A") "zzz common filler" else "common filler"
+      Row(i.toLong, cls, text)
+    }
+    val d = Df.fromRows(spark, rows, StructType(Seq(
+      StructField("id", LongType), StructField("cls", StringType),
+      StructField("text", StringType))))
+    val top = TextAnalytics.chi2Terms(d, "text", "cls", "id",
+      k = 2, minDf = 2L).sdf
+      .where(col("cls") === "A" && col("rank") === 1).head
+    assert(top.getAs[String]("term") == "zzz")
+    assert(top.getAs[Double]("chi2") == 12.0) // perfect 2x2 separation: chi2 = N
+  }
+
+  test("feature queries run end-to-end on sf0.001") {
+    for ((name, q) <- graft.queries.FeatureQueries.defs)
+      assert(q(spark, sf).count() > 0, s"$name returned no rows")
+  }
+}
