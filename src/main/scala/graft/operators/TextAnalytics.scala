@@ -933,7 +933,9 @@ object TextAnalytics {
     val termTotals = a.groupBy(col("term")).agg(sum(col("a")).as("ta"))
     val classTotals = docs.sdf.groupBy(col(classCol).as("cls"))
       .agg(countDistinct(col(idCol)).as("nc"))
-    val n = docs.sdf.agg(countDistinct(col(idCol)).as("nn"))
+    // corpus total from the class margins (classes partition docs) —
+    // a |classes|-row agg, not a third corpus scan
+    val n = classTotals.agg(sum(col("nc")).as("nn"))
     val scored = a
       .join(termTotals, Seq("term"))
       .join(broadcast(classTotals), Seq("cls"))
