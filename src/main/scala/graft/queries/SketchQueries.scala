@@ -66,6 +66,65 @@ object SketchQueries {
       graft.operators.Regression.olsFit2(
         T(s, dir, "lineitem"),
         y = "l_extendedprice", x1 = "l_quantity", x2 = "l_discount").sdf
+    }),
+
+    // ---- Theta sketch set algebra: |view∪click| / |view∩click| /
+    // |view\click| audiences from per-type sketches — raw user ids are
+    // never joined; exact counts replayed for the invariant ----
+    "q241_theta_overlap" -> ((s, dir) => {
+      val e = events(s, dir)
+        .where(col("event_type").isin("view", "click"))
+      val sk = Sketches.thetaSketches(e, Seq("event_type"), "user_id",
+        withExact = false)
+      val est = Sketches.thetaOverlap(sk, "event_type", "view", "click")
+      val flags = e.sdf.groupBy(col("user_id")).agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("v"),
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("c"))
+      val exact = flags.agg(
+        count(lit(1)).as("n_union"),
+        sum(col("v") * col("c")).cast("long").as("n_intersect"),
+        sum(col("v") * (lit(1) - col("c"))).cast("long").as("n_only_a"))
+      def ok(e: String, x: String) =
+        (abs(col(e) - col(x)) <= lit(0.05) * col(x)).as(s"${x}_ok")
+      new graft.api.Df(est.sdf.toDF("e_union", "e_intersect", "e_only_a")
+        .crossJoin(broadcast(exact))
+        .select(col("n_union"), col("n_intersect"), col("n_only_a"),
+          ok("e_union", "n_union"), ok("e_intersect", "n_intersect"),
+          ok("e_only_a", "n_only_a"))).sdf
+    }),
+
+    // ---- KLL quantile sketches: per-language distribution state
+    // merged to corpus quantiles; each estimate must land inside the
+    // exact ±3%-rank band (k=200 ⇒ ~1.65% rank error) ----
+    "q242_kll_quantiles" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val probs = Seq(0.25, 0.5, 0.75)
+      val est = Sketches.kllMergedQuantiles(
+        Sketches.kllSketches(d, Seq("lang"), "n_chars"), probs)
+      val bands = d.sdf.agg(
+        count(lit(1)).as("n_total"),
+        expr(s"percentile(n_chars, array(${probs.map(_ - 0.03).mkString(",")}))")
+          .as("__lo"),
+        expr(s"percentile(n_chars, array(${probs.map(_ + 0.03).mkString(",")}))")
+          .as("__hi"))
+      val probeIdx = expr("CAST(round(p * 4) AS INT)") // 0.25→1, 0.5→2, 0.75→3
+      new graft.api.Df(est.sdf.crossJoin(broadcast(bands))
+        .withColumn("__i", probeIdx)
+        .select(col("p"), col("n_total"),
+          (col("quantile") >= element_at(col("__lo"), col("__i")) &&
+            col("quantile") <= element_at(col("__hi"), col("__i"))).as("ok")))
+        .sortValues(Seq("p")).sdf
+    }),
+
+    // ---- mergeable frequent-items: per-day approx_top_k accumulators
+    // combined to the global top-3 — EXACT here (6 distinct types ≪
+    // maxItemsTracked), so the oracle replays the true counts ----
+    "q243_approx_topk" -> ((s, dir) => {
+      Sketches.approxTopKCombined(
+        events(s, dir).assign("day", date_trunc("day", col("ts"))),
+        Seq("day"), "event_type", k = 3)
+        .selectExpr("item", "CAST(count AS BIGINT) AS n")
+        .sortValues(col("n").desc, col("item").asc).sdf
     }))
 
   val oracles: Map[String, String] = Map(
@@ -79,6 +138,38 @@ object SketchQueries {
         |UNION ALL
         |SELECT 'ALL', COUNT(DISTINCT doc_id)::BIGINT, TRUE FROM documents
         |ORDER BY lang""".stripMargin,
+
+    // q241's invariant: the three set-algebra estimates must sit within
+    // ±5% of the exact audience counts, which ARE replayed (Theta is in
+    // exact mode below 2^12 distinct users anyway)
+    "q241_theta_overlap" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |  GROUP BY user_id)
+        |SELECT count(*)::BIGINT AS n_union,
+        |  sum(v * c)::BIGINT AS n_intersect,
+        |  sum(v * (1 - c))::BIGINT AS n_only_a,
+        |  TRUE AS n_union_ok, TRUE AS n_intersect_ok, TRUE AS n_only_a_ok
+        |FROM f""".stripMargin,
+
+    // q242's invariant: each merged-sketch quantile lands inside the
+    // exact ±3%-rank band; n_total is the replayed value
+    "q242_kll_quantiles" ->
+      """SELECT p::DOUBLE AS p,
+        |  (SELECT count(*) FROM documents)::BIGINT AS n_total,
+        |  TRUE AS ok
+        |FROM (VALUES (0.25), (0.5), (0.75)) t(p)
+        |ORDER BY p""".stripMargin,
+
+    // q243 is EXACT (distinct event types ≪ maxItemsTracked): replay
+    // the true top-3 with the same (n desc, item) total order
+    "q243_approx_topk" ->
+      """SELECT event_type AS item, count(*)::BIGINT AS n
+        |FROM events GROUP BY event_type
+        |ORDER BY n DESC, item LIMIT 3""".stripMargin,
 
     // q236 replays the identical expression tree (same decimal casts,
     // same double-op nesting) so both engines land on the same IEEE

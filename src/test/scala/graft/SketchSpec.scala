@@ -51,6 +51,50 @@ class SketchSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1.0), (2L, 3.0), (2L, 6.0)))
   }
 
+  test("theta set algebra is exact below 2^lgK: union/intersection/difference") {
+    // A = {1..600}, B = {401..1000}: |A∪B|=1000, |A∩B|=200, |A\B|=400
+    val rows = (1 to 600).map(i => Row("A", i.toLong)) ++
+      (401 to 1000).map(i => Row("B", i.toLong))
+    val d = Df.fromRows(spark, rows, StructType(Seq(
+      StructField("g", StringType), StructField("v", LongType))))
+    val sk = Sketches.thetaSketches(d, Seq("g"), "v")
+    assert(sk.sdf.collect().map(r =>
+      r.getAs[String]("g") -> r.getAs[Long]("n_exact")).toMap ==
+      Map("A" -> 600L, "B" -> 600L))
+    val o = Sketches.thetaOverlap(sk, "g", "A", "B").sdf.head
+    assert(o.getAs[Long]("n_union") == 1000L)
+    assert(o.getAs[Long]("n_intersect") == 200L)
+    assert(o.getAs[Long]("n_only_a") == 400L)
+  }
+
+  test("KLL merged quantiles land within the rank-error band") {
+    val rows = (1 to 2000).map(i => Row(s"g${i % 4}", i.toLong))
+    val d = Df.fromRows(spark, rows, StructType(Seq(
+      StructField("g", StringType), StructField("v", LongType))))
+    val q = Sketches.kllMergedQuantiles(
+      Sketches.kllSketches(d, Seq("g"), "v"), Seq(0.25, 0.5, 0.75))
+      .sdf.collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    for ((p, est) <- q)
+      assert(math.abs(est - p * 2000) <= 0.03 * 2000,
+        s"p=$p est=$est")
+  }
+
+  test("approxTopKCombined is exact under maxItemsTracked and merges groups") {
+    val rows = (1 to 300).map { i =>
+      val item = if (i % 6 == 0) "rare" else if (i % 2 == 0) "big" else "mid"
+      Row(s"part${i % 5}", item)
+    }
+    val d = Df.fromRows(spark, rows, StructType(Seq(
+      StructField("g", StringType), StructField("item", StringType))))
+    val got = Sketches.approxTopKCombined(d, Seq("g"), "item", k = 2)
+      .sdf.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(-_._2).toSeq
+    val exact = Seq("big", "mid", "rare")
+      .map(it => it -> (1 to 300).count { i =>
+        (if (i % 6 == 0) "rare" else if (i % 2 == 0) "big" else "mid") == it
+      }.toLong).sortBy(-_._2).take(2)
+    assert(got == exact)
+  }
+
   test("sketch queries run end-to-end on sf0.001 with invariants true") {
     val r = graft.queries.SketchQueries.defs("q234_hll_sketch_union")(spark, sf)
       .collect()
