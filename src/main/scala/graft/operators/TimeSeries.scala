@@ -61,4 +61,69 @@ object TimeSeries {
       .withColumn("ewma", num.cast("double") / den)
       .drop("__ewm_arr"))
   }
+
+  /** pandas `resample(unit).agg(count, sum)` with EMPTY BINS PRESENT —
+    * the part a plain `groupBy(date_trunc)` misses: a day with no
+    * events must still emit an n = 0 row (monitoring and forecasting
+    * both break on silently-absent bins). The scaffold is
+    * `sequence(min_bin, max_bin)` off a 1-row bounds aggregate —
+    * O(bins), never a driver loop — left-joined onto the binned
+    * partial+final aggregate. Empty bins: n = 0, sum = 0.0 (pandas
+    * `sum(min_count=0)`). */
+  def resampleGapfill(df: Df, tsCol: String, valueCol: String,
+                      unit: String = "day"): Df = {
+    require(Set("hour", "day", "week", "month").contains(unit.toLowerCase))
+    val u = unit.toLowerCase
+    val agged = df.sdf.groupBy(date_trunc(u, col(tsCol)).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(28,10)")).cast("double").as("v_sum"))
+    val bounds = df.sdf.agg(
+      date_trunc(u, min(col(tsCol))).as("lo"),
+      date_trunc(u, max(col(tsCol))).as("hi"))
+    val scaffold = bounds
+      .select(explode(expr(s"sequence(lo, hi, interval 1 $u)")).as("bin"))
+    new Df(scaffold.join(agged, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("v_sum"), lit(0.0)).as("v_sum")))
+  }
+
+  /** pandas `interpolate(method='index')` over event time, per key:
+    * interior nulls become the time-weighted line between the
+    * surrounding non-nulls, trailing nulls carry the last value
+    * forward, leading nulls stay null — exactly pandas'
+    * limit_direction='forward' behavior.
+    *
+    * Two window passes (prev/next non-null as (t, v) structs carried by
+    * last/first-ignoreNulls expanding frames — the [[graft.api.Df.ffill]]
+    * machinery widened to carry the timestamp too), one shuffle on the
+    * keys. The lerp is one double expression over `unix_micros`, written
+    * once for oracle replay. */
+  def interpolateByTime(df: Df, valCol: String, tsCol: String,
+                        keyCols: Seq[String], out: String): Df = {
+    require(keyCols.nonEmpty, "interpolateByTime: partition keys required " +
+      "(a keyless global sort does not scale)")
+    val base = Window.partitionBy(keyCols.map(df.sdf(_)): _*)
+      .orderBy(df.sdf(tsCol).asc)
+    val back = base.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = base.rowsBetween(0, Window.unboundedFollowing)
+    val obs = when(col(valCol).isNotNull,
+      struct(unix_micros(col(tsCol)).as("t"), col(valCol).as("v")))
+    val lerp =
+      """CASE
+        |  WHEN __v IS NOT NULL THEN CAST(__v AS DOUBLE)
+        |  WHEN __pv.v IS NULL THEN CAST(NULL AS DOUBLE)
+        |  WHEN __nv.v IS NULL THEN CAST(__pv.v AS DOUBLE)
+        |  ELSE CAST(__pv.v AS DOUBLE)
+        |    + (CAST(__nv.v AS DOUBLE) - CAST(__pv.v AS DOUBLE))
+        |      * (CAST(__t - __pv.t AS DOUBLE)
+        |         / CAST(__nv.t - __pv.t AS DOUBLE))
+        |END""".stripMargin
+    new Df(df.sdf
+      .withColumn("__v", col(valCol))
+      .withColumn("__t", unix_micros(col(tsCol)))
+      .withColumn("__pv", last(obs, ignoreNulls = true).over(back))
+      .withColumn("__nv", first(obs, ignoreNulls = true).over(fwd))
+      .withColumn(out, expr(lerp))
+      .drop("__v", "__t", "__pv", "__nv"))
+  }
 }

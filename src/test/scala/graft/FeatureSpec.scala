@@ -66,4 +66,40 @@ class FeatureSpec extends AnyFunSuite {
     for ((name, q) <- graft.queries.FeatureQueries.defs)
       assert(q(spark, sf).count() > 0, s"$name returned no rows")
   }
+
+  test("resampleGapfill emits zero rows for empty bins, exact sums elsewhere") {
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 12:00:00")
+    val rows = Seq(Row(t(1), 1.5), Row(t(1), 2.5), Row(t(4), 10.0))
+    val d = Df.fromRows(spark, rows, StructType(Seq(
+      StructField("ts", TimestampType), StructField("value", DoubleType))))
+    val got = graft.operators.TimeSeries.resampleGapfill(d, "ts", "value")
+      .sdf.orderBy("bin").collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1),
+        r.getDouble(2))).toSeq
+    assert(got == Seq(("2024-01-01", 2L, 4.0), ("2024-01-02", 0L, 0.0),
+      ("2024-01-03", 0L, 0.0), ("2024-01-04", 1L, 10.0)))
+  }
+
+  test("interpolateByTime: interior lerp by time, trailing ffill, leading null") {
+    def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val rows = Seq(
+      Row("k", t(0), null),                          // leading -> null
+      Row("k", t(10), java.lang.Double.valueOf(10.0)),
+      Row("k", t(20), null),                         // 1/3 of the way 10->40
+      Row("k", t(40), java.lang.Double.valueOf(40.0)),
+      Row("k", t(50), null))                         // trailing -> 40
+    val d = Df.fromRows(spark, rows, StructType(Seq(
+      StructField("k", StringType), StructField("ts", TimestampType),
+      StructField("v", DoubleType))))
+    val got = graft.operators.TimeSeries
+      .interpolateByTime(d, "v", "ts", Seq("k"), "vi")
+      .sdf.orderBy("ts").collect()
+      .map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3))).toSeq
+    assert(got == Seq(None, Some(10.0), Some(20.0), Some(40.0), Some(40.0)))
+  }
+
+  test("time-series queries run end-to-end on sf0.001") {
+    for ((name, q) <- graft.queries.TimeSeriesQueries.defs)
+      assert(q(spark, sf).count() > 0, s"$name returned no rows")
+  }
 }
