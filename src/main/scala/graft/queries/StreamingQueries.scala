@@ -58,17 +58,21 @@ object StreamingQueries {
       d.toString
     })
 
-  /** [[stage]] + two PUNCTUATION waves: one sentinel row each at
-    * max(ts)+1h and +2h (event_id/user_id = −1, the timer-drain
+  /** [[stage]] + `waves` PUNCTUATION waves: one sentinel row each at
+    * max(ts)+1h, +2h, … (event_id/user_id = −1, the timer-drain
     * convention [[graft.streaming.StreamOps.streamingSessionizeWithTimers]]
-    * documents) — their only job is advancing the watermark across two
-    * extra triggers so every event-time timer fires before the bounded
-    * feed ends. Memoized per src like [[stage]]. */
+    * documents) — their only job is advancing the watermark across
+    * extra triggers so every event-time timer fires / window finalizes
+    * before the bounded feed ends. CHAINED stateful operators need one
+    * wave per cascade level beyond the first: an upstream window that
+    * closes in trigger N reaches the downstream state in trigger N, and
+    * the downstream eviction that emits it runs against trigger N+1's
+    * watermark (q246 uses waves = 3). Memoized per (src, waves). */
   private val stagedFlush =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]
   private def stageWithFlush(s: org.apache.spark.sql.SparkSession,
-                             src: String): String =
-    stagedFlush.computeIfAbsent(src, { src =>
+                             src: String, waves: Int = 2): String =
+    stagedFlush.computeIfAbsent((src, waves), { case (src, waves) =>
       import java.nio.file.{Files, Paths}
       val d = Files.createTempDirectory("graft_stream_flush")
       d.toFile.deleteOnExit()
@@ -76,7 +80,7 @@ object StreamingQueries {
       Files.copy(Paths.get(src), real)
       real.toFile.deleteOnExit()
       val raw = s.read.parquet(src)
-      for ((hours, i) <- Seq(1 -> 2, 2 -> 3)) {
+      for ((hours, i) <- (1 to waves).map(w => w -> (w + 1))) {
         val side = Files.createTempDirectory("graft_stream_sent")
         raw.orderBy(col("ts").desc).limit(1)
           .withColumn("ts", expr(s"ts + INTERVAL $hours HOUR"))
@@ -355,6 +359,21 @@ object StreamingQueries {
         .agg(count(col("r_ts")).as("n_clicks"),
           count(lit(1)).cast("long").as("n_rows"))
         .orderBy("user_id")
+    }),
+
+    // ---- chained stateful aggregation (Spark 4 multiple stateful
+    // operators): hourly per-user counts re-windowed to a daily rollup
+    // in ONE streaming job; sentinel waves close the final day, append
+    // mode emits each finalized window exactly once ----
+    "q246_stream_chained_agg" -> ((s, dir) => {
+      val stream = StreamOps
+        .readEventsStream(s, stageWithFlush(s, s"$dir/events.parquet",
+          waves = 3))
+        .where(col("user_id") < 30)
+      StreamOps.runToCompletion(
+        StreamOps.streamingHourlyDailyRollup(stream),
+        "q246_sink", mode = "append")
+        .orderBy("day")
     }))
 
   /** gaps-and-islands session replay (diff >= 30 min splits; end =
@@ -426,6 +445,22 @@ object StreamingQueries {
         |FROM v JOIN c ON v.user_id = c.user_id
         |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '1 hour'
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+    // q246: the two-level window cascade replayed as two batch
+    // aggregations; the sentinel waves (user_id < 0) are excluded
+    // exactly as the streaming side filters them post-watermark
+    "q246_stream_chained_agg" ->
+      """WITH e AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts FROM events
+        |  WHERE user_id < 30 AND user_id >= 0),
+        |h AS (
+        |  SELECT date_trunc('hour', ts) AS hw, user_id,
+        |    count(*)::BIGINT AS n
+        |  FROM e GROUP BY 1, 2)
+        |SELECT date_trunc('day', hw)::TIMESTAMP AS day,
+        |  sum(n)::BIGINT AS n_events,
+        |  max(n)::BIGINT AS max_user_hour,
+        |  count(*)::BIGINT AS n_user_hours
+        |FROM h GROUP BY 1 ORDER BY day""".stripMargin,
     // q237: the batch LEFT join replay — n_rows counts view rows AND
     // their pair multiplicity, n_clicks only the matched ones; the gap
     // is exactly the never-converted views the outer side adds

@@ -413,6 +413,43 @@ object StreamOps {
       .select(col("key"), col("l_ts"), col("r_ts"))
   }
 
+  /** CHAINED stateful aggregation (Spark 4 multiple-stateful-operator
+    * support): tumbling 1-hour per-key counts re-windowed into a daily
+    * rollup INSIDE one streaming job — the "ingest metrics cascade"
+    * that previously needed two jobs with a sink between them. The
+    * second aggregation windows over the first's window STRUCT
+    * (`window(hw, '1 day')`), so watermark propagation finalizes an
+    * hourly window first and the day it falls in afterwards; append
+    * mode emits each exactly once.
+    *
+    * Rows with negative keys are watermark punctuation (the q227
+    * sentinel convention): they pass the watermark node — advancing
+    * event time — and are filtered BEFORE aggregation, so they close
+    * windows without polluting counts. State is |open hours × keys| +
+    * |open days| — bounded by the watermark either way. */
+  def streamingHourlyDailyRollup(events: DataFrame,
+                                 keyCol: String = "user_id"): DataFrame = {
+    // the sentinel cut must stay ABOVE the watermark node: a predicate
+    // that doesn't reference the event-time column gets pushed below
+    // EventTimeWatermark by the optimizer, and the punctuation rows
+    // would then be dropped before the watermark ever observes them —
+    // the final windows would never close. `ts IS NULL` is never true
+    // (ingest adapts ts); its only job is the ts reference that blocks
+    // the pushdown.
+    val marked = events.withWatermark("ts", "0 seconds")
+      .where(col(keyCol) >= 0 || col("ts").isNull)
+    val hourly = marked
+      .groupBy(window(col("ts"), "1 hour").as("hw"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+    hourly
+      .groupBy(window(col("hw"), "1 day").as("dw"))
+      .agg(sum(col("n")).cast("long").as("n_events"),
+        max(col("n")).as("max_user_hour"),
+        count(lit(1)).as("n_user_hours"))
+      .select(col("dw.start").as("day"), col("n_events"),
+        col("max_user_hour"), col("n_user_hours"))
+  }
+
   /** run a streaming plan to completion against the bounded test input
     * and return the materialized result (memory sink).
     *

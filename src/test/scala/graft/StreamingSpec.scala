@@ -285,6 +285,32 @@ class StreamingSpec extends AnyFunSuite {
       (2L, t0, None)))
   }
 
+  test("chained rollup keeps the sentinel cut ABOVE the watermark node") {
+    // if the optimizer pushed `user_id >= 0` below EventTimeWatermark,
+    // punctuation rows would be dropped before the watermark observed
+    // them and the cascade's final windows would never close (the
+    // silent q246 failure mode: 29 of 30 days)
+    import org.apache.spark.sql.catalyst.plans.logical.{EventTimeWatermark, Filter}
+    // optimize by hand: .optimizedPlan on a streaming frame trips the
+    // batch-execution checker before ever optimizing
+    val plan = spark.sessionState.optimizer.execute(
+      StreamOps.streamingHourlyDailyRollup(
+        StreamOps.readEventsStream(spark, stageDir))
+        .queryExecution.analyzed)
+    val wmark = plan.collect { case w: EventTimeWatermark => w }
+    assert(wmark.nonEmpty)
+    // no Filter referencing user_id may appear BELOW the watermark node
+    val below = wmark.head.collect {
+      case f: Filter if f.condition.references.exists(_.name == "user_id") => f
+    }
+    assert(below.isEmpty, s"sentinel filter was pushed below the watermark")
+    // and the cut must still exist somewhere above it
+    val above = plan.collect {
+      case f: Filter if f.condition.references.exists(_.name == "user_id") => f
+    }
+    assert(above.nonEmpty)
+  }
+
   /** one-key synthetic feed: steady 100/102 alternation (σ settles
     * ≈0.8, so the ±1 swing stays inside 3σ) with one 1000 spike at
     * i=45 — exactly one >3σ excursion */
