@@ -695,6 +695,39 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     }
     new Df(joined)
   }
+  /** pandas `merge(validate=...)`: the join-cardinality CONTRACT —
+    * "1:1" / "1:m" / "m:1" / "m:m" — checked BEFORE the join runs. A
+    * fan-out nobody declared is how a 100 TB join quietly becomes
+    * 300 TB of duplicated rows; pandas raises MergeError, this raises
+    * IllegalArgumentException with the offending side. The check is a
+    * key-grouped count capped at the first violation (`count > 1
+    * limit 1` — partial-agg + early-out, never a full materialize);
+    * "m:m" skips it and is a documented no-op, as in pandas. */
+  def mergeValidated(right: Df, on: Seq[String], how: String = "inner",
+                     validate: String = "m:m",
+                     suffixes: (String, String) = ("_x", "_y")): Df = {
+    val (checkLeft, checkRight) = validate match {
+      case "1:1" => (true, true)
+      case "1:m" => (true, false)
+      case "m:1" => (false, true)
+      case "m:m" => (false, false)
+      case other => throw new IllegalArgumentException(
+        s"mergeValidated: validate must be 1:1|1:m|m:1|m:m: $other")
+    }
+    def assertUnique(side: Df, name: String): Unit = {
+      val dup = side.sdf.groupBy(on.map(side.sdf(_)): _*)
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
+        .where(col("__n") > 1).limit(1)
+        .collect()
+      require(dup.isEmpty,
+        s"mergeValidated($validate): $name keys are not unique on " +
+          s"(${on.mkString(", ")}) — e.g. ${dup.head.mkString("[", ",", "]")}")
+    }
+    if (checkLeft) assertUnique(this, "left")
+    if (checkRight) assertUnique(right, "right")
+    merge(right, on, how, suffixes)
+  }
+
   /** merge with differently-named keys (pandas `left_on`/`right_on`). */
   def merge(right: Df, leftOn: Seq[String], rightOn: Seq[String],
             how: String): Df = {

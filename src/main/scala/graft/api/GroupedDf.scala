@@ -137,6 +137,64 @@ final class GroupedDf private[api] (
     new Df(sdf.withColumn(out, org.apache.spark.sql.functions.sum(sdf(valueCol)).over(w)))
   }
 
+  private def expandingFrame(orderKeys: Seq[String]) = {
+    val W = org.apache.spark.sql.expressions.Window
+    W.partitionBy(keys.map(sdf(_)): _*)
+      .orderBy(orderKeys.map(sdf(_).asc): _*)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+  }
+
+  /** pandas `g.cummax()` / `g.cummin()` by an explicit order — the
+    * same one-window-pass shape as [[cumsum]]. */
+  def cummax(valueCol: String, orderKeys: Seq[String],
+             out: String = "cummax"): Df =
+    new Df(sdf.withColumn(out, org.apache.spark.sql.functions
+      .max(sdf(valueCol)).over(expandingFrame(orderKeys))))
+
+  def cummin(valueCol: String, orderKeys: Seq[String],
+             out: String = "cummin"): Df =
+    new Df(sdf.withColumn(out, org.apache.spark.sql.functions
+      .min(sdf(valueCol)).over(expandingFrame(orderKeys))))
+
+  /** pandas `g.shift(periods)` by an explicit order (lead for negative
+    * periods, like pandas). */
+  def shift(valueCol: String, orderKeys: Seq[String], periods: Int = 1,
+            out: String = "shifted"): Df = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(keys.map(sdf(_)): _*)
+      .orderBy(orderKeys.map(sdf(_).asc): _*)
+    val c = if (periods >= 0)
+      org.apache.spark.sql.functions.lag(sdf(valueCol), periods).over(w)
+    else org.apache.spark.sql.functions.lead(sdf(valueCol), -periods).over(w)
+    new Df(sdf.withColumn(out, c))
+  }
+
+  /** pandas `g.rank(method=...)` over one column: "min" (default
+    * pandas-on-ties-share-min), "dense", or "first" (row_number by
+    * value then order keys — total order required). */
+  def rank(valueCol: String, out: String = "rank",
+           method: String = "min", ascending: Boolean = true,
+           tieBreak: Seq[String] = Nil): Df = {
+    val F = org.apache.spark.sql.functions
+    val W = org.apache.spark.sql.expressions.Window
+    val v = if (ascending) sdf(valueCol).asc else sdf(valueCol).desc
+    val w = W.partitionBy(keys.map(sdf(_)): _*)
+      .orderBy(v +: tieBreak.map(sdf(_).asc): _*)
+    val r = method match {
+      case "min"   => F.rank().over(
+        W.partitionBy(keys.map(sdf(_)): _*).orderBy(v))
+      case "dense" => F.dense_rank().over(
+        W.partitionBy(keys.map(sdf(_)): _*).orderBy(v))
+      case "first" =>
+        require(tieBreak.nonEmpty,
+          "rank(method=first) needs tieBreak keys for a total order")
+        F.row_number().over(w)
+      case other => throw new IllegalArgumentException(
+        s"rank: method must be min|dense|first: $other")
+    }
+    new Df(sdf.withColumn(out, r))
+  }
+
   /** `GroupbyAggregation` dict/list spec (`_groupby.py:136-190`):
     * {"x": ["sum","mean"], "y": "count"} → flattened `x_sum` names
     * (SURVEY.md §7.4.6: MultiIndex columns flatten). */

@@ -87,6 +87,45 @@ object TimeSeries {
         coalesce(col("v_sum"), lit(0.0)).as("v_sum")))
   }
 
+  /** Seasonal-naive anomaly scoring over a RESAMPLED series: residual
+    * = value − value one season ago (`period` bins back), z-scored
+    * against the residual distribution (exact decimal moments, sample
+    * std), |z| > `zThresh` flags. The monitoring pass behind "is
+    * today's ingest volume weird for this hour of day".
+    *
+    * The lag window runs over the RESAMPLED series — |bins| rows
+    * (calendar-sized: 100 TB over 30 days is still 720 hourly bins),
+    * so the single-partition window is bounded by the calendar, never
+    * the corpus; the corpus-sized work happened in
+    * [[resampleGapfill]]'s partial+final aggregate. Run it on the
+    * gap-filled series: a missing bin would silently shift every
+    * later residual one season off. */
+  def seasonalResiduals(series: Df, binCol: String, valueCol: String,
+                        period: Int, zThresh: Double = 3.0): Df = {
+    require(period >= 1)
+    val w = Window.orderBy(series.sdf(binCol).asc)
+    val withRes = series.sdf
+      .withColumn("__expected", lag(col(valueCol), period).over(w))
+      .withColumn("__r",
+        (col(valueCol) - col("__expected")).cast("double"))
+    val stats = withRes.where(col("__r").isNotNull).agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(col("__r").cast("decimal(28,6)")).cast("double").as("__s"),
+      sum((col("__r") * col("__r")).cast("decimal(38,6)")).cast("double")
+        .as("__ss"))
+    new Df(withRes.crossJoin(broadcast(stats))
+      .selectExpr(s"`$binCol`", s"`$valueCol`",
+        "__expected AS expected", "__r AS residual",
+        // mean/std from exact sums, one expression tree (oracle-replayable)
+        """CASE WHEN __r IS NULL OR __n < 2 THEN CAST(NULL AS DOUBLE)
+          |ELSE ROUND((__r - __s / __n)
+          |  / SQRT((__ss - __s * __s / __n) / (__n - 1.0)), 6)
+          |END AS z""".stripMargin)
+      .withColumn("is_anomaly",
+        when(col("z").isNull, lit(null).cast("boolean"))
+          .otherwise(abs(col("z")) > lit(zThresh))))
+  }
+
   /** pandas `interpolate(method='index')` over event time, per key:
     * interior nulls become the time-weighted line between the
     * surrounding non-nulls, trailing nulls carry the last value

@@ -32,6 +32,49 @@ object FeatureQueries {
       TextAnalytics.chi2Terms(T(s, dir, "documents"), "text", "lang",
         "doc_id", k = 5, minDf = 5L)
         .sortValues(Seq("lang", "rank")).sdf
+    }),
+
+    // ---- grouped transform battery: cummax / shift / dense rank per
+    // return flag (one partition exchange, window passes stacked) ----
+    "q247_group_transforms" -> ((s, dir) => {
+      val okeys = Seq("l_orderkey", "l_linenumber", "l_extendedprice")
+      val li = T(s, dir, "lineitem")
+      val d = li.groupby("l_returnflag")
+        .cummax("l_extendedprice", okeys, "cmax")
+        .groupby("l_returnflag")
+        .shift("l_quantity", okeys, periods = 1, out = "prev_qty")
+        .groupby("l_returnflag")
+        .rank("l_discount", out = "rnk", method = "dense")
+      d.where(col("l_orderkey") % 50 === 0)
+        .select("l_returnflag", "l_orderkey", "l_linenumber",
+          "l_extendedprice", "cmax", "prev_qty", "rnk")
+        .sortValues(Seq("l_returnflag", "l_orderkey", "l_linenumber",
+          "l_extendedprice")).sdf
+    }),
+
+    // ---- merge(validate='m:1'): the join-cardinality contract checked
+    // before the join — customer must be unique on the key, and is ----
+    "q248_merge_validated" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer")
+        .rename(Map("c_custkey" -> "o_custkey"))
+        .select("o_custkey", "c_mktsegment")
+      o.mergeValidated(c, on = Seq("o_custkey"), validate = "m:1")
+        .groupby("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          decSum(col("o_totalprice")).as("sum_price"))
+        .sortValues(Seq("c_mktsegment")).sdf
+    }),
+
+    // ---- seasonal-naive anomaly scoring: hourly volume vs the same
+    // hour yesterday, z-scored residuals over the gap-filled series ----
+    "q249_seasonal_residuals" -> ((s, dir) => {
+      val hourly = graft.operators.TimeSeries.resampleGapfill(
+        events(s, dir), "ts", "value", unit = "hour")
+        .select("bin", "n")
+      graft.operators.TimeSeries
+        .seasonalResiduals(hourly, "bin", "n", period = 24)
+        .sortValues(Seq("bin")).sdf
     }))
 
   val oracles: Map[String, String] = Map(
@@ -62,6 +105,59 @@ object FeatureQueries {
         |SELECT cohort::TIMESTAMP AS cohort, "offset"::INT AS "offset",
         |  count(*)::BIGINT AS n_active
         |FROM act GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin,
+
+    "q247_group_transforms" ->
+      """WITH w AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |    max(l_extendedprice) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_orderkey, l_linenumber, l_extendedprice
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmax,
+        |    lag(l_quantity) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_orderkey, l_linenumber, l_extendedprice)
+        |      AS prev_qty,
+        |    dense_rank() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_discount)::INT AS rnk
+        |  FROM lineitem)
+        |SELECT * FROM w WHERE l_orderkey % 50 = 0
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber, l_extendedprice"""
+        .stripMargin,
+
+    "q248_merge_validated" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n,
+        |  CAST(SUM(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q249_seasonal_residuals" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', ts::TIMESTAMP) AS d FROM events),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM e),
+        |sc AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |         AS bin FROM b),
+        |a AS (SELECT d AS bin, count(*)::BIGINT AS n FROM e GROUP BY 1),
+        |s2 AS (SELECT sc.bin, coalesce(a.n, 0)::BIGINT AS n
+        |       FROM sc LEFT JOIN a USING (bin)),
+        |r2 AS (
+        |  SELECT bin, n,
+        |    lag(n, 24) OVER (ORDER BY bin) AS expected,
+        |    (n - lag(n, 24) OVER (ORDER BY bin))::DOUBLE AS residual
+        |  FROM s2),
+        |st AS (
+        |  SELECT count(residual)::DOUBLE AS n2,
+        |    (sum(residual::DECIMAL(28,6)))::DOUBLE AS s,
+        |    (sum((residual * residual)::DECIMAL(38,6)))::DOUBLE AS ss
+        |  FROM r2 WHERE residual IS NOT NULL),
+        |z2 AS (
+        |  SELECT bin, n, expected, residual,
+        |    CASE WHEN residual IS NULL OR n2 < 2 THEN CAST(NULL AS DOUBLE)
+        |    ELSE ROUND((residual - s / n2)
+        |      / SQRT((ss - s * s / n2) / (n2 - 1.0)), 6)
+        |    END AS z
+        |  FROM r2, st)
+        |SELECT bin, n, expected, residual, z,
+        |  CASE WHEN z IS NULL THEN CAST(NULL AS BOOLEAN)
+        |       ELSE abs(z) > 3.0 END AS is_anomaly
+        |FROM z2 ORDER BY bin""".stripMargin,
 
     // the same 2×2 document-frequency contingency χ², identical double
     // tree, DENSE ranking replaced by row_number with (chi2 desc, term)

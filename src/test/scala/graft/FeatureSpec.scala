@@ -102,4 +102,55 @@ class FeatureSpec extends AnyFunSuite {
     for ((name, q) <- graft.queries.TimeSeriesQueries.defs)
       assert(q(spark, sf).count() > 0, s"$name returned no rows")
   }
+
+  test("grouped transforms: cummax/shift/rank match hand expectations") {
+    val rows = Seq(Row("g", 1L, 5.0), Row("g", 2L, 3.0), Row("g", 3L, 7.0),
+      Row("h", 1L, 2.0))
+    val d = Df.fromRows(spark, rows, StructType(Seq(
+      StructField("k", StringType), StructField("o", LongType),
+      StructField("v", DoubleType))))
+    val t = d.groupby("k").cummax("v", Seq("o"), "cm")
+      .groupby("k").shift("v", Seq("o"), 1, "pv")
+      .groupby("k").rank("v", "r", method = "min")
+      .sdf.orderBy("k", "o").collect()
+      .map(r => (r.getDouble(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4), r.getInt(5))).toSeq
+    assert(t == Seq((5.0, -1.0, 2), (5.0, 5.0, 1), (7.0, 3.0, 3),
+      (2.0, -1.0, 1)))
+  }
+
+  test("mergeValidated enforces the declared cardinality") {
+    val l = Df.fromRows(spark, Seq(Row(1L, "a"), Row(1L, "b")),
+      StructType(Seq(StructField("k", LongType), StructField("x", StringType))))
+    val r = Df.fromRows(spark, Seq(Row(1L, "z")),
+      StructType(Seq(StructField("k", LongType), StructField("y", StringType))))
+    // m:1 passes (right unique), 1:m fails (left has dup keys)
+    assert(l.mergeValidated(r, Seq("k"), validate = "m:1").sdf.count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      l.mergeValidated(r, Seq("k"), validate = "1:m")
+    }
+    assert(e.getMessage.contains("left keys are not unique"))
+  }
+
+  test("seasonalResiduals: the one broken period is the one anomaly") {
+    // period 3, four steady seasons then a spike in the last one:
+    // residuals = eleven 0s and one 75 -> z ~= 3.17, the only |z| > 3
+    val vals = Seq(10L, 20L, 30L, 10L, 20L, 30L, 10L, 20L, 30L,
+      10L, 20L, 30L, 10L, 95L, 30L)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      Row(new java.sql.Timestamp(1700000000000L + i * 3600000L), v)
+    }
+    val d = Df.fromRows(spark, rows, StructType(Seq(
+      StructField("bin", TimestampType), StructField("n", LongType))))
+    val got = graft.operators.TimeSeries
+      .seasonalResiduals(d, "bin", "n", period = 3).sdf
+      .orderBy("bin").collect()
+    val anomalies = got.filter(r =>
+      !r.isNullAt(r.fieldIndex("is_anomaly")) &&
+        r.getBoolean(r.fieldIndex("is_anomaly")))
+    assert(anomalies.length == 1)
+    assert(anomalies.head.getAs[Long]("n") == 95L)
+    // first period has no seasonal reference
+    assert(got.take(3).forall(_.isNullAt(got.head.fieldIndex("z"))))
+  }
 }
