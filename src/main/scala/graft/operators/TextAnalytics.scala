@@ -928,8 +928,12 @@ object TextAnalytics {
     val docTerm = docs.sdf.select(col(classCol).as("cls"), col(idCol),
         explode(tokens(col(textCol))).as("term"))
       .dropDuplicates("cls", idCol, "term")
+    // vocabulary-sized; persisted because BOTH the scoring join and the
+    // term margins consume it — without this the tokenize pass runs
+    // twice (PlanSpec pins the ≤2-corpus-scan bound)
     val a = docTerm.groupBy(col("cls"), col("term"))
       .agg(count(lit(1)).as("a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val termTotals = a.groupBy(col("term")).agg(sum(col("a")).as("ta"))
     val classTotals = docs.sdf.groupBy(col(classCol).as("cls"))
       .agg(countDistinct(col(idCol)).as("nc"))
@@ -962,5 +966,6 @@ object TextAnalytics {
     new Df(scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .selectExpr(s"cls AS $classCol", "term", "chi2", "rank"))
+      .retaining(a)
   }
 }

@@ -359,4 +359,56 @@ class PlanSpec extends AnyFunSuite {
     assert(p2.contains("BroadcastNestedLoopJoin"), p2)
     assert(!p2.contains("CartesianProduct"), p2)
   }
+
+  test("qcut assignment is a codegen'd projection: no sort, no window, no join") {
+    val li = Df.readParquet(spark, s"$sf/lineitem.parquet")
+    val p = plan(li.qcut("l_extendedprice", 4, "bucket").sdf)
+    // the break computation ran eagerly (one agg collect of 3 scalars);
+    // the PLAN under test is the assignment — a naive rank/ntile qcut
+    // would show Sort + Window here
+    assert(!p.contains("Sort"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("targetEncodeLoo broadcasts the category stats back") {
+    val li = Df.readParquet(spark, s"$sf/lineitem.parquet")
+    val p = plan(graft.operators.Features
+      .targetEncodeLoo(li, "l_returnflag", "l_quantity", "te").sdf)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("olsFit2 is ONE scan: moment aggregate + projection, no join") {
+    val li = Df.readParquet(spark, s"$sf/lineitem.parquet")
+    val p = plan(graft.operators.Regression
+      .olsFit2(li, "l_extendedprice", "l_quantity", "l_discount").sdf)
+    assert(!p.contains("Join"), p)
+    // one partial+final aggregate pair over one parquet scan
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("chi2Terms touches the corpus at most twice; margins are derived") {
+    val d = Df.readParquet(spark, s"$sf/documents.parquet")
+    val sdf = graft.operators.TextAnalytics
+      .chi2Terms(d, "text", "lang", "doc_id", k = 3, minDf = 2).sdf
+    // tokenize pass (cached vocabulary table) + class-margin pass; term
+    // margins and N must come from the vocabulary-sized count table,
+    // not extra corpus scans. Count PARQUET LEAVES of the optimized
+    // LOGICAL plan — the cached vocabulary is its own leaf there, and
+    // plan TEXT embeds the cached child and over-counts.
+    val leaves = sdf.queryExecution.optimizedPlan.collectLeaves()
+    val parquetLeaves = leaves.count {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _ => false
+    }
+    assert(parquetLeaves <= 2, sdf.queryExecution.optimizedPlan.toString)
+    // and the vocabulary table IS consumed from cache
+    assert(leaves.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+      sdf.queryExecution.optimizedPlan.toString)
+    assert(!plan(sdf).contains("CartesianProduct"))
+    graft.api.Df.releaseRetained()
+  }
 }
