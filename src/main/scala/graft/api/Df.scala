@@ -410,11 +410,41 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   /** pandas `duplicated(keep='first')`: boolean mask marking all but the
     * first occurrence (by explicit order key — Spark rows are unordered)
     * of each subset-key group. One shuffle on the subset keys. */
-  def duplicated(subset: Seq[String], orderKey: String, out: String = "is_dup"): Df = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(subset.map(sdf(_)): _*).orderBy(sdf(orderKey))
-    new Df(sdf.withColumn(out, row_number().over(w) > 1))
+  def duplicated(subset: Seq[String], orderKey: String, out: String = "is_dup"): Df =
+    duplicatedKeep(subset, orderKey, "first", out)
+
+  /** pandas `duplicated(keep=...)` in full: "first" / "last" keep one
+    * end of each subset-key group unmarked, "none" (pandas
+    * `keep=False`) marks EVERY member of any group with a duplicate.
+    * One shuffle on the subset keys either way; "none" needs no order
+    * key at all (a group count, order-independent). */
+  def duplicatedKeep(subset: Seq[String], orderKey: String,
+                     keep: String = "first", out: String = "is_dup"): Df = {
+    val W = org.apache.spark.sql.expressions.Window
+    keep match {
+      case "first" =>
+        val w = W.partitionBy(subset.map(sdf(_)): _*).orderBy(sdf(orderKey).asc)
+        new Df(sdf.withColumn(out, row_number().over(w) > 1))
+      case "last" =>
+        val w = W.partitionBy(subset.map(sdf(_)): _*).orderBy(sdf(orderKey).desc)
+        new Df(sdf.withColumn(out, row_number().over(w) > 1))
+      case "none" =>
+        val w = W.partitionBy(subset.map(sdf(_)): _*)
+        new Df(sdf.withColumn(out,
+          org.apache.spark.sql.functions.count(lit(1)).over(w) > 1))
+      case other => throw new IllegalArgumentException(
+        s"duplicatedKeep: keep must be first|last|none: $other")
+    }
   }
+
+  /** pandas `df.where(cond, other)` / `mask(cond, other)`: keep values
+    * where the condition holds (resp. fails), replace the rest — a
+    * pure codegen'd projection over every column. */
+  def whereValues(cond: Column, other: Any = null): Df =
+    new Df(sdf.select(sdf.columns.map(c =>
+      when(cond, sdf(c)).otherwise(lit(other)).as(c)).toSeq: _*))
+
+  def maskValues(cond: Column, other: Any = null): Df = whereValues(!cond, other)
 
   /** pandas `diff(periods)` over an explicit order (and optional
     * partitioning): value minus the value `periods` rows earlier. */

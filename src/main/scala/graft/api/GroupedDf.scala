@@ -137,6 +137,30 @@ final class GroupedDf private[api] (
     new Df(sdf.withColumn(out, org.apache.spark.sql.functions.sum(sdf(valueCol)).over(w)))
   }
 
+  /** pandas `g.idxmax()` / `g.idxmin()`: the ID of each group's
+    * extreme row — partial-aggregable `max_by`/`min_by` over a
+    * (value, tiebreak...) struct, map-side combine, no window sort.
+    * Ties break on the id itself (pandas takes first occurrence by
+    * positional order; Spark rows are unordered, so the deterministic
+    * tiebreak must be named — smallest id wins). */
+  def idxmax(valueCol: String, idCol: String, out: String = "idxmax"): Df =
+    idxBy(valueCol, idCol, out, largest = true)
+
+  def idxmin(valueCol: String, idCol: String, out: String = "idxmin"): Df =
+    idxBy(valueCol, idCol, out, largest = false)
+
+  private def idxBy(valueCol: String, idCol: String, out: String,
+                    largest: Boolean): Df = {
+    val F = org.apache.spark.sql.functions
+    // max_by on (value, -id) implements "largest value, smallest id on
+    // ties" as ONE struct comparison; min_by symmetric
+    val key = if (largest)
+      F.struct(sdf(valueCol).as("v"), (-sdf(idCol)).as("negid"))
+    else F.struct(sdf(valueCol).as("v"), sdf(idCol).as("id"))
+    val pick = if (largest) F.max_by(sdf(idCol), key) else F.min_by(sdf(idCol), key)
+    new Df(sdf.groupBy(keys.map(sdf(_)): _*).agg(pick.as(out)))
+  }
+
   private def expandingFrame(orderKeys: Seq[String]) = {
     val W = org.apache.spark.sql.expressions.Window
     W.partitionBy(keys.map(sdf(_)): _*)

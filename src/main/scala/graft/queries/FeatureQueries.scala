@@ -75,6 +75,35 @@ object FeatureQueries {
       graft.operators.TimeSeries
         .seasonalResiduals(hourly, "bin", "n", period = 24)
         .sortValues(Seq("bin")).sdf
+    }),
+
+    // ---- duplicated(keep=first|last|False) census over the known
+    // duplicate keys: first/last mark group size − 1 each, none marks
+    // every member of a >1 group ----
+    "q250_duplicated_variants" -> ((s, dir) => {
+      val sub = Seq("l_orderkey", "l_linenumber")
+      val li = T(s, dir, "lineitem")
+        .duplicatedKeep(Seq("l_orderkey", "l_linenumber"),
+          "l_extendedprice", "first", "d1")
+      val li2 = li.duplicatedKeep(sub, "l_extendedprice", "last", "d2")
+        .duplicatedKeep(sub, "l_extendedprice", "none", "d3")
+      li2.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("d1").cast("int")).cast("long").as("n_first"),
+        sum(col("d2").cast("int")).cast("long").as("n_last"),
+        sum(col("d3").cast("int")).cast("long").as("n_none")).sdf
+    }),
+
+    // ---- grouped idxmax/idxmin: one max_by/min_by struct comparison
+    // per group — map-side combine, no window sort ----
+    "q251_group_idxmax" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val mx = o.groupby("o_orderpriority")
+        .idxmax("o_totalprice", "o_orderkey", "idxmax")
+      val mn = o.groupby("o_orderpriority")
+        .idxmin("o_totalprice", "o_orderkey", "idxmin")
+      mx.merge(mn, on = Seq("o_orderpriority"))
+        .sortValues(Seq("o_orderpriority")).sdf
     }))
 
   val oracles: Map[String, String] = Map(
@@ -105,6 +134,31 @@ object FeatureQueries {
         |SELECT cohort::TIMESTAMP AS cohort, "offset"::INT AS "offset",
         |  count(*)::BIGINT AS n_active
         |FROM act GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin,
+
+    "q250_duplicated_variants" ->
+      """WITH g AS (
+        |  SELECT l_orderkey, l_linenumber, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT
+        |  (SELECT count(*) FROM lineitem)::BIGINT AS n_rows,
+        |  (SELECT sum(c - 1) FROM g)::BIGINT AS n_first,
+        |  (SELECT sum(c - 1) FROM g)::BIGINT AS n_last,
+        |  (SELECT sum(CASE WHEN c > 1 THEN c ELSE 0 END) FROM g)::BIGINT
+        |    AS n_none""".stripMargin,
+
+    "q251_group_idxmax" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rx,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice ASC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  max(CASE WHEN rx = 1 THEN o_orderkey END)::BIGINT AS idxmax,
+        |  max(CASE WHEN rn = 1 THEN o_orderkey END)::BIGINT AS idxmin
+        |FROM r GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q247_group_transforms" ->
       """WITH w AS (

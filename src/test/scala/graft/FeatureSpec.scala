@@ -132,6 +132,43 @@ class FeatureSpec extends AnyFunSuite {
     assert(e.getMessage.contains("left keys are not unique"))
   }
 
+  test("duplicatedKeep marks the declared end; none marks whole groups") {
+    val rows = Seq(Row(1L, 10.0), Row(1L, 20.0), Row(2L, 30.0))
+    val d = Df.fromRows(spark, rows, StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType))))
+    def flags(keep: String): Seq[Boolean] =
+      d.duplicatedKeep(Seq("k"), "v", keep, "dup").sdf
+        .orderBy("k", "v").collect().map(_.getBoolean(2)).toSeq
+    assert(flags("first") == Seq(false, true, false))
+    assert(flags("last") == Seq(true, false, false))
+    assert(flags("none") == Seq(true, true, false))
+  }
+
+  test("whereValues keeps matching rows' values, maskValues inverts") {
+    val d = Df.fromRows(spark, Seq(Row(1L, "a"), Row(5L, "b")),
+      StructType(Seq(StructField("x", LongType), StructField("s", StringType))))
+    val w = d.whereValues(col("x") > 3).sdf.orderBy("s").collect()
+    assert(w(0).isNullAt(0) && w(0).isNullAt(1))       // row a nulled
+    assert(w(1).getLong(0) == 5L && w(1).getString(1) == "b")
+    val m = d.maskValues(col("x") > 3).sdf
+      .orderBy(col("s").asc_nulls_last).collect()
+    assert(m(0).getLong(0) == 1L && m(1).isNullAt(0))
+  }
+
+  test("grouped idxmax/idxmin pick the extreme row's id, min id on ties") {
+    val rows = Seq(Row("g", 1L, 5.0), Row("g", 2L, 9.0), Row("g", 3L, 9.0),
+      Row("h", 4L, 1.0))
+    val d = Df.fromRows(spark, rows, StructType(Seq(
+      StructField("k", StringType), StructField("id", LongType),
+      StructField("v", DoubleType))))
+    val mx = d.groupby("k").idxmax("v", "id").sdf.orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(mx == Seq(("g", 2L), ("h", 4L)))  // tie 9.0 -> smaller id 2
+    val mn = d.groupby("k").idxmin("v", "id").sdf.orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(mn == Seq(("g", 1L), ("h", 4L)))
+  }
+
   test("seasonalResiduals: the one broken period is the one anomaly") {
     // period 3, four steady seasons then a spike in the last one:
     // residuals = eleven 0s and one 75 -> z ~= 3.17, the only |z| > 3
