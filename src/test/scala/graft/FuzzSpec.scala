@@ -688,4 +688,91 @@ class FuzzSpec extends AnyFunSuite {
       assert(out.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq == (0 until k)))
     }
   }
+
+  test("qcut: exhaustive 0..q-1, value-monotone, roughly balanced (random data)") {
+    trials(Gen.zip(Gen.choose(2, 6),
+      Gen.listOfN(200, Gen.choose(-500.0, 500.0))), n = 6) { case (q, xs) =>
+      val d = Df.fromRows(spark, xs.map(v => Row(java.lang.Double.valueOf(v))),
+        StructType(Seq(StructField("v", DoubleType))))
+      val out = d.qcut("v", q, "b").sdf.collect()
+        .map(r => (r.getDouble(0), r.getInt(1))).toSeq
+      assert(out.forall { case (_, b) => b >= 0 && b < q })
+      // monotone: sorting by value never decreases the bucket
+      val byV = out.sortBy(_._1).map(_._2)
+      assert(byV.zip(byV.drop(1)).forall { case (a, b) => a <= b })
+      // balanced within the 6dp-break tolerance: no bucket > 2x its share
+      val shares = out.groupBy(_._2).values.map(_.size)
+      assert(shares.max <= 2 * (xs.size / q + 1), shares.toString)
+    }
+  }
+
+  test("melt/pivot round-trip recovers the wide frame (random values)") {
+    trials(Gen.listOfN(20, Gen.zip(Gen.choose(-99.0, 99.0),
+      Gen.choose(-99.0, 99.0))), n = 5) { xs =>
+      val rows = xs.zipWithIndex.map { case ((a, b), i) => Row(i.toLong, a, b) }
+      val d = Df.fromRows(spark, rows, StructType(Seq(
+        StructField("id", LongType), StructField("a", DoubleType),
+        StructField("b", DoubleType))))
+      val back = d.melt(Seq("id"), Seq("a", "b"))
+        .pivotTable("id", "variable", "value", Seq("a", "b"), "sum")
+        .sdf.orderBy("id").collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+      val want = rows.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      assert(back == want)
+    }
+  }
+
+  test("interpolateByTime: identity on dense series; gaps stay inside " +
+    "the neighbor envelope (random gaps)") {
+    trials(Gen.listOfN(40, Gen.zip(Gen.choose(0.0, 1000.0),
+      Gen.choose(1, 10))), n = 5) { xs =>
+      val rows = xs.zipWithIndex.map { case ((v, nullEvery), i) =>
+        val vv: java.lang.Double =
+          if (i % (nullEvery + 1) == nullEvery) null
+          else java.lang.Double.valueOf(v)
+        Row("k", new java.sql.Timestamp(1700000000000L + i * 60000L), vv)
+      }
+      val d = Df.fromRows(spark, rows, StructType(Seq(
+        StructField("k", StringType), StructField("ts", TimestampType),
+        StructField("v", DoubleType))))
+      val got = graft.operators.TimeSeries
+        .interpolateByTime(d, "v", "ts", Seq("k"), "vi").sdf
+        .orderBy("ts").collect()
+      val vs = rows.map(r =>
+        Option(r.get(2).asInstanceOf[java.lang.Double]).map(_.doubleValue))
+      val vis = got.map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+      // non-null inputs pass through untouched
+      vs.zip(vis).foreach { case (in, out) =>
+        if (in.isDefined) assert(out == in)
+      }
+      // each interpolated value sits inside [prev, next] envelope
+      val known = vs.zipWithIndex.collect { case (Some(v), i) => (i, v) }
+      for (((in, out), i) <- vs.zip(vis).zipWithIndex if in.isEmpty && out.isDefined) {
+        val prev = known.takeWhile(_._1 < i).lastOption
+        val next = known.dropWhile(_._1 < i).headOption
+        (prev, next) match {
+          case (Some((_, pv)), Some((_, nv))) =>
+            val (lo, hi) = (math.min(pv, nv), math.max(pv, nv))
+            assert(out.get >= lo - 1e-9 && out.get <= hi + 1e-9)
+          case (Some((_, pv)), None) => assert(out.get == pv) // trailing ffill
+          case _ => fail("leading null should not interpolate")
+        }
+      }
+    }
+  }
+
+  test("duplicatedKeep census: first/last mark n-distinct fewer; none marks whole groups") {
+    trials(Gen.listOfN(60, Gen.choose(1L, 12L)), n = 6) { ks =>
+      val rows = ks.zipWithIndex.map { case (k, i) => Row(k, i.toLong) }
+      val d = Df.fromRows(spark, rows, StructType(Seq(
+        StructField("k", LongType), StructField("ord", LongType))))
+      def marked(keep: String): Long =
+        d.duplicatedKeep(Seq("k"), "ord", keep, "dup").sdf
+          .where(col("dup")).count()
+      val groups = ks.groupBy(identity).values.map(_.size)
+      assert(marked("first") == ks.size - groups.size)
+      assert(marked("last") == ks.size - groups.size)
+      assert(marked("none") == groups.filter(_ > 1).sum)
+    }
+  }
 }
