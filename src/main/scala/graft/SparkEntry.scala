@@ -21,7 +21,7 @@ object SparkEntry {
       AnalyticsQueries.defs ++ CoverageQueries.defs ++ CoverageQueries.defs2 ++
       CurationQueries.defs ++ PipelineQueries.defs ++ StreamingQueries.defs ++
       GovernanceQueries.defs ++ ReshapeQueries.defs ++ SketchQueries.defs ++
-      FeatureQueries.defs ++ TimeSeriesQueries.defs
+      FeatureQueries.defs ++ TimeSeriesQueries.defs ++ MediaQueries.defs
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ElementwiseQueries.oracles ++ ReductionQueries.oracles ++
@@ -29,5 +29,5 @@ object SparkEntry {
       AnalyticsQueries.oracles ++ CoverageQueries.oracles ++ CoverageQueries.oracles2 ++
       CurationQueries.oracles ++ PipelineQueries.oracles ++ StreamingQueries.oracles ++
       GovernanceQueries.oracles ++ ReshapeQueries.oracles ++ SketchQueries.oracles ++
-      FeatureQueries.oracles ++ TimeSeriesQueries.oracles
+      FeatureQueries.oracles ++ TimeSeriesQueries.oracles ++ MediaQueries.oracles
 }

@@ -64,6 +64,39 @@ object Multimodal {
       (0 until frames).map(f => (nBytes.toLong * f / frames).toInt)
   }
 
+  /** Video frame-sample SCHEDULING as a relational plan: one row per
+    * (media, frame) with the byte offset a decode stage would seek to —
+    * `sequence` + `explode`, pure codegen, no UDF. The decode itself
+    * stays stubbed; what a real pipeline hands its GPU decoder is
+    * exactly this table. Mirrors [[FakeCodec.sampleOffsets]]
+    * (spec-pinned) so the scheduled offsets and the stub decoder agree. */
+  def frameSamplePlan(media: Df, frames: Int): Df = {
+    require(frames >= 1)
+    new Df(media.sdf
+      .select(col("media_id"), col("n_bytes"),
+        explode(expr(s"sequence(0, ${frames - 1})")).as("frame_idx"))
+      .withColumn("byte_offset",
+        expr(s"CAST(CAST(n_bytes AS BIGINT) * frame_idx DIV $frames AS INT)")))
+  }
+
+  /** Perceptual-hash near-dup key over the decoded features: bit k set
+    * iff feature[k] clears the feature mean — the classic aHash shape
+    * (real pipelines compute it on a resized grayscale grid; here it
+    * rides [[extractFeatures]]' stub histogram, and the plumbing —
+    * float accumulation order, widening, bit packing — is the part
+    * under test). Float sums stay left-associated so the DuckDB replay
+    * lands on identical bits; the mean division widens to double in
+    * BOTH engines (Spark's Divide is double-only; the replay casts). */
+  def perceptualHash(features: Df, dim: Int = 8,
+                     out: String = "phash"): Df = {
+    val f = (k: Int) => element_at(col("feature"), k + 1)
+    val mean = (0 until dim).map(f).reduce(_ + _).cast("double") / lit(dim.toDouble)
+    val bits = (0 until dim)
+      .map(k => when(f(k).cast("double") > mean, lit(1 << k)).otherwise(lit(0)))
+      .reduce(_ + _)
+    new Df(features.sdf.withColumn(out, bits))
+  }
+
   /** Per-partition BATCHED feature extraction — the Scala analog of the
     * `mapInPandas` pattern: decoder initialized once per partition (the
     * expensive part for real codecs), rows drained in fixed-size batches

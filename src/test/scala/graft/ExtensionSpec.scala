@@ -1131,4 +1131,36 @@ class ExtensionSpec extends AnyFunSuite {
       .sdf.collect().map(_.getLong(2))
     assert(stats.max == 6) // hot bucket visible to the auditing helper
   }
+
+  test("frameSamplePlan offsets equal the stub sampler's, per media") {
+    val docs = Df.readParquet(spark, s"$sf/documents.parquet")
+    val media = Multimodal.packMedia(
+      docs.head(10, Seq("doc_id")), "doc_id", "text", "video/fake")
+    val planned = Multimodal.frameSamplePlan(media, frames = 5).sdf
+      .orderBy("media_id", "frame_idx").collect()
+      .groupBy(_.getAs[Long]("media_id"))
+      .map { case (id, rows) => id -> rows.sortBy(_.getAs[Int]("frame_idx"))
+        .map(_.getAs[Int]("byte_offset")).toSeq }
+    val meta = media.sdf.select("media_id", "n_bytes").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(planned.nonEmpty)
+    for ((id, offs) <- planned)
+      assert(offs == Multimodal.FakeCodec.sampleOffsets(meta(id), 5))
+  }
+
+  test("perceptualHash sets exactly the above-mean bits") {
+    val rows = Seq(Row(1L, Array(0.9f, 0.1f, 0.9f, 0.1f)),
+      Row(2L, Array(0.5f, 0.5f, 0.5f, 0.5f)))
+    val d = new Df(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("feature",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))))
+    val got = Multimodal.perceptualHash(d, dim = 4).sdf
+      .orderBy("media_id").collect().map(_.getAs[Int]("phash")).toSeq
+    assert(got == Seq(1 + 4, 0)) // bits 0 and 2 above mean; all-equal -> 0
+  }
 }
