@@ -361,6 +361,29 @@ object StreamingQueries {
         .orderBy("user_id")
     }),
 
+    // ---- KLL sketch in RocksDB state: per-type value distribution
+    // measured AT ingest; final snapshots drain via event-time timers
+    // + sentinel waves; estimates pinned in exact ±3%-rank bands ----
+    "q254_stream_kll_quantiles" -> ((s, dir) => {
+      val stream = StreamOps
+        .readEventsStream(s, stageWithFlush(s, s"$dir/events.parquet"))
+      val snap = StreamOps.runWithRocksDbState(s) {
+        StreamOps.runToCompletion(
+          StreamOps.streamingKllQuantiles(stream),
+          "q254_sink", mode = "append")
+      }
+      val exact = events(s, dir).sdf.groupBy(col("event_type")).agg(
+        expr("percentile(value, array(0.22, 0.47, 0.72))").as("lo"),
+        expr("percentile(value, array(0.28, 0.53, 0.78))").as("hi"))
+      def ok(q: String, i: Int) =
+        (col(q) >= element_at(col("lo"), i) &&
+          col(q) <= element_at(col("hi"), i)).as(s"ok_$q")
+      snap.join(exact, "event_type")
+        .select(col("event_type"), col("n"),
+          ok("q25", 1), ok("q50", 2), ok("q75", 3))
+        .orderBy("event_type")
+    }),
+
     // ---- chained stateful aggregation (Spark 4 multiple stateful
     // operators): hourly per-user counts re-windowed to a daily rollup
     // in ONE streaming job; sentinel waves close the final day, append
@@ -445,6 +468,15 @@ object StreamingQueries {
         |FROM v JOIN c ON v.user_id = c.user_id
         |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '1 hour'
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+    // q254's invariant: per-type counts are exact state bookkeeping
+    // (replayed), each sketch quantile must land inside the exact
+    // ±3%-rank band (k=400 ⇒ ~0.9% rank error)
+    "q254_stream_kll_quantiles" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  TRUE AS ok_q25, TRUE AS ok_q50, TRUE AS ok_q75
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     // q246: the two-level window cascade replayed as two batch
     // aggregations; the sentinel waves (user_id < 0) are excluded
     // exactly as the streaming side filters them post-watermark

@@ -413,6 +413,39 @@ object StreamOps {
       .select(col("key"), col("l_ts"), col("r_ts"))
   }
 
+  /** Streaming distribution monitoring: a KLL quantile SKETCH per key
+    * living in the RocksDB state store — the "what does the value
+    * distribution of each event type look like, measured AT ingest"
+    * pass. State per key is the sketch's fixed budget (k=400 ≈ 3 KB,
+    * ~0.9% rank error) regardless of feed volume — the streaming twin
+    * of the batch mergeable-sketch column ([[graft.operators.Sketches]]).
+    * Values fold in deterministic (ts, event_id) order; rows with
+    * `event_id < 0` are watermark punctuation (the q227 convention) and
+    * never enter a sketch. Each batch re-arms an event-time timer at
+    * `lastSeen + horizon`; when the watermark passes it, the key emits
+    * ONE final snapshot — (key, n, q25, q50, q75) — and clears.
+    * Quantile ESTIMATES carry sketch randomness, so oracle checks pin
+    * them inside exact rank bands rather than hashing them. */
+  def streamingKllQuantiles(events: DataFrame, keyCol: String = "event_type",
+                            k: Int = 400,
+                            horizon: String = "1 hour"): DataFrame = {
+    val horizonMicros = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(horizon)).microseconds
+    val spark = events.sparkSession
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", "0 seconds")
+      .select(col(keyCol).cast("string"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .as[(String, Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .transformWithState(new KllQuantileProcessor(k, horizonMicros),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF(keyCol, "n", "q25", "q50", "q75")
+  }
+
   /** CHAINED stateful aggregation (Spark 4 multiple-stateful-operator
     * support): tumbling 1-hour per-key counts re-windowed into a daily
     * rollup INSIDE one streaming job — the "ingest metrics cascade"
@@ -570,6 +603,62 @@ private[streaming] class SessionProcessor(gapMicros: Long)
           if info.getExpiryTimeInMs() >= timerMsFor(last) =>
         session.clear()
         Iterator((key, start, last + gapMicros, n, sum.toDouble))
+      case _ => Iterator.empty
+    }
+}
+
+/** KLL-sketch-per-key state — the [[StreamOps.streamingKllQuantiles]]
+  * processor. The sketch serializes into the store between triggers
+  * (`toByteArray`/`heapify`), so state size is the sketch budget, not
+  * the stream. */
+private[streaming] class KllQuantileProcessor(k: Int, horizonMicros: Long)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String, (String, Long, Long, Double), (String, Long, Double, Double, Double)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+  import org.apache.datasketches.kll.KllDoublesSketch
+  import org.apache.datasketches.memory.Memory
+
+  // (serialized sketch, n, lastSeenMicros)
+  @transient private var st: ValueState[(Array[Byte], Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Array[Byte], Long, Long)]("kll",
+      Encoders.product[(Array[Byte], Long, Long)], TTLConfig.NONE)
+
+  private def timerMsFor(lastMicros: Long): Long =
+    (lastMicros + horizonMicros) / 1000 + 1
+
+  override def handleInputRows(key: String,
+                               rows: Iterator[(String, Long, Long, Double)],
+                               timers: TimerValues)
+      : Iterator[(String, Long, Double, Double, Double)] = {
+    val real = rows.toSeq.filter(_._3 >= 0).sortBy(r => (r._2, r._3))
+    if (real.nonEmpty) {
+      val (sketch, n0, last0) =
+        if (st.exists()) {
+          val (bytes, n, last) = st.get()
+          (KllDoublesSketch.heapify(Memory.wrap(bytes)), n, last)
+        } else (KllDoublesSketch.newHeapInstance(k), 0L, Long.MinValue)
+      real.foreach(r => sketch.update(r._4))
+      val last = math.max(last0, real.map(_._2).max)
+      st.update((sketch.toByteArray, n0 + real.size, last))
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(timerMsFor(last))
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: String, timers: TimerValues,
+                                  info: ExpiredTimerInfo)
+      : Iterator[(String, Long, Double, Double, Double)] =
+    (if (st.exists()) Some(st.get()) else None) match {
+      case Some((bytes, n, last))
+          if info.getExpiryTimeInMs() >= timerMsFor(last) =>
+        val s = KllDoublesSketch.heapify(Memory.wrap(bytes))
+        st.clear()
+        Iterator((key, n, s.getQuantile(0.25), s.getQuantile(0.5),
+          s.getQuantile(0.75)))
       case _ => Iterator.empty
     }
 }

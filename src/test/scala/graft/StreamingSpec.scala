@@ -285,6 +285,44 @@ class StreamingSpec extends AnyFunSuite {
       (2L, t0, None)))
   }
 
+  test("KLL-in-state snapshot: exact n, quantiles inside the rank band, " +
+    "state drains on the timer") {
+    val t0 = 1700000000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_kll_feed")
+    dir.toFile.deleteOnExit()
+    import spark.implicits._
+    // wave 1: 1..1000 for one key; wave 2: a far-future sentinel
+    (1 to 1000).map(i =>
+        (i.toLong, new java.sql.Timestamp(t0 + i * 1000L), 7L, "m", i.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(dir.resolve("w1").toString)
+    Seq((-1L, new java.sql.Timestamp(t0 + 7200L * 1000L), -1L, "m", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(dir.resolve("w2").toString)
+    val feed = java.nio.file.Files.createTempDirectory("graft_kll_flat")
+    feed.toFile.deleteOnExit()
+    for ((w, i) <- Seq("w1", "w2").zipWithIndex) {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(dir.resolve(w))
+      val f = try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+      java.nio.file.Files.copy(f, feed.resolve(f"arrival_$i%02d.parquet"))
+    }
+    val out = StreamOps.runWithRocksDbState(spark) {
+      StreamOps.runToCompletion(
+        StreamOps.streamingKllQuantiles(
+          StreamOps.readEventsStream(spark, feed.toString)),
+        "kll_state", mode = "append")
+    }.collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") == 1000L)
+    assert(math.abs(r.getAs[Double]("q50") - 500.0) <= 30.0)
+    assert(math.abs(r.getAs[Double]("q25") - 250.0) <= 30.0)
+    assert(math.abs(r.getAs[Double]("q75") - 750.0) <= 30.0)
+  }
+
   test("chained rollup keeps the sentinel cut ABOVE the watermark node") {
     // if the optimizer pushed `user_id >= 0` below EventTimeWatermark,
     // punctuation rows would be dropped before the watermark observed
