@@ -52,4 +52,46 @@ object Upsert {
         payload.filterNot(keys.contains).map(n => col(s"__w.$n").as(n)): _*)
     new Df(winner.where(!col(deletedCol)).drop(deletedCol))
   }
+
+  /** Incremental JOIN maintenance — the delta-view identity
+    * `(L∪ΔL)⋈(R∪ΔR) = L⋈R ∪ ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR`: given the
+    * already-materialized old join and the two deltas, produce the NEW
+    * rows only. At 100 TB the payoff is the join sizes: every term
+    * touches at least one DELTA side (delta-sized shuffle, broadcast
+    * when small), and the full L⋈R — the expensive one — is never
+    * recomputed. Append-only deltas (the log-ingest shape); updates
+    * and deletes route through [[applyChanges]] first. */
+  def incrementalJoinDelta(oldLeft: Df, deltaLeft: Df,
+                           oldRight: Df, deltaRight: Df,
+                           on: Seq[String]): Df = {
+    val dlR = deltaLeft.sdf.join(oldRight.sdf, on)
+    val lDr = oldLeft.sdf.join(deltaRight.sdf, on)
+    val dlDr = deltaLeft.sdf.join(deltaRight.sdf, on)
+    // column order must agree across branches for unionAll
+    val cols = dlR.columns.map(col).toIndexedSeq
+    new Df(dlR.select(cols: _*)
+      .unionAll(lDr.select(cols: _*))
+      .unionAll(dlDr.select(cols: _*)))
+  }
+
+  /** SCD Type-2 dimension build from a change history: one row per
+    * (key, version) with its validity interval — `valid_from` = the
+    * change's own timestamp, `valid_to` = the NEXT change's (null while
+    * current), `is_current` on the open row. ONE window pass per key
+    * (lead over the change order); ties on the timestamp break on
+    * `versionCol` so replays are deterministic. The point-in-time
+    * lookup this table serves ("what did the dimension say when this
+    * event happened") is then [[graft.api.Df.asofJoin]] or a
+    * `valid_from <= ts < valid_to` range join — never a correlated
+    * subquery per event. */
+  def scd2(history: Df, keys: Seq[String], tsCol: String,
+           versionCol: String): Df = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(history.sdf(_)): _*)
+      .orderBy(history.sdf(tsCol).asc, history.sdf(versionCol).asc)
+    new Df(history.sdf
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", lead(col(tsCol), 1).over(w).isNull))
+  }
 }

@@ -49,6 +49,44 @@ object GovernanceQueries {
         .sortValues(Seq("o_orderkey")).sdf
     }),
 
+    // ---- incremental JOIN maintenance: the delta-view identity —
+    // new rows = ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR; old∪delta must equal the full
+    // join as a MULTISET (exceptAll both ways), never recompute L⋈R ----
+    "q255_incremental_join" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = T(s, dir, "customer")
+        .rename(Map("c_custkey" -> "o_custkey"))
+        .select("o_custkey", "c_mktsegment")
+      val (oldL, dL) = (o.where(col("o_orderkey") % 4 =!= 0),
+        o.where(col("o_orderkey") % 4 === 0))
+      val (oldR, dR) = (c.where(col("o_custkey") % 5 =!= 0),
+        c.where(col("o_custkey") % 5 === 0))
+      val oldJoin = oldL.sdf.join(oldR.sdf, Seq("o_custkey"))
+      val delta = Upsert.incrementalJoinDelta(oldL, dL, oldR, dR,
+        Seq("o_custkey")).sdf
+      val full = o.sdf.join(c.sdf, Seq("o_custkey"))
+      val cols = full.columns.map(col).toIndexedSeq
+      val maintained = oldJoin.select(cols: _*).unionAll(delta.select(cols: _*))
+      val equal =
+        full.exceptAll(maintained).count() == 0 &&
+          maintained.exceptAll(full).count() == 0
+      import s.implicits._
+      Seq((oldJoin.count(), delta.count(), full.count(), equal))
+        .toDF("n_old", "n_delta", "n_full", "multiset_equal")
+    }),
+
+    // ---- SCD Type-2 dimension build: validity intervals per key from
+    // the change log, one lead() window pass ----
+    "q256_scd2" -> ((s, dir) => {
+      val hist = T(s, dir, "orders")
+        .where(col("o_custkey") < 200)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      Upsert.scd2(hist, Seq("o_custkey"), "o_orderdate", "o_orderkey")
+        .select("o_custkey", "o_orderkey", "valid_from", "valid_to",
+          "is_current")
+        .sortValues(Seq("o_custkey", "valid_from", "o_orderkey")).sdf
+    }),
+
     // ---- deterministic reservoir-equivalent: 5 events per type by
     // md5(seed:id) permutation; WindowGroupLimit keeps per-mapper
     // state at k rows per group ----
@@ -190,6 +228,36 @@ object GovernanceQueries {
         |    ORDER BY version DESC, pri DESC) AS rn FROM u)
         |SELECT o_orderkey, o_totalprice, o_orderpriority, version
         |FROM w WHERE rn = 1 AND NOT deleted ORDER BY o_orderkey""".stripMargin,
+
+    // q255: counts replayed; the multiset identity itself was verified
+    // engine-side with exceptAll both directions
+    "q255_incremental_join" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey FROM orders),
+        |c AS (SELECT c_custkey AS o_custkey, c_mktsegment FROM customer),
+        |ol AS (SELECT * FROM o WHERE o_orderkey % 4 <> 0),
+        |dl AS (SELECT * FROM o WHERE o_orderkey % 4 = 0),
+        |orr AS (SELECT * FROM c WHERE o_custkey % 5 <> 0),
+        |drr AS (SELECT * FROM c WHERE o_custkey % 5 = 0)
+        |SELECT
+        |  (SELECT count(*) FROM ol JOIN orr USING (o_custkey))::BIGINT
+        |    AS n_old,
+        |  ((SELECT count(*) FROM dl JOIN orr USING (o_custkey))
+        |   + (SELECT count(*) FROM ol JOIN drr USING (o_custkey))
+        |   + (SELECT count(*) FROM dl JOIN drr USING (o_custkey)))::BIGINT
+        |    AS n_delta,
+        |  (SELECT count(*) FROM o JOIN c USING (o_custkey))::BIGINT
+        |    AS n_full,
+        |  TRUE AS multiset_equal""".stripMargin,
+
+    "q256_scd2" ->
+      """SELECT o_custkey, o_orderkey,
+        |  o_orderdate::TIMESTAMP AS valid_from,
+        |  lead(o_orderdate::TIMESTAMP) OVER w AS valid_to,
+        |  lead(o_orderdate) OVER w IS NULL AS is_current
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
 
     "q216_group_sample" ->
       """WITH r AS (SELECT event_id, event_type,

@@ -384,6 +384,45 @@ class GovernanceSpec extends AnyFunSuite {
       p.contains("min_by"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("incrementalJoinDelta: old ∪ delta equals the full join as a multiset") {
+    def f(rows: Seq[Row], names: (String, String)): Df =
+      Df.fromRows(spark, rows, StructType(Seq(
+        StructField(names._1, LongType), StructField(names._2, StringType))))
+    val oldL = f(Seq(Row(1L, "a"), Row(2L, "b"), Row(1L, "c")), ("k", "l"))
+    val dL = f(Seq(Row(2L, "d"), Row(3L, "e")), ("k", "l"))
+    val oldR = f(Seq(Row(1L, "X"), Row(3L, "Y")), ("k", "r"))
+    val dR = f(Seq(Row(1L, "Z"), Row(2L, "W")), ("k", "r"))
+    val delta = Upsert.incrementalJoinDelta(oldL, dL, oldR, dR, Seq("k")).sdf
+    val oldJoin = oldL.sdf.join(oldR.sdf, Seq("k"))
+    val full = oldL.sdf.unionAll(dL.sdf)
+      .join(oldR.sdf.unionAll(dR.sdf), Seq("k"))
+    val maintained = oldJoin.unionAll(delta.select(oldJoin.columns.map(col): _*))
+    assert(full.exceptAll(maintained).count() == 0)
+    assert(maintained.exceptAll(full).count() == 0)
+    assert(delta.count() > 0)
+  }
+
+  test("scd2: intervals chain per key, exactly one current, no overlap") {
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val rows = Seq(Row(1L, t(1), 10L), Row(1L, t(5), 11L), Row(1L, t(9), 12L),
+      Row(2L, t(3), 20L))
+    val d = Df.fromRows(spark, rows, StructType(Seq(
+      StructField("k", LongType), StructField("ts", TimestampType),
+      StructField("v", LongType))))
+    val got = Upsert.scd2(d, Seq("k"), "ts", "v").sdf
+      .orderBy("k", "valid_from").collect()
+    val k1 = got.filter(_.getLong(0) == 1L)
+    assert(k1.map(r => Option(r.getTimestamp(4))).toSeq ==
+      Seq(Some(t(5)), Some(t(9)), None).map(_.map(identity)))
+    // exactly one current row per key
+    assert(got.count(_.getBoolean(5)) == 2)
+    // each valid_to equals the next row's valid_from (chained, no gap)
+    k1.sliding(2).foreach {
+      case Array(a, b) => assert(a.getTimestamp(4) == b.getTimestamp(3))
+      case _ =>
+    }
+  }
 }
 
 /** Shared small-table handles for governance tests. */
