@@ -85,4 +85,30 @@ class ErrorContractSpec extends AnyFunSuite {
     named(TextAnalytics.ngramContamination(docs, docs, "text", "doc_id", n = 0), "n")
     named(TextAnalytics.repetitionStats(docs, "text", "doc_id", n = 0), "n")
   }
+
+  test("session-wave operators reject bad arguments at call time, by name") {
+    intercept[IllegalArgumentException](d.qcut("y", 1, "b"))
+    val e1 = intercept[IllegalArgumentException](
+      d.mergeValidated(d, Seq("x"), validate = "2:2"))
+    assert(e1.getMessage.contains("2:2"))
+    val e2 = intercept[IllegalArgumentException](
+      d.duplicatedKeep(Seq("x"), "y", keep = "middle"))
+    assert(e2.getMessage.contains("middle"))
+    val e3 = intercept[IllegalArgumentException](
+      d.groupby("x").rank("y", method = "average"))
+    assert(e3.getMessage.contains("average"))
+    intercept[IllegalArgumentException](
+      d.groupby("x").rank("y", method = "first")) // no tiebreak keys
+    val e4 = intercept[IllegalArgumentException](
+      graft.operators.TimeSeries.interpolateByTime(
+        d, "y", "x", keyCols = Nil, out = "z"))
+    assert(e4.getMessage.contains("partition keys"))
+    val e5 = intercept[IllegalArgumentException](
+      graft.operators.Profiling.cohortRetention(d, "x", "y", "year"))
+    assert(e5.getMessage.contains("year"))
+    intercept[IllegalArgumentException](
+      graft.operators.TimeSeries.resampleGapfill(d, "y", "x", "minute"))
+    intercept[IllegalArgumentException](
+      graft.operators.TimeSeries.seasonalResiduals(d, "x", "y", period = 0))
+  }
 }
