@@ -56,6 +56,39 @@ object Linkage {
     new Df(pairs.where(col("dist") <= maxDist))
   }
 
+  /** [[sortedNeighborhood]] with the Jaro–Winkler scorer (native
+    * codegen'd expression [[graft.plans.JaroWinkler]], DuckDB-replay
+    * semantics): keeps candidate pairs whose similarity clears
+    * `minSim`. Prefix-weighted, so it matches the name/address shape
+    * where typos cluster at the END of the string — the standard
+    * record-linkage complement to edit distance. */
+  def sortedNeighborhoodJaro(df: Df, blockCols: Seq[String], sortCol: String,
+                             textCol: String, idCol: String,
+                             minSim: Double, w: Int = 1): Df = {
+    require(w >= 1, s"sortedNeighborhoodJaro: window must be >= 1: $w")
+    require(minSim >= 0.0 && minSim <= 1.0,
+      s"sortedNeighborhoodJaro: minSim must be in [0,1]: $minSim")
+    graft.plans.GraftFunctions.register(df.spark)
+    val win = Window.partitionBy(blockCols.map(col): _*)
+      .orderBy(col(sortCol), col(idCol))
+    val lagged = (1 to w).foldLeft(df.sdf) { (d, off) =>
+      d.withColumn(s"__prev_id_$off", lag(col(idCol), off).over(win))
+        .withColumn(s"__prev_text_$off", lag(col(textCol), off).over(win))
+    }
+    val pairs = (1 to w).map { off =>
+      lagged.select(
+        col(s"__prev_id_$off").as("left_id"),
+        col(idCol).as("right_id"),
+        col(s"__prev_text_$off").as("left_text"),
+        col(textCol).as("right_text"),
+        expr(s"round(graft_jaro_winkler(__prev_text_$off, `$textCol`), 6)")
+          .as("sim"),
+        lit(off).as("offset"))
+        .where(col("left_id").isNotNull)
+    }.reduce(_ unionByName _)
+    new Df(pairs.where(col("sim") >= minSim))
+  }
+
   /** Survivorship: collapse each resolved entity cluster to ONE golden
     * record — per column, the modal non-null value (ties → smallest),
     * plus `n_members`. The endgame after [[sortedNeighborhood]] (or

@@ -22,7 +22,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftFunctions {
   val names: Seq[String] =
     Seq("graft_cosine", "graft_jaccard_sorted", "graft_pct_normalize",
-      "graft_bloom_agg", "graft_might_contain")
+      "graft_jaro_winkler", "graft_bloom_agg", "graft_might_contain")
 
   /** Spark's Bloom sketch pair (`BloomFilterAggregate` /
     * `BloomFilterMightContain`) — engine-native, codegen'd, but with no
@@ -71,6 +71,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_pct_normalize",
       unary("graft_pct_normalize", "(string)", PercentNormalize),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_jaro_winkler",
+      binary("graft_jaro_winkler", "(string, string)", JaroWinkler),
+      "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_agg", bloomAggBuilder,
       "built-in")
     reg.createOrReplaceTempFunction("graft_might_contain", mightContainBuilder,
@@ -97,6 +100,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[PercentNormalize].getName, "graft_pct_normalize"),
       GraftFunctions.unary("graft_pct_normalize", "(string)", PercentNormalize)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_jaro_winkler"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      GraftFunctions.binary("graft_jaro_winkler", "(string, string)",
+        JaroWinkler)))
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_agg"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -109,6 +109,17 @@ object GovernanceQueries {
         .orderBy("right_id", "offset")
     }),
 
+    // ---- Jaro–Winkler record linkage: the native codegen'd scorer
+    // (graft.plans.JaroWinkler, DuckDB-replay semantics) over the same
+    // sorted-neighborhood candidates as q217 ----
+    "q257_jaro_linkage" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      Linkage.sortedNeighborhoodJaro(c, Seq("c_nationkey"), "c_name",
+        "c_name", "c_custkey", minSim = 0.9, w = 2).sdf
+        .select("left_id", "right_id", "sim", "offset")
+        .orderBy("right_id", "offset")
+    }),
+
     // ---- per-user EWMA of event values (alpha=.5 → power-of-two
     // weights, bit-reproducible; W=40 bounded lookback) ----
     "q218_ewma" -> ((s, dir) => {
@@ -283,6 +294,26 @@ object GovernanceQueries {
         |    CAST(levenshtein(pt2, c_name) AS INTEGER), 2
         |  FROM s WHERE pi2 IS NOT NULL)
         |SELECT left_id, right_id, dist, "offset" FROM p WHERE dist <= 3
+        |ORDER BY right_id, "offset"""".stripMargin,
+
+    // q257: DuckDB's jaro_winkler_similarity IS the reference for the
+    // native expression (rapidfuzz convention: boost only above 0.7,
+    // empties score 0) — ROUND-6 on both sides
+    "q257_jaro_linkage" ->
+      """WITH s AS (SELECT c_custkey, c_name,
+        |    LAG(c_name, 1) OVER w AS pt1, LAG(c_custkey, 1) OVER w AS pi1,
+        |    LAG(c_name, 2) OVER w AS pt2, LAG(c_custkey, 2) OVER w AS pi2
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_name, c_custkey)),
+        |p AS (
+        |  SELECT pi1 AS left_id, c_custkey AS right_id,
+        |    ROUND(jaro_winkler_similarity(pt1, c_name), 6) AS sim,
+        |    1 AS "offset" FROM s WHERE pi1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT pi2, c_custkey,
+        |    ROUND(jaro_winkler_similarity(pt2, c_name), 6), 2
+        |  FROM s WHERE pi2 IS NOT NULL)
+        |SELECT left_id, right_id, sim, "offset" FROM p WHERE sim >= 0.9
         |ORDER BY right_id, "offset"""".stripMargin,
 
     // terms x_j·0.5^d are exact doubles (power-of-two scaling), summed

@@ -130,6 +130,31 @@ class NativeExprSpec extends AnyFunSuite {
     assert(plan.startsWith("*("), plan)   // '*' = inside WholeStageCodegen
   }
 
+  test("graft_jaro_winkler matches the DuckDB/rapidfuzz reference values") {
+    GraftFunctions.register(spark)
+    // reference values probed from DuckDB jaro_winkler_similarity
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0),                       // rapidfuzz: both-empty is 0
+      ("ab", "ba", 0.0),                   // window 0: no matches
+      ("frog", "fog", 0.9249999999999999),
+      ("aaxxxxxx", "aayyyy", 0.5277777777777778), // jaro<=0.7: NO boost
+      ("elephant", "hippo", 0.44166666666666665))
+    import spark.implicits._
+    val got = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .selectExpr("graft_jaro_winkler(a, b)").collect().map(_.getDouble(0))
+    cases.map(_._3).zip(got).foreach { case (want, g) =>
+      assert(math.abs(g - want) < 1e-12, s"$g vs $want")
+    }
+    // null-intolerant + stays codegen'd
+    val n = spark.sql("SELECT graft_jaro_winkler(NULL, 'x')").collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("SparkSessionExtensions wiring registers the function") {
     val s2 = TestSpark.spark.newSession()
     new graft.plans.GraftExtensions().apply(
