@@ -437,6 +437,19 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     }
   }
 
+  /** pandas `json_normalize`: flatten a JSON string column into typed
+    * top-level columns with ONE `from_json` parse per row. The explicit
+    * DDL schema is the contract (schema inference over 100 TB of JSON
+    * is a full extra scan — refused by design), and the single parse is
+    * the performance story: `get_json_object` re-parses the WHOLE
+    * document once per extracted field, so k fields cost k parses;
+    * this costs one. Malformed documents yield null fields (PERMISSIVE
+    * mode), never a poisoned task. */
+  def jsonNormalize(c: String, ddl: String, keep: Seq[String]): Df =
+    new Df(sdf
+      .withColumn("__j", from_json(col(c), ddl, Map.empty[String, String]))
+      .selectExpr(keep.map(k => s"`$k`") :+ "__j.*": _*))
+
   /** pandas `df.where(cond, other)` / `mask(cond, other)`: keep values
     * where the condition holds (resp. fails), replace the rest — a
     * pure codegen'd projection over every column. */

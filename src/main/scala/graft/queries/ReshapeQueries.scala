@@ -77,6 +77,15 @@ object ReshapeQueries {
           "l_extendedprice")).sdf
     }),
 
+    // ---- pandas json_normalize: ONE from_json parse flattens props;
+    // get_json_object would re-parse per field ----
+    "q258_json_normalize" -> ((s, dir) => {
+      events(s, dir)
+        .jsonNormalize("props", "k BIGINT", keep = Seq("event_id", "user_id"))
+        .where(col("event_id") % 20 === 0)
+        .sortValues(Seq("event_id")).sdf
+    }),
+
     // ---- pandas qcut(labels=False): quartile binning, then profile ----
     "q233_qcut" -> ((s, dir) => {
       T(s, dir, "lineitem")
@@ -149,6 +158,12 @@ object ReshapeQueries {
         |  FROM lineitem)
         |SELECT * FROM p WHERE l_orderkey % 50 = 0
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+
+    "q258_json_normalize" ->
+      """SELECT event_id, user_id,
+        |  json_extract_string(props, '$.k')::BIGINT AS k
+        |FROM events WHERE event_id % 20 = 0
+        |ORDER BY event_id""".stripMargin,
 
     "q233_qcut" ->
       """WITH b AS (

@@ -90,6 +90,29 @@ class ReshapeSpec extends AnyFunSuite {
     counts.foreach { case (_, n) => assert(n >= 24L && n <= 26L) }
   }
 
+  test("jsonNormalize: one parse, same values as per-field extraction, " +
+    "malformed rows null out") {
+    val d = frame(
+      Seq(Row(1L, """{"k": 7, "s": "x"}"""), Row(2L, """not json"""),
+        Row(3L, """{"k": 9}""")),
+      "id" -> LongType, "js" -> StringType)
+    val got = d.jsonNormalize("js", "k BIGINT, s STRING", keep = Seq("id"))
+      .sdf.orderBy("id").collect()
+    assert(got.map(r => if (r.isNullAt(1)) None else Some(r.getLong(1))).toSeq ==
+      Seq(Some(7L), None, Some(9L)))
+    assert(got(0).getString(2) == "x" && got(2).isNullAt(2))
+    // differential vs get_json_object; and the plan parses ONCE
+    val viaGjo = d.sdf.select(
+      get_json_object(col("js"), "$.k").cast("bigint")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(got.map(r => if (r.isNullAt(1)) None else Some(r.getLong(1))).toSeq
+      == viaGjo)
+    val plan = d.jsonNormalize("js", "k BIGINT, s STRING", Seq("id"))
+      .sdf.queryExecution.optimizedPlan.toString
+    assert("from_json".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("get_json_object"), plan)
+  }
+
   test("reshape oracle queries run end-to-end on sf0.001") {
     for ((name, q) <- graft.queries.ReshapeQueries.defs) {
       val n = q(spark, sf).count()
