@@ -67,21 +67,34 @@ object Bench {
     } + "\""
     val ok = results.filter(_._3.isEmpty)
     val failed = results.filter(_._3.nonEmpty)
+    // the staged-file streaming harness (one source file staged per
+    // trigger) has a fixed per-trigger cost that dominates its wall time
+    // and scales with FILE COUNT, not data volume — flag those queries so
+    // a round-over-round or sf-over-sf comparison can separate harness
+    // arithmetic from genuine plan regressions mechanically.
+    val fixedCostClass: Map[String, String] =
+      graft.queries.StreamingQueries.defs.keySet.iterator
+        .map(_ -> "staged_files").toMap
     // driver-contract line: queries stay numeric (ONLY successful runs —
     // a failure latency is not a timing); failures ride alongside.
     val qs = ok.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val fs = failed.map { case (k, _, e) => jstr(k) + ":" + jstr(e.get) }
       .mkString("{", ",", "}")
+    val classes = fixedCostClass.toSeq.sortBy(_._1)
+      .map { case (k, c) => jstr(k) + ":" + jstr(c) }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","n_ok":${ok.size},"n_failed":${failed.size},"failed":$fs}"""
+      s""""sf":"$sfDir","n_ok":${ok.size},"n_failed":${failed.size},"failed":$fs,""" +
+      s""""fixed_cost_classes":$classes}"""
     println(line)
     // the driver's log capture truncates long tails (BENCH_r06 kept only
     // 61/125 per-query timings and lost the total) — persist a FULL
     // per-query {sec, ok, err} record as the file artifact.
     val detail = results.map { case (k, v, e) =>
       jstr(k) + s""":{"sec":$v,"ok":${e.isEmpty},"err":""" +
-        e.map(jstr).getOrElse("null") + "}"
+        e.map(jstr).getOrElse("null") +
+        fixedCostClass.get(k).map(c => s""","fixed_cost_class":${jstr(c)}""")
+          .getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val fileLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""n_ok":${ok.size},"n_failed":${failed.size},"queries":$detail,"sf":"$sfDir"}"""

@@ -24,11 +24,32 @@ object Verify {
     // (unset in the driver's gate run → all queries)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Output-type lint: wide decimals (precision > 18, i.e. decimal128
+    // storage) are hash-hostile in cross-engine comparators — decimal128
+    // canonicalization differs between engines even when the values
+    // agree (the r10 q204/q210 failure class). Queries must cast
+    // decimal-absorbed aggregates back to DOUBLE/STRING before emitting.
+    def lintSchema(name: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+      import org.apache.spark.sql.types._
+      def wide(dt: DataType): Boolean = dt match {
+        case d: DecimalType => d.precision > 18
+        case ArrayType(e, _) => wide(e)
+        case MapType(k, v, _) => wide(k) || wide(v)
+        case s: StructType => s.fields.exists(f => wide(f.dataType))
+        case _ => false
+      }
+      val bad = schema.fields.filter(f => wide(f.dataType)).map(_.name)
+      require(bad.isEmpty, s"$name emits gate-hostile DecimalType(p>18) " +
+        s"column(s) ${bad.mkString(", ")} — cast to DOUBLE or STRING")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val out = fn(spark, sfDir)
+        lintSchema(name, out.schema)
+        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any stale/partial output so the driver's compare sees

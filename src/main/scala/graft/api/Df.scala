@@ -634,9 +634,13 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     val pctExpr =
       if (exact) s"percentile(`$c`, array(${probs.mkString(", ")}))"
       else s"percentile_approx(`$c`, array(${probs.mkString(", ")}), 10000)"
-    val breaks = sdf.agg(
-      expr(s"transform($pctExpr, x -> round(x, 6))").as("b"))
-      .head.getSeq[Double](0)
+    // percentile() returns NULL on an empty/all-null column; surface the
+    // named contract error instead of an opaque NullPointerException
+    val aggRow = sdf.agg(
+      expr(s"transform($pctExpr, x -> round(x, 6))").as("b")).head
+    if (aggRow.isNullAt(0)) throw new IllegalArgumentException(
+      s"qcut: no non-null values in column '$c'")
+    val breaks = aggRow.getSeq[Double](0)
     val bucket = breaks.map(b => when(sdf(c) > lit(b), 1).otherwise(0))
       .reduce(_ + _)
     new Df(sdf.withColumn(out, bucket))

@@ -152,13 +152,43 @@ final class GroupedDf private[api] (
   private def idxBy(valueCol: String, idCol: String, out: String,
                     largest: Boolean): Df = {
     val F = org.apache.spark.sql.functions
+    import org.apache.spark.sql.types._
     // max_by on (value, -id) implements "largest value, smallest id on
-    // ties" as ONE struct comparison; min_by symmetric
-    val key = if (largest)
-      F.struct(sdf(valueCol).as("v"), (-sdf(idCol)).as("negid"))
-    else F.struct(sdf(valueCol).as("v"), sdf(idCol).as("id"))
-    val pick = if (largest) F.max_by(sdf(idCol), key) else F.min_by(sdf(idCol), key)
-    new Df(sdf.groupBy(keys.map(sdf(_)): _*).agg(pick.as(out)))
+    // ties" as ONE struct comparison (partial-aggregable, map-side
+    // combine); min_by symmetric. The negation is picked per id dtype so
+    // it can never overflow: fixed-width ints widen to long (int can't
+    // overflow there), long/decimal negate as decimal (symmetric range —
+    // -(Long.MinValue) is representable in DECIMAL(20,0)).
+    val negId: Option[org.apache.spark.sql.Column] =
+      sdf.schema(idCol).dataType match {
+        case ByteType | ShortType | IntegerType =>
+          Some(-sdf(idCol).cast(LongType))
+        case LongType => Some(-sdf(idCol).cast(DecimalType(20, 0)))
+        case FloatType | DoubleType | _: DecimalType => Some(-sdf(idCol))
+        case _ => None // string/date/... have no order-reversing map
+      }
+    (largest, negId) match {
+      case (true, Some(n)) =>
+        val key = F.struct(sdf(valueCol).as("v"), n.as("negid"))
+        new Df(sdf.groupBy(keys.map(sdf(_)): _*)
+          .agg(F.max_by(sdf(idCol), key).as(out)))
+      case (false, _) =>
+        val key = F.struct(sdf(valueCol).as("v"), sdf(idCol).as("id"))
+        new Df(sdf.groupBy(keys.map(sdf(_)): _*)
+          .agg(F.min_by(sdf(idCol), key).as(out)))
+      case (true, None) =>
+        // non-numeric id: "largest value, smallest id" needs opposite
+        // sort directions, inexpressible as one struct ordering — fall
+        // back to a per-group row_number (same shuffle key; loses only
+        // the map-side combine, and only on this dtype class)
+        val W = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(sdf(_)): _*)
+          .orderBy(sdf(valueCol).desc, sdf(idCol).asc)
+        new Df(sdf
+          .withColumn("__rn", F.row_number().over(W))
+          .where(F.col("__rn") === 1)
+          .select(keys.map(sdf(_)) :+ sdf(idCol).as(out): _*))
+    }
   }
 
   private def expandingFrame(orderKeys: Seq[String]) = {

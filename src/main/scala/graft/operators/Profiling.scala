@@ -242,7 +242,12 @@ object Profiling {
       .select(h60.as("__h"))
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(__h)").as("xor_sig"),
-        sum(col("__h").cast("decimal(38,0)")).as("sum_sig"),
+        // STRING, not DECIMAL(38,0): wide decimals are hash-hostile in
+        // downstream comparators (decimal128 canonicalization differs
+        // across engines even when the values agree); the digest is an
+        // opaque receipt, so its canonical decimal string is the
+        // portable form.
+        sum(col("__h").cast("decimal(38,0)")).cast("string").as("sum_sig"),
         min(col("__h")).as("min_sig"),
         max(col("__h")).as("max_sig")))
   }

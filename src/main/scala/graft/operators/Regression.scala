@@ -44,10 +44,22 @@ object Regression {
       "sx1y - sx1 * sy / n AS s1y",
       "sx2y - sx2 * sy / n AS s2y",
       "syy - sy * sy / n AS scy")
+      // singular-design guard INSIDE the plan (same named contract as
+      // olsFit's require): a constant/collinear feature zeroes the 2×2
+      // determinant, which would otherwise surface as a raw ANSI
+      // DIVIDE_BY_ZERO (or NaN) instead of a diagnosable error
       .selectExpr(
         "n", "sx1", "sx2", "sy", "s1y", "s2y", "scy",
-        "(s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b1",
-        "(s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS b2")
+        """CASE WHEN s11 * s22 - s12 * s12 = 0
+          |  THEN CAST(raise_error(
+          |    'olsFit2: singular design (collinear or constant features)')
+          |    AS DOUBLE)
+          |  ELSE s11 * s22 - s12 * s12 END AS det""".stripMargin,
+        "s22", "s12", "s11")
+      .selectExpr(
+        "n", "sx1", "sx2", "sy", "s1y", "s2y", "scy",
+        "(s1y * s22 - s2y * s12) / det AS b1",
+        "(s2y * s11 - s1y * s12) / det AS b2")
     new Df(solved.selectExpr(
       "ROUND((sy - b1 * sx1 - b2 * sx2) / n, 6) AS b0",
       "ROUND(b1, 6) AS b1",

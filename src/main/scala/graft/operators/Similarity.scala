@@ -819,8 +819,12 @@ object Similarity {
       .join(broadcast(means.select(col("i").as("j"), col("__sm").as("__smj"))),
         Seq("j"))
       .select(col("i"), col("j"),
-        round(col("__sp") / col("__n") -
+        // `+ 0.0` canonicalizes IEEE signed zero: Spark's round() goes
+        // through BigDecimal (never -0.0) while a C-float ROUND (e.g.
+        // DuckDB's) maps tiny negatives to -0.0 — the two differ
+        // bitwise on any value in (-5e-7, 0). -0.0 + 0.0 = +0.0.
+        (round(col("__sp") / col("__n") -
           (col("__smi") / col("__n")) * (col("__smj") / col("__n")), 6)
-          .as("cov")))
+          + lit(0.0)).as("cov")))
   }
 }

@@ -48,9 +48,13 @@ case class JaroWinkler(left: Expression, right: Expression)
 }
 
 object JaroWinkler {
-  /** static kernel (called from generated code) */
+  /** static kernel (called from generated code). Operates on Unicode
+    * CODEPOINTS, not UTF-16 code units — DuckDB/rapidfuzz compare
+    * codepoints, and charAt-based lengths/windows/prefixes diverge on
+    * non-BMP text (a surrogate pair would count as two symbols). */
   def compute(au: UTF8String, bu: UTF8String): Double = {
-    val s = au.toString; val t = bu.toString
+    val s = au.toString.codePoints().toArray
+    val t = bu.toString.codePoints().toArray
     val n = s.length; val m = t.length
     if (n == 0 || m == 0) return 0.0 // incl. both-empty: DuckDB/rapidfuzz
     val window = math.max(0, math.max(n, m) / 2 - 1)
@@ -63,7 +67,7 @@ object JaroWinkler {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!tM(j) && s.charAt(i) == t.charAt(j)) {
+        if (!tM(j) && s(i) == t(j)) {
           sM(i) = true; tM(j) = true; matches += 1; found = true
         }
         j += 1
@@ -75,7 +79,7 @@ object JaroWinkler {
     while (i < n) {
       if (sM(i)) {
         while (!tM(k)) k += 1
-        if (s.charAt(i) != t.charAt(k)) trans += 1
+        if (s(i) != t(k)) trans += 1
         k += 1
       }
       i += 1
@@ -88,7 +92,7 @@ object JaroWinkler {
     if (jaro <= 0.7) return jaro // Winkler boost threshold (rapidfuzz)
     var l = 0
     val maxL = math.min(4, math.min(n, m))
-    while (l < maxL && s.charAt(l) == t.charAt(l)) l += 1
+    while (l < maxL && s(l) == t(l)) l += 1
     jaro + 0.1 * l * (1.0 - jaro)
   }
 }

@@ -282,7 +282,7 @@ object AnalyticsQueries {
     "q73_ivf_topk" ->
       """SELECT query_id, rank, corpus_id, cosine FROM (
         |SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-        |ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+        |ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) + 0.0 AS cosine,
         |ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
         |  ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
         |  c.vec_id) AS rank
@@ -292,7 +292,7 @@ object AnalyticsQueries {
     "q201_ivf_index" ->
       """SELECT query_id, rank, corpus_id, cosine FROM (
         |SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-        |ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+        |ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) + 0.0 AS cosine,
         |ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
         |  ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
         |  c.vec_id) AS rank
@@ -356,7 +356,7 @@ object AnalyticsQueries {
         |  FROM (SELECT UNNEST(e) AS x, UNNEST(range(len(e))) AS i FROM v)
         |  GROUP BY 1)
         |SELECT s.i, s.j,
-        |ROUND(sp / n - (mi.sm / n) * (mj.sm / n), 6) AS cov
+        |ROUND(sp / n - (mi.sm / n) * (mj.sm / n), 6) + 0.0 AS cov
         |FROM s JOIN m mi ON s.i = mi.i JOIN m mj ON s.j = mj.i
         |ORDER BY s.i, s.j""".stripMargin,
     "q203_pagerank" ->

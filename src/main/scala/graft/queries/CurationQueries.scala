@@ -415,7 +415,7 @@ object CurationQueries {
         |SELECT doc_id, CAST(SUM(ct) AS BIGINT) AS n_chars,
         |ROUND(LN(CAST(SUM(ct) AS DOUBLE)) -
         |  CAST(SUM(CAST(ct * LN(ct::DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
-        |  / SUM(ct), 4) AS entropy
+        |  / SUM(ct), 4) + 0.0 AS entropy
         |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // whitespace-run token count (the toksSql convention) + the same
     // md5-prefix hash shard as Df.splitByHash; prefix sum BEFORE the

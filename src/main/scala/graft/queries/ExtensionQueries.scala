@@ -1202,7 +1202,7 @@ object ExtensionQueries {
        |   THEN NULL ELSE ${sig("e")} END) AS bucket FROM
        |  (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),
        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-       |ROUND(list_cosine_similarity(q.e, c.e), 6) AS cosine,
+       |ROUND(list_cosine_similarity(q.e, c.e), 6) + 0.0 AS cosine,
        |ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
        |  ROUND(list_cosine_similarity(q.e, c.e), 6) DESC, c.vec_id) AS rank
        |FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
@@ -1563,7 +1563,7 @@ object ExtensionQueries {
          |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
          |comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
          |scorec AS (SELECT vec_id,
-         |  ROUND(embedding[1]::DOUBLE, 6) AS score FROM corpus0),
+         |  ROUND(embedding[1]::DOUBLE, 6) + 0.0 AS score FROM corpus0),
          |members AS (SELECT s.vec_id, s.score, comp.cluster
          |  FROM scorec s JOIN comp ON s.vec_id = comp.id),
          |reps AS (SELECT cluster, vec_id AS representative FROM (
@@ -1632,7 +1632,7 @@ object ExtensionQueries {
         |    AND abs(emb[(i+1)::INT]) < 1e18)
         |SELECT label, i::INT AS pos,
         |ROUND(CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE)
-        |  / COUNT(*), 6) AS centroid
+        |  / COUNT(*), 6) + 0.0 AS centroid
         |FROM x GROUP BY label, i ORDER BY label, pos""".stripMargin,
     "q111_l2_normalize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
@@ -1642,7 +1642,7 @@ object ExtensionQueries {
         |  FROM e),
         |x AS (SELECT vec_id, emb, nrm, UNNEST(range(len(emb))) AS i FROM n
         |  WHERE nrm > 0)
-        |SELECT vec_id, i::INT AS pos, ROUND(emb[(i+1)::INT] / nrm, 6) AS v
+        |SELECT vec_id, i::INT AS pos, ROUND(emb[(i+1)::INT] / nrm, 6) + 0.0 AS v
         |FROM x ORDER BY vec_id, pos""".stripMargin,
     "q105_stratified_sample" ->
       """SELECT COUNT(DISTINCT o_orderpriority) AS n_strata,
@@ -1672,7 +1672,7 @@ object ExtensionQueries {
     "q68_similarity_topk" ->
       """SELECT query_id, rank, corpus_id, cosine FROM (
         |SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-        |ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+        |ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) + 0.0 AS cosine,
         |ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
         |  ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
         |  c.vec_id) AS rank

@@ -205,7 +205,7 @@ object FeatureQueries {
         |  SELECT bin, n, expected, residual,
         |    CASE WHEN residual IS NULL OR n2 < 2 THEN CAST(NULL AS DOUBLE)
         |    ELSE ROUND((residual - s / n2)
-        |      / SQRT((ss - s * s / n2) / (n2 - 1.0)), 6)
+        |      / SQRT((ss - s * s / n2) / (n2 - 1.0)), 6) + 0.0
         |    END AS z
         |  FROM r2, st)
         |SELECT bin, n, expected, residual, z,

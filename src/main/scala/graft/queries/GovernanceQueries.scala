@@ -366,9 +366,9 @@ object GovernanceQueries {
         |    ROUND(pc, 6) AS p_cur,
         |    ROUND((pc - pb) *
         |      CAST(CAST(LN(pc / pb) AS DECIMAL(18,8)) AS DOUBLE), 6)
-        |      AS psi_term FROM t)
+        |      + 0.0 AS psi_term FROM t)
         |SELECT bin, n_base, n_cur, p_base, p_cur, psi_term,
-        |  ROUND(SUM(psi_term) OVER (), 6) AS psi_total
+        |  ROUND(SUM(psi_term) OVER (), 6) + 0.0 AS psi_total
         |FROM d ORDER BY bin""".stripMargin,
 
     "q221_gap_islands" ->

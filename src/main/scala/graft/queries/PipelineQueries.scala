@@ -316,9 +316,13 @@ object PipelineQueries {
       val prev = Curation.aggState(
         new Df(li.sdf.where(col("l_orderkey") % 2 === 0)),
         Seq("l_returnflag"), spec)
-      Curation.incrementalAgg(prev,
+      // decimal-absorbed sum back to DOUBLE for the gate: the merged
+      // DECIMAL(38,6) is exact, and the value is double-representable,
+      // but decimal128(38,x) canonicalizes differently across engines
+      new Df(Curation.incrementalAgg(prev,
         new Df(li.sdf.where(col("l_orderkey") % 2 === 1)),
-        Seq("l_returnflag"), spec)
+        Seq("l_returnflag"), spec).sdf
+        .withColumn("l_quantity_sum", col("l_quantity_sum").cast("double")))
         .sortValues(Seq("l_returnflag")).sdf
     }),
 
@@ -402,7 +406,7 @@ object PipelineQueries {
          |n AS (SELECT COUNT(*) AS n FROM bi)
          |SELECT p.w1, p.w2, p.n_pair, l.n_w1, r.n_w2,
          |ROUND(LN(p.n_pair::DOUBLE * (SELECT n FROM n)
-         |  / (l.n_w1::DOUBLE * r.n_w2)), 6) AS pmi
+         |  / (l.n_w1::DOUBLE * r.n_w2)), 6) + 0.0 AS pmi
          |FROM pair p JOIN l USING (w1) JOIN r USING (w2)
          |WHERE p.n_pair >= 5 ORDER BY w1, w2""".stripMargin,
 
@@ -479,7 +483,7 @@ object PipelineQueries {
         |SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber, l.l_quantity,
         |CASE WHEN st.n >= 2 AND (s2 - s1 * s1 / n) / (n - 1) > 0 THEN
         |  ROUND((l.l_quantity - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6)
-        |END AS l_quantity_z
+        |  + 0.0 END AS l_quantity_z
         |FROM lineitem l JOIN st USING (l_returnflag)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
@@ -536,17 +540,17 @@ object PipelineQueries {
         |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL)
         |SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b,
         |  CASE WHEN n*q0 - s0*s0 > 0 AND n*q1 - s1*s1 > 0 THEN
-        |    ROUND((n*p01 - s0*s1) / (sqrt(n*q0 - s0*s0) * sqrt(n*q1 - s1*s1)), 6)
+        |    ROUND((n*p01 - s0*s1) / (sqrt(n*q0 - s0*s0) * sqrt(n*q1 - s1*s1)), 6) + 0.0
         |  END AS corr FROM m
         |UNION ALL
         |SELECT 'l_quantity', 'l_tax',
         |  CASE WHEN n*q0 - s0*s0 > 0 AND n*q2 - s2*s2 > 0 THEN
-        |    ROUND((n*p02 - s0*s2) / (sqrt(n*q0 - s0*s0) * sqrt(n*q2 - s2*s2)), 6)
+        |    ROUND((n*p02 - s0*s2) / (sqrt(n*q0 - s0*s0) * sqrt(n*q2 - s2*s2)), 6) + 0.0
         |  END FROM m
         |UNION ALL
         |SELECT 'l_discount', 'l_tax',
         |  CASE WHEN n*q1 - s1*s1 > 0 AND n*q2 - s2*s2 > 0 THEN
-        |    ROUND((n*p12 - s1*s2) / (sqrt(n*q1 - s1*s1) * sqrt(n*q2 - s2*s2)), 6)
+        |    ROUND((n*p12 - s1*s2) / (sqrt(n*q1 - s1*s1) * sqrt(n*q2 - s2*s2)), 6) + 0.0
         |  END FROM m
         |ORDER BY col_a, col_b""".stripMargin,
 
@@ -624,11 +628,11 @@ object PipelineQueries {
          |  SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM pts)
          |SELECT n AS n_terms,
          |ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-         |  / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+         |  / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0 AS slope,
          |ROUND((CAST(sy AS DOUBLE)
          |  - (CAST(n * sxy - sx * sy AS DOUBLE)
          |     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
-         |  / CAST(n AS DOUBLE), 6) AS intercept
+         |  / CAST(n AS DOUBLE), 6) + 0.0 AS intercept
          |FROM m""".stripMargin,
 
     // per-signal ROW_NUMBER (DESC, doc_id tiebreak) ≡ the Spark side's
@@ -752,7 +756,7 @@ object PipelineQueries {
         |k AS (SELECT doc_id, log_weight,
         |  ROUND(log_weight + -LN(-LN(
         |    ((('0x' || substr(md5(concat_ws(':', 7, doc_id)),1,8))::BIGINT + 0.5)
-        |      / 4294967296.0))), 6) AS gumbel_key FROM s)
+        |      / 4294967296.0))), 6) + 0.0 AS gumbel_key FROM s)
         |SELECT doc_id, log_weight, gumbel_key FROM k
         |ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin,
 
@@ -845,7 +849,7 @@ object PipelineQueries {
     // sentinel), xor/sum/min/max all order-independent
     "q204_fingerprint_ds" ->
       """SELECT COUNT(*) AS n_rows, BIT_XOR(h) AS xor_sig,
-        |CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_sig,
+        |CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS sum_sig,
         |MIN(h) AS min_sig, MAX(h) AS max_sig
         |FROM (SELECT ('0x' || substr(md5(concat_ws(chr(31),
         |  COALESCE(l_orderkey::VARCHAR, chr(0)),
@@ -863,7 +867,7 @@ object PipelineQueries {
         |z AS (SELECT o_orderkey, o_totalprice,
         |  CASE WHEN mad > 0 THEN
         |    ROUND(0.6745::DOUBLE * (o_totalprice::DOUBLE - med) / mad, 6)
-        |  END AS robust_z FROM orders CROSS JOIN m CROSS JOIN a)
+        |    + 0.0 END AS robust_z FROM orders CROSS JOIN m CROSS JOIN a)
         |SELECT o_orderkey, o_totalprice, robust_z,
         |COALESCE(ABS(robust_z) > 2.0::DOUBLE, FALSE) AS is_outlier
         |FROM z ORDER BY o_orderkey""".stripMargin,
@@ -871,8 +875,8 @@ object PipelineQueries {
     // the oracle rescans everything the merged state never touched
     "q210_incremental_agg" ->
       """SELECT l_returnflag,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DECIMAL(38,6))
-        |  AS l_quantity_sum,
+        |CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DECIMAL(38,6))
+        |  AS DOUBLE) AS l_quantity_sum,
         |COUNT(l_quantity) AS l_quantity_count,
         |MAX(l_extendedprice) AS l_extendedprice_max
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,

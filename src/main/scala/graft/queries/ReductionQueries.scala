@@ -48,14 +48,17 @@ object ReductionQueries {
     }),
 
     // ---- Mode with pandas all-ties semantics (`_reductions.py:242`):
-    // groupBy count + keep rows at max count, sorted ----
+    // groupBy count + keep rows at max count, sorted. The max rides a
+    // broadcast 1-row aggregate, not a keyless window — the count table
+    // is vocabulary-sized, but a Window.partitionBy() would still
+    // funnel it through a single partition ----
     "q34_mode" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val counts = T(s, dir, "lineitem").groupby("l_quantity").size()
-      counts.assign("mx", max(col("size")).over(Window.partitionBy()))
+      val c = counts.sdf.persist()
+      c.crossJoin(broadcast(c.agg(max(col("size")).as("mx"))))
         .where(col("size") === col("mx"))
         .select("l_quantity")
-        .sortValues(Seq("l_quantity")).sdf
+        .orderBy("l_quantity")
     }),
 
     // ---- ValueCounts normalize (`_reductions.py:288-305`) ----

@@ -202,10 +202,10 @@ object SketchQueries {
         |    (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS b2
         |  FROM c)
         |SELECT
-        |  ROUND((sy - b1 * sx1 - b2 * sx2) / n, 6) AS b0,
-        |  ROUND(b1, 6) AS b1,
-        |  ROUND(b2, 6) AS b2,
-        |  ROUND((b1 * s1y + b2 * s2y) / scy, 6) AS r2
+        |  ROUND((sy - b1 * sx1 - b2 * sx2) / n, 6) + 0.0 AS b0,
+        |  ROUND(b1, 6) + 0.0 AS b1,
+        |  ROUND(b2, 6) + 0.0 AS b2,
+        |  ROUND((b1 * s1y + b2 * s2y) / scy, 6) + 0.0 AS r2
         |FROM b""".stripMargin,
 
     "q235_rolling_time" ->

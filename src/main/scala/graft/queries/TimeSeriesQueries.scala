@@ -82,7 +82,7 @@ object TimeSeriesQueries {
         |        + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
         |          * (CAST(epoch_us(ts) - pt AS DOUBLE)
         |             / CAST(nt - pt AS DOUBLE))
-        |    END, 6) AS vi
+        |    END, 6) + 0.0 AS vi
         |  FROM c)
         |SELECT * FROM r WHERE event_id % 4 = 0
         |ORDER BY user_id, ts""".stripMargin)

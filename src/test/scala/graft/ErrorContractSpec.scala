@@ -86,6 +86,14 @@ class ErrorContractSpec extends AnyFunSuite {
     named(TextAnalytics.repetitionStats(docs, "text", "doc_id", n = 0), "n")
   }
 
+  test("qcut on an all-null column raises the named error, not an NPE") {
+    val nulls = Df.fromRows(spark,
+      Seq(Row(1L, null), Row(2L, null)), StructType(Seq(
+        StructField("x", LongType), StructField("y", DoubleType))))
+    val e = intercept[IllegalArgumentException](nulls.qcut("y", 4, "b"))
+    assert(e.getMessage.contains("no non-null values"), e.getMessage)
+  }
+
   test("session-wave operators reject bad arguments at call time, by name") {
     intercept[IllegalArgumentException](d.qcut("y", 1, "b"))
     val e1 = intercept[IllegalArgumentException](

@@ -169,6 +169,27 @@ class FeatureSpec extends AnyFunSuite {
     assert(mn == Seq(("g", 1L), ("h", 4L)))
   }
 
+  test("grouped idxmax: string ids (window fallback) and Long.MinValue ids (no negation overflow)") {
+    // string id: the old struct(v, -id) tiebreak was numeric-only and
+    // failed analysis here; the fallback keeps "max v, min id on ties"
+    val srows = Seq(Row("g", "b", 9.0), Row("g", "a", 9.0), Row("g", "c", 5.0))
+    val sd = Df.fromRows(spark, srows, StructType(Seq(
+      StructField("k", StringType), StructField("id", StringType),
+      StructField("v", DoubleType))))
+    val smx = sd.groupby("k").idxmax("v", "id").sdf.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(smx == Seq(("g", "a")))
+    // Long.MinValue id: -id overflows back to MinValue in Long math —
+    // the decimal negation must still rank it ABOVE id 5 on the tie
+    val lrows = Seq(Row("g", Long.MinValue, 9.0), Row("g", 5L, 9.0))
+    val ld = Df.fromRows(spark, lrows, StructType(Seq(
+      StructField("k", StringType), StructField("id", LongType),
+      StructField("v", DoubleType))))
+    val lmx = ld.groupby("k").idxmax("v", "id").sdf.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(lmx == Seq(("g", Long.MinValue)))
+  }
+
   test("seasonalResiduals: the one broken period is the one anomaly") {
     // period 3, four steady seasons then a spike in the last one:
     // residuals = eleven 0s and one 75 -> z ~= 3.17, the only |z| > 3

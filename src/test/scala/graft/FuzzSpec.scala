@@ -775,4 +775,37 @@ class FuzzSpec extends AnyFunSuite {
       assert(marked("none") == groups.filter(_ > 1).sum)
     }
   }
+
+  test("round never emits IEEE -0.0; `+ 0.0` canonicalizes the sign (boundary fuzz)") {
+    // The cross-engine flake class found in r10: a C-float ROUND maps a
+    // tiny negative to -0.0 while Spark's BigDecimal round yields +0.0,
+    // and the gate's hash is byte-level. Two pins: (a) Spark round over
+    // the entire (-1e-6, 1e-6) boundary band never produces a sign bit;
+    // (b) the suite's `+ 0.0` normalizer maps every -0.0 (including
+    // round's input, abs/negation products) to +0.0 and is the identity
+    // elsewhere — so an oracle-side `ROUND(...) + 0.0` provably equals
+    // the Spark side bit-for-bit whenever the rounded magnitudes agree.
+    val negZeroBits = java.lang.Double.doubleToRawLongBits(-0.0)
+    trials(Gen.listOfN(40, Gen.frequency(
+      (6, Gen.choose(-1e-6, 1e-6)),
+      (2, Gen.choose(-1e-3, 1e-3)),
+      (1, Gen.const(-0.0)), (1, Gen.const(0.0)))), n = 8) { xs =>
+      val d = mkDf(xs.map(java.lang.Double.valueOf))
+      Seq(2, 4, 6, 8).foreach { scale =>
+        val out = d.sdf.select(
+          round(col("v"), scale).as("r"),
+          (round(col("v"), scale) + lit(0.0)).as("rn"),
+          (col("v") + lit(0.0)).as("vn")).collect()
+        out.foreach { row =>
+          val r = row.getDouble(0)
+          assert(java.lang.Double.doubleToRawLongBits(r) != negZeroBits,
+            s"round(_, $scale) emitted -0.0")
+          assert(java.lang.Double.doubleToRawLongBits(row.getDouble(1)) != negZeroBits)
+          val vn = row.getDouble(2)
+          assert(java.lang.Double.doubleToRawLongBits(vn) != negZeroBits,
+            "`+ 0.0` failed to canonicalize -0.0")
+        }
+      }
+    }
+  }
 }

@@ -155,6 +155,22 @@ class NativeExprSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("graft_jaro_winkler counts Unicode CODEPOINTS, not UTF-16 code units") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // "😀x" vs "😀y" as codepoints: length 2, window 0, one match →
+    // jaro = (1/2 + 1/2 + 1)/3 = 2/3, no boost (≤ 0.7). A charAt-based
+    // kernel would see 3 code units (surrogate pair = 2), match both
+    // halves of 😀, and land on 0.8222... — the divergence class DuckDB/
+    // rapidfuzz (codepoint-based) would expose on any non-BMP text.
+    val got = Seq(("😀x", "😀y"),
+        ("😀😀", "😀😀"))
+      .toDF("a", "b")
+      .selectExpr("graft_jaro_winkler(a, b)").collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 2.0 / 3.0) < 1e-12, got(0).toString)
+    assert(got(1) == 1.0)
+  }
+
   test("SparkSessionExtensions wiring registers the function") {
     val s2 = TestSpark.spark.newSession()
     new graft.plans.GraftExtensions().apply(

@@ -28,6 +28,18 @@ class RegressionSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-6)
   }
 
+  test("olsFit2 raises the named singular-design error, like olsFit's require") {
+    // constant x2 → zero 2×2 determinant; must surface the contract
+    // error, not a raw ANSI DIVIDE_BY_ZERO (or silent NaN)
+    val rows = (1 to 10).map(i => Row(i.toDouble, 7.0, 2.0 * i))
+    val d = Df.fromRows(spark, rows, StructType(Seq(
+      StructField("x1", DoubleType), StructField("x2", DoubleType),
+      StructField("y", DoubleType))))
+    val e = intercept[Exception](
+      Regression.olsFit2(d, "y", "x1", "x2").sdf.collect())
+    assert(e.getMessage.contains("singular design"), e.getMessage)
+  }
+
   test("generic olsFit agrees with the closed form at k=2") {
     val li = Df.readParquet(spark, s"$sf/lineitem.parquet")
     val a = Regression.olsFit2(li, "l_extendedprice", "l_quantity",

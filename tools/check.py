@@ -56,10 +56,22 @@ def main(sf_dir, out_dir):
             for c in mine.columns:
                 a, b = mine[c], ref[c]
                 if a.dtype.kind == "f" or b.dtype.kind == "f":
-                    bad = ~((a == b) | (a.isna() & b.isna()))
+                    # BITWISE equality, like the driver's byte-level hash:
+                    # `a == b` would call -0.0 equal to +0.0 (exactly the
+                    # r10 q205 escape). NaNs compare equal to each other
+                    # (parquet normalizes the payload), nulls to nulls.
+                    import numpy as np
+                    av = a.astype("float64").to_numpy()
+                    bv = b.astype("float64").to_numpy()
+                    same_bits = av.view("int64") == bv.view("int64")
+                    both_nan = np.isnan(av) & np.isnan(bv)
+                    both_null = (a.isna() & b.isna()).to_numpy()
+                    bad = ~(same_bits | both_nan | both_null)
                     if bad.any():
-                        d = (a - b).abs().max()
-                        print(f"FAIL {name}: col {c} float mismatch maxdiff={d}")
+                        i = int(np.argmax(bad))
+                        d = np.nanmax(np.abs(av - bv))
+                        print(f"FAIL {name}: col {c} float BITWISE mismatch "
+                              f"row {i}: {av[i]!r} vs {bv[i]!r} (maxdiff={d})")
                         ok = False
                 else:
                     eq = (a.astype(str) == b.astype(str)) | (a.isna() & b.isna())
