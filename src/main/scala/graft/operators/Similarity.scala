@@ -695,27 +695,141 @@ object Similarity {
                       components: Array[Array[Double]],
                       means: Array[Double])
 
+  /** Mahalanobis outlier scores over numeric columns: per row,
+    * `m² = (x − μ)ᵀ Σ⁻¹ (x − μ)` against the corpus mean μ and
+    * population covariance Σ of `cols` — the multivariate upgrade of
+    * the per-column z-score (robustOutliers): a row can sit inside
+    * every marginal yet be wildly off the joint distribution (a 1-token
+    * doc with a 100k quality score), and m² is exactly that distance.
+    *
+    * Output: `idCols..., cols..., <out>` with the 6dp-rounded m²
+    * (NULL for rows with NULL/non-finite inputs — they have no
+    * position in the fitted space).
+    *
+    * Scale: one [[momentsRow]] aggregate pass fits μ/Σ (d²-sized
+    * state, never row-shaped shuffle), the d×d inverse is driver
+    * arithmetic, and scoring is a map-side codegen'd projection with
+    * μ/Σ⁻¹ riding the plan as literals — no join, no second shuffle.
+    *
+    * Determinism: Σ entries are the 6dp-rounded [[covCell]] values;
+    * for d ≤ 3 the inverse uses the closed-form adjugate with a FIXED
+    * operation order, so an oracle replaying the same formulas lands on
+    * identical doubles. d > 3 solves by Gauss-Jordan with partial
+    * pivoting (deterministic, but float order differs from any SQL
+    * closed form — spec-tested rather than oracle-replayed).
+    * A singular Σ (collinear or constant columns) raises a named
+    * error. */
+  def mahalanobisScores(df: Df, cols: Seq[String], idCols: Seq[String],
+                        out: String = "maha2"): Df = {
+    require(cols.nonEmpty, "mahalanobisScores: cols must be non-empty")
+    require(idCols.nonEmpty, "mahalanobisScores: idCols must be non-empty")
+    val d = cols.size
+    val asVec = array(cols.map(c => col(c).cast("double")): _*)
+    val vdf = new Df(df.sdf.select(
+      (idCols ++ cols).map(col) :+ asVec.as("__mv"): _*))
+    val rows = momentsRow(vdf, "__mv").collect()
+    require(rows.nonEmpty && !rows(0).isNullAt(0),
+      "mahalanobisScores: no fully-finite rows to fit on")
+    val sp = rows(0).getSeq[Double](0)
+    val sm = rows(0).getSeq[Double](1)
+    val n = rows(0).getLong(2)
+    val cov = Array.ofDim[Double](d, d)
+    var idx = 0
+    for (i <- 0 until d; j <- i until d) {
+      val v = covCell(sp(idx), sm(i), sm(j), n)
+      cov(i)(j) = v; cov(j)(i) = v
+      idx += 1
+    }
+    val inv = invertSpd(cov)
+    val mu = sm.map(_ / n)
+    val xs = cols.map(c => col(c).cast("double"))
+    val centered = xs.zipWithIndex.map { case (x, i) => x - lit(mu(i)) }
+    // quadratic form, row-major term order, left-associated adds — the
+    // order the oracle replays
+    val m2 = (for (i <- 0 until d; j <- 0 until d)
+      yield centered(i) * lit(inv(i)(j)) * centered(j)).reduce(_ + _)
+    new Df(df.sdf.select((idCols ++ cols).map(col) :+
+      (round(when(fullyFinite(asVec), m2), 6) + lit(0.0)).as(out): _*))
+  }
+
+  /** d×d symmetric-positive-definite inverse: closed-form adjugate for
+    * d ≤ 3 (fixed op order — SQL-replayable), Gauss-Jordan with
+    * partial pivoting beyond. Raises a named error on a singular
+    * matrix. */
+  private[graft] def invertSpd(c: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = c.length
+    def singular(det: Double): Nothing = throw new IllegalArgumentException(
+      s"mahalanobisScores: singular covariance (det=$det) — " +
+        "collinear or constant columns")
+    d match {
+      case 1 =>
+        if (c(0)(0) == 0.0) singular(0.0)
+        Array(Array(1.0 / c(0)(0)))
+      case 2 =>
+        val det = c(0)(0) * c(1)(1) - c(0)(1) * c(0)(1)
+        if (det == 0.0) singular(det)
+        Array(
+          Array(c(1)(1) / det, -c(0)(1) / det),
+          Array(-c(0)(1) / det, c(0)(0) / det))
+      case 3 =>
+        val a00 = c(1)(1) * c(2)(2) - c(1)(2) * c(1)(2)
+        val a01 = c(0)(1) * c(2)(2) - c(1)(2) * c(0)(2)
+        val a02 = c(0)(1) * c(1)(2) - c(1)(1) * c(0)(2)
+        val det = c(0)(0) * a00 - c(0)(1) * a01 + c(0)(2) * a02
+        if (det == 0.0) singular(det)
+        val i00 = a00 / det
+        val i01 = -a01 / det
+        val i02 = a02 / det
+        val i11 = (c(0)(0) * c(2)(2) - c(0)(2) * c(0)(2)) / det
+        val i12 = -(c(0)(0) * c(1)(2) - c(0)(1) * c(0)(2)) / det
+        val i22 = (c(0)(0) * c(1)(1) - c(0)(1) * c(0)(1)) / det
+        Array(
+          Array(i00, i01, i02),
+          Array(i01, i11, i12),
+          Array(i02, i12, i22))
+      case _ =>
+        // Gauss-Jordan, partial pivot; augmented [c | I]
+        val a = Array.tabulate(d, 2 * d)((i, j) =>
+          if (j < d) c(i)(j) else if (j - d == i) 1.0 else 0.0)
+        for (piv <- 0 until d) {
+          val best = (piv until d).maxBy(r => math.abs(a(r)(piv)))
+          val t = a(piv); a(piv) = a(best); a(best) = t
+          if (math.abs(a(piv)(piv)) < 1e-12) singular(a(piv)(piv))
+          val p = a(piv)(piv)
+          for (j <- 0 until 2 * d) a(piv)(j) /= p
+          for (r <- 0 until d if r != piv) {
+            val f = a(r)(piv)
+            if (f != 0.0) for (j <- 0 until 2 * d) a(r)(j) -= f * a(piv)(j)
+          }
+        }
+        Array.tabulate(d, d)((i, j) => a(i)(j + d))
+    }
+  }
+
   def pcaBasis(vecs: Df, vecCol: String, k: Int): PcaBasis = {
     require(k >= 1, s"pcaBasis: k must be >= 1: $k")
-    val covRows = covarianceMatrix(vecs, vecCol).sdf.collect()
-    require(covRows.nonEmpty, "pcaBasis: empty corpus after dropping " +
-      "NULL/non-finite embeddings")
-    val d = covRows.iterator.map(_.getInt(1)).max + 1
+    // ONE distributed pass: the shared moment aggregate yields the
+    // product sums, component sums, and count in a single 1-row
+    // collect; the d×d covariance assembly and the mean division are
+    // driver arithmetic on d²-sized arrays (IEEE-identical to the
+    // in-plan [[covarianceMatrix]] expansion via [[covCell]])
+    val rows = momentsRow(vecs, vecCol).collect()
+    require(rows.nonEmpty && !rows(0).isNullAt(0),
+      "pcaBasis: empty corpus after dropping NULL/non-finite embeddings")
+    val sp = rows(0).getSeq[Double](0)
+    val sm = rows(0).getSeq[Double](1)
+    val n = rows(0).getLong(2)
+    val d = sm.length
     require(k <= d, s"pcaBasis: k=$k exceeds dimension $d")
     val c = Array.ofDim[Double](d, d)
-    covRows.foreach { r =>
-      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+    var idx = 0
+    for (i <- 0 until d; j <- i until d) {
+      val v = covCell(sp(idx), sm(i), sm(j), n)
       c(i)(j) = v; c(j)(i) = v
+      idx += 1
     }
     val (lam, vecsM) = jacobiEigen(c)
-    val means = vecs.sdf
-      .select(transform(col(vecCol), _.cast("double")).as("__v"))
-      .where(fullyFinite(col("__v")))
-      .select(posexplode(col("__v")).as(Seq("i", "x")))
-      .groupBy(col("i"))
-      .agg((sum(col("x").cast("decimal(18,8)")).cast("double") /
-        count(lit(1))).as("m"))
-      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val means = sm.map(_ / n).toArray
     PcaBasis(lam, vecsM.take(k), means)
   }
 
@@ -799,32 +913,90 @@ object Similarity {
       .select(col(idCol), array(pcs: _*).as("pcs")))
   }
 
-  def covarianceMatrix(vecs: Df, vecCol: String): Df = {
-    val v = vecs.sdf
-      .select(transform(col(vecCol), _.cast("double")).as("__v"))
+  /** shared one-pass moment aggregate over the fully-finite vectors:
+    * `__sp` = positional DECIMAL(28,12) sums of the d(d+1)/2
+    * upper-triangle products, `__sm` = positional DECIMAL(18,8) sums of
+    * the raw components, `__n` = row count. One row out per key tuple
+    * (one row total when `keys` is empty). */
+  private def momentsRow(vecs: Df, vecCol: String,
+                         keys: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame = {
+    graft.plans.GraftFunctions.register(vecs.spark)
+    val aggs = Seq(expr("graft_vector_sum(__p, 28, 12)").as("__sp"),
+      expr("graft_vector_sum(__v, 18, 8)").as("__sm"),
+      count(lit(1)).as("__n"))
+    vecs.sdf
+      .select(keys.map(col) :+
+        transform(col(vecCol), _.cast("double")).as("__v"): _*)
       .where(fullyFinite(col("__v")))
-    val pairs = v.select(explode(expr(
-      """flatten(transform(__v, (xi, i) ->
-        |  transform(slice(__v, i + 1, size(__v) - i), (xj, k) ->
-        |    struct(i AS i, i + k AS j, xi * xj AS p))))""".stripMargin)).as("g"))
-      .select(col("g.i").as("i"), col("g.j").as("j"), col("g.p").as("p"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("p").cast("decimal(28,12)")).cast("double").as("__sp"),
-        count(lit(1)).as("__n"))
-    val means = v.select(posexplode(col("__v")).as(Seq("i", "x")))
-      .groupBy(col("i"))
-      .agg(sum(col("x").cast("decimal(18,8)")).cast("double").as("__sm"))
-    new Df(pairs
-      .join(broadcast(means.select(col("i"), col("__sm").as("__smi"))), Seq("i"))
-      .join(broadcast(means.select(col("i").as("j"), col("__sm").as("__smj"))),
-        Seq("j"))
-      .select(col("i"), col("j"),
+      .select(keys.map(col) ++ Seq(
+        expr("""flatten(transform(__v, (xi, i) ->
+          |  transform(slice(__v, i + 1, size(__v) - i), xj -> xi * xj)))"""
+          .stripMargin).as("__p"),
+        col("__v")): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** the covariance cell formula shared by the in-plan expansion and
+    * [[pcaBasis]]'s driver-side replay — IEEE-identical double ops */
+  private[graft] def covCell(sp: Double, smi: Double, smj: Double,
+                             n: Long): Double =
+    JBigDecimalRound.round6(sp / n - (smi / n) * (smj / n)) + 0.0
+
+  /** expand the moment arrays back to the (keys..., i, j, cov) table
+    * in-plan: upper-triangle flat index of (i, j) is
+    * i*d - i*(i-1)/2 + (j-i) */
+  private def expandCov(agg: org.apache.spark.sql.DataFrame,
+                        keys: Seq[String]): Df = {
+    new Df(agg.select(keys.map(col) ++ Seq(explode(expr(
+      """flatten(transform(sequence(0, size(__sm) - 1), i ->
+        |  transform(sequence(i, size(__sm) - 1), j ->
+        |    struct(i AS i, j AS j,
+        |      __sp[i * size(__sm) - (i * (i - 1)) DIV 2 + (j - i)] AS sp,
+        |      __sm[i] AS smi, __sm[j] AS smj))))""".stripMargin)).as("g"),
+      col("__n")): _*)
+      .select(keys.map(col) ++ Seq(col("g.i").as("i"), col("g.j").as("j"),
         // `+ 0.0` canonicalizes IEEE signed zero: Spark's round() goes
         // through BigDecimal (never -0.0) while a C-float ROUND (e.g.
         // DuckDB's) maps tiny negatives to -0.0 — the two differ
         // bitwise on any value in (-5e-7, 0). -0.0 + 0.0 = +0.0.
-        (round(col("__sp") / col("__n") -
-          (col("__smi") / col("__n")) * (col("__smj") / col("__n")), 6)
-          + lit(0.0)).as("cov")))
+        (round(col("g.sp") / col("__n") -
+          (col("g.smi") / col("__n")) * (col("g.smj") / col("__n")), 6)
+          + lit(0.0)).as("cov")): _*))
   }
+
+  def covarianceMatrix(vecs: Df, vecCol: String): Df =
+    // ONE scan, no row explosion: each row's d(d+1)/2 upper-triangle
+    // products ride a codegen'd nested transform into the native
+    // graft_vector_sum aggregate (exact positional DECIMAL sums —
+    // identical values to the explode → sum(cast) pipeline, which
+    // shuffled O(n·d²) (i, j, p) rows where this shuffles one d²/2
+    // vector per partition). Means come from the same pass.
+    expandCov(momentsRow(vecs, vecCol), Nil)
+
+  /** Per-group population covariance matrices — (keys..., i, j, cov),
+    * upper triangle per key tuple. The per-domain / per-cluster /
+    * per-label embedding second-moment profile (feeds per-cluster
+    * whitening, Mahalanobis gates, drift monitors comparing a domain's
+    * covariance against the corpus). Same one-pass
+    * [[covarianceMatrix]] machinery with the moment aggregate keyed:
+    * shuffle volume is O(groups · d²) vectors, never row-shaped. */
+  def covarianceMatrixBy(vecs: Df, vecCol: String,
+                         keys: Seq[String]): Df = {
+    require(keys.nonEmpty,
+      "covarianceMatrixBy: keys must be non-empty (use covarianceMatrix)")
+    expandCov(momentsRow(vecs, vecCol, keys), keys)
+  }
+}
+
+/** driver-side replay of the engine's `round(double, 6)` — shortest-
+  * representation BigDecimal, HALF_UP, non-finite passthrough — so
+  * [[Similarity.covCell]] lands on the same doubles as the in-plan
+  * expression */
+private[graft] object JBigDecimalRound {
+  def round6(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 }

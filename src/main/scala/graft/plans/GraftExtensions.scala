@@ -22,7 +22,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftFunctions {
   val names: Seq[String] =
     Seq("graft_cosine", "graft_jaccard_sorted", "graft_pct_normalize",
-      "graft_jaro_winkler", "graft_bloom_agg", "graft_might_contain")
+      "graft_jaro_winkler", "graft_bloom_agg", "graft_might_contain",
+      "graft_vector_sum")
+
+  private[plans] val vectorSumBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3,
+      "graft_vector_sum expects exactly 3 arguments " +
+        s"(array<double>, int precision, int scale), got ${exprs.length}")
+    VectorDecimalSum(exprs(0), exprs(1), exprs(2))
+  }
 
   /** Spark's Bloom sketch pair (`BloomFilterAggregate` /
     * `BloomFilterMightContain`) — engine-native, codegen'd, but with no
@@ -78,6 +86,8 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction("graft_might_contain", mightContainBuilder,
       "built-in")
+    reg.createOrReplaceTempFunction("graft_vector_sum", vectorSumBuilder,
+      "built-in")
   }
 }
 
@@ -118,5 +128,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain].getName, "graft_might_contain"),
       GraftFunctions.mightContainBuilder))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_vector_sum"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VectorDecimalSum].getName, "graft_vector_sum"),
+      GraftFunctions.vectorSumBuilder))
   }
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.api.Df
 import org.apache.spark.sql.functions._
 import QueryUtil._
 
@@ -147,6 +148,28 @@ object AnalyticsQueries {
       val e = T(s, dir, "embeddings")
       graft.operators.Similarity.covarianceMatrix(e, "embedding")
         .sortValues(Seq("i", "j")).sdf
+    }),
+
+    // ---- per-label covariance matrices: the q205 machinery with the
+    // moment aggregate keyed — per-domain second-moment profiles; the
+    // oracle replays the decimal-summed moments per label ----
+    "q259_group_covariance" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      graft.operators.Similarity.covarianceMatrixBy(e, "embedding", Seq("label"))
+        .sortValues(Seq("label", "i", "j")).sdf
+    }),
+
+    // ---- Mahalanobis outlier scores over (quantity, price, discount):
+    // corpus-fit mean/covariance, driver 3×3 adjugate inverse (fixed op
+    // order), map-side quadratic form; the oracle replays every double
+    // op in the same order from the same decimal-summed moments ----
+    "q260_mahalanobis" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      new Df(graft.operators.Similarity.mahalanobisScores(li,
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        Seq("l_orderkey", "l_linenumber")).sdf
+        .where(col("l_orderkey") % 20 === 0))
+        .sortValues(Seq("l_orderkey", "l_linenumber")).sdf
     }),
 
     // ---- PCA (top-8): distributed covariance + driver Jacobi +
@@ -341,6 +364,90 @@ object AnalyticsQueries {
             .mkString(", ")}, (2000, 0.0)) x(comp, val)
          |  UNION ALL SELECT 1000, t FROM tr) u
          |ORDER BY comp""".stripMargin,
+    // the q205 moment replay keyed by label; same filter contract as
+    // the operator's fullyFinite (null vec / null / NaN / |x| >= 1e18
+    // elements drop)
+    "q259_group_covariance" ->
+      """WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(list_filter(embedding,
+        |    x -> x IS NULL OR isnan(x) OR abs(x) >= 1e18)) = 0),
+        |p AS (SELECT label, i::INT AS i, j::INT AS j,
+        |  e[(i+1)::INT] * e[(j+1)::INT] AS p
+        |  FROM v, UNNEST(range(len(e))) t1(i), UNNEST(range(len(e))) t2(j)
+        |  WHERE j >= i),
+        |s AS (SELECT label, i, j,
+        |  CAST(SUM(CAST(p AS DECIMAL(28,12))) AS DOUBLE) AS sp,
+        |  COUNT(*) AS n FROM p GROUP BY 1, 2, 3),
+        |m AS (SELECT label, i::INT AS i,
+        |  CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) AS sm
+        |  FROM (SELECT label, UNNEST(e) AS x, UNNEST(range(len(e))) AS i FROM v)
+        |  GROUP BY 1, 2)
+        |SELECT s.label, s.i, s.j,
+        |ROUND(sp / n - (mi.sm / n) * (mj.sm / n), 6) + 0.0 AS cov
+        |FROM s JOIN m mi ON s.label = mi.label AND s.i = mi.i
+        |JOIN m mj ON s.label = mj.label AND s.j = mj.i
+        |ORDER BY s.label, s.i, s.j""".stripMargin,
+
+    // replays the operator's exact double tree: decimal-summed moments,
+    // 6dp-rounded covariance cells (covCell), 3×3 adjugate inverse in
+    // the operator's op order, 9-term row-major quadratic form
+    "q260_mahalanobis" ->
+      """WITH f AS (SELECT l_quantity::DOUBLE AS x0,
+        |    l_extendedprice::DOUBLE AS x1, l_discount::DOUBLE AS x2
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |mo AS (SELECT COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(x0 AS DECIMAL(18,8))) AS DOUBLE) AS s0,
+        |  CAST(SUM(CAST(x1 AS DECIMAL(18,8))) AS DOUBLE) AS s1,
+        |  CAST(SUM(CAST(x2 AS DECIMAL(18,8))) AS DOUBLE) AS s2,
+        |  CAST(SUM(CAST(x0 * x0 AS DECIMAL(28,12))) AS DOUBLE) AS p00,
+        |  CAST(SUM(CAST(x0 * x1 AS DECIMAL(28,12))) AS DOUBLE) AS p01,
+        |  CAST(SUM(CAST(x0 * x2 AS DECIMAL(28,12))) AS DOUBLE) AS p02,
+        |  CAST(SUM(CAST(x1 * x1 AS DECIMAL(28,12))) AS DOUBLE) AS p11,
+        |  CAST(SUM(CAST(x1 * x2 AS DECIMAL(28,12))) AS DOUBLE) AS p12,
+        |  CAST(SUM(CAST(x2 * x2 AS DECIMAL(28,12))) AS DOUBLE) AS p22
+        |  FROM f),
+        |cv AS (SELECT n, s0 / n AS m0, s1 / n AS m1, s2 / n AS m2,
+        |  ROUND(p00 / n - (s0 / n) * (s0 / n), 6) + 0.0 AS c00,
+        |  ROUND(p01 / n - (s0 / n) * (s1 / n), 6) + 0.0 AS c01,
+        |  ROUND(p02 / n - (s0 / n) * (s2 / n), 6) + 0.0 AS c02,
+        |  ROUND(p11 / n - (s1 / n) * (s1 / n), 6) + 0.0 AS c11,
+        |  ROUND(p12 / n - (s1 / n) * (s2 / n), 6) + 0.0 AS c12,
+        |  ROUND(p22 / n - (s2 / n) * (s2 / n), 6) + 0.0 AS c22
+        |  FROM mo),
+        |adj AS (SELECT *,
+        |  c11 * c22 - c12 * c12 AS a00,
+        |  c01 * c22 - c12 * c02 AS a01,
+        |  c01 * c12 - c11 * c02 AS a02
+        |  FROM cv),
+        |dt AS (SELECT *,
+        |  c00 * a00 - c01 * a01 + c02 * a02 AS det FROM adj),
+        |iv AS (SELECT m0, m1, m2,
+        |  a00 / det AS i00, -a01 / det AS i01, a02 / det AS i02,
+        |  (c00 * c22 - c02 * c02) / det AS i11,
+        |  -(c00 * c12 - c01 * c02) / det AS i12,
+        |  (c00 * c11 - c01 * c01) / det AS i22
+        |  FROM dt)
+        |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  l_discount,
+        |  (CASE WHEN l_quantity IS NULL OR l_extendedprice IS NULL
+        |     OR l_discount IS NULL THEN NULL ELSE
+        |   ROUND(
+        |     (l_quantity::DOUBLE - m0) * i00 * (l_quantity::DOUBLE - m0)
+        |   + (l_quantity::DOUBLE - m0) * i01 * (l_extendedprice::DOUBLE - m1)
+        |   + (l_quantity::DOUBLE - m0) * i02 * (l_discount::DOUBLE - m2)
+        |   + (l_extendedprice::DOUBLE - m1) * i01 * (l_quantity::DOUBLE - m0)
+        |   + (l_extendedprice::DOUBLE - m1) * i11 * (l_extendedprice::DOUBLE - m1)
+        |   + (l_extendedprice::DOUBLE - m1) * i12 * (l_discount::DOUBLE - m2)
+        |   + (l_discount::DOUBLE - m2) * i02 * (l_quantity::DOUBLE - m0)
+        |   + (l_discount::DOUBLE - m2) * i12 * (l_extendedprice::DOUBLE - m1)
+        |   + (l_discount::DOUBLE - m2) * i22 * (l_discount::DOUBLE - m2),
+        |   6) + 0.0 END) AS maha2
+        |FROM lineitem CROSS JOIN iv
+        |WHERE l_orderkey % 20 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     "q205_covariance" ->
       """WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
         |  WHERE embedding IS NOT NULL),

@@ -272,6 +272,69 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out == Map((0, 0) -> 2.666667, (0, 1) -> 2.666667, (1, 1) -> 2.666667))
   }
 
+  test("covarianceMatrixBy: per-key matrices match per-key covarianceMatrix; keys required") {
+    val schema = StructType(Seq(StructField("lbl", StringType),
+      StructField("embedding", ArrayType(FloatType))))
+    val d = Df.fromRows(spark, Seq(
+      Row("a", Seq(1.0f, 2.0f)), Row("a", Seq(3.0f, 4.0f)), Row("a", Seq(5.0f, 6.0f)),
+      Row("b", Seq(0.0f, 10.0f)), Row("b", Seq(4.0f, 2.0f))), schema)
+    val by = graft.operators.Similarity
+      .covarianceMatrixBy(d, "embedding", Seq("lbl"))
+      .sdf.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    // each key's slice must equal covarianceMatrix run on that key alone
+    Seq("a", "b").foreach { k =>
+      val solo = graft.operators.Similarity.covarianceMatrix(
+        new Df(d.sdf.where(col("lbl") === k)), "embedding")
+        .sdf.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      solo.foreach { case ((i, j), v) => assert(by((k, i, j)) == v, s"$k ($i,$j)") }
+    }
+    assert(by.size == 2 * 3)
+    intercept[IllegalArgumentException](
+      graft.operators.Similarity.covarianceMatrixBy(d, "embedding", Nil))
+  }
+
+  test("mahalanobisScores: trace identity (mean m2 = d), invariance, singular named error") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("x", DoubleType), StructField("y", DoubleType),
+      StructField("z", DoubleType)))
+    val rng = new scala.util.Random(7)
+    val rows = (1L to 200L).map(i => Row(i,
+      rng.nextDouble() * 10, rng.nextDouble() * 5 + rng.nextGaussian(),
+      rng.nextGaussian() * 3))
+    val d = Df.fromRows(spark, rows, schema)
+    val scores = graft.operators.Similarity
+      .mahalanobisScores(d, Seq("x", "y", "z"), Seq("id"))
+      .sdf.collect().map(_.getDouble(4))
+    // population-covariance Mahalanobis: Σ m² / n = d exactly (trace of
+    // Σ⁻¹Σ); rounded covariance cells perturb it only slightly
+    val mean = scores.sum / scores.length
+    assert(math.abs(mean - 3.0) < 0.05, s"mean m2 $mean, want ~3")
+    assert(scores.forall(_ >= 0.0), "m2 is a squared distance")
+    // 2-feature path (closed-form d=2 inverse)
+    val s2 = graft.operators.Similarity
+      .mahalanobisScores(d, Seq("x", "y"), Seq("id"))
+      .sdf.collect().map(_.getDouble(3))
+    assert(math.abs(s2.sum / s2.length - 2.0) < 0.05)
+    // constant column → singular covariance, named error
+    val const = new Df(d.sdf.withColumn("c", lit(1.0)))
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Similarity.mahalanobisScores(
+        const, Seq("x", "c"), Seq("id")))
+    assert(e.getMessage.contains("singular covariance"), e.getMessage)
+  }
+
+  test("invertSpd: Gauss-Jordan path (d=4) inverts to identity within 1e-9") {
+    val c = Array(
+      Array(4.0, 1.0, 0.5, 0.2), Array(1.0, 3.0, 0.3, 0.1),
+      Array(0.5, 0.3, 2.0, 0.4), Array(0.2, 0.1, 0.4, 1.5))
+    val inv = graft.operators.Similarity.invertSpd(c)
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val e = (0 until 4).map(k => c(i)(k) * inv(k)(j)).sum
+      assert(math.abs(e - (if (i == j) 1.0 else 0.0)) < 1e-9, s"($i,$j)=$e")
+    }
+  }
+
   test("withHilbertValue: bijective on the grid, consecutive cells are NEIGHBORS, NULL propagates") {
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("x", DoubleType), StructField("y", DoubleType)))

@@ -490,6 +490,47 @@ class FuzzSpec extends AnyFunSuite {
     assert(m(1L).isEmpty && m(2L).contains(25.0) && m(3L).isEmpty)
   }
 
+  test("binopAligned differential: random mismatched indexes and column sets (pandas semantics)") {
+    // reference semantics (pandas df1 OP df2): index = union of both
+    // indexes; shared columns = op(l, r) with null wherever either side
+    // is missing or null; one-sided columns = all-null.
+    val frames: Gen[(Map[Long, (Option[Double], Option[Double])],
+                     Map[Long, (Option[Double], Option[Double])])] = {
+      val side = for {
+        keys <- Gen.someOf(0L to 14L)
+        vals <- Gen.listOfN(keys.size * 2, Gen.option(Gen.choose(-50.0, 50.0)))
+      } yield keys.sorted.zip(vals.grouped(2).map(l => (l(0), l(1))).toSeq).toMap
+      for { a <- side; b <- side } yield (a, b)
+    }
+    def mk(m: Map[Long, (Option[Double], Option[Double])], second: String): Df = {
+      val rows = m.toSeq.sortBy(_._1).map { case (k, (x, y)) =>
+        Row(k, x.map(java.lang.Double.valueOf).orNull,
+          y.map(java.lang.Double.valueOf).orNull) }
+      Df.fromRows(spark, rows, StructType(Seq(
+        StructField("i", LongType), StructField("x", DoubleType),
+        StructField(second, DoubleType)))).setIndex("i")
+    }
+    trials(frames, n = 8) { case (la, rb) =>
+      // left carries (x, y), right carries (x, z): x is shared,
+      // y and z are one-sided
+      val got = mk(la, "y").addAligned(mk(rb, "z")).sdf.collect()
+        .map(r => r.getLong(0) ->
+          (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+      val want = (la.keySet ++ rb.keySet).map { k =>
+        val x = for {
+          (lx, _) <- la.get(k); (rx, _) <- rb.get(k)
+          l <- lx; r <- rx
+        } yield l + r
+        k -> x
+      }.toMap
+      assert(got.keySet == (la.keySet ++ rb.keySet))
+      got.foreach { case (k, (x, y, z)) =>
+        assert(x == want(k).map(v => v: Any), s"key $k shared col: $x vs ${want(k)}")
+        assert(y.isEmpty && z.isEmpty, s"key $k one-sided cols must be null")
+      }
+    }
+  }
+
   test("cdcChunks reassembles the exact token stream; boundaries are content-local (random corpora)") {
     val corpus: Gen[(List[List[String]], Int, Int)] = for {
       nDocs <- Gen.choose(1, 5)

@@ -171,6 +171,51 @@ class NativeExprSpec extends AnyFunSuite {
     assert(got(1) == 1.0)
   }
 
+  test("graft_vector_sum equals the posexplode/sum(cast) pipeline bit-for-bit") {
+    GraftFunctions.register(spark)
+    val e = Df.readParquet(spark, s"$sf/embeddings.parquet").sdf
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+      .limit(500)
+    val native = e.agg(expr("graft_vector_sum(v, 18, 8)")).collect()(0)
+      .getSeq[Double](0)
+    val composed = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(sum(col("x").cast("decimal(18,8)")).cast("double").as("s"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1)).toSeq
+    assert(native.size == composed.size)
+    native.zip(composed).foreach { case (a, b) =>
+      assert(java.lang.Double.doubleToRawLongBits(a) ==
+        java.lang.Double.doubleToRawLongBits(b), s"$a vs $b")
+    }
+  }
+
+  test("graft_vector_sum: null rows skipped, null elements skipped, empty input is NULL, ragged input named error") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val d = Seq(Seq[java.lang.Double](1.5, null), Seq[java.lang.Double](2.25, 4.0), null)
+      .toDF("v").selectExpr("CAST(v AS array<double>) AS v")
+    val r = d.selectExpr("graft_vector_sum(v, 18, 8)").collect()(0).getSeq[Double](0)
+    assert(r == Seq(3.75, 4.0))
+    // groupBy path: per-group buffers, exact decimal sums
+    val g = Seq(("a", Seq(0.1, 0.2)), ("a", Seq(0.2, 0.1)), ("b", Seq(1.0, 1.0)))
+      .toDF("k", "v")
+      .groupBy("k").agg(expr("graft_vector_sum(v, 18, 8)").as("s"))
+      .collect().map(row => row.getString(0) -> row.getSeq[Double](1)).toMap
+    // 0.1 + 0.2 through the DECIMAL path is exactly 0.3 — a float
+    // accumulator would land on 0.30000000000000004
+    assert(g("a") == Seq(0.3, 0.3), g("a").toString)
+    assert(g("b") == Seq(1.0, 1.0))
+    // zero rows → NULL (like SUM)
+    val empty = d.where("v IS NULL AND FALSE")
+      .selectExpr("graft_vector_sum(v, 18, 8)").collect()(0)
+    assert(empty.isNullAt(0))
+    // ragged arrays raise the named contract error
+    val ragged = Seq(Seq(1.0), Seq(1.0, 2.0)).toDF("v")
+    val ex = intercept[Exception](
+      ragged.selectExpr("graft_vector_sum(v, 18, 8)").collect())
+    assert(ex.getMessage != null)
+  }
+
   test("SparkSessionExtensions wiring registers the function") {
     val s2 = TestSpark.spark.newSession()
     new graft.plans.GraftExtensions().apply(

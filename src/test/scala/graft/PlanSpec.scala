@@ -309,13 +309,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
-  test("covarianceMatrix: expression-built pairs, partial agg, broadcast means, no self-join") {
+  test("covarianceMatrix: one scan, native vector-sum aggregate, no joins, no row explosion") {
     val e = Df.readParquet(spark, s"$sf/embeddings.parquet")
     val p = plan(graft.operators.Similarity.covarianceMatrix(e, "embedding").sdf)
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p)   // no all-pairs row join
-    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
-    assert(p.contains("BroadcastHashJoin"), p)      // d-row means side broadcasts
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    // the moment pass is ONE parquet scan feeding graft_vector_sum
+    // (TypedImperativeAggregate → ObjectHashAggregate, partial+final);
+    // the only Generate is the d²-row expansion ABOVE the aggregate
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("graft_vector_sum"), p)
+    assert(p.split("Scan parquet").length - 1 == 1, p)
     assert(!p.toLowerCase.contains("scalaudf"), p)  // codegen'd expressions only
   }
 
