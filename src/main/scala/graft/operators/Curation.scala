@@ -880,7 +880,8 @@ object Curation {
     require(lo >= 0 && lo < hi && hi <= 1,
       s"winsorize: need 0 <= lo < hi <= 1: $lo, $hi")
     val out = if (outCol.isEmpty) s"${valueCol}_w" else outCol
-    val cuts = df.sdf.agg(expr(s"percentile($valueCol, array($lo, $hi))").as("__c"))
+    val cuts = FanOut(df.sdf)
+      .agg(expr(s"percentile($valueCol, array($lo, $hi))").as("__c"))
       .select(round(element_at(col("__c"), 1), 6).as("__lo"),
         round(element_at(col("__c"), 2), 6).as("__hi"))
     new Df(df.sdf.crossJoin(broadcast(cuts))

@@ -56,7 +56,7 @@ object Dedup {
     * once (and attach it to their result per the file's contract). */
   private def shingleTable(docs: Df, textCol: String, idCol: String,
                            shingleN: Int): DataFrame =
-    docs.sdf
+    FanOut(docs.sdf)
       .withColumn("__sh", wordShingles(col(textCol), shingleN))
       .where(size(col("__sh")) > 0)
       .withColumn("__hs", transform(col("__sh"), hash32(_)))
@@ -505,7 +505,7 @@ object Dedup {
     //     while staying EXACT (verification uses the full sets).
     // materialized once: referenced by both self-join sides AND the
     // verification lookups (4 uses; Spark plans trees, not DAGs)
-    val sh = docs.sdf.select(col(idCol).as("id"),
+    val sh = FanOut(docs.sdf).select(col(idCol).as("id"),
       array_sort(array_distinct(transform(wordShingles(col(textCol), n), hash32(_)))).as("sh"))
       .withColumn("nsh", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -78,7 +78,7 @@ object TextAnalytics {
     val bench = benchmark.sdf
       .select(explode(wordShingles(col(textCol), n)).as("g"))
       .select(hash32(col("g")).as("gh")).distinct()
-    val docShingles = corpus.sdf.select(col(idCol),
+    val docShingles = FanOut(corpus.sdf).select(col(idCol),
       explode(wordShingles(col(textCol), n)).as("g"))
       .select(col(idCol), hash32(col("g")).as("gh"))
     new Df(docShingles.join(bench, Seq("gh"))
@@ -115,7 +115,7 @@ object TextAnalytics {
     val bench = benchmark.sdf
       .select(explode(wordShingles(col(textCol), n)).as("g"))
       .select(hash32(col("g")).as("gh")).distinct()
-    val docShingles = corpus.sdf.select(col(idCol),
+    val docShingles = FanOut(corpus.sdf).select(col(idCol),
         explode(wordShingles(col(textCol), n)).as("g"))
       .select(col(idCol), hash32(col("g")).as("gh"))
       .persist(lvl)
@@ -146,7 +146,7 @@ object TextAnalytics {
     * quadratic work. */
   def repetitionStats(docs: Df, textCol: String, idCol: String, n: Int = 2): Df = {
     require(n >= 1, s"repetitionStats: n must be >= 1: $n")
-    val perGram = docs.sdf
+    val perGram = FanOut(docs.sdf)
       .select(col(idCol), explode(wordGramsAll(col(textCol), n)).as("g"))
       .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("ct"))
     new Df(perGram.groupBy(col(idCol)).agg(
@@ -395,7 +395,7 @@ object TextAnalytics {
     val nt = when(col("word").rlike("^[A-Za-z0-9]+$"),
       size(split(regexp_replace(expr(chain), "^\\||\\|$", ""), "\\|\\|")))
       .otherwise(lit(1))
-    new Df(docs.sdf
+    new Df(FanOut(docs.sdf)
       .select(col(idCol), explode(tokens(col(textCol))).as("word"))
       .select(col(idCol), length(col("word")).as("__chars"), nt.as("__nt"))
       .groupBy(col(idCol))
@@ -575,7 +575,7 @@ object TextAnalytics {
                      ns: Seq[Int] = Seq(1, 2, 3)): Df = {
     require(ns.nonEmpty && ns.forall(_ >= 1),
       s"ngramDiversity: ns must be non-empty positive: $ns")
-    val tagged = docs.sdf.select(explode(flatten(array(ns.map { n =>
+    val tagged = FanOut(docs.sdf).select(explode(flatten(array(ns.map { n =>
       transform(wordGramsAll(col(textCol), n),
         g => struct(lit(n).as("n"), g.as("g")))
     }: _*))).as("t"))
