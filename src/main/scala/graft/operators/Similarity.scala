@@ -925,7 +925,9 @@ object Similarity {
     val aggs = Seq(expr("graft_vector_sum(__p, 28, 12)").as("__sp"),
       expr("graft_vector_sum(__v, 18, 8)").as("__sm"),
       count(lit(1)).as("__n"))
-    vecs.sdf
+    // the d²-per-row product build + decimal partial aggregation is the
+    // whole cost — parallelize it even when the scan is one row group
+    FanOut(vecs.sdf)
       .select(keys.map(col) :+
         transform(col(vecCol), _.cast("double")).as("__v"): _*)
       .where(fullyFinite(col("__v")))
