@@ -913,6 +913,29 @@ object Similarity {
       .select(col(idCol), array(pcs: _*).as("pcs")))
   }
 
+  /** PCA whitening: project onto the top-`k` principal components and
+    * scale each by 1/√λ, so the output's population covariance is the
+    * k×k IDENTITY — the standard preconditioning before SemDeDup-style
+    * cosine clustering (decorrelated axes make cosine thresholds mean
+    * the same thing in every direction) and before product
+    * quantization. Emits (id, wpcs: array<double> of length k).
+    *
+    * Scale: one [[pcaBasis]] moment pass + a map-side projection with
+    * the basis and scales riding the plan as literals — no second
+    * shuffle. Non-positive eigenvalues (rank-deficient corpus, k too
+    * deep) raise a named error rather than emitting Inf. */
+  def whiten(vecs: Df, vecCol: String, idCol: String, k: Int): Df = {
+    val basis = pcaBasis(vecs, vecCol, k)
+    val lam = basis.eigenvalues.take(k)
+    require(lam.forall(_ > 1e-12),
+      s"whiten: non-positive eigenvalue among top-$k " +
+        s"(min ${lam.min}) — corpus is rank-deficient at this k")
+    val scales = lam.map(l => 1.0 / math.sqrt(l))
+    val proj = projectOnBasis(vecs, vecCol, idCol, basis)
+    new Df(proj.sdf.select(col(idCol),
+      zip_with(col("pcs"), lit(scales), (x, s) => x * s).as("wpcs")))
+  }
+
   /** shared one-pass moment aggregate over the fully-finite vectors:
     * `__sp` = positional DECIMAL(28,12) sums of the d(d+1)/2
     * upper-triangle products, `__sm` = positional DECIMAL(18,8) sums of

@@ -172,6 +172,19 @@ object AnalyticsQueries {
         .sortValues(Seq("l_orderkey", "l_linenumber")).sdf
     }),
 
+    // ---- PCA whitening (top-8): the oracle is the mathematical
+    // contract itself — the whitened corpus's population covariance IS
+    // the 8×8 identity (1s on the diagonal, 0s off), checked to 4dp
+    // through the same covarianceMatrix machinery ----
+    "q261_whitening" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val w = graft.operators.Similarity.whiten(e, "embedding", "vec_id", k = 8)
+      new Df(graft.operators.Similarity.covarianceMatrix(w, "wpcs").sdf
+        .select(col("i"), col("j"),
+          (round(col("cov"), 4) + lit(0.0)).as("val")))
+        .sortValues(Seq("i", "j")).sdf
+    }),
+
     // ---- PCA (top-8): distributed covariance + driver Jacobi +
     // broadcast projection. Oracle checks three mathematical
     // invariants: per-component projected variance ≡ eigenvalue
@@ -364,6 +377,14 @@ object AnalyticsQueries {
             .mkString(", ")}, (2000, 0.0)) x(comp, val)
          |  UNION ALL SELECT 1000, t FROM tr) u
          |ORDER BY comp""".stripMargin,
+    // the whitening contract is exact: whitened covariance ≡ I (4dp)
+    "q261_whitening" ->
+      s"""SELECT i::INT AS i, j::INT AS j, val::DOUBLE AS val
+         |FROM (VALUES ${(for (i <- 0 until 8; j <- i until 8)
+            yield s"($i, $j, ${if (i == j) "1.0" else "0.0"})").mkString(", ")})
+         |  x(i, j, val)
+         |ORDER BY i, j""".stripMargin,
+
     // the q205 moment replay keyed by label; same filter contract as
     // the operator's fullyFinite (null vec / null / NaN / |x| >= 1e18
     // elements drop)

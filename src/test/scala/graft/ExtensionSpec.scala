@@ -324,6 +324,25 @@ class ExtensionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("singular covariance"), e.getMessage)
   }
 
+  test("whiten: output covariance is the k×k identity; rank-deficient corpus raises by name") {
+    val e = Df.readParquet(spark, s"$sf/embeddings.parquet")
+    val w = graft.operators.Similarity.whiten(e, "embedding", "vec_id", k = 4)
+    val cov = graft.operators.Similarity.covarianceMatrix(w, "wpcs")
+      .sdf.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    cov.foreach { case ((i, j), v) =>
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(v - want) < 1e-4, s"($i,$j)=$v")
+    }
+    // a rank-1 corpus cannot whiten at k=2
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    val flat = Df.fromRows(spark,
+      (1L to 10L).map(i => Row(i, Seq(i.toDouble, 2.0 * i))), schema)
+    val ex = intercept[IllegalArgumentException](
+      graft.operators.Similarity.whiten(flat, "v", "id", k = 2))
+    assert(ex.getMessage.contains("rank-deficient"), ex.getMessage)
+  }
+
   test("invertSpd: Gauss-Jordan path (d=4) inverts to identity within 1e-9") {
     val c = Array(
       Array(4.0, 1.0, 0.5, 0.2), Array(1.0, 3.0, 0.3, 0.1),
