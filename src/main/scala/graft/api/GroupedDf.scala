@@ -164,8 +164,11 @@ final class GroupedDf private[api] (
         case ByteType | ShortType | IntegerType =>
           Some(-sdf(idCol).cast(LongType))
         case LongType => Some(-sdf(idCol).cast(DecimalType(20, 0)))
-        case FloatType | DoubleType | _: DecimalType => Some(-sdf(idCol))
-        case _ => None // string/date/... have no order-reversing map
+        case _: DecimalType => Some(-sdf(idCol))
+        // Float/Double: a NaN id sorts LARGEST and -NaN is still NaN,
+        // so negation silently picks the NaN id on value ties — route
+        // through the window fallback like other unreversible dtypes
+        case _ => None // float/double/string/date/...
       }
     (largest, negId) match {
       case (true, Some(n)) =>

@@ -437,43 +437,18 @@ object Similarity {
     * driver per round, independent of corpus size. Lloyd's driver-side
     * iteration is inherent (MLlib does the same); rounds = `iters`,
     * typically ≤ 10 for curation use. */
-  /** Deterministic Lloyd loop over a pre-sliced subvector frame
-    * (`__id`, `__s: Array[Double]`) returning the FINAL centroids —
-    * the [[kMeans]] recipe (lowest-id init, 6dp-rounded argmin with
-    * index tie-break, decimal means) factored so product quantization
-    * can train one codebook per subspace with the exact same
-    * SQL-replayable arithmetic. Runs `iters` assignment rounds with a
-    * centroid update between consecutive ones; empty clusters keep
-    * their previous centroid. */
-  private def lloydCenters(sub: org.apache.spark.sql.DataFrame,
-                           codes: Int, iters: Int): Array[Array[Double]] = {
-    val init = sub.sort("__id").limit(codes).collect()
-      .map(_.getSeq[Double](1).toArray)
-    require(init.nonEmpty,
-      "pq: no usable vectors — corpus is empty after dropping " +
-        "NULL/non-finite embeddings")
-    def d2c(ctr: Array[Double]) =
-      round(aggregate(zip_with(col("__s"), lit(ctr), (x, w) => (x - w) * (x - w)),
-        lit(0.0), (acc, t) => acc + t), 6)
-    def assign(centers: Array[Array[Double]]) =
-      sub.withColumn("code",
-        array_sort(array(centers.zipWithIndex.toIndexedSeq.map { case (ctr, i) =>
-          struct(d2c(ctr).as("d"), lit(i).as("code"))
-        }: _*)).getItem(0).getField("code"))
-    var centers = init
-    for (_ <- 1 until iters) {
-      val next = centers.map(_.clone)
-      assign(centers)
-        .select(col("code"), posexplode(col("__s")).as(Seq("pos", "x")))
-        .groupBy("code", "pos")
-        .agg(round(sum(col("x").cast("decimal(28,10)")).cast("double") /
-          count(lit(1)), 6).as("c"))
-        .collect()
-        .foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      centers = next
-    }
-    centers
-  }
+  /** The Lloyd assignment's argmin as one expression: index of the
+    * nearest codebook entry under the 6dp-rounded squared L2 with
+    * code-index tie-break (a total order — the same one the kMeans
+    * family uses, so training and encode agree exactly). */
+  private def argminCode(sub: org.apache.spark.sql.Column,
+                         book: Array[Array[Double]])
+      : org.apache.spark.sql.Column =
+    array_sort(array(book.zipWithIndex.toIndexedSeq.map { case (ctr, c) =>
+      struct(round(aggregate(
+        zip_with(sub, lit(ctr), (x, w) => (x - w) * (x - w)),
+        lit(0.0), (acc, t) => acc + t), 6).as("d"), lit(c).as("code"))
+    }: _*)).getItem(0).getField("code")
 
   /** Product-quantization codebooks: the corpus dimension is split into
     * `m` contiguous subspaces and each gets its own deterministic Lloyd
@@ -484,19 +459,45 @@ object Similarity {
   private def pqTrain(corpus: org.apache.spark.sql.DataFrame,
                       m: Int, codes: Int, iters: Int)
       : (Int, Array[Array[Array[Double]]]) = {
-    val dim = corpus.sort("__id").limit(1).collect().headOption
-      .map(_.getSeq[Double](1).length)
+    // ONE seed collect does the work of m+1 jobs: the `codes` lowest-id
+    // FULL vectors carry the dimension AND, sliced per subspace, every
+    // codebook's Lloyd init (identical to per-subspace lowest-id inits —
+    // same rows, same order)
+    val seed = corpus.sort("__id").limit(codes).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val dim = seed.headOption.map(_.length)
       .getOrElse(throw new IllegalArgumentException(
         "pq: no usable vectors — corpus is empty after dropping " +
           "NULL/non-finite embeddings"))
     require(m >= 1 && dim % m == 0,
       s"pq: dim=$dim must split evenly into m=$m subspaces")
     val sd = dim / m
-    val books = (0 until m).map { j =>
-      lloydCenters(
-        corpus.select(col("__id"), slice(col("__v"), j * sd + 1, sd).as("__s")),
-        codes, iters)
-    }.toArray
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => seed.map(_.slice(j * sd, (j + 1) * sd)))
+    // joint update: all m subspace assignments ride ONE plan, keyed on
+    // (subspace, code, pos) — one corpus pass and one driver round-trip
+    // per Lloyd round instead of m. Decimal sums are order-independent,
+    // so the means are bit-identical to per-subspace training (and to
+    // the oracle's SQL replay). Empty clusters keep their previous
+    // centroid (rows simply don't arrive for them).
+    for (_ <- 1 until iters) {
+      val next = books.map(_.map(_.clone))
+      val perSub = (0 until m).map { j =>
+        val sub = slice(col("__v"), j * sd + 1, sd)
+        struct(lit(j).as("j"), argminCode(sub, books(j)).as("code"),
+          sub.as("s"))
+      }
+      corpus
+        .select(explode(array(perSub: _*)).as("e"))
+        .select(col("e.j").as("j"), col("e.code").as("code"),
+          posexplode(col("e.s")).as(Seq("pos", "x")))
+        .groupBy("j", "code", "pos")
+        .agg(round(sum(col("x").cast("decimal(28,10)")).cast("double") /
+          count(lit(1)), 6).as("c"))
+        .collect()
+        .foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      books = next
+    }
     (dim, books)
   }
 
@@ -508,19 +509,11 @@ object Similarity {
     * garbage codes). */
   private def pqCodeExpr(v: org.apache.spark.sql.Column, dim: Int, sd: Int,
                          j: Int, book: Array[Array[Double]])
-      : org.apache.spark.sql.Column = {
-    val sub = slice(v, j * sd + 1, sd)
-    def d2c(ctr: Array[Double]) =
-      round(aggregate(zip_with(sub, lit(ctr), (x, w) => (x - w) * (x - w)),
-        lit(0.0), (acc, t) => acc + t), 6)
-    when(size(v) === dim,
-      array_sort(array(book.zipWithIndex.toIndexedSeq.map { case (ctr, c) =>
-        struct(d2c(ctr).as("d"), lit(c).as("code"))
-      }: _*)).getItem(0).getField("code"))
+      : org.apache.spark.sql.Column =
+    when(size(v) === dim, argminCode(slice(v, j * sd + 1, sd), book))
       .otherwise(raise_error(concat(
         lit(s"pq: expected dim=$dim, got vector of length "),
         size(v).cast("string"))))
-  }
 
   /** Product quantization encode — the 32–64× compression tier of the
     * ANN family (int8 is 4×; PQ stores m small code ints per vector):

@@ -32,11 +32,15 @@ import org.apache.spark.sql.types._
   *
   * Contract: all non-null input arrays must share one length (ragged
   * input raises a named error — positional sums over mixed-dimension
-  * vectors are a bug, not a feature); null ELEMENTS are skipped like
-  * SQL SUM skips nulls; zero input rows (or all-null) yield NULL like
-  * SUM. Buffer state is JVM BigDecimal (exact, unbounded) with the
-  * DECIMAL(38, scale) result bound enforced at finish — matching the
-  * engine's sum-of-decimal result type. */
+  * vectors are a bug, not a feature); NaN/Infinity elements raise a
+  * named error (they have no DECIMAL image — same outcome as the ANSI
+  * cast in the composed pipeline, but named); null ELEMENTS are
+  * skipped like SQL SUM skips nulls, and a position whose contributing
+  * elements were ALL null evaluates to a null element — exactly what
+  * the per-position SUM returns; zero input rows (or all-null arrays)
+  * yield NULL. Buffer state is JVM BigDecimal (exact, unbounded) with
+  * the DECIMAL(min(38, p+10), scale) result bound enforced at finish —
+  * matching the engine's sum-over-DECIMAL(p, s) result type. */
 case class VectorDecimalSum(
     child: Expression,
     precisionExpr: Expression,
@@ -71,7 +75,7 @@ case class VectorDecimalSum(
     else TypeCheckResult.TypeCheckSuccess
   }
 
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
   override def nullable: Boolean = true
 
   override def createAggregationBuffer(): Array[JBigDecimal] = null
@@ -81,8 +85,10 @@ case class VectorDecimalSum(
     val arr = child.eval(input).asInstanceOf[ArrayData]
     if (arr == null) return buffer
     val n = arr.numElements()
+    // a null buffer entry = "no non-null element seen at this position
+    // yet" — evaluates to a null element, matching per-position SUM
     val buf =
-      if (buffer == null) Array.fill(n)(JBigDecimal.ZERO)
+      if (buffer == null) new Array[JBigDecimal](n)
       else {
         if (buffer.length != n) throw new IllegalArgumentException(
           s"graft_vector_sum: ragged input arrays (${buffer.length} vs $n)")
@@ -91,13 +97,16 @@ case class VectorDecimalSum(
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
+        val raw = arr.getDouble(i)
+        if (raw.isNaN || raw.isInfinite) throw new ArithmeticException(
+          s"graft_vector_sum: non-finite element $raw has no DECIMAL value" +
+            " — filter NaN/Infinity upstream")
         // the engine's double → DECIMAL(p, s) cast: shortest-repr
         // BigDecimal, HALF_UP to `scale`, ANSI error on overflow
-        val d = JBigDecimal.valueOf(arr.getDouble(i))
-          .setScale(scale, RoundingMode.HALF_UP)
+        val d = JBigDecimal.valueOf(raw).setScale(scale, RoundingMode.HALF_UP)
         if (d.abs.compareTo(castBound) >= 0) throw new ArithmeticException(
-          s"graft_vector_sum: ${arr.getDouble(i)} overflows DECIMAL($precision, $scale)")
-        buf(i) = buf(i).add(d)
+          s"graft_vector_sum: $raw overflows DECIMAL($precision, $scale)")
+        buf(i) = if (buf(i) == null) d else buf(i).add(d)
       }
       i += 1
     }
@@ -112,22 +121,27 @@ case class VectorDecimalSum(
       s"graft_vector_sum: ragged partial states (${buffer.length} vs ${other.length})")
     var i = 0
     while (i < buffer.length) {
-      buffer(i) = buffer(i).add(other(i)); i += 1
+      if (buffer(i) == null) buffer(i) = other(i)
+      else if (other(i) != null) buffer(i) = buffer(i).add(other(i))
+      i += 1
     }
     buffer
   }
 
   override def eval(buffer: Array[JBigDecimal]): Any = {
     if (buffer == null) return null
-    // the engine's SUM over DECIMAL(p, s) yields DECIMAL(38, s); keep
-    // its overflow contract before casting back to double
-    val sumBound = JBigDecimal.TEN.pow(38 - scale)
+    // the engine's SUM over DECIMAL(p, s) yields DECIMAL(min(38, p+10), s);
+    // keep its overflow contract before casting back to double
+    val sumBound = JBigDecimal.TEN.pow(math.min(38, precision + 10) - scale)
     val out = new Array[Any](buffer.length)
     var i = 0
     while (i < buffer.length) {
-      if (buffer(i).abs.compareTo(sumBound) >= 0) throw new ArithmeticException(
-        s"graft_vector_sum: positional sum overflows DECIMAL(38, $scale)")
-      out(i) = buffer(i).doubleValue()
+      if (buffer(i) != null) {
+        if (buffer(i).abs.compareTo(sumBound) >= 0) throw new ArithmeticException(
+          s"graft_vector_sum: positional sum overflows " +
+            s"DECIMAL(${math.min(38, precision + 10)}, $scale)")
+        out(i) = buffer(i).doubleValue()
+      }
       i += 1
     }
     new GenericArrayData(out)
@@ -141,10 +155,16 @@ case class VectorDecimalSum(
       out.writeInt(buffer.length)
       var i = 0
       while (i < buffer.length) {
-        val bytes = buffer(i).unscaledValue().toByteArray
-        out.writeInt(buffer(i).scale())
-        out.writeInt(bytes.length)
-        out.write(bytes)
+        if (buffer(i) == null) {
+          // byte-length -1 marks a position that never saw a value
+          out.writeInt(0)
+          out.writeInt(-1)
+        } else {
+          val bytes = buffer(i).unscaledValue().toByteArray
+          out.writeInt(buffer(i).scale())
+          out.writeInt(bytes.length)
+          out.write(bytes)
+        }
         i += 1
       }
     }
@@ -159,9 +179,12 @@ case class VectorDecimalSum(
     else Array.fill(n) {
       val s = in.readInt()
       val len = in.readInt()
-      val bytes = new Array[Byte](len)
-      in.readFully(bytes)
-      new JBigDecimal(new java.math.BigInteger(bytes), s)
+      if (len < 0) null
+      else {
+        val bytes = new Array[Byte](len)
+        in.readFully(bytes)
+        new JBigDecimal(new java.math.BigInteger(bytes), s)
+      }
     }
   }
 

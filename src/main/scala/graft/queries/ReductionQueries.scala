@@ -51,10 +51,11 @@ object ReductionQueries {
     // groupBy count + keep rows at max count, sorted. The max rides a
     // broadcast 1-row aggregate, not a keyless window — the count table
     // is vocabulary-sized, but a Window.partitionBy() would still
-    // funnel it through a single partition ----
+    // funnel it through a single partition. The counts plan appears on
+    // both join sides unpersisted: it is one cheap aggregate, and a
+    // persist here would leak cached blocks past the (lazy) return ----
     "q34_mode" -> ((s, dir) => {
-      val counts = T(s, dir, "lineitem").groupby("l_quantity").size()
-      val c = counts.sdf.persist()
+      val c = T(s, dir, "lineitem").groupby("l_quantity").size().sdf
       c.crossJoin(broadcast(c.agg(max(col("size")).as("mx"))))
         .where(col("size") === col("mx"))
         .select("l_quantity")

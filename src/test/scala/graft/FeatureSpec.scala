@@ -190,6 +190,20 @@ class FeatureSpec extends AnyFunSuite {
     assert(lmx == Seq(("g", Long.MinValue)))
   }
 
+  test("grouped idxmax: NaN Double id loses value ties to the smallest real id") {
+    // NaN sorts LARGEST in Spark orderings and -NaN is still NaN, so
+    // the order-reversing negation trick would pick the NaN id on value
+    // ties — double ids must ride the window fallback instead
+    val rows = Seq(Row("g", Double.NaN, 9.0), Row("g", 2.0, 9.0),
+      Row("g", 7.0, 9.0))
+    val d = Df.fromRows(spark, rows, StructType(Seq(
+      StructField("k", StringType), StructField("id", DoubleType),
+      StructField("v", DoubleType))))
+    val mx = d.groupby("k").idxmax("v", "id").sdf.collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(mx == Seq(("g", 2.0)), mx.toString)
+  }
+
   test("seasonalResiduals: the one broken period is the one anomaly") {
     // period 3, four steady seasons then a spike in the last one:
     // residuals = eleven 0s and one 75 -> z ~= 3.17, the only |z| > 3

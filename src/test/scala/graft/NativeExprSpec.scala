@@ -216,6 +216,46 @@ class NativeExprSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("graft_vector_sum: all-null position is NULL, NaN named error, sum bound min(38,p+10)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // a position whose contributing elements are ALL null evaluates to
+    // a null element — what the composed per-position SUM returns
+    val d = Seq(Seq[java.lang.Double](1.5, null), Seq[java.lang.Double](2.5, null))
+      .toDF("v").selectExpr("CAST(v AS array<double>) AS v")
+    val s = d.selectExpr("graft_vector_sum(v, 18, 8)").collect()(0)
+      .getSeq[java.lang.Double](0)
+    assert(s(0) == 4.0 && s(1) == null, s.toString)
+    // NaN/Infinity have no DECIMAL image → named contract error, not a
+    // bare NumberFormatException out of JBigDecimal.valueOf
+    def rootMsg(t: Throwable): String = {
+      var c = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+      sb.toString
+    }
+    val nan = Seq(Seq(Double.NaN)).toDF("v")
+    val exN = intercept[Exception](
+      nan.selectExpr("graft_vector_sum(v, 18, 8)").collect())
+    assert(rootMsg(exN).contains("graft_vector_sum"), rootMsg(exN))
+    // the finish bound is the engine's sum type DECIMAL(min(38, p+10), s):
+    // for (18, 8) that is 1e20 — a 1e21 accumulated sum must overflow
+    // even though it is far under the old DECIMAL(38, 8) bound (1e30).
+    // Unreachable through real rows (needs ≥1e10 of them), so drive the
+    // aggregate object directly.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val agg = graft.plans.VectorDecimalSum(
+      Literal.create(null, ArrayType(DoubleType)), Literal(18), Literal(8))
+    val over = Array(new java.math.BigDecimal("1e21"))
+    val exO = intercept[ArithmeticException](agg.eval(over))
+    assert(exO.getMessage.contains("DECIMAL(28, 8)"), exO.getMessage)
+    assert(agg.eval(Array(new java.math.BigDecimal("1e19"))) != null)
+    // partial-state roundtrip preserves the "never saw a value" marker
+    val rt = agg.deserialize(agg.serialize(
+      Array(null, new java.math.BigDecimal("2.5"))))
+    assert(rt(0) == null && rt(1) == new java.math.BigDecimal("2.5"))
+  }
+
   test("SparkSessionExtensions wiring registers the function") {
     val s2 = TestSpark.spark.newSession()
     new graft.plans.GraftExtensions().apply(

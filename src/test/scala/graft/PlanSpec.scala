@@ -414,4 +414,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan(sdf).contains("CartesianProduct"))
     graft.api.Df.releaseRetained()
   }
+
+  test("FanOut sizes scans at planning time: fans narrow scans, no-ops on wide/streaming plans, runs no job") {
+    import graft.operators.FanOut
+    // count jobs started while FanOut decides — the old .rdd probe
+    // under AQE materialized every upstream query stage eagerly
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val li = Df.readParquet(spark, s"$sf/lineitem.parquet").sdf
+      val narrow = li.select(col("l_orderkey"))
+      val wide = li.groupBy("l_returnflag").count()
+      Thread.sleep(300) // drain the read-side footer job events
+      jobs = 0
+      // narrow one-row-group scan → round-robin fan to session width
+      val fanned = FanOut(narrow)
+      assert(fanned.queryExecution.executedPlan.toString
+        .contains("RoundRobinPartitioning"),
+        fanned.queryExecution.executedPlan.toString)
+      // wide plan (its own exchange already redistributes) → the SAME
+      // object back, no second shuffle stacked on top
+      assert(FanOut(wide) eq wide)
+      // streaming frame → untouched (the old probe threw outright)
+      val stream = spark.readStream.format("rate").load()
+      assert(FanOut(stream) eq stream)
+      Thread.sleep(500) // listener bus is async
+      assert(jobs == 0, s"FanOut ran $jobs eager job(s) while planning")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
