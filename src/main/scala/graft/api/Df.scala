@@ -459,6 +459,27 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
 
   def maskValues(cond: Column, other: Any = null): Df = whereValues(!cond, other)
 
+  /** Keyless pandas verbs (diff/rank/ffill with no partition keys) are
+    * pandas-parity but funnel ALL rows through ONE task (DIVERGENCES
+    * #10). This in-plan ceiling turns that silent single-partition sort
+    * into a named error: a row_number over the SAME window spec (same
+    * window exec — no extra shuffle or sort) trips past the ceiling.
+    * Configurable per session via `graft.keylessWindowMaxRows`;
+    * defaults to 10M rows, comfortably a single-task sort. */
+  private def keylessCeiling(
+      w: org.apache.spark.sql.expressions.WindowSpec,
+      value: Column, verb: String): Column = {
+    val cap = sdf.sparkSession.conf
+      .getOption("graft.keylessWindowMaxRows").map(_.toLong)
+      .getOrElse(10000000L)
+    when(row_number().over(w) > cap, raise_error(lit(
+      s"$verb: keyless window over more than $cap rows — a " +
+        "single-partition sort at scale. Pass partitionBy keys, or use " +
+        "a two-phase ordinal (withRowIndexScalable) for global order; " +
+        "raise graft.keylessWindowMaxRows to override (DIVERGENCES #10)")))
+      .otherwise(value)
+  }
+
   /** pandas `diff(periods)` over an explicit order (and optional
     * partitioning): value minus the value `periods` rows earlier. */
   def diff(c: String, orderKeys: Seq[String], out: String,
@@ -467,7 +488,9 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
       org.apache.spark.sql.expressions.Window.partitionBy()
     else org.apache.spark.sql.expressions.Window.partitionBy(partitionBy.map(sdf(_)): _*)
     val w = w0.orderBy(orderKeys.map(sdf(_).asc): _*)
-    new Df(sdf.withColumn(out, sdf(c) - lag(sdf(c), periods).over(w)))
+    val d = sdf(c) - lag(sdf(c), periods).over(w)
+    new Df(sdf.withColumn(out,
+      if (partitionBy.isEmpty) keylessCeiling(w, d, "diff") else d))
   }
 
   /** pandas `describe()`: one row per numeric column with the standard
@@ -526,7 +549,9 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
       org.apache.spark.sql.expressions.Window.partitionBy()
     else org.apache.spark.sql.expressions.Window.partitionBy(partitionBy.map(sdf(_)): _*)
     val w = w0.orderBy(if (ascending) sdf(by).asc else sdf(by).desc)
-    new Df(sdf.withColumn(out, rank().over(w)))
+    val r = rank().over(w)
+    new Df(sdf.withColumn(out,
+      if (partitionBy.isEmpty) keylessCeiling(w, r, "withRank") else r))
   }
 
   /** pandas `melt` (wide → long): id columns are repeated, each value
@@ -595,7 +620,11 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     val filled = cols.foldLeft(sdf) { (d, c) =>
       val carried = if (forward) last(d(c), ignoreNulls = true).over(w)
         else first(d(c), ignoreNulls = true).over(w)
-      d.withColumn(c, carried)
+      // the ceiling's row_number rides the UNFRAMED spec (row_number
+      // rejects explicit frames) — still the same window exec
+      d.withColumn(c,
+        if (partitionBy.isEmpty) keylessCeiling(ordered, carried, "ffill/bfill")
+        else carried)
     }
     new Df(filled)
   }
@@ -608,7 +637,9 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     val w0 = if (partitionBy.isEmpty) Window.partitionBy()
       else Window.partitionBy(partitionBy.map(sdf(_)): _*)
     val w = w0.orderBy(orderKeys.map(sdf(_).asc): _*)
-    new Df(sdf.withColumn(out, sdf(c) / lag(sdf(c), periods).over(w) - lit(1.0)))
+    val p = sdf(c) / lag(sdf(c), periods).over(w) - lit(1.0)
+    new Df(sdf.withColumn(out,
+      if (partitionBy.isEmpty) keylessCeiling(w, p, "pctChange") else p))
   }
 
   /** pandas `qcut(labels=False)`: quantile binning into `q` roughly

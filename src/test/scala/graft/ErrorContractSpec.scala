@@ -119,4 +119,36 @@ class ErrorContractSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       graft.operators.TimeSeries.seasonalResiduals(d, "x", "y", period = 0))
   }
+
+  test("keyless diff/rank/ffill/pctChange trip a named ceiling instead of a silent single-partition sort") {
+    // the keyless default is pandas-parity (DIVERGENCES #10) but funnels
+    // every row through one task — past graft.keylessWindowMaxRows the
+    // in-plan guard must fail loudly, naming the fix
+    val rows = (1 to 100).map(i => Row(i.toLong, i.toDouble))
+    val big = Df.fromRows(spark, rows, StructType(Seq(
+      StructField("x", LongType), StructField("y", DoubleType))))
+    spark.conf.set("graft.keylessWindowMaxRows", "50")
+    try {
+      def msgChain(t: Throwable): String = {
+        var c: Throwable = t; val sb = new StringBuilder
+        while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+        sb.toString
+      }
+      for ((verb, run) <- Seq[(String, () => Unit)](
+        "diff" -> (() => big.diff("y", Seq("x"), "d").sdf.collect()),
+        "withRank" -> (() => big.withRank("y", "r").sdf.collect()),
+        "ffill/bfill" -> (() => big.ffill(Seq("y"), Seq("x")).sdf.collect()),
+        "pctChange" -> (() => big.pctChange("y", Seq("x"), "p").sdf.collect()))) {
+        val e = intercept[Exception](run())
+        assert(msgChain(e).contains("keyless window"), s"$verb: ${msgChain(e)}")
+      }
+      // under the ceiling the keyless verbs still work...
+      val small = Df.fromRows(spark, rows.take(40), StructType(Seq(
+        StructField("x", LongType), StructField("y", DoubleType))))
+      assert(small.diff("y", Seq("x"), "d").sdf.count() == 40)
+      // ...and explicit partition keys are never capped
+      val keyed = big.diff("y", Seq("x"), "d", partitionBy = Seq("x"))
+      assert(keyed.sdf.count() == 100)
+    } finally spark.conf.unset("graft.keylessWindowMaxRows")
+  }
 }

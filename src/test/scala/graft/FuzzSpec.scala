@@ -849,4 +849,116 @@ class FuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("merge differential: suffix/column-order algorithm on random column sets (pandas _merge.py semantics, 200 cases)") {
+    // reference semantics (pandas merge on common key names): key
+    // columns appear ONCE un-suffixed; a non-key column present on both
+    // sides gets the side suffix; one-sided columns pass through
+    // unrenamed. Column order in graft's Spark using-join: keys, then
+    // left non-key in left order, then right non-key in right order.
+    // Values: inner = matched keys only; left keeps unmatched left rows
+    // with null right columns; outer adds unmatched right rows too.
+    val pool = Vector("a", "b", "c", "d", "e")
+    val cases: Gen[(List[String], List[String], List[Long], List[Long],
+                    (String, String), String)] = for {
+      lc <- Gen.someOf(pool).map(_.toList.sorted)
+      rc <- Gen.someOf(pool).map(_.toList.sorted)
+      lk <- Gen.someOf(0L to 5L).map(_.toList.sorted)
+      rk <- Gen.someOf(0L to 5L).map(_.toList.sorted)
+      sfx <- Gen.oneOf(("_x", "_y"), ("_l", "_r"), ("_left", "_right"))
+      how <- Gen.oneOf("inner", "left", "outer")
+    } yield (lc, rc, lk, rk, sfx, how)
+    def f(side: Int, c: String, k: Long): Double =
+      side * 1000.0 + (c(0) - 'a') * 10.0 + k
+    def mk(side: Int, cols: List[String], keys: List[Long]): Df =
+      Df.fromRows(spark,
+        keys.map(k => Row(k.asInstanceOf[AnyRef] +:
+          cols.map(c => java.lang.Double.valueOf(f(side, c, k)): AnyRef): _*)),
+        StructType(StructField("k", LongType) +:
+          cols.map(c => StructField(c, DoubleType))))
+    trials(cases, n = 200) { case (lc, rc, lk, rk, (sx, sy), how) =>
+      val shared = lc.toSet & rc.toSet
+      val merged = mk(1, lc, lk).merge(mk(2, rc, rk), Seq("k"), how,
+        suffixes = (sx, sy))
+      // schema model: the suffix/column-order algorithm itself
+      val wantCols = "k" +:
+        (lc.map(c => if (shared(c)) c + sx else c) ++
+          rc.map(c => if (shared(c)) c + sy else c))
+      assert(merged.columns.toSeq == wantCols,
+        s"cols: ${merged.columns.toSeq} vs $wantCols " +
+          s"(lc=$lc rc=$rc sfx=($sx,$sy))")
+      // value model, independently computed
+      val wantKeys = how match {
+        case "inner" => lk.toSet & rk.toSet
+        case "left"  => lk.toSet
+        case "outer" => lk.toSet ++ rk.toSet
+      }
+      val got = merged.sdf.collect().map { r =>
+        r.getLong(0) -> merged.columns.drop(1).zipWithIndex.map {
+          case (c, i) => c -> Option(r.get(i + 1)) }.toMap
+      }.toMap
+      assert(got.keySet == wantKeys,
+        s"keys: ${got.keySet} vs $wantKeys (how=$how)")
+      got.foreach { case (k, vals) =>
+        lc.foreach { c =>
+          val want = if (lk.contains(k)) Some(f(1, c, k)) else None
+          assert(vals(if (shared(c)) c + sx else c) == want,
+            s"left col $c key $k (how=$how)")
+        }
+        rc.foreach { c =>
+          val want = if (rk.contains(k)) Some(f(2, c, k)) else None
+          assert(vals(if (shared(c)) c + sy else c) == want,
+            s"right col $c key $k (how=$how)")
+        }
+      }
+    }
+  }
+
+  test("concat differential: inner/outer column alignment on overlapping labels (pandas _concat.py semantics, 200 cases)") {
+    // reference semantics (pandas concat axis=0): outer = union of
+    // labels in first-appearance order, absent labels null-filled;
+    // inner = intersection ordered by the FIRST frame's column order.
+    // Row multiset is the concatenation either way — never deduped.
+    val pool = Vector("a", "b", "c", "d", "e")
+    val cases: Gen[(List[(List[String], Int)], String)] = for {
+      nf <- Gen.choose(2, 4)
+      frames <- Gen.listOfN(nf, for {
+        cols <- Gen.atLeastOne(pool).map(_.toList.sorted)
+        rows <- Gen.choose(0, 4)
+      } yield (cols, rows))
+      join <- Gen.oneOf("outer", "inner")
+    } yield (frames, join)
+    def f(frame: Int, c: String, r: Int): Double =
+      frame * 1000.0 + (c(0) - 'a') * 10.0 + r
+    trials(cases, n = 200) { case (frames, join) =>
+      val dfs = frames.zipWithIndex.map { case ((cols, nRows), fi) =>
+        Df.fromRows(spark,
+          (0 until nRows).map(r => Row(
+            cols.map(c => java.lang.Double.valueOf(f(fi, c, r)): AnyRef): _*)),
+          StructType(cols.map(c => StructField(c, DoubleType))))
+      }
+      val common = frames.map(_._1.toSet).reduce(_ & _)
+      if (join == "inner" && common.isEmpty) () // no aligned columns: skip draw
+      else {
+        val out = Df.concat(dfs, join)
+        val wantCols =
+          if (join == "inner") frames.head._1.filter(common.contains)
+          else frames.map(_._1).reduce((acc, cs) => acc ++ cs.filterNot(acc.contains))
+        assert(out.columns.toSeq == wantCols,
+          s"cols: ${out.columns.toSeq} vs $wantCols (join=$join frames=$frames)")
+        // row multiset model: one output row per input row, each column
+        // carried when the frame has it, null otherwise
+        val want = frames.zipWithIndex.flatMap { case ((cols, nRows), fi) =>
+          (0 until nRows).map { r =>
+            wantCols.map(c =>
+              if (cols.contains(c)) Some(f(fi, c, r)) else None)
+          }
+        }.groupBy(identity).view.mapValues(_.size).toMap
+        val got = out.sdf.collect().toSeq.map { row =>
+          wantCols.indices.map(i => Option(row.get(i)).map(_.asInstanceOf[Double])).toList
+        }.groupBy(identity).view.mapValues(_.size).toMap
+        assert(got == want, s"rows: $got vs $want (join=$join frames=$frames)")
+      }
+    }
+  }
 }
