@@ -284,14 +284,22 @@ object Similarity {
         .otherwise(raise_error(concat(
           lit(s"searchIvfIndex: expected dim=$dim, got vector of length "),
           size(col("q_vec")).cast("string"))))
-    val q = broadcast(queries.sdf
+    // persisted so the query-side nearest-cell plan runs ONCE: the
+    // probe-list collect below and the join both read the cache. The
+    // probe list must stay a driver-known literal IN (static partition
+    // pruning) — a dynamic join-based prune would not fire here (no
+    // selective predicate on the broadcast side), and scanning all
+    // cells is exactly what nprobe/nlist is buying back at 100 TB.
+    val q = queries.sdf
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("cell",
-        explode(transform(nearest, s => s.getField("cell")))))
+        explode(transform(nearest, s => s.getField("cell"))))
+      .persist()
     val probed = q.select("cell").distinct().collect().map(_.getInt(0))
     val c = spark.read.parquet(s"$path/index")
       .where(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
-    new Df(rerankTopK(c.join(q, Seq("cell")), k, excludeSelf))
+    new Df(rerankTopK(c.join(broadcast(q), Seq("cell")), k, excludeSelf))
+      .retaining(q)
   }
 
   /** Per-key mean embedding (centroid / mean-pool) in LONG format —
