@@ -51,18 +51,14 @@ final class GroupedDf private[api] (
   def min(): Df = aggEach(org.apache.spark.sql.functions.min(_))
   def max(): Df = aggEach(org.apache.spark.sql.functions.max(_))
   def count(): Df = aggEach(org.apache.spark.sql.functions.count(_))
+  /** general ddof through [[graft.functions.PandasAgg.varDdof]]: its
+    * n ≤ ddof → NULL guard matters here too — one degenerate group
+    * would otherwise kill the whole aggregation with an ANSI
+    * divide-by-zero (`SURVEY.md §2.5`) */
   def varr(ddof: Int = 1): Df =
-    aggEach(c => ddofVar(c, ddof))
+    aggEach(c => graft.functions.PandasAgg.varDdof(c, ddof))
   def std(ddof: Int = 1): Df =
-    aggEach(c => sqrt(ddofVar(c, ddof)))
-  /** general ddof from var_samp*(n-1)=M2 (`SURVEY.md §2.5`) */
-  private def ddofVar(c: Column, ddof: Int): Column = ddof match {
-    case 1 => var_samp(c)
-    case 0 => var_pop(c)
-    case d =>
-      (var_samp(c) * (org.apache.spark.sql.functions.count(c) - 1)) /
-        (org.apache.spark.sql.functions.count(c) - lit(d))
-  }
+    aggEach(c => sqrt(graft.functions.PandasAgg.varDdof(c, ddof)))
   /** product via custom-free formulation: sign-aware exp(sum(log|x|)),
     * zero if any zero (`SURVEY.md §2.5 Prod`). */
   def prod(): Df = aggEach { c =>

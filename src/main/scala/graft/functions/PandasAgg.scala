@@ -39,11 +39,18 @@ object PandasAgg {
   }
 
   /** variance with arbitrary ddof: M2 / (n - ddof), recovered from
-    * var_samp·(n-1) so the partial/final merge stays native. */
+    * var_samp·(n-1) so the partial/final merge stays native. Groups
+    * with n ≤ ddof yield NULL: the statistic is undefined there
+    * (pandas renders it inf/NaN; NULL is this engine's NaN-null
+    * convention, DIVERGENCES #3) — without the guard the division is
+    * by zero, which under ANSI mode would kill the whole query for
+    * one degenerate group. */
   def varDdof(c: Column, ddof: Int): Column = ddof match {
     case 1 => var_samp(c)
     case 0 => var_pop(c)
-    case d => (var_samp(c) * (count(c) - 1)) / (count(c) - lit(d))
+    case d => when(count(c) > d,
+      (var_samp(c) * (count(c) - 1)) / (count(c) - lit(d)))
+      .otherwise(lit(null))
   }
 
   def stdDdof(c: Column, ddof: Int): Column = sqrt(varDdof(c, ddof))

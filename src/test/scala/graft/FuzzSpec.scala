@@ -961,4 +961,156 @@ class FuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("asofJoin differential: backward/forward/nearest with tolerance vs a brute-force model (150 cases)") {
+    // reference semantics (pandas merge_asof): per key, backward = the
+    // latest right row at or before t, forward = the earliest at or
+    // after, nearest = the closer of the two with ties going backward;
+    // tolerance nulls out a match farther than tol seconds. Right
+    // timestamps are unique per key (duplicate-rt winners are
+    // row-order-dependent in pandas and partition-order-dependent here
+    // — out of contract).
+    val cases: Gen[(List[(Int, Long)], List[(Int, Long)], String, Long)] = for {
+      lt <- Gen.listOf(Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 120L)))
+      rt <- Gen.listOf(Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 120L)))
+      dir <- Gen.oneOf("backward", "forward", "nearest")
+      tol <- Gen.oneOf(-1L, 0L, 3L, 10L)
+    } yield (lt, rt.distinct
+      .groupBy(identity).keys.toList // unique (k, rt)
+      , dir, tol)
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    def f(k: Int, t: Long): Double = k * 1000.0 + t
+    trials(cases, n = 150) { case (lt0, rt, dir, tol) =>
+      val lt = lt0.zipWithIndex // left rows get distinct ids
+      val left = Df.fromRows(spark,
+        lt.map { case ((k, t), i) => Row(i.toLong, k, ts(t)) },
+        StructType(Seq(StructField("lid", LongType), StructField("k", IntegerType),
+          StructField("lt", TimestampType))))
+      val right = Df.fromRows(spark,
+        rt.map { case (k, t) => Row(k, ts(t), java.lang.Double.valueOf(f(k, t))) },
+        StructType(Seq(StructField("k", IntegerType),
+          StructField("rt", TimestampType), StructField("v", DoubleType))))
+      val got = left.asofJoin(right, Seq("k"), "lt", "rt", Seq("v"),
+          direction = dir, toleranceSec = tol)
+        .sdf.collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+      // brute-force model: choose by direction, then gate on tolerance
+      // (equivalent to filter-then-choose for every direction: the
+      // chosen row is the closest on its side, so if IT violates the
+      // tolerance every other candidate does too)
+      val byKey = rt.groupBy(_._1)
+      val want = lt.map { case ((k, t), i) =>
+        val cands = byKey.getOrElse(k, Nil)
+        val b = cands.filter(_._2 <= t).sortBy(_._2).lastOption
+        val fw = cands.filter(_._2 >= t).sortBy(_._2).headOption
+        val chosen = dir match {
+          case "backward" => b
+          case "forward"  => fw
+          case "nearest" => (b, fw) match {
+            case (Some(bb), Some(ff)) =>
+              if (t - bb._2 <= ff._2 - t) Some(bb) else Some(ff)
+            case (x, y) => x.orElse(y)
+          }
+        }
+        i.toLong -> chosen
+          .filter(c => tol < 0 || math.abs(c._2 - t) <= tol)
+          .map { case (ck, ct) => f(ck, ct): Any }
+      }.toMap
+      assert(got == want,
+        s"dir=$dir tol=$tol\n got=$got\nwant=$want\n lt=$lt0\n rt=$rt")
+    }
+  }
+
+  test("PandasAgg battery differential: skipna/min_count/ddof/prod/any/all vs a model (200 cases)") {
+    // pandas semantics under test: sum(skipna=False) nulls on ANY null;
+    // sum(min_count=k) needs >= k non-nulls (k=0 empty -> 0.0);
+    // prod(min_count=k) likewise with identity 1.0, zero- and
+    // sign-exact through the log formulation; var/std(ddof) = M2/(n-d);
+    // any/all drop nulls with identities false/true. Null-ness must
+    // match EXACTLY; values to 1e-9 relative (double partial-agg order
+    // and exp∘ln∘abs are not bit-stable by design).
+    import graft.functions.PandasAgg._
+    val cases: Gen[(List[(Int, Option[Double])], Int, Int)] = for {
+      rows <- Gen.listOf(Gen.zip(Gen.choose(0, 2),
+        Gen.frequency(
+          (6, Gen.choose(-3.0, 3.0).map(v => Some(math.rint(v * 4) / 4))),
+          (1, Gen.const(Some(0.0))),
+          (2, Gen.const(None: Option[Double])))))
+      mc <- Gen.choose(0, 4)
+      ddof <- Gen.choose(0, 2)
+    } yield (rows, mc, ddof)
+    trials(cases, n = 200) { case (rows, mc, ddof) =>
+      val d = Df.fromRows(spark,
+        rows.map { case (k, v) =>
+          Row(k, v.map(java.lang.Double.valueOf).orNull) },
+        StructType(Seq(StructField("k", IntegerType),
+          StructField("v", DoubleType))))
+      val got = d.sdf.groupBy("k").agg(
+        sumSkipnaFalse(col("v")).as("s_sf"),
+        sumMinCount(col("v"), mc).as("s_mc"),
+        meanSkipnaFalse(col("v")).as("m_sf"),
+        prodMinCount(col("v"), mc).as("p_mc"),
+        varDdof(col("v"), ddof).as("vd"),
+        anySkipna(col("v") > 0).as("any_pos"),
+        allSkipna(col("v") > 0).as("all_pos"))
+        .collect().map(r => r.getInt(0) ->
+          (0 until 7).map(i => Option(r.get(i + 1))).toList).toMap
+      def approx(a: Option[Any], b: Option[Double], label: String, k: Int): Unit =
+        (a, b) match {
+          case (None, None) => ()
+          case (Some(x: Double), Some(y)) =>
+            assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)),
+              s"$label key $k: $x vs $y (rows=$rows mc=$mc ddof=$ddof)")
+          case _ => fail(s"$label key $k null-ness: $a vs $b (rows=$rows mc=$mc ddof=$ddof)")
+        }
+      rows.groupBy(_._1).foreach { case (k, g) =>
+        val vs = g.map(_._2)
+        val nn = vs.flatten
+        val List(sSf, sMc, mSf, pMc, vd, anyP, allP) = got(k)
+        approx(sSf, if (vs.exists(_.isEmpty)) None else Some(nn.sum), "sumSkipnaFalse", k)
+        approx(sMc, if (nn.size >= mc) Some(nn.sum) else None, "sumMinCount", k)
+        approx(mSf, if (vs.exists(_.isEmpty)) None else Some(nn.sum / nn.size), "meanSkipnaFalse", k)
+        approx(pMc, if (nn.size >= mc) Some(nn.product) else None, "prodMinCount", k)
+        // n <= ddof: the statistic is undefined — the operator's
+        // contract is NULL (pandas' inf/NaN under the NaN-null
+        // convention); before the guard this killed the whole query
+        // with an ANSI divide-by-zero (caught by this very test)
+        if (nn.size > ddof) {
+          val mean = nn.sum / nn.size
+          val m2 = nn.map(x => (x - mean) * (x - mean)).sum
+          if (nn.size >= 2)
+            approx(vd, Some(m2 / (nn.size - ddof)), "varDdof", k)
+        } else assert(vd.isEmpty || ddof <= 1,
+          s"varDdof key $k n=${nn.size} ddof=$ddof must be null, got $vd")
+        assert(anyP == Some(nn.exists(_ > 0)), s"anySkipna key $k")
+        assert(allP == Some(nn.forall(_ > 0)), s"allSkipna key $k")
+      }
+    }
+  }
+
+  test("ewmaMean differential: pandas ewm(adjust=True) mean on null-free series (120 cases)") {
+    // pandas y_i = sum_j (1-a)^(i-j) x_j / sum_j (1-a)^(i-j): with the
+    // short series drawn here the operator's eps-truncation window
+    // exceeds the series length, so the model is the exact full
+    // history; compare to 1e-9 relative (decimal-vs-double conversion
+    // noise, documented in the scaladoc)
+    val cases: Gen[(List[Double], Double)] = for {
+      xs <- Gen.nonEmptyListOf(Gen.choose(-50.0, 50.0))
+      alpha <- Gen.oneOf(0.5, 0.25, 0.3, 0.7)
+    } yield (xs.take(60), alpha)
+    trials(cases, n = 120) { case (xs, alpha) =>
+      val d = Df.fromRows(spark,
+        xs.zipWithIndex.map { case (x, i) => Row(i.toLong, x) },
+        StructType(Seq(StructField("i", LongType), StructField("x", DoubleType))))
+      val got = graft.operators.TimeSeries.ewmaMean(
+          d, keyCols = Nil, orderCols = Seq("i"), valCol = "x", alpha = alpha)
+        .sdf.orderBy("i").collect().map(_.getDouble(2))
+      val decay = 1 - alpha
+      xs.indices.foreach { i =>
+        val weights = (0 to i).map(j => math.pow(decay, (i - j).toDouble))
+        val want = (0 to i).map(j => xs(j) * weights(j)).sum / weights.sum
+        assert(math.abs(got(i) - want) <= 1e-9 * math.max(1.0, math.abs(want)),
+          s"i=$i alpha=$alpha: ${got(i)} vs $want")
+      }
+    }
+  }
 }
