@@ -1087,6 +1087,196 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("rangeJoin differential: bucketized point-in-interval equals the brute-force pairing (150 cases)") {
+    // the bucketization must be invisible: every (point, interval)
+    // pair with lo <= p <= hi (and matching equi-key when keyed)
+    // appears exactly once — no boundary loss at bucket edges, no
+    // duplicate from an interval spanning many buckets, negative
+    // domains floor correctly, inverted intervals match nothing
+    val cases: Gen[(List[(Int, Double)], List[(Int, Double, Double)],
+                    Double, Boolean)] = for {
+      pts <- Gen.listOf(Gen.zip(Gen.choose(0, 2),
+        Gen.choose(-40, 40).map(_ / 2.0)))
+      ivs <- Gen.listOf(for {
+        k <- Gen.choose(0, 2)
+        a <- Gen.choose(-40, 40).map(_ / 2.0)
+        w <- Gen.frequency((8, Gen.choose(0, 30).map(_ / 2.0)),
+          (1, Gen.const(-2.0))) // a few inverted intervals
+      } yield (k, a, a + w))
+      bw <- Gen.oneOf(0.5, 1.0, 2.5, 7.0)
+      keyed <- Gen.oneOf(true, false)
+    } yield (pts, ivs, bw, keyed)
+    trials(cases, n = 150) { case (pts, ivs, bw, keyed) =>
+      val points = Df.fromRows(spark,
+        pts.zipWithIndex.map { case ((k, p), i) => Row(i.toLong, k, p) },
+        StructType(Seq(StructField("pid", LongType),
+          StructField("k", IntegerType), StructField("p", DoubleType))))
+      val intervals = Df.fromRows(spark,
+        ivs.zipWithIndex.map { case ((k, lo, hi), i) => Row(i.toLong, k, lo, hi) },
+        StructType(Seq(StructField("iid", LongType),
+          StructField("k", IntegerType), StructField("lo", DoubleType),
+          StructField("hi", DoubleType))))
+      val got = points.rangeJoin(
+          if (keyed) intervals else new Df(intervals.sdf.drop("k")),
+          "p", "lo", "hi", bw, on = if (keyed) Seq("k") else Nil)
+        .sdf.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = (for {
+        ((pk, p), pi) <- pts.zipWithIndex
+        ((ik, lo, hi), ii) <- ivs.zipWithIndex
+        if (!keyed || pk == ik) && p >= lo && p <= hi
+      } yield (pi.toLong, ii.toLong)).sorted
+      assert(got == want,
+        s"bw=$bw keyed=$keyed\n got=$got\nwant=$want\npts=$pts\nivs=$ivs")
+    }
+  }
+
+  test("grouped quantile differential: exact linear interpolation per group (150 cases)") {
+    // pandas g.quantile(q) default interpolation='linear': sort the
+    // group's non-null values, pos = q*(n-1), result = v[floor] +
+    // frac*(v[floor+1]-v[floor]); all-null/empty groups -> null
+    val cases: Gen[(List[(Int, Option[Double])], Double)] = for {
+      rows <- Gen.listOf(Gen.zip(Gen.choose(0, 2), Gen.frequency(
+        (8, Gen.choose(-100.0, 100.0).map(Some(_))),
+        (1, Gen.const(None: Option[Double])))))
+      q <- Gen.oneOf(0.0, 0.25, 0.5, 0.77, 0.9, 1.0)
+    } yield (rows, q)
+    trials(cases, n = 150) { case (rows, q) =>
+      val d = Df.fromRows(spark,
+        rows.map { case (k, v) => Row(k, v.map(java.lang.Double.valueOf).orNull) },
+        StructType(Seq(StructField("k", IntegerType), StructField("v", DoubleType))))
+      val got = d.groupby("k").quantile(q).sdf.collect()
+        .map(r => r.getInt(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+      rows.groupBy(_._1).foreach { case (k, g) =>
+        val nn = g.flatMap(_._2).sorted
+        val want =
+          if (nn.isEmpty) None
+          else {
+            val pos = q * (nn.size - 1)
+            val lo = math.floor(pos).toInt
+            val frac = pos - lo
+            Some(if (lo + 1 < nn.size) nn(lo) + frac * (nn(lo + 1) - nn(lo))
+            else nn(lo))
+          }
+        (got(k), want) match {
+          case (None, None) => ()
+          case (Some(a), Some(b)) =>
+            assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+              s"key $k q=$q: $a vs $b (rows=$rows)")
+          case other => fail(s"key $k q=$q null-ness: $other (rows=$rows)")
+        }
+      }
+    }
+  }
+
+  test("combineFirst differential: self-priority fill over the index union (150 cases)") {
+    // pandas df.combine_first(other): index = union of keys; shared
+    // columns take self's value, falling back to other's where self is
+    // null or absent; one-sided columns pass through with nulls on the
+    // missing side
+    val side: Gen[Map[Long, (Option[Double], Option[Double])]] = for {
+      keys <- Gen.someOf(0L to 9L)
+      vals <- Gen.listOfN(keys.size * 2, Gen.option(Gen.choose(-50.0, 50.0)))
+    } yield keys.sorted.zip(vals.grouped(2).map(l => (l(0), l(1))).toSeq).toMap
+    def mk(m: Map[Long, (Option[Double], Option[Double])], c2: String): Df =
+      Df.fromRows(spark,
+        m.toSeq.sortBy(_._1).map { case (k, (x, y)) =>
+          Row(k, x.map(java.lang.Double.valueOf).orNull,
+            y.map(java.lang.Double.valueOf).orNull) },
+        StructType(Seq(StructField("k", LongType), StructField("a", DoubleType),
+          StructField(c2, DoubleType))))
+    trials(Gen.zip(side, side), n = 150) { case (l, r) =>
+      // left carries (a, b), right carries (a, c): a shared, b/c one-sided
+      val got = mk(l, "b").combineFirst(mk(r, "c"), on = Seq("k"))
+        .sdf.collect().map(row => row.getLong(0) ->
+          (Option(row.get(1)), Option(row.get(2)), Option(row.get(3)))).toMap
+      val want = (l.keySet ++ r.keySet).map { k =>
+        val (la, lb) = l.getOrElse(k, (None, None))
+        val (ra, rc) = r.getOrElse(k, (None, None))
+        k -> (la.orElse(ra).map(v => v: Any), lb.map(v => v: Any),
+          rc.map(v => v: Any))
+      }.toMap
+      assert(got == want, s"\n got=$got\nwant=$want\n l=$l\n r=$r")
+    }
+  }
+
+  test("interpolateByTime differential: time-weighted interior lerp, ffill tail, null head (120 cases)") {
+    // pandas interpolate(method='index', limit_direction='forward') per
+    // key over event time: interior nulls lerp between surrounding
+    // observations weighted by time, trailing nulls carry the last
+    // value, leading nulls stay null
+    val cases: Gen[List[(Int, Long, Option[Double])]] = Gen.listOf(for {
+      k <- Gen.choose(0, 1)
+      t <- Gen.choose(0L, 500L)
+      v <- Gen.frequency((5, Gen.choose(-40.0, 40.0).map(Some(_))),
+        (4, Gen.const(None: Option[Double])))
+    } yield (k, t, v)).map(_.groupBy(r => (r._1, r._2)).values.map(_.head).toList)
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    trials(cases, n = 120) { rows =>
+      val d = Df.fromRows(spark,
+        rows.map { case (k, t, v) =>
+          Row(k, ts(t), v.map(java.lang.Double.valueOf).orNull) },
+        StructType(Seq(StructField("k", IntegerType),
+          StructField("ts", TimestampType), StructField("v", DoubleType))))
+      val got = graft.operators.TimeSeries.interpolateByTime(
+          d, "v", "ts", keyCols = Seq("k"), out = "vi")
+        .sdf.collect().map(r =>
+          (r.getInt(0), r.getTimestamp(1).toInstant.getEpochSecond) ->
+            Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+      rows.groupBy(_._1).foreach { case (k, g) =>
+        val srt = g.sortBy(_._2)
+        srt.zipWithIndex.foreach { case ((_, t, v), i) =>
+          val want: Option[Double] = v.orElse {
+            val prev = srt.take(i).reverse.collectFirst {
+              case (_, pt, Some(pv)) => (pt, pv) }
+            val next = srt.drop(i + 1).collectFirst {
+              case (_, nt, Some(nv)) => (nt, nv) }
+            (prev, next) match {
+              case (None, _) => None
+              case (Some((_, pv)), None) => Some(pv)
+              case (Some((pt, pv)), Some((nt, nv))) =>
+                Some(pv + (nv - pv) * ((t - pt).toDouble / (nt - pt).toDouble))
+            }
+          }
+          (got((k, t)), want) match {
+            case (None, None) => ()
+            case (Some(a), Some(b)) =>
+              assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+                s"key $k t=$t: $a vs $b")
+            case other => fail(s"key $k t=$t null-ness: $other (rows=$srt)")
+          }
+        }
+      }
+    }
+  }
+
+  test("resampleGapfill property: every bin between min and max present, empty bins zeroed (100 cases)") {
+    val cases: Gen[List[(Long, Double)]] = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0L, 86400L * 14), Gen.choose(-20.0, 20.0)))
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    trials(cases, n = 100) { rows =>
+      val d = Df.fromRows(spark,
+        rows.map { case (t, v) => Row(ts(t), v) },
+        StructType(Seq(StructField("ts", TimestampType),
+          StructField("v", DoubleType))))
+      val got = graft.operators.TimeSeries.resampleGapfill(d, "ts", "v", "day")
+        .sdf.collect().map(r =>
+          r.getTimestamp(0).toInstant.getEpochSecond / 86400 ->
+            (r.getLong(1), r.getDouble(2))).toMap
+      val byDay = rows.groupBy(_._1 / 86400)
+      val days = byDay.keys
+      // every day from min to max present, EXACTLY those
+      assert(got.keySet == (days.min to days.max).toSet,
+        s"bins: ${got.keySet.toSeq.sorted} vs ${days.min}..${days.max}")
+      got.foreach { case (day, (n, s)) =>
+        val vs = byDay.getOrElse(day, Nil).map(_._2)
+        assert(n == vs.size, s"day $day count $n vs ${vs.size}")
+        assert(math.abs(s - vs.sum) <= 1e-6 * math.max(1.0, math.abs(vs.sum)),
+          s"day $day sum $s vs ${vs.sum}")
+      }
+    }
+  }
+
   test("ewmaMean differential: pandas ewm(adjust=True) mean on null-free series (120 cases)") {
     // pandas y_i = sum_j (1-a)^(i-j) x_j / sum_j (1-a)^(i-j): with the
     // short series drawn here the operator's eps-truncation window
