@@ -1277,6 +1277,106 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeMerges differential: the full Sennrich learning loop vs a reference model (30 corpora)") {
+    // reference algorithm (Sennrich et al. 2016 §3.2): count adjacent
+    // symbol pairs weighted by word frequency, merge the argmax pair
+    // (ties by (left, right) text) greedily left-to-right non-overlap,
+    // repeat. The engine runs it as replace() rounds over the
+    // |-wrapped distinct-word table; the model is the direct list
+    // implementation — every (rank, lhs, rhs, count) row must agree.
+    val cases: Gen[(List[String], Int)] = for {
+      words <- Gen.nonEmptyListOf(
+        Gen.choose(1, 6).flatMap(n =>
+          Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString)))
+      n <- Gen.choose(1, 5)
+    } yield (words, n)
+    def mergeGreedy(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    trials(cases, n = 30) { case (words, nMerges) =>
+      val d = mkTextDf(words.zipWithIndex.map { case (w, i) => (i.toLong, w) })
+      val got = graft.operators.TextAnalytics.bpeMerges(d, "text", nMerges)
+        .sdf.orderBy("merge_rank").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      Df.releaseRetained()
+      // model
+      var vocab: Seq[(List[String], Long)] = words.groupBy(identity).toSeq
+        .map { case (w, g) => (w.map(_.toString).toList, g.size.toLong) }
+      val want = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var rank = 1
+      var stop = false
+      while (rank <= nMerges && !stop) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, f) =>
+          syms.zip(syms.tail).foreach(p =>
+            counts(p) = counts.getOrElse(p, 0L) + f) }
+        if (counts.isEmpty) stop = true
+        else {
+          val ((l, r), n) = counts.toSeq
+            .sortBy { case ((l, r), n) => (-n, l, r) }.head
+          want += ((rank, l, r, n))
+          vocab = vocab.map { case (syms, f) => (mergeGreedy(syms, l, r), f) }
+          rank += 1
+        }
+      }
+      assert(got == want.toSeq, s"\n got=$got\nwant=$want\nwords=$words n=$nMerges")
+    }
+  }
+
+  test("sortedNeighborhood differential: windowed Levenshtein pairs vs a brute model (100 cases)") {
+    // per block, sort by (sortCol, id); pair each record with its w
+    // predecessors; keep pairs at edit distance <= maxDist with left =
+    // the earlier record and offset = sort-position gap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val cases: Gen[(List[(Int, Int, String)], Int, Int)] = for {
+      recs <- Gen.listOf(for {
+        blk <- Gen.choose(0, 1)
+        srt <- Gen.choose(0, 9)
+        txt <- Gen.choose(1, 5).flatMap(n =>
+          Gen.listOfN(n, Gen.oneOf("x", "y", "z")).map(_.mkString))
+      } yield (blk, srt, txt))
+      w <- Gen.choose(1, 3)
+      maxDist <- Gen.choose(0, 3)
+    } yield (recs, w, maxDist)
+    trials(cases, n = 100) { case (recs0, w, maxDist) =>
+      val recs = recs0.zipWithIndex.map { case ((b, s, t), i) => (i.toLong, b, s, t) }
+      val d = Df.fromRows(spark,
+        recs.map { case (id, b, s, t) => Row(id, b, s, t) },
+        StructType(Seq(StructField("id", LongType),
+          StructField("blk", IntegerType), StructField("srt", IntegerType),
+          StructField("text", StringType))))
+      val got = graft.operators.Linkage.sortedNeighborhood(
+          d, Seq("blk"), "srt", "text", "id", maxDist, w)
+        .sdf.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(5))).sorted.toSeq
+      val want = recs.groupBy(_._2).values.flatMap { blk =>
+        val srt = blk.sortBy(r => (r._3, r._1))
+        for {
+          i <- srt.indices
+          off <- 1 to w
+          if i - off >= 0
+          l = srt(i - off); r = srt(i)
+          if lev(l._4, r._4) <= maxDist
+        } yield (l._1, r._1, off)
+      }.toSeq.sorted
+      assert(got == want, s"w=$w maxDist=$maxDist\n got=$got\nwant=$want\nrecs=$recs")
+    }
+  }
+
   test("ewmaMean differential: pandas ewm(adjust=True) mean on null-free series (120 cases)") {
     // pandas y_i = sum_j (1-a)^(i-j) x_j / sum_j (1-a)^(i-j): with the
     // short series drawn here the operator's eps-truncation window
