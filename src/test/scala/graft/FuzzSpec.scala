@@ -1377,6 +1377,76 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents differential: min-label propagation vs union-find (40 graphs)") {
+    // every node present in the pair list must carry the MIN id of its
+    // connected component — the representative-election contract the
+    // dedup endgame builds on
+    val cases: Gen[List[(Long, Long)]] = Gen.listOf(
+      Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)))
+    trials(cases, n = 40) { edges0 =>
+      val edges = edges0.filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val d = Df.fromRows(spark,
+          edges.map { case (a, b) => Row(a, b) },
+          StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
+        val got = graft.operators.Dedup.connectedComponents(d, "a", "b")
+          .sdf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        Df.releaseRetained()
+        // union-find model
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        val byRoot = nodes.groupBy(find)
+        val want = byRoot.values.flatMap { comp =>
+          val m = comp.min; comp.map(_ -> m) }.toMap
+        assert(got == want, s"\n got=$got\nwant=$want\nedges=$edges")
+      }
+    }
+  }
+
+  test("pageRank differential: weighted power iteration vs a dense model (25 graphs)") {
+    // r_{k+1}(v) = (1-d)/N + d * sum_{(s,v)} r_k(s) * w(s,v)/outW(s),
+    // duplicate edges contributing multiplicity weight, dangling mass
+    // NOT redistributed (the operator's documented simplification)
+    val cases: Gen[(List[(Long, Long)], Int)] = for {
+      edges <- Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L)))
+      iters <- Gen.choose(1, 4)
+    } yield (edges, iters)
+    trials(cases, n = 25) { case (edges, iters) =>
+      val d = Df.fromRows(spark,
+        edges.map { case (s, t) => Row(s, t) },
+        StructType(Seq(StructField("s", LongType), StructField("t", LongType))))
+      val got = graft.operators.Graphs.pageRank(d.sdf, "s", "t", iters)
+        .sdf.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      Df.releaseRetained()
+      val damping = 0.85
+      val nodes = edges.flatMap { case (s, t) => Seq(s, t) }.distinct.sorted
+      val n = nodes.size
+      val w = edges.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+      val outW = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+      var rank = nodes.map(_ -> 1.0 / n).toMap
+      (1 to iters).foreach { _ =>
+        rank = nodes.map { v =>
+          val in = w.collect { case ((s, t), wt) if t == v =>
+            rank(s) * wt / outW(s) }.sum
+          v -> ((1 - damping) / n + damping * in)
+        }.toMap
+      }
+      assert(got.keySet == nodes.toSet, s"nodes: ${got.keySet} vs $nodes")
+      nodes.foreach { v =>
+        assert(math.abs(got(v) - rank(v)) <= 1e-6,
+          s"node $v: ${got(v)} vs ${rank(v)} (edges=$edges iters=$iters)")
+      }
+    }
+  }
+
   test("ewmaMean differential: pandas ewm(adjust=True) mean on null-free series (120 cases)") {
     // pandas y_i = sum_j (1-a)^(i-j) x_j / sum_j (1-a)^(i-j): with the
     // short series drawn here the operator's eps-truncation window
