@@ -1447,6 +1447,79 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("minhashPairs: emitted jaccards exact vs model; planted exact dups always recalled (40 corpora)") {
+    // two-sided contract: PRECISION — every emitted pair's jaccard
+    // equals the shingle-set model's |∩|/|∪| (6dp) and clears the
+    // threshold, and no pair outside the model set appears; RECALL on
+    // planted exact duplicates — identical texts have identical
+    // signatures, hence share every band bucket, so (under the cap,
+    // not reached here) they MUST surface with jaccard 1.0
+    val vocab = Vector("red", "blue", "green", "fox", "dog", "run")
+    val cases: Gen[(List[String], List[Int])] = for {
+      docs <- Gen.nonEmptyListOf(Gen.choose(3, 7).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" "))))
+      dupOf <- Gen.someOf(docs.indices).map(_.toList)
+    } yield (docs, dupOf)
+    def shingles(text: String, n: Int): Set[String] = {
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      if (t.length < n) Set.empty
+      else t.sliding(n).map(_.mkString(" ")).toSet
+    }
+    trials(cases, n = 40) { case (base, dupOf) =>
+      val all = base ++ dupOf.map(base) // planted exact duplicates
+      val d = mkTextDf(all.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      val got = graft.operators.Dedup.minhashPairs(
+          d, "text", "doc_id", shingleN = 3, minJaccard = 0.3)
+        .sdf.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      Df.releaseRetained()
+      val sh = all.map(shingles(_, 3))
+      def jac(i: Int, j: Int): Double = {
+        val inter = (sh(i) & sh(j)).size
+        val uni = sh(i).size + sh(j).size - inter
+        if (uni == 0) 0.0 else math.rint(1e6 * inter / uni) / 1e6
+      }
+      // precision: every emitted pair is a true over-threshold pair
+      got.foreach { case ((a, b), jx) =>
+        val want = jac(a.toInt, b.toInt)
+        assert(sh(a.toInt).nonEmpty && sh(b.toInt).nonEmpty)
+        assert(want >= 0.3, s"pair ($a,$b) below threshold: model $want")
+        assert(math.abs(jx - want) <= 1e-6, s"pair ($a,$b): $jx vs $want")
+      }
+      // recall: planted duplicates surface with jaccard 1.0
+      dupOf.zipWithIndex.foreach { case (orig, di) =>
+        val dupId = (base.size + di).toLong
+        if (sh(orig).nonEmpty)
+          assert(got.get((orig.toLong, dupId)).contains(1.0),
+            s"planted dup ($orig, $dupId) missing: $got\nall=$all")
+      }
+    }
+  }
+
+  test("simhashPairs pigeonhole recall: planted exact duplicates always pair at hamming 0 (30 corpora)") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val cases: Gen[(List[String], List[Int])] = for {
+      docs <- Gen.nonEmptyListOf(Gen.choose(2, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" "))))
+      dupOf <- Gen.someOf(docs.indices).map(_.toList)
+    } yield (docs, dupOf)
+    trials(cases, n = 30) { case (base, dupOf) =>
+      val all = base ++ dupOf.map(base)
+      val d = mkTextDf(all.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      val got = graft.operators.Dedup.simhashPairs(d, "text", "doc_id",
+          maxHamming = 3)
+        .sdf.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      Df.releaseRetained()
+      dupOf.zipWithIndex.foreach { case (orig, di) =>
+        val dupId = (base.size + di).toLong
+        assert(got.get((orig.toLong, dupId)).contains(0),
+          s"planted dup ($orig, $dupId) not at hamming 0: $got\nall=$all")
+      }
+      // symmetry/orientation: pairs are canonical (id_a < id_b), no dupes
+      got.keys.foreach { case (a, b) => assert(a < b, s"non-canonical pair ($a,$b)") }
+    }
+  }
+
   test("ewmaMean differential: pandas ewm(adjust=True) mean on null-free series (120 cases)") {
     // pandas y_i = sum_j (1-a)^(i-j) x_j / sum_j (1-a)^(i-j): with the
     // short series drawn here the operator's eps-truncation window
