@@ -204,6 +204,50 @@ class FeatureSpec extends AnyFunSuite {
     assert(mx == Seq(("g", 2.0)), mx.toString)
   }
 
+  test("Hilbert and Morton keys match the textbook algorithms over the full 16x16 grid") {
+    // exhaustive differential: integer grid 0..15 over [0,15] bucketizes
+    // to identity, so every cell's engine key must equal the reference
+    // xy2d / bit-interleave computed driver-side — which also proves
+    // bijectivity and the curve's adjacency structure in one shot
+    val bits = 4
+    val n = 1 << bits
+    val rows = for (x <- 0 until n; y <- 0 until n)
+      yield Row((x * n + y).toLong, x.toDouble, y.toDouble)
+    val d = Df.fromRows(spark, rows, StructType(Seq(
+      StructField("id", LongType), StructField("x", DoubleType),
+      StructField("y", DoubleType))))
+    def xy2d(x0: Int, y0: Int): Long = { // Hilbert, standard formulation
+      var (x, y) = (x0, y0); var d = 0L; var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1 else 0
+        val ry = if ((y & s) > 0) 1 else 0
+        d += s.toLong * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    def morton(x: Int, y: Int): Long = // bit j of coord i -> j*2 + i
+      (0 until bits).foldLeft(0L) { (acc, j) =>
+        acc | (((x >> j) & 1).toLong << (j * 2)) |
+          (((y >> j) & 1).toLong << (j * 2 + 1))
+      }
+    val h = graft.operators.Layout.withHilbertValue(d, Seq("x", "y"), bits)
+      .sdf.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val z = graft.operators.Layout.withZValue(d, Seq("x", "y"), bits)
+      .sdf.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    rows.foreach { r =>
+      val (id, x, y) = (r.getLong(0), r.getDouble(1).toInt, r.getDouble(2).toInt)
+      assert(h(id) == xy2d(x, y), s"hilbert ($x,$y): ${h(id)} vs ${xy2d(x, y)}")
+      assert(z(id) == morton(x, y), s"morton ($x,$y): ${z(id)} vs ${morton(x, y)}")
+    }
+    assert(h.values.toSet == (0L until n.toLong * n).toSet) // bijection
+    assert(z.values.toSet == (0L until n.toLong * n).toSet)
+  }
+
   test("seasonalResiduals: the one broken period is the one anomaly") {
     // period 3, four steady seasons then a spike in the last one:
     // residuals = eleven 0s and one 75 -> z ~= 3.17, the only |z| > 3
