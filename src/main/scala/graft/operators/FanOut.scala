@@ -46,7 +46,7 @@ private[graft] object FanOut {
     * relations only. `None` ⇒ the plan shuffles on its own, or holds a
     * leaf we can't size without running a job — either way FanOut must
     * be a no-op. */
-  private def narrowScanPartitions(df: DataFrame): Option[Long] = {
+  private[graft] def narrowScanPartitions(df: DataFrame): Option[Long] = {
     val spark = df.sparkSession
     val conf = spark.sessionState.conf
     var parts = 0L
@@ -62,7 +62,10 @@ private[graft] object FanOut {
           case _ => sizable = false
         }
       case _: LocalRelation | _: OneRowRelation => parts += 1L
-      case _: Project | _: Filter | _: Generate | _: SubqueryAlias => ()
+      // Union concatenates its children's partitions — narrow; its
+      // leaf contributions are summed by this same walk
+      case _: Project | _: Filter | _: Generate | _: SubqueryAlias |
+           _: Union => ()
       case _ => sizable = false // wide node or unknown leaf
     }
     if (sizable) Some(math.max(parts, 1L)) else None

@@ -440,6 +440,16 @@ class PlanSpec extends AnyFunSuite {
       // wide plan (its own exchange already redistributes) → the SAME
       // object back, no second shuffle stacked on top
       assert(FanOut(wide) eq wide)
+      // union of narrow scans is still narrow (the mutatedCorpus shape
+      // every planted-duplicate dedup query feeds): it must stay
+      // SIZABLE — the r12 q64/q66 regression was Union falling to the
+      // unknown-node branch and silently serializing the CPU-heavy
+      // pipeline above it. (At this suite's local[4] two estimated
+      // partitions legitimately don't fan; the sizing is the contract.)
+      val unioned = narrow.union(li.select(col("l_orderkey")))
+      assert(FanOut.narrowScanPartitions(unioned) == Some(2L),
+        FanOut.narrowScanPartitions(unioned).toString)
+      assert(FanOut.narrowScanPartitions(wide).isEmpty)
       // streaming frame → untouched (the old probe threw outright)
       val stream = spark.readStream.format("rate").load()
       assert(FanOut(stream) eq stream)
