@@ -880,7 +880,11 @@ object Curation {
     require(lo >= 0 && lo < hi && hi <= 1,
       s"winsorize: need 0 <= lo < hi <= 1: $lo, $hi")
     val out = if (outCol.isEmpty) s"${valueCol}_w" else outCol
-    val cuts = FanOut(df.sdf)
+    // no FanOut here: the agg input is one double per row — fanning
+    // round-robins the whole table through an exchange just to feed
+    // the percentile's partial states, the same cost/benefit measured
+    // and rejected for the qcut/robust-outlier percentile ops (r11)
+    val cuts = df.sdf
       .agg(expr(s"percentile($valueCol, array($lo, $hi))").as("__c"))
       .select(round(element_at(col("__c"), 1), 6).as("__lo"),
         round(element_at(col("__c"), 2), 6).as("__hi"))
