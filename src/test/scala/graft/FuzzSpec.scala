@@ -1520,6 +1520,79 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("sequenceIslands differential: maximal consecutive runs vs a model (150 cases)") {
+    // per key, distinct sequence numbers partition into maximal runs of
+    // consecutive integers; each island reports (start, end, len) —
+    // nulls dropped, all-gaps degenerate to singletons
+    val cases: Gen[List[(Int, Option[Long])]] = Gen.listOf(Gen.zip(
+      Gen.choose(0, 2), Gen.frequency(
+        (9, Gen.choose(0L, 25L).map(Some(_))),
+        (1, Gen.const(None: Option[Long])))))
+      .map(_.distinct) // unique (key, seq): duplicate ids are out of
+                       // the numbered-feed contract the operator serves
+    trials(cases, n = 150) { rows =>
+      val d = Df.fromRows(spark,
+        rows.map { case (k, s) =>
+          Row(k, s.map(java.lang.Long.valueOf).orNull) },
+        StructType(Seq(StructField("k", IntegerType),
+          StructField("seq", LongType))))
+      val got = graft.operators.Profiling.sequenceIslands(d, Seq("k"), "seq")
+        .sdf.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      val want = rows.collect { case (k, Some(s)) => (k, s) }
+        .groupBy(_._1).toSeq.flatMap { case (k, g) =>
+          val ss = g.map(_._2).distinct.sorted
+          val islands = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          ss.foreach { s =>
+            if (islands.nonEmpty && islands.last._2 == s - 1)
+              islands(islands.size - 1) = (islands.last._1, s)
+            else islands += ((s, s))
+          }
+          islands.map { case (a, b) => (k, a, b, b - a + 1) }
+        }.sorted
+      assert(got == want, s"\n got=$got\nwant=$want\nrows=$rows")
+    }
+  }
+
+  test("scd2 differential: validity intervals chain per key, exactly one current (120 cases)") {
+    // one row per change with valid_from = its own ts, valid_to = the
+    // next change's ts in (ts, version) order, is_current on the open
+    // row — intervals must chain gaplessly and exactly one row per key
+    // is current
+    val cases: Gen[List[(Int, Long, Int)]] = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0, 2)
+      t <- Gen.choose(0L, 20L)
+      v <- Gen.choose(0, 3)
+    } yield (k, t, v)).map(_.distinct)
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    trials(cases, n = 120) { rows =>
+      val d = Df.fromRows(spark,
+        rows.map { case (k, t, v) => Row(k, ts(t), v) },
+        StructType(Seq(StructField("k", IntegerType),
+          StructField("ts", TimestampType), StructField("ver", IntegerType))))
+      val got = graft.operators.Upsert.scd2(d, Seq("k"), "ts", "ver")
+        .sdf.collect().map { r =>
+          ((r.getInt(0), r.getTimestamp(1).toInstant.getEpochSecond, r.getInt(2)),
+            (Option(r.getTimestamp(4)).map(_.toInstant.getEpochSecond),
+              r.getBoolean(5)))
+        }.toMap
+      rows.groupBy(_._1).foreach { case (k, g) =>
+        val srt = g.sortBy(r => (r._2, r._3))
+        srt.zipWithIndex.foreach { case ((_, t, v), i) =>
+          val (validTo, current) = got((k, t, v))
+          val wantTo = if (i + 1 < srt.size) Some(srt(i + 1)._2) else None
+          assert(validTo == wantTo && current == wantTo.isEmpty,
+            s"key $k row ($t,$v): ($validTo,$current) vs ($wantTo,${wantTo.isEmpty})")
+        }
+      }
+      // exactly one current row per key
+      val currents = got.toSeq.groupBy(_._1._1).view
+        .mapValues(_.count(_._2._2)).toMap
+      assert(currents.values.forall(_ == 1), currents.toString)
+    }
+  }
+
   test("ewmaMean differential: pandas ewm(adjust=True) mean on null-free series (120 cases)") {
     // pandas y_i = sum_j (1-a)^(i-j) x_j / sum_j (1-a)^(i-j): with the
     // short series drawn here the operator's eps-truncation window
