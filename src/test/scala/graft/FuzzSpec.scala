@@ -1593,6 +1593,84 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("applyChanges differential: latest version wins, ties favor the change, tombstones delete (150 cases)") {
+    val cases: Gen[(Map[Long, (Long, Double)],
+                    List[(Long, Long, Double, Boolean)])] = for {
+      baseKeys <- Gen.someOf(0L to 7L)
+      baseRows <- Gen.listOfN(baseKeys.size,
+        Gen.zip(Gen.choose(0L, 5L), Gen.choose(-50.0, 50.0)))
+      changes <- Gen.listOf(for {
+        k <- Gen.choose(0L, 9L) // incl. keys absent from base (inserts)
+        v <- Gen.choose(0L, 8L)
+        x <- Gen.choose(-50.0, 50.0)
+        del <- Gen.oneOf(true, false)
+      } yield (k, v, x, del))
+    } yield (baseKeys.zip(baseRows).map { case (k, (v, x)) => k -> (v, x) }.toMap,
+      // one change per (key, version): equal-version changes tie
+      // nondeterministically inside max_by — out of contract
+      changes.groupBy(c => (c._1, c._2)).values.map(_.head).toList)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("x", DoubleType), StructField("ver", LongType)))
+    trials(cases, n = 150) { case (base, changes) =>
+      val b = Df.fromRows(spark,
+        base.toSeq.map { case (k, (v, x)) => Row(k, x, v) }, schema)
+      val c = Df.fromRows(spark,
+        changes.map { case (k, v, x, del) => Row(k, x, v, del) },
+        StructType(schema.fields :+ StructField("deleted", BooleanType)))
+      val got = graft.operators.Upsert.applyChanges(b, c, Seq("k"), "ver", "deleted")
+        .sdf.collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      val want = (base.keySet ++ changes.map(_._1)).flatMap { k =>
+        // candidates ordered by (version, priority): change beats base on ties
+        val cand =
+          base.get(k).map { case (v, x) => (v, 0, x, false) }.toList ++
+            changes.collect { case (`k`, v, x, del) => (v, 1, x, del) }
+        val (v, _, x, del) = cand.maxBy { case (v, p, _, _) => (v, p) }
+        if (del) None else Some(k -> (x, v))
+      }.toMap
+      assert(got == want, s"\n got=$got\nwant=$want\nbase=$base\nchanges=$changes")
+    }
+  }
+
+  test("waterFillBudget differential: the exact prefix-scan water level vs a model (150 cases)") {
+    // sort groups by (avail, name); level = first k with
+    // (budget - prefix_{k-1})/(n-k+1) <= avail_k; groups above the
+    // level cap at it, others keep their availability; a non-binding
+    // budget caps nothing
+    val cases: Gen[(List[Double], Double)] = for {
+      avails <- Gen.nonEmptyListOf(Gen.choose(1, 200).map(_ / 4.0))
+      budget <- Gen.choose(1, 300).map(_ / 2.0)
+    } yield (avails.take(8), budget)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    trials(cases, n = 150) { case (avails, budget) =>
+      val groups = avails.zipWithIndex.map { case (a, i) => (f"g$i%02d", a) }
+      val d = Df.fromRows(spark,
+        groups.map { case (g, a) => Row(g, a) },
+        StructType(Seq(StructField("g", StringType),
+          StructField("avail", DoubleType))))
+      val got = graft.operators.Curation.waterFillBudget(d, "g", "avail", budget)
+        .sdf.collect()
+        .map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+      val srt = groups.sortBy { case (g, a) => (a, g) }
+      val n = srt.size
+      var level: Option[Double] = None
+      var prefix = 0.0
+      for (((_, a), i) <- srt.zipWithIndex if level.isEmpty) {
+        val cand = (budget - prefix) / (n - i)
+        if (cand <= a) level = Some(cand)
+        prefix += a
+      }
+      groups.foreach { case (g, a) =>
+        val capped = level.exists(a > _)
+        val alloc = r4(if (capped) level.get else a)
+        val (ga, gc) = got(g)
+        assert(gc == capped && math.abs(ga - alloc) <= 1e-9,
+          s"group $g avail=$a: got ($ga,$gc) want ($alloc,$capped) " +
+            s"level=$level budget=$budget avails=$avails")
+      }
+    }
+  }
+
   test("ewmaMean differential: pandas ewm(adjust=True) mean on null-free series (120 cases)") {
     // pandas y_i = sum_j (1-a)^(i-j) x_j / sum_j (1-a)^(i-j): with the
     // short series drawn here the operator's eps-truncation window
