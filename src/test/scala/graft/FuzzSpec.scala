@@ -1671,6 +1671,86 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("native expressions differential: JaroWinkler and FloatCosine vs reference kernels (200 cases)") {
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    // independent Jaro-Winkler (rapidfuzz convention: codepoints,
+    // half-window matches, integer-division transpositions, boost only
+    // past 0.7, both-empty -> 0.0)
+    def jw(a: String, b: String): Double = {
+      val s = a.codePoints().toArray; val t = b.codePoints().toArray
+      val (n, m) = (s.length, t.length)
+      if (n == 0 || m == 0) return 0.0
+      val win = math.max(0, math.max(n, m) / 2 - 1)
+      val sM = new Array[Boolean](n); val tM = new Array[Boolean](m)
+      var matches = 0
+      for (i <- 0 until n) {
+        var j = math.max(0, i - win)
+        val hi = math.min(m - 1, i + win)
+        var hit = false
+        while (j <= hi && !hit) {
+          if (!tM(j) && s(i) == t(j)) { sM(i) = true; tM(j) = true; matches += 1; hit = true }
+          j += 1
+        }
+      }
+      if (matches == 0) return 0.0
+      var k = 0; var trans = 0
+      for (i <- 0 until n if sM(i)) {
+        while (!tM(k)) k += 1
+        if (s(i) != t(k)) trans += 1
+        k += 1
+      }
+      val mm = matches.toDouble
+      val jaro = (mm / n + mm / m + (mm - trans / 2) / mm) / 3.0
+      if (jaro <= 0.7) jaro
+      else {
+        var l = 0
+        val maxL = math.min(4, math.min(n, m))
+        while (l < maxL && s(l) == t(l)) l += 1
+        jaro + 0.1 * l * (1.0 - jaro)
+      }
+    }
+    val sym = Gen.frequency((8, Gen.oneOf("a", "b", "c")),
+      (1, Gen.const("😀")), (1, Gen.const("é")))
+    val str = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, sym).map(_.mkString))
+    trials(Gen.zip(str, str), n = 200) { case (a, b) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .selectExpr("graft_jaro_winkler(a, b)").collect()(0).getDouble(0)
+      assert(math.abs(got - jw(a, b)) <= 1e-12,
+        s"jw('$a','$b'): $got vs ${jw(a, b)}")
+    }
+    // FloatCosine: identical left-to-right double accumulation from
+    // float inputs -> bit-identical; mismatched lengths and zero
+    // vectors -> null
+    def cos(x: Seq[Float], y: Seq[Float]): Option[Double] = {
+      if (x.size != y.size) return None
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      x.indices.foreach { i =>
+        val (xv, yv) = (x(i).toDouble, y(i).toDouble)
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) None else Some(dot / denom)
+    }
+    val vec = Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency((6, Gen.choose(-8, 8).map(_ / 4.0f)),
+        (1, Gen.const(0.0f)))))
+    trials(Gen.zip(vec, vec), n = 200) { case (x, y) =>
+      val row = Seq((x, y)).toDF("x", "y")
+        .selectExpr("graft_cosine(CAST(x AS array<float>), CAST(y AS array<float>))")
+        .collect()(0)
+      val got = if (row.isNullAt(0)) None else Some(row.getDouble(0))
+      val want = cos(x, y)
+      assert((got, want) match {
+        case (None, None) => true
+        case (Some(g), Some(w)) =>
+          java.lang.Double.doubleToRawLongBits(g) ==
+            java.lang.Double.doubleToRawLongBits(w)
+        case _ => false
+      }, s"cos($x,$y): $got vs $want")
+    }
+  }
+
   test("ewmaMean differential: pandas ewm(adjust=True) mean on null-free series (120 cases)") {
     // pandas y_i = sum_j (1-a)^(i-j) x_j / sum_j (1-a)^(i-j): with the
     // short series drawn here the operator's eps-truncation window
