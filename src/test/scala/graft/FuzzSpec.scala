@@ -1751,6 +1751,39 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("SortedJaccard differential and Bloom no-false-negatives (150 cases)") {
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    // graft_jaccard_sorted over sorted-distinct long arrays = set
+    // jaccard; empty ∪ empty -> null
+    val arr = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 20L)).map(_.distinct.sorted))
+    trials(Gen.zip(arr, arr), n = 150) { case (x, y) =>
+      val row = Seq((x, y)).toDF("x", "y")
+        .selectExpr("graft_jaccard_sorted(x, y)").collect()(0)
+      val got = if (row.isNullAt(0)) None else Some(row.getDouble(0))
+      val inter = (x.toSet & y.toSet).size
+      val uni = x.size + y.size - inter
+      val want = if (uni == 0) None else Some(inter.toDouble / uni)
+      assert(got == want, s"jaccard($x,$y): $got vs $want")
+    }
+    // bloom sketch: every inserted hash MUST report present (a false
+    // negative silently re-admits duplicates in the incremental dedup
+    // path); absent keys are allowed to false-positive, so only the
+    // one-sided contract is asserted
+    trials(Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue)),
+        n = 20) { hashes =>
+      hashes.toDF("h")
+        .agg(expr(s"graft_bloom_agg(h, ${hashes.size}L)").as("s"))
+        .createOrReplaceTempView("__bloom_sk")
+      // might_contain requires the sketch as a scalar subquery
+      val misses = hashes.toDF("h")
+        .selectExpr("graft_might_contain((SELECT s FROM __bloom_sk), h) AS hit")
+        .where(!col("hit")).count()
+      assert(misses == 0, s"bloom false negatives: $misses of ${hashes.size}")
+    }
+  }
+
   test("ewmaMean differential: pandas ewm(adjust=True) mean on null-free series (120 cases)") {
     // pandas y_i = sum_j (1-a)^(i-j) x_j / sum_j (1-a)^(i-j): with the
     // short series drawn here the operator's eps-truncation window
