@@ -278,8 +278,15 @@ object Profiling {
                bins: Int = 10, eps: Double = 1e-6): Df = {
     require(bins >= 2, s"psiDrift: bins must be >= 2: $bins")
     val v = col(valueCol).cast("double")
+    // a constant baseline has no bin width: unguarded, the bin division
+    // is an unnamed ANSI DIVIDE_BY_ZERO deep in an executor (caught by
+    // the psiDrift fuzz probe) — name the degenerate input instead
     val stats = baseline.sdf.agg(
-      min(v).cast("double").as("__lo"), max(v).cast("double").as("__hi"))
+      min(v).cast("double").as("__lo"),
+      when(max(v) === min(v), raise_error(lit(
+        "psiDrift: baseline column is constant (min == max) — no bin " +
+          "width to derive; PSI needs a baseline with spread")))
+        .otherwise(max(v).cast("double")).as("__hi"))
     def binned(df: Df) = df.sdf.where(v.isNotNull)
       .crossJoin(broadcast(stats))
       .select(least(greatest(

@@ -120,6 +120,21 @@ class ErrorContractSpec extends AnyFunSuite {
       graft.operators.TimeSeries.seasonalResiduals(d, "x", "y", period = 0))
   }
 
+  test("psiDrift names a constant baseline instead of an ANSI divide-by-zero") {
+    val sch = StructType(Seq(StructField("v", DoubleType)))
+    val base = Df.fromRows(spark, Seq(Row(5.0), Row(5.0), Row(5.0)), sch)
+    val cur = Df.fromRows(spark, Seq(Row(5.0), Row(7.0)), sch)
+    val e = intercept[Exception](
+      graft.operators.Profiling.psiDrift(base, cur, "v", bins = 4)
+        .sdf.collect())
+    def chain(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+      sb.toString
+    }
+    assert(chain(e).contains("psiDrift"), chain(e).take(300))
+  }
+
   test("keyless diff/rank/ffill/pctChange trip a named ceiling instead of a silent single-partition sort") {
     // the keyless default is pandas-parity (DIVERGENCES #10) but funnels
     // every row through one task — past graft.keylessWindowMaxRows the

@@ -1784,6 +1784,84 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("targetEncodeLoo differential: leave-one-out means vs a model, singletons null (150 cases)") {
+    // each row's encoding = mean of the OTHER same-category targets:
+    // (sum - y)/(n - 1), computed over exact 2dp decimal sums; a
+    // singleton category has no one to borrow from -> null
+    val cases: Gen[List[(String, Double)]] = Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("a", "b", "c", "d"),
+      Gen.choose(-200, 200).map(_ / 4.0))) // exact at 2dp
+    trials(cases, n = 150) { rows0 =>
+      val rows = rows0.zipWithIndex.map { case ((c, y), i) => (i.toLong, c, y) }
+      val d = Df.fromRows(spark,
+        rows.map { case (i, c, y) => Row(i, c, y) },
+        StructType(Seq(StructField("id", LongType),
+          StructField("cat", StringType), StructField("y", DoubleType))))
+      val got = graft.operators.Features.targetEncodeLoo(d, "cat", "y", "enc")
+        .sdf.collect().map(r =>
+          r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+      val byCat = rows.groupBy(_._2)
+      rows.foreach { case (i, c, y) =>
+        val g = byCat(c)
+        val want =
+          if (g.size <= 1) None
+          else Some((g.map(_._3).sum - y) / (g.size - 1.0))
+        (got(i), want) match {
+          case (None, None) => ()
+          case (Some(a), Some(b)) =>
+            assert(math.abs(a - b) <= 1e-9, s"row $i: $a vs $b (rows=$rows0)")
+          case other => fail(s"row $i null-ness: $other (rows=$rows0)")
+        }
+      }
+    }
+  }
+
+  test("psiDrift differential: bins, probabilities and PSI terms vs the formula (100 cases)") {
+    // equi-width bins from the BASELINE's [min, max], out-of-range
+    // current values clamp to edge bins, p's floored at eps, term =
+    // (p_cur - p_base) * ln(p_cur/p_base) with the DECIMAL(18,8)
+    // libm absorption, everything rounded 6dp
+    val eps = 1e-6
+    val cases: Gen[(List[Double], List[Double], Int)] = for {
+      base <- Gen.nonEmptyListOf(Gen.choose(-80, 80).map(_ / 2.0))
+        .suchThat(b => b.distinct.size >= 2) // constant baseline: no width
+      cur <- Gen.nonEmptyListOf(Gen.choose(-120, 120).map(_ / 2.0))
+      bins <- Gen.choose(2, 8)
+    } yield (base, cur, bins)
+    def r(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    trials(cases, n = 100) { case (base, cur, bins) =>
+      val sch = StructType(Seq(StructField("v", DoubleType)))
+      val bd = Df.fromRows(spark, base.map(Row(_)), sch)
+      val cd = Df.fromRows(spark, cur.map(Row(_)), sch)
+      val got = graft.operators.Profiling.psiDrift(bd, cd, "v", bins)
+        .sdf.collect().map(row => row.getInt(0) ->
+          (row.getLong(1), row.getLong(2), row.getDouble(5), row.getDouble(6)))
+        .toMap
+      val (lo, hi) = (base.min, base.max)
+      val w = (hi - lo) / bins
+      def bin(x: Double): Int =
+        math.min(math.max(math.floor((x - lo) / w), 0.0), (bins - 1).toDouble).toInt
+      val nB = base.groupBy(bin).view.mapValues(_.size.toLong).toMap
+      val nC = cur.groupBy(bin).view.mapValues(_.size.toLong).toMap
+      val occupied = nB.keySet ++ nC.keySet
+      val terms = occupied.toSeq.sorted.map { b =>
+        val pB = math.max(nB.getOrElse(b, 0L).toDouble / base.size, eps)
+        val pC = math.max(nC.getOrElse(b, 0L).toDouble / cur.size, eps)
+        b -> r((pC - pB) * r(math.log(pC / pB), 8), 6)
+      }.toMap
+      val total = r(terms.values.sum, 6)
+      assert(got.keySet == occupied, s"bins: ${got.keySet} vs $occupied")
+      occupied.foreach { b =>
+        val (gb, gc, gt, gtot) = got(b)
+        assert(gb == nB.getOrElse(b, 0L) && gc == nC.getOrElse(b, 0L),
+          s"bin $b counts: ($gb,$gc) vs (${nB.getOrElse(b, 0L)},${nC.getOrElse(b, 0L)})")
+        assert(math.abs(gt - terms(b)) <= 1e-9, s"bin $b term: $gt vs ${terms(b)}")
+        assert(math.abs(gtot - total) <= 1e-9, s"psi_total: $gtot vs $total")
+      }
+    }
+  }
+
   test("ewmaMean differential: pandas ewm(adjust=True) mean on null-free series (120 cases)") {
     // pandas y_i = sum_j (1-a)^(i-j) x_j / sum_j (1-a)^(i-j): with the
     // short series drawn here the operator's eps-truncation window
