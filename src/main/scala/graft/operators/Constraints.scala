@@ -33,8 +33,11 @@ object Constraints {
     * Both counts are exact longs, so the double ratio is deterministic
     * across engines (same operands, one IEEE division). */
   def completeness(c: String): Metric =
+    // empty-table guard: 0/0 with a NON-null numerator is an ANSI
+    // DIVIDE_BY_ZERO that would kill the whole constraint pass; an
+    // empty snapshot has no completeness to measure -> NULL
     Metric(s"completeness($c)",
-      count(col(c)).cast("double") / count(lit(1)))
+      when(count(lit(1)) > 0, count(col(c)).cast("double") / count(lit(1))))
 
   /** mean as exact-integer-sum / count (deterministic for integral
     * columns: no float accumulation order to diverge on). */
@@ -48,9 +51,12 @@ object Constraints {
     * excluded from the denominator (a nullable column's format and its
     * completeness are separate constraints). */
   def matchRatio(c: String, regex: String): Metric =
+    // all-null column: numerator sums to 0 (non-null) over 0 non-null
+    // rows — guard like completeness
     Metric(s"match_ratio($c)",
-      sum(when(col(c).rlike(regex), 1L).otherwise(0L)).cast("double") /
-        count(col(c)))
+      when(count(col(c)) > 0,
+        sum(when(col(c).rlike(regex), 1L).otherwise(0L)).cast("double") /
+          count(col(c))))
 
   /** approximate distinct ratio (HLL++, partial-aggregable — EXACT
     * distinct would plan an Expand next to the other metrics and break
@@ -59,7 +65,8 @@ object Constraints {
     * basically a key" constraint, not an exact uniqueness proof. */
   def distinctRatioApprox(c: String): Metric =
     Metric(s"distinct_ratio_approx($c)",
-      approx_count_distinct(col(c)).cast("double") / count(col(c)))
+      when(count(col(c)) > 0,
+        approx_count_distinct(col(c)).cast("double") / count(col(c))))
 
   /** A constraint names a metric and a predicate over its value.
     * `check` receives the metric value column and must return a

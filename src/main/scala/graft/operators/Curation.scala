@@ -785,11 +785,16 @@ object Curation {
       sum(v.cast("decimal(18,2)")).cast("double").as("__s1"),
       sum((v * v).cast("decimal(28,4)")).cast("double").as("__s2"))
     val mean = col("__s1") / col("__n")
-    val varS = (col("__s2") - col("__s1") * col("__s1") / col("__n")) /
-      (col("__n") - 1)
+    // the n >= 2 gate lives INSIDE varS so the /(n-1) division is
+    // unreachable on singleton groups BY CONSTRUCTION — the previous
+    // `n >= 2 && varS > 0` predicate was safe only because And
+    // short-circuits, a property a refactor could silently lose (ANSI
+    // divide-by-zero then kills the query for one 1-row group)
+    val varS = when(col("__n") >= 2,
+      (col("__s2") - col("__s1") * col("__s1") / col("__n")) /
+        (col("__n") - 1))
     new Df(df.sdf.join(broadcast(stats), groupCols)
-      .withColumn(out, when(col("__n") >= 2 && varS > 0,
-        round((v - mean) / sqrt(varS), 6)))
+      .withColumn(out, when(varS > 0, round((v - mean) / sqrt(varS), 6)))
       .drop("__n", "__s1", "__s2"))
   }
 

@@ -57,6 +57,33 @@ class GovernanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("lang complete"), e.getMessage)
   }
 
+  test("constraints on an empty table report null values instead of an ANSI divide-by-zero") {
+    import Constraints._
+    // an empty snapshot killed the whole pass before the guards:
+    // completeness/match_ratio/distinct_ratio divide 0 (non-null) by 0.
+    // Contract now: value null, passed null — "not evaluable"; callers
+    // who must reject empty snapshots add a rowCount constraint.
+    val empty = Df.fromRows(spark, Seq(),
+      StructType(Seq(StructField("lang", StringType))))
+    val rep = Constraints.verify(empty, Seq(
+      Constraint("complete", completeness("lang"), _ === 1.0),
+      Constraint("fmt", matchRatio("lang", "^[a-z]+$"), _ > 0.9),
+      Constraint("keyish", distinctRatioApprox("lang"), _ > 0.9),
+      Constraint("rows", rowCount, _ > 0.0))).sdf.collect()
+    val byName = rep.map(r => r.getString(0) ->
+      (r.isNullAt(2), if (r.isNullAt(3)) None else Some(r.getBoolean(3)))).toMap
+    assert(byName("complete") == ((true, None)), byName.toString)
+    assert(byName("fmt") == ((true, None)))
+    assert(byName("keyish") == ((true, None)))
+    assert(byName("rows") == ((false, Some(false)))) // the loud gate
+    // all-null column on a NON-empty table: match_ratio guarded too
+    val allNull = Df.fromRows(spark, Seq(Row(null), Row(null)),
+      StructType(Seq(StructField("lang", StringType))))
+    val rep2 = Constraints.verify(allNull, Seq(
+      Constraint("fmt", matchRatio("lang", "^[a-z]+$"), _ > 0.9))).sdf.collect()
+    assert(rep2(0).isNullAt(2) && rep2(0).isNullAt(3))
+  }
+
   test("two constraints on the same metric compute the aggregate once") {
     import Constraints._
     val m = meanOf("n_chars")
