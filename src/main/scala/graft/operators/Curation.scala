@@ -805,9 +805,11 @@ object Curation {
     * original for training. ASCII-safe rules only (the common
     * Java/RE2 subset; no locale-dependent case folding). */
   def normalizeTextCol(c: Column): Column =
-    trim(regexp_replace(
-      regexp_replace(lower(c), lit("[^a-z0-9\\s]+"), lit(" ")),
-      lit("\\s+"), lit(" ")))
+    // ONE regex pass: [^a-z0-9]+ subsumes the old strip-then-collapse
+    // pair — any maximal non-alphanumeric run (whitespace included)
+    // becomes exactly one space either way, and trim owns the edges.
+    // Halves the regex CPU on the hottest per-row normalization path.
+    trim(regexp_replace(lower(c), lit("[^a-z0-9]+"), lit(" ")))
 
   /** [[normalizeTextCol]] applied as an audit frame: (idCol, the
     * normalized text, original and normalized char counts). Pure
