@@ -14,8 +14,17 @@ final class StrAccessor private[api] (s: Ser) {
   def upper: Ser = lift(org.apache.spark.sql.functions.upper(s.col))
   def lower: Ser = lift(org.apache.spark.sql.functions.lower(s.col))
   def len: Ser = lift(length(s.col))
-  def strip: Ser = lift(trim(s.col))
-  def contains(sub: String): Ser = lift(s.col.contains(sub))
+  /** Python `str.strip()` strips every char where `str.isspace()` holds
+    * (tabs, newlines, NBSP, unicode spaces…); Spark's `trim` strips only
+    * ' ' — so this is one regex pass over the CPython whitespace class. */
+  def strip: Ser = lift(regexp_replace(s.col,
+    "^[\\t-\\r \\x1c-\\x1f\\x85\\xa0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000]+|" +
+    "[\\t-\\r \\x1c-\\x1f\\x85\\xa0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000]+$", ""))
+  /** literal containment by default (Spark idiom); pandas
+    * `str.contains` defaults to regex=True — pass `regex = true` for
+    * that behavior. */
+  def contains(sub: String, regex: Boolean = false): Ser =
+    if (regex) lift(s.col.rlike(sub)) else lift(s.col.contains(sub))
   def startswith(p: String): Ser = lift(s.col.startsWith(p))
   def endswith(p: String): Ser = lift(s.col.endsWith(p))
   def slice(start: Int, len: Int): Ser = lift(substring(s.col, start + 1, len))
@@ -23,7 +32,17 @@ final class StrAccessor private[api] (s: Ser) {
     lift(regexp_replace(s.col, pattern, repl))
   def split(sep: String): Ser = lift(org.apache.spark.sql.functions.split(s.col, sep))
   def cat(other: Ser, sep: String = ""): Ser = lift(concat_ws(sep, s.col, other.col))
-  def zfill(width: Int): Ser = lift(lpad(s.col, width, "0"))
+  /** CPython `str.zfill`: never truncates (Spark's `lpad` would), and
+    * a leading '+'/'-' keeps its position — zeros go AFTER the sign
+    * ('-5'.zfill(3) == '-05', not '0-5'). */
+  def zfill(width: Int): Ser = {
+    val signed = s.col.rlike("^[+-]")
+    val filled = when(signed,
+        concat(substring(s.col, 1, 1),
+               lpad(substring(s.col, 2, Int.MaxValue), width - 1, "0")))
+      .otherwise(lpad(s.col, width, "0"))
+    lift(when(length(s.col) >= width, s.col).otherwise(filled))
+  }
   /** pandas `str.capitalize`: first char upper, rest lower. */
   def capitalize: Ser = lift(concat(
     org.apache.spark.sql.functions.upper(substring(s.col, 1, 1)),
@@ -40,8 +59,10 @@ final class StrAccessor private[api] (s: Ser) {
     * Python isdigit additionally accepts Numeric_Type=Digit characters
     * outside Nd (superscripts like '²') — not expressible as a regex
     * class shared by both engines. */
-  def isdigit: Ser = lift(s.col.rlike("^[\\p{Nd}]+$"))
-  def isalpha: Ser = lift(s.col.rlike("^[\\p{L}]+$"))
+  // \A..\z, not ^..$: Java's $ matches BEFORE a trailing newline, so
+  // "abc\n" would pass an ^..$ whole-string test (fuzz-caught)
+  def isdigit: Ser = lift(s.col.rlike("\\A[\\p{Nd}]+\\z"))
+  def isalpha: Ser = lift(s.col.rlike("\\A[\\p{L}]+\\z"))
   /** pandas `str.get(i)`: character at position i; negative i counts
     * from the end; out-of-range → null (pandas NaN). */
   def get(i: Int): Ser = {
@@ -52,9 +73,13 @@ final class StrAccessor private[api] (s: Ser) {
   def pad(width: Int, fillchar: String = " ", side: String = "left"): Ser = {
     require(fillchar.length == 1,
       "str.pad: fillchar must be a single character (as in pandas)")
+    // pandas str.pad never truncates; Spark's lpad/rpad cut the string
+    // to `width` when it is already longer — guard on length first
     side match {
-      case "left"  => lift(lpad(s.col, width, fillchar))
-      case "right" => lift(rpad(s.col, width, fillchar))
+      case "left"  => lift(when(length(s.col) >= width, s.col)
+                           .otherwise(lpad(s.col, width, fillchar)))
+      case "right" => lift(when(length(s.col) >= width, s.col)
+                           .otherwise(rpad(s.col, width, fillchar)))
       case "both"  =>
         // CPython str.center: left = marg/2 + (marg & width & 1) — the
         // extra char goes LEFT exactly when both the margin and the
@@ -80,7 +105,12 @@ final class DtAccessor private[api] (s: Ser) {
   def hour: Ser = lift(org.apache.spark.sql.functions.hour(s.col))
   def minute: Ser = lift(org.apache.spark.sql.functions.minute(s.col))
   def second: Ser = lift(org.apache.spark.sql.functions.second(s.col))
-  def dayofweek: Ser = lift(org.apache.spark.sql.functions.dayofweek(s.col))
+  /** pandas `dt.dayofweek`/`dt.weekday`: Monday=0..Sunday=6. Spark's
+    * builtin `dayofweek` is Sunday=1..Saturday=7 — shifted here to the
+    * pandas convention ((spark + 5) % 7). */
+  def dayofweek: Ser =
+    lift((org.apache.spark.sql.functions.dayofweek(s.col) + 5) % 7)
+  def weekday: Ser = dayofweek
   def quarter: Ser = lift(org.apache.spark.sql.functions.quarter(s.col))
   def dayofyear: Ser = lift(org.apache.spark.sql.functions.dayofyear(s.col))
   /** ISO week number (both Spark and DuckDB use ISO-8601 weeks). */

@@ -64,15 +64,33 @@ final class Ser private[api] (
 
   // ---- elementwise ops (`_expr.py:1102-1341`) ----
   /** `Isin` (`_expr.py:1133`) */
-  def isin(values: Any*): Ser = lift(col.isin(values: _*))
-  /** `Between` (`_expr.py:1153`); inclusive ∈ both|left|right|neither */
+  /** pandas `isin` is a total boolean mask, never missing: a null/NaN
+    * row is False unless null is itself among `values` (then True).
+    * SQL IN would yield NULL for those rows — identical under a
+    * filter, different when the mask is materialized — so the
+    * null-handling is made explicit here. Still one codegen'd
+    * predicate (In + coalesce/isnull), no UDF. */
+  def isin(values: Any*): Ser = {
+    val nonNull = values.filter(_ != null)
+    val base =
+      if (nonNull.isEmpty) org.apache.spark.sql.functions.lit(false)
+      else org.apache.spark.sql.functions
+        .coalesce(col.isin(nonNull: _*), org.apache.spark.sql.functions.lit(false))
+    lift(if (values.exists(_ == null)) base || isNaCol else base)
+  }
+  /** `Between` (`_expr.py:1153`); inclusive ∈ both|left|right|neither.
+    * Total mask like pandas: a null row compares False, not NULL
+    * (identical under a filter, explicit when materialized). NaN rows
+    * already agree without special-casing: Spark orders NaN greatest,
+    * so the `<= hi` arm fails exactly where pandas' NaN comparisons
+    * are all-False. */
   def between(lo: Any, hi: Any, inclusive: String = "both"): Ser =
-    lift(inclusive match {
+    lift(coalesce(inclusive match {
       case "both"    => col >= lit(lo) && col <= lit(hi)
       case "left"    => col >= lit(lo) && col < lit(hi)
       case "right"   => col > lit(lo) && col <= lit(hi)
       case "neither" => col > lit(lo) && col < lit(hi)
-    })
+    }, lit(false)))
   /** `IsNa` (`_expr.py:1209`): pandas NaN≈missing — test null OR (for
     * float dtypes only) NaN. Dispatching on the resolved dtype matters:
     * casting a string column to double would throw under ANSI mode and,

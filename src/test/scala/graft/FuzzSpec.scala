@@ -1888,4 +1888,43 @@ class FuzzSpec extends AnyFunSuite {
       }
     }
   }
+  test("isin/between masks are total booleans with pandas null semantics") {
+    trials(Gen.listOfN(30, values), n = 12) { xs =>
+      val d = mkDf(xs)
+      // isin without null in values: missing (null or NaN) -> false
+      val m1 = d.assign("m", d("v").isin(1.0, 2.0, 3.0))
+        .sdf.select("m").collect().map(r => r.get(0))
+      m1.zip(xs).foreach { case (g, x) =>
+        assert(g != null, "isin mask must never be null")
+        val want = x != null && !x.isNaN && Set(1.0, 2.0, 3.0).contains(x.doubleValue)
+        assert(g == want, s"isin($x)")
+      }
+      // isin WITH null in values: missing -> true (pandas matches NaN)
+      val m2 = d.assign("m", d("v").isin(1.0, null))
+        .sdf.select("m").collect().map(r => r.get(0))
+      m2.zip(xs).foreach { case (g, x) =>
+        val missing = x == null || x.isNaN
+        val want = missing || x.doubleValue == 1.0
+        assert(g == want, s"isin-with-null($x)")
+      }
+      // between: null row -> false, NaN row -> false, both engines' story
+      for (inc <- Seq("both", "left", "right", "neither")) {
+        val mb = d.assign("m", d("v").between(-100.0, 100.0, inc))
+          .sdf.select("m").collect().map(r => r.get(0))
+        mb.zip(xs).foreach { case (g, x) =>
+          assert(g != null, "between mask must never be null")
+          val want = x != null && !x.isNaN && {
+            val v = x.doubleValue
+            inc match {
+              case "both"    => v >= -100.0 && v <= 100.0
+              case "left"    => v >= -100.0 && v < 100.0
+              case "right"   => v > -100.0 && v <= 100.0
+              case "neither" => v > -100.0 && v < 100.0
+            }
+          }
+          assert(g == want, s"between($x, $inc)")
+        }
+      }
+    }
+  }
 }
