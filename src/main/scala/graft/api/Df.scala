@@ -70,10 +70,17 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   def apply(cols: Seq[String]): Df = select(cols: _*)
   /** scalar key → Series (`_expr.py:1393-1400`) */
   def apply(name: String): Ser = new Ser(sdf, sdf(name), name)
-  /** boolean-mask row selection `df[mask]` (`Filter`, `_expr.py:1355`) */
-  def apply(mask: Ser): Df = new Df(sdf.filter(mask.col))
+  /** boolean-mask row selection `df[mask]` (`Filter`, `_expr.py:1355`).
+    * Compiles [[Ser.filterCol]], not the materialized mask: the pandas
+    * mask verbs wrap their predicate in `coalesce(pred, false)` (total
+    * mask), which is opaque to data-source filter translation and
+    * would cost the scan its parquet `PushedFilters` (measured on
+    * q03); under a WHERE the wrapper is redundant — SQL drops NULL
+    * rows anyway — so the bare pushdown-friendly predicate rides along
+    * on the Ser and is used here. */
+  def apply(mask: Ser): Df = new Df(sdf.filter(mask.filterCol))
   def where(cond: Column): Df = new Df(sdf.filter(cond))
-  def where(mask: Ser): Df = new Df(sdf.filter(mask.col))
+  def where(mask: Ser): Df = new Df(sdf.filter(mask.filterCol))
 
   /** `Assign` (`_expr.py:1309`): add/overwrite one column.
     *

@@ -20,7 +20,21 @@ import org.apache.spark.sql.functions._
 final class Ser private[api] (
     private[api] val frame: DataFrame,
     val col: Column,
-    val name: String) {
+    val name: String,
+    /** When `col` is a pandas-total mask (`coalesce(pred, false)` from
+      * [[isin]]/[[between]]), the bare `pred` rides here so the FILTER
+      * path can use it: the coalesce wrapper is opaque to data-source
+      * filter translation (it cost q03 its parquet `PushedFilters`),
+      * while under a WHERE it is redundant — SQL drops NULL rows
+      * anyway. `&&`/`||` compose it (the rewrite stays exact through
+      * conjunction/disjunction); `unary_!` deliberately does NOT
+      * (pandas `~isin` keeps missing rows — there the wrapper is
+      * load-bearing). */
+    private[api] val rawFilter: Option[Column] = None) {
+
+  /** the predicate a `where` should compile: pushdown-friendly for
+    * mask verbs, `col` otherwise */
+  private[api] def filterCol: Column = rawFilter.getOrElse(col)
 
   private def lift(c: Column, n: String = name): Ser = new Ser(frame, c, n)
   private def both(other: Ser)(f: (Column, Column) => Column): Ser = {
@@ -58,8 +72,16 @@ final class Ser private[api] (
   def >=(v: Any): Ser = lift(col >= lit(v))
 
   // ---- boolean ops (`And`/`Or`/`XOr`/`Invert`) ----
-  def &&(o: Ser): Ser = both(o)(_ && _)
-  def ||(o: Ser): Ser = both(o)(_ || _)
+  def &&(o: Ser): Ser = {
+    val s = both(o)(_ && _)
+    if (rawFilter.isEmpty && o.rawFilter.isEmpty) s
+    else new Ser(s.frame, s.col, s.name, Some(filterCol && o.filterCol))
+  }
+  def ||(o: Ser): Ser = {
+    val s = both(o)(_ || _)
+    if (rawFilter.isEmpty && o.rawFilter.isEmpty) s
+    else new Ser(s.frame, s.col, s.name, Some(filterCol || o.filterCol))
+  }
   def ^(o: Ser): Ser = both(o)((a, b) => (a && !b) || (!a && b))
 
   // ---- elementwise ops (`_expr.py:1102-1341`) ----
@@ -72,11 +94,19 @@ final class Ser private[api] (
     * predicate (In + coalesce/isnull), no UDF. */
   def isin(values: Any*): Ser = {
     val nonNull = values.filter(_ != null)
-    val base =
+    val raw =
       if (nonNull.isEmpty) org.apache.spark.sql.functions.lit(false)
+      else col.isin(nonNull: _*)
+    val base =
+      if (nonNull.isEmpty) raw
       else org.apache.spark.sql.functions
-        .coalesce(col.isin(nonNull: _*), org.apache.spark.sql.functions.lit(false))
-    lift(if (values.exists(_ == null)) base || isNaCol else base)
+        .coalesce(raw, org.apache.spark.sql.functions.lit(false))
+    val withNull = values.exists(_ == null)
+    new Ser(frame,
+      if (withNull) base || isNaCol else base, name,
+      // filter form: the bare In pushes to the scan; the null-matching
+      // arm stays (it changes which rows pass, not just null-vs-false)
+      Some(if (withNull) raw || isNaCol else raw))
   }
   /** `Between` (`_expr.py:1153`); inclusive ∈ both|left|right|neither.
     * Total mask like pandas: a null row compares False, not NULL
@@ -84,13 +114,15 @@ final class Ser private[api] (
     * already agree without special-casing: Spark orders NaN greatest,
     * so the `<= hi` arm fails exactly where pandas' NaN comparisons
     * are all-False. */
-  def between(lo: Any, hi: Any, inclusive: String = "both"): Ser =
-    lift(coalesce(inclusive match {
+  def between(lo: Any, hi: Any, inclusive: String = "both"): Ser = {
+    val raw = inclusive match {
       case "both"    => col >= lit(lo) && col <= lit(hi)
       case "left"    => col >= lit(lo) && col < lit(hi)
       case "right"   => col > lit(lo) && col <= lit(hi)
       case "neither" => col > lit(lo) && col < lit(hi)
-    }, lit(false)))
+    }
+    new Ser(frame, coalesce(raw, lit(false)), name, Some(raw))
+  }
   /** `IsNa` (`_expr.py:1209`): pandas NaN≈missing — test null OR (for
     * float dtypes only) NaN. Dispatching on the resolved dtype matters:
     * casting a string column to double would throw under ANSI mode and,

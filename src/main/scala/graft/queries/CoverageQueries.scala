@@ -263,9 +263,34 @@ object CoverageQueries {
           sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
         .select("user_id", "event_id", "hour_sum")
         .sortValues(Seq("user_id", "event_id")).sdf
+    }),
+
+    // ---- pandas mask-verb semantics at the gate: isin/between are
+    // TOTAL masks (missing -> false; isin-with-null matches missing),
+    // materialized as columns so the oracle checks the null path the
+    // all-non-null testdata never draws (nullif manufactures it) ----
+    "q262_mask_semantics" -> ((s, dir) => {
+      val d = new graft.api.Df(T(s, dir, "lineitem").sdf
+        .withColumn("rf", expr("nullif(l_returnflag, 'N')"))
+        .withColumn("qty", expr("nullif(l_quantity, 25.0)")))
+      d.assign("in_flag", d("rf").isin("A", "R"))
+        .assign("in_flag_or_missing", d("rf").isin("A", null))
+        .assign("in_band", d("qty").between(10, 20))
+        .where(col("l_orderkey") % 25 === 0)
+        .select("l_orderkey", "l_linenumber", "in_flag",
+          "in_flag_or_missing", "in_band")
+        .sortValues(Seq("l_orderkey", "l_linenumber")).sdf
     }))
 
   val oracles2: Map[String, String] = Map(
+    "q262_mask_semantics" ->
+      """SELECT l_orderkey, l_linenumber,
+        |COALESCE(nullif(l_returnflag, 'N') IN ('A','R'), false) AS in_flag,
+        |(COALESCE(nullif(l_returnflag, 'N') IN ('A'), false)
+        |  OR nullif(l_returnflag, 'N') IS NULL) AS in_flag_or_missing,
+        |COALESCE(nullif(l_quantity, 25.0) BETWEEN 10 AND 20, false) AS in_band
+        |FROM lineitem WHERE l_orderkey % 25 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q100_align" ->
       """SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
         |a.c_acctbal, b.c_name

@@ -23,6 +23,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)]"), p)
   }
 
+  test("mask-verb filters (isin/between) keep parquet pushdown") {
+    // the total-mask form coalesce(pred, false) is opaque to filter
+    // translation; the filter path must compile Ser.filterCol (the
+    // bare predicate) or the scan silently reads everything
+    val li = Df.readParquet(spark, s"$sf/lineitem.parquet")
+    val p = plan(li(li("l_returnflag").isin("A", "R") &&
+        li("l_quantity").between(10, 20))
+      .select("l_orderkey").sdf)
+    assert(p.contains("In(l_returnflag, [A,R])"), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,10.0)"), p)
+    // the plan string truncates PushedFilters at ~100 chars, so the
+    // upper bound is asserted on the untruncated DataFilters rendering
+    assert(p.contains("<= 20.0)"), p)
+    assert(!p.contains("PushedFilters: []"), p)
+    assert(!p.contains("coalesce"), p)
+    // but the MATERIALIZED mask keeps the total form: nulls are false
+    val d = Df.fromRows(spark,
+      Seq(org.apache.spark.sql.Row(null), org.apache.spark.sql.Row("A")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("f",
+          org.apache.spark.sql.types.StringType))))
+    val mask = d.assign("m", d("f").isin("A", "R"))
+      .sdf.select("m").collect().map(_.get(0)).toList
+    assert(mask == List(false, true), mask.toString)
+  }
+
   test("ORC scans get pushed filters and pruned schema (readOrc contract)") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_orc"
     val li = Df.readParquet(spark, s"$sf/lineitem.parquet")
