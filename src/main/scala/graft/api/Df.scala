@@ -37,15 +37,18 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * whoever runs the TERMINAL action on an operator result releases
     * its intermediates with [[unpersistIntermediates]] — precise,
     * unlike `spark.catalog.clearCache()` which nukes unrelated caches.
-    * Operators that complete their actions internally
-    * ([[graft.operators.Dedup.connectedComponents]]) unpersist their
-    * own and attach nothing.
+    * Iterative operators ([[graft.operators.Dedup.connectedComponents]])
+    * unpersist their superseded per-round checkpoints internally and
+    * attach only the final one, same contract.
     *
-    * CAVEAT: the attachment lives on the Df the OPERATOR returned —
-    * derived frames (`.where(...)`, `.select(...)`, …) do not carry it,
-    * so keep a handle to the operator result and release through it.
-    * Lost the handle? [[Df.releaseRetained]] drops every
-    * graft-operator-persisted intermediate still live in the JVM. */
+    * Frames DERIVED through Df combinators (`.where(...)`,
+    * `.select(...)`, joins, …) INHERIT the attachment, so the precise
+    * release path survives fluent chains — release through whichever
+    * handle you kept (unpersist is idempotent; the JVM-wide registry
+    * entry is removed once). Only frames rebuilt from the bare
+    * `DataFrame` (`new Df(op.sdf)...`) lose it; then
+    * [[Df.releaseRetained]] drops every graft-operator-persisted
+    * intermediate still live in the JVM. */
   private val retained =
     new java.util.concurrent.atomic.AtomicReference[List[DataFrame]](Nil)
   /** operator-internal: attach persisted frames to this result */
@@ -54,6 +57,17 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     frames.foreach(Df.retainedRegistry.add)
     this
   }
+  /** Carry `from`'s retained attachments onto this derived frame (no new
+    * registry entries — the originals already stand; a release through
+    * EITHER handle unpersists the blocks and clears the registry). */
+  private[graft] def inheriting(from: Df*): Df = {
+    val fs = from.iterator.flatMap(_.retained.get()).toList
+    if (fs.nonEmpty) retained.getAndUpdate(fs ::: _)
+    this
+  }
+  /** combinator-internal: wrap a derived plan, inheriting attachments */
+  private def derived(s: DataFrame, idx: Option[String] = None): Df =
+    new Df(s, idx).inheriting(this)
   /** Release the persisted intermediates behind this operator result.
     * Call AFTER the terminal action — the blocks back every reference
     * to the intermediate in the plan; derived frames recompute from
@@ -62,11 +76,11 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * them. */
   def unpersistIntermediates(): Unit = {
     val fs = retained.getAndSet(Nil)
-    fs.foreach { f => f.unpersist(); Df.retainedRegistry.remove(f) }
+    fs.foreach { f => Df.unpersistAny(f); Df.retainedRegistry.remove(f) }
   }
 
   // ---- projections (`Projection`, `_expr.py:1366`) ----
-  def select(cols: String*): Df = new Df(sdf.select(cols.map(sdf(_)): _*))
+  def select(cols: String*): Df = derived(sdf.select(cols.map(sdf(_)): _*))
   def apply(cols: Seq[String]): Df = select(cols: _*)
   /** scalar key → Series (`_expr.py:1393-1400`) */
   def apply(name: String): Ser = new Ser(sdf, sdf(name), name)
@@ -78,9 +92,9 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * q03); under a WHERE the wrapper is redundant — SQL drops NULL
     * rows anyway — so the bare pushdown-friendly predicate rides along
     * on the Ser and is used here. */
-  def apply(mask: Ser): Df = new Df(sdf.filter(mask.filterCol))
-  def where(cond: Column): Df = new Df(sdf.filter(cond))
-  def where(mask: Ser): Df = new Df(sdf.filter(mask.filterCol))
+  def apply(mask: Ser): Df = derived(sdf.filter(mask.filterCol))
+  def where(cond: Column): Df = derived(sdf.filter(cond))
+  def where(mask: Ser): Df = derived(sdf.filter(mask.filterCol))
 
   /** `Assign` (`_expr.py:1309`): add/overwrite one column.
     *
@@ -90,7 +104,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * the referenced columns. Without this check Spark fails later with
     * a cryptic MISSING_ATTRIBUTES analysis error. */
   def assign(name: String, value: Ser): Df =
-    try new Df(sdf.withColumn(name, value.col))
+    try derived(sdf.withColumn(name, value.col))
     catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition != null && e.getCondition.startsWith("MISSING_ATTRIBUTES") =>
@@ -101,16 +115,16 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
             "drop or rebuild their source columns (select/replace/rename). " +
             s"Analyzer said: ${e.getMessage.linesIterator.next()}", e)
     }
-  def assign(name: String, value: Column): Df = new Df(sdf.withColumn(name, value))
+  def assign(name: String, value: Column): Df = derived(sdf.withColumn(name, value))
   /** `Drop` (`_expr.py:1296`) — reference rewrites to Projection; Spark's
     * ColumnPruning does the same. */
-  def drop(cols: String*): Df = new Df(sdf.drop(cols: _*))
+  def drop(cols: String*): Df = derived(sdf.drop(cols: _*))
   /** `RenameFrame` (`_expr.py:1034`) */
   def rename(mapping: Map[String, String]): Df =
-    new Df(sdf.withColumnsRenamed(mapping))
+    derived(sdf.withColumnsRenamed(mapping))
   /** `Eval` (`_expr.py:1344`) — pandas eval strings → Spark SQL exprs. */
   def eval(assignName: String, sqlExpr: String): Df =
-    new Df(sdf.withColumn(assignName, expr(sqlExpr)))
+    derived(sdf.withColumn(assignName, expr(sqlExpr)))
   /** pandas single-string eval (`df.eval("z = x + y")`,
     * `_expr.py:1344-1352`): split on the lone assignment `=` (not part
     * of ==/!=/<=/>=) and delegate to the (name, expr) form. A second
@@ -129,7 +143,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     case _ => throw new IllegalArgumentException(
       s"eval: expected 'name = expression', got '$stmt'")
   }
-  def selectExpr(exprs: String*): Df = new Df(sdf.selectExpr(exprs: _*))
+  def selectExpr(exprs: String*): Df = derived(sdf.selectExpr(exprs: _*))
   /** `select_dtypes` (`_collection.py:489-491`) — eager on schema, like
     * the reference is eager on meta. `include` keeps, `exclude` drops
     * (exclude wins on overlap, as in pandas). */
@@ -143,7 +157,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   /** `Fillna` (`_expr.py:1111`) */
   def fillna(value: Any, subset: Seq[String] = Nil): Df = {
     val s = if (subset.isEmpty) columns else subset
-    new Df(value match {
+    derived(value match {
       case d: Double => sdf.na.fill(d, s)
       case l: Long   => sdf.na.fill(l, s)
       case i: Int    => sdf.na.fill(i.toLong, s)
@@ -155,12 +169,12 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   /** `DropnaFrame` (`_expr.py:986`): how ∈ any|all, optional subset/thresh. */
   def dropna(how: String = "any", subset: Seq[String] = Nil, thresh: Int = -1): Df = {
     val s = if (subset.isEmpty) columns else subset
-    new Df(if (thresh >= 0) sdf.na.drop(thresh, s) else sdf.na.drop(how, s))
+    derived(if (thresh >= 0) sdf.na.drop(thresh, s) else sdf.na.drop(how, s))
   }
   /** `Replace` (`_expr.py:1125`) */
   def replace(mapping: Map[Any, Any], subset: Seq[String] = Nil): Df = {
     val s = if (subset.isEmpty) columns else subset
-    new Df(sdf.na.replace(s, mapping))
+    derived(sdf.na.replace(s, mapping))
   }
   /** `Replace` with `regex=True` (`_expr.py:1125-1130`): pattern-rewrite
     * string columns (non-string columns pass through untouched when no
@@ -169,25 +183,25 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
                    subset: Seq[String] = Nil): Df = {
     val s = if (subset.nonEmpty) subset
       else schema.fields.collect { case f if f.dataType == StringType => f.name }.toSeq
-    new Df(sdf.withColumns(
+    derived(sdf.withColumns(
       s.map(c => c -> regexp_replace(sdf(c), pattern, replacement)).toMap))
   }
   /** `AsType` with per-column dict (`_expr.py:1171-1206`). */
   def astype(dtypes: Map[String, String]): Df =
-    new Df(sdf.withColumns(dtypes.map { case (c, t) => c -> sdf(c).cast(t) }))
+    derived(sdf.withColumns(dtypes.map { case (c, t) => c -> sdf(c).cast(t) }))
   /** `ExplodeFrame` (`_expr.py:1280`): unnest one column, repeat others.
     * pandas keeps empty/NaN rows → explode_outer. */
   def explode(column: String): Df =
-    new Df(sdf.withColumn(column, explode_outer(sdf(column))))
+    derived(sdf.withColumn(column, explode_outer(sdf(column))))
   /** Stratified sampling (pandas `groupby(...).sample` shape): per-value
     * fractions on a key column; strata without an entry default to 0.
     * One pass, no shuffle — each row draws against its stratum's
     * fraction (`DataFrameStatFunctions.sampleBy`). */
   def sampleBy(c: String, fractions: Map[Any, Double], seed: Long = 42L): Df =
-    new Df(sdf.stat.sampleBy(col(c), fractions, seed))
+    derived(sdf.stat.sampleBy(col(c), fractions, seed))
   /** `Sample` (`_expr.py:1055`) */
   def sample(frac: Double, replace: Boolean = false, seed: Long = 42L): Df =
-    new Df(sdf.sample(replace, frac, seed))
+    derived(sdf.sample(replace, frac, seed))
 
   /** Deterministic hash split — how production pipelines cut train/val/
     * test: bucket = the canonical portable 32-bit hash
@@ -206,7 +220,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     require(buckets > 0, s"buckets must be positive: $buckets")
     val bucket =
       graft.functions.TextFunctions.hash32(col(keyCol).cast("string")) % buckets
-    new Df(sdf.withColumn(out,
+    derived(sdf.withColumn(out,
       when(bucket < math.round(fraction * buckets), lit(matchLabel))
         .otherwise(lit(restLabel))))
   }
@@ -233,7 +247,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
       graft.functions.TextFunctions.hash32(col(keyCol).cast("string")) % buckets
     val t1 = math.round(valFraction * buckets)
     val t2 = t1 + math.round(testFraction * buckets)
-    new Df(sdf.withColumn(out,
+    derived(sdf.withColumn(out,
       when(bucket < t1, lit(labels._1))
         .when(bucket < t2, lit(labels._2))
         .otherwise(lit(labels._3))))
@@ -252,23 +266,23 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     require(k >= 2, s"kFoldSplit: k must be >= 2: $k")
     val fold = graft.functions.TextFunctions.hash32(
       concat_ws(":", lit(seed), col(keyCol).cast("string"))) % k
-    new Df(sdf.withColumn(out, fold.cast("int")))
+    derived(sdf.withColumn(out, fold.cast("int")))
   }
 
   // ---- index emulation (SURVEY.md §7.4.1) ----
   /** `SetIndex` (`_expr.py:1118`): Spark rows are unordered, so the
     * pandas index is just a designated key column. We track the name;
     * index-joins (`merge` with `on=Nil`) use it. No data movement. */
-  def setIndex(c: String): Df = { require(columns.contains(c)); new Df(sdf, Some(c)) }
+  def setIndex(c: String): Df = { require(columns.contains(c)); derived(sdf, Some(c)) }
   /** `ResetIndex` (`_expr.py:1462`): drop index designation. */
-  def resetIndex: Df = new Df(sdf, None)
+  def resetIndex: Df = derived(sdf, None)
   /** Materialize an explicit ordinal index by a deterministic sort key —
     * `row_number` over a global order. Scale note: the keyless window
     * funnels ALL rows through one task; kept for small-frame pandas
     * fidelity — use [[withRowIndexScalable]] on anything big. */
   def withRowIndex(orderBy: Seq[String], name: String = "__index__"): Df = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(orderBy.map(sdf(_)): _*)
-    new Df(sdf.withColumn(name, row_number().over(w) - 1), Some(name))
+    derived(sdf.withColumn(name, row_number().over(w) - 1), Some(name))
   }
 
   /** The same global ordinal WITHOUT a single-partition window — the
@@ -297,7 +311,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     val indexed = ranged.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
     }
-    new Df(spark.createDataFrame(indexed, schema1), Some(name))
+    derived(spark.createDataFrame(indexed, schema1), Some(name))
   }
 
   /** Categorical emulation (`_categorical.py:14-129`): pandas `cat.codes`
@@ -332,29 +346,29 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     val rows = sorted.zipWithIndex.map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }.toSeq
     val dict = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema1)
-    new Df(sdf.join(broadcast(dict), Seq(c), "left"))
+    derived(sdf.join(broadcast(dict), Seq(c), "left"))
   }
 
   // ---- order-adjacent (`Head`/`Tail` `_expr.py:1471`; §2.9) ----
   /** `Head`: deterministic only with explicit keys (Spark rows are
     * unordered). With keys → TakeOrderedAndProject, no global sort. */
   def head(n: Int, byKeys: Seq[String] = Nil): Df =
-    if (byKeys.isEmpty) new Df(sdf.limit(n))
-    else new Df(sdf.orderBy(byKeys.map(sdf(_).asc): _*).limit(n))
+    if (byKeys.isEmpty) derived(sdf.limit(n))
+    else derived(sdf.orderBy(byKeys.map(sdf(_).asc): _*).limit(n))
   def tail(n: Int, byKeys: Seq[String]): Df =
-    new Df(sdf.orderBy(byKeys.map(sdf(_).desc): _*).limit(n)
+    derived(sdf.orderBy(byKeys.map(sdf(_).desc): _*).limit(n)
       .orderBy(byKeys.map(c => col(c).asc): _*))
   /** `sort_values` — §2.9 extension (reference has no general sort). */
   def sortValues(by: Seq[String], ascending: Boolean = true): Df =
-    new Df(sdf.orderBy(by.map(c => if (ascending) sdf(c).asc else sdf(c).desc): _*))
-  def sortValues(cols: Column*): Df = new Df(sdf.orderBy(cols: _*))
+    derived(sdf.orderBy(by.map(c => if (ascending) sdf(c).asc else sdf(c).desc): _*))
+  def sortValues(cols: Column*): Df = derived(sdf.orderBy(cols: _*))
 
   // ---- reductions (`_reductions.py`; §2.5) ----
   private def numericCols: Seq[String] =
     schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }.toSeq
   /** per-column aggregate row, pandas `df.sum()` style (numeric_only). */
   def reduceNumeric(fn: Column => Column, suffix: String = ""): Df =
-    new Df(sdf.select(numericCols.map(c => fn(sdf(c)).as(c + suffix)): _*))
+    derived(sdf.select(numericCols.map(c => fn(sdf(c)).as(c + suffix)): _*))
   def sumAll: Df = reduceNumeric(org.apache.spark.sql.functions.sum(_))
   def meanAll: Df = reduceNumeric(avg(_))
   def minAll: Df = reduceNumeric(org.apache.spark.sql.functions.min(_))
@@ -362,10 +376,10 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   def countAll: Df = reduceNumeric(org.apache.spark.sql.functions.count(_))
   /** Full-frame aggregation (`Reduction`, `_reductions.py:8-37`):
     * one partial+final HashAggregate, no group keys. */
-  def agg(exprs: Column*): Df = new Df(sdf.agg(exprs.head, exprs.tail: _*))
+  def agg(exprs: Column*): Df = derived(sdf.agg(exprs.head, exprs.tail: _*))
   /** `Len` (`_reductions.py:155`): parquet-metadata-only count is Spark's
     * aggregate pushdown; `df.count()` on a bare scan reads footers only. */
-  def len: Df = new Df(sdf.groupBy().count().select(col("count").as("len")))
+  def len: Df = derived(sdf.groupBy().count().select(col("count").as("len")))
   /** `Lengths` (`_expr.py` per-block lengths): the reference returns one
     * length per block; the Spark block is the partition. One count per
     * partition, no data movement — emitted via mapPartitions so EMPTY
@@ -375,7 +389,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("partition_id", IntegerType, nullable = false),
       StructField("length", LongType, nullable = false))))
-    new Df(sdf.select(lit(1).as("__one")).mapPartitions { it =>
+    derived(sdf.select(lit(1).as("__one")).mapPartitions { it =>
       var n = 0L
       while (it.hasNext) { it.next(); n += 1 }
       Iterator(org.apache.spark.sql.Row(
@@ -385,16 +399,16 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   /** `NLargest` (`_reductions.py:268`) → TakeOrderedAndProject (top-k per
     * partition + merge on driver side of exchange — no full sort). */
   def nlargest(n: Int, cols: Seq[String]): Df =
-    new Df(sdf.orderBy(cols.map(sdf(_).desc): _*).limit(n))
+    derived(sdf.orderBy(cols.map(sdf(_).desc): _*).limit(n))
   def nsmallest(n: Int, cols: Seq[String]): Df =
-    new Df(sdf.orderBy(cols.map(sdf(_).asc): _*).limit(n))
+    derived(sdf.orderBy(cols.map(sdf(_).asc): _*).limit(n))
   /** `ValueCounts` (`_reductions.py:288`) */
   def valueCounts(c: String, normalize: Boolean = false, dropna: Boolean = true): Df = {
     var base = sdf
     if (dropna) base = base.filter(sdf(c).isNotNull)
     val counted = base.groupBy(c)
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
-    new Df(
+    derived(
       if (!normalize) counted
       else {
         // total via broadcast scalar, not an empty-frame window — the
@@ -408,11 +422,11 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
       })
   }
   /** `Unique` (`_reductions.py:40`) */
-  def unique(c: String): Df = new Df(sdf.select(c).distinct())
+  def unique(c: String): Df = derived(sdf.select(c).distinct())
   /** `DropDuplicates` (`_reductions.py:52`): map-side partial distinct +
     * shuffle on the subset — scales (no global sort). */
   def dropDuplicates(subset: Seq[String] = Nil): Df =
-    new Df(if (subset.isEmpty) sdf.dropDuplicates() else sdf.dropDuplicates(subset))
+    derived(if (subset.isEmpty) sdf.dropDuplicates() else sdf.dropDuplicates(subset))
 
   /** pandas `duplicated(keep='first')`: boolean mask marking all but the
     * first occurrence (by explicit order key — Spark rows are unordered)
@@ -431,13 +445,13 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     keep match {
       case "first" =>
         val w = W.partitionBy(subset.map(sdf(_)): _*).orderBy(sdf(orderKey).asc)
-        new Df(sdf.withColumn(out, row_number().over(w) > 1))
+        derived(sdf.withColumn(out, row_number().over(w) > 1))
       case "last" =>
         val w = W.partitionBy(subset.map(sdf(_)): _*).orderBy(sdf(orderKey).desc)
-        new Df(sdf.withColumn(out, row_number().over(w) > 1))
+        derived(sdf.withColumn(out, row_number().over(w) > 1))
       case "none" =>
         val w = W.partitionBy(subset.map(sdf(_)): _*)
-        new Df(sdf.withColumn(out,
+        derived(sdf.withColumn(out,
           org.apache.spark.sql.functions.count(lit(1)).over(w) > 1))
       case other => throw new IllegalArgumentException(
         s"duplicatedKeep: keep must be first|last|none: $other")
@@ -453,7 +467,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * this costs one. Malformed documents yield null fields (PERMISSIVE
     * mode), never a poisoned task. */
   def jsonNormalize(c: String, ddl: String, keep: Seq[String]): Df =
-    new Df(sdf
+    derived(sdf
       .withColumn("__j", from_json(col(c), ddl, Map.empty[String, String]))
       .selectExpr(keep.map(k => s"`$k`") :+ "__j.*": _*))
 
@@ -461,7 +475,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * where the condition holds (resp. fails), replace the rest — a
     * pure codegen'd projection over every column. */
   def whereValues(cond: Column, other: Any = null): Df =
-    new Df(sdf.select(sdf.columns.map(c =>
+    derived(sdf.select(sdf.columns.map(c =>
       when(cond, sdf(c)).otherwise(lit(other)).as(c)).toSeq: _*))
 
   def maskValues(cond: Column, other: Any = null): Df = whereValues(!cond, other)
@@ -477,7 +491,10 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
       w: org.apache.spark.sql.expressions.WindowSpec,
       value: Column, verb: String): Column = {
     val cap = sdf.sparkSession.conf
-      .getOption("graft.keylessWindowMaxRows").map(_.toLong)
+      .getOption("graft.keylessWindowMaxRows")
+      .map(s => scala.util.Try(s.trim.toLong).getOrElse(throw
+        new IllegalArgumentException(
+          s"graft.keylessWindowMaxRows must be a long row count, got '$s'")))
       .getOrElse(10000000L)
     when(row_number().over(w) > cap, raise_error(lit(
       s"$verb: keyless window over more than $cap rows — a " +
@@ -496,7 +513,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     else org.apache.spark.sql.expressions.Window.partitionBy(partitionBy.map(sdf(_)): _*)
     val w = w0.orderBy(orderKeys.map(sdf(_).asc): _*)
     val d = sdf(c) - lag(sdf(c), periods).over(w)
-    new Df(sdf.withColumn(out,
+    derived(sdf.withColumn(out,
       if (partitionBy.isEmpty) keylessCeiling(w, d, "diff") else d))
   }
 
@@ -519,7 +536,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     val stats = Seq("count", "mean", "std", "min", "q25", "q50", "q75", "max")
     val stackArgs = stats.map(s =>
       s"'$s', ${cs.map(c => s"`${c}__$s`").mkString(", ")}").mkString(", ")
-    new Df(one.selectExpr(
+    derived(one.selectExpr(
       s"stack(${stats.size}, $stackArgs) AS (stat, ${cs.mkString(", ")})"))
   }
 
@@ -528,7 +545,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * aggregated values. Compiles to a single partial+final aggregate. */
   def pivotTable(index: String, columns: String, values: String,
                  colValues: Seq[Any], aggFn: String = "sum"): Df =
-    new Df(sdf.groupBy(sdf(index)).pivot(columns, colValues)
+    derived(sdf.groupBy(sdf(index)).pivot(columns, colValues)
       .agg(aggFn match {
         case "sum" => org.apache.spark.sql.functions.sum(sdf(values))
         case "mean" => avg(sdf(values))
@@ -546,7 +563,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
       case (acc, (label, i)) =>
         when(colRef > breaks(i) && colRef <= breaks(i + 1), label).otherwise(acc)
     }
-    new Df(sdf.withColumn(out, binned))
+    derived(sdf.withColumn(out, binned))
   }
 
   /** pandas `rank(method='min')` within optional groups. */
@@ -557,7 +574,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     else org.apache.spark.sql.expressions.Window.partitionBy(partitionBy.map(sdf(_)): _*)
     val w = w0.orderBy(if (ascending) sdf(by).asc else sdf(by).desc)
     val r = rank().over(w)
-    new Df(sdf.withColumn(out,
+    derived(sdf.withColumn(out,
       if (partitionBy.isEmpty) keylessCeiling(w, r, "withRank") else r))
   }
 
@@ -574,7 +591,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     require(valueVars.nonEmpty)
     val stackArgs = valueVars
       .map(v => s"'$v', CAST(`$v` AS $valueType)").mkString(", ")
-    new Df(sdf.selectExpr(
+    derived(sdf.selectExpr(
       idVars.map(c => s"`$c`") :+
         s"stack(${valueVars.size}, $stackArgs) AS ($varName, $valueName)": _*))
   }
@@ -588,7 +605,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     val p = if (prefix.nonEmpty) prefix else c
     val dummies = values.map(v =>
       when(sdf(c) === lit(v), 1).otherwise(0).as(s"${p}_$v"))
-    new Df(sdf.select(sdf.columns.map(sdf(_)).toSeq ++ dummies: _*))
+    derived(sdf.select(sdf.columns.map(sdf(_)).toSeq ++ dummies: _*))
   }
 
   /** pandas `crosstab(index, columns)`: contingency counts, rows = index
@@ -596,7 +613,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * partial+final aggregate (map-side combine), never wider than the
     * explicit value list. */
   def crosstabCount(index: String, columns: String, colValues: Seq[Any]): Df =
-    new Df(sdf.groupBy(sdf(index)).pivot(columns, colValues)
+    derived(sdf.groupBy(sdf(index)).pivot(columns, colValues)
       .agg(org.apache.spark.sql.functions.count(lit(1)))
       // absent combinations pivot to null; pandas crosstab says 0
       .na.fill(0L, colValues.map(_.toString)))
@@ -633,7 +650,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
         if (partitionBy.isEmpty) keylessCeiling(ordered, carried, "ffill/bfill")
         else carried)
     }
-    new Df(filled)
+    derived(filled)
   }
 
   /** pandas `pct_change(periods)` over an explicit order: value / lagged
@@ -645,7 +662,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
       else Window.partitionBy(partitionBy.map(sdf(_)): _*)
     val w = w0.orderBy(orderKeys.map(sdf(_).asc): _*)
     val p = sdf(c) / lag(sdf(c), periods).over(w) - lit(1.0)
-    new Df(sdf.withColumn(out,
+    derived(sdf.withColumn(out,
       if (partitionBy.isEmpty) keylessCeiling(w, p, "pctChange") else p))
   }
 
@@ -681,14 +698,14 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     val breaks = aggRow.getSeq[Double](0)
     val bucket = breaks.map(b => when(sdf(c) > lit(b), 1).otherwise(0))
       .reduce(_ + _)
-    new Df(sdf.withColumn(out, bucket))
+    derived(sdf.withColumn(out, bucket))
   }
 
   /** frame ⟷ scalar-reduction broadcasting (`df + df.sum()`,
     * reference `tests/test_collection.py:379-387`): cross-join the 1-row
     * aggregate, broadcast — every executor gets the scalar for free. */
   def withScalarColumn(scalar: Df): Df =
-    new Df(sdf.crossJoin(broadcast(scalar.sdf)))
+    derived(sdf.crossJoin(broadcast(scalar.sdf))).inheriting(scalar)
 
   /** Skew-safe equi-join: explode the (small) right side `salt`-fold and
     * scatter left rows by a deterministic hash salt, so one hot key
@@ -706,7 +723,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
       pmod(hash(on.map(sdf(_)) :+ monotonically_increasing_id(): _*), lit(salt)))
     val r = right.sdf.withColumn("__salt",
       expr(s"explode(sequence(0, ${salt - 1}))"))
-    new Df(l.join(r, on :+ "__salt", how).drop("__salt"))
+    derived(l.join(r, on :+ "__salt", how).drop("__salt")).inheriting(right)
   }
 
   /** Range (point-in-interval) join: rows of this frame whose
@@ -730,22 +747,22 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
       .withColumn("__bk", org.apache.spark.sql.functions.explode(
         expr("sequence(__lo_bk, __hi_bk)")))
       .drop("__lo_bk", "__hi_bk")
-    new Df(l.join(r, on :+ "__bk")
+    derived(l.join(r, on :+ "__bk")
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
-      .drop("__bk"))
+      .drop("__bk")).inheriting(intervals)
   }
 
   /** set operations — free Spark extensions (SURVEY.md §2.8 note):
     * SQL set semantics (distinct), like DuckDB INTERSECT/EXCEPT. */
-  def intersect(other: Df): Df = new Df(sdf.intersect(other.sdf))
-  def except(other: Df): Df = new Df(sdf.except(other.sdf))
+  def intersect(other: Df): Df = derived(sdf.intersect(other.sdf)).inheriting(other)
+  def except(other: Df): Df = derived(sdf.except(other.sdf)).inheriting(other)
 
   /** grouping-set aggregations — free Spark extensions (SURVEY.md §2.6
     * note): subtotal rows carry nulls in the grouping columns. */
   def cube(by: Seq[String])(aggs: Column*): Df =
-    new Df(sdf.cube(by.map(sdf(_)): _*).agg(aggs.head, aggs.tail: _*))
+    derived(sdf.cube(by.map(sdf(_)): _*).agg(aggs.head, aggs.tail: _*))
   def rollup(by: Seq[String])(aggs: Column*): Df =
-    new Df(sdf.rollup(by.map(sdf(_)): _*).agg(aggs.head, aggs.tail: _*))
+    derived(sdf.rollup(by.map(sdf(_)): _*).agg(aggs.head, aggs.tail: _*))
 
   // ---- groupby (§2.6) ----
   def groupby(by: String*): GroupedDf = {
@@ -778,7 +795,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
           .otherwise(lit("right_only")))
         .drop("_left_marker", "_right_marker")
     }
-    new Df(joined)
+    derived(joined).inheriting(right)
   }
   /** pandas `merge(validate=...)`: the join-cardinality CONTRACT —
     * "1:1" / "1:m" / "m:1" / "m:m" — checked BEFORE the join runs. A
@@ -845,10 +862,10 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
       .union(other.sdf.select(other.sdf(ri).as("__k"))).distinct()
     val aligned = if (how == "outer") keys else
       sdf.select(sdf(li).as("__k")).intersect(other.sdf.select(other.sdf(ri).as("__k")))
-    val l = new Df(aligned.join(sdf.withColumnRenamed(li, "__k"), Seq("__k"), "left")
-      .withColumnRenamed("__k", li), Some(li))
-    val r = new Df(aligned.join(other.sdf.withColumnRenamed(ri, "__k"), Seq("__k"), "left")
-      .withColumnRenamed("__k", ri), Some(ri))
+    val l = derived(aligned.join(sdf.withColumnRenamed(li, "__k"), Seq("__k"), "left")
+      .withColumnRenamed("__k", li), Some(li)).inheriting(other)
+    val r = derived(aligned.join(other.sdf.withColumnRenamed(ri, "__k"), Seq("__k"), "left")
+      .withColumnRenamed("__k", ri), Some(ri)).inheriting(other)
     (l, r)
   }
 
@@ -867,7 +884,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
       if (inL && inR) op(col(s"l.$c"), col(s"r.$c")).as(c)
       else lit(null).cast("double").as(c)
     }
-    new Df(joined.select(proj: _*), Some(li))
+    derived(joined.select(proj: _*), Some(li))
   }
   def addAligned(other: Df): Df = binopAligned(other, _ + _)
   def subAligned(other: Df): Df = binopAligned(other, _ - _)
@@ -875,7 +892,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
 
   /** `RenameAxis` (`_expr.py:1227`): rename the index column itself. */
   def renameAxis(name: String): Df = indexCol match {
-    case Some(i) => new Df(sdf.withColumnRenamed(i, name), Some(name))
+    case Some(i) => derived(sdf.withColumnRenamed(i, name), Some(name))
     case None => this
   }
 
@@ -892,7 +909,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * expressions (codegen'd); use this only when the logic cannot be
     * expressed as expressions. */
   def applyRows[T: org.apache.spark.sql.Encoder](f: org.apache.spark.sql.Row => T): Df =
-    new Df(sdf.map(f)(implicitly[org.apache.spark.sql.Encoder[T]]).toDF())
+    derived(sdf.map(f)(implicitly[org.apache.spark.sql.Encoder[T]]).toDF())
 
   /** `Apply` with explicit args (`_expr.py:1240-1261` carries
     * `args`/`kwargs` as operands): the args ride the serialized task
@@ -907,7 +924,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * expression builder — one codegen'd projection, no UDF. Aggregate
     * builders yield the pandas one-row per-column result. */
   def applyColumns(fn: Column => Column, suffix: String = ""): Df =
-    new Df(sdf.select(columns.map(c => fn(sdf(c)).as(c + suffix)): _*))
+    derived(sdf.select(columns.map(c => fn(sdf(c)).as(c + suffix)): _*))
 
   /** As-of join (pandas `merge_asof`), composed from built-ins per the
     * preference order (compose > custom plan): union both sides tagged,
@@ -964,13 +981,13 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     val gated = if (toleranceSec < 0) picked else picked.withColumn("__m",
       when(abs(lts - col("__m.__rt").cast("double")) <= toleranceSec, col("__m")))
     val out = valueCols.foldLeft(gated) { (d, c) => d.withColumn(c, col(s"__m.$c")) }
-    new Df(out.where(col("__side") === 1)
+    derived(out.where(col("__side") === 1)
       .drop("__t", "__side", "__rv", "__b", "__f", "__m"))
   }
 
   /** Semi/anti joins — Spark-native extension beyond the reference. */
-  def semiJoin(right: Df, on: Seq[String]): Df = new Df(sdf.join(right.sdf, on, "left_semi"))
-  def antiJoin(right: Df, on: Seq[String]): Df = new Df(sdf.join(right.sdf, on, "left_anti"))
+  def semiJoin(right: Df, on: Seq[String]): Df = derived(sdf.join(right.sdf, on, "left_semi")).inheriting(right)
+  def antiJoin(right: Df, on: Seq[String]): Df = derived(sdf.join(right.sdf, on, "left_anti")).inheriting(right)
 
   /** MERGE-style upsert — the incremental-maintenance primitive for a
     * corpus/metadata table kept current across crawl batches: rows of
@@ -993,12 +1010,13 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
         s"updates [${updates.columns.mkString(", ")}]")
     val missing = on.filterNot(columns.contains)
     require(missing.isEmpty, s"upsert: no such key column(s): ${missing.mkString(", ")}")
-    new Df(updates.sdf.select(columns.map(col): _*)
+    derived(updates.sdf.select(columns.map(col): _*)
       .unionByName(sdf.join(updates.sdf.select(on.map(col): _*), on, "left_anti")))
+      .inheriting(updates)
   }
-  def crossJoin(right: Df): Df = new Df(sdf.crossJoin(right.sdf))
+  def crossJoin(right: Df): Df = derived(sdf.crossJoin(right.sdf)).inheriting(right)
   /** Broadcast the (small) frame for subsequent joins. */
-  def broadcastHint: Df = new Df(broadcast(sdf))
+  def broadcastHint: Df = derived(broadcast(sdf))
 
   /** `CombineFirst` (`_expr.py:1005`): patch nulls from other, union cols.
     * Implemented as full-outer equijoin on explicit key cols + coalesce. */
@@ -1012,7 +1030,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
       if (inL && inR) coalesce(col(s"l.$c"), col(s"r.$c")).as(c)
       else if (inL) col(s"l.$c").as(c) else col(s"r.$c").as(c)
     }
-    new Df(joined.select(proj: _*))
+    derived(joined.select(proj: _*)).inheriting(other)
   }
 
   /** Bucketed external table sink: pre-shuffles ONCE on the join keys so
@@ -1026,7 +1044,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
       .sortBy(keys.head, keys.tail: _*)
       .option("path", path)
       .saveAsTable(table)
-    new Df(spark.table(table))
+    derived(spark.table(table))
   }
 
   /** Hive-style partitioned parquet sink: one directory per partition
@@ -1086,7 +1104,21 @@ object Df {
     * for callers that dropped their operator-result handles. */
   def releaseRetained(): Unit = {
     var f = retainedRegistry.poll()
-    while (f != null) { f.unpersist(); f = retainedRegistry.poll() }
+    while (f != null) { unpersistAny(f); f = retainedRegistry.poll() }
+  }
+
+  /** Storage-aware unpersist. `Dataset.unpersist` only releases
+    * CacheManager-cached plans; a `localCheckpoint`'d frame is backed by
+    * an RDD-LEVEL persist that only `rdd.unpersist()` can release
+    * (measured on 4.1: ds.unpersist leaves the checkpoint block live).
+    * Both paths run — each is a no-op for the other's storage. NOTE a
+    * released checkpoint cannot recompute (no lineage) — terminal. */
+  private[graft] def unpersistAny(f: DataFrame): Unit = {
+    f.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist()
+      case _ => ()
+    }
+    f.unpersist()
   }
 
   /** `name = expr` with a lone `=`: the lookahead rejects `==`, and the
@@ -1185,12 +1217,12 @@ object Df {
 
   /** `Concat` (`_concat.py:9`): row-wise union of k frames.
     * join="outer" → union of columns null-filled; "inner" → common cols. */
-  def concat(frames: Seq[Df], join: String = "outer"): Df = join match {
+  def concat(frames: Seq[Df], join: String = "outer"): Df = (join match {
     case "outer" =>
       new Df(frames.map(_.sdf).reduce(_.unionByName(_, allowMissingColumns = true)))
     case "inner" =>
       val common = frames.map(_.columns.toSet).reduce(_ & _)
       val ordered = frames.head.columns.filter(common.contains)
       new Df(frames.map(_.sdf.select(ordered.map(col): _*)).reduce(_.unionByName(_)))
-  }
+  }).inheriting(frames: _*)
 }

@@ -29,8 +29,10 @@ import org.apache.spark.sql.functions._
   * action releases them with `Df.unpersistIntermediates()` (harnesses
   * that only hold the bare DataFrame, like graft.Bench/Verify, fall
   * back to the catch-all `spark.catalog.clearCache()` between queries).
-  * Operators whose actions complete internally
-  * ([[connectedComponents]]) unpersist their own before returning.
+  * Iterative operators ([[connectedComponents]]) unpersist their
+  * superseded per-round checkpoints internally and attach only the
+  * final one — release of a localCheckpoint is TERMINAL (no lineage
+  * to recompute from), so act on the result before releasing.
   */
 object Dedup {
 
@@ -625,6 +627,16 @@ object Dedup {
     * swap for reliable `checkpoint` on a cluster where executor loss
     * matters). The edge list is persisted once, referenced every round.
     *
+    * Cache lifetime: each round's checkpoint is unpersisted as soon as
+    * the NEXT one materializes (the eager `localCheckpoint` return —
+    * nothing references the superseded blocks after that), so the loop
+    * holds at most two |V|-row checkpoints at any moment. The FINAL
+    * checkpoint backs the returned labels and is attached via
+    * `retaining` — the standard file contract: the caller that runs the
+    * terminal action releases it with `unpersistIntermediates()` (or the
+    * `Df.releaseRetained()` fallback). NOTE a released localCheckpoint
+    * cannot recompute — release is terminal; act on the result first.
+    *
     * Output: (`idCol`, cluster) for every node that appears in `pairs`;
     * docs with no near-dup pair are their own singleton cluster and are
     * simply absent (callers left-join + coalesce to self). */
@@ -638,6 +650,10 @@ object Dedup {
       .distinct().persist(lvl)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint()
+    // the checkpointed frame backing the CURRENT labels — unpersisted the
+    // moment the next round's checkpoint supersedes it (r12 fix: these
+    // leaked, one |V|-row MEMORY_AND_DISK RDD per iteration)
+    var prevCkpt = labels
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -647,7 +663,11 @@ object Dedup {
       val updated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("cluster"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("next"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized when this returns...
+      // ...so the superseded round is unreferenced (RDD-level release:
+      // Dataset.unpersist cannot touch checkpoint blocks)
+      Df.unpersistAny(prevCkpt)
+      prevCkpt = updated
       changed = updated.where(col("next") < col("cluster")).count()
       // no second checkpoint: labels is a depth-1 projection over the
       // checkpointed `updated`, its lineage cannot grow round-to-round
@@ -667,6 +687,7 @@ object Dedup {
         .where(col("nbr_min") < col("cluster")).count()
       if (residual > 0) {
         edges.unpersist()
+        Df.unpersistAny(prevCkpt) // nothing useful survives a failed run
         // fail loudly: labels from a stopped-early run are INCONSISTENT
         // (one component, several cluster ids) and downstream dedup
         // would silently keep duplicates
@@ -677,7 +698,7 @@ object Dedup {
       }
     }
     edges.unpersist()
-    new Df(labels)
+    new Df(labels).retaining(prevCkpt)
   }
 
   /** Dedup by component: every doc keeps its cluster representative —
@@ -686,11 +707,11 @@ object Dedup {
     * `idCol = representative` yields the deduped corpus. */
   def keepRepresentatives(docs: Df, pairs: Df, idCol: String,
                           aCol: String = "id_a", bCol: String = "id_b"): Df = {
-    val cc = connectedComponents(pairs, aCol, bCol).sdf
-      .withColumnRenamed("id", idCol)
+    val ccDf = connectedComponents(pairs, aCol, bCol)
+    val cc = ccDf.sdf.withColumnRenamed("id", idCol)
     new Df(docs.sdf.join(cc, Seq(idCol), "left")
       .withColumn("representative", coalesce(col("cluster"), col(idCol)))
-      .drop("cluster"))
+      .drop("cluster")).inheriting(ccDf)
   }
 
   /** [[keepRepresentatives]] with a QUALITY rule: each cluster keeps
@@ -713,8 +734,8 @@ object Dedup {
   def keepRepresentativesBy(docs: Df, pairs: Df, idCol: String,
                             scoreCol: String,
                             aCol: String = "id_a", bCol: String = "id_b"): Df = {
-    val cc = connectedComponents(pairs, aCol, bCol).sdf
-      .withColumnRenamed("id", idCol)
+    val ccDf = connectedComponents(pairs, aCol, bCol)
+    val cc = ccDf.sdf.withColumnRenamed("id", idCol)
     val withCluster = docs.sdf.join(cc, Seq(idCol), "left")
     val reps = docs.sdf.join(cc, Seq(idCol))
       .groupBy(col("cluster"))
@@ -723,7 +744,7 @@ object Dedup {
     new Df(withCluster.join(reps, Seq("cluster"), "left")
       .withColumn("representative",
         coalesce(col("representative"), col(idCol)))
-      .drop("cluster"))
+      .drop("cluster")).inheriting(ccDf)
   }
 
   /** Leakage-free train/holdout split — [[graft.api.Df.splitByHash]]'s
@@ -754,7 +775,8 @@ object Dedup {
       // clustering step that left its own 'cluster' column
       (!docs.columns.contains("split_key") && !docs.columns.contains("split"),
         "docs already has a split_key/split column — rename it first"))
-    val cc = connectedComponents(pairs, aCol, bCol).sdf
+    val ccDf = connectedComponents(pairs, aCol, bCol)
+    val cc = ccDf.sdf
       .select(col("id").as(idCol), col("cluster").as("__cc_cluster"))
     val bucket = graft.functions.TextFunctions
       .hash32(col("split_key").cast("string")) % buckets
@@ -763,7 +785,7 @@ object Dedup {
       .drop("__cc_cluster")
       .withColumn("split",
         when(bucket < math.round(fraction * buckets), lit(matchLabel))
-          .otherwise(lit(restLabel))))
+          .otherwise(lit(restLabel)))).inheriting(ccDf)
   }
 
   /** Semantic dedup ENDGAME (the SemDeDup recipe, Abbas et al. 2023,
@@ -788,7 +810,7 @@ object Dedup {
       planes, dim, maxBucket)
     val rep = keepRepresentativesBy(vecs, pairs, idCol, scoreCol)
     new Df(rep.sdf.where(col(idCol) === col("representative"))
-      .drop("representative"))
+      .drop("representative")).inheriting(rep)
   }
 
   /** Exact edit-distance verification of candidate near-dup pairs — the

@@ -55,10 +55,11 @@ private[graft] object FanOut {
       case l: LogicalRelation =>
         l.relation match {
           case fs: HadoopFsRelation =>
-            parts += filePartitionCount(fs, conf.filesMaxPartitionBytes,
+            val n = filePartitionCount(fs, conf.filesMaxPartitionBytes,
               conf.filesOpenCostInBytes,
               conf.filesMinPartitionNum
                 .getOrElse(spark.sparkContext.defaultParallelism))
+            if (n < 0) sizable = false else parts += n
           case _ => sizable = false
         }
       case _: LocalRelation | _: OneRowRelation => parts += 1L
@@ -80,6 +81,14 @@ private[graft] object FanOut {
                                  openCost: Long, minPartNum: Int): Long = {
     val bytes = fs.location.sizeInBytes
     val nFiles = fs.location.inputFiles.length.toLong
+    // overflow guard: a stats-less file index reports sizeInBytes =
+    // Long.MaxValue (defaultSizeInBytes fallback) and `bytes + n*open`
+    // would wrap negative → parts=1 → an unnecessary full repartition.
+    // Treat anything un-addable as un-sizable (-1 bubbles to None).
+    if (bytes < 0 || nFiles < 0 || openCost < 0 ||
+        bytes > Long.MaxValue / 2 ||
+        (nFiles > 0 && openCost > (Long.MaxValue - bytes) / nFiles))
+      return -1L
     val total = bytes + nFiles * openCost
     val bytesPerCore = total / math.max(1, minPartNum)
     val maxSplit = math.min(maxPartBytes, math.max(openCost, bytesPerCore))

@@ -281,11 +281,15 @@ object Profiling {
     // a constant baseline has no bin width: unguarded, the bin division
     // is an unnamed ANSI DIVIDE_BY_ZERO deep in an executor (caught by
     // the psiDrift fuzz probe) — name the degenerate input instead
+    // null-safe <=> : an EMPTY or all-null baseline aggregates to
+    // max === min = NULL (not true), which would skip the raise and
+    // silently degenerate every bin to NULL — name that input too
     val stats = baseline.sdf.agg(
       min(v).cast("double").as("__lo"),
-      when(max(v) === min(v), raise_error(lit(
-        "psiDrift: baseline column is constant (min == max) — no bin " +
-          "width to derive; PSI needs a baseline with spread")))
+      when(max(v) <=> min(v), raise_error(lit(
+        "psiDrift: baseline column is constant or empty/all-null " +
+          "(min <=> max) — no bin width to derive; PSI needs a " +
+          "baseline with spread")))
         .otherwise(max(v).cast("double")).as("__hi"))
     def binned(df: Df) = df.sdf.where(v.isNotNull)
       .crossJoin(broadcast(stats))

@@ -10,8 +10,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * operator must either return a sane (usually empty) frame or raise a
   * NAMED graft error, never die in an executor with an unnamed
   * arithmetic/NPE. Each case collects the result to force execution. */
-class EmptyInputSpec extends AnyFunSuite {
+class EmptyInputSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   import TestSpark._
+
+  // cross-suite block-accounting hygiene (the cache-lifetime contract
+  // test asserts a clean slate): drain whatever this suite retained
+  override def afterAll(): Unit = Df.releaseRetained()
 
   private def docs0 = Df.fromRows(spark, Seq(), StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType))))

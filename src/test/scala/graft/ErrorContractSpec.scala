@@ -133,6 +133,31 @@ class ErrorContractSpec extends AnyFunSuite {
       sb.toString
     }
     assert(chain(e).contains("psiDrift"), chain(e).take(300))
+    // an EMPTY or all-null baseline must hit the same named error — the
+    // plain === guard evaluated to NULL there and silently produced
+    // NULL bins instead of raising (ADVICE r12)
+    val empty = Df.fromRows(spark, Seq.empty[Row], sch)
+    val e2 = intercept[Exception](
+      graft.operators.Profiling.psiDrift(empty, cur, "v", bins = 4)
+        .sdf.collect())
+    assert(chain(e2).contains("psiDrift"), chain(e2).take(300))
+    val allNull = Df.fromRows(spark, Seq(Row(null), Row(null)), sch)
+    val e3 = intercept[Exception](
+      graft.operators.Profiling.psiDrift(allNull, cur, "v", bins = 4)
+        .sdf.collect())
+    assert(chain(e3).contains("psiDrift"), chain(e3).take(300))
+  }
+
+  test("malformed graft.keylessWindowMaxRows names the config, not a bare NumberFormatException") {
+    val rows = (1 to 10).map(i => Row(i.toLong, i.toDouble))
+    val d = Df.fromRows(spark, rows, StructType(Seq(
+      StructField("x", LongType), StructField("y", DoubleType))))
+    spark.conf.set("graft.keylessWindowMaxRows", "lots")
+    try {
+      val e = intercept[IllegalArgumentException](d.diff("y", Seq("x"), "d"))
+      assert(e.getMessage.contains("graft.keylessWindowMaxRows") &&
+        e.getMessage.contains("lots"), e.getMessage)
+    } finally spark.conf.unset("graft.keylessWindowMaxRows")
   }
 
   test("keyless diff/rank/ffill/pctChange trip a named ceiling instead of a silent single-partition sort") {

@@ -7,12 +7,17 @@ import graft.operators.{Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Specs for the LLM-pipeline extension operators (dedup, similarity,
   * text analysis, multimodal plumbing). */
-class ExtensionSpec extends AnyFunSuite {
+class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
   import TestSpark._
+
+  // cross-suite block-accounting hygiene: whatever this suite retained
+  // and didn't release per-test drains here
+  override def afterAll(): Unit = Df.releaseRetained()
 
   private def docs = Df.readParquet(spark, s"$sf/documents.parquet")
   private def embs = Df.readParquet(spark, s"$sf/embeddings.parquet")
@@ -595,7 +600,10 @@ class ExtensionSpec extends AnyFunSuite {
   }
 
   test("cache-lifetime contract: unpersistIntermediates releases every operator-persisted block") {
-    spark.catalog.clearCache() // clean slate for the block accounting
+    // clean slate: the registry drain covers RDD-level checkpoint blocks
+    // (connectedComponents') that clearCache cannot reach
+    Df.releaseRetained()
+    spark.catalog.clearCache()
     val sc = spark.sparkContext
     assert(sc.getPersistentRDDs.isEmpty)
     val d = mkDocs(
@@ -630,12 +638,57 @@ class ExtensionSpec extends AnyFunSuite {
         org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType))))
     val derived = graft.operators.Curation.dedupByUrl(urls, "url", "doc_id")
-      .where(org.apache.spark.sql.functions.col("n_copies") > 0)  // attachment lost here
+      .where(org.apache.spark.sql.functions.col("n_copies") > 0)  // combinator INHERITS it
     derived.sdf.collect()
-    derived.unpersistIntermediates()                // no-op on a derived frame
-    assert(sc.getPersistentRDDs.nonEmpty)           // ...so the block is still live
-    Df.releaseRetained()                            // JVM-wide fallback releases it
+    derived.unpersistIntermediates()                // direct release through the chain
     assert(sc.getPersistentRDDs.isEmpty)
+    Df.releaseRetained()                            // fallback now has nothing left
+    assert(sc.getPersistentRDDs.isEmpty)
+    // frames rebuilt from the bare DataFrame DO lose the attachment —
+    // the registry fallback remains the safety net for that path
+    val rebuilt = new Df(graft.operators.Curation.dedupByUrl(urls, "url", "doc_id").sdf)
+    rebuilt.sdf.collect()
+    rebuilt.unpersistIntermediates()                // no-op: bare-DataFrame rebuild
+    assert(sc.getPersistentRDDs.nonEmpty)
+    Df.releaseRetained()
+    assert(sc.getPersistentRDDs.isEmpty)
+  }
+
+  test("connectedComponents: repeated runs leave zero persisted blocks after release") {
+    Df.releaseRetained()
+    spark.catalog.clearCache()
+    val sc = spark.sparkContext
+    assert(sc.getPersistentRDDs.isEmpty)
+    val pairs = Df.fromRows(spark,
+      Seq(Row(1L, 2L), Row(2L, 3L), Row(3L, 4L), Row(10L, 11L)),
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    (1 to 3).foreach { _ =>
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      assert(cc.sdf.count() == 6)
+      // in-loop hygiene: only the FINAL checkpoint (plus nothing else)
+      // may be live while the result is held — superseded per-round
+      // checkpoints must already be gone (the r12 leak: one per round)
+      assert(sc.getPersistentRDDs.size <= 1,
+        s"superseded round checkpoints leaked: ${sc.getPersistentRDDs.values.map(_.name)}")
+      cc.unpersistIntermediates()
+      assert(sc.getPersistentRDDs.isEmpty)
+    }
+    // the attachment survives the dedup-endgame wrappers (fluent chains)
+    val docs6 = mkDocs(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 10L -> "e", 11L -> "f")
+    val rep = Dedup.keepRepresentatives(docs6, pairs, "doc_id")
+      .where(org.apache.spark.sql.functions.col("representative").isNotNull)
+    rep.sdf.collect()
+    rep.unpersistIntermediates()
+    assert(sc.getPersistentRDDs.isEmpty,
+      s"keepRepresentatives leaked: ${sc.getPersistentRDDs.values.map(_.name)}")
+    // failed (unconverged) runs clean up behind themselves too
+    val path = Df.fromRows(spark,
+      (1L to 6L).sliding(2).map(w => Row(w(0), w(1))).toSeq,
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    intercept[IllegalStateException](
+      Dedup.connectedComponents(path, "id_a", "id_b", maxIter = 2))
+    assert(sc.getPersistentRDDs.isEmpty,
+      s"failed run leaked: ${sc.getPersistentRDDs.values.map(_.name)}")
   }
 
   test("duplicatedWindows: cross-doc and within-doc window dups, span union, clean docs") {

@@ -11,8 +11,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * wrapper ops vs independently-computed expectations over random
   * frames, covering null/NaN and empty-frame edges the fixed fixtures
   * miss. */
-class FuzzSpec extends AnyFunSuite {
+class FuzzSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   import TestSpark._
+
+  // cross-suite block-accounting hygiene (the cache-lifetime contract
+  // test asserts a clean slate): drain whatever this suite retained
+  override def afterAll(): Unit = Df.releaseRetained()
 
   /** draw n deterministic-ish samples from a generator (scalacheck's
     * scalatest bridge is not on the offline classpath) */

@@ -9,8 +9,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Specs for the graph-analytics operators (q203): PageRank power
   * iteration and the transition-edge extractor. */
-class GraphSpec extends AnyFunSuite {
+class GraphSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   import TestSpark._
+
+  // cross-suite block-accounting hygiene (the cache-lifetime contract
+  // test asserts a clean slate): drain whatever this suite retained
+  override def afterAll(): Unit = Df.releaseRetained()
 
   private val edgeSchema =
     StructType(Seq(StructField("src", StringType), StructField("dst", StringType)))

@@ -182,4 +182,57 @@ class StrFuzzSpec extends AnyFunSuite {
     // misses the literal "a+b"
     assert(re == List(Some("true"), Some("false"), None, Some("false"), Some("true")))
   }
+
+  // ---- DIVERGENCES #17 migration pins (r12 verdict #4): the two .str
+  // verbs whose DEFAULT contract differs from pandas must have their
+  // escape hatches pinned against independent models, so a migrating
+  // user can rely on the documented translation exactly. ----
+
+  test("contains(pat, regex=true) is pandas re.search on 200 random pattern/input pairs") {
+    // pattern generator: compositional VALID regexes over constructs
+    // whose semantics agree between Python re and Java regex (literals,
+    // '.', classes, alternation, '*'/'+' on the last atom) — so a
+    // driver-side java.util.regex .find() is a faithful stand-in for
+    // the pandas re.search model
+    val atom: Gen[String] = Gen.frequency(
+      (6, Gen.alphaNumChar.map(_.toString)),
+      (1, Gen.const(".")),
+      (1, Gen.oneOf("[abc]", "[0-9]", "(a|b)")))
+    val pat: Gen[String] = for {
+      n <- Gen.choose(1, 4)
+      atoms <- Gen.listOfN(n, atom)
+      star <- Gen.oneOf("", "*", "+")
+    } yield atoms.mkString + (if (atoms.last.length == 1) star else "")
+    val inputs: Gen[String] = Gen.frequency(
+      (8, Gen.choose(0, 10).flatMap(k =>
+        Gen.listOfN(k, Gen.frequency((5, Gen.oneOf('a', 'b', 'c', '0', '1')),
+          (2, Gen.alphaNumChar))).map(_.mkString))),
+      (1, Gen.const(null.asInstanceOf[String])))
+    var pairs = 0
+    trials(Gen.zip(pat, Gen.listOfN(10, inputs)), n = 20) { case (p, xs) =>
+      val got = run(xs, d => d("s").str.contains(p, regex = true))
+      xs.zip(got).foreach { case (x, g) =>
+        pairs += 1
+        val want = Option(x).map(s =>
+          java.util.regex.Pattern.compile(p).matcher(s).find().toString)
+        assert(g == want, s"contains('${Option(x).getOrElse("null")}', /$p/, regex=true)")
+      }
+    }
+    assert(pairs == 200)
+  }
+
+  test("slice(start, len) is CPython s[start:start+len] for non-negative start") {
+    trials(Gen.zip(Gen.choose(0, 6), Gen.choose(0, 5), Gen.listOfN(25, strs)),
+           n = 8) { case (start, len, xs) =>
+      val got = run(xs, d => d("s").str.slice(start, len))
+      xs.zip(got).foreach { case (x, g) =>
+        val want = Option(x).map { s =>
+          val from = math.min(start, s.length)
+          s.substring(from, math.min(from + len, s.length))
+        }
+        assert(g == want,
+          s"slice(${Option(x).map(hex)}, start=$start, len=$len)")
+      }
+    }
+  }
 }

@@ -36,17 +36,25 @@ def norm(df):
 
 
 def _canon_ts(s):
-    """Series of timestamps/dates -> (int64 epoch-us, isna mask).
+    """Series of timestamps/dates -> (int64 epoch values, unit, isna).
     Normalizes unit (ns/us/ms), tz (to UTC instants), and object-dtype
-    datetime.date/datetime values. NaT lands on int64 min in BOTH
-    outputs, so NaT==NaT holds in the int compare too."""
+    datetime.date/datetime values. Prefers epoch-NS (full fidelity: a
+    sub-microsecond difference must FAIL the gate) and falls back to
+    epoch-US only when the values overflow the ns range (year 2262+,
+    where sub-us components cannot exist in the source). NaT lands on
+    int64 min in BOTH outputs, so NaT==NaT holds in the int compare."""
     v = pd.to_datetime(s)
     if getattr(v.dtype, "tz", None) is not None:
         v = v.dt.tz_convert("UTC").dt.tz_localize(None)
     na = v.isna().to_numpy()
-    iv = v.astype("datetime64[us]").to_numpy().view("int64")
+    try:
+        iv = v.astype("datetime64[ns]").to_numpy().view("int64")
+        unit = "ns"
+    except (OverflowError, ValueError, pd.errors.OutOfBoundsDatetime):
+        iv = v.astype("datetime64[us]").to_numpy().view("int64")
+        unit = "us"
     iv = np.where(na, np.iinfo("int64").min, iv)
-    return iv, na
+    return iv, unit, na
 
 
 def _is_dtlike(series):
@@ -83,10 +91,20 @@ def col_equal(name, c, a, b):
         # canonical epoch-us compare: unit/precision/format/tz drift
         # between engines must not mask (or fake) a value difference
         try:
-            av, _ = _canon_ts(a)
-            bv, _ = _canon_ts(b)
+            av, ua, _ = _canon_ts(a)
+            bv, ub, _ = _canon_ts(b)
         except Exception as e:
             return False, f"FAIL {name}: col {c} timestamp canon error {e}"
+        if ua != ub:
+            # one side overflows ns (so it is us-or-coarser precision):
+            # compare at us — exact for it, and an in-ns-range vs
+            # out-of-range instant can never differ by less than a us,
+            # so the coarsening cannot fake an equality
+            sent = np.iinfo("int64").min
+            if ua == "ns":
+                av = np.where(av == sent, av, av // 1000)
+            else:
+                bv = np.where(bv == sent, bv, bv // 1000)
         bad = av != bv
         if bad.any():
             i = int(np.argmax(bad))
@@ -191,6 +209,25 @@ def selftest():
     expect("tz-instant", True,
            pd.Series([pd.Timestamp("2020-01-01 05:00:00+05:00")]),
            pd.Series([pd.Timestamp("2020-01-01 00:00:00")]))
+    # ns fidelity: a sub-microsecond difference must FAIL (the old
+    # us truncation compared these equal)
+    expect("sub-us-diff", False,
+           pd.Series([pd.Timestamp("2020-01-01 00:00:00.000000001")]),
+           pd.Series([pd.Timestamp("2020-01-01 00:00:00")]))
+    expect("sub-us-same", True,
+           pd.Series([pd.Timestamp("2020-01-01 00:00:00.000000001")]),
+           pd.Series([pd.Timestamp("2020-01-01 00:00:00.000000001")]))
+    # beyond the ns range (year 2500): the us fallback engages on one
+    # or both sides without faking or masking a difference
+    far = np.array(["2500-01-01T00:00:00"], dtype="datetime64[us]")
+    expect("beyond-ns-same", True, pd.Series(far), pd.Series(far.copy()))
+    expect("beyond-ns-diff", False, pd.Series(far),
+           pd.Series(far + np.timedelta64(1, "us")))
+    expect("beyond-ns-vs-inrange", False, pd.Series(far),
+           pd.Series([pd.Timestamp("2020-01-01")]))
+    expect("beyond-ns-nat", True,
+           pd.Series(np.array(["NaT"], dtype="datetime64[us]")),
+           pd.Series([pd.NaT]).astype("datetime64[ns]"))
     if fails:
         print("SELFTEST FAIL:\n  " + "\n  ".join(fails))
         return 1
