@@ -701,6 +701,46 @@ object Dedup {
     new Df(labels).retaining(prevCkpt)
   }
 
+  /** Incremental connected components — the dedup endgame's BATCH
+    * MAINTENANCE path. A corpus dedup service doesn't re-derive the
+    * full pair graph per crawl batch (at 100 TB the shingle/LSH pass
+    * over the historical corpus dominates everything); it keeps the
+    * last run's LABELS and, per batch, computes only the NEW pairs
+    * (within-batch via [[minhashPairs]] + batch-vs-corpus via
+    * [[minhashJoin]] — A×B, never a corpus self-join), then merges.
+    *
+    * The merge is exact, not an approximation: an (id, cluster) label
+    * table is a lossless connectivity summary of the old edge set —
+    * replacing the old edges with one STAR EDGE per row (id ↔ cluster;
+    * representatives contribute a self-loop, so singleton clusters
+    * survive) preserves the component partition, and cluster labels
+    * stay min-ids because every old vertex is still a vertex. So
+    * `incrementalComponents(oldLabels, newPairs)` equals
+    * [[connectedComponents]] over (old edges ∪ new edges) exactly —
+    * fuzz-pinned differentially and oracle-checked (q263 replays the
+    * two-phase run against the one-shot recursive-CTE closure).
+    *
+    * Scale: the CC input shrinks from |old edges| + |new| to
+    * |old VERTICES| + |new| (a deduped labeling is far smaller than
+    * its pair graph — dense near-dup cliques collapse to stars), and
+    * star graphs have diameter ≤ 2, so old components cost at most 2
+    * label-propagation rounds; convergence is bounded by the diameter
+    * of the NEW merge structure, not history. Same per-round contract
+    * as [[connectedComponents]]: one shuffle, checkpoint rotation,
+    * final checkpoint attached for release. */
+  def incrementalComponents(oldLabels: Df, newPairs: Df,
+                            aCol: String = "id_a", bCol: String = "id_b",
+                            maxIter: Int = 20): Df = {
+    requireArgs("incrementalComponents")(
+      (oldLabels.columns.contains("id") && oldLabels.columns.contains("cluster"),
+        s"oldLabels must carry (id, cluster) — a connectedComponents " +
+          s"output; got [${oldLabels.columns.mkString(", ")}]"))
+    val star = oldLabels.sdf.select(col("id").as(aCol), col("cluster").as(bCol))
+    connectedComponents(
+      new Df(star.union(newPairs.sdf.select(col(aCol), col(bCol)))),
+      aCol, bCol, maxIter)
+  }
+
   /** Dedup by component: every doc keeps its cluster representative —
     * itself when it has no near-dup pair (left-join + coalesce over
     * [[connectedComponents]]' edge-touched nodes). Filtering to

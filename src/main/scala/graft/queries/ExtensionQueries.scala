@@ -300,6 +300,32 @@ object ExtensionQueries {
         .sortValues(Seq("id")).sdf
     }),
 
+    // ---- incremental component maintenance (the batch-dedup path):
+    // phase 1 labels the two-generation corpus; phase 2 folds in ONLY
+    // the pairs the third generation brings (labels-as-star-edges merge,
+    // never re-deriving the old pair graph). The oracle is the ONE-SHOT
+    // recursive closure over the full three-generation edge set — the
+    // exactness claim IS that the two-phase result equals it ----
+    "q263_incremental_cc" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val base = d.where(col("doc_id") < 300).select("doc_id", "text")
+      val g1 = base.where(col("doc_id") % 5 === 0)
+        .selectExpr("doc_id + 10000 AS doc_id", "text || ' zzz' AS text")
+      val g2 = base.where(col("doc_id") % 5 === 0)
+        .selectExpr("doc_id + 20000 AS doc_id", "text || ' zzz yyy' AS text")
+      val oldPairs = Dedup.ngramJaccardPairs(Df.concat(Seq(base, g1)),
+        "text", "doc_id", n = 3, minJaccard = 0.5)
+      val oldLabels = Dedup.connectedComponents(oldPairs, "id_a", "id_b")
+      // the batch's pair delta: everything that touches generation 2
+      // (pairwise jaccard is corpus-independent, so old-old pairs are
+      // untouched by the batch and excluded — that is the saving)
+      val newPairs = Dedup.ngramJaccardPairs(Df.concat(Seq(base, g1, g2)),
+        "text", "doc_id", n = 3, minJaccard = 0.5)
+        .where(col("id_a") >= 20000 || col("id_b") >= 20000)
+      Dedup.incrementalComponents(oldLabels, newPairs)
+        .sortValues(Seq("id")).sdf
+    }),
+
     // ---- quality-ranked dedup representatives over the q107 cluster
     // corpus: score = token count, so the ' zzz yyy' variants outrank
     // their originals — each cluster's keeper is the argmax(score, id),
@@ -1384,6 +1410,9 @@ object ExtensionQueries {
     "q65_simhash" -> simhashSql,
     "q99_simhash_pairs" -> simhashPairsSql,
     "q107_dedup_components" -> componentsSql,
+    // the two-phase incremental run must equal the ONE-SHOT closure
+    // over the full edge set — same oracle as q107 by construction
+    "q263_incremental_cc" -> componentsSql,
     "q149_dedup_rep_by_quality" -> repByQualitySql,
     "q117_embedding_lsh_dedup" ->
       s"""WITH corpus0 AS (

@@ -1415,6 +1415,35 @@ class FuzzSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("incrementalComponents differential: two-phase label merge == one-shot CC (30 splits)") {
+    // the exactness claim behind batch dedup maintenance: CC over the
+    // old HALF, labels-as-star-edges + the new half, must equal CC over
+    // the full edge set — for any random graph and any split point
+    val cases: Gen[(List[(Long, Long)], List[(Long, Long)])] = for {
+      old <- Gen.listOf(Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)))
+      fresh <- Gen.listOf(Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)))
+    } yield (old, fresh)
+    val schema = StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType)))
+    def pairsDf(es: List[(Long, Long)]) =
+      Df.fromRows(spark, es.map { case (a, b) => Row(a, b) }, schema)
+    trials(cases, n = 30) { case (old0, fresh0) =>
+      val old = old0.filter { case (a, b) => a != b }
+      val fresh = fresh0.filter { case (a, b) => a != b }
+      if (old.nonEmpty && fresh.nonEmpty) {
+        val oldLabels = graft.operators.Dedup.connectedComponents(
+          pairsDf(old), "id_a", "id_b")
+        val got = graft.operators.Dedup.incrementalComponents(
+          oldLabels, pairsDf(fresh))
+          .sdf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = graft.operators.Dedup.connectedComponents(
+          pairsDf(old ++ fresh), "id_a", "id_b")
+          .sdf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        Df.releaseRetained()
+        assert(got == want, s"\n got=$got\nwant=$want\nold=$old fresh=$fresh")
+      }
+    }
+  }
+
   test("pageRank differential: weighted power iteration vs a dense model (25 graphs)") {
     // r_{k+1}(v) = (1-d)/N + d * sum_{(s,v)} r_k(s) * w(s,v)/outW(s),
     // duplicate edges contributing multiplicity weight, dangling mass
