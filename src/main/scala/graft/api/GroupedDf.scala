@@ -23,6 +23,10 @@ final class GroupedDf private[api] (
     val slice: Seq[String] = Nil) {
 
   private def sdf: DataFrame = df.sdf
+  /** grouped results inherit the source frame's retained attachments —
+    * same contract as the Df combinators (precise release survives
+    * `op(...).groupby(...).agg(...)` chains) */
+  private def dfOut(s: DataFrame): Df = new Df(s).inheriting(df)
   private def valueCols: Seq[String] =
     (if (slice.nonEmpty) slice else df.columns.filterNot(keys.contains))
   private def numericValueCols: Seq[String] = {
@@ -41,7 +45,7 @@ final class GroupedDf private[api] (
 
   private def aggEach(fn: Column => Column, suffix: String = ""): Df = {
     val aggs = numericValueCols.map(c => fn(sdf(c)).as(c + suffix))
-    new Df(sdf.groupBy(keys.map(sdf(_)): _*).agg(aggs.head, aggs.tail: _*))
+    dfOut(sdf.groupBy(keys.map(sdf(_)): _*).agg(aggs.head, aggs.tail: _*))
   }
 
   // `SingleAggregation` subclasses (`_groupby.py:193-238`), each one
@@ -72,11 +76,11 @@ final class GroupedDf private[api] (
   /** pandas `g.quantile(q)` — exact interpolated percentile per group */
   def quantile(q: Double): Df = {
     val aggs = numericValueCols.map(c => expr(s"percentile($c, $q)").as(c))
-    new Df(sdf.groupBy(keys.map(sdf(_)): _*).agg(aggs.head, aggs.tail: _*))
+    dfOut(sdf.groupBy(keys.map(sdf(_)): _*).agg(aggs.head, aggs.tail: _*))
   }
   /** `size` counts rows incl. nulls (vs `count` excl.) (`SURVEY.md §2.6`) */
   def size(): Df =
-    new Df(sdf.groupBy(keys.map(sdf(_)): _*)
+    dfOut(sdf.groupBy(keys.map(sdf(_)): _*)
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("size")))
   /** deterministic pandas-`first`: min_by on an explicit order column. */
   def first(orderCol: String): Df =
@@ -86,7 +90,7 @@ final class GroupedDf private[api] (
   /** per-group value_counts (`_groupby.py:224`) */
   def valueCounts(): Df = {
     val gcols = (keys ++ valueCols).map(sdf(_))
-    new Df(sdf.groupBy(gcols: _*)
+    dfOut(sdf.groupBy(gcols: _*)
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("count")))
   }
 
@@ -97,7 +101,7 @@ final class GroupedDf private[api] (
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(sdf(_)): _*)
       .orderBy(orderKeys.map(sdf(_).asc): _*)
-    new Df(sdf.withColumn(out, row_number().over(w) - 1))
+    dfOut(sdf.withColumn(out, row_number().over(w) - 1))
   }
 
   /** pandas `g.head(n)`: first n rows per group by an explicit order. */
@@ -105,7 +109,7 @@ final class GroupedDf private[api] (
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(sdf(_)): _*)
       .orderBy(orderKeys.map(sdf(_).asc): _*)
-    new Df(sdf.withColumn("__rn", row_number().over(w))
+    dfOut(sdf.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= n).drop("__rn"))
   }
 
@@ -119,7 +123,7 @@ final class GroupedDf private[api] (
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(sdf(_)): _*)
       .orderBy(rand(seed))
-    new Df(sdf.withColumn("__rn", row_number().over(w))
+    dfOut(sdf.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= n).drop("__rn"))
   }
 
@@ -130,7 +134,7 @@ final class GroupedDf private[api] (
     val w = W.partitionBy(keys.map(sdf(_)): _*)
       .orderBy(orderKeys.map(sdf(_).asc): _*)
       .rowsBetween(W.unboundedPreceding, W.currentRow)
-    new Df(sdf.withColumn(out, org.apache.spark.sql.functions.sum(sdf(valueCol)).over(w)))
+    dfOut(sdf.withColumn(out, org.apache.spark.sql.functions.sum(sdf(valueCol)).over(w)))
   }
 
   /** pandas `g.idxmax()` / `g.idxmin()`: the ID of each group's
@@ -169,11 +173,11 @@ final class GroupedDf private[api] (
     (largest, negId) match {
       case (true, Some(n)) =>
         val key = F.struct(sdf(valueCol).as("v"), n.as("negid"))
-        new Df(sdf.groupBy(keys.map(sdf(_)): _*)
+        dfOut(sdf.groupBy(keys.map(sdf(_)): _*)
           .agg(F.max_by(sdf(idCol), key).as(out)))
       case (false, _) =>
         val key = F.struct(sdf(valueCol).as("v"), sdf(idCol).as("id"))
-        new Df(sdf.groupBy(keys.map(sdf(_)): _*)
+        dfOut(sdf.groupBy(keys.map(sdf(_)): _*)
           .agg(F.min_by(sdf(idCol), key).as(out)))
       case (true, None) =>
         // non-numeric id: "largest value, smallest id" needs opposite
@@ -183,7 +187,7 @@ final class GroupedDf private[api] (
         val W = org.apache.spark.sql.expressions.Window
           .partitionBy(keys.map(sdf(_)): _*)
           .orderBy(sdf(valueCol).desc, sdf(idCol).asc)
-        new Df(sdf
+        dfOut(sdf
           .withColumn("__rn", F.row_number().over(W))
           .where(F.col("__rn") === 1)
           .select(keys.map(sdf(_)) :+ sdf(idCol).as(out): _*))
@@ -201,12 +205,12 @@ final class GroupedDf private[api] (
     * same one-window-pass shape as [[cumsum]]. */
   def cummax(valueCol: String, orderKeys: Seq[String],
              out: String = "cummax"): Df =
-    new Df(sdf.withColumn(out, org.apache.spark.sql.functions
+    dfOut(sdf.withColumn(out, org.apache.spark.sql.functions
       .max(sdf(valueCol)).over(expandingFrame(orderKeys))))
 
   def cummin(valueCol: String, orderKeys: Seq[String],
              out: String = "cummin"): Df =
-    new Df(sdf.withColumn(out, org.apache.spark.sql.functions
+    dfOut(sdf.withColumn(out, org.apache.spark.sql.functions
       .min(sdf(valueCol)).over(expandingFrame(orderKeys))))
 
   /** pandas `g.shift(periods)` by an explicit order (lead for negative
@@ -219,7 +223,7 @@ final class GroupedDf private[api] (
     val c = if (periods >= 0)
       org.apache.spark.sql.functions.lag(sdf(valueCol), periods).over(w)
     else org.apache.spark.sql.functions.lead(sdf(valueCol), -periods).over(w)
-    new Df(sdf.withColumn(out, c))
+    dfOut(sdf.withColumn(out, c))
   }
 
   /** pandas `g.rank(method=...)` over one column: "min" (default
@@ -245,7 +249,7 @@ final class GroupedDf private[api] (
       case other => throw new IllegalArgumentException(
         s"rank: method must be min|dense|first: $other")
     }
-    new Df(sdf.withColumn(out, r))
+    dfOut(sdf.withColumn(out, r))
   }
 
   /** `GroupbyAggregation` dict/list spec (`_groupby.py:136-190`):
@@ -269,9 +273,9 @@ final class GroupedDf private[api] (
         case other    => sys.error(s"agg: unsupported function $other")
       }).as(out)
     }
-    new Df(sdf.groupBy(keys.map(sdf(_)): _*).agg(aggs.head, aggs.tail: _*))
+    dfOut(sdf.groupBy(keys.map(sdf(_)): _*).agg(aggs.head, aggs.tail: _*))
   }
   /** custom aggregate expressions with explicit aliases */
   def agg(exprs: Column*): Df =
-    new Df(sdf.groupBy(keys.map(sdf(_)): _*).agg(exprs.head, exprs.tail: _*))
+    dfOut(sdf.groupBy(keys.map(sdf(_)): _*).agg(exprs.head, exprs.tail: _*))
 }
