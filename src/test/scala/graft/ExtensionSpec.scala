@@ -823,6 +823,20 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: pointer doubling converges a 64-node path in log rounds") {
+    // diameter 63: plain one-hop propagation needs 63 rounds; the
+    // label-of-label shortcut collapses chains geometrically, so
+    // maxIter = 10 (~log2(63) + slack) must suffice — this pins the
+    // logarithmic-convergence contract, not just correctness
+    val path = Df.fromRows(spark,
+      (1L to 64L).sliding(2).map(w => Row(w(0), w(1))).toSeq,
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    val cc = Dedup.connectedComponents(path, "id_a", "id_b", maxIter = 10)
+    val out = cc.sdf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cc.unpersistIntermediates()
+    assert(out.size == 64 && out.values.forall(_ == 1L), out.toString)
+  }
+
   test("connectedComponents fails loudly when maxIter < component diameter") {
     val path = Df.fromRows(spark,
       (1L to 6L).sliding(2).map(w => Row(w(0), w(1))).toSeq,
