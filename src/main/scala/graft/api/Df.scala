@@ -498,8 +498,9 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
       .getOrElse(10000000L)
     when(row_number().over(w) > cap, raise_error(lit(
       s"$verb: keyless window over more than $cap rows — a " +
-        "single-partition sort at scale. Pass partitionBy keys, or use " +
-        "a two-phase ordinal (withRowIndexScalable) for global order; " +
+        "single-partition sort at scale. Pass partitionBy keys, use " +
+        "the two-phase scan (groupby().ffillScalable/shiftScalable/" +
+        "cumsumScalable — GroupedScan) or ordinal (withRowIndexScalable); " +
         "raise graft.keylessWindowMaxRows to override (DIVERGENCES #10)")))
       .otherwise(value)
   }

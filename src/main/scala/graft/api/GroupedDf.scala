@@ -252,6 +252,62 @@ final class GroupedDf private[api] (
     dfOut(sdf.withColumn(out, r))
   }
 
+  /** The grouped transform verbs WITHOUT the key-cardinality ceiling —
+    * [[graft.operators.GroupedScan]]'s two-phase range-partitioned
+    * scan. The window verbs above parallelize by group count: three
+    * distinct keys ⟹ three tasks, whatever the data size. These
+    * variants parallelize by DATA size (range-partition on group ++
+    * order keys, O(numPartitions) driver carry — the
+    * [[Df.withRowIndexScalable]] pattern), at the cost of leaving
+    * whole-stage codegen for the scan itself. Rule of thumb: windows
+    * when groups ≫ cores, scans when groups ≲ cores or one group
+    * dominates (skew). All verbs in one call share a single sort. */
+  def scanScalable(orderKeys: Seq[String],
+                   verbs: Seq[graft.operators.GroupedScan.Verb],
+                   numPartitions: Int = 0): Df =
+    dfOut(graft.operators.GroupedScan.scan(
+      sdf, keys, orderKeys.map(_ -> true), verbs, numPartitions))
+
+  def cumsumScalable(valueCol: String, orderKeys: Seq[String],
+                     out: String = "cumsum"): Df =
+    scanScalable(orderKeys, Seq(graft.operators.GroupedScan.CumSum(valueCol, out)))
+
+  def cummaxScalable(valueCol: String, orderKeys: Seq[String],
+                     out: String = "cummax"): Df =
+    scanScalable(orderKeys, Seq(graft.operators.GroupedScan.CumMax(valueCol, out)))
+
+  def cumminScalable(valueCol: String, orderKeys: Seq[String],
+                     out: String = "cummin"): Df =
+    scanScalable(orderKeys, Seq(graft.operators.GroupedScan.CumMin(valueCol, out)))
+
+  def cumcountScalable(orderKeys: Seq[String],
+                       out: String = "cumcount"): Df =
+    scanScalable(orderKeys, Seq(graft.operators.GroupedScan.CumCount(out)))
+
+  def shiftScalable(valueCol: String, orderKeys: Seq[String],
+                    periods: Int = 1, out: String = "shifted"): Df =
+    scanScalable(orderKeys,
+      Seq(graft.operators.GroupedScan.Shift(valueCol, periods, out)))
+
+  def ffillScalable(valueCol: String, orderKeys: Seq[String],
+                    out: String): Df =
+    scanScalable(orderKeys, Seq(graft.operators.GroupedScan.Ffill(valueCol, out)))
+
+  /** rank(method=min|dense) by `valueCol` — ties share a rank, so no
+    * tiebreak keys are needed (method=first is
+    * `cumcountScalable(value +: tieBreaks) + 1`). */
+  def rankScalable(valueCol: String, out: String = "rank",
+                   method: String = "min", ascending: Boolean = true): Df = {
+    val verb = method match {
+      case "min"   => graft.operators.GroupedScan.RankMin(out)
+      case "dense" => graft.operators.GroupedScan.RankDense(out)
+      case other => throw new IllegalArgumentException(
+        s"rankScalable: method must be min|dense: $other")
+    }
+    dfOut(graft.operators.GroupedScan.scan(
+      sdf, keys, Seq(valueCol -> ascending), Seq(verb)))
+  }
+
   /** `GroupbyAggregation` dict/list spec (`_groupby.py:136-190`):
     * {"x": ["sum","mean"], "y": "count"} → flattened `x_sum` names
     * (SURVEY.md §7.4.6: MultiIndex columns flatten). */

@@ -1,0 +1,434 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Two-phase grouped prefix scans — the 100 TB path for the grouped
+  * transform verbs (`cumsum`/`cummax`/`shift`/`rank`/`ffill`/…).
+  *
+  * The window formulation ([[graft.api.GroupedDf.cumsum]] et al.,
+  * re-expressing the reference's `_groupby.py` transform surface)
+  * partitions by the group keys, so its parallelism equals the KEY
+  * CARDINALITY: `groupby("l_returnflag").cummax(...)` over 100 TB runs
+  * THREE tasks, each sorting a third of the table — the same hazard
+  * class as the keyless window (DIVERGENCES #10), just one notch up.
+  * This engine removes the cardinality ceiling the same way
+  * [[graft.api.Df.withRowIndexScalable]] de-serializes the global
+  * ordinal:
+  *
+  *  1. range-partition by (groupKeys ++ orderKeys) and sort within
+  *     partitions — each group's rows are globally ordered across
+  *     partition boundaries, and a group spans a CONTIGUOUS run of
+  *     partitions;
+  *  2. one parallel pass computes, per partition, each verb's state
+  *     for the partition's LAST group (the only group that can
+  *     continue into the next partition — groups are contiguous under
+  *     the sort, so every other group is fully local);
+  *  3. the driver folds those O(numPartitions) summaries into a
+  *     carry-in per partition (an `Array` of one small state per
+  *     partition — never data) and broadcasts it;
+  *  4. a second parallel pass over the SAME shuffled RDD (the exchange
+  *     is reused across the two jobs, like `RDD.zipWithIndex`) replays
+  *     the verbs sequentially within each partition, seeding the first
+  *     group from its carry-in.
+  *
+  * Every verb's state is a monoid the driver can fold: running sum /
+  * max / count, the last-k ring buffer (shift), the last non-null
+  * (ffill), and the (#rows, last-order-key, rank-of-last) triple that
+  * makes rank/dense_rank mergeable under a sort by (group, value).
+  *
+  * Exactness vs the window path: integral/decimal/string/temporal
+  * verbs are bit-identical (spec-pinned differentially). Float/double
+  * `cumsum` can differ from the window's strictly-sequential adds in
+  * final ulps (the carry fold re-associates the addition — same class
+  * of divergence as any partial aggregate). Rows tied on the FULL
+  * (group ++ order) key have no defined order in either engine (SQL
+  * `lag` over ties is equally nondeterministic) — pass total-order
+  * keys, as pandas' positional semantics already require.
+  *
+  * Like `zipWithIndex`, the two jobs assume the input lineage is
+  * deterministic (range-bound sampling is seeded): cache upstream
+  * nondeterminism first.
+  */
+object GroupedScan {
+
+  /** A scan verb: what to compute per row, in (groupKeys, orderKeys)
+    * order. `out` is the appended column name. */
+  sealed trait Verb { def out: String }
+  /** running sum (SQL window-sum semantics: nulls skipped, null until
+    * the first non-null; int→long, float→double, decimal p→p+10) */
+  final case class CumSum(valueCol: String, out: String) extends Verb
+  final case class CumMax(valueCol: String, out: String) extends Verb
+  final case class CumMin(valueCol: String, out: String) extends Verb
+  /** 0-based ordinal within the group (pandas `cumcount`) */
+  final case class CumCount(out: String) extends Verb
+  /** `lag(periods)` within the group (periods ≥ 0; 0 = identity) */
+  final case class Shift(valueCol: String, periods: Int, out: String) extends Verb
+  /** last non-null value at-or-before this row (pandas `ffill`) */
+  final case class Ffill(valueCol: String, out: String) extends Verb
+  /** SQL `rank()` over the orderKeys (ties share the min rank) */
+  final case class RankMin(out: String) extends Verb
+  /** SQL `dense_rank()` over the orderKeys */
+  final case class RankDense(out: String) extends Verb
+
+  /** Run `verbs` over `df` grouped by `groupKeys` (empty = one global
+    * group — the scalable KEYLESS path DIVERGENCES #10 points at),
+    * ordered by `orderKeys` (name → ascending?). Appends one column per
+    * verb; row order of the result is the scan order. */
+  def scan(df: DataFrame, groupKeys: Seq[String],
+           orderKeys: Seq[(String, Boolean)], verbs: Seq[Verb],
+           numPartitions: Int = 0): DataFrame = {
+    require(orderKeys.nonEmpty, "scan: orderKeys required")
+    require(verbs.nonEmpty, "scan: at least one verb")
+    val in = df.schema
+    verbs.foreach(v => require(!in.fieldNames.contains(v.out),
+      s"scan: output column '${v.out}' already exists"))
+
+    val sortCols = groupKeys.map(df(_).asc) ++
+      orderKeys.map { case (c, asc) => if (asc) df(c).asc else df(c).desc }
+    val ranged0 = if (numPartitions > 0)
+      df.repartitionByRange(numPartitions, sortCols: _*)
+    else df.repartitionByRange(sortCols: _*)
+    val ranged = ranged0.sortWithinPartitions(sortCols: _*)
+
+    val gIdx = groupKeys.map(in.fieldIndex).toArray
+    val oIdx = orderKeys.map { case (c, _) => in.fieldIndex(c) }.toArray
+    val kernels: Array[Kernel] = verbs.map(kernelFor(_, in, oIdx)).toArray
+    val outSchema = StructType(in.fields ++ verbs.zip(kernels).map {
+      case (v, k) => k.field(v.out)
+    })
+
+    // ONE RDD for both jobs: the range exchange is computed once and
+    // reused (job 2's shuffle dependency is satisfied from job 1's
+    // shuffle files — only the post-shuffle sort re-executes).
+    val rdd = ranged.rdd
+    val nKernels = kernels.length
+
+    // ---- pass 1: per-partition state of the LAST group ----
+    val summaries: Array[PartSummary] = rdd.mapPartitionsWithIndex {
+      (pid, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          var firstGroup: Array[Any] = null
+          var curGroup: Array[Any] = null
+          var states = new Array[AnyRef](nKernels)
+          while (it.hasNext) {
+            val r = it.next()
+            val g = keyOf(r, gIdx)
+            if (curGroup == null) { firstGroup = g; curGroup = g }
+            else if (!keysEq(curGroup, g)) {
+              curGroup = g; states = new Array[AnyRef](nKernels)
+            }
+            var i = 0
+            while (i < nKernels) {
+              states(i) = kernels(i).step(states(i), r)._1; i += 1
+            }
+          }
+          Iterator.single(PartSummary(pid, firstGroup, curGroup, states))
+        }
+    }.collect()
+
+    // ---- driver fold: carry-in per partition, O(numPartitions) ----
+    val nParts = rdd.getNumPartitions
+    val carries = new Array[(Array[Any], Array[AnyRef])](nParts)
+    var carry: (Array[Any], Array[AnyRef]) = null
+    val byPid = summaries.map(s => s.pid -> s).toMap
+    var p = 0
+    while (p < nParts) {
+      carries(p) = carry
+      byPid.get(p) match {
+        case None => // empty partition: carry passes through
+        case Some(s) =>
+          // the carry merges into s's last group only if that group
+          // spans the whole partition AND continues the carried group
+          carry =
+            if (carry != null && keysEq(carry._1, s.lastGroup) &&
+                keysEq(s.firstGroup, s.lastGroup)) {
+              val merged = new Array[AnyRef](nKernels)
+              var i = 0
+              while (i < nKernels) {
+                merged(i) = mergeNullable(kernels(i), carry._2(i), s.states(i))
+                i += 1
+              }
+              (s.lastGroup, merged)
+            } else (s.lastGroup, s.states)
+      }
+      p += 1
+    }
+    val bc = df.sparkSession.sparkContext.broadcast(carries)
+
+    // ---- pass 2: emit, seeding each partition's first group ----
+    val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val carryIn = bc.value(pid)
+      var curGroup: Array[Any] = null
+      var states: Array[AnyRef] = null
+      it.map { r =>
+        val g = keyOf(r, gIdx)
+        if (curGroup == null || !keysEq(curGroup, g)) {
+          curGroup = g
+          states =
+            if (carryIn != null && keysEq(carryIn._1, g))
+              carryIn._2.clone() // only reachable for the first group
+            else new Array[AnyRef](nKernels)
+        }
+        val outs = new Array[Any](nKernels)
+        var i = 0
+        while (i < nKernels) {
+          val (ns, o) = kernels(i).step(states(i), r)
+          states(i) = ns; outs(i) = o; i += 1
+        }
+        Row.fromSeq(r.toSeq ++ outs)
+      }
+    }
+    df.sparkSession.createDataFrame(outRdd, outSchema)
+  }
+
+  // ------------------------------------------------------------------
+  // internals
+  // ------------------------------------------------------------------
+
+  private final case class PartSummary(pid: Int, firstGroup: Array[Any],
+                                       lastGroup: Array[Any],
+                                       states: Array[AnyRef])
+
+  /** group/order key canonicalization: SQL grouping and ordering treat
+    * -0.0 as 0.0 (Spark normalizes before compare) — mirror it */
+  private def canon(v: Any): Any = v match {
+    case d: java.lang.Double if d.doubleValue() == 0.0d => ZeroD
+    case f: java.lang.Float if f.floatValue() == 0.0f => ZeroF
+    case x => x
+  }
+  private val ZeroD = java.lang.Double.valueOf(0.0d)
+  private val ZeroF = java.lang.Float.valueOf(0.0f)
+
+  private def keyOf(r: Row, idx: Array[Int]): Array[Any] = {
+    val a = new Array[Any](idx.length)
+    var i = 0
+    while (i < idx.length) { a(i) = canon(r.get(idx(i))); i += 1 }
+    a
+  }
+  /** null-safe elementwise equality (null keys form one group, NaN ==
+    * NaN — both per SQL grouping; Double.equals delivers the latter) */
+  private def keysEq(a: Array[Any], b: Array[Any]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      if (!java.util.Objects.equals(a(i), b(i))) return false
+      i += 1
+    }
+    true
+  }
+  private def mergeNullable(k: Kernel, carry: AnyRef, local: AnyRef): AnyRef =
+    if (carry == null) local else if (local == null) carry
+    else k.merge(carry, local)
+
+  /** per-verb sequential state machine. `st == null` is the fresh
+    * state; `step` returns (state AFTER the row, value emitted FOR the
+    * row); `merge` folds a carried state into a locally-built one
+    * (both describe disjoint, ordered runs of the SAME group). */
+  private sealed trait Kernel extends Serializable {
+    def field(name: String): StructField
+    def step(st: AnyRef, row: Row): (AnyRef, Any)
+    def merge(carry: AnyRef, local: AnyRef): AnyRef
+  }
+
+  /** SQL ordering for max/min state: NaN greatest, binary UTF8 strings,
+    * temporals via Comparable (covers both java.sql and java.time) */
+  private def cmpFor(dt: DataType): (Any, Any) => Int = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      (a, b) => java.lang.Long.compare(a.asInstanceOf[Number].longValue(),
+        b.asInstanceOf[Number].longValue())
+    case FloatType | DoubleType =>
+      (a, b) => java.lang.Double.compare(a.asInstanceOf[Number].doubleValue(),
+        b.asInstanceOf[Number].doubleValue())
+    case _: DecimalType =>
+      (a, b) => a.asInstanceOf[java.math.BigDecimal]
+        .compareTo(b.asInstanceOf[java.math.BigDecimal])
+    case StringType =>
+      (a, b) => org.apache.spark.unsafe.types.UTF8String
+        .fromString(a.asInstanceOf[String])
+        .compareTo(org.apache.spark.unsafe.types.UTF8String
+          .fromString(b.asInstanceOf[String]))
+    case BooleanType =>
+      (a, b) => java.lang.Boolean.compare(a.asInstanceOf[Boolean],
+        b.asInstanceOf[Boolean])
+    case DateType | TimestampType | TimestampNTZType =>
+      (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    case other => throw new IllegalArgumentException(
+      s"GroupedScan: no ordering for ${other.simpleString}")
+  }
+
+  private def kernelFor(v: Verb, in: StructType, oIdx: Array[Int]): Kernel =
+    v match {
+      case CumSum(c, _) =>
+        val i = in.fieldIndex(c)
+        in(i).dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            new LongSumKernel(i)
+          case FloatType | DoubleType => new DoubleSumKernel(i)
+          case d: DecimalType =>
+            new DecimalSumKernel(i,
+              DecimalType(math.min(38, d.precision + 10), d.scale))
+          case other => throw new IllegalArgumentException(
+            s"cumsum over non-numeric ${other.simpleString}")
+        }
+      case CumMax(c, _) =>
+        val i = in.fieldIndex(c)
+        new ExtremeKernel(i, in(i).dataType, cmpFor(in(i).dataType), 1)
+      case CumMin(c, _) =>
+        val i = in.fieldIndex(c)
+        new ExtremeKernel(i, in(i).dataType, cmpFor(in(i).dataType), -1)
+      case CumCount(_) => new CountKernel
+      case Shift(c, k, _) =>
+        require(k >= 0, "Shift: periods must be >= 0 (sort desc for lead)")
+        new ShiftKernel(in.fieldIndex(c), in(in.fieldIndex(c)).dataType, k)
+      case Ffill(c, _) =>
+        new FfillKernel(in.fieldIndex(c), in(in.fieldIndex(c)).dataType)
+      case RankMin(_) => new RankKernel(oIdx, dense = false)
+      case RankDense(_) => new RankKernel(oIdx, dense = true)
+    }
+
+  /** int/long running sum → LongType (overflow errors like ANSI sum) */
+  private final class LongSumKernel(idx: Int) extends Kernel {
+    def field(n: String) = StructField(n, LongType, nullable = true)
+    def step(st: AnyRef, row: Row): (AnyRef, Any) = {
+      val v = row.get(idx)
+      val ns = if (v == null) st
+      else {
+        val l = v.asInstanceOf[Number].longValue()
+        if (st == null) java.lang.Long.valueOf(l)
+        else java.lang.Long.valueOf(
+          Math.addExact(st.asInstanceOf[java.lang.Long].longValue(), l))
+      }
+      (ns, ns)
+    }
+    def merge(a: AnyRef, b: AnyRef): AnyRef = java.lang.Long.valueOf(
+      Math.addExact(a.asInstanceOf[java.lang.Long].longValue(),
+        b.asInstanceOf[java.lang.Long].longValue()))
+  }
+
+  private final class DoubleSumKernel(idx: Int) extends Kernel {
+    def field(n: String) = StructField(n, DoubleType, nullable = true)
+    def step(st: AnyRef, row: Row): (AnyRef, Any) = {
+      val v = row.get(idx)
+      val ns = if (v == null) st
+      else {
+        val d = v.asInstanceOf[Number].doubleValue()
+        if (st == null) java.lang.Double.valueOf(d)
+        else java.lang.Double.valueOf(
+          st.asInstanceOf[java.lang.Double].doubleValue() + d)
+      }
+      (ns, ns)
+    }
+    def merge(a: AnyRef, b: AnyRef): AnyRef = java.lang.Double.valueOf(
+      a.asInstanceOf[java.lang.Double].doubleValue() +
+        b.asInstanceOf[java.lang.Double].doubleValue())
+  }
+
+  private final class DecimalSumKernel(idx: Int, out: DecimalType)
+    extends Kernel {
+    def field(n: String) = StructField(n, out, nullable = true)
+    def step(st: AnyRef, row: Row): (AnyRef, Any) = {
+      val v = row.get(idx)
+      val ns = if (v == null) st
+      else {
+        val d = v.asInstanceOf[java.math.BigDecimal]
+        if (st == null) d else st.asInstanceOf[java.math.BigDecimal].add(d)
+      }
+      (ns, ns)
+    }
+    def merge(a: AnyRef, b: AnyRef): AnyRef =
+      a.asInstanceOf[java.math.BigDecimal]
+        .add(b.asInstanceOf[java.math.BigDecimal])
+  }
+
+  /** running max (dir=1) / min (dir=-1), SQL null-skipping */
+  private final class ExtremeKernel(idx: Int, dt: DataType,
+                                    cmp: (Any, Any) => Int, dir: Int)
+    extends Kernel {
+    def field(n: String) = StructField(n, dt, nullable = true)
+    def step(st: AnyRef, row: Row): (AnyRef, Any) = {
+      val v = row.get(idx)
+      val ns = if (v == null) st
+      else if (st == null || cmp(v, st) * dir > 0) v.asInstanceOf[AnyRef]
+      else st
+      (ns, ns)
+    }
+    def merge(a: AnyRef, b: AnyRef): AnyRef =
+      if (cmp(b, a) * dir > 0) b else a
+  }
+
+  /** 0-based per-group ordinal; state = boxed count AFTER this row */
+  private final class CountKernel extends Kernel {
+    def field(n: String) = StructField(n, IntegerType, nullable = false)
+    def step(st: AnyRef, row: Row): (AnyRef, Any) = {
+      val n = if (st == null) 1L else st.asInstanceOf[java.lang.Long] + 1L
+      (java.lang.Long.valueOf(n), (n - 1).toInt)
+    }
+    def merge(a: AnyRef, b: AnyRef): AnyRef = java.lang.Long.valueOf(
+      a.asInstanceOf[java.lang.Long] + b.asInstanceOf[java.lang.Long])
+  }
+
+  /** lag(k): state = last ≤k raw values (nulls carried like SQL lag) */
+  private final class ShiftKernel(idx: Int, dt: DataType, k: Int)
+    extends Kernel {
+    def field(n: String) = StructField(n, dt, nullable = true)
+    def step(st: AnyRef, row: Row): (AnyRef, Any) = {
+      val buf = if (st == null) Vector.empty[Any]
+      else st.asInstanceOf[Vector[Any]]
+      val v = row.get(idx)
+      if (k == 0) (st, v)
+      else {
+        val out = if (buf.length >= k) buf(buf.length - k) else null
+        ((buf :+ v).takeRight(k), out)
+      }
+    }
+    def merge(a: AnyRef, b: AnyRef): AnyRef = {
+      val bb = b.asInstanceOf[Vector[Any]]
+      if (bb.length >= k) bb
+      else (a.asInstanceOf[Vector[Any]] ++ bb).takeRight(k)
+    }
+  }
+
+  /** last non-null value; state null = none seen yet */
+  private final class FfillKernel(idx: Int, dt: DataType) extends Kernel {
+    def field(n: String) = StructField(n, dt, nullable = true)
+    def step(st: AnyRef, row: Row): (AnyRef, Any) = {
+      val v = row.get(idx)
+      val ns = if (v == null) st else v.asInstanceOf[AnyRef]
+      (ns, ns)
+    }
+    def merge(a: AnyRef, b: AnyRef): AnyRef = b // b is non-null ⟹ newer
+  }
+
+  /** rank()/dense_rank() over the scan's orderKeys. Sorted input means
+    * ties are consecutive, so only EQUALITY with the previous key is
+    * needed — no value ordering. State: (#rows, first key, last key,
+    * rank of last key | distinct count). */
+  private final class RankKernel(oIdx: Array[Int], dense: Boolean)
+    extends Kernel {
+    def field(n: String) = StructField(n, IntegerType, nullable = false)
+    def step(st: AnyRef, row: Row): (AnyRef, Any) = {
+      val k = keyOf(row, oIdx)
+      val s = st.asInstanceOf[RankState]
+      val ns = if (s == null) RankState(1L, k, k, 1L)
+      else if (keysEq(s.lastKey, k))
+        RankState(s.n + 1, s.firstKey, k, s.lastRank)
+      else RankState(s.n + 1, s.firstKey, k,
+        if (dense) s.lastRank + 1 else s.n + 1)
+      (ns, ns.lastRank.toInt)
+    }
+    def merge(a0: AnyRef, b0: AnyRef): AnyRef = {
+      val a = a0.asInstanceOf[RankState]; val b = b0.asInstanceOf[RankState]
+      // sorted: b's keys all ≥ a.lastKey, so b.lastKey == a.lastKey ⟺
+      // every row in b continues a's last tie run
+      val rank =
+        if (keysEq(b.lastKey, a.lastKey)) a.lastRank
+        else if (dense)
+          a.lastRank + b.lastRank - (if (keysEq(b.firstKey, a.lastKey)) 1 else 0)
+        else a.n + b.lastRank
+      RankState(a.n + b.n, a.firstKey, b.lastKey, rank)
+    }
+  }
+  private final case class RankState(n: Long, firstKey: Array[Any],
+                                     lastKey: Array[Any], lastRank: Long)
+}

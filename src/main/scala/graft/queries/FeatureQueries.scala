@@ -35,16 +35,24 @@ object FeatureQueries {
     }),
 
     // ---- grouped transform battery: cummax / shift / dense rank per
-    // return flag (one partition exchange, window passes stacked) ----
+    // return flag — via the TWO-PHASE SCALABLE SCAN
+    // (graft.operators.GroupedScan), not the window verbs: the key has
+    // THREE distinct values, so the window formulation caps at three
+    // tasks whatever the data size, while the scan range-partitions on
+    // (group ++ order) keys and parallelizes by data. cummax + shift
+    // share one scan sort; dense rank (a different order key) is a
+    // second. Outputs are bit-identical to the window path (ScanSpec
+    // pins it differentially) — same DuckDB oracle as before ----
     "q247_group_transforms" -> ((s, dir) => {
+      import graft.operators.GroupedScan
       val okeys = Seq("l_orderkey", "l_linenumber", "l_extendedprice")
       val li = T(s, dir, "lineitem")
       val d = li.groupby("l_returnflag")
-        .cummax("l_extendedprice", okeys, "cmax")
+        .scanScalable(okeys, Seq(
+          GroupedScan.CumMax("l_extendedprice", "cmax"),
+          GroupedScan.Shift("l_quantity", 1, "prev_qty")))
         .groupby("l_returnflag")
-        .shift("l_quantity", okeys, periods = 1, out = "prev_qty")
-        .groupby("l_returnflag")
-        .rank("l_discount", out = "rnk", method = "dense")
+        .rankScalable("l_discount", out = "rnk", method = "dense")
       d.where(col("l_orderkey") % 50 === 0)
         .select("l_returnflag", "l_orderkey", "l_linenumber",
           "l_extendedprice", "cmax", "prev_qty", "rnk")

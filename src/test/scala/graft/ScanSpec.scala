@@ -1,0 +1,183 @@
+package graft
+
+import graft.api.Df
+import graft.operators.GroupedScan
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential pinning for [[graft.operators.GroupedScan]] — the
+  * two-phase scalable scan vs the window verbs it replaces (which are
+  * themselves fuzz-pinned against a brute pandas model in
+  * GroupedFuzzSpec). Every trial forces MORE partitions than groups so
+  * groups genuinely span partition boundaries and the driver carry
+  * chain is exercised, not bypassed: 3 groups ride 7+ range partitions,
+  * and dedicated cases run ONE group across 16 partitions (the deepest
+  * carry). Nulls, decimals, strings, ties, empty frames, and the
+  * keyless path (groupby() with no keys — DIVERGENCES #10's scalable
+  * alternative) are all drawn. */
+class ScanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def trials[T](g: Gen[T], n: Int = 8)(body: T => Unit): Unit = {
+    var s = org.scalacheck.rng.Seed(421L)
+    (0 until n).foreach { _ =>
+      g.apply(org.scalacheck.Gen.Parameters.default, s).foreach(body)
+      s = s.next
+    }
+  }
+
+  // id = unique tiebreak; g = group (3 values); o = order key with
+  // collisions; v = double with nulls; d = decimal(9,2) with nulls;
+  // s = string with nulls
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("g", IntegerType, nullable = false),
+    StructField("o", IntegerType, nullable = false),
+    StructField("v", DoubleType, nullable = true),
+    StructField("d", DecimalType(9, 2), nullable = true),
+    StructField("s", StringType, nullable = true)))
+
+  private val rowsGen: Gen[List[Row]] =
+    Gen.choose(0, 60).flatMap { n =>
+      Gen.listOfN(n, for {
+        g <- Gen.choose(0, 2)
+        o <- Gen.choose(0, 4)
+        v <- Gen.option(Gen.choose(-6, 6).map(_ / 2.0))
+        d <- Gen.option(Gen.choose(-300, 300))
+        s <- Gen.option(Gen.oneOf("a", "b", "zz", "É", ""))
+      } yield (g, o, v, d, s))
+    }.map(_.zipWithIndex.map { case ((g, o, v, d, s), i) =>
+      Row(i.toLong, g, o, v.orNull,
+        d.map(c => new java.math.BigDecimal(c).movePointLeft(2)).orNull,
+        s.orNull)
+    })
+
+  private def mkDf(xs: List[Row]): Df = Df.fromRows(spark, xs, schema)
+
+  /** collect a named column keyed by id, as a map */
+  private def byId(d: Df, out: String): Map[Long, Any] =
+    d.sdf.select("id", out).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+
+  test("cumsum/cummax/cumcount/shift/ffill: scalable ≡ window, groups spanning 7 partitions") {
+    trials(rowsGen) { xs =>
+      val df = mkDf(xs)
+      val okeys = Seq("o", "id") // total order inside each group
+      val scan = df.groupby("g").scanScalable(okeys, Seq(
+        GroupedScan.CumSum("d", "cs"), GroupedScan.CumMax("v", "cx"),
+        GroupedScan.CumMin("s", "cn"), GroupedScan.CumCount("cc"),
+        GroupedScan.Shift("v", 2, "sh"), GroupedScan.Ffill("d", "ff")),
+        numPartitions = 7)
+      val win = df.groupby("g").cumsum("d", okeys, "cs")
+      val winx = df.groupby("g").cummax("v", okeys, "cx")
+      val winn = df.groupby("g").cummin("s", okeys, "cn")
+      val winc = df.groupby("g").cumcount(okeys, "cc")
+      val winh = df.groupby("g").shift("v", okeys, periods = 2, out = "sh")
+      val winf = df.ffill(Seq("d"), okeys, partitionBy = Seq("g"))
+      assert(byId(scan, "cs") == byId(win, "cs"))
+      assert(byId(scan, "cx") == byId(winx, "cx"))
+      assert(byId(scan, "cn") == byId(winn, "cn"))
+      assert(byId(scan, "cc") == byId(winc, "cc"))
+      assert(byId(scan, "sh") == byId(winh, "sh"))
+      assert(byId(scan, "ff") == byId(winf, "d"))
+    }
+  }
+
+  test("rank min + dense: scalable ≡ window under heavy ties") {
+    trials(rowsGen) { xs =>
+      val df = mkDf(xs)
+      val sc1 = df.groupby("g").rankScalable("o", "rk", method = "min")
+      val sc2 = df.groupby("g").rankScalable("o", "dr", method = "dense")
+      val sc3 = df.groupby("g").rankScalable("o", "rd", method = "min",
+        ascending = false)
+      val w1 = df.groupby("g").rank("o", "rk", method = "min")
+      val w2 = df.groupby("g").rank("o", "dr", method = "dense")
+      val w3 = df.groupby("g").rank("o", "rd", method = "min",
+        ascending = false)
+      assert(byId(sc1, "rk") == byId(w1, "rk"))
+      assert(byId(sc2, "dr") == byId(w2, "dr"))
+      assert(byId(sc3, "rd") == byId(w3, "rd"))
+    }
+  }
+
+  test("one group across 16 partitions: deepest carry chain, exact long cumsum") {
+    val n = 400
+    val rows = (0 until n).map { i =>
+      Row(i.toLong, 1, i % 7, if (i % 11 == 0) null else (i % 5).toDouble,
+        new java.math.BigDecimal(i).movePointLeft(2), s"s${i % 3}")
+    }.toList
+    val df = mkDf(rows)
+    val scan = df.groupby("g").scanScalable(Seq("id"), Seq(
+      GroupedScan.CumSum("d", "cs"), GroupedScan.CumCount("cc"),
+      GroupedScan.Shift("v", 1, "sh"), GroupedScan.RankMin("rk")),
+      numPartitions = 16)
+    // exact triangular-number decimal sum at every position
+    val got = scan.sdf.select("id", "cs", "cc", "sh", "rk").collect()
+      .map(r => (r.getLong(0), r.getDecimal(1), r.getInt(2), r.get(3),
+        r.getInt(4))).sortBy(_._1)
+    got.foreach { case (id, cs, cc, sh, rk) =>
+      val i = id.toInt
+      assert(cs == new java.math.BigDecimal(i.toLong * (i + 1) / 2)
+        .movePointLeft(2).setScale(2), s"cumsum at $id")
+      assert(cc == i)
+      assert(rk == i + 1) // order key is the unique id → all ranks distinct
+      val expSh = if (i == 0) null
+        else if ((i - 1) % 11 == 0) null else ((i - 1) % 5).toDouble
+      assert(sh == expSh, s"shift at $id")
+    }
+    // and the scan really did fan out: >1 task held rows of the group
+    assert(scan.sdf.rdd.getNumPartitions == 16)
+  }
+
+  test("keyless scan (groupby() with no keys) ≡ keyless window verbs") {
+    val rows = (0 until 50).map { i =>
+      Row(i.toLong, 0, i % 3, if (i % 4 == 0) null else i.toDouble,
+        null, null)
+    }.toList
+    val df = mkDf(rows)
+    val scan = df.groupby().scanScalable(Seq("id"), Seq(
+      GroupedScan.Ffill("v", "ff"), GroupedScan.CumSum("v", "cs")),
+      numPartitions = 5)
+    val winf = df.ffill(Seq("v"), Seq("id"))
+    assert(byId(scan, "ff") == byId(winf, "v"))
+    // keyless double cumsum: same values up to fp association; here the
+    // inputs are small integers, so even the doubles are exact
+    val winSum = df.sdf.withColumn("cs",
+      sum(col("v")).over(org.apache.spark.sql.expressions.Window
+        .orderBy("id").rowsBetween(Long.MinValue, 0)))
+    assert(byId(scan, "cs") ==
+      winSum.select("id", "cs").collect().map(r => r.getLong(0) -> r.get(1)).toMap)
+  }
+
+  test("empty frame, empty partitions, and a group smaller than shift k") {
+    val df = mkDf(Nil)
+    val out = df.groupby("g").cummaxScalable("v", Seq("id"), "cx")
+    assert(out.sdf.count() == 0 && out.columns.contains("cx"))
+
+    val tiny = mkDf(List(Row(0L, 1, 0, 2.0, null, null),
+      Row(1L, 2, 0, 3.0, null, null)))
+    val sh = tiny.groupby("g").shiftScalable("v", Seq("id"), periods = 5,
+      out = "sh")
+    assert(sh.sdf.select("sh").collect().forall(_.isNullAt(0)))
+  }
+
+  test("null group keys form one group; -0.0 and 0.0 order keys tie") {
+    val schema2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("gk", DoubleType, nullable = true),
+      StructField("ok", DoubleType, nullable = true),
+      StructField("v", DoubleType, nullable = true)))
+    val rows2 = List(
+      Row(0L, null, 1.0, 1.0), Row(1L, null, 2.0, 2.0),
+      Row(2L, null, 3.0, 3.0), // null keys: ONE group of 3
+      Row(3L, 5.0, -0.0, 4.0), Row(4L, 5.0, 0.0, 5.0)) // -0.0 ties 0.0
+    val df = Df.fromRows(spark, rows2, schema2)
+    val cc = df.groupby("gk").cumcountScalable(Seq("ok", "id"), "cc")
+    assert(byId(cc, "cc") == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 0, 4L -> 1))
+    val rk = df.groupby("gk").rankScalable("ok", "rk")
+    assert(byId(rk, "rk") == Map(0L -> 1, 1L -> 2, 2L -> 3, 3L -> 1, 4L -> 1))
+  }
+}
