@@ -252,6 +252,32 @@ final class GroupedDf private[api] (
     dfOut(sdf.withColumn(out, r))
   }
 
+  /** pandas `g.transform(agg)` — each group's aggregate value repeated
+    * onto every member row. NOT a whole-group window (`sum().over(
+    * partitionBy(keys))` caps parallelism at the key cardinality and
+    * materializes each group inside one task): re-expressed as the
+    * partial+final hash AGGREGATE joined back on the keys — null-safe,
+    * so null keys form a group exactly like the window's partitionBy.
+    * The agg side is one row per group; AQE turns the join into a
+    * broadcast at runtime exactly when the window formulation would
+    * have been most serialized (few groups). Empty keys = the global
+    * aggregate broadcast onto every row (scalable keyless transform). */
+  def transform(exprs: (String, Column)*): Df = {
+    require(exprs.nonEmpty, "transform: at least one (name, agg) pair")
+    val aggs = exprs.map { case (n, c) => c.as(n) }
+    if (keys.isEmpty) {
+      val g = sdf.agg(aggs.head, aggs.tail: _*)
+      return dfOut(sdf.crossJoin(broadcast(g)))
+    }
+    val agg0 = sdf.groupBy(keys.map(sdf(_)): _*).agg(aggs.head, aggs.tail: _*)
+    val renamed = keys.foldLeft(agg0)((d, k) =>
+      d.withColumnRenamed(k, s"__transform_$k"))
+    val cond = keys.map(k => sdf(k) <=> renamed(s"__transform_$k"))
+      .reduce(_ && _)
+    dfOut(sdf.join(renamed, cond, "left")
+      .drop(keys.map(k => s"__transform_$k"): _*))
+  }
+
   /** The grouped transform verbs WITHOUT the key-cardinality ceiling —
     * [[graft.operators.GroupedScan]]'s two-phase range-partitioned
     * scan. The window verbs above parallelize by group count: three

@@ -70,15 +70,17 @@ object CoverageQueries {
     }))
 
   val defs2: Map[String, Q] = Map(
-    // ---- pandas groupby.transform: group aggregate broadcast back to
-    // rows (whole-partition window, no join) ----
+    // ---- pandas groupby.transform: group aggregate repeated onto the
+    // rows — GroupedDf.transform (hash agg + AQE-broadcast join back),
+    // NOT a whole-partition window: the 3-value key would serialize a
+    // window into 3 tasks at any scale ----
     "q79_groupby_transform" -> ((s, dir) => {
-      val w = Window.partitionBy("l_returnflag")
       val li = T(s, dir, "lineitem")
       li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
-        .assign("group_mean",
-          sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double") /
-            count(col("l_quantity")).over(w))
+        .groupby("l_returnflag")
+        .transform("group_mean" ->
+          (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+            count(col("l_quantity"))))
         .assign("diff_from_mean", col("l_quantity") - col("group_mean"))
         .select("l_orderkey", "l_linenumber", "diff_from_mean")
         .sortValues(Seq("l_orderkey", "l_linenumber")).sdf

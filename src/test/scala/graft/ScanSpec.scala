@@ -180,4 +180,31 @@ class ScanSpec extends AnyFunSuite {
     val rk = df.groupby("gk").rankScalable("ok", "rk")
     assert(byId(rk, "rk") == Map(0L -> 1, 1L -> 2, 2L -> 3, 3L -> 1, 4L -> 1))
   }
+
+  test("transform (agg + join back) ≡ whole-group window, incl. null keys and keyless") {
+    import org.apache.spark.sql.expressions.Window
+    val schema2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("gk", StringType, nullable = true),
+      StructField("v", DoubleType, nullable = true)))
+    val rows = List(
+      Row(0L, "a", 1.0), Row(1L, "a", 3.0), Row(2L, "b", 10.0),
+      Row(3L, null, 7.0), Row(4L, null, null), Row(5L, "b", null))
+    val df = Df.fromRows(spark, rows, schema2)
+    val got = df.groupby("gk")
+      .transform("m" -> avg(col("v")), "n" -> count(col("v")))
+    val w = Window.partitionBy("gk")
+    val want = df.sdf
+      .withColumn("m", avg(col("v")).over(w))
+      .withColumn("n", count(col("v")).over(w))
+    assert(got.columns.sorted.toSeq ==
+      Seq("gk", "id", "m", "n", "v")) // all original cols survive
+    assert(byId(got, "m") ==
+      want.select("id", "m").collect().map(r => r.getLong(0) -> r.get(1)).toMap)
+    assert(byId(got, "n") ==
+      want.select("id", "n").collect().map(r => r.getLong(0) -> r.get(1)).toMap)
+    // keyless: the global aggregate onto every row
+    val g = df.groupby().transform("gm" -> max(col("v")))
+    assert(byId(g, "gm").values.toSet == Set(10.0))
+  }
 }
