@@ -319,6 +319,14 @@ final class GroupedDf private[api] (
                     out: String): Df =
     scanScalable(orderKeys, Seq(graft.operators.GroupedScan.Ffill(valueCol, out)))
 
+  /** rolling(k) sum|mean|min|max|count over the trailing k rows — the
+    * `rowsBetween(-(k-1), 0)` frame without the key-cardinality
+    * ceiling (SQL skip-null semantics; pandas `min_periods=1`). */
+  def rollingScalable(valueCol: String, orderKeys: Seq[String], k: Int,
+                      agg: String = "mean", out: String = "rolling"): Df =
+    scanScalable(orderKeys,
+      Seq(graft.operators.GroupedScan.Rolling(valueCol, k, agg, out)))
+
   /** rank(method=min|dense) by `valueCol` — ties share a rank, so no
     * tiebreak keys are needed (method=first is
     * `cumcountScalable(value +: tieBreaks) + 1`). */

@@ -70,6 +70,13 @@ object GroupedScan {
   final case class RankMin(out: String) extends Verb
   /** SQL `dense_rank()` over the orderKeys */
   final case class RankDense(out: String) extends Verb
+  /** rolling window over the last `k` rows INCLUDING the current one —
+    * the `rowsBetween(-(k-1), 0)` frame. `agg` ∈ sum|mean|min|max|count
+    * (count counts non-nulls; all skip nulls like their SQL window
+    * forms, and emit over however many rows are available — pandas
+    * `rolling(k, min_periods=1)`). */
+  final case class Rolling(valueCol: String, k: Int, agg: String,
+                           out: String) extends Verb
 
   /** Run `verbs` over `df` grouped by `groupKeys` (empty = one global
     * group — the scalable KEYLESS path DIVERGENCES #10 points at),
@@ -285,6 +292,16 @@ object GroupedScan {
         new FfillKernel(in.fieldIndex(c), in(in.fieldIndex(c)).dataType)
       case RankMin(_) => new RankKernel(oIdx, dense = false)
       case RankDense(_) => new RankKernel(oIdx, dense = true)
+      case Rolling(c, k, agg, _) =>
+        require(k >= 1, "Rolling: k must be >= 1")
+        val i = in.fieldIndex(c)
+        val dt = in(i).dataType
+        require(Set("sum", "mean", "min", "max", "count")(agg),
+          s"Rolling: agg must be sum|mean|min|max|count: $agg")
+        if (agg == "sum" || agg == "mean")
+          require(dt.isInstanceOf[NumericType],
+            s"Rolling $agg over non-numeric ${dt.simpleString}")
+        new RollingKernel(i, dt, k, agg)
     }
 
   /** int/long running sum → LongType (overflow errors like ANSI sum) */
@@ -398,6 +415,78 @@ object GroupedScan {
       (ns, ns)
     }
     def merge(a: AnyRef, b: AnyRef): AnyRef = b // b is non-null ⟹ newer
+  }
+
+  /** rolling agg over the last ≤k raw values (nulls kept in the buffer
+    * for position, skipped by the agg — the SQL `f(x) OVER (ROWS
+    * BETWEEN k-1 PRECEDING AND CURRENT ROW)` semantics). State = the
+    * same last-k ring as Shift, so the carry merge is identical; the
+    * agg recomputes over the ≤k buffer per row (k is a small window
+    * constant, not data). sum widens like CumSum (int→long,
+    * float→double, decimal p→p+10); mean always emits DOUBLE (exact
+    * decimal sums divide at the end — NOTE: the window `avg(decimal)`
+    * instead emits decimal(p+4,s+4), the one intentional dtype
+    * difference); count counts non-nulls as LONG. */
+  private final class RollingKernel(idx: Int, dt: DataType, k: Int,
+                                    agg: String) extends Kernel {
+    private val cmp: (Any, Any) => Int =
+      if (agg == "min" || agg == "max") cmpFor(dt) else null
+    private val isDecimal = dt.isInstanceOf[DecimalType]
+    private val isFloating = dt == FloatType || dt == DoubleType
+
+    def field(n: String) = agg match {
+      case "sum" => dt match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          StructField(n, LongType, nullable = true)
+        case FloatType | DoubleType => StructField(n, DoubleType, nullable = true)
+        case d: DecimalType => StructField(n,
+          DecimalType(math.min(38, d.precision + 10), d.scale), nullable = true)
+        case other => throw new IllegalArgumentException(
+          s"rolling sum over ${other.simpleString}")
+      }
+      case "mean"  => StructField(n, DoubleType, nullable = true)
+      case "count" => StructField(n, LongType, nullable = false)
+      case _       => StructField(n, dt, nullable = true)
+    }
+
+    def step(st: AnyRef, row: Row): (AnyRef, Any) = {
+      val buf = if (st == null) Vector.empty[Any]
+      else st.asInstanceOf[Vector[Any]]
+      val nb = (buf :+ row.get(idx)).takeRight(k)
+      (nb, eval(nb))
+    }
+    def merge(a: AnyRef, b: AnyRef): AnyRef = {
+      val bb = b.asInstanceOf[Vector[Any]]
+      if (bb.length >= k) bb
+      else (a.asInstanceOf[Vector[Any]] ++ bb).takeRight(k)
+    }
+
+    private def eval(buf: Vector[Any]): Any = {
+      val vs = buf.filter(_ != null)
+      agg match {
+        case "count" => vs.length.toLong
+        case "min" | "max" =>
+          if (vs.isEmpty) null
+          else {
+            val dir = if (agg == "max") 1 else -1
+            vs.reduce((x, y) => if (cmp(y, x) * dir > 0) y else x)
+          }
+        case "sum" | "mean" =>
+          if (vs.isEmpty) null
+          else if (isDecimal) {
+            val s = vs.map(_.asInstanceOf[java.math.BigDecimal])
+              .reduce(_.add(_))
+            if (agg == "sum") s else s.doubleValue() / vs.length
+          } else if (isFloating) {
+            val s = vs.map(_.asInstanceOf[Number].doubleValue()).sum
+            if (agg == "sum") s else s / vs.length
+          } else { // integral: exact long sum (window avg(int) divides it)
+            var s = 0L
+            vs.foreach(v => s = Math.addExact(s, v.asInstanceOf[Number].longValue()))
+            if (agg == "sum") s else s.toDouble / vs.length
+          }
+      }
+    }
   }
 
   /** rank()/dense_rank() over the scan's orderKeys. Sorted input means

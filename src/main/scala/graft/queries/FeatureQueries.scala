@@ -112,9 +112,50 @@ object FeatureQueries {
         .idxmin("o_totalprice", "o_orderkey", "idxmin")
       mx.merge(mn, on = Seq("o_orderpriority"))
         .sortValues(Seq("o_orderpriority")).sdf
+    }),
+
+    // ---- scalable rolling + cumulative scan (GroupedScan.Rolling /
+    // CumSum sharing ONE range sort): trailing-5 mean and running sum
+    // per return flag. The decimal cast keeps both engines' sums exact
+    // (QueryUtil conventions); cum_qty is decimal(28,2) internally so
+    // it emits as DOUBLE for the gate ----
+    "q264_scan_rolling" -> ((s, dir) => {
+      import graft.operators.GroupedScan
+      // l_extendedprice completes the total order: (okey, linenumber)
+      // alone repeats on the PLANTED duplicate rows (the q250 family),
+      // and a cumulative scan needs value-deterministic tie order
+      val okeys = Seq("l_orderkey", "l_linenumber", "l_extendedprice")
+      T(s, dir, "lineitem")
+        .assign("qd", col("l_quantity").cast("decimal(18,2)"))
+        .groupby("l_returnflag")
+        .scanScalable(okeys, Seq(
+          GroupedScan.Rolling("qd", 5, "mean", "roll_mean"),
+          GroupedScan.CumSum("qd", "cum_qty")))
+        .where(col("l_orderkey") % 50 === 0)
+        .assign("cum_qty_d", col("cum_qty").cast("double"))
+        .select("l_returnflag", "l_orderkey", "l_linenumber",
+          "roll_mean", "cum_qty_d")
+        .sortValues(Seq("l_returnflag", "l_orderkey", "l_linenumber")).sdf
     }))
 
   val oracles: Map[String, String] = Map(
+    "q264_scan_rolling" ->
+      """WITH w AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER win5 AS DOUBLE)
+        |      / COUNT(l_quantity) OVER win5 AS roll_mean,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER cum AS DOUBLE)
+        |      AS cum_qty_d
+        |  FROM lineitem
+        |  WINDOW win5 AS (PARTITION BY l_returnflag
+        |      ORDER BY l_orderkey, l_linenumber, l_extendedprice
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        |    cum AS (PARTITION BY l_returnflag
+        |      ORDER BY l_orderkey, l_linenumber, l_extendedprice
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT l_returnflag, l_orderkey, l_linenumber, roll_mean, cum_qty_d
+        |FROM w WHERE l_orderkey % 50 = 0
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
     "q238_target_encode" ->
       """WITH g AS (
         |  SELECT l_returnflag,

@@ -181,6 +181,36 @@ class ScanSpec extends AnyFunSuite {
     assert(byId(rk, "rk") == Map(0L -> 1, 1L -> 2, 2L -> 3, 3L -> 1, 4L -> 1))
   }
 
+  test("rolling sum/mean/min/max/count: scalable ≡ rowsBetween window across partitions") {
+    import org.apache.spark.sql.expressions.Window
+    trials(rowsGen, n = 6) { xs =>
+      val df = mkDf(xs)
+      val okeys = Seq("o", "id")
+      val k = 3
+      val scan = df.groupby("g").scanScalable(okeys, Seq(
+        GroupedScan.Rolling("v", k, "sum", "rs"),
+        GroupedScan.Rolling("v", k, "mean", "rm"),
+        GroupedScan.Rolling("d", k, "sum", "rd"),
+        GroupedScan.Rolling("s", k, "max", "rx"),
+        GroupedScan.Rolling("v", k, "count", "rc")), numPartitions = 7)
+      val w = Window.partitionBy("g").orderBy(col("o").asc, col("id").asc)
+        .rowsBetween(-(k - 1), 0)
+      val win = df.sdf
+        .withColumn("rs", sum(col("v")).over(w))
+        .withColumn("rm", avg(col("v")).over(w))
+        .withColumn("rd", sum(col("d")).over(w))
+        .withColumn("rx", max(col("s")).over(w))
+        .withColumn("rc", count(col("v")).over(w))
+      def wm(c: String): Map[Long, Any] = win.select("id", c).collect()
+        .map(r => r.getLong(0) -> r.get(1)).toMap
+      assert(byId(scan, "rs") == wm("rs"))
+      assert(byId(scan, "rm") == wm("rm"))
+      assert(byId(scan, "rd") == wm("rd"))
+      assert(byId(scan, "rx") == wm("rx"))
+      assert(byId(scan, "rc") == wm("rc"))
+    }
+  }
+
   test("transform (agg + join back) ≡ whole-group window, incl. null keys and keyless") {
     import org.apache.spark.sql.expressions.Window
     val schema2 = StructType(Seq(
