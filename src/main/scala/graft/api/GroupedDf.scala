@@ -327,6 +327,14 @@ final class GroupedDf private[api] (
     scanScalable(orderKeys,
       Seq(graft.operators.GroupedScan.Rolling(valueCol, k, agg, out)))
 
+  /** pandas `ewm(alpha, adjust=True).mean()` by an explicit order —
+    * EXACT (no eps-truncated tail) and cardinality-ceiling-free: the
+    * affine recurrence composes across partitions in O(1). */
+  def ewmScalable(valueCol: String, orderKeys: Seq[String], alpha: Double,
+                  out: String = "ewma"): Df =
+    scanScalable(orderKeys,
+      Seq(graft.operators.GroupedScan.Ewm(valueCol, alpha, out)))
+
   /** rank(method=min|dense) by `valueCol` — ties share a rank, so no
     * tiebreak keys are needed (method=first is
     * `cumcountScalable(value +: tieBreaks) + 1`). */

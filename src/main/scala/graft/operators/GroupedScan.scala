@@ -78,6 +78,16 @@ object GroupedScan {
   final case class Rolling(valueCol: String, k: Int, agg: String,
                            out: String) extends Verb
 
+  /** exponentially weighted mean, pandas `ewm(alpha, adjust=True)`
+    * semantics (and `ignore_na=True`: nulls don't decay the weights) —
+    * EXACT, unlike the windowed form's eps-truncated tail
+    * ([[graft.operators.TimeSeries.ewmaMean]]): the recurrence
+    * num_i = (1-α)·num_{i-1} + x_i (den likewise) is affine, so a
+    * partition's whole run composes into one (decay^m, localSum) pair
+    * and the carry folds in O(1). Emits DOUBLE. */
+  final case class Ewm(valueCol: String, alpha: Double, out: String)
+    extends Verb
+
   /** Run `verbs` over `df` grouped by `groupKeys` (empty = one global
     * group — the scalable KEYLESS path DIVERGENCES #10 points at),
     * ordered by `orderKeys` (name → ascending?). Appends one column per
@@ -292,6 +302,12 @@ object GroupedScan {
         new FfillKernel(in.fieldIndex(c), in(in.fieldIndex(c)).dataType)
       case RankMin(_) => new RankKernel(oIdx, dense = false)
       case RankDense(_) => new RankKernel(oIdx, dense = true)
+      case Ewm(c, alpha, _) =>
+        require(alpha > 0 && alpha < 1, s"Ewm: alpha in (0,1): $alpha")
+        val i = in.fieldIndex(c)
+        require(in(i).dataType.isInstanceOf[NumericType],
+          s"ewm over non-numeric ${in(i).dataType.simpleString}")
+        new EwmKernel(i, alpha)
       case Rolling(c, k, agg, _) =>
         require(k >= 1, "Rolling: k must be >= 1")
         val i = in.fieldIndex(c)
@@ -488,6 +504,34 @@ object GroupedScan {
       }
     }
   }
+
+  /** adjusted EWM: ewma_i = num_i/den_i with num_i = Σ decay^(i−j)·x_j,
+    * den_i = Σ decay^(i−j) over the non-null prefix. State
+    * (m, num, den): a run of m non-null values scales any carried
+    * prefix by decay^m and adds its own sums — the affine composition
+    * that makes the recurrence mergeable. Nulls emit the carried mean
+    * without touching the state (pandas ignore_na=True). */
+  private final class EwmKernel(idx: Int, alpha: Double) extends Kernel {
+    private val decay = 1.0 - alpha
+    def field(n: String) = StructField(n, DoubleType, nullable = true)
+    def step(st: AnyRef, row: Row): (AnyRef, Any) = {
+      val s = st.asInstanceOf[EwmState]
+      val v = row.get(idx)
+      if (v == null) (st, if (s == null) null else s.num / s.den)
+      else {
+        val x = v.asInstanceOf[Number].doubleValue()
+        val ns = if (s == null) EwmState(1L, x, 1.0)
+        else EwmState(s.m + 1, decay * s.num + x, decay * s.den + 1.0)
+        (ns, ns.num / ns.den)
+      }
+    }
+    def merge(a0: AnyRef, b0: AnyRef): AnyRef = {
+      val a = a0.asInstanceOf[EwmState]; val b = b0.asInstanceOf[EwmState]
+      val f = math.pow(decay, b.m.toDouble)
+      EwmState(a.m + b.m, f * a.num + b.num, f * a.den + b.den)
+    }
+  }
+  private final case class EwmState(m: Long, num: Double, den: Double)
 
   /** rank()/dense_rank() over the scan's orderKeys. Sorted input means
     * ties are consecutive, so only EQUALITY with the previous key is

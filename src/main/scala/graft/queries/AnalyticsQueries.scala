@@ -52,12 +52,16 @@ object AnalyticsQueries {
         .sortValues(Seq("bucket")).sdf
     }),
 
-    // ---- rank(method='min') within groups ----
+    // ---- rank(method='min') within groups — via the scalable scan:
+    // o_orderpriority has 5 values, so the window form serializes onto
+    // ≤5 tasks at any scale (rank depends only on the sorted values,
+    // so scan and window agree under ties) ----
     "q57_rank" -> ((s, dir) => {
       val o = T(s, dir, "orders")
       o.select("o_orderpriority", "o_orderkey", "o_totalprice")
-        .withRank("o_totalprice", "price_rank",
-          partitionBy = Seq("o_orderpriority"), ascending = false)
+        .groupby("o_orderpriority")
+        .rankScalable("o_totalprice", "price_rank", method = "min",
+          ascending = false)
         .where(col("price_rank") <= 5)
         .sortValues(Seq("o_orderpriority", "price_rank", "o_orderkey")).sdf
     }),

@@ -211,6 +211,38 @@ class ScanSpec extends AnyFunSuite {
     }
   }
 
+  test("ewm: scalable ≡ driver-side sequential recurrence across partition carries") {
+    trials(rowsGen, n = 6) { xs =>
+      val df = mkDf(xs)
+      val alpha = 0.35
+      val got = byId(
+        df.groupby("g").ewmScalable("v", Seq("o", "id"), alpha, "ew"), "ew")
+      // independent model: sequential adjusted-EWM per group in sort order
+      val want = xs.groupBy(_.getInt(1)).flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(r => (r.getInt(2), r.getLong(0)))
+        var num = 0.0; var den = 0.0; var seen = false
+        sorted.map { r =>
+          val vOpt = Option(r.get(3)).map(_.asInstanceOf[Double])
+          vOpt.foreach { x =>
+            num = (1 - alpha) * num + x; den = (1 - alpha) * den + 1.0
+            seen = true
+          }
+          r.getLong(0) -> (if (seen) num / den else null)
+        }
+      }
+      assert(got.keySet == want.keySet)
+      got.foreach { case (id, g) =>
+        (g, want(id)) match {
+          case (null, null) => ()
+          case (a: java.lang.Double, b: java.lang.Double) =>
+            assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+              s"ewm at $id: $a vs $b")
+          case (a, b) => fail(s"ewm at $id: $a vs $b")
+        }
+      }
+    }
+  }
+
   test("transform (agg + join back) ≡ whole-group window, incl. null keys and keyless") {
     import org.apache.spark.sql.expressions.Window
     val schema2 = StructType(Seq(
