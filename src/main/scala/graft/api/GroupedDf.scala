@@ -291,8 +291,14 @@ final class GroupedDf private[api] (
   def scanScalable(orderKeys: Seq[String],
                    verbs: Seq[graft.operators.GroupedScan.Verb],
                    numPartitions: Int = 0): Df =
+    scanScalableOrdered(orderKeys.map(_ -> true), verbs, numPartitions)
+
+  /** [[scanScalable]] with per-key sort direction (name → ascending?) */
+  def scanScalableOrdered(orderKeys: Seq[(String, Boolean)],
+                          verbs: Seq[graft.operators.GroupedScan.Verb],
+                          numPartitions: Int = 0): Df =
     dfOut(graft.operators.GroupedScan.scan(
-      sdf, keys, orderKeys.map(_ -> true), verbs, numPartitions))
+      sdf, keys, orderKeys, verbs, numPartitions))
 
   def cumsumScalable(valueCol: String, orderKeys: Seq[String],
                      out: String = "cumsum"): Df =

@@ -11,15 +11,35 @@ object CoverageQueries {
   val defs: Map[String, Q] = Map(
     // ---- analytic window battery: ntile / percent_rank / cume_dist ----
     "q74_window_suite" -> ((s, dir) => {
+      // ntile/percent_rank/cume_dist re-derived from (rn, n) — the
+      // (o_totalprice DESC, o_orderkey) order is TOTAL, so rank = rn
+      // and the whole analytic battery is scan-cumcount + transform-
+      // count + integer arithmetic, with no 5-value-key window (the
+      // window form serializes onto <=5 tasks at any scale). The
+      // ntile bucketing replays SQL's definition exactly: the first
+      // n%4 buckets take ceil(n/4) rows, the rest floor(n/4)
+      import graft.operators.GroupedScan
       val o = T(s, dir, "orders")
         .select("o_orderpriority", "o_orderkey", "o_totalprice")
-      val w = Window.partitionBy("o_orderpriority")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      val d = o.sdf
-        .withColumn("tile", ntile(4).over(w))
-        .withColumn("pr", round(percent_rank().over(w), 6))
-        .withColumn("cd", round(cume_dist().over(w), 6))
-      new graft.api.Df(d)
+      val d = o.groupby("o_orderpriority")
+        .scanScalableOrdered(
+          Seq("o_totalprice" -> false, "o_orderkey" -> true),
+          Seq(GroupedScan.CumCount("__rn0")))
+        .groupby("o_orderpriority")
+        .transform("__n" -> count(lit(1)))
+      new graft.api.Df(d.sdf
+        .withColumn("__rn", (col("__rn0") + 1).cast("long"))
+        .withColumn("tile", expr(
+          """CAST(CASE WHEN __rn <= (__n % 4) * (__n div 4 + 1)
+            |  THEN (__rn - 1) div (__n div 4 + 1) + 1
+            |  ELSE __n % 4 + (__rn - (__n % 4) * (__n div 4 + 1) - 1)
+            |       div (__n div 4) + 1 END AS INT)""".stripMargin))
+        .withColumn("pr", round(when(col("__n") === 1, lit(0.0))
+          .otherwise((col("__rn") - 1).cast("double") /
+            (col("__n") - 1).cast("double")), 6))
+        .withColumn("cd", round(
+          col("__rn").cast("double") / col("__n").cast("double"), 6))
+        .drop("__rn0", "__rn", "__n"))
         .where(col("o_orderkey") % 50 === 0)
         .sortValues(Seq("o_orderpriority", "o_orderkey")).sdf
     }),

@@ -243,6 +243,40 @@ class ScanSpec extends AnyFunSuite {
     }
   }
 
+  test("ntile/percent_rank/cume_dist derived from (rn, n) ≡ Spark's window forms") {
+    import org.apache.spark.sql.expressions.Window
+    // group sizes drawn to hit every n % 4 residue and n < 4
+    trials(rowsGen, n = 6) { xs =>
+      val df = mkDf(xs)
+      val d = df.groupby("g")
+        .scanScalableOrdered(Seq("o" -> false, "id" -> true),
+          Seq(GroupedScan.CumCount("__rn0")))
+        .groupby("g").transform("__n" -> count(lit(1)))
+      val got = d.sdf
+        .withColumn("__rn", (col("__rn0") + 1).cast("long"))
+        .withColumn("tile", expr(
+          """CAST(CASE WHEN __rn <= (__n % 4) * (__n div 4 + 1)
+            |  THEN (__rn - 1) div (__n div 4 + 1) + 1
+            |  ELSE __n % 4 + (__rn - (__n % 4) * (__n div 4 + 1) - 1)
+            |       div (__n div 4) + 1 END AS INT)""".stripMargin))
+        .withColumn("pr", when(col("__n") === 1, lit(0.0))
+          .otherwise((col("__rn") - 1).cast("double") /
+            (col("__n") - 1).cast("double")))
+        .withColumn("cd",
+          col("__rn").cast("double") / col("__n").cast("double"))
+      val w = Window.partitionBy("g").orderBy(col("o").desc, col("id").asc)
+      val want = df.sdf
+        .withColumn("tile", ntile(4).over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+      def m(dd: org.apache.spark.sql.DataFrame, c: String): Map[Long, Any] =
+        dd.select("id", c).collect().map(r => r.getLong(0) -> r.get(1)).toMap
+      assert(m(got, "tile") == m(want, "tile"))
+      assert(m(got, "pr") == m(want, "pr"))
+      assert(m(got, "cd") == m(want, "cd"))
+    }
+  }
+
   test("transform (agg + join back) ≡ whole-group window, incl. null keys and keyless") {
     import org.apache.spark.sql.expressions.Window
     val schema2 = StructType(Seq(
