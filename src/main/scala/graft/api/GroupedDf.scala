@@ -264,6 +264,12 @@ final class GroupedDf private[api] (
     * aggregate broadcast onto every row (scalable keyless transform). */
   def transform(exprs: (String, Column)*): Df = {
     require(exprs.nonEmpty, "transform: at least one (name, agg) pair")
+    val clash = exprs.map(_._1).filter(df.columns.contains)
+    require(clash.isEmpty, s"transform: output column(s) already exist: " +
+      s"${clash.mkString(", ")} — the join would duplicate them " +
+      "(drop or rename first)")
+    require(exprs.map(_._1).distinct.size == exprs.size,
+      s"transform: duplicate output names: ${exprs.map(_._1).mkString(", ")}")
     val aggs = exprs.map { case (n, c) => c.as(n) }
     if (keys.isEmpty) {
       val g = sdf.agg(aggs.head, aggs.tail: _*)
@@ -316,10 +322,15 @@ final class GroupedDf private[api] (
                        out: String = "cumcount"): Df =
     scanScalable(orderKeys, Seq(graft.operators.GroupedScan.CumCount(out)))
 
+  /** negative `periods` (pandas lead) runs the SAME forward-scan
+    * kernel over the reversed sort — safe here because the wrapper
+    * owns the whole scan (a raw multi-verb scan mixing lead with
+    * order-sensitive verbs must not reverse; GroupedScan.Shift itself
+    * requires periods ≥ 0 for that reason). */
   def shiftScalable(valueCol: String, orderKeys: Seq[String],
                     periods: Int = 1, out: String = "shifted"): Df =
-    scanScalable(orderKeys,
-      Seq(graft.operators.GroupedScan.Shift(valueCol, periods, out)))
+    scanScalableOrdered(orderKeys.map(_ -> (periods >= 0)),
+      Seq(graft.operators.GroupedScan.Shift(valueCol, math.abs(periods), out)))
 
   def ffillScalable(valueCol: String, orderKeys: Seq[String],
                     out: String): Df =

@@ -100,6 +100,8 @@ object GroupedScan {
     val in = df.schema
     verbs.foreach(v => require(!in.fieldNames.contains(v.out),
       s"scan: output column '${v.out}' already exists"))
+    require(verbs.map(_.out).distinct.size == verbs.size,
+      s"scan: duplicate output names: ${verbs.map(_.out).mkString(", ")}")
 
     val sortCols = groupKeys.map(df(_).asc) ++
       orderKeys.map { case (c, asc) => if (asc) df(c).asc else df(c).desc }
@@ -138,7 +140,7 @@ object GroupedScan {
             }
             var i = 0
             while (i < nKernels) {
-              states(i) = kernels(i).step(states(i), r)._1; i += 1
+              states(i) = kernels(i).advance(states(i), r); i += 1
             }
           }
           Iterator.single(PartSummary(pid, firstGroup, curGroup, states))
@@ -225,11 +227,17 @@ object GroupedScan {
     a
   }
   /** null-safe elementwise equality (null keys form one group, NaN ==
-    * NaN — both per SQL grouping; Double.equals delivers the latter) */
+    * NaN — both per SQL grouping; Double.equals delivers the latter;
+    * BinaryType keys compare by CONTENT — Objects.equals on two
+    * Array[Byte] is reference equality and would mis-group every row) */
   private def keysEq(a: Array[Any], b: Array[Any]): Boolean = {
     var i = 0
     while (i < a.length) {
-      if (!java.util.Objects.equals(a(i), b(i))) return false
+      val eq = (a(i), b(i)) match {
+        case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+        case (x, y) => java.util.Objects.equals(x, y)
+      }
+      if (!eq) return false
       i += 1
     }
     true
@@ -246,6 +254,9 @@ object GroupedScan {
     def field(name: String): StructField
     def step(st: AnyRef, row: Row): (AnyRef, Any)
     def merge(carry: AnyRef, local: AnyRef): AnyRef
+    /** state-only transition for the summary pass — kernels whose
+      * per-row output is expensive (Rolling's O(k) eval) override it */
+    def advance(st: AnyRef, row: Row): AnyRef = step(st, row)._1
   }
 
   /** SQL ordering for max/min state: NaN greatest, binary UTF8 strings,
@@ -296,7 +307,9 @@ object GroupedScan {
         new ExtremeKernel(i, in(i).dataType, cmpFor(in(i).dataType), -1)
       case CumCount(_) => new CountKernel
       case Shift(c, k, _) =>
-        require(k >= 0, "Shift: periods must be >= 0 (sort desc for lead)")
+        require(k >= 0, "Shift: periods must be >= 0 in a raw scan — " +
+          "GroupedDf.shiftScalable handles negative periods (lead) by " +
+          "reversing the single-verb scan's order")
         new ShiftKernel(in.fieldIndex(c), in(in.fieldIndex(c)).dataType, k)
       case Ffill(c, _) =>
         new FfillKernel(in.fieldIndex(c), in(in.fieldIndex(c)).dataType)
@@ -390,12 +403,14 @@ object GroupedScan {
       if (cmp(b, a) * dir > 0) b else a
   }
 
-  /** 0-based per-group ordinal; state = boxed count AFTER this row */
+  /** 0-based per-group ordinal; state = boxed count AFTER this row.
+    * IntegerType for window row_number parity — a group past 2^31 rows
+    * fails LOUDLY (toIntExact), never wraps negative. */
   private final class CountKernel extends Kernel {
     def field(n: String) = StructField(n, IntegerType, nullable = false)
     def step(st: AnyRef, row: Row): (AnyRef, Any) = {
       val n = if (st == null) 1L else st.asInstanceOf[java.lang.Long] + 1L
-      (java.lang.Long.valueOf(n), (n - 1).toInt)
+      (java.lang.Long.valueOf(n), Math.toIntExact(n - 1))
     }
     def merge(a: AnyRef, b: AnyRef): AnyRef = java.lang.Long.valueOf(
       a.asInstanceOf[java.lang.Long] + b.asInstanceOf[java.lang.Long])
@@ -466,10 +481,13 @@ object GroupedScan {
     }
 
     def step(st: AnyRef, row: Row): (AnyRef, Any) = {
+      val nb = advance(st, row).asInstanceOf[Vector[Any]]
+      (nb, eval(nb))
+    }
+    override def advance(st: AnyRef, row: Row): AnyRef = {
       val buf = if (st == null) Vector.empty[Any]
       else st.asInstanceOf[Vector[Any]]
-      val nb = (buf :+ row.get(idx)).takeRight(k)
-      (nb, eval(nb))
+      (buf :+ row.get(idx)).takeRight(k)
     }
     def merge(a: AnyRef, b: AnyRef): AnyRef = {
       val bb = b.asInstanceOf[Vector[Any]]
@@ -548,7 +566,7 @@ object GroupedScan {
         RankState(s.n + 1, s.firstKey, k, s.lastRank)
       else RankState(s.n + 1, s.firstKey, k,
         if (dense) s.lastRank + 1 else s.n + 1)
-      (ns, ns.lastRank.toInt)
+      (ns, Math.toIntExact(ns.lastRank)) // loud past 2^31, never wraps
     }
     def merge(a0: AnyRef, b0: AnyRef): AnyRef = {
       val a = a0.asInstanceOf[RankState]; val b = b0.asInstanceOf[RankState]

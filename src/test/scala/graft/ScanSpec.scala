@@ -277,6 +277,40 @@ class ScanSpec extends AnyFunSuite {
     }
   }
 
+  test("negative shift (lead), binary group keys, and output-name collision guards") {
+    import org.apache.spark.sql.expressions.Window
+    // lead via reversed single-verb scan ≡ window lead
+    trials(rowsGen, n = 4) { xs =>
+      val df = mkDf(xs)
+      val sc = df.groupby("g").shiftScalable("v", Seq("o", "id"),
+        periods = -2, out = "ld")
+      val w = Window.partitionBy("g").orderBy(col("o").asc, col("id").asc)
+      val win = df.sdf.withColumn("ld", lead(col("v"), 2).over(w))
+      assert(byId(sc, "ld") ==
+        win.select("id", "ld").collect().map(r => r.getLong(0) -> r.get(1)).toMap)
+    }
+    // binary group keys: content equality, not reference equality
+    val bschema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("bk", BinaryType, nullable = true),
+      StructField("v", DoubleType, nullable = true)))
+    val brows = List(
+      Row(0L, Array[Byte](1, 2), 1.0), Row(1L, Array[Byte](1, 2), 2.0),
+      Row(2L, Array[Byte](3), 5.0), Row(3L, null, 7.0))
+    val bdf = Df.fromRows(spark, brows, bschema)
+    val cc = bdf.groupby("bk").cumcountScalable(Seq("id"), "cc")
+    assert(byId(cc, "cc") == Map(0L -> 0, 1L -> 1, 2L -> 0, 3L -> 0))
+    // collision guards: scan and transform both refuse duplicate outs
+    val df2 = mkDf(List(Row(0L, 0, 0, 1.0, null, null)))
+    intercept[IllegalArgumentException] {
+      df2.groupby("g").scanScalable(Seq("id"), Seq(
+        GroupedScan.CumSum("v", "x"), GroupedScan.CumMax("v", "x")))
+    }
+    intercept[IllegalArgumentException] {
+      df2.groupby("g").transform("v" -> avg(col("v")))
+    }
+  }
+
   test("transform (agg + join back) ≡ whole-group window, incl. null keys and keyless") {
     import org.apache.spark.sql.expressions.Window
     val schema2 = StructType(Seq(
