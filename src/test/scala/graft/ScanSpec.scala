@@ -277,6 +277,54 @@ class ScanSpec extends AnyFunSuite {
     }
   }
 
+  test("temporal and boolean extremes: cummax over timestamp/date/bool ≡ window") {
+    import org.apache.spark.sql.expressions.Window
+    val schema2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("g", IntegerType, nullable = false),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("dt", DateType, nullable = true),
+      StructField("b", BooleanType, nullable = true)))
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val rows = (0 until 80).map { i =>
+      Row(i.toLong, i % 2,
+        if (i % 7 == 0) null
+        else java.sql.Timestamp.from(base.plusSeconds((i * 37) % 100)),
+        if (i % 5 == 0) null
+        else java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1 + (i * 13) % 28)),
+        if (i % 4 == 0) null else (i % 3 == 0))
+    }.toList
+    val df = Df.fromRows(spark, rows, schema2)
+    val scan = df.groupby("g").scanScalable(Seq("id"), Seq(
+      GroupedScan.CumMax("ts", "mts"), GroupedScan.CumMin("dt", "mdt"),
+      GroupedScan.CumMax("b", "mb")), numPartitions = 9)
+    val w = Window.partitionBy("g").orderBy("id")
+      .rowsBetween(Long.MinValue, 0)
+    val win = df.sdf
+      .withColumn("mts", max(col("ts")).over(w))
+      .withColumn("mdt", min(col("dt")).over(w))
+      .withColumn("mb", max(col("b")).over(w))
+    def m(dd: org.apache.spark.sql.DataFrame, c: String): Map[Long, Any] =
+      dd.select("id", c).collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(byId(scan, "mts") == m(win, "mts"))
+    assert(byId(scan, "mdt") == m(win, "mdt"))
+    assert(byId(scan, "mb") == m(win, "mb"))
+  }
+
+  test("partition-count sweep: numPartitions 1, 2, 31 and > rows all agree") {
+    val xs = (0 until 50).map { i =>
+      Row(i.toLong, i % 3, i % 4, if (i % 6 == 0) null else (i % 7).toDouble,
+        new java.math.BigDecimal(i % 9).movePointLeft(2), s"v${i % 4}")
+    }.toList
+    val df = mkDf(xs)
+    val ref = byId(df.groupby("g").cumsumScalable("d", Seq("o", "id"), "cs"), "cs")
+    for (p <- Seq(1, 2, 31, 200)) {
+      val got = byId(df.groupby("g").scanScalable(Seq("o", "id"),
+        Seq(GroupedScan.CumSum("d", "cs")), numPartitions = p), "cs")
+      assert(got == ref, s"numPartitions=$p")
+    }
+  }
+
   test("negative shift (lead), binary group keys, and output-name collision guards") {
     import org.apache.spark.sql.expressions.Window
     // lead via reversed single-verb scan ≡ window lead
