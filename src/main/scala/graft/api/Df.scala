@@ -684,19 +684,29 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   def qcut(c: String, q: Int, out: String, exact: Boolean = true): Df = {
     require(q >= 2)
     val probs = (1 until q).map(i => i.toDouble / q)
-    // round inside the engine (SQL half-up ROUND, the same rule DuckDB's
-    // ROUND applies) — NOT JVM rint, whose banker's rounding can differ
-    // in the last digit and shift boundary rows across buckets
-    val pctExpr =
-      if (exact) s"percentile(`$c`, array(${probs.mkString(", ")}))"
-      else s"percentile_approx(`$c`, array(${probs.mkString(", ")}), 10000)"
-    // percentile() returns NULL on an empty/all-null column; surface the
-    // named contract error instead of an opaque NullPointerException
-    val aggRow = sdf.agg(
-      expr(s"transform($pctExpr, x -> round(x, 6))").as("b")).head
-    if (aggRow.isNullAt(0)) throw new IllegalArgumentException(
-      s"qcut: no non-null values in column '$c'")
-    val breaks = aggRow.getSeq[Double](0)
+    // rounding happens ENGINE-SIDE semantics-wise (SQL half-up, the
+    // same rule DuckDB's ROUND applies) — via BigDecimal HALF_UP here,
+    // NOT JVM rint, whose banker's rounding can differ in the last
+    // digit and shift boundary rows across buckets
+    val breaks: Seq[Double] =
+      if (exact) {
+        // distributed order-statistic selection — identical doubles to
+        // the percentile() aggregate, without its single-buffer
+        // value map (the 100 TB wall); null on empty surfaces the
+        // same named contract error
+        val qs = graft.operators.Quantiles.exactQuantilesCont(sdf, c, probs)
+        if (qs.exists(_ == null)) throw new IllegalArgumentException(
+          s"qcut: no non-null values in column '$c'")
+        qs.map(v => BigDecimal(v.doubleValue())
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      } else {
+        val aggRow = sdf.agg(expr(
+          s"transform(percentile_approx(`$c`, array(${probs.mkString(", ")}), " +
+            "10000), x -> round(x, 6))").as("b")).head
+        if (aggRow.isNullAt(0)) throw new IllegalArgumentException(
+          s"qcut: no non-null values in column '$c'")
+        aggRow.getSeq[Double](0)
+      }
     val bucket = breaks.map(b => when(sdf(c) > lit(b), 1).otherwise(0))
       .reduce(_ + _)
     derived(sdf.withColumn(out, bucket))

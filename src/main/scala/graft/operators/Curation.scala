@@ -718,10 +718,9 @@ object Curation {
     * `batch = ordinal div batchSize`. Global batch identity is the
     * TRIPLE (bucket, shard, batch).
     *
-    * Scale shape: the cuts are one exact-percentile agg broadcast as a
-    * single row ([[graft.operators.TextAnalytics.perplexityBuckets]]'s
-    * convention — swap to approx_percentile upstream if cohorts are
-    * unbounded and oracle replay is not needed); batch assignment is a
+    * Scale shape: the cuts are order-statistic selections
+    * ([[Quantiles]] — bounded memory at any corpus size) embedded as
+    * literals; batch assignment is a
     * window over (bucket, shard) — parallelism = nBuckets·shards,
     * never a keyless global window. Cuts are rounded to 6dp so the
     * bucket rule replays exactly cross-engine. */
@@ -741,16 +740,13 @@ object Curation {
       if (nBuckets == 1) withLen.withColumn("bucket", lit(1))
       else {
         val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
-        val cuts = withLen
-          .agg(expr(s"percentile(n_tokens, array(${qs.mkString(",")}))").as("__c"))
-          .select((1 until nBuckets).map(i =>
-            round(element_at(col("__c"), i), 6).as(s"__t$i")): _*)
-        val bucketExpr = (1 until nBuckets).foldLeft(lit(1)) { (acc, i) =>
-          acc + when(col("n_tokens").cast("double") > col(s"__t$i"), 1).otherwise(0)
+        // distributed order-statistic cuts as literals — no percentile
+        // value buffer, no 1-row crossJoin (Quantiles scaladoc)
+        val ts = Quantiles.cutLits(withLen, "n_tokens", qs)
+        val bucketExpr = ts.foldLeft(lit(1)) { (acc, t) =>
+          acc + when(col("n_tokens").cast("double") > t, 1).otherwise(0)
         }
-        withLen.crossJoin(broadcast(cuts))
-          .withColumn("bucket", bucketExpr)
-          .drop((1 until nBuckets).map(i => s"__t$i"): _*)
+        withLen.withColumn("bucket", bucketExpr)
       }
     new Df(bucketed
       .withColumn("shard", (hash32(col(idCol).cast("string")) % shards).cast("int"))
@@ -878,27 +874,28 @@ object Curation {
     * Adds `<valueCol>_w` (or `outCol`) with the clipped DOUBLE value;
     * the cuts round to 6dp so the rule replays exactly cross-engine.
     *
-    * Scale: one exact-percentile agg (broadcast as a 1-row frame) +
-    * a map-side clip — the corpus is scanned twice, shuffled never.
-    * Swap to approx_percentile upstream for unbounded-cardinality
-    * columns where sketch error is acceptable. */
+    * Scale: the cuts come from [[Quantiles.exactQuantilesCont]] —
+    * distributed order-statistic selection (range exchange + targeted
+    * per-partition sort), never the `percentile` aggregate's
+    * all-values-in-one-buffer map — then embed as literals over a
+    * map-side clip. Bounded memory everywhere at any corpus size. */
   def winsorize(df: Df, valueCol: String, lo: Double = 0.05,
                 hi: Double = 0.95, outCol: String = ""): Df = {
     require(lo >= 0 && lo < hi && hi <= 1,
       s"winsorize: need 0 <= lo < hi <= 1: $lo, $hi")
     val out = if (outCol.isEmpty) s"${valueCol}_w" else outCol
-    // no FanOut here: the agg input is one double per row — fanning
-    // round-robins the whole table through an exchange just to feed
-    // the percentile's partial states, the same cost/benefit measured
-    // and rejected for the qcut/robust-outlier percentile ops (r11)
-    val cuts = df.sdf
-      .agg(expr(s"percentile($valueCol, array($lo, $hi))").as("__c"))
-      .select(round(element_at(col("__c"), 1), 6).as("__lo"),
-        round(element_at(col("__c"), 2), 6).as("__hi"))
-    new Df(df.sdf.crossJoin(broadcast(cuts))
-      .withColumn(out,
-        least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
-      .drop("__lo", "__hi"))
+    // cuts via distributed order-statistic selection
+    // (Quantiles.exactQuantilesCont) — same doubles as the percentile()
+    // aggregate, but no single-buffer value map (the 100 TB wall), and
+    // the clip embeds them as LITERALS: no crossJoin node at all. The
+    // SQL-half-up 6dp round mirrors the previous in-plan ROUND
+    val qs = Quantiles.exactQuantilesCont(df.sdf, valueCol, Seq(lo, hi))
+    def r6(v: java.lang.Double): Column =
+      if (v == null) lit(null).cast("double")
+      else lit(BigDecimal(v.doubleValue())
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    new Df(df.sdf.withColumn(out,
+      least(greatest(col(valueCol).cast("double"), r6(qs(0))), r6(qs(1)))))
   }
 
   /** MAD-based robust outlier flag (Iglewicz & Hoaglin 1993 modified
@@ -914,26 +911,24 @@ object Curation {
     * is NULL and is_outlier false for every row — documented, not
     * guessed. NULL values pass through with NULL z / false flag.
     *
-    * Scale: two percentile aggregations (each one pass + a broadcast
-    * 1-row frame) and a map-side flag — no per-key shuffle of the
-    * data. */
+    * Scale: two order-statistic selections ([[Quantiles]] — bounded
+    * memory at any corpus size, vs the percentile aggregate's
+    * all-values buffer) embedded as literals over a map-side flag —
+    * no per-key shuffle of the data, no crossJoin nodes. */
   def robustOutliers(df: Df, valueCol: String,
                      threshold: Double = 3.5): Df = {
     require(threshold > 0, s"robustOutliers: threshold must be > 0: $threshold")
     val x = col(valueCol).cast("double")
-    val med = df.sdf.agg(
-      round(expr(s"percentile($valueCol, 0.5)"), 6).as("__med"))
-    val withMed = df.sdf.crossJoin(broadcast(med))
-    val mad = withMed
-      .select(abs(x - col("__med")).as("__ad"))
-      .agg(round(expr("percentile(__ad, 0.5)"), 6).as("__mad"))
-    val z = when(col("__mad") > 0,
-      round(lit(0.6745) * (x - col("__med")) / col("__mad"), 6))
-    new Df(withMed.crossJoin(broadcast(mad))
+    val med = Quantiles.cutLits(df.sdf, valueCol, Seq(0.5)).head
+    // MAD over deviations from the ROUNDED median — the same chaining
+    // the previous in-plan round(…, 6) produced, oracle-replayable
+    val mad = Quantiles.cutLits(
+      df.sdf.select(abs(x - med).as("__ad")), "__ad", Seq(0.5)).head
+    val z = when(mad > 0, round(lit(0.6745) * (x - med) / mad, 6))
+    new Df(df.sdf
       .withColumn("robust_z", z)
       .withColumn("is_outlier",
-        coalesce(abs(col("robust_z")) > threshold, lit(false)))
-      .drop("__med", "__mad"))
+        coalesce(abs(col("robust_z")) > threshold, lit(false))))
   }
 
   /** Incremental aggregate maintenance — fold a RAW delta batch into a
@@ -1176,26 +1171,23 @@ object Curation {
     *
     * Cuts round 6dp (the cross-engine quantile convention) and phase
     * = #{cuts < score} — a score exactly ON a cut belongs to the lower
-    * phase. Scale: one exact-percentile agg broadcast as a 1-row
-    * frame + a map-side phase/key projection; swap approx_percentile
-    * upstream when sketch error is acceptable. */
+    * phase. Scale: order-statistic cuts ([[Quantiles]] — bounded memory
+    * at any corpus size) as literals + a map-side phase/key
+    * projection. */
   def curriculumOrder(df: Df, scoreCol: String, idCol: String,
                       phases: Int, seed: Long = 42L): Df = {
     require(phases >= 2, s"curriculumOrder: phases must be >= 2: $phases")
     val qs = (1 until phases).map(i =>
       i.toDouble / phases)
-    val cuts = df.sdf
-      .agg(expr(s"percentile($scoreCol, array(${qs.mkString(",")}))").as("__c"))
-      .select((1 until phases).map(i =>
-        round(element_at(col("__c"), i), 6).as(s"__cut$i")): _*)
-    val phase = (1 until phases).map(i =>
-      when(col(scoreCol).cast("double") > col(s"__cut$i"), 1)
+    // order-statistic cuts as literals (Quantiles scaladoc)
+    val cuts = Quantiles.cutLits(df.sdf, scoreCol, qs)
+    val phase = cuts.map(t =>
+      when(col(scoreCol).cast("double") > t, 1)
         .otherwise(0)).reduce(_ + _)
-    new Df(df.sdf.crossJoin(broadcast(cuts))
+    new Df(df.sdf
       .withColumn("phase", phase)
       .withColumn("curriculum_key",
-        md5(concat_ws(":", lit(seed), col(idCol).cast("string")).cast("binary")))
-      .drop((1 until phases).map(i => s"__cut$i"): _*))
+        md5(concat_ws(":", lit(seed), col(idCol).cast("string")).cast("binary"))))
   }
 
   /** Round-robin interleaved selection of a global budget `n` across

@@ -150,22 +150,17 @@ object Profiling {
     * ties); NULLs are excluded. Emits one row per non-empty bucket:
     * (bucket, n, lo, hi) with lo/hi the observed min/max.
     *
-    * Scale: one percentile aggregation broadcast as a 1-row frame, one
-    * map-side bucket assignment, one partial+final agg over ≤ buckets
-    * groups. */
+    * Scale: cuts via order-statistic selection
+    * ([[graft.operators.Quantiles]] — bounded memory at any corpus
+    * size) embedded as literals, one map-side bucket assignment, one
+    * partial+final agg over ≤ buckets groups. */
   def equiDepthHistogram(df: Df, valueCol: String, buckets: Int): Df = {
     require(buckets >= 2, s"equiDepthHistogram: buckets must be >= 2: $buckets")
     val fr = (1 until buckets).map(_.toDouble / buckets)
-    val cuts = df.sdf.agg(
-      expr(s"percentile($valueCol, array(${fr.mkString(", ")}))").as("__c"))
-      .select((1 until buckets).map(k =>
-        round(element_at(col("__c"), k), 6).as(s"__c$k")): _*)
+    val cuts = graft.operators.Quantiles.cutLits(df.sdf, valueCol, fr)
     val v = col(valueCol).cast("double")
-    val bucket = (1 until buckets)
-      .map(k => when(v > col(s"__c$k"), 1).otherwise(0))
-      .reduce(_ + _)
+    val bucket = cuts.map(c => when(v > c, 1).otherwise(0)).reduce(_ + _)
     new Df(df.sdf.where(col(valueCol).isNotNull)
-      .crossJoin(broadcast(cuts))
       .withColumn("bucket", bucket)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), min(v).as("lo"), max(v).as("hi")))

@@ -351,7 +351,7 @@ class GovernanceSpec extends AnyFunSuite {
 
   // ---- curriculumOrder ----
 
-  test("curriculumOrder: equal-mass phases, deterministic key, broadcast cuts") {
+  test("curriculumOrder: equal-mass phases, deterministic key, literal cuts") {
     val cur = Curation.curriculumOrder(docs, "n_chars", "doc_id",
       phases = 4)
     val sizes = cur.sdf.groupBy("phase").count().orderBy("phase")
@@ -378,8 +378,10 @@ class GovernanceSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(k1 == k2)
     val p = plan(cur.sdf)
-    assert(p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastExchange"), p) // cuts ride a 1-row broadcast
+    // cuts are LITERALS from the order-statistic selection — the plan
+    // is a pure projection: no join node of any kind remains
+    assert(!p.contains("Join"), p)
+    assert(p.contains("CASE WHEN"), p)
   }
 
   // ---- goldenRecord ----

@@ -438,7 +438,8 @@ class PipelineSpec extends AnyFunSuite {
     val p = plan(Curation.lengthBucketBatches(d, "text", "doc_id",
       nBuckets = 2, batchSize = 4, shards = 4).sdf)
     Df.releaseRetained()
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p) // 1-row cuts frame broadcasts
+    // cuts are LITERALS (order-statistic selection) — no join node
+    assert(!p.contains("Join"), p)
     // the batch window partitions by bucket#/shard# — a keyless global
     // window would print "Window [... ORDER BY ...]" with no partition spec
     assert(p.contains("windowspecdefinition(bucket"), p)

@@ -359,6 +359,33 @@ class ScanSpec extends AnyFunSuite {
     }
   }
 
+  test("exactQuantilesCont ≡ percentile() aggregate: duplicates, NaN, nulls, edges") {
+    import graft.operators.Quantiles
+    val probs = Seq(0.0, 0.25, 1.0 / 3, 0.5, 0.75, 0.999, 1.0)
+    trials(rowsGen, n = 6) { xs =>
+      val df = mkDf(xs)
+      val withNaN = df.sdf.withColumn("v2",
+        when(col("id") % 9 === 0, lit(Double.NaN)).otherwise(col("v")))
+      val got = Quantiles.exactQuantilesCont(withNaN, "v2", probs)
+      val want = withNaN.agg(expr(
+        s"percentile(v2, array(${probs.mkString(", ")}))").as("q")).head
+      if (want.isNullAt(0))
+        assert(got.forall(_ == null)) // empty / all-null input
+      else {
+        val ws = want.getSeq[Double](0)
+        probs.indices.foreach { i =>
+          val g = got(i).doubleValue()
+          // exact-double parity, NaN == NaN
+          assert(java.lang.Double.compare(g, ws(i)) == 0,
+            s"p=${probs(i)}: $g vs ${ws(i)}")
+        }
+      }
+    }
+    // empty frame → all-null cuts
+    assert(Quantiles.exactQuantilesCont(mkDf(Nil).sdf, "v", Seq(0.5))
+      .forall(_ == null))
+  }
+
   test("transform (agg + join back) ≡ whole-group window, incl. null keys and keyless") {
     import org.apache.spark.sql.expressions.Window
     val schema2 = StructType(Seq(
