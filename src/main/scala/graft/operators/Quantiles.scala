@@ -42,6 +42,115 @@ object Quantiles {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
 
+  /** Per-GROUP exact interpolated quantiles by the same order-statistic
+    * selection — for LOW-CARDINALITY cohorts (languages, sources),
+    * where the per-group `percentile` aggregate still accumulates a
+    * cohort-sized value buffer (cohort ≈ corpus/#groups — the same
+    * wall, divided by a handful). Range-partitioning on (group, value)
+    * makes each group's values monotone across the partitions that
+    * host it, so the driver locates every (group, order statistic) from
+    * per-(partition, group) counts and only the hosting partitions
+    * select. The driver state is O(partitions × groups) — guarded by
+    * `maxGroups`; for HIGH-cardinality groups use the per-group
+    * aggregate, whose buffers are small exactly then (the same duality
+    * as window verbs vs GroupedScan). NULL groups are excluded (no
+    * cohort); returns group → one double per prob. */
+  def exactGroupQuantilesCont(df: DataFrame, g: String, c: String,
+                              probs: Seq[Double], maxGroups: Int = 10000)
+      : Map[Any, Seq[java.lang.Double]] = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"exactGroupQuantilesCont: probs in [0,1]: $probs")
+    val vals = df.select(col(g).as("__g"), col(c).cast("double").as("__v"))
+      .where(col("__v").isNotNull && col("__g").isNotNull)
+    val ranged = vals.repartitionByRange(col("__g").asc, col("__v").asc)
+    val rdd = ranged.rdd
+    val counts: Array[(Int, Map[Any, Long])] =
+      rdd.mapPartitionsWithIndex { (p, it) =>
+        val m = scala.collection.mutable.HashMap.empty[Any, Long]
+        while (it.hasNext) {
+          val k = it.next().get(0)
+          m.update(k, m.getOrElse(k, 0L) + 1L)
+        }
+        Iterator.single(p -> m.toMap)
+      }.collect()
+    val totals = scala.collection.mutable.HashMap.empty[Any, Long]
+    counts.foreach { case (_, m) =>
+      m.foreach { case (k, n) => totals.update(k, totals.getOrElse(k, 0L) + n) }
+    }
+    if (totals.isEmpty) return Map.empty
+    require(totals.size <= maxGroups,
+      s"exactGroupQuantilesCont: ${totals.size} groups exceeds " +
+        s"maxGroups=$maxGroups — use the per-group percentile aggregate " +
+        "(its buffers are small exactly when groups are many)")
+    // per group: global order statistics needed, located via the
+    // pid-ascending cumulative count (values are monotone per group
+    // across hosting partitions under the (group, value) range sort)
+    val wantByPid = scala.collection.mutable
+      .HashMap.empty[Int, scala.collection.mutable.ListBuffer[(Any, Long, Int)]]
+    val targetsByGroup: Map[Any, Seq[Long]] = totals.iterator.map {
+      case (k, n) =>
+        k -> probs.flatMap { p =>
+          val h = p * (n - 1)
+          Seq(math.floor(h).toLong, math.ceil(h).toLong)
+        }.distinct.sorted
+    }.toMap
+    val byPid = counts.sortBy(_._1)
+    targetsByGroup.foreach { case (k, ts) =>
+      var cum = 0L
+      var ti = 0
+      byPid.foreach { case (pid, m) =>
+        val cnt = m.getOrElse(k, 0L)
+        while (ti < ts.length && cnt > 0 && ts(ti) < cum + cnt) {
+          wantByPid.getOrElseUpdate(pid,
+            scala.collection.mutable.ListBuffer.empty) +=
+            ((k, ts(ti), (ts(ti) - cum).toInt))
+          ti += 1
+        }
+        cum += cnt
+      }
+    }
+    val bc = df.sparkSession.sparkContext
+      .broadcast(wantByPid.map { case (p, l) => p -> l.toList }.toMap)
+    val picked: Map[(Any, Long), Double] = rdd.mapPartitionsWithIndex {
+      (p, it) =>
+        bc.value.get(p) match {
+          case None => Iterator.empty
+          case Some(ws) =>
+            val wanted = ws.map(_._1).toSet
+            val buf = scala.collection.mutable
+              .HashMap.empty[Any, scala.collection.mutable.ArrayBuilder.ofDouble]
+            while (it.hasNext) {
+              val r = it.next()
+              val k = r.get(0)
+              if (wanted.contains(k))
+                buf.getOrElseUpdate(k,
+                  new scala.collection.mutable.ArrayBuilder.ofDouble) += r.getDouble(1)
+            }
+            val sorted = buf.map { case (k, b) =>
+              val a = b.result(); java.util.Arrays.sort(a); k -> a
+            }
+            ws.iterator.map { case (k, gIdx, li) => (k, gIdx) -> sorted(k)(li) }
+        }
+    }.collect().toMap
+    targetsByGroup.map { case (k, _) =>
+      val n = totals(k)
+      k -> probs.map { p =>
+        java.lang.Double.valueOf(interp(p * (n - 1),
+          g => picked((k, g))))
+      }
+    }.toMap
+  }
+
+  /** Spark `percentile`'s exact interpolation form — the WEIGHTED
+    * average (ceil−h)·lo + (h−floor)·hi, NOT lo + frac·(hi−lo): the two
+    * differ in final ulps and the parity pin is bitwise. */
+  private def interp(h: Double, at: Long => Double): Double = {
+    val lo = math.floor(h).toLong
+    val hi = math.ceil(h).toLong
+    if (lo == hi) at(lo)
+    else (hi - h) * at(lo) + (h - lo) * at(hi)
+  }
+
   def exactQuantilesCont(df: DataFrame, c: String,
                          probs: Seq[Double]): Seq[java.lang.Double] = {
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
@@ -90,11 +199,7 @@ object Quantiles {
           ws.iterator.map { case (g, li) => g -> arr(li) }
       }
     }.collect().toMap
-    probs.map { p =>
-      val h = p * (n - 1)
-      val lo = picked(math.floor(h).toLong)
-      val hi = picked(math.ceil(h).toLong)
-      java.lang.Double.valueOf(lo + (h - math.floor(h)) * (hi - lo))
-    }
+    probs.map(p => java.lang.Double.valueOf(
+      interp(p * (n - 1), g => picked(g))))
   }
 }

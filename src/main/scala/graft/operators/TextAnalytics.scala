@@ -202,13 +202,15 @@ object TextAnalytics {
     * hard-filtering.
     *
     * `exact = true` (default) ranks with Spark's exact interpolated
-    * `percentile` — memory grows with distinct scores per cohort, fine
-    * for bounded cohorts and REQUIRED for cross-engine oracle replay
-    * (DuckDB's `quantile_cont` computes the identical interpolation;
-    * both sides round thresholds to 6dp). At 100 TB with huge cohorts
-    * set `exact = false` for `approx_percentile` (bounded-memory KLL
-    * sketch; thresholds then carry sketch error and are NOT
-    * oracle-replayable — the documented trade).
+    * per-cohort order-statistic selection
+    * ([[graft.operators.Quantiles.exactGroupQuantilesCont]]) — exact
+    * thresholds with bounded memory even when one cohort IS most of
+    * the corpus (DuckDB's `quantile_cont` computes the identical
+    * interpolation; both sides round thresholds to 6dp).
+    * `exact = false` keeps the `approx_percentile` KLL path for
+    * unbounded cohort COUNTS (the selection's driver state is
+    * O(partitions × cohorts)); its thresholds carry sketch error and
+    * are NOT oracle-replayable — the documented trade.
     *
     * Domain: docs with ≥1 token (the [[unigramLogLoss]] domain —
     * token-less docs have no surprise to rank). NULL-group docs get a
@@ -220,16 +222,44 @@ object TextAnalytics {
     require(lowCut > 0 && lowCut <= highCut && highCut < 1,
       s"need 0 < lowCut <= highCut < 1: $lowCut, $highCut")
     val (nll, toks) = unigramNllCore(docs, textCol, idCol)
+    // persisted: the NLL lineage (tokenize + vocab join) feeds the two
+    // selection jobs AND the final bucket pass — three narrow columns,
+    // computed once; released through the Df cache-lifetime contract
     val scored = nll
       .join(docs.sdf.select(col(idCol), col(groupCol)), Seq(idCol))
-    val pct =
-      if (exact) s"percentile(avg_nll, array($lowCut, $highCut))"
-      else s"approx_percentile(avg_nll, array($lowCut, $highCut), 10000)"
-    val cuts = scored.where(col(groupCol).isNotNull)
-      .groupBy(col(groupCol)).agg(expr(pct).as("__c"))
-      .select(col(groupCol),
-        round(element_at(col("__c"), 1), 6).as("__t1"),
-        round(element_at(col("__c"), 2), 6).as("__t2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = docs.sdf.sparkSession
+    val cuts =
+      if (exact) {
+        // per-cohort order-statistic selection (Quantiles scaladoc) —
+        // exact thresholds with bounded memory even when one cohort IS
+        // most of the corpus; same doubles as the per-group percentile
+        // aggregate, 6dp-rounded like before (oracle-replayable)
+        val m = graft.operators.Quantiles.exactGroupQuantilesCont(
+          scored, groupCol, "avg_nll", Seq(lowCut, highCut))
+        def r6(v: java.lang.Double): Any =
+          if (v == null) null
+          else BigDecimal(v.doubleValue())
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val gField = scored.schema(groupCol)
+        val rows = m.toSeq.map { case (k, qs) =>
+          org.apache.spark.sql.Row(k, r6(qs(0)), r6(qs(1)))
+        }
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            gField.copy(name = groupCol),
+            org.apache.spark.sql.types.StructField("__t1",
+              org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("__t2",
+              org.apache.spark.sql.types.DoubleType))))
+      } else scored.where(col(groupCol).isNotNull)
+        .groupBy(col(groupCol))
+        .agg(expr(s"approx_percentile(avg_nll, array($lowCut, $highCut), " +
+          "10000)").as("__c"))
+        .select(col(groupCol),
+          round(element_at(col("__c"), 1), 6).as("__t1"),
+          round(element_at(col("__c"), 2), 6).as("__t2"))
     val out = scored.join(broadcast(cuts), Seq(groupCol), "left")
       .withColumn("bucket",
         when(col("__t1").isNull, lit(null).cast("string"))
@@ -237,7 +267,7 @@ object TextAnalytics {
           .when(col("avg_nll") <= col("__t2"), "middle")
           .otherwise("tail"))
       .drop("__t1", "__t2")
-    new Df(out).retaining(toks)
+    new Df(out).retaining(toks, scored)
   }
 
   /** Top-k TF-IDF terms per document (the "document keywords" shape) —

@@ -386,6 +386,33 @@ class ScanSpec extends AnyFunSuite {
       .forall(_ == null))
   }
 
+  test("exactGroupQuantilesCont ≡ per-group percentile(); null groups out; maxGroups guard") {
+    import graft.operators.Quantiles
+    val probs = Seq(1.0 / 3, 0.5, 2.0 / 3)
+    trials(rowsGen, n = 6) { xs =>
+      val df = mkDf(xs)
+      // group by "s" (strings with nulls) over value "v" (with nulls)
+      val got = Quantiles.exactGroupQuantilesCont(df.sdf, "s", "v", probs)
+      val want = df.sdf.where(col("s").isNotNull && col("v").isNotNull)
+        .groupBy("s")
+        .agg(expr(s"percentile(v, array(${probs.mkString(", ")}))").as("q"))
+        .collect().map(r => r.get(0) -> r.getSeq[Double](1)).toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (k, qs) =>
+        probs.indices.foreach { i =>
+          assert(java.lang.Double.compare(qs(i).doubleValue(),
+            want(k)(i)) == 0, s"group $k p=${probs(i)}")
+        }
+      }
+    }
+    val df = mkDf((0 until 30).map(i =>
+      Row(i.toLong, i % 3, i % 4, i.toDouble, null, s"g${i % 10}")).toList)
+    intercept[IllegalArgumentException] {
+      Quantiles.exactGroupQuantilesCont(df.sdf, "s", "v", Seq(0.5),
+        maxGroups = 5)
+    }
+  }
+
   test("transform (agg + join back) ≡ whole-group window, incl. null keys and keyless") {
     import org.apache.spark.sql.expressions.Window
     val schema2 = StructType(Seq(
