@@ -519,24 +519,39 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   }
 
   /** pandas `describe()`: one row per numeric column with the standard
-    * stat battery — a single aggregation pass, unpivoted via `stack`. */
+    * stat battery — one aggregation pass for the mergeable stats, and
+    * the quartiles from [[graft.operators.Quantiles]]' order-statistic
+    * selection (bitwise-identical to `percentile()`, without its
+    * all-values-per-column aggregation buffers — describe over three
+    * quantiles × k columns held 3k value maps at once). */
   def describeStats(cols: Seq[String] = Nil): Df = {
     val F = org.apache.spark.sql.functions
     val cs = if (cols.nonEmpty) cols else numericCols
+    val probs = Seq(0.25, 0.5, 0.75)
+    val qs: Map[String, Seq[java.lang.Double]] = cs.map(c =>
+      c -> graft.operators.Quantiles.exactQuantilesCont(sdf, c, probs)).toMap
+    // Double.toString round-trips exactly through the string cast
+    def qlit(v: java.lang.Double): String =
+      if (v == null) "CAST(NULL AS DOUBLE)" else s"CAST('$v' AS DOUBLE)"
     val aggs = cs.flatMap { c =>
       Seq(F.count(sdf(c)).cast("double").as(s"${c}__count"),
         avg(sdf(c)).as(s"${c}__mean"),
         stddev_samp(sdf(c)).as(s"${c}__std"),
         F.min(sdf(c)).cast("double").as(s"${c}__min"),
-        expr(s"percentile($c, 0.25)").as(s"${c}__q25"),
-        expr(s"percentile($c, 0.5)").as(s"${c}__q50"),
-        expr(s"percentile($c, 0.75)").as(s"${c}__q75"),
         F.max(sdf(c)).cast("double").as(s"${c}__max"))
     }
     val one = sdf.agg(aggs.head, aggs.tail: _*)
     val stats = Seq("count", "mean", "std", "min", "q25", "q50", "q75", "max")
-    val stackArgs = stats.map(s =>
-      s"'$s', ${cs.map(c => s"`${c}__$s`").mkString(", ")}").mkString(", ")
+    val qIdx = Map("q25" -> 0, "q50" -> 1, "q75" -> 2)
+    val stackArgs = stats.map { s =>
+      val vals = cs.map { c =>
+        qIdx.get(s) match {
+          case Some(i) => qlit(qs(c)(i))
+          case None => s"`${c}__$s`"
+        }
+      }
+      s"'$s', ${vals.mkString(", ")}"
+    }.mkString(", ")
     derived(one.selectExpr(
       s"stack(${stats.size}, $stackArgs) AS (stat, ${cs.mkString(", ")})"))
   }
