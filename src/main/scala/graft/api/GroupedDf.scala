@@ -78,6 +78,32 @@ final class GroupedDf private[api] (
     val aggs = numericValueCols.map(c => expr(s"percentile($c, $q)").as(c))
     dfOut(sdf.groupBy(keys.map(sdf(_)): _*).agg(aggs.head, aggs.tail: _*))
   }
+  /** [[quantile]] for FEW large cohorts — grouped order-statistic
+    * selection ([[graft.operators.Quantiles.exactGroupQuantilesCont]]):
+    * bitwise the same interpolated value as the per-group `percentile`
+    * aggregate, without its cohort-sized value buffers (cohort ≈
+    * corpus/#groups — the wall exactly when groups are few). NULL
+    * groups are excluded (no cohort). One row per group. */
+  def quantileScalable(valueCol: String, q: Double, out: String = "",
+                       maxGroups: Int = 10000): Df = {
+    require(keys.size == 1,
+      "quantileScalable: exactly one group key (compose a struct for more)")
+    val o = if (out.isEmpty) valueCol else out
+    val m = graft.operators.Quantiles.exactGroupQuantilesCont(
+      sdf, keys.head, valueCol, Seq(q), maxGroups)
+    val gField = sdf.schema(keys.head)
+    val rows = m.toSeq.map { case (k, vs) =>
+      org.apache.spark.sql.Row(k,
+        Option(vs.head).map(_.doubleValue()).orNull)
+    }
+    val spark = sdf.sparkSession
+    dfOut(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(gField,
+        org.apache.spark.sql.types.StructField(o,
+          org.apache.spark.sql.types.DoubleType)))))
+  }
+
   /** `size` counts rows incl. nulls (vs `count` excl.) (`SURVEY.md §2.6`) */
   def size(): Df =
     dfOut(sdf.groupBy(keys.map(sdf(_)): _*)

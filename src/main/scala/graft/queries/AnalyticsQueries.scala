@@ -24,12 +24,15 @@ object AnalyticsQueries {
        |  ON nd.node = c.dst)""".stripMargin
 
   val defs: Map[String, Q] = Map(
-    // ---- exact interpolated quantiles, global and grouped ----
+    // ---- exact interpolated quantiles, grouped — via the grouped
+    // order-statistic selection: 3 cohorts over the whole table is
+    // exactly the few-large-cohorts case where the per-group
+    // percentile aggregate buffers cohort-sized value maps ----
     "q54_quantiles" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
       li.select("l_returnflag", "l_quantity")
-        .groupby("l_returnflag").quantile(0.5)
-        .rename(Map("l_quantity" -> "median_qty"))
+        .groupby("l_returnflag")
+        .quantileScalable("l_quantity", 0.5, "median_qty")
         .selectExpr("l_returnflag", "round(median_qty, 6) AS median_qty")
         .sortValues(Seq("l_returnflag")).sdf
     }),
