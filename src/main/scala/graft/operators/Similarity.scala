@@ -726,14 +726,30 @@ object Similarity {
     require(idCols.nonEmpty, "mahalanobisScores: idCols must be non-empty")
     val d = cols.size
     val asVec = array(cols.map(c => col(c).cast("double")): _*)
-    val vdf = new Df(df.sdf.select(
-      (idCols ++ cols).map(col) :+ asVec.as("__mv"): _*))
-    val rows = momentsRow(vdf, "__mv").collect()
-    require(rows.nonEmpty && !rows(0).isNullAt(0),
+    // moments via SCALAR codegen'd decimal sums — d is STATIC here (the
+    // named cols), so the d + d(d+1)/2 aggregates stay inside
+    // whole-stage codegen, where [[momentsRow]]'s TypedImperativeAggregate
+    // (built for runtime-width ARRAY columns) cannot. Values are
+    // identical by VectorDecimalSum's own contract: each position IS
+    // sum(cast(x AS DECIMAL(p,s))) → cast(DOUBLE). Same upper-triangle
+    // row-major order, same fullyFinite domain, same decimal widths.
+    val fin = FanOut(df.sdf)
+      .select(cols.zipWithIndex.map { case (c, i) =>
+        col(c).cast("double").as(s"__x$i") }: _*)
+      .where(fullyFinite(array((0 until d).map(i => col(s"__x$i")): _*)))
+    val prodAggs = for (i <- 0 until d; j <- i until d) yield
+      sum((col(s"__x$i") * col(s"__x$j")).cast("decimal(28,12)"))
+        .cast("double").as(s"__sp_${i}_$j")
+    val meanAggs = (0 until d).map(i =>
+      sum(col(s"__x$i").cast("decimal(18,8)")).cast("double").as(s"__sm_$i"))
+    val aggsAll = prodAggs ++ meanAggs :+ count(lit(1)).as("__n")
+    val row = fin.agg(aggsAll.head, aggsAll.tail: _*).head
+    require(!row.isNullAt(0),
       "mahalanobisScores: no fully-finite rows to fit on")
-    val sp = rows(0).getSeq[Double](0)
-    val sm = rows(0).getSeq[Double](1)
-    val n = rows(0).getLong(2)
+    val nSp = d * (d + 1) / 2
+    val sp = (0 until nSp).map(row.getDouble)
+    val sm = (nSp until nSp + d).map(row.getDouble)
+    val n = row.getLong(nSp + d)
     val cov = Array.ofDim[Double](d, d)
     var idx = 0
     for (i <- 0 until d; j <- i until d) {
