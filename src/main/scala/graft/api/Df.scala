@@ -523,13 +523,31 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * the quartiles from [[graft.operators.Quantiles]]' order-statistic
     * selection (bitwise-identical to `percentile()`, without its
     * all-values-per-column aggregation buffers — describe over three
-    * quantiles × k columns held 3k value maps at once). */
+    * quantiles × k columns held 3k value maps at once). ALL k columns'
+    * quartiles come from ONE selection pass: the columns are melted to
+    * (name, value) rows — explode of k (lit(name), value) structs, one
+    * scan — and [[graft.operators.Quantiles.exactGroupQuantilesCont]]
+    * selects per column-name cohort. One range exchange and two jobs
+    * TOTAL, instead of per column; same doubles bitwise (the per-group
+    * selection sorts exactly the values the per-column one did).
+    * Eager (runs the selection jobs at call time) — cache upstream
+    * nondeterminism first. */
   def describeStats(cols: Seq[String] = Nil): Df = {
     val F = org.apache.spark.sql.functions
     val cs = if (cols.nonEmpty) cols else numericCols
     val probs = Seq(0.25, 0.5, 0.75)
+    val pairs: Seq[Column] = cs.map(c =>
+      struct(lit(c).as("__g"), sdf(c).cast("double").as("__v")))
+    val melted = sdf.select(F.explode(F.array(pairs: _*)).as("__kv"))
+      .select(col("__kv.__g").as("__g"), col("__kv.__v").as("__v"))
+    // group domain = the k column-name literals: known ≤ maxGroups by
+    // construction, so skip the cardinality pre-check's extra pass
+    val qm = graft.operators.Quantiles.exactGroupQuantilesCont(
+      melted, "__g", "__v", probs, maxGroups = math.max(cs.size, 1),
+      preCheckCardinality = false)
     val qs: Map[String, Seq[java.lang.Double]] = cs.map(c =>
-      c -> graft.operators.Quantiles.exactQuantilesCont(sdf, c, probs)).toMap
+      // all-null columns form no cohort → null quartiles, as before
+      c -> qm.getOrElse(c, probs.map(_ => null: java.lang.Double))).toMap
     // Double.toString round-trips exactly through the string cast
     def qlit(v: java.lang.Double): String =
       if (v == null) "CAST(NULL AS DOUBLE)" else s"CAST('$v' AS DOUBLE)"

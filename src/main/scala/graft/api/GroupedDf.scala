@@ -79,29 +79,32 @@ final class GroupedDf private[api] (
     dfOut(sdf.groupBy(keys.map(sdf(_)): _*).agg(aggs.head, aggs.tail: _*))
   }
   /** [[quantile]] for FEW large cohorts — grouped order-statistic
-    * selection ([[graft.operators.Quantiles.exactGroupQuantilesCont]]):
+    * selection ([[graft.operators.Quantiles.exactGroupQuantilesContMulti]]):
     * bitwise the same interpolated value as the per-group `percentile`
     * aggregate, without its cohort-sized value buffers (cohort ≈
-    * corpus/#groups — the wall exactly when groups are few). NULL
-    * groups are excluded (no cohort). One row per group. */
+    * corpus/#groups — the wall exactly when groups are few). Any number
+    * of group keys (one multi-column range sort, like GroupedScan);
+    * rows with ANY null key are excluded (no cohort). One row per
+    * group. Eager (runs the selection jobs at call time) — cache
+    * upstream nondeterminism first. */
   def quantileScalable(valueCol: String, q: Double, out: String = "",
                        maxGroups: Int = 10000): Df = {
-    require(keys.size == 1,
-      "quantileScalable: exactly one group key (compose a struct for more)")
+    require(keys.nonEmpty, "quantileScalable: at least one group key")
     val o = if (out.isEmpty) valueCol else out
-    val m = graft.operators.Quantiles.exactGroupQuantilesCont(
-      sdf, keys.head, valueCol, Seq(q), maxGroups)
-    val gField = sdf.schema(keys.head)
-    val rows = m.toSeq.map { case (k, vs) =>
-      org.apache.spark.sql.Row(k,
-        Option(vs.head).map(_.doubleValue()).orNull)
+    val m = graft.operators.Quantiles.exactGroupQuantilesContMulti(
+      sdf, keys, valueCol, Seq(q), maxGroups)
+    val gFields = keys.map(sdf.schema(_))
+    val rows = m.toSeq.map { case (ks, vs) =>
+      org.apache.spark.sql.Row.fromSeq(
+        ks.map(graft.operators.Quantiles.decanonKey) :+
+          Option(vs.head).map(_.doubleValue()).orNull)
     }
     val spark = sdf.sparkSession
     dfOut(spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
-      org.apache.spark.sql.types.StructType(Seq(gField,
+      org.apache.spark.sql.types.StructType(gFields :+
         org.apache.spark.sql.types.StructField(o,
-          org.apache.spark.sql.types.DoubleType)))))
+          org.apache.spark.sql.types.DoubleType))))
   }
 
   /** `size` counts rows incl. nulls (vs `count` excl.) (`SURVEY.md §2.6`) */
@@ -362,9 +365,40 @@ final class GroupedDf private[api] (
                     out: String): Df =
     scanScalable(orderKeys, Seq(graft.operators.GroupedScan.Ffill(valueCol, out)))
 
-  /** rolling(k) sum|mean|min|max|count over the trailing k rows — the
-    * `rowsBetween(-(k-1), 0)` frame without the key-cardinality
-    * ceiling (SQL skip-null semantics; pandas `min_periods=1`). */
+  /** pandas `bfill` (next non-null at-or-after, by the given order) —
+    * the Ffill kernel over the REVERSED sort, the same
+    * wrapper-owns-the-whole-scan trick as negative-period shift. */
+  def bfillScalable(valueCol: String, orderKeys: Seq[String],
+                    out: String): Df =
+    scanScalableOrdered(orderKeys.map(_ -> false),
+      Seq(graft.operators.GroupedScan.Ffill(valueCol, out)))
+
+  /** pandas `diff(periods)` without the key-cardinality ceiling;
+    * negative periods (lead-diff) reverse the scan order like
+    * [[shiftScalable]]. Output dtype follows the window `c - lag(c)`
+    * form (int→int, decimal(p,s)→decimal(p+1,s), …). */
+  def diffScalable(valueCol: String, orderKeys: Seq[String],
+                   periods: Int = 1, out: String = "diff"): Df = {
+    require(periods != 0, "diffScalable: periods must be non-zero")
+    scanScalableOrdered(orderKeys.map(_ -> (periods >= 0)),
+      Seq(graft.operators.GroupedScan.Diff(valueCol, math.abs(periods), out)))
+  }
+
+  /** pandas `pct_change(periods)` without the key-cardinality ceiling
+    * (DOUBLE output; negative periods reverse the scan order). */
+  def pctChangeScalable(valueCol: String, orderKeys: Seq[String],
+                        periods: Int = 1, out: String = "pct_change"): Df = {
+    require(periods != 0, "pctChangeScalable: periods must be non-zero")
+    scanScalableOrdered(orderKeys.map(_ -> (periods >= 0)),
+      Seq(graft.operators.GroupedScan.PctChange(
+        valueCol, math.abs(periods), out)))
+  }
+
+  /** rolling(k) sum|mean|min|max|count|var|std over the trailing k
+    * rows — the `rowsBetween(-(k-1), 0)` frame without the
+    * key-cardinality ceiling (SQL skip-null semantics; pandas
+    * `min_periods=1`; var/std are ddof=1 like
+    * `var_samp`/`stddev_samp`). */
   def rollingScalable(valueCol: String, orderKeys: Seq[String], k: Int,
                       agg: String = "mean", out: String = "rolling"): Df =
     scanScalable(orderKeys,

@@ -66,15 +66,38 @@ object GroupedScan {
   final case class Shift(valueCol: String, periods: Int, out: String) extends Verb
   /** last non-null value at-or-before this row (pandas `ffill`) */
   final case class Ffill(valueCol: String, out: String) extends Verb
+  /** pandas `diff(periods)`: value − value `periods` rows earlier in
+    * the group (periods ≥ 1; lead via the wrapper's order reversal,
+    * like Shift). Output type follows the window `c - lag(c)` form:
+    * int→int, long→long, float→float, double→double,
+    * decimal(p,s)→decimal(p+1,s); integral overflow errors LOUDLY
+    * (subtractExact — the same contract as ANSI window subtraction). */
+  final case class Diff(valueCol: String, periods: Int, out: String)
+    extends Verb
+  /** pandas `pct_change(periods)`: value / value[periods earlier] − 1,
+    * computed in DOUBLE (both operands double-widened first). Zero
+    * denominators emit ±Infinity/NaN — the pandas/IEEE/DuckDB-double
+    * behavior — where the ANSI window `c / lag(c)` form raises
+    * DIVIDE_BY_ZERO (Spark 4 ANSI errors even for doubles); on
+    * non-zero denominators the two are bit-identical for
+    * int/long/float/double inputs (decimal divides in decimal in the
+    * window form — cast first for parity). */
+  final case class PctChange(valueCol: String, periods: Int, out: String)
+    extends Verb
   /** SQL `rank()` over the orderKeys (ties share the min rank) */
   final case class RankMin(out: String) extends Verb
   /** SQL `dense_rank()` over the orderKeys */
   final case class RankDense(out: String) extends Verb
   /** rolling window over the last `k` rows INCLUDING the current one —
-    * the `rowsBetween(-(k-1), 0)` frame. `agg` ∈ sum|mean|min|max|count
-    * (count counts non-nulls; all skip nulls like their SQL window
-    * forms, and emit over however many rows are available — pandas
-    * `rolling(k, min_periods=1)`). */
+    * the `rowsBetween(-(k-1), 0)` frame. `agg` ∈
+    * sum|mean|min|max|count|var|std (count counts non-nulls; all skip
+    * nulls like their SQL window forms, and emit over however many
+    * rows are available — pandas `rolling(k, min_periods=1)`). var/std
+    * are SAMPLE (ddof=1) like `var_samp`/`stddev_samp`, emit DOUBLE,
+    * and match the window forms' edge contract: ≤1 non-null → null
+    * (Spark non-legacy). Decimal inputs accumulate mean and squared
+    * deviations in BigDecimal (order-independent under tie
+    * nondeterminism) before the final double conversion. */
   final case class Rolling(valueCol: String, k: Int, agg: String,
                            out: String) extends Verb
 
@@ -313,6 +336,20 @@ object GroupedScan {
         new ShiftKernel(in.fieldIndex(c), in(in.fieldIndex(c)).dataType, k)
       case Ffill(c, _) =>
         new FfillKernel(in.fieldIndex(c), in(in.fieldIndex(c)).dataType)
+      case Diff(c, p, _) =>
+        require(p >= 1, "Diff: periods must be >= 1 in a raw scan — " +
+          "GroupedDf.diffScalable handles negative periods (lead) by " +
+          "reversing the single-verb scan's order")
+        val i = in.fieldIndex(c)
+        new DiffKernel(i, in(i).dataType, p)
+      case PctChange(c, p, _) =>
+        require(p >= 1, "PctChange: periods must be >= 1 in a raw scan — " +
+          "GroupedDf.pctChangeScalable handles negative periods (lead) by " +
+          "reversing the single-verb scan's order")
+        val i = in.fieldIndex(c)
+        require(in(i).dataType.isInstanceOf[NumericType],
+          s"pct_change over non-numeric ${in(i).dataType.simpleString}")
+        new PctChangeKernel(i, p)
       case RankMin(_) => new RankKernel(oIdx, dense = false)
       case RankDense(_) => new RankKernel(oIdx, dense = true)
       case Ewm(c, alpha, _) =>
@@ -325,9 +362,9 @@ object GroupedScan {
         require(k >= 1, "Rolling: k must be >= 1")
         val i = in.fieldIndex(c)
         val dt = in(i).dataType
-        require(Set("sum", "mean", "min", "max", "count")(agg),
-          s"Rolling: agg must be sum|mean|min|max|count: $agg")
-        if (agg == "sum" || agg == "mean")
+        require(Set("sum", "mean", "min", "max", "count", "var", "std")(agg),
+          s"Rolling: agg must be sum|mean|min|max|count|var|std: $agg")
+        if (agg == "sum" || agg == "mean" || agg == "var" || agg == "std")
           require(dt.isInstanceOf[NumericType],
             s"Rolling $agg over non-numeric ${dt.simpleString}")
         new RollingKernel(i, dt, k, agg)
@@ -448,6 +485,74 @@ object GroupedScan {
     def merge(a: AnyRef, b: AnyRef): AnyRef = b // b is non-null ⟹ newer
   }
 
+  /** diff(p): the Shift ring plus the typed subtraction. Null when
+    * fewer than p prior rows exist, or when either operand is null
+    * (SQL `c - lag(c, p)`). Integral overflow is LOUD (subtractExact /
+    * toIntExact), matching the ANSI window subtraction's error — never
+    * a silent wrap. */
+  private final class DiffKernel(idx: Int, dt: DataType, p: Int)
+    extends Kernel {
+    private val (outType, sub): (DataType, (Any, Any) => Any) = dt match {
+      case IntegerType => (IntegerType, (a, b) => Math.toIntExact(
+        Math.subtractExact(a.asInstanceOf[Number].longValue(),
+          b.asInstanceOf[Number].longValue())))
+      case LongType => (LongType, (a, b) => Math.subtractExact(
+        a.asInstanceOf[java.lang.Long].longValue(),
+        b.asInstanceOf[java.lang.Long].longValue()))
+      case FloatType => (FloatType, (a, b) =>
+        a.asInstanceOf[java.lang.Float].floatValue() -
+          b.asInstanceOf[java.lang.Float].floatValue())
+      case DoubleType => (DoubleType, (a, b) =>
+        a.asInstanceOf[java.lang.Double].doubleValue() -
+          b.asInstanceOf[java.lang.Double].doubleValue())
+      case d: DecimalType =>
+        (DecimalType(math.min(38, d.precision + 1), d.scale), (a, b) =>
+          a.asInstanceOf[java.math.BigDecimal]
+            .subtract(b.asInstanceOf[java.math.BigDecimal]))
+      case other => throw new IllegalArgumentException(
+        s"diff over ${other.simpleString} — cast to int/long/float/" +
+          "double/decimal first (byte/short widen implicitly in the " +
+          "window form; here the widening must be explicit)")
+    }
+    def field(n: String) = StructField(n, outType, nullable = true)
+    def step(st: AnyRef, row: Row): (AnyRef, Any) = {
+      val buf = if (st == null) Vector.empty[Any]
+      else st.asInstanceOf[Vector[Any]]
+      val v = row.get(idx)
+      val prev = if (buf.length >= p) buf(buf.length - p) else null
+      val out = if (v == null || prev == null || buf.length < p) null
+      else sub(v, prev)
+      ((buf :+ v).takeRight(p), out)
+    }
+    def merge(a: AnyRef, b: AnyRef): AnyRef = {
+      val bb = b.asInstanceOf[Vector[Any]]
+      if (bb.length >= p) bb
+      else (a.asInstanceOf[Vector[Any]] ++ bb).takeRight(p)
+    }
+  }
+
+  /** pct_change(p): the Shift ring, output cur/prev − 1 in DOUBLE
+    * (zero denominators → ±Infinity/NaN, the IEEE/pandas behavior). */
+  private final class PctChangeKernel(idx: Int, p: Int) extends Kernel {
+    def field(n: String) = StructField(n, DoubleType, nullable = true)
+    def step(st: AnyRef, row: Row): (AnyRef, Any) = {
+      val buf = if (st == null) Vector.empty[Any]
+      else st.asInstanceOf[Vector[Any]]
+      val v = row.get(idx)
+      val prev = if (buf.length >= p) buf(buf.length - p) else null
+      val out = if (v == null || prev == null || buf.length < p) null
+      else java.lang.Double.valueOf(
+        v.asInstanceOf[Number].doubleValue() /
+          prev.asInstanceOf[Number].doubleValue() - 1.0)
+      ((buf :+ v).takeRight(p), out)
+    }
+    def merge(a: AnyRef, b: AnyRef): AnyRef = {
+      val bb = b.asInstanceOf[Vector[Any]]
+      if (bb.length >= p) bb
+      else (a.asInstanceOf[Vector[Any]] ++ bb).takeRight(p)
+    }
+  }
+
   /** rolling agg over the last ≤k raw values (nulls kept in the buffer
     * for position, skipped by the agg — the SQL `f(x) OVER (ROWS
     * BETWEEN k-1 PRECEDING AND CURRENT ROW)` semantics). State = the
@@ -475,7 +580,7 @@ object GroupedScan {
         case other => throw new IllegalArgumentException(
           s"rolling sum over ${other.simpleString}")
       }
-      case "mean"  => StructField(n, DoubleType, nullable = true)
+      case "mean" | "var" | "std" => StructField(n, DoubleType, nullable = true)
       case "count" => StructField(n, LongType, nullable = false)
       case _       => StructField(n, dt, nullable = true)
     }
@@ -504,6 +609,32 @@ object GroupedScan {
           else {
             val dir = if (agg == "max") 1 else -1
             vs.reduce((x, y) => if (cmp(y, x) * dir > 0) y else x)
+          }
+        case "var" | "std" =>
+          // var_samp/stddev_samp window edge contract: 0 or 1 non-null
+          // → null (Spark's CentralMomentAgg with ddof=1, non-legacy —
+          // legacyStatisticalAggregate's NaN is NOT replicated)
+          if (vs.length <= 1) null
+          else {
+            val variance =
+              if (isDecimal) {
+                // order-independent under tie nondeterminism: exact
+                // decimal sums for the mean and the squared deviations
+                val mc = java.math.MathContext.DECIMAL128
+                val xs = vs.map(_.asInstanceOf[java.math.BigDecimal])
+                val mean = xs.reduce(_.add(_))
+                  .divide(new java.math.BigDecimal(xs.length), mc)
+                xs.map { x => val d = x.subtract(mean); d.multiply(d, mc) }
+                  .reduce(_.add(_, mc))
+                  .divide(new java.math.BigDecimal(xs.length - 1), mc)
+                  .doubleValue()
+              } else {
+                // two-pass mean-centered — no catastrophic cancellation
+                val xs = vs.map(_.asInstanceOf[Number].doubleValue())
+                val mean = xs.sum / xs.length
+                xs.map(x => (x - mean) * (x - mean)).sum / (xs.length - 1)
+              }
+            if (agg == "var") variance else math.sqrt(variance)
           }
         case "sum" | "mean" =>
           if (vs.isEmpty) null

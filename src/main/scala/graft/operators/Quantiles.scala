@@ -27,7 +27,14 @@ import org.apache.spark.sql.functions._
   * `percentile` aggregate alike, so parity holds on NaN-bearing
   * columns too; nulls are excluded like any SQL aggregate. Returns
   * null (boxed) per prob when no rows survive — the callers keep
-  * their existing empty-input contracts. */
+  * their existing empty-input contracts.
+  *
+  * NOTE: both entry points run Spark jobs EAGERLY at call time (the
+  * selection is a driver-coordinated two-job protocol, not a plan
+  * node). Like `RDD.zipWithIndex`, a nondeterministic upstream
+  * lineage (unseeded sample, unordered limit) must be cached first —
+  * otherwise the cuts and any downstream bucketing pass can observe
+  * different rows. */
 object Quantiles {
 
   /** [[exactQuantilesCont]] + the cross-engine 6dp SQL-HALF-UP round
@@ -42,38 +49,110 @@ object Quantiles {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
 
+  /** Canonicalize one group-key value for use as a driver-side map
+    * key, mirroring SQL grouping (and [[GroupedScan]]'s `canon`):
+    * -0.0 groups with 0.0 (Spark normalizes floats before grouping),
+    * and BinaryType keys — `Array[Byte]`, whose JVM `equals`/
+    * `hashCode` are reference-based and would silently make every row
+    * its own cohort — are wrapped in a content-equality
+    * `ArraySeq.ofByte`. [[decanonKey]] restores the raw array for
+    * callers rebuilding Rows. */
+  private[graft] def canonKey(v: Any): Any = v match {
+    case d: java.lang.Double if d.doubleValue() == 0.0d => ZeroD
+    case f: java.lang.Float if f.floatValue() == 0.0f => ZeroF
+    case b: Array[Byte] => new scala.collection.immutable.ArraySeq.ofByte(b)
+    case x => x
+  }
+  private[graft] def decanonKey(v: Any): Any = v match {
+    case b: scala.collection.immutable.ArraySeq.ofByte => b.unsafeArray
+    case x => x
+  }
+  private val ZeroD = java.lang.Double.valueOf(0.0d)
+  private val ZeroF = java.lang.Float.valueOf(0.0f)
+
+  /** canonicalized key tuple from the first `nKeys` fields — an
+    * object-level method (NOT a local def) so executor closures call
+    * it through the module's static instance instead of capturing the
+    * non-serializable module itself */
+  private def keyOf(r: org.apache.spark.sql.Row, nKeys: Int): Seq[Any] = {
+    val a = new Array[Any](nKeys)
+    var i = 0
+    while (i < nKeys) { a(i) = canonKey(r.get(i)); i += 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+  }
+
+  /** Single-key [[exactGroupQuantilesContMulti]] — map keys are the
+    * raw (de-canonicalized) group values. */
+  def exactGroupQuantilesCont(df: DataFrame, g: String, c: String,
+                              probs: Seq[Double], maxGroups: Int = 10000,
+                              preCheckCardinality: Boolean = true)
+      : Map[Any, Seq[java.lang.Double]] =
+    exactGroupQuantilesContMulti(df, Seq(g), c, probs, maxGroups,
+      preCheckCardinality)
+      .map { case (ks, vs) => decanonKey(ks.head) -> vs }
+
   /** Per-GROUP exact interpolated quantiles by the same order-statistic
     * selection — for LOW-CARDINALITY cohorts (languages, sources),
     * where the per-group `percentile` aggregate still accumulates a
     * cohort-sized value buffer (cohort ≈ corpus/#groups — the same
-    * wall, divided by a handful). Range-partitioning on (group, value)
+    * wall, divided by a handful). Range-partitioning on (groups, value)
     * makes each group's values monotone across the partitions that
     * host it, so the driver locates every (group, order statistic) from
     * per-(partition, group) counts and only the hosting partitions
     * select. The driver state is O(partitions × groups) — guarded by
     * `maxGroups`; for HIGH-cardinality groups use the per-group
     * aggregate, whose buffers are small exactly then (the same duality
-    * as window verbs vs GroupedScan). NULL groups are excluded (no
-    * cohort); returns group → one double per prob. */
-  def exactGroupQuantilesCont(df: DataFrame, g: String, c: String,
-                              probs: Seq[Double], maxGroups: Int = 10000)
-      : Map[Any, Seq[java.lang.Double]] = {
+    * as window verbs vs GroupedScan). Rows with ANY null group key are
+    * excluded (no cohort, pandas groupby semantics); returns
+    * CANONICALIZED key tuple ([[canonKey]] per element — callers that
+    * rebuild Rows apply [[decanonKey]]) → one double per prob.
+    *
+    * `preCheckCardinality` (default on) spends one cheap
+    * `approx_count_distinct` pass over the narrow (group, value)
+    * projection BEFORE the range exchange, so a pathologically
+    * high-cardinality group column fails with the named error having
+    * shipped only an HLL sketch to the driver — not O(groups) count
+    * maps. Callers whose group domain is known small by construction
+    * (describe's melted column names) skip it. The exact guard still
+    * runs after the count pass either way. */
+  def exactGroupQuantilesContMulti(df: DataFrame, gs: Seq[String],
+                                   c: String, probs: Seq[Double],
+                                   maxGroups: Int = 10000,
+                                   preCheckCardinality: Boolean = true)
+      : Map[Seq[Any], Seq[java.lang.Double]] = {
+    require(gs.nonEmpty, "exactGroupQuantilesCont: at least one group key")
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
       s"exactGroupQuantilesCont: probs in [0,1]: $probs")
-    val vals = df.select(col(g).as("__g"), col(c).cast("double").as("__v"))
-      .where(col("__v").isNotNull && col("__g").isNotNull)
-    val ranged = vals.repartitionByRange(col("__g").asc, col("__v").asc)
+    val nKeys = gs.length
+    val gCols = gs.zipWithIndex.map { case (g, i) => df(g).as(s"__g$i") }
+    val vals = df.select(gCols :+ df(c).cast("double").as("__v"): _*)
+      .where(col("__v").isNotNull &&
+        (0 until nKeys).map(i => col(s"__g$i").isNotNull).reduce(_ && _))
+    if (preCheckCardinality) {
+      val est = vals.agg(approx_count_distinct(
+        struct((0 until nKeys).map(i => col(s"__g$i")): _*)).as("n"))
+        .head.getLong(0)
+      // rsd defaults to 5%; 1.5× headroom makes a false trip on a
+      // genuinely ≤ maxGroups domain essentially impossible, and the
+      // exact guard below still catches the (maxGroups, 1.5×] band
+      require(est <= maxGroups * 1.5,
+        s"exactGroupQuantilesCont: ~$est groups exceeds " +
+          s"maxGroups=$maxGroups — use the per-group percentile " +
+          "aggregate (its buffers are small exactly when groups are many)")
+    }
+    val ranged = vals.repartitionByRange(
+      (0 until nKeys).map(i => col(s"__g$i").asc) :+ col("__v").asc: _*)
     val rdd = ranged.rdd
-    val counts: Array[(Int, Map[Any, Long])] =
+    val counts: Array[(Int, Map[Seq[Any], Long])] =
       rdd.mapPartitionsWithIndex { (p, it) =>
-        val m = scala.collection.mutable.HashMap.empty[Any, Long]
+        val m = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
         while (it.hasNext) {
-          val k = it.next().get(0)
+          val k = keyOf(it.next(), nKeys)
           m.update(k, m.getOrElse(k, 0L) + 1L)
         }
         Iterator.single(p -> m.toMap)
       }.collect()
-    val totals = scala.collection.mutable.HashMap.empty[Any, Long]
+    val totals = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
     counts.foreach { case (_, m) =>
       m.foreach { case (k, n) => totals.update(k, totals.getOrElse(k, 0L) + n) }
     }
@@ -84,10 +163,10 @@ object Quantiles {
         "(its buffers are small exactly when groups are many)")
     // per group: global order statistics needed, located via the
     // pid-ascending cumulative count (values are monotone per group
-    // across hosting partitions under the (group, value) range sort)
+    // across hosting partitions under the (groups, value) range sort)
     val wantByPid = scala.collection.mutable
-      .HashMap.empty[Int, scala.collection.mutable.ListBuffer[(Any, Long, Int)]]
-    val targetsByGroup: Map[Any, Seq[Long]] = totals.iterator.map {
+      .HashMap.empty[Int, scala.collection.mutable.ListBuffer[(Seq[Any], Long, Int)]]
+    val targetsByGroup: Map[Seq[Any], Seq[Long]] = totals.iterator.map {
       case (k, n) =>
         k -> probs.flatMap { p =>
           val h = p * (n - 1)
@@ -111,20 +190,20 @@ object Quantiles {
     }
     val bc = df.sparkSession.sparkContext
       .broadcast(wantByPid.map { case (p, l) => p -> l.toList }.toMap)
-    val picked: Map[(Any, Long), Double] = rdd.mapPartitionsWithIndex {
+    val picked: Map[(Seq[Any], Long), Double] = rdd.mapPartitionsWithIndex {
       (p, it) =>
         bc.value.get(p) match {
           case None => Iterator.empty
           case Some(ws) =>
             val wanted = ws.map(_._1).toSet
             val buf = scala.collection.mutable
-              .HashMap.empty[Any, scala.collection.mutable.ArrayBuilder.ofDouble]
+              .HashMap.empty[Seq[Any], scala.collection.mutable.ArrayBuilder.ofDouble]
             while (it.hasNext) {
               val r = it.next()
-              val k = r.get(0)
+              val k = keyOf(r, nKeys)
               if (wanted.contains(k))
                 buf.getOrElseUpdate(k,
-                  new scala.collection.mutable.ArrayBuilder.ofDouble) += r.getDouble(1)
+                  new scala.collection.mutable.ArrayBuilder.ofDouble) += r.getDouble(nKeys)
             }
             val sorted = buf.map { case (k, b) =>
               val a = b.result(); java.util.Arrays.sort(a); k -> a

@@ -136,9 +136,48 @@ object FeatureQueries {
         .select("l_returnflag", "l_orderkey", "l_linenumber",
           "roll_mean", "cum_qty_d")
         .sortValues(Seq("l_returnflag", "l_orderkey", "l_linenumber")).sdf
+    }),
+
+    // ---- scalable diff + pct_change (GroupedScan.Diff / PctChange
+    // sharing ONE range sort) per return flag: row-to-row quantity
+    // delta and extended-price relative change. Decimal diff emits
+    // decimal(19,2) in-kernel (the window `c - lag(c)` dtype), cast
+    // DOUBLE for the gate; pct_change divides double-cast prices, the
+    // same IEEE doubles DuckDB's CAST(.. AS DOUBLE) division yields
+    // (prices are positive — no zero-denominator divergence here) ----
+    "q265_scan_diff" -> ((s, dir) => {
+      import graft.operators.GroupedScan
+      val okeys = Seq("l_orderkey", "l_linenumber", "l_extendedprice")
+      T(s, dir, "lineitem")
+        .assign("qd", col("l_quantity").cast("decimal(18,2)"))
+        .assign("pe", col("l_extendedprice").cast("double"))
+        .groupby("l_returnflag")
+        .scanScalable(okeys, Seq(
+          GroupedScan.Diff("qd", 1, "qty_diff_d"),
+          GroupedScan.PctChange("pe", 1, "price_pct")))
+        .where(col("l_orderkey") % 50 === 0)
+        .assign("qty_diff", col("qty_diff_d").cast("double"))
+        .select("l_returnflag", "l_orderkey", "l_linenumber",
+          "qty_diff", "price_pct")
+        .sortValues(Seq("l_returnflag", "l_orderkey", "l_linenumber")).sdf
     }))
 
   val oracles: Map[String, String] = Map(
+    "q265_scan_diff" ->
+      """WITH w AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |        - LAG(CAST(l_quantity AS DECIMAL(18,2))) OVER win
+        |      AS DOUBLE) AS qty_diff,
+        |    CAST(l_extendedprice AS DOUBLE)
+        |        / LAG(CAST(l_extendedprice AS DOUBLE)) OVER win
+        |      - 1.0 AS price_pct
+        |  FROM lineitem
+        |  WINDOW win AS (PARTITION BY l_returnflag
+        |      ORDER BY l_orderkey, l_linenumber, l_extendedprice))
+        |SELECT l_returnflag, l_orderkey, l_linenumber, qty_diff, price_pct
+        |FROM w WHERE l_orderkey % 50 = 0
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
     "q264_scan_rolling" ->
       """WITH w AS (
         |  SELECT l_returnflag, l_orderkey, l_linenumber,

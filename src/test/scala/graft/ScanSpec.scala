@@ -411,6 +411,153 @@ class ScanSpec extends AnyFunSuite {
       Quantiles.exactGroupQuantilesCont(df.sdf, "s", "v", Seq(0.5),
         maxGroups = 5)
     }
+    // the guard fires from the cheap HLL pre-check too (no count-map
+    // collect) AND from the exact count when the pre-check is skipped
+    intercept[IllegalArgumentException] {
+      Quantiles.exactGroupQuantilesCont(df.sdf, "s", "v", Seq(0.5),
+        maxGroups = 5, preCheckCardinality = false)
+    }
+  }
+
+  test("diff/pctChange/bfill: scalable ≡ window, groups spanning 7 partitions") {
+    import org.apache.spark.sql.expressions.Window
+    trials(rowsGen) { xs =>
+      // zero-free copies for the pct_change pins: Spark 4 ANSI raises
+      // DIVIDE_BY_ZERO even for double/double, so the window form can
+      // never see a 0 denominator (the kernel's IEEE ±Inf behavior on
+      // zeros is pinned separately below)
+      val df = new Df(mkDf(xs).sdf
+        .withColumn("vnz", when(col("v") === 0.0, 0.25).otherwise(col("v")))
+        .withColumn("onz", col("o") + 1))
+      val okeys = Seq("o", "id")
+      val w = Window.partitionBy("g").orderBy(col("o").asc, col("id").asc)
+      // diff over int (o), double (v), decimal (d) — exact, incl. dtype
+      val sd = df.groupby("g").scanScalable(okeys, Seq(
+        GroupedScan.Diff("o", 1, "di"), GroupedScan.Diff("v", 2, "dv"),
+        GroupedScan.Diff("d", 1, "dd"),
+        GroupedScan.PctChange("vnz", 1, "pv"),
+        GroupedScan.PctChange("onz", 2, "po")), numPartitions = 7)
+      val wd = df.sdf
+        .withColumn("di", col("o") - lag(col("o"), 1).over(w))
+        .withColumn("dv", col("v") - lag(col("v"), 2).over(w))
+        .withColumn("dd", col("d") - lag(col("d"), 1).over(w))
+        .withColumn("pv", col("vnz") / lag(col("vnz"), 1).over(w) - lit(1.0))
+        .withColumn("po", col("onz").cast("double") /
+          lag(col("onz").cast("double"), 2).over(w) - lit(1.0))
+      Seq("di", "dv", "dd", "pv", "po").foreach { c =>
+        assert(byId(sd, c) == byId(new Df(wd), c), c)
+        assert(sd.sdf.schema(c).dataType == wd.schema(c).dataType, c)
+      }
+      // bfill ≡ the window first(ignoreNulls) over-following form
+      val sb = df.groupby("g").bfillScalable("v", okeys, "bf")
+      val wb = df.bfill(Seq("v"), okeys, partitionBy = Seq("g"))
+      assert(byId(sb, "bf") == byId(wb, "v"))
+      // lead-diff: negative periods reverse the scan order
+      val sl = df.groupby("g").diffScalable("v", okeys, periods = -1,
+        out = "ld")
+      val wl = df.sdf.withColumn("ld",
+        col("v") - lag(col("v"), -1).over(w))
+      assert(byId(sl, "ld") == byId(new Df(wl), "ld"))
+    }
+    // the kernel's IEEE zero-denominator contract (pandas): x/0−1 =
+    // ±Inf, 0/0−1 = NaN — where the ANSI window form would error
+    val zdf = mkDf(List(
+      Row(0L, 0, 0, 0.0, null, null), Row(1L, 0, 1, 2.0, null, null),
+      Row(2L, 0, 2, -3.0, null, null), Row(3L, 0, 3, 0.0, null, null),
+      Row(4L, 0, 4, 0.0, null, null)))
+    val zp = byId(
+      zdf.groupby("g").pctChangeScalable("v", Seq("o", "id"), out = "p"), "p")
+    assert(zp(0L) == null)
+    assert(zp(1L) == java.lang.Double.valueOf(Double.PositiveInfinity))
+    assert(zp(2L) == java.lang.Double.valueOf(-3.0 / 2.0 - 1.0))
+    assert(zp(3L) == java.lang.Double.valueOf(0.0 / -3.0 - 1.0))
+    assert(zp(4L).asInstanceOf[java.lang.Double].isNaN)
+  }
+
+  test("rolling var/std: scalable ≈ window var_samp/stddev_samp (incl. n<=1 → null)") {
+    import org.apache.spark.sql.expressions.Window
+    def approxEq(a: Any, b: Any): Boolean = (a, b) match {
+      case (null, null) => true
+      case (x: java.lang.Double, y: java.lang.Double) =>
+        (x.isNaN && y.isNaN) ||
+          math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x))
+      case _ => a == b
+    }
+    trials(rowsGen) { xs =>
+      val df = mkDf(xs)
+      val w = Window.partitionBy("g").orderBy(col("o").asc, col("id").asc)
+        .rowsBetween(-2, 0)
+      val sd = df.groupby("g").scanScalable(Seq("o", "id"), Seq(
+        GroupedScan.Rolling("v", 3, "var", "rv"),
+        GroupedScan.Rolling("v", 3, "std", "rs"),
+        GroupedScan.Rolling("d", 3, "var", "rd")), numPartitions = 7)
+      val wd = df.sdf
+        .withColumn("rv", var_samp(col("v")).over(w))
+        .withColumn("rs", stddev_samp(col("v")).over(w))
+        .withColumn("rd", var_samp(col("d")).over(w))
+      Seq("rv", "rs", "rd").foreach { c =>
+        val got = byId(sd, c); val want = byId(new Df(wd), c)
+        assert(got.keySet == want.keySet)
+        got.foreach { case (id, v) =>
+          assert(approxEq(v, want(id)), s"$c id=$id: $v vs ${want(id)}")
+        }
+      }
+    }
+  }
+
+  test("exactGroupQuantilesCont: BinaryType keys group by CONTENT, -0.0 joins 0.0 (SQL grouping)") {
+    import graft.operators.Quantiles
+    val schemaB = StructType(Seq(
+      StructField("b", BinaryType, nullable = true),
+      StructField("z", DoubleType, nullable = false),
+      StructField("v", DoubleType, nullable = true)))
+    // fresh Array[Byte] per row: identical CONTENT, distinct objects —
+    // reference-keyed maps would make every row its own cohort
+    val rows = (0 until 40).map { i =>
+      Row(Array[Byte]((i % 2).toByte, 7.toByte),
+        if (i % 2 == 0) 0.0 else -0.0, i.toDouble)
+    }.toList
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 8), schemaB)
+    val got = Quantiles.exactGroupQuantilesCont(df, "b", "v", Seq(0.5, 0.9))
+    val want = df.groupBy("b")
+      .agg(expr("percentile(v, array(0.5, 0.9))").as("q"))
+      .collect().map(r => r.getAs[Array[Byte]](0).toSeq -> r.getSeq[Double](1))
+      .toMap
+    assert(got.size == want.size && got.size == 2) // 2 content cohorts
+    got.foreach { case (k, qs) =>
+      val w = want(k.asInstanceOf[Array[Byte]].toSeq)
+      qs.indices.foreach(i => assert(
+        java.lang.Double.compare(qs(i).doubleValue(), w(i)) == 0))
+    }
+    // -0.0 and 0.0 are ONE cohort, like Spark/DuckDB grouping
+    val gz = Quantiles.exactGroupQuantilesCont(df, "z", "v", Seq(0.5))
+    assert(gz.size == 1)
+    val wz = df.agg(expr("percentile(v, 0.5)")).head.getDouble(0)
+    assert(java.lang.Double.compare(
+      gz.values.head.head.doubleValue(), wz) == 0)
+  }
+
+  test("quantileScalable: multi-key groups ≡ per-group percentile aggregate") {
+    import org.apache.spark.sql.functions.{col => fcol}
+    trials(rowsGen, n = 4) { xs =>
+      val df = mkDf(xs)
+      val got = df.groupby("g", "o")
+        .quantileScalable("v", 0.25, out = "q25")
+        .sdf.collect()
+        .map(r => (r.get(0), r.get(1)) -> r.get(2)).toMap
+      val want = df.sdf.where(fcol("v").isNotNull)
+        .groupBy("g", "o").agg(expr("percentile(v, 0.25)").as("q25"))
+        .collect().map(r => (r.get(0), r.get(1)) -> r.get(2)).toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (k, v) =>
+        (v, want(k)) match {
+          case (a: java.lang.Double, b: java.lang.Double) =>
+            assert(java.lang.Double.compare(a, b) == 0, s"group $k")
+          case (a, b) => assert(a == b, s"group $k")
+        }
+      }
+    }
   }
 
   test("transform (agg + join back) ≡ whole-group window, incl. null keys and keyless") {
