@@ -524,33 +524,21 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * selection (bitwise-identical to `percentile()`, without its
     * all-values-per-column aggregation buffers — describe over three
     * quantiles × k columns held 3k value maps at once). ALL k columns'
-    * quartiles come from ONE selection pass: the columns are melted to
-    * (name, value) rows — explode of k (lit(name), value) structs, one
-    * scan — and [[graft.operators.Quantiles.exactGroupQuantilesCont]]
-    * selects per column-name cohort. One range exchange and two jobs
-    * TOTAL, instead of per column; same doubles bitwise (the per-group
-    * selection sorts exactly the values the per-column one did).
-    * Eager (runs the selection jobs at call time) — cache upstream
-    * nondeterminism first. */
+    * quartiles come from ONE selection pass
+    * ([[graft.operators.Quantiles.exactOrdinalQuantilesCont]]): the
+    * columns melt to (ordinal, value, count) triples — the melt key is
+    * the column ORDINAL, decoded back to names right here on the
+    * driver, and duplicate values collapse map-side before the range
+    * exchange — never a string name per melted row. The mergeable agg
+    * pass and the quantile selection are INDEPENDENT scans, so they run
+    * CONCURRENTLY (the agg's one-row collect on a Future while the
+    * driver coordinates the selection protocol); the 8×(1+k) result is
+    * assembled driver-side as a LocalRelation. Eager (runs all jobs at
+    * call time) — cache upstream nondeterminism first. */
   def describeStats(cols: Seq[String] = Nil): Df = {
     val F = org.apache.spark.sql.functions
     val cs = if (cols.nonEmpty) cols else numericCols
     val probs = Seq(0.25, 0.5, 0.75)
-    val pairs: Seq[Column] = cs.map(c =>
-      struct(lit(c).as("__g"), sdf(c).cast("double").as("__v")))
-    val melted = sdf.select(F.explode(F.array(pairs: _*)).as("__kv"))
-      .select(col("__kv.__g").as("__g"), col("__kv.__v").as("__v"))
-    // group domain = the k column-name literals: known ≤ maxGroups by
-    // construction, so skip the cardinality pre-check's extra pass
-    val qm = graft.operators.Quantiles.exactGroupQuantilesCont(
-      melted, "__g", "__v", probs, maxGroups = math.max(cs.size, 1),
-      preCheckCardinality = false)
-    val qs: Map[String, Seq[java.lang.Double]] = cs.map(c =>
-      // all-null columns form no cohort → null quartiles, as before
-      c -> qm.getOrElse(c, probs.map(_ => null: java.lang.Double))).toMap
-    // Double.toString round-trips exactly through the string cast
-    def qlit(v: java.lang.Double): String =
-      if (v == null) "CAST(NULL AS DOUBLE)" else s"CAST('$v' AS DOUBLE)"
     val aggs = cs.flatMap { c =>
       Seq(F.count(sdf(c)).cast("double").as(s"${c}__count"),
         avg(sdf(c)).as(s"${c}__mean"),
@@ -559,19 +547,40 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
         F.max(sdf(c)).cast("double").as(s"${c}__max"))
     }
     val one = sdf.agg(aggs.head, aggs.tail: _*)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val aggF = scala.concurrent.Future(one.head())
+    val qsSeq = graft.operators.Quantiles.exactOrdinalQuantilesCont(
+      sdf, cs, probs)
+    val aggRow = scala.concurrent.Await.result(
+      aggF, scala.concurrent.duration.Duration.Inf)
+    def aggAt(ci: Int, j: Int): java.lang.Double = {
+      val i = ci * 5 + j
+      if (aggRow.isNullAt(i)) null else java.lang.Double.valueOf(aggRow.getDouble(i))
+    }
     val stats = Seq("count", "mean", "std", "min", "q25", "q50", "q75", "max")
-    val qIdx = Map("q25" -> 0, "q50" -> 1, "q75" -> 2)
-    val stackArgs = stats.map { s =>
-      val vals = cs.map { c =>
-        qIdx.get(s) match {
-          case Some(i) => qlit(qs(c)(i))
-          case None => s"`${c}__$s`"
+    val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList
+    stats.foreach { s =>
+      val vals: Seq[Any] = cs.indices.map { ci =>
+        s match {
+          case "count" => aggAt(ci, 0)
+          case "mean" => aggAt(ci, 1)
+          case "std" => aggAt(ci, 2)
+          case "min" => aggAt(ci, 3)
+          case "max" => aggAt(ci, 4)
+          case "q25" => qsSeq(ci)(0)
+          case "q50" => qsSeq(ci)(1)
+          case "q75" => qsSeq(ci)(2)
         }
       }
-      s"'$s', ${vals.mkString(", ")}"
-    }.mkString(", ")
-    derived(one.selectExpr(
-      s"stack(${stats.size}, $stackArgs) AS (stat, ${cs.mkString(", ")})"))
+      rows.add(org.apache.spark.sql.Row.fromSeq(s +: vals))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("stat",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+        cs.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.DoubleType, nullable = true)))
+    derived(sdf.sparkSession.createDataFrame(rows, schema))
   }
 
   /** pandas `pivot_table`: rows=index key, columns=spread key (explicit

@@ -220,6 +220,145 @@ object Quantiles {
     }.toMap
   }
 
+  /** `describe()`'s melted fast path: exact interpolated quantiles for
+    * k numeric columns in one selection protocol. Two design points fix
+    * the round-14 pessimization (k·n string-keyed melted rows through a
+    * global range sort cost more than the k per-column exchanges they
+    * replaced):
+    *
+    *  - the melt key is DICTIONARY-ENCODED to the column ORDINAL (int),
+    *    decoded to names by the caller;
+    *  - the melted rows are COLLAPSED to distinct (ordinal, value) →
+    *    count triples BEFORE the range exchange — `groupBy().count()`
+    *    gives Spark's map-side partial aggregation for free, so the
+    *    range exchange and both driver-protocol jobs touch
+    *    min(distinct, n) weighted triples, not n raw rows. Real numeric
+    *    columns duplicate heavily (quantities, prices, discounts,
+    *    scores: lineitem melts 12 M rows to 61 triples); the
+    *    fully-distinct worst case shuffles ~2× the raw-melt bytes
+    *    (hash + range exchanges) but reads collapsed data in both
+    *    protocol jobs — an acceptable ceiling for a path whose common
+    *    case collapses by orders of magnitude.
+    *
+    * The selection then runs on WEIGHTED order statistics: per-partition
+    * per-ordinal weight sums locate each (column, global order
+    * statistic) on the driver exactly as the unweighted protocol does —
+    * values stay monotone per ordinal across partitions under the
+    * (ordinal, value) range sort — and hosting partitions walk their
+    * sorted distinct values' cumulative weights. Both jobs read
+    * `queryExecution.toRdd` InternalRows with ordinal-indexed primitive
+    * state: no Row conversion, no boxed keys. The range exchange pins
+    * its partition count (bypassing AQE coalescing — the 64 MB-target
+    * coalesce serializes the two protocol reads onto a handful of
+    * tasks).
+    *
+    * Same doubles as [[exactQuantilesCont]] per column — same value
+    * multiset, same order, same weighted interpolation — with one
+    * sign-bit caveat: SQL grouping normalizes -0.0 to 0.0, so a
+    * quantile landing exactly on a -0.0 input surfaces as +0.0
+    * (numerically equal; `percentile` itself groups by value the same
+    * way). NaN groups as one key and sorts greatest, as everywhere.
+    * Returns one Seq per input column, positionally; all-null columns
+    * yield nulls. Eager — see the object scaladoc's
+    * upstream-nondeterminism caveat. */
+  def exactOrdinalQuantilesCont(df: DataFrame, cols: Seq[String],
+                                probs: Seq[Double])
+      : Seq[Seq[java.lang.Double]] = {
+    require(cols.nonEmpty, "exactOrdinalQuantilesCont: at least one column")
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"exactOrdinalQuantilesCont: probs in [0,1]: $probs")
+    val k = cols.length
+    val pairs = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("__g"), df(c).cast("double").as("__v")) }
+    val nParts = df.sparkSession.conf
+      .getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    val ranged = df.select(explode(array(pairs: _*)).as("__kv"))
+      .select(col("__kv.__g").as("__g"), col("__kv.__v").as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__n"))
+      .repartitionByRange(nParts, col("__g").asc, col("__v").asc)
+    val rdd = ranged.queryExecution.toRdd // ONE exchange feeds both jobs
+    // job 1: per (partition, ordinal) weight sums — P·k longs, never data
+    val counts: Array[(Int, Array[Long])] =
+      rdd.mapPartitionsWithIndex { (p, it) =>
+        val a = new Array[Long](k)
+        while (it.hasNext) { val r = it.next(); a(r.getInt(0)) += r.getLong(2) }
+        Iterator.single(p -> a)
+      }.collect()
+    val byPid = counts.sortBy(_._1)
+    val totals = new Array[Long](k)
+    byPid.foreach { case (_, a) =>
+      var i = 0; while (i < k) { totals(i) += a(i); i += 1 } }
+    val targetsByCode: Array[Seq[Long]] = Array.tabulate(k) { code =>
+      if (totals(code) == 0L) Nil
+      else probs.flatMap { p =>
+        val h = p * (totals(code) - 1)
+        Seq(math.floor(h).toLong, math.ceil(h).toLong)
+      }.distinct.sorted
+    }
+    // locate each (ordinal, global order statistic) as (pid, offset into
+    // the partition's weight-expanded value sequence)
+    val wantByPid = scala.collection.mutable.HashMap
+      .empty[Int, scala.collection.mutable.ListBuffer[(Int, Long, Long)]]
+    (0 until k).foreach { code =>
+      val ts = targetsByCode(code)
+      var cum = 0L
+      var ti = 0
+      byPid.foreach { case (pid, a) =>
+        val cnt = a(code)
+        while (ti < ts.length && cnt > 0 && ts(ti) < cum + cnt) {
+          wantByPid.getOrElseUpdate(pid,
+            scala.collection.mutable.ListBuffer.empty) +=
+            ((code, ts(ti), ts(ti) - cum))
+          ti += 1
+        }
+        cum += cnt
+      }
+    }
+    val bc = df.sparkSession.sparkContext
+      .broadcast(wantByPid.map { case (p, l) => p -> l.toList }.toMap)
+    // job 2: hosting partitions sort their (value, weight) triples per
+    // wanted ordinal and walk cumulative weights to the asked offsets
+    val picked: Map[(Int, Long), Double] = rdd.mapPartitionsWithIndex {
+      (p, it) =>
+        bc.value.get(p) match {
+          case None => Iterator.empty
+          case Some(ws) =>
+            val wanted = new Array[Boolean](k)
+            ws.foreach(w => wanted(w._1) = true)
+            val bufs = new Array[scala.collection.mutable.ArrayBuffer[(Double, Long)]](k)
+            while (it.hasNext) {
+              val r = it.next()
+              val c = r.getInt(0)
+              if (wanted(c)) {
+                if (bufs(c) == null)
+                  bufs(c) = new scala.collection.mutable.ArrayBuffer[(Double, Long)]
+                bufs(c) += ((r.getDouble(1), r.getLong(2)))
+              }
+            }
+            // TotalOrdering: NaN greatest, matching the range sort
+            val sorted = bufs.map(b => if (b == null) null else
+              b.sortBy(_._1)(Ordering.Double.TotalOrdering))
+            ws.groupBy(_._1).iterator.flatMap { case (c, cws) =>
+              val vals = sorted(c)
+              val offs = cws.sortBy(_._3)
+              var cum = 0L
+              var vi = 0
+              offs.iterator.map { case (_, g, off) =>
+                while (cum + vals(vi)._2 <= off) { cum += vals(vi)._2; vi += 1 }
+                (c, g) -> vals(vi)._1
+              }
+            }
+        }
+    }.collect().toMap
+    (0 until k).map { code =>
+      if (totals(code) == 0L) probs.map(_ => null: java.lang.Double)
+      else probs.map(p => java.lang.Double.valueOf(
+        interp(p * (totals(code) - 1), g => picked((code, g)))))
+    }
+  }
+
   /** Spark `percentile`'s exact interpolation form — the WEIGHTED
     * average (ceil−h)·lo + (h−floor)·hi, NOT lo + frac·(hi−lo): the two
     * differ in final ulps and the parity pin is bitwise. */

@@ -386,6 +386,48 @@ class ScanSpec extends AnyFunSuite {
       .forall(_ == null))
   }
 
+  test("exactOrdinalQuantilesCont ≡ per-column percentile(): weighted collapse, NaN, nulls, all-null, -0.0") {
+    import graft.operators.Quantiles
+    val probs = Seq(0.0, 0.25, 1.0 / 3, 0.5, 0.75, 0.999, 1.0)
+    trials(rowsGen, n = 6) { xs =>
+      val df = mkDf(xs)
+      // v duplicates heavily (13 distinct values) — the map-side
+      // collapse and the weighted cumulative walk carry real weights
+      val wide = df.sdf
+        .withColumn("v2",
+          when(col("id") % 9 === 0, lit(Double.NaN)).otherwise(col("v")))
+        .withColumn("vnull", lit(null).cast("double"))
+        .withColumn("dd", col("d").cast("double"))
+      val cols = Seq("v", "v2", "vnull", "dd")
+      val got = Quantiles.exactOrdinalQuantilesCont(wide, cols, probs)
+      cols.zipWithIndex.foreach { case (c, ci) =>
+        val want = wide.agg(expr(
+          s"percentile($c, array(${probs.mkString(", ")}))").as("q")).head
+        if (want.isNullAt(0)) assert(got(ci).forall(_ == null), c)
+        else {
+          val ws = want.getSeq[Double](0)
+          probs.indices.foreach { i =>
+            assert(java.lang.Double.compare(
+              got(ci)(i).doubleValue(), ws(i)) == 0,
+              s"$c p=${probs(i)}: ${got(ci)(i)} vs ${ws(i)}")
+          }
+        }
+      }
+    }
+    // empty frame → nulls for every column and prob
+    assert(Quantiles.exactOrdinalQuantilesCont(
+      mkDf(Nil).sdf, Seq("v", "d"), Seq(0.5))
+      .forall(_.forall(_ == null)))
+    // -0.0 inputs: SQL grouping normalizes the sign bit, so a quantile
+    // landing on a -0.0 value surfaces as +0.0 — numerically equal
+    val z = mkDf(List(
+      Row(0L, 0, 0, -0.0, null, null), Row(1L, 0, 0, -0.0, null, null),
+      Row(2L, 0, 0, 1.0, null, null)))
+    val q = Quantiles.exactOrdinalQuantilesCont(
+      z.sdf, Seq("v"), Seq(0.5)).head.head
+    assert(q.doubleValue() == 0.0)
+  }
+
   test("exactGroupQuantilesCont ≡ per-group percentile(); null groups out; maxGroups guard") {
     import graft.operators.Quantiles
     val probs = Seq(1.0 / 3, 0.5, 2.0 / 3)
