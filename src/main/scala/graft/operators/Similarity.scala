@@ -248,13 +248,20 @@ object Similarity {
   }
 
   /** Probe a [[buildIvfIndex]] layout: each query ranks the stored
-    * centroids (read back from `path`/centroids — nlist×dim rows, a
-    * driver-side literal again after one tiny read), explodes into its
-    * `nprobe` nearest cells, and joins the index scan FILTERED to the
-    * union of probed cells — a static `cell IN (…)` predicate the
-    * parquet source turns into partition pruning (the probe list is
-    * |queries|×nprobe values, driver-known because the query side is
-    * small by the same assumption that lets it broadcast). Exact
+    * centroids (read back from `path`/centroids — nlist×dim rows, the
+    * k·d codebook as a driver-side literal after one tiny read — the
+    * ONLY job this method runs), explodes into its `nprobe` nearest
+    * cells, and broadcast-joins the partitioned index scan on `cell`.
+    * The probed-cell pruning is IN-PLAN: the scan carries a
+    * DYNAMIC PARTITION PRUNING subquery that reuses the broadcast
+    * exchange, so only the probed cell directories are read at
+    * execution — no driver round-trip materializes the probe list
+    * (the pre-r15 `collect()` forced the query-side plan eagerly at
+    * call time). The no-op `cell >= 0` filter on the probe side is
+    * load-bearing: Catalyst's DPP heuristic only prunes against a side
+    * with a LIKELY-SELECTIVE predicate (isLikelySelective — a
+    * comparison/IN/LIKE), which a bare explode-projection lacks; cells
+    * are 0-based ordinals, so the filter drops nothing. Exact
     * graft_cosine rerank inside the probed cells; with nprobe = nlist
     * the result provably equals brute force — the oracle contract —
     * while any smaller nprobe trades recall for reading
@@ -284,22 +291,13 @@ object Similarity {
         .otherwise(raise_error(concat(
           lit(s"searchIvfIndex: expected dim=$dim, got vector of length "),
           size(col("q_vec")).cast("string"))))
-    // persisted so the query-side nearest-cell plan runs ONCE: the
-    // probe-list collect below and the join both read the cache. The
-    // probe list must stay a driver-known literal IN (static partition
-    // pruning) — a dynamic join-based prune would not fire here (no
-    // selective predicate on the broadcast side), and scanning all
-    // cells is exactly what nprobe/nlist is buying back at 100 TB.
     val q = queries.sdf
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("cell",
         explode(transform(nearest, s => s.getField("cell"))))
-      .persist()
-    val probed = q.select("cell").distinct().collect().map(_.getInt(0))
+      .where(col("cell") >= 0) // no-op; marks the side DPP-selective
     val c = spark.read.parquet(s"$path/index")
-      .where(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
     new Df(rerankTopK(c.join(broadcast(q), Seq("cell")), k, excludeSelf))
-      .retaining(q)
   }
 
   /** Per-key mean embedding (centroid / mean-pool) in LONG format —

@@ -156,17 +156,43 @@ class PqHeavySpec extends AnyFunSuite {
     assert(m.sdf.collect().isEmpty)
   }
 
-  test("searchIvfIndex prunes cell partitions at the scan") {
+  test("searchIvfIndex prunes cell partitions DYNAMICALLY at the scan; planning runs only the codebook read") {
     val e = Df.readParquet(spark, s"$sf/embeddings.parquet")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_spec"
     val cells = graft.operators.Similarity.buildIvfIndex(
       e, "embedding", "vec_id", path, nlist = 4)
     assert(cells.sdf.agg(sum("n")).head.getLong(0) == e.count())
-    val res = graft.operators.Similarity.searchIvfIndex(
-      e.where(col("vec_id") < 2), "embedding", "vec_id", path,
-      k = 2, nprobe = 1)
+    // search planning must not run the query-side plan eagerly — the
+    // pre-r15 probe-list collect() did. The one allowed job is the tiny
+    // nlist×dim centroid (codebook) read.
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val res =
+      try {
+        Thread.sleep(300) // drain pending read-side footer job events
+        jobs = 0
+        val r = graft.operators.Similarity.searchIvfIndex(
+          e.where(col("vec_id") < 2), "embedding", "vec_id", path,
+          k = 2, nprobe = 1)
+        Thread.sleep(500) // listener bus is async
+        // 3 = codebook schema read + codebook collect + index partition
+        // discovery, all metadata-sized. The pre-r15 probe-list
+        // round-trip added a persist + distinct + collect over the
+        // query-side plan on top (≥ 5 jobs, data-sized).
+        assert(jobs <= 3, s"search planning ran $jobs jobs — the query-side plan is being evaluated eagerly")
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // probed cells reach the scan as a DYNAMIC partition-pruning
+    // subquery reusing the probe-side broadcast — in-plan, not a
+    // driver-collected IN list
     val plan = res.sdf.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
     val got = res.sdf.collect()
     assert(got.nonEmpty && got.forall(_.getInt(1) <= 2))
     // nprobe = nlist reproduces brute force exactly
