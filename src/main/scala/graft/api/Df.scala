@@ -480,13 +480,17 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
 
   def maskValues(cond: Column, other: Any = null): Df = whereValues(!cond, other)
 
-  /** Keyless pandas verbs (diff/rank/ffill with no partition keys) are
-    * pandas-parity but funnel ALL rows through ONE task (DIVERGENCES
-    * #10). This in-plan ceiling turns that silent single-partition sort
-    * into a named error: a row_number over the SAME window spec (same
-    * window exec — no extra shuffle or sort) trips past the ceiling.
-    * Configurable per session via `graft.keylessWindowMaxRows`;
-    * defaults to 10M rows, comfortably a single-task sort. */
+  /** A keyless window verb is pandas-parity but funnels ALL rows
+    * through ONE task (DIVERGENCES #10). This in-plan ceiling turns
+    * that silent single-partition sort into a named error: a
+    * row_number over the SAME window spec (same window exec — no extra
+    * shuffle or sort) trips past the ceiling. Since r15 the keyless
+    * `diff`/`pct_change`/`ffill`/`bfill` route through the two-phase
+    * GroupedScan instead (no ceiling to hit); only [[withRank]]'s
+    * keyless form still rides the window (its SQL `rank()` IntegerType
+    * output is part of the verb's schema contract). Configurable per
+    * session via `graft.keylessWindowMaxRows`; defaults to 10M rows,
+    * comfortably a single-task sort. */
   private def keylessCeiling(
       w: org.apache.spark.sql.expressions.WindowSpec,
       value: Column, verb: String): Column = {
@@ -506,17 +510,23 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   }
 
   /** pandas `diff(periods)` over an explicit order (and optional
-    * partitioning): value minus the value `periods` rows earlier. */
+    * partitioning): value minus the value `periods` rows earlier.
+    * KEYLESS calls route through the two-phase
+    * [[graft.operators.GroupedScan]] (no single-partition sort at ANY
+    * size — the old keyless-window row ceiling is unreachable here);
+    * keyed calls stay on the window, whose per-key parallelism is the
+    * point. */
   def diff(c: String, orderKeys: Seq[String], out: String,
-           periods: Int = 1, partitionBy: Seq[String] = Nil): Df = {
-    val w0 = if (partitionBy.isEmpty)
-      org.apache.spark.sql.expressions.Window.partitionBy()
-    else org.apache.spark.sql.expressions.Window.partitionBy(partitionBy.map(sdf(_)): _*)
-    val w = w0.orderBy(orderKeys.map(sdf(_).asc): _*)
-    val d = sdf(c) - lag(sdf(c), periods).over(w)
-    derived(sdf.withColumn(out,
-      if (partitionBy.isEmpty) keylessCeiling(w, d, "diff") else d))
-  }
+           periods: Int = 1, partitionBy: Seq[String] = Nil): Df =
+    if (partitionBy.isEmpty) {
+      if (periods == 0) derived(sdf.withColumn(out, sdf(c) - sdf(c)))
+      else groupby().diffScalable(c, orderKeys, periods, out)
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(partitionBy.map(sdf(_)): _*)
+        .orderBy(orderKeys.map(sdf(_).asc): _*)
+      derived(sdf.withColumn(out, sdf(c) - lag(sdf(c), periods).over(w)))
+    }
 
   /** pandas `describe()`: one row per numeric column with the standard
     * stat battery — one aggregation pass for the mergeable stats, and
@@ -662,11 +672,12 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
       .na.fill(0L, colValues.map(_.toString)))
 
   /** pandas `ffill`/`bfill` over an explicit order (Spark rows are
-    * unordered; pandas' implicit positional order must be named). The
-    * carried value is `last(_, ignoreNulls)` over an expanding row frame
-    * — one window pass per column, one shuffle total on the partition
-    * keys (or a single-partition sort when `partitionBy` is empty, which
-    * is only for small frames — at scale always partition). */
+    * unordered; pandas' implicit positional order must be named). Keyed
+    * calls: `last(_, ignoreNulls)` over an expanding row frame — one
+    * window pass per column, one shuffle total on the partition keys.
+    * KEYLESS calls: ALL columns fill in one two-phase
+    * [[graft.operators.GroupedScan]] pass (one range exchange, no
+    * single-partition sort at any size). */
   def ffill(cols: Seq[String], orderKeys: Seq[String],
             partitionBy: Seq[String] = Nil): Df =
     fillDirectional(cols, orderKeys, partitionBy, forward = true)
@@ -677,37 +688,44 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     fillDirectional(cols, orderKeys, partitionBy, forward = false)
 
   private def fillDirectional(cols: Seq[String], orderKeys: Seq[String],
-                              partitionBy: Seq[String], forward: Boolean): Df = {
-    import org.apache.spark.sql.expressions.Window
-    val w0 = if (partitionBy.isEmpty) Window.partitionBy()
-      else Window.partitionBy(partitionBy.map(sdf(_)): _*)
-    val ordered = w0.orderBy(orderKeys.map(sdf(_).asc): _*)
-    val w = if (forward) ordered.rowsBetween(Window.unboundedPreceding, 0)
-      else ordered.rowsBetween(0, Window.unboundedFollowing)
-    val filled = cols.foldLeft(sdf) { (d, c) =>
-      val carried = if (forward) last(d(c), ignoreNulls = true).over(w)
-        else first(d(c), ignoreNulls = true).over(w)
-      // the ceiling's row_number rides the UNFRAMED spec (row_number
-      // rejects explicit frames) — still the same window exec
-      d.withColumn(c,
-        if (partitionBy.isEmpty) keylessCeiling(ordered, carried, "ffill/bfill")
-        else carried)
+                              partitionBy: Seq[String], forward: Boolean): Df =
+    if (partitionBy.isEmpty) {
+      // one scan, one kernel per column; bfill = the same forward-fill
+      // kernel over the reversed sort (GroupedDf.bfillScalable's trick)
+      val tmps = cols.map(c => c -> s"__graft_fill_$c")
+      val scanned = groupby().scanScalableOrdered(
+        orderKeys.map(_ -> forward),
+        tmps.map { case (c, t) => graft.operators.GroupedScan.Ffill(c, t) })
+      derived(tmps.foldLeft(scanned.sdf) { case (d, (c, t)) =>
+        d.withColumn(c, d(t)) }.drop(tmps.map(_._2): _*))
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val ordered = Window.partitionBy(partitionBy.map(sdf(_)): _*)
+        .orderBy(orderKeys.map(sdf(_).asc): _*)
+      val w = if (forward) ordered.rowsBetween(Window.unboundedPreceding, 0)
+        else ordered.rowsBetween(0, Window.unboundedFollowing)
+      derived(cols.foldLeft(sdf) { (d, c) =>
+        d.withColumn(c,
+          if (forward) last(d(c), ignoreNulls = true).over(w)
+          else first(d(c), ignoreNulls = true).over(w))
+      })
     }
-    derived(filled)
-  }
 
   /** pandas `pct_change(periods)` over an explicit order: value / lagged
-    * value − 1. Same plan shape as [[diff]] — one window pass. */
+    * value − 1. Same plan shape and keyless routing as [[diff]]. */
   def pctChange(c: String, orderKeys: Seq[String], out: String,
-                periods: Int = 1, partitionBy: Seq[String] = Nil): Df = {
-    import org.apache.spark.sql.expressions.Window
-    val w0 = if (partitionBy.isEmpty) Window.partitionBy()
-      else Window.partitionBy(partitionBy.map(sdf(_)): _*)
-    val w = w0.orderBy(orderKeys.map(sdf(_).asc): _*)
-    val p = sdf(c) / lag(sdf(c), periods).over(w) - lit(1.0)
-    derived(sdf.withColumn(out,
-      if (partitionBy.isEmpty) keylessCeiling(w, p, "pctChange") else p))
-  }
+                periods: Int = 1, partitionBy: Seq[String] = Nil): Df =
+    if (partitionBy.isEmpty) {
+      if (periods == 0)
+        derived(sdf.withColumn(out, sdf(c) / sdf(c) - lit(1.0)))
+      else groupby().pctChangeScalable(c, orderKeys, periods, out)
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(partitionBy.map(sdf(_)): _*)
+        .orderBy(orderKeys.map(sdf(_).asc): _*)
+      derived(sdf.withColumn(out,
+        sdf(c) / lag(sdf(c), periods).over(w) - lit(1.0)))
+    }
 
   /** pandas `qcut(labels=False)`: quantile binning into `q` roughly
     * equal-population buckets (0-based). Two-phase and scalable: one

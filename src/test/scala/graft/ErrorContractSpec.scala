@@ -154,16 +154,21 @@ class ErrorContractSpec extends AnyFunSuite {
       StructField("x", LongType), StructField("y", DoubleType))))
     spark.conf.set("graft.keylessWindowMaxRows", "lots")
     try {
-      val e = intercept[IllegalArgumentException](d.diff("y", Seq("x"), "d"))
+      // withRank is the remaining keyless-WINDOW verb (diff/ffill/
+      // pct_change route through GroupedScan since r15 and never read
+      // this config)
+      val e = intercept[IllegalArgumentException](d.withRank("y", "r"))
       assert(e.getMessage.contains("graft.keylessWindowMaxRows") &&
         e.getMessage.contains("lots"), e.getMessage)
     } finally spark.conf.unset("graft.keylessWindowMaxRows")
   }
 
-  test("keyless diff/rank/ffill/pctChange trip a named ceiling instead of a silent single-partition sort") {
-    // the keyless default is pandas-parity (DIVERGENCES #10) but funnels
-    // every row through one task — past graft.keylessWindowMaxRows the
-    // in-plan guard must fail loudly, naming the fix
+  test("keyless withRank trips a named ceiling; diff/ffill/pctChange route scalably past it") {
+    // the keyless default is pandas-parity (DIVERGENCES #10). withRank
+    // still rides one window task, so past graft.keylessWindowMaxRows
+    // its in-plan guard must fail loudly, naming the fix; the verbs
+    // with a GroupedScan routing (r15) must instead sail past the
+    // ceiling — it is unreachable, not loud, on those paths.
     val rows = (1 to 100).map(i => Row(i.toLong, i.toDouble))
     val big = Df.fromRows(spark, rows, StructType(Seq(
       StructField("x", LongType), StructField("y", DoubleType))))
@@ -174,18 +179,13 @@ class ErrorContractSpec extends AnyFunSuite {
         while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
         sb.toString
       }
-      for ((verb, run) <- Seq[(String, () => Unit)](
-        "diff" -> (() => big.diff("y", Seq("x"), "d").sdf.collect()),
-        "withRank" -> (() => big.withRank("y", "r").sdf.collect()),
-        "ffill/bfill" -> (() => big.ffill(Seq("y"), Seq("x")).sdf.collect()),
-        "pctChange" -> (() => big.pctChange("y", Seq("x"), "p").sdf.collect()))) {
-        val e = intercept[Exception](run())
-        assert(msgChain(e).contains("keyless window"), s"$verb: ${msgChain(e)}")
-      }
-      // under the ceiling the keyless verbs still work...
-      val small = Df.fromRows(spark, rows.take(40), StructType(Seq(
-        StructField("x", LongType), StructField("y", DoubleType))))
-      assert(small.diff("y", Seq("x"), "d").sdf.count() == 40)
+      val e = intercept[Exception](big.withRank("y", "r").sdf.collect())
+      assert(msgChain(e).contains("keyless window"), msgChain(e))
+      // 100 rows over a 50-row ceiling: the scalable routings succeed
+      assert(big.diff("y", Seq("x"), "d").sdf.count() == 100)
+      assert(big.ffill(Seq("y"), Seq("x")).sdf.count() == 100)
+      assert(big.bfill(Seq("y"), Seq("x")).sdf.count() == 100)
+      assert(big.pctChange("y", Seq("x"), "p").sdf.count() == 100)
       // ...and explicit partition keys are never capped
       val keyed = big.diff("y", Seq("x"), "d", partitionBy = Seq("x"))
       assert(keyed.sdf.count() == 100)

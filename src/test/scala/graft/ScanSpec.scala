@@ -141,8 +141,14 @@ class ScanSpec extends AnyFunSuite {
     val scan = df.groupby().scanScalable(Seq("id"), Seq(
       GroupedScan.Ffill("v", "ff"), GroupedScan.CumSum("v", "cs")),
       numPartitions = 5)
-    val winf = df.ffill(Seq("v"), Seq("id"))
-    assert(byId(scan, "ff") == byId(winf, "v"))
+    // raw keyless window reference (Df.ffill itself routes through the
+    // scan since r15 — comparing against it would be scan ≡ scan)
+    val winf = df.sdf.withColumn("v",
+      last(col("v"), ignoreNulls = true)
+        .over(org.apache.spark.sql.expressions.Window
+          .orderBy("id").rowsBetween(Long.MinValue, 0)))
+    assert(byId(scan, "ff") ==
+      winf.select("id", "v").collect().map(r => r.getLong(0) -> r.get(1)).toMap)
     // keyless double cumsum: same values up to fp association; here the
     // inputs are small integers, so even the doubles are exact
     val winSum = df.sdf.withColumn("cs",
@@ -150,6 +156,54 @@ class ScanSpec extends AnyFunSuite {
         .orderBy("id").rowsBetween(Long.MinValue, 0)))
     assert(byId(scan, "cs") ==
       winSum.select("id", "cs").collect().map(r => r.getLong(0) -> r.get(1)).toMap)
+  }
+
+  test("keyless Df.diff/pctChange/ffill/bfill route through GroupedScan: ≡ window forms, ceiling unreachable") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0 until 50).map { i =>
+      Row(i.toLong, 0, i % 3, if (i % 4 == 0) null else i.toDouble,
+        if (i % 5 == 0) null
+        else new java.math.BigDecimal(i).movePointLeft(2), null)
+    }.toList
+    val df = mkDf(rows)
+    val w = Window.partitionBy().orderBy(col("id").asc)
+    // a 5-row ceiling would raise on all 50-row keyless windows — the
+    // scalable routing must never construct one
+    spark.conf.set("graft.keylessWindowMaxRows", "5")
+    try {
+      val gotDiff = df.diff("v", Seq("id"), "d1", periods = 2)
+      assert(!gotDiff.sdf.queryExecution.executedPlan.toString.contains("Window"))
+      val wantDiff = df.sdf.withColumn("d1", col("v") - lag(col("v"), 2).over(w))
+      assert(byId(gotDiff, "d1") ==
+        wantDiff.select("id", "d1").collect().map(r => r.getLong(0) -> r.get(1)).toMap)
+      // negative periods = lead-diff
+      val gotLead = df.diff("v", Seq("id"), "d2", periods = -1)
+      val wantLead = df.sdf.withColumn("d2", col("v") - lag(col("v"), -1).over(w))
+      assert(byId(gotLead, "d2") ==
+        wantLead.select("id", "d2").collect().map(r => r.getLong(0) -> r.get(1)).toMap)
+      val gotPct = df.pctChange("v", Seq("id"), "p1", periods = 1)
+      val wantPct = df.sdf.withColumn("p1",
+        col("v") / lag(col("v"), 1).over(w) - lit(1.0))
+      assert(byId(gotPct, "p1") ==
+        wantPct.select("id", "p1").collect().map(r => r.getLong(0) -> r.get(1)).toMap)
+      // multi-column ffill fills BOTH columns in one scan, in place
+      val gotFf = df.ffill(Seq("v", "d"), Seq("id"))
+      assert(gotFf.columns == df.columns) // order + names preserved
+      val wf = w.rowsBetween(Window.unboundedPreceding, 0)
+      val wantFf = df.sdf
+        .withColumn("v", last(col("v"), ignoreNulls = true).over(wf))
+        .withColumn("d", last(col("d"), ignoreNulls = true).over(wf))
+      Seq("v", "d").foreach { c =>
+        assert(byId(gotFf, c) ==
+          wantFf.select("id", c).collect().map(r => r.getLong(0) -> r.get(1)).toMap, c)
+      }
+      val gotBf = df.bfill(Seq("v"), Seq("id"))
+      val wb = w.rowsBetween(0, Window.unboundedFollowing)
+      val wantBf = df.sdf.withColumn("v",
+        first(col("v"), ignoreNulls = true).over(wb))
+      assert(byId(gotBf, "v") ==
+        wantBf.select("id", "v").collect().map(r => r.getLong(0) -> r.get(1)).toMap)
+    } finally spark.conf.unset("graft.keylessWindowMaxRows")
   }
 
   test("empty frame, empty partitions, and a group smaller than shift k") {
@@ -356,6 +410,52 @@ class ScanSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       df2.groupby("g").transform("v" -> avg(col("v")))
+    }
+  }
+
+  test("float cumsum carry re-association stays within the standard summation error bound") {
+    // The object scaladoc claims double cumsum may differ from the
+    // window's sequential adds only by re-association ulps. Pin it
+    // quantitatively: any two associations of a length-i sum each lie
+    // within (i−1)·eps·Σ|v| of the exact sum (classic first-order
+    // bound, eps = 2⁻⁵³), so the two engines differ by ≤ 2(i−1)·eps·Σ|v|
+    // — asserted with a 2× safety factor for the second-order terms.
+    // Magnitudes span 15 decades so the bound is actually exercised.
+    val magGen: Gen[java.lang.Double] = for {
+      m <- Gen.choose(-1.0, 1.0)
+      e <- Gen.choose(-6, 9)
+    } yield java.lang.Double.valueOf(m * math.pow(10.0, e))
+    val gen: Gen[List[Row]] = Gen.choose(30, 60).flatMap { n =>
+      Gen.listOfN(n, Gen.frequency(
+        9 -> magGen, 1 -> Gen.const(null: java.lang.Double)))
+    }.map(_.zipWithIndex.map { case (v, i) =>
+      Row(i.toLong, 0, 0, v: Any, null, null) })
+    trials(gen, n = 8) { xs =>
+      val df = mkDf(xs)
+      // ONE group across 16 partitions: the deepest carry chain
+      val scan = df.groupby("g").scanScalable(Seq("id"),
+        Seq(GroupedScan.CumSum("v", "cs")), numPartitions = 16)
+      val win = df.sdf.withColumn("cs",
+        sum(col("v")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy("id").rowsBetween(Long.MinValue, 0)))
+      val got = byId(scan, "cs")
+      val want = win.select("id", "cs").collect()
+        .map(r => r.getLong(0) -> r.get(1)).toMap
+      val eps = math.pow(2.0, -53)
+      var absSum = 0.0
+      xs.foreach { r =>
+        val id = r.getLong(0)
+        val v = r.get(3).asInstanceOf[java.lang.Double]
+        if (v != null) absSum += math.abs(v.doubleValue())
+        (got(id), want(id)) match {
+          case (null, null) => // no non-null seen yet in either engine
+          case (g: java.lang.Double, w: java.lang.Double) =>
+            if (g.isNaN || w.isNaN) assert(g.isNaN && w.isNaN, s"id=$id")
+            else assert(math.abs(g - w) <= 4 * (id + 1) * eps * absSum,
+              s"id=$id scan=$g window=$w bound=${4 * (id + 1) * eps * absSum}")
+          case (g, w) => fail(s"id=$id null mismatch: scan=$g window=$w")
+        }
+      }
     }
   }
 
@@ -578,6 +678,24 @@ class ScanSpec extends AnyFunSuite {
     val wz = df.agg(expr("percentile(v, 0.5)")).head.getDouble(0)
     assert(java.lang.Double.compare(
       gz.values.head.head.doubleValue(), wz) == 0)
+    // NESTED canonicalization: a struct key holding the byte array and
+    // the ±0.0 double must still form 2 content cohorts (one per byte
+    // pattern), not 40 reference cohorts or 4 sign-split ones — and
+    // quantileScalable must rebuild the raw struct Rows for its output
+    val sdf2 = df.withColumn("k", struct(col("b"), col("z")))
+    val gs = Quantiles.exactGroupQuantilesCont(sdf2, "k", "v", Seq(0.5))
+    assert(gs.size == 2, gs.keys.toString)
+    val ws = sdf2.groupBy("k").agg(expr("percentile(v, 0.5)").as("q"))
+      .collect().map(r => r.getStruct(0).getAs[Array[Byte]](0).toSeq -> r.getDouble(1)).toMap
+    gs.foreach { case (k, qs) =>
+      val raw = k.asInstanceOf[Row]
+      assert(java.lang.Double.compare(qs.head.doubleValue(),
+        ws(raw.getAs[Array[Byte]](0).toSeq)) == 0)
+    }
+    val viaApi = new graft.api.Df(sdf2).groupby("k")
+      .quantileScalable("v", 0.5, out = "q50").sdf.collect()
+    assert(viaApi.length == 2 &&
+      viaApi.forall(r => r.getStruct(0).getAs[Array[Byte]](0).length == 2))
   }
 
   test("quantileScalable: multi-key groups ≡ per-group percentile aggregate") {
