@@ -43,8 +43,14 @@ import org.apache.spark.sql.types._
   * final ulps (the carry fold re-associates the addition — same class
   * of divergence as any partial aggregate). Rows tied on the FULL
   * (group ++ order) key have no defined order in either engine (SQL
-  * `lag` over ties is equally nondeterministic) — pass total-order
-  * keys, as pandas' positional semantics already require.
+  * `lag` over ties is equally nondeterministic) — and here the hazard
+  * is sharper than within one job: pass 1 (summaries) and pass 2
+  * (emit) sort their partitions INDEPENDENTLY, so tied rows can
+  * permute differently across the two jobs and a boundary carry can
+  * disagree with the replay that consumes it (e.g. a shift whose
+  * carried last-k values were drawn in the other tie order). Pass
+  * total-order keys, as pandas' positional semantics already require;
+  * the spec fixtures all do (unique `id`).
   *
   * Like `zipWithIndex`, the two jobs assume the input lineage is
   * deterministic (range-bound sampling is seeded): cache upstream
@@ -453,25 +459,40 @@ object GroupedScan {
       a.asInstanceOf[java.lang.Long] + b.asInstanceOf[java.lang.Long])
   }
 
+  /** The last-≤k ring every lag-shaped kernel carries (Shift, Diff,
+    * PctChange, Rolling), as an immutable Vector state: append-and-trim
+    * per step, value k rows back, and the carry merge where the newer
+    * side wins outright once it holds k values. */
+  private object Ring {
+    def append(st: AnyRef, v: Any, k: Int): Vector[Any] = {
+      val buf = if (st == null) Vector.empty[Any]
+      else st.asInstanceOf[Vector[Any]]
+      (buf :+ v).takeRight(k)
+    }
+    /** the value k rows before the NEXT row (null when fewer than k
+      * rows are buffered) */
+    def kBack(st: AnyRef, k: Int): Any = {
+      val buf = if (st == null) Vector.empty[Any]
+      else st.asInstanceOf[Vector[Any]]
+      if (buf.length >= k) buf(buf.length - k) else null
+    }
+    def merge(a: AnyRef, b: AnyRef, k: Int): AnyRef = {
+      val bb = b.asInstanceOf[Vector[Any]]
+      if (bb.length >= k) bb
+      else (a.asInstanceOf[Vector[Any]] ++ bb).takeRight(k)
+    }
+  }
+
   /** lag(k): state = last ≤k raw values (nulls carried like SQL lag) */
   private final class ShiftKernel(idx: Int, dt: DataType, k: Int)
     extends Kernel {
     def field(n: String) = StructField(n, dt, nullable = true)
     def step(st: AnyRef, row: Row): (AnyRef, Any) = {
-      val buf = if (st == null) Vector.empty[Any]
-      else st.asInstanceOf[Vector[Any]]
       val v = row.get(idx)
       if (k == 0) (st, v)
-      else {
-        val out = if (buf.length >= k) buf(buf.length - k) else null
-        ((buf :+ v).takeRight(k), out)
-      }
+      else (Ring.append(st, v, k), Ring.kBack(st, k))
     }
-    def merge(a: AnyRef, b: AnyRef): AnyRef = {
-      val bb = b.asInstanceOf[Vector[Any]]
-      if (bb.length >= k) bb
-      else (a.asInstanceOf[Vector[Any]] ++ bb).takeRight(k)
-    }
+    def merge(a: AnyRef, b: AnyRef): AnyRef = Ring.merge(a, b, k)
   }
 
   /** last non-null value; state null = none seen yet */
@@ -516,19 +537,12 @@ object GroupedScan {
     }
     def field(n: String) = StructField(n, outType, nullable = true)
     def step(st: AnyRef, row: Row): (AnyRef, Any) = {
-      val buf = if (st == null) Vector.empty[Any]
-      else st.asInstanceOf[Vector[Any]]
       val v = row.get(idx)
-      val prev = if (buf.length >= p) buf(buf.length - p) else null
-      val out = if (v == null || prev == null || buf.length < p) null
-      else sub(v, prev)
-      ((buf :+ v).takeRight(p), out)
+      val prev = Ring.kBack(st, p)
+      val out = if (v == null || prev == null) null else sub(v, prev)
+      (Ring.append(st, v, p), out)
     }
-    def merge(a: AnyRef, b: AnyRef): AnyRef = {
-      val bb = b.asInstanceOf[Vector[Any]]
-      if (bb.length >= p) bb
-      else (a.asInstanceOf[Vector[Any]] ++ bb).takeRight(p)
-    }
+    def merge(a: AnyRef, b: AnyRef): AnyRef = Ring.merge(a, b, p)
   }
 
   /** pct_change(p): the Shift ring, output cur/prev − 1 in DOUBLE
@@ -536,21 +550,15 @@ object GroupedScan {
   private final class PctChangeKernel(idx: Int, p: Int) extends Kernel {
     def field(n: String) = StructField(n, DoubleType, nullable = true)
     def step(st: AnyRef, row: Row): (AnyRef, Any) = {
-      val buf = if (st == null) Vector.empty[Any]
-      else st.asInstanceOf[Vector[Any]]
       val v = row.get(idx)
-      val prev = if (buf.length >= p) buf(buf.length - p) else null
-      val out = if (v == null || prev == null || buf.length < p) null
+      val prev = Ring.kBack(st, p)
+      val out = if (v == null || prev == null) null
       else java.lang.Double.valueOf(
         v.asInstanceOf[Number].doubleValue() /
           prev.asInstanceOf[Number].doubleValue() - 1.0)
-      ((buf :+ v).takeRight(p), out)
+      (Ring.append(st, v, p), out)
     }
-    def merge(a: AnyRef, b: AnyRef): AnyRef = {
-      val bb = b.asInstanceOf[Vector[Any]]
-      if (bb.length >= p) bb
-      else (a.asInstanceOf[Vector[Any]] ++ bb).takeRight(p)
-    }
+    def merge(a: AnyRef, b: AnyRef): AnyRef = Ring.merge(a, b, p)
   }
 
   /** rolling agg over the last ≤k raw values (nulls kept in the buffer
@@ -589,16 +597,9 @@ object GroupedScan {
       val nb = advance(st, row).asInstanceOf[Vector[Any]]
       (nb, eval(nb))
     }
-    override def advance(st: AnyRef, row: Row): AnyRef = {
-      val buf = if (st == null) Vector.empty[Any]
-      else st.asInstanceOf[Vector[Any]]
-      (buf :+ row.get(idx)).takeRight(k)
-    }
-    def merge(a: AnyRef, b: AnyRef): AnyRef = {
-      val bb = b.asInstanceOf[Vector[Any]]
-      if (bb.length >= k) bb
-      else (a.asInstanceOf[Vector[Any]] ++ bb).takeRight(k)
-    }
+    override def advance(st: AnyRef, row: Row): AnyRef =
+      Ring.append(st, row.get(idx), k)
+    def merge(a: AnyRef, b: AnyRef): AnyRef = Ring.merge(a, b, k)
 
     private def eval(buf: Vector[Any]): Any = {
       val vs = buf.filter(_ != null)

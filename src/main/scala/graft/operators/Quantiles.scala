@@ -55,18 +55,31 @@ object Quantiles {
     * and BinaryType keys — `Array[Byte]`, whose JVM `equals`/
     * `hashCode` are reference-based and would silently make every row
     * its own cohort — are wrapped in a content-equality
-    * `ArraySeq.ofByte`. [[decanonKey]] restores the raw array for
-    * callers rebuilding Rows. */
+    * `ArraySeq.ofByte`. Struct (Row) and array (Seq) keys
+    * canonicalize RECURSIVELY — a nested -0.0 or byte array would
+    * otherwise split one SQL cohort into driver-side shards — wrapped
+    * in [[CanonWrap]], whose equality is the canonical content and
+    * which remembers the raw value. [[decanonKey]] restores the raw
+    * array/struct for callers rebuilding Rows. */
   private[graft] def canonKey(v: Any): Any = v match {
     case d: java.lang.Double if d.doubleValue() == 0.0d => ZeroD
     case f: java.lang.Float if f.floatValue() == 0.0f => ZeroF
     case b: Array[Byte] => new scala.collection.immutable.ArraySeq.ofByte(b)
+    case r: org.apache.spark.sql.Row =>
+      CanonWrap(Vector.tabulate(r.length)(i => canonKey(r.get(i))))(r)
+    case s: scala.collection.Seq[_] =>
+      CanonWrap(s.iterator.map(canonKey).toVector)(s)
     case x => x
   }
   private[graft] def decanonKey(v: Any): Any = v match {
     case b: scala.collection.immutable.ArraySeq.ofByte => b.unsafeArray
+    case w: CanonWrap => w.raw
     case x => x
   }
+  /** equality/hashCode on the canonicalized content (first parameter
+    * list only — case-class equality ignores the second), raw value
+    * carried for [[decanonKey]] */
+  private[graft] final case class CanonWrap(canon: Vector[Any])(val raw: Any)
   private val ZeroD = java.lang.Double.valueOf(0.0d)
   private val ZeroF = java.lang.Float.valueOf(0.0f)
 
