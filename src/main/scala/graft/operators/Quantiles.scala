@@ -13,15 +13,20 @@ import org.apache.spark.sql.functions._
   * sf0.1, a single-executor memory wall at 100 TB. This operator
   * computes the same doubles with bounded memory everywhere:
   *
-  *  1. range-partition the (non-null, double-cast) values — Spark's
-  *     range exchange already orders partitions globally;
-  *  2. one job counts rows per partition (P longs to the driver —
+  *  1. COLLAPSE duplicate values map-side (`groupBy(value).count()` —
+  *     Spark's partial aggregation) so every later step touches
+  *     min(distinct, n) weighted triples — where duplication warrants
+  *     it: always in the melted describe path, estimate-gated in the
+  *     grouped path, never in the keyless single-column path (each
+  *     entry point's scaladoc says why) — then range-partition —
+  *     Spark's range exchange already orders partitions globally;
+  *  2. one job sums weights per partition (P longs to the driver —
   *     never data);
   *  3. the driver maps each needed global order statistic to
-  *     (partition, local index) and broadcasts the want-list;
+  *     (partition, weighted offset) and broadcasts the want-list;
   *  4. a second job over the SAME shuffled RDD (exchange reused)
-  *     sorts ONLY the partitions that host a target and emits the
-  *     selected elements — ≤ 2·|probs| partitions do any work.
+  *     sorts ONLY the partitions that host a target and walks their
+  *     cumulative weights — ≤ 2·|probs| partitions do any work.
   *
   * NaN sorts greatest in the range exchange, `Arrays.sort`, and the
   * `percentile` aggregate alike, so parity holds on NaN-bearing
@@ -125,9 +130,11 @@ object Quantiles {
     * projection BEFORE the range exchange, so a pathologically
     * high-cardinality group column fails with the named error having
     * shipped only an HLL sketch to the driver — not O(groups) count
-    * maps. Callers whose group domain is known small by construction
-    * (describe's melted column names) skip it. The exact guard still
-    * runs after the count pass either way. */
+    * maps. The same scan estimates distinct (group, value) pairs and
+    * gates the duplicate-collapse rewrite (see the body). Callers
+    * whose group domain is known small by construction skip it (and
+    * run on raw rows). The exact guard still runs after the count
+    * pass either way. */
   def exactGroupQuantilesContMulti(df: DataFrame, gs: Seq[String],
                                    c: String, probs: Seq[Double],
                                    maxGroups: Int = 10000,
@@ -141,10 +148,35 @@ object Quantiles {
     val vals = df.select(gCols :+ df(c).cast("double").as("__v"): _*)
       .where(col("__v").isNotNull &&
         (0 until nKeys).map(i => col(s"__g$i").isNotNull).reduce(_ && _))
+    // The pre-check pass doubles as the COLLAPSE decision: the same
+    // one-scan agg that estimates the group cardinality also estimates
+    // distinct (groups, value) pairs. When values duplicate heavily
+    // (≤ ⅓ of rows distinct), duplicate rows collapse to weighted
+    // triples via `groupBy().count()` BEFORE the range exchange —
+    // map-side partial aggregation, the r15 describe() win — so the
+    // exchange and both protocol jobs touch distinct pairs, not rows.
+    // On distinct-heavy values collapse measurably LOSES (sf1
+    // winsorize/perplexity: the extra hash exchange + agg CPU outweigh
+    // a small collapse; BENCHLOG r15), so those stay on raw rows, as
+    // does every call with the pre-check disabled (no free estimate).
+    // Collapse normalizes the VALUE's -0.0 to 0.0 and merges NaNs —
+    // numerically identical picks, matching `percentile`'s own
+    // by-value grouping.
+    var collapse = false
     if (preCheckCardinality) {
-      val est = vals.agg(approx_count_distinct(
-        struct((0 until nKeys).map(i => col(s"__g$i")): _*)).as("n"))
-        .head.getLong(0)
+      // single-key groups hash the bare column (structs hash via a
+      // per-row serialization — measurably slower); the collapse gate
+      // hashes the bare VALUE: distinct(v) lower-bounds distinct
+      // (g, v) pairs, so a high estimate vetoes collapse reliably, and
+      // a low one implies pairs ≤ distinct(v)·groups — small under the
+      // maxGroups contract this operator already requires
+      val gKey = if (nKeys == 1) col("__g0")
+      else struct((0 until nKeys).map(i => col(s"__g$i")): _*)
+      val stats = vals.agg(
+        approx_count_distinct(gKey).as("g"),
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("__v")).as("v")).head
+      val est = stats.getLong(0)
       // rsd defaults to 5%; 1.5× headroom makes a false trip on a
       // genuinely ≤ maxGroups domain essentially impossible, and the
       // exact guard below still catches the (maxGroups, 1.5×] band
@@ -152,16 +184,33 @@ object Quantiles {
         s"exactGroupQuantilesCont: ~$est groups exceeds " +
           s"maxGroups=$maxGroups — use the per-group percentile " +
           "aggregate (its buffers are small exactly when groups are many)")
+      collapse = stats.getLong(2) <= stats.getLong(1) / 3
     }
-    val ranged = vals.repartitionByRange(
+    val triples =
+      if (collapse) vals
+        .groupBy((0 until nKeys).map(i => col(s"__g$i")) :+ col("__v"): _*)
+        .agg(count(lit(1)).as("__n"))
+      else vals
+    val nParts = df.sparkSession.conf
+      .getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    // pinned partition count: AQE's 64MB-target coalesce would
+    // serialize the two protocol reads onto a handful of tasks
+    val ranged = triples.repartitionByRange(nParts,
       (0 until nKeys).map(i => col(s"__g$i").asc) :+ col("__v").asc: _*)
     val rdd = ranged.rdd
+    // weight of one emitted row: its duplicate count when collapsed,
+    // 1 on raw rows (a Serializable function, captured by both jobs)
+    val weightAt: org.apache.spark.sql.Row => Long =
+      if (collapse) { val wi = nKeys + 1; r => r.getLong(wi) }
+      else _ => 1L
     val counts: Array[(Int, Map[Seq[Any], Long])] =
       rdd.mapPartitionsWithIndex { (p, it) =>
         val m = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
         while (it.hasNext) {
-          val k = keyOf(it.next(), nKeys)
-          m.update(k, m.getOrElse(k, 0L) + 1L)
+          val r = it.next()
+          val k = keyOf(r, nKeys)
+          m.update(k, m.getOrElse(k, 0L) + weightAt(r))
         }
         Iterator.single(p -> m.toMap)
       }.collect()
@@ -175,10 +224,10 @@ object Quantiles {
         s"maxGroups=$maxGroups — use the per-group percentile aggregate " +
         "(its buffers are small exactly when groups are many)")
     // per group: global order statistics needed, located via the
-    // pid-ascending cumulative count (values are monotone per group
+    // pid-ascending cumulative WEIGHT (values are monotone per group
     // across hosting partitions under the (groups, value) range sort)
     val wantByPid = scala.collection.mutable
-      .HashMap.empty[Int, scala.collection.mutable.ListBuffer[(Seq[Any], Long, Int)]]
+      .HashMap.empty[Int, scala.collection.mutable.ListBuffer[(Seq[Any], Long, Long)]]
     val targetsByGroup: Map[Seq[Any], Seq[Long]] = totals.iterator.map {
       case (k, n) =>
         k -> probs.flatMap { p =>
@@ -195,7 +244,7 @@ object Quantiles {
         while (ti < ts.length && cnt > 0 && ts(ti) < cum + cnt) {
           wantByPid.getOrElseUpdate(pid,
             scala.collection.mutable.ListBuffer.empty) +=
-            ((k, ts(ti), (ts(ti) - cum).toInt))
+            ((k, ts(ti), ts(ti) - cum))
           ti += 1
         }
         cum += cnt
@@ -203,25 +252,38 @@ object Quantiles {
     }
     val bc = df.sparkSession.sparkContext
       .broadcast(wantByPid.map { case (p, l) => p -> l.toList }.toMap)
+    // hosting partitions sort their distinct (value, weight) pairs per
+    // wanted group and walk cumulative weights to the asked offsets
     val picked: Map[(Seq[Any], Long), Double] = rdd.mapPartitionsWithIndex {
       (p, it) =>
         bc.value.get(p) match {
           case None => Iterator.empty
           case Some(ws) =>
             val wanted = ws.map(_._1).toSet
-            val buf = scala.collection.mutable
-              .HashMap.empty[Seq[Any], scala.collection.mutable.ArrayBuilder.ofDouble]
+            val buf = scala.collection.mutable.HashMap
+              .empty[Seq[Any], scala.collection.mutable.ArrayBuffer[(Double, Long)]]
             while (it.hasNext) {
               val r = it.next()
               val k = keyOf(r, nKeys)
               if (wanted.contains(k))
                 buf.getOrElseUpdate(k,
-                  new scala.collection.mutable.ArrayBuilder.ofDouble) += r.getDouble(nKeys)
+                  new scala.collection.mutable.ArrayBuffer[(Double, Long)]) +=
+                  ((r.getDouble(nKeys), weightAt(r)))
             }
+            // TotalOrdering: NaN greatest, matching the range sort
             val sorted = buf.map { case (k, b) =>
-              val a = b.result(); java.util.Arrays.sort(a); k -> a
+              k -> b.sortBy(_._1)(Ordering.Double.TotalOrdering)
             }
-            ws.iterator.map { case (k, gIdx, li) => (k, gIdx) -> sorted(k)(li) }
+            ws.groupBy(_._1).iterator.flatMap { case (k, kws) =>
+              val vals = sorted(k)
+              val offs = kws.sortBy(_._3)
+              var cum = 0L
+              var vi = 0
+              offs.iterator.map { case (_, gIdx, off) =>
+                while (cum + vals(vi)._2 <= off) { cum += vals(vi)._2; vi += 1 }
+                (k, gIdx) -> vals(vi)._1
+              }
+            }
         }
     }.collect().toMap
     targetsByGroup.map { case (k, _) =>
@@ -382,31 +444,45 @@ object Quantiles {
     else (hi - h) * at(lo) + (h - lo) * at(hi)
   }
 
+  /** Single-column exact interpolated quantiles over RAW rows — no
+    * duplicate collapse: this keyless entry has no pre-existing scan to
+    * piggyback a distinctness estimate on, and an unconditional
+    * `groupBy(value).count()` measurably regresses distinct-heavy
+    * columns (sf1 winsorize/qcut on l_extendedprice: +0.4-0.6 s — the
+    * extra hash exchange + aggregation CPU outweigh the 10× row
+    * collapse; see BENCHLOG r15). Callers that KNOW their value domain
+    * is small can melt through [[exactOrdinalQuantilesCont]] (describe
+    * does). The protocol itself matches the object scaladoc minus the
+    * collapse, with the r15 constant-factor fixes: both jobs read
+    * `queryExecution.toRdd` InternalRows (no Row boxing) and the range
+    * exchange pins its partition count against AQE coalescing. */
   def exactQuantilesCont(df: DataFrame, c: String,
                          probs: Seq[Double]): Seq[java.lang.Double] = {
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
       s"exactQuantilesCont: probs in [0,1]: $probs")
-    val vals = df.select(col(c).cast("double").as("__v"))
+    val nParts = df.sparkSession.conf
+      .getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    val ranged = df.select(col(c).cast("double").as("__v"))
       .where(col("__v").isNotNull)
-    val ranged = vals.repartitionByRange(col("__v").asc)
-    val rdd = ranged.rdd // ONE RDD: the range exchange feeds both jobs
+      .repartitionByRange(nParts, col("__v").asc)
+    val rdd = ranged.queryExecution.toRdd // ONE exchange feeds both jobs
     val counts = rdd.mapPartitionsWithIndex { (p, it) =>
       var n = 0L; while (it.hasNext) { it.next(); n += 1 }
       Iterator.single(p -> n)
     }.collect().toMap
-    val nParts = rdd.getNumPartitions
     val n = counts.valuesIterator.sum
     if (n == 0) return probs.map(_ => null: java.lang.Double)
-
     // global 0-based order statistics needed: floor/ceil of p·(n−1)
     val targets: Seq[Long] = probs.flatMap { p =>
       val h = p * (n - 1)
       Seq(math.floor(h).toLong, math.ceil(h).toLong)
     }.distinct.sorted
     // prefix-sum the partition counts to locate each target
-    val starts = new Array[Long](nParts)
+    val numParts = rdd.getNumPartitions
+    val starts = new Array[Long](numParts)
     var acc = 0L
-    (0 until nParts).foreach { p =>
+    (0 until numParts).foreach { p =>
       starts(p) = acc; acc += counts.getOrElse(p, 0L)
     }
     val wants: Map[Int, Seq[(Long, Int)]] = targets.map { g =>
@@ -425,7 +501,9 @@ object Quantiles {
       bc.value.get(p) match {
         case None => Iterator.empty
         case Some(ws) =>
-          val arr = it.map(_.getDouble(0)).toArray
+          val b = new scala.collection.mutable.ArrayBuilder.ofDouble
+          while (it.hasNext) b += it.next().getDouble(0)
+          val arr = b.result()
           java.util.Arrays.sort(arr) // NaN last, like the range sort
           ws.iterator.map { case (g, li) => g -> arr(li) }
       }
