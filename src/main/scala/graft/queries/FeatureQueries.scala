@@ -46,7 +46,11 @@ object FeatureQueries {
     "q247_group_transforms" -> ((s, dir) => {
       import graft.operators.GroupedScan
       val okeys = Seq("l_orderkey", "l_linenumber", "l_extendedprice")
-      val li = T(s, dir, "lineitem")
+      // project BEFORE the scan: its RDD materialization blocks
+      // Catalyst column pruning, so every unselected lineitem column
+      // would otherwise ride BOTH range exchanges (16 -> 6 columns)
+      val li = T(s, dir, "lineitem").select("l_returnflag", "l_orderkey",
+        "l_linenumber", "l_extendedprice", "l_quantity", "l_discount")
       val d = li.groupby("l_returnflag")
         .scanScalable(okeys, Seq(
           GroupedScan.CumMax("l_extendedprice", "cmax"),
@@ -125,7 +129,10 @@ object FeatureQueries {
       // alone repeats on the PLANTED duplicate rows (the q250 family),
       // and a cumulative scan needs value-deterministic tie order
       val okeys = Seq("l_orderkey", "l_linenumber", "l_extendedprice")
-      T(s, dir, "lineitem")
+      // project before the scan (see q247 — the RDD boundary blocks
+      // column pruning through it)
+      T(s, dir, "lineitem").select("l_returnflag", "l_orderkey",
+        "l_linenumber", "l_extendedprice", "l_quantity")
         .assign("qd", col("l_quantity").cast("decimal(18,2)"))
         .groupby("l_returnflag")
         .scanScalable(okeys, Seq(
@@ -148,7 +155,10 @@ object FeatureQueries {
     "q265_scan_diff" -> ((s, dir) => {
       import graft.operators.GroupedScan
       val okeys = Seq("l_orderkey", "l_linenumber", "l_extendedprice")
-      T(s, dir, "lineitem")
+      // project before the scan (see q247 — the RDD boundary blocks
+      // column pruning through it)
+      T(s, dir, "lineitem").select("l_returnflag", "l_orderkey",
+        "l_linenumber", "l_extendedprice", "l_quantity")
         .assign("qd", col("l_quantity").cast("decimal(18,2)"))
         .assign("pe", col("l_extendedprice").cast("double"))
         .groupby("l_returnflag")
