@@ -548,6 +548,8 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   def describeStats(cols: Seq[String] = Nil): Df = {
     val F = org.apache.spark.sql.functions
     val cs = if (cols.nonEmpty) cols else numericCols
+    require(cs.nonEmpty,
+      "describeStats: no numeric columns to describe (pass cols= explicitly)")
     val probs = Seq(0.25, 0.5, 0.75)
     val aggs = cs.flatMap { c =>
       Seq(F.count(sdf(c)).cast("double").as(s"${c}__count"),

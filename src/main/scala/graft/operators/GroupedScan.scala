@@ -248,18 +248,14 @@ object GroupedScan {
 
   /** group/order key canonicalization: SQL grouping and ordering treat
     * -0.0 as 0.0 (Spark normalizes before compare) — mirror it */
-  private def canon(v: Any): Any = v match {
-    case d: java.lang.Double if d.doubleValue() == 0.0d => ZeroD
-    case f: java.lang.Float if f.floatValue() == 0.0f => ZeroF
-    case x => x
-  }
-  private val ZeroD = java.lang.Double.valueOf(0.0d)
-  private val ZeroF = java.lang.Float.valueOf(0.0f)
-
+  /** group-key canonicalization shared with [[Quantiles.canonKey]]:
+    * -0.0 joins 0.0 like SQL grouping, binary wraps to content
+    * equality, struct/array keys recurse (a nested -0.0 would
+    * otherwise split a group the window form keeps whole) */
   private def keyOf(r: Row, idx: Array[Int]): Array[Any] = {
     val a = new Array[Any](idx.length)
     var i = 0
-    while (i < idx.length) { a(i) = canon(r.get(idx(i))); i += 1 }
+    while (i < idx.length) { a(i) = Quantiles.canonKey(r.get(idx(i))); i += 1 }
     a
   }
   /** null-safe elementwise equality (null keys form one group, NaN ==

@@ -696,6 +696,13 @@ class ScanSpec extends AnyFunSuite {
       .quantileScalable("v", 0.5, out = "q50").sdf.collect()
     assert(viaApi.length == 2 &&
       viaApi.forall(r => r.getStruct(0).getAs[Array[Byte]](0).length == 2))
+    // GroupedScan shares the canonicalization: a scan grouped by the
+    // same struct key must see 2 groups (cumcount restarts), not 4
+    // sign-split or 40 reference-keyed ones
+    val sc = new graft.api.Df(sdf2).groupby("k")
+      .cumcountScalable(Seq("v"), "cc").sdf
+      .groupBy("k").agg(max(col("cc")).as("mx")).collect()
+    assert(sc.length == 2 && sc.forall(_.getInt(1) == 19), sc.mkString(";"))
   }
 
   test("quantileScalable: multi-key groups ≡ per-group percentile aggregate") {
