@@ -509,18 +509,44 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
       .otherwise(value)
   }
 
+  /** Run a keyless scan verb that writes `out`, preserving
+    * `withColumn` overwrite semantics: when `out` already exists the
+    * scan emits to a temp name (the scan itself refuses existing
+    * outs) and the value replaces `out` in place. */
+  private def keylessScanOut(out: String)(run: String => Df): Df =
+    if (sdf.columns.contains(out)) {
+      val t = s"__graft_out_$out"
+      val scanned = run(t).sdf
+      derived(scanned.withColumn(out, scanned(t)).drop(t))
+    } else run(out)
+
   /** pandas `diff(periods)` over an explicit order (and optional
     * partitioning): value minus the value `periods` rows earlier.
     * KEYLESS calls route through the two-phase
     * [[graft.operators.GroupedScan]] (no single-partition sort at ANY
     * size — the old keyless-window row ceiling is unreachable here);
     * keyed calls stay on the window, whose per-key parallelism is the
-    * point. */
+    * point. The keyless form is EAGER (the scan's summary pass runs at
+    * call time — cache nondeterministic upstream first) and widens
+    * byte/short inputs to int (the kernel's explicit form of the
+    * window's implicit widening). */
   def diff(c: String, orderKeys: Seq[String], out: String,
            periods: Int = 1, partitionBy: Seq[String] = Nil): Df =
     if (partitionBy.isEmpty) {
       if (periods == 0) derived(sdf.withColumn(out, sdf(c) - sdf(c)))
-      else groupby().diffScalable(c, orderKeys, periods, out)
+      else {
+        val widenTmp = sdf.schema(c).dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType => Some(s"__graft_in_$c")
+          case _ => None
+        }
+        val src = widenTmp.map { t =>
+          derived(sdf.withColumn(t, sdf(c).cast("int")))
+        }.getOrElse(this)
+        val res = src.keylessScanOut(out)(o => src.groupby()
+          .diffScalable(widenTmp.getOrElse(c), orderKeys, periods, o))
+        widenTmp.map(t => derived(res.sdf.drop(t))).getOrElse(res)
+      }
     } else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(partitionBy.map(sdf(_)): _*)
@@ -552,8 +578,11 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
       "describeStats: no numeric columns to describe (pass cols= explicitly)")
     val probs = Seq(0.25, 0.5, 0.75)
     val aggs = cs.flatMap { c =>
+      // avg(decimal) yields DecimalType(p+4,s+4) — cast the RESULT to
+      // double (aggregation stays decimal-exact, like the pre-r15
+      // stack() coercion did; an uncast read would CCE in aggAt)
       Seq(F.count(sdf(c)).cast("double").as(s"${c}__count"),
-        avg(sdf(c)).as(s"${c}__mean"),
+        avg(sdf(c)).cast("double").as(s"${c}__mean"),
         stddev_samp(sdf(c)).as(s"${c}__std"),
         F.min(sdf(c)).cast("double").as(s"${c}__min"),
         F.max(sdf(c)).cast("double").as(s"${c}__max"))
@@ -679,7 +708,9 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * window pass per column, one shuffle total on the partition keys.
     * KEYLESS calls: ALL columns fill in one two-phase
     * [[graft.operators.GroupedScan]] pass (one range exchange, no
-    * single-partition sort at any size). */
+    * single-partition sort at any size); that form is EAGER (the
+    * scan's summary pass runs at call time — cache nondeterministic
+    * upstream first). */
   def ffill(cols: Seq[String], orderKeys: Seq[String],
             partitionBy: Seq[String] = Nil): Df =
     fillDirectional(cols, orderKeys, partitionBy, forward = true)
@@ -691,7 +722,8 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
 
   private def fillDirectional(cols: Seq[String], orderKeys: Seq[String],
                               partitionBy: Seq[String], forward: Boolean): Df =
-    if (partitionBy.isEmpty) {
+    if (cols.isEmpty) this // nothing to fill — both paths no-op
+    else if (partitionBy.isEmpty) {
       // one scan, one kernel per column; bfill = the same forward-fill
       // kernel over the reversed sort (GroupedDf.bfillScalable's trick)
       val tmps = cols.map(c => c -> s"__graft_fill_$c")
@@ -714,13 +746,18 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     }
 
   /** pandas `pct_change(periods)` over an explicit order: value / lagged
-    * value − 1. Same plan shape and keyless routing as [[diff]]. */
+    * value − 1. Same plan shape, keyless routing, overwrite semantics,
+    * and eager-keyless caveat as [[diff]]. Keyless decimal inputs
+    * divide in DOUBLE (the kernel) where the keyed window divides in
+    * decimal first — final-ulp differences on high-precision decimals
+    * (cast to double before calling for bitwise agreement). */
   def pctChange(c: String, orderKeys: Seq[String], out: String,
                 periods: Int = 1, partitionBy: Seq[String] = Nil): Df =
     if (partitionBy.isEmpty) {
       if (periods == 0)
         derived(sdf.withColumn(out, sdf(c) / sdf(c) - lit(1.0)))
-      else groupby().pctChangeScalable(c, orderKeys, periods, out)
+      else keylessScanOut(out)(o =>
+        groupby().pctChangeScalable(c, orderKeys, periods, o))
     } else {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(partitionBy.map(sdf(_)): _*)

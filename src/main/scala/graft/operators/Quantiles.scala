@@ -191,12 +191,7 @@ object Quantiles {
         .groupBy((0 until nKeys).map(i => col(s"__g$i")) :+ col("__v"): _*)
         .agg(count(lit(1)).as("__n"))
       else vals
-    val nParts = df.sparkSession.conf
-      .getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
-      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
-    // pinned partition count: AQE's 64MB-target coalesce would
-    // serialize the two protocol reads onto a handful of tasks
-    val ranged = triples.repartitionByRange(nParts,
+    val ranged = triples.repartitionByRange(pinnedShufflePartitions(df),
       (0 until nKeys).map(i => col(s"__g$i").asc) :+ col("__v").asc: _*)
     val rdd = ranged.rdd
     // weight of one emitted row: its duplicate count when collapsed,
@@ -223,35 +218,12 @@ object Quantiles {
       s"exactGroupQuantilesCont: ${totals.size} groups exceeds " +
         s"maxGroups=$maxGroups — use the per-group percentile aggregate " +
         "(its buffers are small exactly when groups are many)")
-    // per group: global order statistics needed, located via the
-    // pid-ascending cumulative WEIGHT (values are monotone per group
-    // across hosting partitions under the (groups, value) range sort)
-    val wantByPid = scala.collection.mutable
-      .HashMap.empty[Int, scala.collection.mutable.ListBuffer[(Seq[Any], Long, Long)]]
     val targetsByGroup: Map[Seq[Any], Seq[Long]] = totals.iterator.map {
-      case (k, n) =>
-        k -> probs.flatMap { p =>
-          val h = p * (n - 1)
-          Seq(math.floor(h).toLong, math.ceil(h).toLong)
-        }.distinct.sorted
+      case (k, n) => k -> targetsFor(n, probs)
     }.toMap
-    val byPid = counts.sortBy(_._1)
-    targetsByGroup.foreach { case (k, ts) =>
-      var cum = 0L
-      var ti = 0
-      byPid.foreach { case (pid, m) =>
-        val cnt = m.getOrElse(k, 0L)
-        while (ti < ts.length && cnt > 0 && ts(ti) < cum + cnt) {
-          wantByPid.getOrElseUpdate(pid,
-            scala.collection.mutable.ListBuffer.empty) +=
-            ((k, ts(ti), ts(ti) - cum))
-          ti += 1
-        }
-        cum += cnt
-      }
-    }
-    val bc = df.sparkSession.sparkContext
-      .broadcast(wantByPid.map { case (p, l) => p -> l.toList }.toMap)
+    val bc = df.sparkSession.sparkContext.broadcast(
+      locateTargets[Seq[Any]](
+        counts.sortBy(_._1).toIndexedSeq, targetsByGroup))
     // hosting partitions sort their distinct (value, weight) pairs per
     // wanted group and walk cumulative weights to the asked offsets
     val picked: Map[(Seq[Any], Long), Double] = rdd.mapPartitionsWithIndex {
@@ -274,16 +246,7 @@ object Quantiles {
             val sorted = buf.map { case (k, b) =>
               k -> b.sortBy(_._1)(Ordering.Double.TotalOrdering)
             }
-            ws.groupBy(_._1).iterator.flatMap { case (k, kws) =>
-              val vals = sorted(k)
-              val offs = kws.sortBy(_._3)
-              var cum = 0L
-              var vi = 0
-              offs.iterator.map { case (_, gIdx, off) =>
-                while (cum + vals(vi)._2 <= off) { cum += vals(vi)._2; vi += 1 }
-                (k, gIdx) -> vals(vi)._1
-              }
-            }
+            walkOffsets(ws, sorted)
         }
     }.collect().toMap
     targetsByGroup.map { case (k, _) =>
@@ -345,14 +308,12 @@ object Quantiles {
     val k = cols.length
     val pairs = cols.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("__g"), df(c).cast("double").as("__v")) }
-    val nParts = df.sparkSession.conf
-      .getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
-      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
     val ranged = df.select(explode(array(pairs: _*)).as("__kv"))
       .select(col("__kv.__g").as("__g"), col("__kv.__v").as("__v"))
       .where(col("__v").isNotNull)
       .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__n"))
-      .repartitionByRange(nParts, col("__g").asc, col("__v").asc)
+      .repartitionByRange(pinnedShufflePartitions(df),
+        col("__g").asc, col("__v").asc)
     val rdd = ranged.queryExecution.toRdd // ONE exchange feeds both jobs
     // job 1: per (partition, ordinal) weight sums — P·k longs, never data
     val counts: Array[(Int, Array[Long])] =
@@ -365,34 +326,14 @@ object Quantiles {
     val totals = new Array[Long](k)
     byPid.foreach { case (_, a) =>
       var i = 0; while (i < k) { totals(i) += a(i); i += 1 } }
-    val targetsByCode: Array[Seq[Long]] = Array.tabulate(k) { code =>
-      if (totals(code) == 0L) Nil
-      else probs.flatMap { p =>
-        val h = p * (totals(code) - 1)
-        Seq(math.floor(h).toLong, math.ceil(h).toLong)
-      }.distinct.sorted
-    }
-    // locate each (ordinal, global order statistic) as (pid, offset into
-    // the partition's weight-expanded value sequence)
-    val wantByPid = scala.collection.mutable.HashMap
-      .empty[Int, scala.collection.mutable.ListBuffer[(Int, Long, Long)]]
-    (0 until k).foreach { code =>
-      val ts = targetsByCode(code)
-      var cum = 0L
-      var ti = 0
-      byPid.foreach { case (pid, a) =>
-        val cnt = a(code)
-        while (ti < ts.length && cnt > 0 && ts(ti) < cum + cnt) {
-          wantByPid.getOrElseUpdate(pid,
-            scala.collection.mutable.ListBuffer.empty) +=
-            ((code, ts(ti), ts(ti) - cum))
-          ti += 1
-        }
-        cum += cnt
-      }
-    }
-    val bc = df.sparkSession.sparkContext
-      .broadcast(wantByPid.map { case (p, l) => p -> l.toList }.toMap)
+    val targetsByCode: Map[Int, Seq[Long]] =
+      (0 until k).filter(totals(_) > 0L)
+        .map(code => code -> targetsFor(totals(code), probs)).toMap
+    val bc = df.sparkSession.sparkContext.broadcast(
+      locateTargets[Int](
+        byPid.toIndexedSeq.map { case (pid, a) =>
+          pid -> a.indices.map(i => i -> a(i)).toMap },
+        targetsByCode))
     // job 2: hosting partitions sort their (value, weight) triples per
     // wanted ordinal and walk cumulative weights to the asked offsets
     val picked: Map[(Int, Long), Double] = rdd.mapPartitionsWithIndex {
@@ -415,16 +356,7 @@ object Quantiles {
             // TotalOrdering: NaN greatest, matching the range sort
             val sorted = bufs.map(b => if (b == null) null else
               b.sortBy(_._1)(Ordering.Double.TotalOrdering))
-            ws.groupBy(_._1).iterator.flatMap { case (c, cws) =>
-              val vals = sorted(c)
-              val offs = cws.sortBy(_._3)
-              var cum = 0L
-              var vi = 0
-              offs.iterator.map { case (_, g, off) =>
-                while (cum + vals(vi)._2 <= off) { cum += vals(vi)._2; vi += 1 }
-                (c, g) -> vals(vi)._1
-              }
-            }
+            walkOffsets[Int](ws, sorted(_))
         }
     }.collect().toMap
     (0 until k).map { code =>
@@ -433,6 +365,68 @@ object Quantiles {
         interp(p * (totals(code) - 1), g => picked((code, g)))))
     }
   }
+
+  /** `spark.sql.shuffle.partitions` as an explicit count — every
+    * protocol range exchange pins it, since AQE's 64 MB-target
+    * coalesce would serialize the two protocol reads onto a handful
+    * of tasks. */
+  private def pinnedShufflePartitions(df: DataFrame): Int =
+    df.sparkSession.conf
+      .getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** the global 0-based order statistics `interp` will ask for:
+    * floor/ceil of p·(n−1) per prob, deduped, ascending */
+  private def targetsFor(n: Long, probs: Seq[Double]): Seq[Long] =
+    probs.flatMap { p =>
+      val h = p * (n - 1)
+      Seq(math.floor(h).toLong, math.ceil(h).toLong)
+    }.distinct.sorted
+
+  /** driver-side locate: map each (key, global order statistic) to
+    * (partition, weighted offset into that partition's run of the key)
+    * via pid-ascending cumulative weights — values are monotone per
+    * key across partitions under the (key, value) range sort */
+  private def locateTargets[K](
+      byPid: Seq[(Int, scala.collection.Map[K, Long])],
+      targetsByKey: scala.collection.Map[K, Seq[Long]])
+      : Map[Int, List[(K, Long, Long)]] = {
+    val wantByPid = scala.collection.mutable
+      .HashMap.empty[Int, scala.collection.mutable.ListBuffer[(K, Long, Long)]]
+    targetsByKey.foreach { case (k, ts) =>
+      var cum = 0L
+      var ti = 0
+      byPid.foreach { case (pid, m) =>
+        val cnt = m.getOrElse(k, 0L)
+        while (ti < ts.length && cnt > 0 && ts(ti) < cum + cnt) {
+          wantByPid.getOrElseUpdate(pid,
+            scala.collection.mutable.ListBuffer.empty) +=
+            ((k, ts(ti), ts(ti) - cum))
+          ti += 1
+        }
+        cum += cnt
+      }
+    }
+    wantByPid.map { case (p, l) => p -> l.toList }.toMap
+  }
+
+  /** hosting-partition endgame (runs on executors): walk each wanted
+    * key's value-sorted (value, weight) run cumulatively to the asked
+    * offsets. `sorted` must order by value with NaN greatest
+    * (TotalOrdering), matching the range sort. */
+  private def walkOffsets[K](ws: List[(K, Long, Long)],
+                             sorted: K => scala.collection.Seq[(Double, Long)])
+      : Iterator[((K, Long), Double)] =
+    ws.groupBy(_._1).iterator.flatMap { case (k, kws) =>
+      val vals = sorted(k)
+      val offs = kws.sortBy(_._3)
+      var cum = 0L
+      var vi = 0
+      offs.iterator.map { case (_, gIdx, off) =>
+        while (cum + vals(vi)._2 <= off) { cum += vals(vi)._2; vi += 1 }
+        (k, gIdx) -> vals(vi)._1
+      }
+    }
 
   /** Spark `percentile`'s exact interpolation form — the WEIGHTED
     * average (ceil−h)·lo + (h−floor)·hi, NOT lo + frac·(hi−lo): the two
@@ -460,12 +454,9 @@ object Quantiles {
                          probs: Seq[Double]): Seq[java.lang.Double] = {
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
       s"exactQuantilesCont: probs in [0,1]: $probs")
-    val nParts = df.sparkSession.conf
-      .getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
-      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
     val ranged = df.select(col(c).cast("double").as("__v"))
       .where(col("__v").isNotNull)
-      .repartitionByRange(nParts, col("__v").asc)
+      .repartitionByRange(pinnedShufflePartitions(df), col("__v").asc)
     val rdd = ranged.queryExecution.toRdd // ONE exchange feeds both jobs
     val counts = rdd.mapPartitionsWithIndex { (p, it) =>
       var n = 0L; while (it.hasNext) { it.next(); n += 1 }

@@ -297,7 +297,24 @@ object Similarity {
         explode(transform(nearest, s => s.getField("cell"))))
       .where(col("cell") >= 0) // no-op; marks the side DPP-selective
     val c = spark.read.parquet(s"$path/index")
-    new Df(rerankTopK(c.join(broadcast(q), Seq("cell")), k, excludeSelf))
+    val joined = rerankTopK(c.join(broadcast(q), Seq("cell")), k, excludeSelf)
+    // cell pruning is this operator's I/O CONTRACT (read nprobe/nlist
+    // of the index), not an optimization hint — verify the DPP
+    // subquery actually reached the scan (heuristics are
+    // Catalyst-internal and the feature is a session conf away from
+    // off); if it didn't, fall back to the pre-r15 driver-collected
+    // static IN list, which prunes unconditionally at plan time
+    if (joined.queryExecution.executedPlan.toString
+        .toLowerCase.contains("dynamicpruning"))
+      new Df(joined)
+    else {
+      val qq = q.persist()
+      val probed = qq.select("cell").distinct().collect().map(_.getInt(0))
+      val cf = spark.read.parquet(s"$path/index")
+        .where(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
+      new Df(rerankTopK(cf.join(broadcast(qq), Seq("cell")), k, excludeSelf))
+        .retaining(qq)
+    }
   }
 
   /** Per-key mean embedding (centroid / mean-pool) in LONG format —

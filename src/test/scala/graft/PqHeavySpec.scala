@@ -179,7 +179,7 @@ class PqHeavySpec extends AnyFunSuite {
         val r = graft.operators.Similarity.searchIvfIndex(
           e.where(col("vec_id") < 2), "embedding", "vec_id", path,
           k = 2, nprobe = 1)
-        Thread.sleep(500) // listener bus is async
+        Thread.sleep(1000) // listener bus is async
         // 3 = codebook schema read + codebook collect + index partition
         // discovery, all metadata-sized. The pre-r15 probe-list
         // round-trip added a persist + distinct + collect over the
@@ -203,6 +203,22 @@ class PqHeavySpec extends AnyFunSuite {
       e.where(col("vec_id") < 2), e, "embedding", "vec_id", k = 2)
       .sdf.collect().map(_.toSeq).toSet
     assert(full == brute)
+    // cell pruning is the operator's I/O contract: with DPP off the
+    // search must FALL BACK to the static driver-collected IN list —
+    // same results, pruning in PartitionFilters, no dynamicpruning
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    try {
+      val fb = graft.operators.Similarity.searchIvfIndex(
+        e.where(col("vec_id") < 2), "embedding", "vec_id", path,
+        k = 2, nprobe = 1)
+      val fplan = fb.sdf.queryExecution.executedPlan.toString
+      assert(!fplan.toLowerCase.contains("dynamicpruning"), fplan)
+      assert(fplan.contains("PartitionFilters") && fplan.contains("cell"), fplan)
+      assert(fb.sdf.collect().map(_.toSeq).toSet ==
+        res.sdf.collect().map(_.toSeq).toSet)
+      graft.api.Df.releaseRetained() // the fallback persists its probe side
+    } finally spark.conf.unset(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled")
   }
 
   test("timeSplit validates its knobs") {

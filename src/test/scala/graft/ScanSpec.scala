@@ -203,6 +203,24 @@ class ScanSpec extends AnyFunSuite {
         first(col("v"), ignoreNulls = true).over(wb))
       assert(byId(gotBf, "v") ==
         wantBf.select("id", "v").collect().map(r => r.getLong(0) -> r.get(1)).toMap)
+      // withColumn overwrite semantics survive the routing: out naming
+      // an EXISTING column replaces it in place (position + dtype-free)
+      val over = df.diff("v", Seq("id"), out = "v", periods = 1)
+      assert(over.columns == df.columns)
+      val wantOver = df.sdf.withColumn("v", col("v") - lag(col("v"), 1).over(w))
+      assert(byId(over, "v") ==
+        wantOver.select("id", "v").collect().map(r => r.getLong(0) -> r.get(1)).toMap)
+      // byte/short inputs widen to int (the kernel's explicit form of
+      // the window's implicit widening), and the temp column drops
+      val sh = mkDf(rows).sdf.withColumn("sv", (col("id") % 7).cast("short"))
+      val gotSh = new graft.api.Df(sh).diff("sv", Seq("id"), "sd")
+      assert(gotSh.columns.toSeq == (sh.columns :+ "sd").toSeq)
+      val wantSh = sh.withColumn("sd",
+        (col("sv").cast("int") - lag(col("sv").cast("int"), 1).over(w)))
+      assert(gotSh.sdf.select("id", "sd").collect().map(r => r.getLong(0) -> r.get(1)).toMap ==
+        wantSh.select("id", "sd").collect().map(r => r.getLong(0) -> r.get(1)).toMap)
+      // empty cols: ffill/bfill no-op on both routes
+      assert(df.ffill(Nil, Seq("id")).columns == df.columns)
     } finally spark.conf.unset("graft.keylessWindowMaxRows")
   }
 

@@ -156,6 +156,22 @@ class SemanticsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(st("count") == 4.0 && st("min") == 1.0 && st("max") == 6.0)
     assert(st("q50") == 3.5)
+    // DECIMAL columns: avg(decimal) returns DecimalType(p+4,s+4) — the
+    // driver-side row read must coerce it (the r15 review's CCE)
+    val dd = Df.fromRows(spark,
+      Seq(Row(new java.math.BigDecimal("1.50")),
+        Row(new java.math.BigDecimal("2.50")),
+        Row(new java.math.BigDecimal("4.00"))),
+      StructType(Seq(StructField("m", DecimalType(9, 2)))))
+    val sd = dd.describeStats().sdf.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // decimal avg keeps decimal(p+4,s+4) precision: 8.00/3 -> 2.666667
+    assert(sd("mean") == 2.666667 && sd("q50") == 2.5 && sd("count") == 3.0)
+    // no numeric columns -> named error, not aggs.head on Nil
+    val strOnly = Df.fromRows(spark, Seq(Row("a")),
+      StructType(Seq(StructField("s", StringType))))
+    assert(intercept[IllegalArgumentException](strOnly.describeStats())
+      .getMessage.contains("no numeric columns"))
   }
 
   test("cut bins with (lo, hi] intervals, outside -> null") {
