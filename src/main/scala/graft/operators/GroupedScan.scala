@@ -141,10 +141,17 @@ object GroupedScan {
 
     val sortCols = groupKeys.map(df(_).asc) ++
       orderKeys.map { case (c, asc) => if (asc) df(c).asc else df(c).desc }
-    val ranged0 = if (numPartitions > 0)
-      df.repartitionByRange(numPartitions, sortCols: _*)
-    else df.repartitionByRange(sortCols: _*)
-    val ranged = ranged0.sortWithinPartitions(sortCols: _*)
+    // pinned partition count (spark.sql.shuffle.partitions when the
+    // caller doesn't choose): an unpinned range exchange lets AQE's
+    // 64 MB-target coalesce serialize BOTH protocol passes — the
+    // post-shuffle sorts and the kernel replays — onto a handful of
+    // tasks (the r15 q55 lesson, applied to the scan)
+    val pinnedParts = if (numPartitions > 0) numPartitions
+    else df.sparkSession.conf
+      .getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    val ranged = df.repartitionByRange(pinnedParts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
 
     val gIdx = groupKeys.map(in.fieldIndex).toArray
     val oIdx = orderKeys.map { case (c, _) => in.fieldIndex(c) }.toArray
