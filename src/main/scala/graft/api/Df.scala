@@ -300,10 +300,12 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
   def withRowIndexScalable(orderBy: Seq[String], name: String = "__index__",
                            numPartitions: Int = 0): Df = {
     val keys = orderBy.map(sdf(_).asc)
-    val ranged0 = if (numPartitions > 0)
-      sdf.repartitionByRange(numPartitions, keys: _*)
-    else sdf.repartitionByRange(keys: _*)
-    val ranged = ranged0.sortWithinPartitions(keys: _*)
+    // pinned against AQE coalescing: both zipWithIndex jobs need the
+    // exchange's full parallelism (the r15 protocol-pin convention)
+    val ranged = sdf.repartitionByRange(
+      if (numPartitions > 0) numPartitions
+      else graft.operators.Quantiles.pinnedShufflePartitions(sdf),
+      keys: _*).sortWithinPartitions(keys: _*)
     val schema1 = StructType(
       ranged.schema.fields :+ StructField(name, LongType, nullable = false))
     // RDD.zipWithIndex runs the count job and the index job over the

@@ -525,9 +525,12 @@ object Curation {
         col(tokensCol).cast("string"))))
       .otherwise(col(tokensCol)).cast("long")
     val keys = Seq(col(scoreCol).desc_nulls_last, col(idCol).asc)
-    val ranged0 = if (numPartitions > 0)
-      docs.sdf.repartitionByRange(numPartitions, keys: _*)
-    else docs.sdf.repartitionByRange(keys: _*)
+    // pinned against AQE coalescing: the per-partition totals job and
+    // the cut replay both need the exchange's full parallelism (the
+    // r15 protocol-pin convention)
+    val ranged0 = docs.sdf.repartitionByRange(
+      if (numPartitions > 0) numPartitions
+      else Quantiles.pinnedShufflePartitions(docs.sdf), keys: _*)
     val ranged = ranged0.sortWithinPartitions(keys: _*)
       .withColumn("__pid", spark_partition_id()).persist(lvl)
     val totals = ranged.groupBy("__pid")

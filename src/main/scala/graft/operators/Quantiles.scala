@@ -367,10 +367,12 @@ object Quantiles {
   }
 
   /** `spark.sql.shuffle.partitions` as an explicit count — every
-    * protocol range exchange pins it, since AQE's 64 MB-target
-    * coalesce would serialize the two protocol reads onto a handful
-    * of tasks. */
-  private def pinnedShufflePartitions(df: DataFrame): Int =
+    * driver-protocol range exchange pins it (here, GroupedScan,
+    * withRowIndexScalable, selectByTokenBudget), since AQE's
+    * 64 MB-target coalesce would serialize the protocol reads onto a
+    * handful of tasks. Write-layout exchanges (zorderBy) deliberately
+    * stay unpinned — there the size targeting IS the point. */
+  private[graft] def pinnedShufflePartitions(df: DataFrame): Int =
     df.sparkSession.conf
       .getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
       .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
