@@ -46,6 +46,21 @@ object AnalyticsQueries {
         .sortValues(Seq("stat")).sdf
     }),
 
+    // ---- describe() at k=4, mixing heavy-duplication columns
+    // (quantity/discount/tax) with a distinct-heavy one (extendedprice):
+    // the ordinal melt's collapse must stay correct when one column
+    // barely collapses while its neighbors collapse 10⁵× ----
+    "q266_describe_wide" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .describeStats(Seq("l_quantity", "l_extendedprice",
+          "l_discount", "l_tax"))
+        .selectExpr("stat", "round(l_quantity, 4) AS l_quantity",
+          "round(l_extendedprice, 4) AS l_extendedprice",
+          "round(l_discount, 4) AS l_discount",
+          "round(l_tax, 4) AS l_tax")
+        .sortValues(Seq("stat")).sdf
+    }),
+
     // ---- pivot_table: one-pass grouped spread ----
     "q56_pivot" -> ((s, dir) => {
       val e = events(s, dir)
@@ -293,6 +308,19 @@ object AnalyticsQueries {
         |UNION ALL SELECT 'q50', QUANTILE_CONT(l_quantity, 0.5), QUANTILE_CONT(l_discount, 0.5) FROM lineitem
         |UNION ALL SELECT 'q75', QUANTILE_CONT(l_quantity, 0.75), QUANTILE_CONT(l_discount, 0.75) FROM lineitem
         |UNION ALL SELECT 'max', MAX(l_quantity), MAX(l_discount) FROM lineitem)
+        |ORDER BY stat""".stripMargin,
+    "q266_describe_wide" ->
+      """SELECT stat, ROUND(l_quantity, 4) AS l_quantity,
+        |ROUND(l_extendedprice, 4) AS l_extendedprice,
+        |ROUND(l_discount, 4) AS l_discount, ROUND(l_tax, 4) AS l_tax FROM (
+        |SELECT 'count' AS stat, COUNT(l_quantity)::DOUBLE AS l_quantity, COUNT(l_extendedprice)::DOUBLE AS l_extendedprice, COUNT(l_discount)::DOUBLE AS l_discount, COUNT(l_tax)::DOUBLE AS l_tax FROM lineitem
+        |UNION ALL SELECT 'mean', AVG(l_quantity), AVG(l_extendedprice), AVG(l_discount), AVG(l_tax) FROM lineitem
+        |UNION ALL SELECT 'std', STDDEV_SAMP(l_quantity), STDDEV_SAMP(l_extendedprice), STDDEV_SAMP(l_discount), STDDEV_SAMP(l_tax) FROM lineitem
+        |UNION ALL SELECT 'min', MIN(l_quantity), MIN(l_extendedprice), MIN(l_discount), MIN(l_tax) FROM lineitem
+        |UNION ALL SELECT 'q25', QUANTILE_CONT(l_quantity, 0.25), QUANTILE_CONT(l_extendedprice, 0.25), QUANTILE_CONT(l_discount, 0.25), QUANTILE_CONT(l_tax, 0.25) FROM lineitem
+        |UNION ALL SELECT 'q50', QUANTILE_CONT(l_quantity, 0.5), QUANTILE_CONT(l_extendedprice, 0.5), QUANTILE_CONT(l_discount, 0.5), QUANTILE_CONT(l_tax, 0.5) FROM lineitem
+        |UNION ALL SELECT 'q75', QUANTILE_CONT(l_quantity, 0.75), QUANTILE_CONT(l_extendedprice, 0.75), QUANTILE_CONT(l_discount, 0.75), QUANTILE_CONT(l_tax, 0.75) FROM lineitem
+        |UNION ALL SELECT 'max', MAX(l_quantity), MAX(l_extendedprice), MAX(l_discount), MAX(l_tax) FROM lineitem)
         |ORDER BY stat""".stripMargin,
     "q56_pivot" ->
       """SELECT user_id % 10 AS bucket,

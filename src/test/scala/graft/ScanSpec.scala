@@ -723,6 +723,26 @@ class ScanSpec extends AnyFunSuite {
     assert(sc.length == 2 && sc.forall(_.getInt(1) == 19), sc.mkString(";"))
   }
 
+  test("grouped selection: collapse and raw branches agree bitwise") {
+    import graft.operators.Quantiles
+    // duplicate-heavy values: preCheckCardinality=true takes the
+    // weighted-collapse branch, =false runs raw rows — same doubles
+    val rows = (0 until 200).map { i =>
+      Row(i.toLong, i % 3, 0, (i % 7).toDouble, null, null)
+    }.toList
+    val df = mkDf(rows).sdf
+    val probs = Seq(0.25, 0.5, 0.75)
+    val collapsed = Quantiles.exactGroupQuantilesContMulti(
+      df, Seq("g"), "v", probs, preCheckCardinality = true)
+    val raw = Quantiles.exactGroupQuantilesContMulti(
+      df, Seq("g"), "v", probs, preCheckCardinality = false)
+    assert(collapsed.keySet == raw.keySet && collapsed.keySet.size == 3)
+    collapsed.foreach { case (k, qs) =>
+      qs.indices.foreach(i => assert(java.lang.Double.compare(
+        qs(i).doubleValue(), raw(k)(i).doubleValue()) == 0, s"$k p=$i"))
+    }
+  }
+
   test("quantileScalable: multi-key groups ≡ per-group percentile aggregate") {
     import org.apache.spark.sql.functions.{col => fcol}
     trials(rowsGen, n = 4) { xs =>
