@@ -147,9 +147,7 @@ object GroupedScan {
     // post-shuffle sorts and the kernel replays — onto a handful of
     // tasks (the r15 q55 lesson, applied to the scan)
     val pinnedParts = if (numPartitions > 0) numPartitions
-    else df.sparkSession.conf
-      .getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
-      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    else Quantiles.pinnedShufflePartitions(df)
     val ranged = df.repartitionByRange(pinnedParts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
 
