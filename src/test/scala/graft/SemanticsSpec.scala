@@ -172,6 +172,15 @@ class SemanticsSpec extends AnyFunSuite {
       StructType(Seq(StructField("s", StringType))))
     assert(intercept[IllegalArgumentException](strOnly.describeStats())
       .getMessage.contains("no numeric columns"))
+    // empty frame: full 8-row battery, count 0.0, every other stat null
+    val empty = Df.fromRows(spark, Nil,
+      StructType(Seq(StructField("x", DoubleType))))
+    val se = empty.describeStats(Seq("x")).sdf.collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null
+        else java.lang.Double.valueOf(r.getDouble(1)))).toMap
+    assert(se.size == 8 && se("count") == 0.0)
+    assert(Seq("mean", "std", "min", "max", "q25", "q50", "q75")
+      .forall(se(_) == null), se.toString)
   }
 
   test("cut bins with (lo, hi] intervals, outside -> null") {
