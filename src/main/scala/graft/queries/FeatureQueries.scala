@@ -170,9 +170,35 @@ object FeatureQueries {
         .select("l_returnflag", "l_orderkey", "l_linenumber",
           "qty_diff", "price_pct")
         .sortValues(Seq("l_returnflag", "l_orderkey", "l_linenumber")).sdf
+    }),
+
+    // ---- KEYLESS diff over a global total order: the plain pandas
+    // verb with no partition keys, routed (r15) through the keyless
+    // GroupedScan — one range exchange whose parallelism scales with
+    // data, where the pandas-parity window form is a single-partition
+    // sort at ANY size. The engine-side values are bit-identical to
+    // SQL's keyless LAG window (ScanSpec differential) ----
+    "q267_keyless_diff" -> ((s, dir) => {
+      // project before the scan (the RDD boundary blocks pruning)
+      T(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+        "l_extendedprice", "l_quantity")
+        .diff("l_quantity", Seq("l_orderkey", "l_linenumber",
+          "l_extendedprice"), out = "qd", periods = 2)
+        .where(col("l_orderkey") % 50 === 0)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "qd")
+        .sortValues(Seq("l_orderkey", "l_linenumber", "l_extendedprice")).sdf
     }))
 
   val oracles: Map[String, String] = Map(
+    "q267_keyless_diff" ->
+      """WITH w AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    l_quantity - LAG(l_quantity, 2) OVER
+        |      (ORDER BY l_orderkey, l_linenumber, l_extendedprice) AS qd
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice, qd
+        |FROM w WHERE l_orderkey % 50 = 0
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
     "q265_scan_diff" ->
       """WITH w AS (
         |  SELECT l_returnflag, l_orderkey, l_linenumber,
