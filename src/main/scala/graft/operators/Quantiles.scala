@@ -366,16 +366,49 @@ object Quantiles {
     }
   }
 
-  /** `spark.sql.shuffle.partitions` as an explicit count — every
-    * driver-protocol range exchange pins it (here, GroupedScan,
-    * withRowIndexScalable, selectByTokenBudget), since AQE's
-    * 64 MB-target coalesce would serialize the protocol reads onto a
-    * handful of tasks. Write-layout exchanges (zorderBy) deliberately
-    * stay unpinned — there the size targeting IS the point. */
-  private[graft] def pinnedShufflePartitions(df: DataFrame): Int =
-    df.sparkSession.conf
+  /** Explicit partition count for every driver-protocol range exchange
+    * (here, GroupedScan, withRowIndexScalable, selectByTokenBudget).
+    * The count must be explicit — AQE's 64 MB-target coalesce would
+    * re-plan the exchange between the two protocol jobs, and the
+    * protocol's pid-addressed offsets require BOTH jobs to see the
+    * identical partitioning. But an unconditional full-parallelism pin
+    * taxes small inputs: at sf0.1 it doubled rank fusion (three
+    * exchanges × two jobs × 32 near-empty tasks), so the count is
+    * sized to Catalyst's estimate of the input —
+    * `min(conf, max(2, ceil(sizeInBytes / 128 KiB)))`. The estimate is
+    * compressed file-size-derived, and the protocol's post-exchange
+    * work (sort + kernel replay over decompressed rows) is CPU-bound,
+    * so the per-task target must be far below AQE's IO-oriented
+    * 64 MB: 128 KiB keeps a ~4 MiB-estimate input (sf0.1 lineitem
+    * projections, measured: a 512 KiB target cost grouped-rolling
+    * +64%) at full parallelism while kilobyte inputs (per-signal
+    * document rankings) stop paying 32 task launches per protocol
+    * job. At cluster scale the estimate
+    * vastly exceeds the conf, so this is exactly the old full-
+    * parallelism pin — the sizing only ever removes task overhead on
+    * tiny inputs. Falls back to the conf when stats are unavailable or
+    * absurd (non-file plans default to huge sizes; `min` caps them).
+    * Write-layout exchanges (zorderBy) deliberately stay unpinned —
+    * there the size targeting IS the point. */
+  private[graft] def pinnedShufflePartitions(df: DataFrame): Int = {
+    val conf = df.sparkSession.conf
       .getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
       .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    val est =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case scala.util.control.NonFatal(_) => BigInt(-1) }
+    if (est <= 0) conf
+    else {
+      // BigInt throughout: RDD-backed frames (chained GroupedScan
+      // outputs) report defaultSizeInBytes = Long.MaxValue, where Long
+      // ceil-division would overflow negative and pin 2 tasks on a
+      // frame whose size is simply UNKNOWN (measured: q247 +60%).
+      // Unknown-huge naturally takes the conf via the min.
+      val target = BigInt(128L * 1024)
+      val needed = (est + target - 1) / target
+      needed.min(BigInt(conf)).max(BigInt(2)).toInt
+    }
+  }
 
   /** the global 0-based order statistics `interp` will ask for:
     * floor/ceil of p·(n−1) per prob, deduped, ascending */

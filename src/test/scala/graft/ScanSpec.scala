@@ -791,4 +791,34 @@ class ScanSpec extends AnyFunSuite {
     val g = df.groupby().transform("gm" -> max(col("v")))
     assert(byId(g, "gm").values.toSet == Set(10.0))
   }
+
+  test("protocol pin sizes by Catalyst estimate: small input coalesces, " +
+       "unknown-size (RDD-backed) keeps the conf") {
+    import graft.operators.Quantiles
+    val conf = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // a 100-row local frame estimates kilobytes → the pin drops to the
+    // floor instead of launching `conf` near-empty protocol tasks
+    // (the r15 q192 regression)
+    val tiny = spark.range(100).selectExpr("id", "cast(id as double) as v")
+    val tinyPin = Quantiles.pinnedShufflePartitions(tiny)
+    assert(tinyPin >= 2 && tinyPin < conf, s"tiny pin $tinyPin vs conf $conf")
+    // an RDD-backed frame reports defaultSizeInBytes = Long.MaxValue;
+    // the BigInt ceil-division must NOT overflow negative (which pinned
+    // 2 tasks on chained GroupedScans — measured q247 +60%): unknown
+    // size keeps full conf parallelism
+    val rddBacked = spark.createDataFrame(
+      tiny.rdd.map(r => Row(r.getLong(0), r.getDouble(1))),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("v", DoubleType, nullable = false))))
+    assert(Quantiles.pinnedShufflePartitions(rddBacked) == conf)
+    // sizing never changes RESULTS, only the partition count: a chained
+    // keyless scan (RDD-backed second input) still matches the window
+    val out = mkDf(List(Row(0L, 0, 1, 2.0, null, null),
+        Row(1L, 0, 2, 5.0, null, null), Row(2L, 0, 3, 1.0, null, null)))
+      .groupby().scanScalable(Seq("o"),
+        Seq(GroupedScan.CumMax("v", "c1")))
+      .groupby().scanScalable(Seq("o"),
+        Seq(GroupedScan.Shift("c1", 1, "c2")))
+    assert(byId(out, "c2") == Map(0L -> null, 1L -> 2.0, 2L -> 5.0))
+  }
 }
