@@ -1108,11 +1108,21 @@ object Curation {
     * population keeps every rank column an exact permutation of the
     * emitted rows. Pre-impute upstream to keep partial rows.
     *
-    * Scale: one global ranking per signal over (id, signal) pairs —
-    * each rides [[graft.api.Df.withRowIndexScalable]] (range-partition
-    * + zipWithIndex, no single-partition window), then |signals|
-    * id-keyed joins reassemble the fused row. Per-signal global
-    * ranking is inherent to RRF, not an implementation choice. */
+    * Scale: ONE global ranking for ALL signals — the (id, signal)
+    * pairs melt to (signal ordinal, −value, id) and ride a single
+    * [[graft.api.Df.withRowIndexScalable]] (range-partition +
+    * zipWithIndex, no single-partition window) ordered by
+    * (ordinal, −value, id). The null filter guarantees every id
+    * carries every signal, so signal `s` occupies exactly the global
+    * index run [s·N, (s+1)·N) and its rank is `index − s·N + 1`; one
+    * id-keyed hash aggregate pivots the ranks back to a row per
+    * document. One range exchange + one agg exchange, versus the
+    * pre-r16 per-signal form's |signals| range exchanges and
+    * |signals|−1 id joins — same output bit-for-bit (PipelineSpec's
+    * hand-computed pin, the q192 oracle). The melt coerces signals to
+    * their least common numeric type (Spark array coercion), so
+    * rank order for mixed long/double signals beyond 2^53 follows the
+    * widened type — pre-impute/cast upstream if that matters. */
   def rankFusion(df: Df, signalCols: Seq[String], idCol: String,
                  k: Int = 60): Df = {
     require(signalCols.nonEmpty, "rankFusion: need at least one signal")
@@ -1122,15 +1132,24 @@ object Curation {
       .select(col(idCol) +: signalCols.map(col): _*)
       .where(signalCols.map(col(_).isNotNull).reduce(_ && _))
       .persist(lvl)
-    val ranked = signalCols.map { c =>
-      new Df(base.select(col(idCol), col(c)).withColumn("__neg", -col(c)))
-        .withRowIndexScalable(Seq("__neg", idCol), "__rk").sdf
-        .select(col(idCol), (col("__rk") + 1).as(s"rank_$c"))
+    val n = base.count() // forces the persist; the melt reads the cache
+    val melted = base.select(col(idCol),
+      explode(array(signalCols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("__sig"), (-col(c)).as("__neg"))
+      }: _*)).as("__kv"))
+      .select(col(idCol), col("__kv.__sig").as("__sig"),
+        col("__kv.__neg").as("__neg"))
+    val indexed = new Df(melted)
+      .withRowIndexScalable(Seq("__sig", "__neg", idCol), "__gidx").sdf
+      .withColumn("__rk", col("__gidx") - col("__sig").cast("long") * n + 1)
+    val rankCols = signalCols.zipWithIndex.map { case (c, i) =>
+      max(when(col("__sig") === i, col("__rk"))).as(s"rank_$c")
     }
-    val joined = ranked.reduce(_.join(_, Seq(idCol)))
+    val pivoted = indexed.groupBy(col(idCol))
+      .agg(rankCols.head, rankCols.tail: _*)
     val score = signalCols.map(c => lit(1.0) / (lit(k) + col(s"rank_$c")))
       .reduce(_ + _)
-    new Df(joined.withColumn("rrf_score", round(score, 6)))
+    new Df(pivoted.withColumn("rrf_score", round(score, 6)))
       .retaining(base)
   }
 

@@ -20,6 +20,25 @@ object TestSpark {
     s
   }
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Poll `get` until it returns the same value for `quietMs`
+    * straight (cap `capMs`) — the listener bus is async, and
+    * fixed-length sleeps flake on loaded hosts (the suites that count
+    * jobs via SparkListener use this instead). Returns the settled
+    * value. */
+  def awaitStable(get: => Int, quietMs: Long = 500,
+                  capMs: Long = 8000): Int = {
+    val deadline = System.nanoTime() + capMs * 1000000L
+    var last = get
+    var quietSince = System.nanoTime()
+    while (System.nanoTime() < deadline &&
+           System.nanoTime() - quietSince < quietMs * 1000000L) {
+      Thread.sleep(50)
+      val cur = get
+      if (cur != last) { last = cur; quietSince = System.nanoTime() }
+    }
+    last
+  }
 }
 
 /** Differential tests for the wrapper surface itself — the reference's

@@ -578,6 +578,46 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("rankFusion: ONE fused ranking protocol for all signals") {
+    // the r16 melt: three signals ride a single range-partitioned
+    // zipWithIndex instead of one protocol each. Each
+    // withRowIndexScalable call runs exactly one eager zipWithIndex
+    // job, so counting those pins the protocol count directly (total
+    // job count would also see AQE's per-stage materialization
+    // futures — brittle): fused = 1, the pre-r16 per-signal form = 3.
+    val d = new Df(spark.range(0, 400).selectExpr("id",
+      "cast(id % 37 as double) as a",
+      "cast((id * 13) % 41 as double) as b",
+      "cast((id * 7) % 23 as double) as c"))
+    @volatile var zipJobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (j.stageInfos.exists(_.name.contains("zipWithIndex")))
+          zipJobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      TestSpark.awaitStable(zipJobs) // drain events from earlier tests
+      zipJobs = 0
+      val out = Curation.rankFusion(d, Seq("a", "b", "c"), "id")
+      val protocols = TestSpark.awaitStable(zipJobs)
+      assert(protocols == 1,
+        s"rankFusion ran $protocols ranking protocols — want ONE fused")
+      // ranks stay a permutation and the fusion stays exact: spot-check
+      // the top doc by each signal holds rank 1 on it
+      val rows = out.sdf.collect()
+      assert(rows.length == 400)
+      Seq("a", "b", "c").foreach { c =>
+        val ranks = rows.map(_.getLong(rows.head.fieldIndex(s"rank_$c")))
+        assert(ranks.sorted.toSeq == (1L to 400L))
+      }
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      Df.releaseRetained()
+    }
+  }
+
   test("oovRate rejects a non-positive vocab; empty docs drop out") {
     intercept[IllegalArgumentException] {
       TextAnalytics.oovRate(mkDocs(1L -> "x"), "text", "doc_id", 0)

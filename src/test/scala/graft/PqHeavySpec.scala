@@ -174,12 +174,12 @@ class PqHeavySpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     val res =
       try {
-        Thread.sleep(300) // drain pending read-side footer job events
+        TestSpark.awaitStable(jobs) // drain pending read-side job events
         jobs = 0
         val r = graft.operators.Similarity.searchIvfIndex(
           e.where(col("vec_id") < 2), "embedding", "vec_id", path,
           k = 2, nprobe = 1)
-        Thread.sleep(1000) // listener bus is async
+        TestSpark.awaitStable(jobs) // listener bus is async — settle it
         // 3 = codebook schema read + codebook collect + index partition
         // discovery, all metadata-sized. The pre-r15 probe-list
         // round-trip added a persist + distinct + collect over the
