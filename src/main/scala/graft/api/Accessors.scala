@@ -157,8 +157,15 @@ final class CatAccessor private[api] (s: Ser) {
     * dictionary — the reference likewise runs `unique().compute()`.
     * One distinct-aggregate job; the dictionary itself is small by the
     * definition of a categorical. Sorted for determinism (matching
-    * [[Df.withCatCodes]]'s convention). */
-  def asKnown: KnownCat = {
+    * [[Df.withCatCodes]]'s convention). Guarded like `withCatCodes`:
+    * the distinct set is capped at `maxCategories` (limit pushed into
+    * the Spark job, so an over-cap column ships ≤ cap+1 rows, never
+    * the full dictionary), and over-cap input fails fast with the
+    * named error instead of collecting an unbounded list to the
+    * driver — on a miscalled high-cardinality column at corpus scale
+    * that is a clear exception, not a driver OOM. */
+  def asKnown: KnownCat = asKnown()
+  def asKnown(maxCategories: Int = 1 << 20): KnownCat = {
     // ordered by SPARK on the RAW column (so ints sort numerically and
     // strings sort in UTF8String binary order — the same ordering
     // withCatCodes/cat.categories use; JVM compareTo would disagree on
@@ -167,8 +174,13 @@ final class CatAccessor private[api] (s: Ser) {
     val cats = s.frame.select(s.col.as("__c"))
       .where(org.apache.spark.sql.functions.col("__c").isNotNull)
       .distinct().orderBy("__c")
+      .limit(maxCategories + 1)
       .select(org.apache.spark.sql.functions.col("__c").cast("string"))
       .collect().map(_.getString(0)).toSeq
+    if (cats.length > maxCategories) throw new IllegalArgumentException(
+      s"as_known('${s.name}'): over $maxCategories distinct values — not " +
+        "a categorical column. Raise maxCategories explicitly, or keep " +
+        "the column unknown and aggregate/join on it directly.")
     new KnownCat(s, s.col, cats)
   }
   /** `set_categories` without computing: attach an explicit dictionary. */

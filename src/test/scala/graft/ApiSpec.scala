@@ -307,6 +307,17 @@ class ApiSpec extends AnyFunSuite {
     val codes = d.assign("code", kc.codes).sdf.collect()
       .map(r => Option(r.getString(0)).getOrElse("∅") -> r.getInt(1)).toSet
     assert(codes == Set("a" -> 0, "b" -> 1, "c" -> 2, "∅" -> -1))
+    // miscalled high-cardinality column: the withCatCodes guard — a
+    // clear fail-fast, not an unbounded dictionary collect (the limit
+    // is pushed into the job, so ≤ cap+1 rows ever ship)
+    val wide = new Df(spark.range(0, 50)
+      .selectExpr("cast(id as string) as v"))
+    val err = intercept[IllegalArgumentException] {
+      wide("v").cat.asKnown(maxCategories = 10)
+    }
+    assert(err.getMessage.contains("over 10 distinct values"))
+    // at exactly the cap it still succeeds
+    assert(wide("v").cat.asKnown(maxCategories = 50).categories.length == 50)
   }
 
   test("categorical: remove nulls values out and compacts codes") {
