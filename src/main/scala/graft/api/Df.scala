@@ -522,6 +522,66 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
       derived(scanned.withColumn(out, scanned(t)).drop(t))
     } else run(out)
 
+  /** Batch several KEYLESS order-based verbs into ONE
+    * [[graft.operators.GroupedScan]] protocol. The single verbs
+    * ([[diff]], [[ffill]], [[pctChange]], …, keyless form) are EAGER —
+    * each call runs its own summary+emit protocol, so a chain
+    * `df.diff(...).ffill(...)` on the same order keys pays the range
+    * exchange twice. This batch collects the verbs and runs them as
+    * one multi-kernel scan: one range exchange, one summary pass, one
+    * emit — the chain's cost becomes the cost of one verb.
+    *
+    * {{{
+    * df.scanKeyless(Seq("ts"))(_
+    *   .diff("price", out = "dprice")
+    *   .ffill("qty", out = "qty")       // overwrite-in-place works
+    *   .cumsum("volume", out = "cvol"))
+    * }}}
+    *
+    * All verbs share the batch's order keys and ONE scan direction:
+    * forward verbs (ffill, cum*, rolling, ewm, positive periods) and
+    * reverse verbs (bfill, negative periods) sort opposite ways, so a
+    * mixed batch fails fast — split it in two. Per-verb semantics,
+    * output dtypes, overwrite-existing-column behavior, and diff's
+    * byte/short→int widening match the single verbs exactly (ScanSpec
+    * pins the batch ≡ the chain differentially). Same eager caveat and
+    * total-order-keys tie caveat as the single keyless verbs
+    * (DIVERGENCES #10). */
+  def scanKeyless(orderKeys: Seq[String])(
+      build: Df.KeylessScanBatch => Df.KeylessScanBatch): Df = {
+    import graft.operators.GroupedScan
+    val specs = build(new Df.KeylessScanBatch(Nil)).specs.reverse
+    require(specs.nonEmpty, "scanKeyless: at least one verb")
+    require(specs.map(_.out).distinct.size == specs.size,
+      s"scanKeyless: duplicate output names: ${specs.map(_.out).mkString(", ")}")
+    val revs = specs.map(_.reverse).distinct
+    require(revs.size == 1,
+      "scanKeyless: forward verbs (ffill, cum*, rolling, ewm, positive " +
+        "periods) and reverse verbs (bfill, negative periods) need " +
+        "opposite sort orders — split into two batches")
+    // diff's byte/short→int widening, once per distinct input column
+    val widen = specs.collect {
+      case s if s.intWiden && s.in.nonEmpty => s.in
+    }.distinct.filter(c => sdf.schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }).map(c => c -> s"__graft_in_$c").toMap
+    val src = widen.foldLeft(sdf) { case (d, (c, t)) =>
+      d.withColumn(t, d(c).cast("int")) }
+    // withColumn overwrite semantics per out (the keylessScanOut rule)
+    val outName = specs.map(_.out).map(o =>
+      o -> (if (sdf.columns.contains(o)) s"__graft_out_$o" else o)).toMap
+    val verbs = specs.map(s => s.mk(widen.getOrElse(s.in, s.in), outName(s.out)))
+    val scanned = GroupedScan.scan(src, Nil,
+      orderKeys.map(_ -> !revs.head), verbs)
+    val restored = specs.map(_.out).foldLeft(scanned) { (d, o) =>
+      val t = outName(o)
+      if (t == o) d else d.withColumn(o, d(t)).drop(t)
+    }
+    derived(restored.drop(widen.values.toSeq: _*))
+  }
+
   /** pandas `diff(periods)` over an explicit order (and optional
     * partitioning): value minus the value `periods` rows earlier.
     * KEYLESS calls route through the two-phase
@@ -1196,6 +1256,75 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
 }
 
 object Df {
+  /** one verb of a [[Df.scanKeyless]] batch: input column (empty for
+    * cumcount), output name, whether the scan must run over the
+    * REVERSED order, whether diff's byte/short→int widening applies,
+    * and the kernel constructor from the (possibly widened) input and
+    * (possibly temp) output names. */
+  private[api] final case class KeylessVerbSpec(
+      in: String, out: String, reverse: Boolean, intWiden: Boolean,
+      mk: (String, String) => graft.operators.GroupedScan.Verb)
+
+  /** Fluent accumulator for [[Df.scanKeyless]] — each method mirrors
+    * the keyless form of the matching Df/GroupedDf verb (same kernel,
+    * same dtype rules, same negative-period handling). Immutable:
+    * every call returns a new batch. */
+  final class KeylessScanBatch private[api] (
+      private[api] val specs: List[KeylessVerbSpec]) {
+    import graft.operators.GroupedScan
+    private def add(s: KeylessVerbSpec) = new KeylessScanBatch(s :: specs)
+
+    /** [[Df.diff]]: value − value `periods` rows earlier. */
+    def diff(c: String, out: String, periods: Int = 1): KeylessScanBatch = {
+      require(periods != 0, "scanKeyless.diff: periods must be non-zero")
+      add(KeylessVerbSpec(c, out, periods < 0, intWiden = true,
+        (i, o) => GroupedScan.Diff(i, math.abs(periods), o)))
+    }
+    /** [[Df.pctChange]]: value / lagged − 1 (DOUBLE, the kernel). */
+    def pctChange(c: String, out: String,
+                  periods: Int = 1): KeylessScanBatch = {
+      require(periods != 0, "scanKeyless.pctChange: periods must be non-zero")
+      add(KeylessVerbSpec(c, out, periods < 0, intWiden = false,
+        (i, o) => GroupedScan.PctChange(i, math.abs(periods), o)))
+    }
+    /** lag (positive periods) / lead (negative). */
+    def shift(c: String, out: String, periods: Int = 1): KeylessScanBatch = {
+      require(periods != 0, "scanKeyless.shift: periods must be non-zero")
+      add(KeylessVerbSpec(c, out, periods < 0, intWiden = false,
+        (i, o) => GroupedScan.Shift(i, math.abs(periods), o)))
+    }
+    /** last non-null at-or-before, in batch order. */
+    def ffill(c: String, out: String): KeylessScanBatch =
+      add(KeylessVerbSpec(c, out, reverse = false, intWiden = false,
+        (i, o) => GroupedScan.Ffill(i, o)))
+    /** next non-null at-or-after — the Ffill kernel over the REVERSED
+      * sort, so it can't share a batch with forward verbs. */
+    def bfill(c: String, out: String): KeylessScanBatch =
+      add(KeylessVerbSpec(c, out, reverse = true, intWiden = false,
+        (i, o) => GroupedScan.Ffill(i, o)))
+    def cumsum(c: String, out: String): KeylessScanBatch =
+      add(KeylessVerbSpec(c, out, reverse = false, intWiden = false,
+        (i, o) => GroupedScan.CumSum(i, o)))
+    def cummax(c: String, out: String): KeylessScanBatch =
+      add(KeylessVerbSpec(c, out, reverse = false, intWiden = false,
+        (i, o) => GroupedScan.CumMax(i, o)))
+    def cummin(c: String, out: String): KeylessScanBatch =
+      add(KeylessVerbSpec(c, out, reverse = false, intWiden = false,
+        (i, o) => GroupedScan.CumMin(i, o)))
+    def cumcount(out: String): KeylessScanBatch =
+      add(KeylessVerbSpec("", out, reverse = false, intWiden = false,
+        (_, o) => GroupedScan.CumCount(o)))
+    /** trailing-k rolling sum|mean|min|max|count|var|std. */
+    def rolling(c: String, k: Int, agg: String,
+                out: String): KeylessScanBatch =
+      add(KeylessVerbSpec(c, out, reverse = false, intWiden = false,
+        (i, o) => GroupedScan.Rolling(i, k, agg, o)))
+    /** exact `ewm(alpha, adjust=True).mean()`. */
+    def ewm(c: String, alpha: Double, out: String): KeylessScanBatch =
+      add(KeylessVerbSpec(c, out, reverse = false, intWiden = false,
+        (i, o) => GroupedScan.Ewm(i, alpha, o)))
+  }
+
   /** every frame any graft operator persisted and attached, JVM-wide —
     * the fallback release path when the operator result Df was not kept
     * (see the instance-level caveat). Entries leave the registry when

@@ -187,9 +187,62 @@ object FeatureQueries {
         .where(col("l_orderkey") % 50 === 0)
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "qd")
         .sortValues(Seq("l_orderkey", "l_linenumber", "l_extendedprice")).sdf
+    }),
+
+    // ---- scanKeyless batch (r16): FIVE keyless verbs — decimal diff,
+    // ffill over a synthesized-null column, exact decimal cumsum,
+    // double pct_change, lag-3 shift — in ONE scan protocol (one range
+    // exchange, one summary pass; the verb-by-verb chain would pay
+    // five). Decimal kernels are exact, so double casts land on the
+    // oracle's bits; pct_change divides positive doubles (no
+    // zero-denominator divergence) ----
+    "q268_scan_batch" -> ((s, dir) => {
+      T(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+        "l_extendedprice", "l_quantity", "l_tax")
+        .assign("qn", when(col("l_quantity") % 7 === 0,
+          lit(null).cast("double"))
+          .otherwise(col("l_quantity").cast("double")))
+        .assign("qd18", col("l_quantity").cast("decimal(18,2)"))
+        .assign("pe", col("l_extendedprice").cast("double"))
+        .assign("tx", col("l_tax").cast("double"))
+        .scanKeyless(Seq("l_orderkey", "l_linenumber", "l_extendedprice"))(_
+          .diff("qd18", out = "qd")
+          .ffill("qn", out = "fq")
+          .cumsum("qd18", out = "cs")
+          .pctChange("pe", out = "pp")
+          .shift("tx", out = "sh", periods = 3))
+        .where(col("l_orderkey") % 50 === 0)
+        .assign("qd", col("qd").cast("double"))
+        .assign("cs", col("cs").cast("double"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice",
+          "qd", "fq", "cs", "pp", "sh")
+        .sortValues(Seq("l_orderkey", "l_linenumber", "l_extendedprice")).sdf
     }))
 
   val oracles: Map[String, String] = Map(
+    "q268_scan_batch" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS qd18,
+        |    CASE WHEN l_quantity % 7 = 0 THEN NULL
+        |         ELSE CAST(l_quantity AS DOUBLE) END AS qn,
+        |    CAST(l_extendedprice AS DOUBLE) AS pe,
+        |    CAST(l_tax AS DOUBLE) AS tx
+        |  FROM lineitem),
+        |w AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    CAST(qd18 - LAG(qd18) OVER win AS DOUBLE) AS qd,
+        |    LAST_VALUE(qn IGNORE NULLS) OVER cum AS fq,
+        |    CAST(SUM(qd18) OVER cum AS DOUBLE) AS cs,
+        |    pe / LAG(pe) OVER win - 1.0 AS pp,
+        |    LAG(tx, 3) OVER win AS sh
+        |  FROM b
+        |  WINDOW win AS (ORDER BY l_orderkey, l_linenumber, l_extendedprice),
+        |    cum AS (ORDER BY l_orderkey, l_linenumber, l_extendedprice
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT l_orderkey, l_linenumber, l_extendedprice, qd, fq, cs, pp, sh
+        |FROM w WHERE l_orderkey % 50 = 0
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
     "q267_keyless_diff" ->
       """WITH w AS (
         |  SELECT l_orderkey, l_linenumber, l_extendedprice,
