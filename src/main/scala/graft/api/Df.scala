@@ -591,7 +591,10 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * point. The keyless form is EAGER (the scan's summary pass runs at
     * call time — cache nondeterministic upstream first) and widens
     * byte/short inputs to int (the kernel's explicit form of the
-    * window's implicit widening). */
+    * window's implicit widening). TIES: the scan's two passes sort
+    * independently, so `orderKeys` must totally order the rows —
+    * append a unique id as the last key if the natural order has
+    * duplicates (DIVERGENCES #1 tie caveat). */
   def diff(c: String, orderKeys: Seq[String], out: String,
            periods: Int = 1, partitionBy: Seq[String] = Nil): Df =
     if (partitionBy.isEmpty) {
@@ -650,13 +653,35 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
         F.max(sdf(c)).cast("double").as(s"${c}__max"))
     }
     val one = sdf.agg(aggs.head, aggs.tail: _*)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.global
-    val aggF = scala.concurrent.Future(one.head())
-    val qsSeq = graft.operators.Quantiles.exactOrdinalQuantilesCont(
-      sdf, cs, probs)
+    // concurrent agg pass on a FRESH thread, not ExecutionContext
+    // .global: a thread created here inherits the caller's Spark
+    // local properties (job group / scheduler pool / tags are
+    // InheritableThreadLocal), so caller-side cancellation still
+    // reaches the agg job — a pooled global thread carries whatever
+    // properties its first task left behind. A job TAG (composes with
+    // any caller group, unlike setJobGroup which would overwrite it)
+    // lets the failure path below cancel the orphaned agg job instead
+    // of leaving it running while the exception propagates.
+    val sc = sdf.sparkSession.sparkContext
+    val aggTag = s"graft-describe-${java.util.UUID.randomUUID}"
+    val aggP = scala.concurrent.Promise[org.apache.spark.sql.Row]()
+    val aggThread = new Thread(() => {
+      sc.addJobTag(aggTag)
+      aggP.complete(scala.util.Try(one.head()))
+    }, "graft-describe-agg")
+    aggThread.setDaemon(true)
+    aggThread.start()
+    val qsSeq =
+      try graft.operators.Quantiles.exactOrdinalQuantilesCont(
+        sdf, cs, probs)
+      catch {
+        case e: Throwable =>
+          try sc.cancelJobsWithTag(aggTag)
+          catch { case scala.util.control.NonFatal(_) => }
+          throw e
+      }
     val aggRow = scala.concurrent.Await.result(
-      aggF, scala.concurrent.duration.Duration.Inf)
+      aggP.future, scala.concurrent.duration.Duration.Inf)
     def aggAt(ci: Int, j: Int): java.lang.Double = {
       val i = ci * 5 + j
       if (aggRow.isNullAt(i)) null else java.lang.Double.valueOf(aggRow.getDouble(i))
@@ -772,7 +797,9 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * [[graft.operators.GroupedScan]] pass (one range exchange, no
     * single-partition sort at any size); that form is EAGER (the
     * scan's summary pass runs at call time — cache nondeterministic
-    * upstream first). */
+    * upstream first) and needs `orderKeys` that totally order the
+    * rows — the two passes sort ties independently (DIVERGENCES #1
+    * tie caveat; append a unique id as the last key). */
   def ffill(cols: Seq[String], orderKeys: Seq[String],
             partitionBy: Seq[String] = Nil): Df =
     fillDirectional(cols, orderKeys, partitionBy, forward = true)
@@ -811,8 +838,12 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * value − 1. Same plan shape, keyless routing, overwrite semantics,
     * and eager-keyless caveat as [[diff]]. Keyless decimal inputs
     * divide in DOUBLE (the kernel) where the keyed window divides in
-    * decimal first — final-ulp differences on high-precision decimals
-    * (cast to double before calling for bitwise agreement). */
+    * decimal first — two visible consequences (DIVERGENCES #20):
+    * final-ulp differences on high-precision decimals, and a ZERO
+    * lagged value yielding ±Infinity/NaN (IEEE division) where decimal
+    * division yields NULL. Cast to double before calling for bitwise
+    * agreement with the keyed form, or null out non-finite results if
+    * the decimal NULL convention is wanted. */
   def pctChange(c: String, orderKeys: Seq[String], out: String,
                 periods: Int = 1, partitionBy: Seq[String] = Nil): Df =
     if (partitionBy.isEmpty) {

@@ -257,7 +257,15 @@ object Similarity {
     * exchange, so only the probed cell directories are read at
     * execution — no driver round-trip materializes the probe list
     * (the pre-r15 `collect()` forced the query-side plan eagerly at
-    * call time). The no-op `cell >= 0` filter on the probe side is
+    * call time). The DPP branch ASSUMES exchange reuse: with it, the
+    * subquery and the join read ONE evaluation of the query side, so
+    * probed cells and joined rows agree even if upstream is
+    * nondeterministic. The branch is therefore gated on
+    * `spark.sql.exchange.reuse` (off → the static-IN fallback, which
+    * persists the query side before reading it twice); with reuse on
+    * but a nondeterministic query side that AQE replans around, cache
+    * the queries frame first — the same caveat as every eager
+    * protocol here. The no-op `cell >= 0` filter on the probe side is
     * load-bearing: Catalyst's DPP heuristic only prunes against a side
     * with a LIKELY-SELECTIVE predicate (isLikelySelective — a
     * comparison/IN/LIKE), which a bare explode-projection lacks; cells
@@ -303,8 +311,12 @@ object Similarity {
     // subquery actually reached the scan (heuristics are
     // Catalyst-internal and the feature is a session conf away from
     // off); if it didn't, fall back to the pre-r15 driver-collected
-    // static IN list, which prunes unconditionally at plan time
-    if (joined.queryExecution.executedPlan.toString
+    // static IN list, which prunes unconditionally at plan time.
+    // Exchange reuse is what makes the DPP subquery and the join read
+    // ONE evaluation of the query side (see scaladoc) — without it,
+    // take the fallback, whose persist pins a single evaluation.
+    if (spark.conf.get("spark.sql.exchange.reuse", "true") == "true" &&
+        joined.queryExecution.executedPlan.toString
         .toLowerCase.contains("dynamicpruning"))
       new Df(joined)
     else {
