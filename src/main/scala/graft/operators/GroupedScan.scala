@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.monotonically_increasing_id
 import org.apache.spark.sql.types._
 
 /** Two-phase grouped prefix scans — the 100 TB path for the grouped
@@ -26,7 +27,15 @@ import org.apache.spark.sql.types._
   *     the sort, so every other group is fully local);
   *  3. the driver folds those O(numPartitions) summaries into a
   *     carry-in per partition (an `Array` of one small state per
-  *     partition — never data) and broadcasts it;
+  *     partition — never data) and broadcasts it. MEASURED ceiling
+  *     (BenchDriverCoord, BENCHLOG r16): the collected driver state is
+  *     `partitions × (|groupKeys| + Σ per-kernel state)` bytes —
+  *     FLAT in data size (identical bytes at sf0.1 and 100× that) and
+  *     linear in partitions (a 3-kernel scan: 3.7 KB at P=32, 56 KB at
+  *     P=512; the largest, a rolling ring of k values per kernel:
+  *     12.5 KB at P=32, 188 KB at P=512 — ≈ 0.4 KB × P per rolling
+  *     kernel, so even 100k partitions × several kernels stays tens of
+  *     MB on the driver);
   *  4. a second parallel pass over the SAME shuffled RDD (the exchange
   *     is reused across the two jobs, like `RDD.zipWithIndex`) replays
   *     the verbs sequentially within each partition, seeding the first
@@ -43,14 +52,16 @@ import org.apache.spark.sql.types._
   * final ulps (the carry fold re-associates the addition — same class
   * of divergence as any partial aggregate). Rows tied on the FULL
   * (group ++ order) key have no defined order in either engine (SQL
-  * `lag` over ties is equally nondeterministic) — and here the hazard
-  * is sharper than within one job: pass 1 (summaries) and pass 2
-  * (emit) sort their partitions INDEPENDENTLY, so tied rows can
-  * permute differently across the two jobs and a boundary carry can
-  * disagree with the replay that consumes it (e.g. a shift whose
-  * carried last-k values were drawn in the other tie order). Pass
-  * total-order keys, as pandas' positional semantics already require;
-  * the spec fixtures all do (unique `id`).
+  * `lag` over ties is equally nondeterministic); since r16 the scan
+  * appends an internal `monotonically_increasing_id` as the LAST sort
+  * key, whose values are computed in the map stage and therefore
+  * FROZEN in the shuffle files both protocol jobs read — pass 1
+  * (summaries) and pass 2 (emit) see ONE identical total order, so a
+  * boundary carry can never disagree with the replay that consumes it
+  * (pre-r16 the two passes sorted ties independently). The tie order
+  * among duplicates remains arbitrary per call — pass total-order keys
+  * when a REPRODUCIBLE order matters, as pandas' positional semantics
+  * already require.
   *
   * Like `zipWithIndex`, the two jobs assume the input lineage is
   * deterministic (range-bound sampling is seeded): cache upstream
@@ -64,6 +75,10 @@ import org.apache.spark.sql.types._
   * shuffles ~2.5× the bytes.
   */
 object GroupedScan {
+
+  /** internal tie-disambiguator sort key (see the object scaladoc) —
+    * appended before the exchange, stripped before emit */
+  private val TieCol = "__graft_scan_tie"
 
   /** A scan verb: what to compute per row, in (groupKeys, orderKeys)
     * order. `out` is the appended column name. */
@@ -139,18 +154,38 @@ object GroupedScan {
     require(verbs.map(_.out).distinct.size == verbs.size,
       s"scan: duplicate output names: ${verbs.map(_.out).mkString(", ")}")
 
-    val sortCols = groupKeys.map(df(_).asc) ++
-      orderKeys.map { case (c, asc) => if (asc) df(c).asc else df(c).desc }
+    // TIE DISAMBIGUATOR (r16): both protocol passes re-run the
+    // post-shuffle sort from the same shuffle files, and Spark's sort
+    // is only stable w.r.t. the (nondeterministic) fetch order — when
+    // the caller's keys don't totally order the rows, pass 1's
+    // boundary carries could disagree with pass 2's tie order. A
+    // monotonically_increasing_id appended as the LAST sort key closes
+    // the gap: it is computed in the map stage, so its values (and the
+    // partitioner's row placement) are FROZEN in the shuffle files both
+    // jobs read — the sort becomes total and identical across passes.
+    // The tie order among duplicates stays arbitrary (one consistent
+    // order per call, like the single-partition window picked one) —
+    // callers needing a REPRODUCIBLE tie order still pass unique keys.
+    // Costs 8 bytes/row in the exchange; stripped before emit.
+    require(!in.fieldNames.contains(TieCol) && !verbs.exists(_.out == TieCol),
+      s"scan: column name '$TieCol' is reserved")
+    val tagged = df.withColumn(TieCol, monotonically_increasing_id())
+    val sortCols = groupKeys.map(tagged(_).asc) ++
+      orderKeys.map { case (c, asc) =>
+        if (asc) tagged(c).asc else tagged(c).desc } ++
+      Seq(tagged(TieCol).asc)
     // pinned partition count (spark.sql.shuffle.partitions when the
     // caller doesn't choose): an unpinned range exchange lets AQE's
     // 64 MB-target coalesce serialize BOTH protocol passes — the
     // post-shuffle sorts and the kernel replays — onto a handful of
-    // tasks (the r15 q55 lesson, applied to the scan)
+    // tasks (the r15 q55 lesson, applied to the scan). Sized on the
+    // UNtagged df (the estimate only feeds the count).
     val pinnedParts = if (numPartitions > 0) numPartitions
     else Quantiles.pinnedShufflePartitions(df)
-    val ranged = df.repartitionByRange(pinnedParts, sortCols: _*)
+    val ranged = tagged.repartitionByRange(pinnedParts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
 
+    val nIn = in.length // emit strips the trailing tie column
     val gIdx = groupKeys.map(in.fieldIndex).toArray
     val oIdx = orderKeys.map { case (c, _) => in.fieldIndex(c) }.toArray
     val kernels: Array[Kernel] = verbs.map(kernelFor(_, in, oIdx)).toArray
@@ -190,6 +225,8 @@ object GroupedScan {
 
     // ---- driver fold: carry-in per partition, O(numPartitions) ----
     val nParts = rdd.getNumPartitions
+    ProtocolFootprint.lastGroupedScan = Some(
+      ProtocolFootprint.footprint(nParts, summaries.length, summaries))
     val carries = new Array[(Array[Any], Array[AnyRef])](nParts)
     var carry: (Array[Any], Array[AnyRef]) = null
     val byPid = summaries.map(s => s.pid -> s).toMap
@@ -237,7 +274,7 @@ object GroupedScan {
           val (ns, o) = kernels(i).step(states(i), r)
           states(i) = ns; outs(i) = o; i += 1
         }
-        Row.fromSeq(r.toSeq ++ outs)
+        Row.fromSeq(r.toSeq.take(nIn) ++ outs) // strip the tie column
       }
     }
     df.sparkSession.createDataFrame(outRdd, outSchema)

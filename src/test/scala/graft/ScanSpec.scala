@@ -792,6 +792,44 @@ class ScanSpec extends AnyFunSuite {
     assert(byId(g, "gm").values.toSet == Set(10.0))
   }
 
+  test("tie disambiguator: duplicate order keys across 16 partitions " +
+       "yield ONE internally consistent order") {
+    // every row ties on (g, o): pre-r16 the two protocol passes could
+    // sort the ties differently, so a boundary carry (shift's last-k
+    // ring) might disagree with the emit order — shifted values could
+    // duplicate or skip rows at partition seams. With the frozen
+    // map-stage tiebreak, shift(1) must read as the predecessor along
+    // ONE total order: each distinct value appears at most once in the
+    // shifted column, exactly one row gets null, and cumcount is a
+    // permutation of 0..n-1.
+    val n = 400
+    val rows = (0 until n).map(i =>
+      Row(i.toLong, 0, 0, i * 1.0, null, null)).toList
+    val out = mkDf(rows).groupby()
+      .scanScalable(Seq("o"), Seq(
+        GroupedScan.Shift("v", 1, "sh"),
+        GroupedScan.CumCount("cc")), numPartitions = 16)
+    val got = out.sdf.select("v", "sh", "cc").collect()
+      .map(r => (r.getDouble(0), if (r.isNullAt(1)) null else r.getDouble(1),
+        r.getAs[Number](2).longValue))
+    assert(got.length == n)
+    assert(got.count(_._2 == null) == 1, "exactly one head row")
+    val shifted = got.collect { case (_, s: java.lang.Double, _) => s.doubleValue }
+    assert(shifted.distinct.length == n - 1,
+      "a predecessor appeared twice — passes disagreed on tie order")
+    assert(got.map(_._3).sorted.toSeq == (0L until n.toLong),
+      "cumcount must be a permutation of 0..n-1")
+    // a shifted value must be some row's value, never invented
+    val vals = got.map(_._1).toSet
+    assert(shifted.forall(vals.contains))
+    // the reserved internal name is refused on input
+    intercept[IllegalArgumentException] {
+      new Df(mkDf(rows).sdf.withColumn("__graft_scan_tie", lit(1L)))
+        .groupby().scanScalable(Seq("o"),
+          Seq(GroupedScan.CumCount("cc2")))
+    }
+  }
+
   test("scanKeyless batch ≡ the single-verb chain, in ONE protocol") {
     // nulls for the fills, duplicates for pct/diff, unique id order key
     val rows = List(
