@@ -25,7 +25,11 @@ object BenchDriverCoord {
     System.setProperty("graft.protocolFootprint", "true")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus)
+    val parts = sys.env.get("SPARK_GRAFT_PARTS")
+      .map(p => p.trim.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_PARTS must be an int: '$p'")))
+      .getOrElse(cpus.trim.toIntOption.getOrElse(32))
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).getOrElse(2))
     val spark = SparkSession.builder()

@@ -166,6 +166,9 @@ final class CatAccessor private[api] (s: Ser) {
     * that is a clear exception, not a driver OOM. */
   def asKnown: KnownCat = asKnown()
   def asKnown(maxCategories: Int = 1 << 20): KnownCat = {
+    require(maxCategories >= 1 && maxCategories < Int.MaxValue,
+      s"as_known: maxCategories must be in [1, ${Int.MaxValue - 1}]: " +
+        s"$maxCategories")
     // ordered by SPARK on the RAW column (so ints sort numerically and
     // strings sort in UTF8String binary order — the same ordering
     // withCatCodes/cat.categories use; JVM compareTo would disagree on

@@ -333,6 +333,9 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * codes are positions in that order, identical to the previous
     * dense_rank window without leaving any cached blocks behind. */
   def withCatCodes(c: String, out: String, maxCategories: Int = 1 << 20): Df = {
+    require(maxCategories >= 1 && maxCategories < Int.MaxValue,
+      s"withCatCodes: maxCategories must be in [1, ${Int.MaxValue - 1}]: " +
+        s"$maxCategories")
     val sorted = sdf.select(c).distinct().orderBy(col(c))
       .limit(maxCategories + 1).collect()
     if (sorted.length > maxCategories) throw new IllegalArgumentException(
@@ -538,15 +541,24 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     *   .cumsum("volume", out = "cvol"))
     * }}}
     *
-    * All verbs share the batch's order keys and ONE scan direction:
-    * forward verbs (ffill, cum*, rolling, ewm, positive periods) and
-    * reverse verbs (bfill, negative periods) sort opposite ways, so a
-    * mixed batch fails fast — split it in two. Per-verb semantics,
-    * output dtypes, overwrite-existing-column behavior, and diff's
-    * byte/short→int widening match the single verbs exactly (ScanSpec
-    * pins the batch ≡ the chain differentially). Same eager caveat and
-    * total-order-keys tie caveat as the single keyless verbs
-    * (DIVERGENCES #10). */
+    * EVERY VERB READS THE INPUT FRAME: the batch is one shared pass,
+    * so — unlike the sequential chain, where a later verb sees an
+    * earlier verb's output — a verb cannot consume another verb's
+    * result. Referencing a batch output as an input fails fast with a
+    * named error; an overwrite-in-place verb (`ffill("v", out = "v")`)
+    * affects only the emitted column, never what the OTHER verbs in
+    * the same batch read. Dependent verbs (`cumsum` of a fill) stay a
+    * two-step: fill first (single verb or first batch), then batch the
+    * rest. All verbs share the batch's order keys and ONE scan
+    * direction: forward verbs (ffill, cum*, rolling, ewm, positive
+    * periods) and reverse verbs (bfill, negative periods) sort
+    * opposite ways, so a mixed batch fails fast — split it in two.
+    * Per-verb semantics, output dtypes, overwrite-existing-column
+    * behavior, and diff's byte/short→int widening match the single
+    * verbs exactly (ScanSpec pins the batch ≡ the INDEPENDENT-verb
+    * chain differentially). Same eager caveat as the single keyless
+    * verbs; order-key ties take one consistent arbitrary order
+    * (DIVERGENCES #1). */
   def scanKeyless(orderKeys: Seq[String])(
       build: Df.KeylessScanBatch => Df.KeylessScanBatch): Df = {
     import graft.operators.GroupedScan
@@ -554,6 +566,22 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     require(specs.nonEmpty, "scanKeyless: at least one verb")
     require(specs.map(_.out).distinct.size == specs.size,
       s"scanKeyless: duplicate output names: ${specs.map(_.out).mkString(", ")}")
+    // every verb reads the INPUT frame (the verbs share one pass, so
+    // there is no "earlier output" to read) — reject a verb input that
+    // is only a batch output with a named error instead of letting the
+    // scan die on a missing field, and reject missing columns outright
+    specs.filter(_.in.nonEmpty).foreach { s =>
+      if (!sdf.columns.contains(s.in)) {
+        val fromBatch = specs.exists(_.out == s.in)
+        throw new IllegalArgumentException(
+          if (fromBatch)
+            s"scanKeyless: verb input '${s.in}' is another verb's OUTPUT — " +
+              "batched verbs all read the input frame (one shared pass); " +
+              "run dependent verbs as a second batch or the sequential " +
+              "single-verb chain"
+          else s"scanKeyless: input column '${s.in}' not found")
+      }
+    }
     val revs = specs.map(_.reverse).distinct
     require(revs.size == 1,
       "scanKeyless: forward verbs (ffill, cum*, rolling, ewm, positive " +
@@ -562,11 +590,8 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     // diff's byte/short→int widening, once per distinct input column
     val widen = specs.collect {
       case s if s.intWiden && s.in.nonEmpty => s.in
-    }.distinct.filter(c => sdf.schema(c).dataType match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType => true
-      case _ => false
-    }).map(c => c -> s"__graft_in_$c").toMap
+    }.distinct.filter(c => Df.diffWidensToInt(sdf.schema(c).dataType))
+      .map(c => c -> s"__graft_in_$c").toMap
     val src = widen.foldLeft(sdf) { case (d, (c, t)) =>
       d.withColumn(t, d(c).cast("int")) }
     // withColumn overwrite semantics per out (the keylessScanOut rule)
@@ -591,20 +616,19 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * point. The keyless form is EAGER (the scan's summary pass runs at
     * call time — cache nondeterministic upstream first) and widens
     * byte/short inputs to int (the kernel's explicit form of the
-    * window's implicit widening). TIES: the scan's two passes sort
-    * independently, so `orderKeys` must totally order the rows —
-    * append a unique id as the last key if the natural order has
-    * duplicates (DIVERGENCES #1 tie caveat). */
+    * window's implicit widening). TIES: rows tied on `orderKeys` take
+    * one consistent arbitrary order per call (the scan's internal
+    * disambiguator) — append a unique id as the last key when
+    * REPRODUCIBLE output matters (DIVERGENCES #1 tie note). */
   def diff(c: String, orderKeys: Seq[String], out: String,
            periods: Int = 1, partitionBy: Seq[String] = Nil): Df =
     if (partitionBy.isEmpty) {
       if (periods == 0) derived(sdf.withColumn(out, sdf(c) - sdf(c)))
       else {
-        val widenTmp = sdf.schema(c).dataType match {
-          case org.apache.spark.sql.types.ByteType |
-               org.apache.spark.sql.types.ShortType => Some(s"__graft_in_$c")
-          case _ => None
-        }
+        val widenTmp =
+          if (Df.diffWidensToInt(sdf.schema(c).dataType))
+            Some(s"__graft_in_$c")
+          else None
         val src = widenTmp.map { t =>
           derived(sdf.withColumn(t, sdf(c).cast("int")))
         }.getOrElse(this)
@@ -676,8 +700,13 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
         sdf, cs, probs)
       catch {
         case e: Throwable =>
-          try sc.cancelJobsWithTag(aggTag)
-          catch { case scala.util.control.NonFatal(_) => }
+          // cancel covers a SUBMITTED agg job; the interrupt covers the
+          // window where the agg thread is still planning (a cancel
+          // before submission is a no-op and would leak the job)
+          try {
+            sc.cancelJobsWithTag(aggTag)
+            aggThread.interrupt()
+          } catch { case scala.util.control.NonFatal(_) => }
           throw e
       }
     val aggRow = scala.concurrent.Await.result(
@@ -797,9 +826,9 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * [[graft.operators.GroupedScan]] pass (one range exchange, no
     * single-partition sort at any size); that form is EAGER (the
     * scan's summary pass runs at call time — cache nondeterministic
-    * upstream first) and needs `orderKeys` that totally order the
-    * rows — the two passes sort ties independently (DIVERGENCES #1
-    * tie caveat; append a unique id as the last key). */
+    * upstream first); rows tied on `orderKeys` take one consistent
+    * arbitrary order per call — append a unique id as the last key
+    * when reproducible output matters (DIVERGENCES #1 tie note). */
   def ffill(cols: Seq[String], orderKeys: Seq[String],
             partitionBy: Seq[String] = Nil): Df =
     fillDirectional(cols, orderKeys, partitionBy, forward = true)
@@ -1287,6 +1316,17 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
 }
 
 object Df {
+  /** diff's kernel-input widening — the explicit form of the window
+    * `c - lag(c)` implicit byte/short→int promotion. ONE definition,
+    * shared by [[Df.diff]] and [[Df.scanKeyless]], so the batch ≡
+    * single-verb dtype contract (ScanSpec) can't drift. */
+  private[api] def diffWidensToInt(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType => true
+    case _ => false
+  }
+
   /** one verb of a [[Df.scanKeyless]] batch: input column (empty for
     * cumcount), output name, whether the scan must run over the
     * REVERSED order, whether diff's byte/short→int widening applies,

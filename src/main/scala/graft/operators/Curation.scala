@@ -1118,8 +1118,12 @@ object Curation {
     * id-keyed hash aggregate pivots the ranks back to a row per
     * document. One range exchange + one agg exchange, versus the
     * pre-r16 per-signal form's |signals| range exchanges and
-    * |signals|−1 id joins — same output bit-for-bit (PipelineSpec's
-    * hand-computed pin, the q192 oracle). The melt coerces signals to
+    * |signals|−1 id joins — same output bit-for-bit on unique ids
+    * (PipelineSpec's hand-computed pin, the q192 oracle). `idCol`
+    * MUST be unique: a duplicate raises a named error in-plan (the
+    * pre-r16 joins silently exploded duplicates combinatorially);
+    * null ids rank but emit no row, as the pre-r16 id equi-joins
+    * already guaranteed. The melt coerces signals to
     * their least common numeric type (Spark array coercion), so
     * rank order for mixed long/double signals beyond 2^53 follows the
     * widened type — pre-impute/cast upstream if that matters. */
@@ -1145,11 +1149,28 @@ object Curation {
     val rankCols = signalCols.zipWithIndex.map { case (c, i) =>
       max(when(col("__sig") === i, col("__rk"))).as(s"rank_$c")
     }
+    val nSig = signalCols.length
     val pivoted = indexed.groupBy(col(idCol))
-      .agg(rankCols.head, rankCols.tail: _*)
+      .agg(rankCols.head, (rankCols.tail :+ count(lit(1)).as("__cnt")): _*)
+    // a duplicated id would fold several documents' ranks into one row
+    // (max per signal) — a silently different fusion; raise instead.
+    // The check rides the FIRST rank column (a bare check column would
+    // be pruned as unused). Null ids rank (they hold rank positions,
+    // as the pre-r16 per-signal form's rankings did) but emit no row —
+    // the pre-r16 id equi-joins never matched null keys.
+    val firstRank = s"rank_${signalCols.head}"
+    val checked = pivoted
+      .withColumn(firstRank,
+        when(col(idCol).isNotNull && col("__cnt") =!= nSig,
+          raise_error(concat(lit("rankFusion: idCol value '"),
+            col(idCol).cast("string"),
+            lit("' is duplicated — each document must appear once"))))
+          .otherwise(col(firstRank)))
+      .where(col(idCol).isNotNull)
+      .drop("__cnt")
     val score = signalCols.map(c => lit(1.0) / (lit(k) + col(s"rank_$c")))
       .reduce(_ + _)
-    new Df(pivoted.withColumn("rrf_score", round(score, 6)))
+    new Df(checked.withColumn("rrf_score", round(score, 6)))
       .retaining(base)
   }
 

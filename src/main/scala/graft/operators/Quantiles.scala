@@ -416,7 +416,10 @@ object Quantiles {
       // Unknown-huge naturally takes the conf via the min.
       val target = BigInt(128L * 1024)
       val needed = (est + target - 1) / target
-      needed.min(BigInt(conf)).max(BigInt(2)).toInt
+      // floor of 2 avoids degenerate 1-task protocols on tiny inputs,
+      // but an EXPLICIT conf below it wins — a user pinning
+      // shuffle.partitions=1 asked for serial execution
+      needed.min(BigInt(conf)).max(BigInt(math.min(2, conf))).toInt
     }
   }
 

@@ -315,7 +315,8 @@ object Similarity {
     // Exchange reuse is what makes the DPP subquery and the join read
     // ONE evaluation of the query side (see scaladoc) — without it,
     // take the fallback, whose persist pins a single evaluation.
-    if (spark.conf.get("spark.sql.exchange.reuse", "true") == "true" &&
+    if (spark.conf.get("spark.sql.exchange.reuse", "true")
+          .trim.equalsIgnoreCase("true") &&
         joined.queryExecution.executedPlan.toString
         .toLowerCase.contains("dynamicpruning"))
       new Df(joined)

@@ -576,6 +576,35 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Curation.rankFusion(d, Seq(), "id")
     }
+    // a null id RANKS (holds positions) but emits no row — the pre-r16
+    // per-signal id equi-joins never matched null keys
+    val withNull = new Df(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 10.0, 1.0), Row(null, 20.0, 9.0), Row(2L, 5.0, 2.0))),
+      StructType(Seq(StructField("id", LongType),
+        StructField("a", DoubleType), StructField("b", DoubleType)))))
+    val nn = Curation.rankFusion(withNull, Seq("a", "b"), "id")
+      .sortValues(Seq("id")).sdf.collect()
+    Df.releaseRetained()
+    // the null row ranks FIRST on both signals (a: 20 > 10 > 5,
+    // b: 9 > 2 > 1) — surviving ids keep the ranks they'd have had
+    // with it present (id1: a=2, b=3; id2: a=3, b=2)
+    assert(nn.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(nn.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((2L, 3L), (3L, 2L)))
+    // a duplicated id raises the named in-plan error instead of
+    // silently folding two documents into one fused row
+    val dup = new Df(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(7L, 10.0, 1.0), Row(7L, 5.0, 2.0), Row(8L, 1.0, 3.0))),
+      StructType(Seq(StructField("id", LongType),
+        StructField("a", DoubleType), StructField("b", DoubleType)))))
+    val err = intercept[Exception] {
+      Curation.rankFusion(dup, Seq("a", "b"), "id").sdf.collect()
+    }
+    Df.releaseRetained()
+    assert(err.getMessage != null && err.getMessage.contains("duplicated"),
+      s"wanted the named duplicate-id error, got: ${err.getMessage}")
   }
 
   test("rankFusion: ONE fused ranking protocol for all signals") {

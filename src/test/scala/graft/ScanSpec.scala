@@ -900,6 +900,15 @@ class ScanSpec extends AnyFunSuite {
       df.scanKeyless(Seq("id"))(_.ffill("v", "f").bfill("v", "b"))
     }
     intercept[IllegalArgumentException] { df.scanKeyless(Seq("id"))(b => b) }
+    // a verb consuming another verb's OUTPUT names the batch
+    // shared-pass contract instead of dying on a missing field
+    val depErr = intercept[IllegalArgumentException] {
+      df.scanKeyless(Seq("id"))(_.ffill("v", "f").cumsum("f", "cf"))
+    }
+    assert(depErr.getMessage.contains("another verb's OUTPUT"))
+    intercept[IllegalArgumentException] {
+      df.scanKeyless(Seq("id"))(_.cumsum("nope", "c"))
+    }
     Df.releaseRetained()
   }
 
