@@ -912,6 +912,24 @@ class ScanSpec extends AnyFunSuite {
     Df.releaseRetained()
   }
 
+  test("scanKeyless cummax/cummin/ewm ≡ their single-verb forms") {
+    val rows = (0 until 40).map { i =>
+      Row(i.toLong, 0, i % 5, if (i % 6 == 0) null else ((i * 7) % 13).toDouble,
+        null, if (i % 4 == 0) null else s"s${(i * 3) % 7}")
+    }.toList
+    val df = mkDf(rows)
+    val batch = df.scanKeyless(Seq("id"))(_
+      .cummax("v", out = "cx").cummin("s", out = "cn")
+      .ewm("v", alpha = 0.3, out = "ew"))
+    val cx = df.groupby().cummaxScalable("v", Seq("id"), "cx")
+    val cn = df.groupby().cumminScalable("s", Seq("id"), "cn")
+    val ew = df.groupby().ewmScalable("v", Seq("id"), 0.3, "ew")
+    assert(byId(batch, "cx") == byId(cx, "cx"))
+    assert(byId(batch, "cn") == byId(cn, "cn"))
+    assert(byId(batch, "ew") == byId(ew, "ew"))
+    Df.releaseRetained()
+  }
+
   test("scanKeyless diff widens byte/short like Df.diff") {
     val sch = StructType(Seq(
       StructField("id", LongType, nullable = false),
