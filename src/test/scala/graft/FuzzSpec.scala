@@ -20,10 +20,14 @@ class FuzzSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   /** draw n deterministic-ish samples from a generator (scalacheck's
     * scalatest bridge is not on the offline classpath) */
+  // GRAFT_FUZZ_TRIALS multiplies the per-test draw count for one-off
+  // robustness sweeps (unset -> 1, the committed default)
+  private val trialMult = sys.env.get("GRAFT_FUZZ_TRIALS")
+    .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
   private def trials[T](g: Gen[T], n: Int = 10)(body: T => Unit): Unit = {
     val seed = org.scalacheck.rng.Seed(42L)
     var s = seed
-    (0 until n).foreach { _ =>
+    (0 until n * trialMult).foreach { _ =>
       g.apply(org.scalacheck.Gen.Parameters.default, s).foreach(body)
       s = s.next
     }

@@ -17,9 +17,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class StrFuzzSpec extends AnyFunSuite {
   import TestSpark._
 
+  // GRAFT_FUZZ_TRIALS multiplies the per-test draw count for one-off
+  // robustness sweeps (unset -> 1, the committed default)
+  private val trialMult = sys.env.get("GRAFT_FUZZ_TRIALS")
+    .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
   private def trials[T](g: Gen[T], n: Int = 10)(body: T => Unit): Unit = {
     var s = org.scalacheck.rng.Seed(1337L)
-    (0 until n).foreach { _ =>
+    (0 until n * trialMult).foreach { _ =>
       g.apply(org.scalacheck.Gen.Parameters.default, s).foreach(body)
       s = s.next
     }
