@@ -222,7 +222,7 @@ class StrFuzzSpec extends AnyFunSuite {
         assert(g == want, s"contains('${Option(x).getOrElse("null")}', /$p/, regex=true)")
       }
     }
-    assert(pairs == 200)
+    assert(pairs == 200 * trialMult) // loop-ran self-check, scales with sweeps
   }
 
   test("slice(start, len) is CPython s[start:start+len] for non-negative start") {
