@@ -116,4 +116,21 @@ class EmptyInputSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       Features.targetEncodeLoo(nums0, "k", "v", "enc").sdf)
     Df.releaseRetained()
   }
+
+  test("r16 additions: empty input through scanKeyless, rankFusion, asKnown") {
+    val e = Df.fromRows(spark, Seq(), StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("w", DoubleType))))
+    // batch over zero rows: empty out, schema carries the verb columns
+    val b = e.scanKeyless(Seq("id"))(_
+      .diff("v", out = "dv").ffill("w", out = "w").cumcount(out = "cc"))
+    assert(b.sdf.collect().isEmpty)
+    assert(b.columns.toSet == Set("id", "v", "w", "dv", "cc"))
+    emptyOk("rankFusion")(
+      graft.operators.Curation.rankFusion(e, Seq("v", "w"), "id").sdf)
+    // empty dictionary is a valid KnownCat (pandas: zero categories)
+    val kc = e("v").cat.asKnown
+    assert(kc.known && kc.categories.isEmpty)
+    Df.releaseRetained()
+  }
 }
