@@ -650,15 +650,31 @@ object Dedup {
     * docs with no near-dup pair are their own singleton cluster and are
     * simply absent (callers left-join + coalesce to self). */
   def connectedComponents(pairs: Df, aCol: String, bCol: String,
-                          maxIter: Int = 20): Df = {
+                          maxIter: Int = 20,
+                          broadcastMaxNodes: Long = 250000): Df = {
     requireArgs("connectedComponents")(
-      (maxIter >= 1, s"maxIter must be >= 1: $maxIter"))
+      (maxIter >= 1, s"maxIter must be >= 1: $maxIter"),
+      (broadcastMaxNodes >= 0,
+        s"broadcastMaxNodes must be >= 0: $broadcastMaxNodes"))
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = pairs.sdf.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist(lvl)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint()
+    // |V| is already materialized (the checkpoint above) — counting it is
+    // an O(partitions) action over cached blocks. When the label table is
+    // vocabulary-sized, every per-round labels-side join takes an explicit
+    // broadcast hint: the round's exchanges collapse to the one inherent
+    // edge-keyed partial+final min, cutting 2-3 shuffle stages per round
+    // (near-dup graphs after LSH capping are almost always in this
+    // regime — |V| = docs with at least one near-dup pair). Above the
+    // gate (a true corpus-scale graph) nothing |V|-sized broadcasts and
+    // the pre-r17 shuffle rounds run unchanged; labels and cluster ids
+    // are IDENTICAL across the gate (min-label fixpoint, not
+    // order-sensitive).
+    val bcastLabels = labels.count() <= broadcastMaxNodes
+    def hint(d: DataFrame): DataFrame = if (bcastLabels) broadcast(d) else d
     // the checkpointed frame backing the CURRENT labels — unpersisted the
     // moment the next round's checkpoint supersedes it (r12 fix: these
     // leaked, one |V|-row MEMORY_AND_DISK RDD per iteration)
@@ -667,9 +683,9 @@ object Dedup {
     var i = 0
     while (changed > 0 && i < maxIter) {
       val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("cluster").as("nl")), Seq("dst"))
+        .join(hint(labels.select(col("id").as("dst"), col("cluster").as("nl"))), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nbr_min"))
-      val base = labels.join(nbrMin, Seq("id"), "left")
+      val base = labels.join(hint(nbrMin), Seq("id"), "left")
       // ADAPTIVE pointer doubling: the shortcut join is pure overhead on
       // the common near-dup graph (clique-like, converged by round 2-3),
       // so the first rounds run the plain one-shuffle propagation and
@@ -683,10 +699,10 @@ object Dedup {
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("next"))
       } else {
         val shortcut = labels.select(col("cluster").as("__from"), col("id"))
-          .join(labels.select(col("id").as("__from"), col("cluster").as("ll")),
+          .join(hint(labels.select(col("id").as("__from"), col("cluster").as("ll"))),
             Seq("__from"), "left")
           .select(col("id"), col("ll"))
-        base.join(shortcut, Seq("id"), "left")
+        base.join(hint(shortcut), Seq("id"), "left")
           .select(col("id"), col("cluster"),
             least(col("cluster"),
               coalesce(col("ll"), col("cluster")),
@@ -715,9 +731,9 @@ object Dedup {
     // pending at a neighbor-stable fixpoint).
     if (changed > 0) {
       val residual = edges
-        .join(labels.select(col("id").as("dst"), col("cluster").as("nl")), Seq("dst"))
+        .join(hint(labels.select(col("id").as("dst"), col("cluster").as("nl"))), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nbr_min"))
-        .join(labels, Seq("id"))
+        .join(hint(labels), Seq("id"))
         .where(col("nbr_min") < col("cluster")).count()
       if (residual > 0) {
         edges.unpersist()

@@ -823,6 +823,28 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: broadcast-gated and shuffle rounds produce identical labels") {
+    // the |V| gate only changes JOIN STRATEGY (labels-side broadcast
+    // hints vs shuffle joins) — the min-label fixpoint is order-free,
+    // so labels must be identical. A path (multi-round, shortcut
+    // engaged) plus a clique plus an island covers all round shapes.
+    val pairs = Df.fromRows(spark,
+      ((1L to 12L).sliding(2).map(w => Row(w(0), w(1))).toSeq
+        ++ Seq(Row(20L, 21L), Row(20L, 22L), Row(21L, 22L), Row(30L, 31L))),
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    def run(gate: Long) = {
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        broadcastMaxNodes = gate)
+      val out = cc.sdf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      cc.unpersistIntermediates()
+      out
+    }
+    val gated = run(250000)
+    val shuffled = run(0)
+    assert(gated == shuffled)
+    assert(gated.size == 17 && gated(12L) == 1L && gated(22L) == 20L && gated(31L) == 30L)
+  }
+
   test("connectedComponents: pointer doubling converges a 64-node path in log rounds") {
     // diameter 63: plain one-hop propagation needs 63 rounds; the
     // label-of-label shortcut collapses chains geometrically, so

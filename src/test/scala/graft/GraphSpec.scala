@@ -98,6 +98,37 @@ class GraphSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("pageRank: broadcast-chained and shuffle-loop modes are bit-identical") {
+    // a 9-node three-component graph with danglers and multi-edges —
+    // exercises teleport, weighting, and the left-join null path on
+    // both sides of the |V| gate. broadcastMaxNodes = 0 forces the
+    // per-iteration persisted shuffle loop; the default takes the
+    // chained-lazy broadcast plan. The decimal-summed contributions
+    // are order-independent, so the DOUBLES must match bitwise.
+    val es = Seq("a" -> "b", "a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d",
+      "x" -> "y", "y" -> "x", "y" -> "z", "p" -> "q")
+    def run(gate: Long) =
+      Graphs.pageRank(mkEdges(es: _*), "src", "dst", iterations = 9,
+        broadcastMaxNodes = gate).sdf.collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val chained = run(250000)
+    Df.releaseRetained()
+    val looped = run(0)
+    Df.releaseRetained()
+    assert(chained == looped)
+    assert(chained.size == 9)
+  }
+
+  test("pageRank chained mode: iterations beyond chainDepth still converge (plan-depth cut)") {
+    // 20 iterations crosses the chainDepth=8 materialization cut twice;
+    // a 2-cycle's fixed point (0.5 each) must survive the cuts exactly.
+    val out = Graphs.pageRank(mkEdges("a" -> "b", "b" -> "a"),
+      "src", "dst", iterations = 20).sdf.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Df.releaseRetained()
+    assert(out == Map("a" -> 0.5, "b" -> 0.5))
+  }
+
   test("pageRank plan: rank⋈edges never cartesian, contributions partial-agg") {
     val ranked = Graphs.pageRank(mkEdges("a" -> "b", "b" -> "c", "c" -> "a"),
       "src", "dst", iterations = 1).sdf

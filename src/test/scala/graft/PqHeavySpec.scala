@@ -165,20 +165,29 @@ class PqHeavySpec extends AnyFunSuite {
     // search planning must not run the query-side plan eagerly — the
     // pre-r15 probe-list collect() did. The one allowed job is the tiny
     // nlist×dim centroid (codebook) read.
+    // count ONLY jobs tagged with this test's job group — late-arriving
+    // job events from earlier suites/queries on the shared session (the
+    // listener bus is async) can otherwise inflate the count and flake
+    // the ≤3 assertion on a loaded host. SQL execution propagates the
+    // calling thread's local properties (incl. the group id) to its
+    // worker threads, so every job the search call triggers is counted.
+    val group = "pq-heavy-ivf-planning"
     @volatile var jobs = 0
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
+        if (Option(j.properties).exists(
+            p => p.getProperty("spark.jobGroup.id") == group))
+          jobs += 1
     }
     spark.sparkContext.addSparkListener(listener)
     val res =
       try {
-        TestSpark.awaitStable(jobs) // drain pending read-side job events
-        jobs = 0
+        spark.sparkContext.setJobGroup(group, "ivf search planning")
         val r = graft.operators.Similarity.searchIvfIndex(
           e.where(col("vec_id") < 2), "embedding", "vec_id", path,
           k = 2, nprobe = 1)
+        spark.sparkContext.clearJobGroup()
         TestSpark.awaitStable(jobs) // listener bus is async — settle it
         // 3 = codebook schema read + codebook collect + index partition
         // discovery, all metadata-sized. The pre-r15 probe-list
