@@ -333,12 +333,31 @@ object TextAnalytics {
     *
     * Scale: the corpus is touched ONCE (the map-side-combined word
     * count); all `nMerges` rounds ride the DISTINCT-word table (~10^7
-    * rows for a 10^11-word corpus), each round one partial+final pair
-    * agg + a 1-row TakeOrdered to the driver. The merge table itself
-    * is driver-sized by definition (vocab_size − |alphabet| rows). */
-  def bpeMerges(docs: Df, textCol: String, nMerges: Int): Df = {
+    * rows for a 10^11-word corpus). The loop then splits on the
+    * MEASURED vocabulary size — the same gate-on-driver-state move as
+    * every in-memory BPE trainer makes:
+    *
+    *  - |vocab| ≤ `driverMaxVocab` (default 1M ≈ tens of MB — the
+    *    overwhelmingly common case; even 100 TB corpora have
+    *    vocabulary-sized distinct-alnum-word tables): the (symbols,
+    *    wf) table collects ONCE and all rounds run driver-side with
+    *    byte-identical semantics (adjacent-pair counts, (n desc, l, r)
+    *    argmax — symbols are alnum, so UTF8-binary and String order
+    *    agree — greedy left-to-right non-overlapping re-symbolize):
+    *    zero jobs per round instead of an agg + TakeOrdered + collect
+    *    each.
+    *  - above the gate: the distributed rounds below, with the plan
+    *    cut every 16 rounds (localCheckpoint) so the chained per-merge
+    *    `replace`s cannot grow Catalyst planning O(nMerges²).
+    *
+    * The merge table itself is driver-sized by definition
+    * (vocab_size − |alphabet| rows). */
+  def bpeMerges(docs: Df, textCol: String, nMerges: Int,
+                driverMaxVocab: Long = 1000000): Df = {
     require(nMerges >= 1 && nMerges <= 1000,
       s"bpeMerges: nMerges must be in [1, 1000]: $nMerges")
+    require(driverMaxVocab >= 0,
+      s"bpeMerges: driverMaxVocab must be >= 0: $driverMaxVocab")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val vocab0 = docs.sdf
       .select(explode(tokens(col(textCol))).as("word"))
@@ -351,8 +370,53 @@ object TextAnalytics {
         concat_ws("||", split(col("word"), "(?!^)(?!$)")), lit("|")).as("seq"),
         col("wf"))
       .persist(lvl)
-    var vocab = vocab0
     val merges = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    if (vocab0.count() <= driverMaxVocab) {
+      // driver-mode rounds over the collected (symbols, wf) vocabulary
+      var words: Array[(Array[String], Long)] = vocab0.collect().map { row =>
+        (row.getString(0).stripPrefix("|").stripSuffix("|")
+          .split("\\|\\|", -1), row.getLong(1))
+      }
+      vocab0.unpersist()
+      var r = 1
+      var done = false
+      while (r <= nMerges && !done) {
+        // adjacent-pair counts INCLUDING overlaps (a a a → (a,a) twice),
+        // exactly like the distributed zip_with round
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        for ((syms, wf) <- words; i <- 0 until syms.length - 1)
+          counts.updateWith((syms(i), syms(i + 1)))(c => Some(c.getOrElse(0L) + wf))
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, rr), n) = counts.minBy { case ((l, rr), n) => (-n, l, rr) }
+          merges += org.apache.spark.sql.Row(r, l, rr, n)
+          // greedy left-to-right non-overlapping, like the SQL replace
+          words = words.map { case (syms, wf) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rr) {
+                out += l + rr; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, wf)
+          }
+          r += 1
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("merge_rank",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("lhs",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("rhs",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("pair_count",
+          org.apache.spark.sql.types.LongType)))
+      return Df.fromRows(docs.spark, merges.toSeq, schema)
+    }
+    var vocab: org.apache.spark.sql.DataFrame = vocab0
+    var prevCut: Option[org.apache.spark.sql.DataFrame] = None
     var r = 1
     var done = false
     while (r <= nMerges && !done) {
@@ -374,6 +438,14 @@ object TextAnalytics {
         // alnum-only symbols: no escaping needed inside the literal
         vocab = vocab.withColumn("seq",
           expr(s"replace(seq, '|$l||$rr|', '|$l$rr|')"))
+        // cut the growing replace chain so planning stays O(16) per
+        // round; the eager checkpoint also supersedes the previous cut
+        if (r % 16 == 0) {
+          val cut = vocab.localCheckpoint()
+          prevCut.foreach(Df.unpersistAny)
+          prevCut = Some(cut)
+          vocab = cut
+        }
         r += 1
       }
     }
@@ -386,6 +458,8 @@ object TextAnalytics {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("pair_count",
         org.apache.spark.sql.types.LongType)))
+    // the merges table is pure driver rows — the chain cuts back nothing
+    prevCut.foreach(Df.unpersistAny)
     Df.fromRows(docs.spark, merges.toSeq, schema).retaining(vocab0)
   }
 

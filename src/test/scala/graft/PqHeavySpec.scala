@@ -147,6 +147,32 @@ class PqHeavySpec extends AnyFunSuite {
     assert(m(1) == ((2, "a", "a", 4L)))
   }
 
+  test("bpeMerges: driver-collected and distributed rounds learn identical merges") {
+    // the vocab gate only moves WHERE the count-argmax-merge rounds run;
+    // pair counts (incl. overlap counting: "aaa" → (a,a)×2), the
+    // (n desc, l asc, r asc) tie-break, and greedy non-overlapping
+    // re-symbolization must agree round for round. The corpus mixes
+    // repeated fragments, an overlap run, and tie candidates.
+    val docs = Df.fromRows(spark, Seq(
+      Row(1L, "low lower lowest low low"),
+      Row(2L, "aaa aa aaaa banana bandana"),
+      Row(3L, "net new newer nets nets new")),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    def learn(gate: Long) = {
+      val m = graft.operators.TextAnalytics.bpeMerges(docs, "text",
+        nMerges = 12, driverMaxVocab = gate)
+      val rows = m.sdf.orderBy("merge_rank").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      Df.releaseRetained()
+      rows
+    }
+    val driver = learn(1000000)
+    val dist = learn(0)
+    assert(driver == dist, s"driver=$driver\ndist=$dist")
+    assert(driver.nonEmpty)
+  }
+
   test("bpeMerges stops early when no pairs remain") {
     val docs = Df.fromRows(spark, Seq(Row(1L, "a b c a b")),
       StructType(Seq(StructField("doc_id", LongType),
