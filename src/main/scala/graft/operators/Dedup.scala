@@ -780,7 +780,8 @@ object Dedup {
     * final checkpoint attached for release. */
   def incrementalComponents(oldLabels: Df, newPairs: Df,
                             aCol: String = "id_a", bCol: String = "id_b",
-                            maxIter: Int = 20): Df = {
+                            maxIter: Int = 20,
+                            broadcastMaxNodes: Long = 250000): Df = {
     requireArgs("incrementalComponents")(
       (oldLabels.columns.contains("id") && oldLabels.columns.contains("cluster"),
         s"oldLabels must carry (id, cluster) — a connectedComponents " +
@@ -788,7 +789,7 @@ object Dedup {
     val star = oldLabels.sdf.select(col("id").as(aCol), col("cluster").as(bCol))
     connectedComponents(
       new Df(star.union(newPairs.sdf.select(col(aCol), col(bCol)))),
-      aCol, bCol, maxIter)
+      aCol, bCol, maxIter, broadcastMaxNodes)
   }
 
   /** Dedup by component: every doc keeps its cluster representative —

@@ -1391,13 +1391,18 @@ class FuzzSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // dedup endgame builds on
     val cases: Gen[List[(Long, Long)]] = Gen.listOf(
       Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)))
+    // alternate the r17 |V| broadcast gate so BOTH join modes (labels
+    // broadcast vs shuffle rounds) stay under differential pressure
+    var ccGateFlip = false
     trials(cases, n = 40) { edges0 =>
       val edges = edges0.filter { case (a, b) => a != b }
       if (edges.nonEmpty) {
+        ccGateFlip = !ccGateFlip
         val d = Df.fromRows(spark,
           edges.map { case (a, b) => Row(a, b) },
           StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
-        val got = graft.operators.Dedup.connectedComponents(d, "a", "b")
+        val got = graft.operators.Dedup.connectedComponents(d, "a", "b",
+          broadcastMaxNodes = if (ccGateFlip) 250000L else 0L)
           .sdf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         Df.releaseRetained()
         // union-find model
@@ -1430,14 +1435,17 @@ class FuzzSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     val schema = StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType)))
     def pairsDf(es: List[(Long, Long)]) =
       Df.fromRows(spark, es.map { case (a, b) => Row(a, b) }, schema)
+    var incGateFlip = false
     trials(cases, n = 30) { case (old0, fresh0) =>
       val old = old0.filter { case (a, b) => a != b }
       val fresh = fresh0.filter { case (a, b) => a != b }
       if (old.nonEmpty && fresh.nonEmpty) {
+        incGateFlip = !incGateFlip
+        val gate = if (incGateFlip) 250000L else 0L
         val oldLabels = graft.operators.Dedup.connectedComponents(
-          pairsDf(old), "id_a", "id_b")
+          pairsDf(old), "id_a", "id_b", broadcastMaxNodes = gate)
         val got = graft.operators.Dedup.incrementalComponents(
-          oldLabels, pairsDf(fresh))
+          oldLabels, pairsDf(fresh), broadcastMaxNodes = gate)
           .sdf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         val want = graft.operators.Dedup.connectedComponents(
           pairsDf(old ++ fresh), "id_a", "id_b")
@@ -1456,11 +1464,15 @@ class FuzzSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       edges <- Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L)))
       iters <- Gen.choose(1, 4)
     } yield (edges, iters)
+    var prGateFlip = false
     trials(cases, n = 25) { case (edges, iters) =>
+      prGateFlip = !prGateFlip
       val d = Df.fromRows(spark,
         edges.map { case (s, t) => Row(s, t) },
         StructType(Seq(StructField("s", LongType), StructField("t", LongType))))
-      val got = graft.operators.Graphs.pageRank(d.sdf, "s", "t", iters)
+      // alternate the r17 gate: chained-broadcast vs persisted shuffle loop
+      val got = graft.operators.Graphs.pageRank(d.sdf, "s", "t", iters,
+        broadcastMaxNodes = if (prGateFlip) 250000L else 0L)
         .sdf.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       Df.releaseRetained()
       val damping = 0.85
