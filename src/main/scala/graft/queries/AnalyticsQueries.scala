@@ -23,6 +23,27 @@ object AnalyticsQueries {
        |    FROM en JOIN r${k - 1} r ON en.src = r.node GROUP BY en.dst) c
        |  ON nd.node = c.dst)""".stripMargin
 
+  /** shared by q203 (gated chained-broadcast plan) and q270 (forced
+    * shuffle loop) — the gate contract is bit-identical ranks, so one
+    * oracle replay checks both physical paths. */
+  private val pageRankSql: String =
+    s"""WITH ev AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+       |  json_extract_string(props, '$$.k')::BIGINT AS k FROM events),
+       |ed AS (SELECT k AS src, LEAD(k) OVER (
+       |  PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev),
+       |e AS (SELECT src, dst FROM ed
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL),
+       |w AS (SELECT src, dst, COUNT(*) AS w FROM e GROUP BY 1, 2),
+       |ow AS (SELECT src, SUM(w) AS ow FROM w GROUP BY 1),
+       |en AS (SELECT w.src, w.dst, w.w::DOUBLE / ow.ow AS frac
+       |  FROM w JOIN ow USING (src)),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (SELECT node, 1::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes),
+       |${(1 to prIters).map(prStep).mkString(",\n")}
+       |SELECT node, ROUND(rank, 8) AS rank FROM r$prIters
+       |ORDER BY node""".stripMargin
+
   val defs: Map[String, Q] = Map(
     // ---- exact interpolated quantiles, grouped — via the grouped
     // order-statistic selection: 3 cohorts over the whole table is
@@ -160,6 +181,23 @@ object AnalyticsQueries {
         ev, "user_id", Seq("ts", "event_id"), "k")
       graft.operators.Graphs.pageRank(edges, "src", "dst",
         iterations = prIters, damping = prDamp)
+        .sortValues(Seq("node")).sdf
+    }),
+
+    // ---- q203 FORCED through the above-gate shuffle loop
+    // (broadcastMaxNodes = 0): the web-scale per-iteration
+    // persist+shuffle path — what a billion-node graph takes — stays
+    // oracle-checked per round; ranks are bit-identical to q203's by
+    // the gate contract (decimal-summed contributions are
+    // join-order-free), so the oracle is the same unrolled CTE ----
+    "q270_pagerank_shuffle" -> ((s, dir) => {
+      val e = events(s, dir)
+      val ev = e.sdf.select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val edges = graft.operators.Graphs.transitionEdges(
+        ev, "user_id", Seq("ts", "event_id"), "k")
+      graft.operators.Graphs.pageRank(edges, "src", "dst",
+        iterations = prIters, damping = prDamp, broadcastMaxNodes = 0L)
         .sortValues(Seq("node")).sdf
     }),
 
@@ -522,23 +560,8 @@ object AnalyticsQueries {
         |ROUND(sp / n - (mi.sm / n) * (mj.sm / n), 6) + 0.0 AS cov
         |FROM s JOIN m mi ON s.i = mi.i JOIN m mj ON s.j = mj.i
         |ORDER BY s.i, s.j""".stripMargin,
-    "q203_pagerank" ->
-      s"""WITH ev AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id,
-         |  json_extract_string(props, '$$.k')::BIGINT AS k FROM events),
-         |ed AS (SELECT k AS src, LEAD(k) OVER (
-         |  PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev),
-         |e AS (SELECT src, dst FROM ed
-         |  WHERE src IS NOT NULL AND dst IS NOT NULL),
-         |w AS (SELECT src, dst, COUNT(*) AS w FROM e GROUP BY 1, 2),
-         |ow AS (SELECT src, SUM(w) AS ow FROM w GROUP BY 1),
-         |en AS (SELECT w.src, w.dst, w.w::DOUBLE / ow.ow AS frac
-         |  FROM w JOIN ow USING (src)),
-         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         |nn AS (SELECT COUNT(*) AS n FROM nodes),
-         |r0 AS (SELECT node, 1::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes),
-         |${(1 to prIters).map(prStep).mkString(",\n")}
-         |SELECT node, ROUND(rank, 8) AS rank FROM r$prIters
-         |ORDER BY node""".stripMargin,
+    "q203_pagerank" -> pageRankSql,
+    "q270_pagerank_shuffle" -> pageRankSql,
     "q72_asof_join" ->
       """SELECT p.event_id, p.user_id, c.value AS click_value
         |FROM (SELECT * FROM events WHERE event_type='purchase') p

@@ -300,6 +300,36 @@ object ExtensionQueries {
         .sortValues(Seq("id")).sdf
     }),
 
+    // ---- q107 FORCED through the above-gate shuffle rounds
+    // (broadcastMaxNodes = 0): keeps the corpus-scale CC join path —
+    // the one a 100 TB run takes — oracle-checked per round rather
+    // than only spec/fuzz-pinned; labels must equal q107's by the
+    // gate-equivalence contract, so the oracle is the same closure ----
+    "q269_components_shuffle" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val base = d.where(col("doc_id") < 300).select("doc_id", "text")
+      val g1 = base.where(col("doc_id") % 5 === 0)
+        .selectExpr("doc_id + 10000 AS doc_id", "text || ' zzz' AS text")
+      val g2 = base.where(col("doc_id") % 5 === 0)
+        .selectExpr("doc_id + 20000 AS doc_id", "text || ' zzz yyy' AS text")
+      val pairs = Dedup.ngramJaccardPairs(Df.concat(Seq(base, g1, g2)),
+        "text", "doc_id", n = 3, minJaccard = 0.5)
+      Dedup.connectedComponents(pairs, "id_a", "id_b",
+        broadcastMaxNodes = 0L)
+        .sortValues(Seq("id")).sdf
+    }),
+
+    // ---- bpeMerges FORCED through the distributed rounds
+    // (driverMaxVocab = 0): the above-gate count-argmax-merge path
+    // stays oracle-checked per round; merges must equal q200's by the
+    // driver≡distributed differential, so the oracle is the same
+    // 8-round SQL replay ----
+    "q271_bpe_merges_dist" -> ((s, dir) => {
+      graft.operators.TextAnalytics.bpeMerges(
+        T(s, dir, "documents"), "text", nMerges = 8, driverMaxVocab = 0L)
+        .sortValues(Seq("merge_rank")).sdf
+    }),
+
     // ---- incremental component maintenance (the batch-dedup path):
     // phase 1 labels the two-generation corpus; phase 2 folds in ONLY
     // the pairs the third generation brings (labels-as-star-edges merge,
@@ -1410,6 +1440,8 @@ object ExtensionQueries {
     "q65_simhash" -> simhashSql,
     "q99_simhash_pairs" -> simhashPairsSql,
     "q107_dedup_components" -> componentsSql,
+    "q269_components_shuffle" -> componentsSql,
+    "q271_bpe_merges_dist" -> bpeMergesSql,
     // the two-phase incremental run must equal the ONE-SHOT closure
     // over the full edge set — same oracle as q107 by construction
     "q263_incremental_cc" -> componentsSql,
