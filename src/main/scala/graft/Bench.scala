@@ -22,6 +22,35 @@ object Bench {
         concat(lit("{\"k\":"), col("id"), lit("}")), "$.k").cast("long"))).count()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case _: Throwable => }
+    // host-calibration workload: a FIXED seeded synthetic sort+agg+join
+    // touching no test data, timed at bench start and end. The r17
+    // incident: identical code measured 185.8 -> 214.8 s (sf0.1) within
+    // one session purely from host drift, and cross-round totals became
+    // uninterpretable. Reporting each round's total ALONGSIDE its
+    // calibration lets the judge separate host drift from code drift:
+    // (total_r18 / cal_r18) vs (total_r17 / cal_r17) is host-normalized.
+    // Kept deliberately simple (range -> hash/mod keys -> groupBy-sum ->
+    // join back -> global sort -> one-row agg): exercises shuffle, sort,
+    // hash-agg and codegen, the same machinery the suite spends its time
+    // in, with zero I/O so disk-cache state can't skew it.
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      val base = spark.range(20000000L).select(
+        org.apache.spark.sql.functions.col("id"),
+        pmod(hash(org.apache.spark.sql.functions.col("id")), lit(4096)).as("k"),
+        (org.apache.spark.sql.functions.col("id") * 2654435761L % 1000003L).as("v"))
+      val agg = base.groupBy("k")
+        .agg(sum("v").as("sv"), count(lit(1)).as("c"))
+      base.join(agg, "k")
+        .orderBy(org.apache.spark.sql.functions.col("v").desc,
+          org.apache.spark.sql.functions.col("id"))
+        .agg(sum(org.apache.spark.sql.functions.col("v") +
+          org.apache.spark.sql.functions.col("sv")).as("t"))
+        .head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calStart = calibrate()
     // min of SPARK_GRAFT_REPS repetitions per query: this host shows
     // broad multi-second swings on identical plans (noisy neighbors /
     // GC); the minimum is the steady-state cost of the plan, which is
@@ -83,9 +112,16 @@ object Bench {
     val classes = fixedCostClass.toSeq.sortBy(_._1)
       .map { case (k, c) => jstr(k) + ":" + jstr(c) }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    val calEnd = calibrate()
+    // min of the two probes = the host's best observed speed this run;
+    // reporting both also exposes WITHIN-run drift (start vs end).
+    val cal = math.min(calStart, calEnd)
+    val calJson = s""""host_calibration_sec":$cal,""" +
+      s""""host_calibration_start_sec":$calStart,""" +
+      s""""host_calibration_end_sec":$calEnd"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","n_ok":${ok.size},"n_failed":${failed.size},"failed":$fs,""" +
-      s""""fixed_cost_classes":$classes}"""
+      s""""fixed_cost_classes":$classes,$calJson}"""
     println(line)
     // the driver's log capture truncates long tails (BENCH_r06 kept only
     // 61/125 per-query timings and lost the total) — persist a FULL
@@ -97,7 +133,8 @@ object Bench {
           .getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val fileLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""n_ok":${ok.size},"n_failed":${failed.size},"queries":$detail,"sf":"$sfDir"}"""
+      s""""n_ok":${ok.size},"n_failed":${failed.size},"queries":$detail,""" +
+      s""""sf":"$sfDir",$calJson}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fileLine + "\n")
     catch { case scala.util.control.NonFatal(e) =>

@@ -865,14 +865,16 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
 
   /** pandas `pct_change(periods)` over an explicit order: value / lagged
     * value − 1. Same plan shape, keyless routing, overwrite semantics,
-    * and eager-keyless caveat as [[diff]]. Keyless decimal inputs
-    * divide in DOUBLE (the kernel) where the keyed window divides in
-    * decimal first — two visible consequences (DIVERGENCES #20):
-    * final-ulp differences on high-precision decimals, and a ZERO
-    * lagged value yielding ±Infinity/NaN (IEEE division) where decimal
-    * division yields NULL. Cast to double before calling for bitwise
-    * agreement with the keyed form, or null out non-finite results if
-    * the decimal NULL convention is wanted. */
+    * and eager-keyless caveat as [[diff]]. Division semantics DIFFER
+    * across the routing (DIVERGENCES #20, pinned in ScanSpec): the
+    * keyless kernel computes in IEEE doubles — a ZERO lagged value
+    * yields ±Infinity/NaN regardless of `spark.sql.ansi.enabled`, and
+    * high-precision decimals can differ from the keyed form in final
+    * ulps — while the keyed window divides with the Column `/`
+    * operator, which raises DIVIDE_BY_ZERO under Spark 4's ANSI
+    * default (NULL with ANSI off). Cast to double before calling the
+    * keyless form for closer keyed agreement on non-zero lags, or
+    * null out non-finite results to recover a NULL convention. */
   def pctChange(c: String, orderKeys: Seq[String], out: String,
                 periods: Int = 1, partitionBy: Seq[String] = Nil): Df =
     if (partitionBy.isEmpty) {

@@ -648,7 +648,14 @@ object Dedup {
     *
     * Output: (`idCol`, cluster) for every node that appears in `pairs`;
     * docs with no near-dup pair are their own singleton cluster and are
-    * simply absent (callers left-join + coalesce to self). */
+    * simply absent (callers left-join + coalesce to self).
+    *
+    * `broadcastMaxNodes` follows the repo-wide scale-gate convention
+    * (USAGE.md "Scale gates", shared with
+    * [[graft.operators.Graphs.pageRank]]'s `broadcastMaxNodes` and
+    * [[graft.operators.TextAnalytics.bpeMerges]]'s `driverMaxVocab`):
+    * measured state size, identical results either side, 0 disables
+    * the fast path unconditionally. */
   def connectedComponents(pairs: Df, aCol: String, bCol: String,
                           maxIter: Int = 20,
                           broadcastMaxNodes: Long = 250000): Df = {
@@ -673,7 +680,11 @@ object Dedup {
     // the pre-r17 shuffle rounds run unchanged; labels and cluster ids
     // are IDENTICAL across the gate (min-label fixpoint, not
     // order-sensitive).
-    val bcastLabels = labels.count() <= broadcastMaxNodes
+    // short-circuit: broadcastMaxNodes = 0 explicitly requests the pure
+    // shuffle path (the q269 forced-path contract, gate-flip fuzz) — do
+    // not pay a driver count() action just to compare against 0.
+    val bcastLabels =
+      broadcastMaxNodes > 0 && labels.count() <= broadcastMaxNodes
     def hint(d: DataFrame): DataFrame = if (bcastLabels) broadcast(d) else d
     // the checkpointed frame backing the CURRENT labels — unpersisted the
     // moment the next round's checkpoint supersedes it (r12 fix: these

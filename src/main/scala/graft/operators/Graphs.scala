@@ -55,7 +55,15 @@ object Graphs {
     *    lineage cut). Nothing |E|-sized ever broadcasts or collects.
     *
     * Driver holds only the scalar N; the broadcast in the gated mode
-    * ships |V| × ~40 B (250k nodes ≈ 10 MB, the default ceiling). */
+    * ships |V| × ~40 B (250k nodes ≈ 10 MB, the default ceiling).
+    *
+    * `broadcastMaxNodes` follows the repo-wide scale-gate convention
+    * (USAGE.md "Scale gates", shared with
+    * [[graft.operators.Dedup.connectedComponents]]'s
+    * `broadcastMaxNodes` and
+    * [[graft.operators.TextAnalytics.bpeMerges]]'s `driverMaxVocab`):
+    * measured state size, identical results either side, 0 disables
+    * the fast path unconditionally. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 5, damping: Double = 0.85,
                broadcastMaxNodes: Long = 250000): Df = {
@@ -77,7 +85,10 @@ object Graphs {
       .union(e.select(col("__dst"))).distinct().persist(lvl)
     val n = nodes.count()
     val teleport = (1 - damping) / n
-    val bcast = n <= broadcastMaxNodes
+    // same 0-disables contract as the other two scale gates (USAGE.md
+    // "Scale gates"): 0 means the shuffle path unconditionally, even for
+    // a degenerate 0-node input
+    val bcast = broadcastMaxNodes > 0 && n <= broadcastMaxNodes
 
     // identical arithmetic on both paths (the SQL oracle mirrors it):
     // only the JOIN STRATEGY and materialization cadence differ, so the
@@ -101,18 +112,23 @@ object Graphs {
       // run stays one unmaterialized plan end-to-end)
       val chainDepth = 8
       var rank = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-      var kept = List.empty[DataFrame]
+      // only the LATEST cut stays persisted: once the next cut's count()
+      // materializes, the previous cut is dead (nothing downstream reads
+      // it) — rotate exactly like the shuffle branch, so memory held is
+      // one |V|-sized frame, not iterations/chainDepth of them.
+      var prevCut: Option[DataFrame] = None
       for (i <- 1 to iterations) {
         rank = step(rank)
         if (i % chainDepth == 0 && i < iterations) {
           val cut = rank.persist(lvl)
           cut.count()
-          kept = cut :: kept
+          prevCut.foreach(_.unpersist())
+          prevCut = Some(cut)
           rank = cut
         }
       }
       new Df(rank.select(col("node"), round(col("rank"), 8).as("rank")))
-        .retaining((eNorm :: nodes :: kept): _*)
+        .retaining((eNorm :: nodes :: prevCut.toList): _*)
     } else {
       var rank = nodes.select(col("node"), lit(1.0 / n).as("rank")).persist(lvl)
       rank.count()

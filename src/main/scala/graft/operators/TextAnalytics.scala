@@ -351,7 +351,14 @@ object TextAnalytics {
     *    `replace`s cannot grow Catalyst planning O(nMerges²).
     *
     * The merge table itself is driver-sized by definition
-    * (vocab_size − |alphabet| rows). */
+    * (vocab_size − |alphabet| rows).
+    *
+    * `driverMaxVocab` follows the repo-wide scale-gate convention
+    * (USAGE.md "Scale gates", shared with
+    * [[graft.operators.Dedup.connectedComponents]]'s and
+    * [[graft.operators.Graphs.pageRank]]'s `broadcastMaxNodes`):
+    * measured state size, identical results either side, 0 disables
+    * the fast path unconditionally. */
   def bpeMerges(docs: Df, textCol: String, nMerges: Int,
                 driverMaxVocab: Long = 1000000): Df = {
     require(nMerges >= 1 && nMerges <= 1000,
@@ -371,13 +378,22 @@ object TextAnalytics {
         col("wf"))
       .persist(lvl)
     val merges = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-    if (vocab0.count() <= driverMaxVocab) {
-      // driver-mode rounds over the collected (symbols, wf) vocabulary
-      var words: Array[(Array[String], Long)] = vocab0.collect().map { row =>
-        (row.getString(0).stripPrefix("|").stripSuffix("|")
-          .split("\\|\\|", -1), row.getLong(1))
-      }
-      vocab0.unpersist()
+    // gate short-circuits on 0 (the q271 forced-shuffle contract — no
+    // driver count() just to compare against 0); a gate-action failure
+    // must release the persisted vocab rather than leak it for the
+    // session (the driver branch early-returns OUTSIDE the file's
+    // retaining contract, so IT owns the block)
+    val driverMode =
+      try driverMaxVocab > 0 && vocab0.count() <= driverMaxVocab
+      catch { case t: Throwable => vocab0.unpersist(); throw t }
+    if (driverMode) {
+      // driver-mode rounds over the collected (symbols, wf) vocabulary;
+      // unpersist in finally — a failed collect must not leak the block
+      var words: Array[(Array[String], Long)] =
+        try vocab0.collect().map { row =>
+          (row.getString(0).stripPrefix("|").stripSuffix("|")
+            .split("\\|\\|", -1), row.getLong(1))
+        } finally vocab0.unpersist()
       var r = 1
       var done = false
       while (r <= nMerges && !done) {

@@ -627,10 +627,13 @@ class PipelineSpec extends AnyFunSuite {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      TestSpark.awaitStable(zipJobs) // drain events from earlier tests
+      // deterministic drain of earlier tests' queued events (not a
+      // sleep-poll, which can under-wait on a loaded host)
+      org.apache.spark.GraftListenerBusSync.waitUntilEmpty(spark.sparkContext)
       zipJobs = 0
       val out = Curation.rankFusion(d, Seq("a", "b", "c"), "id")
-      val protocols = TestSpark.awaitStable(zipJobs)
+      org.apache.spark.GraftListenerBusSync.waitUntilEmpty(spark.sparkContext)
+      val protocols = zipJobs
       assert(protocols == 1,
         s"rankFusion ran $protocols ranking protocols — want ONE fused")
       // ranks stay a permutation and the fusion stays exact: spot-check

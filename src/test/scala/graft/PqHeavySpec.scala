@@ -210,11 +210,24 @@ class PqHeavySpec extends AnyFunSuite {
     val res =
       try {
         spark.sparkContext.setJobGroup(group, "ivf search planning")
-        val r = graft.operators.Similarity.searchIvfIndex(
-          e.where(col("vec_id") < 2), "embedding", "vec_id", path,
-          k = 2, nprobe = 1)
-        spark.sparkContext.clearJobGroup()
-        TestSpark.awaitStable(jobs) // listener bus is async — settle it
+        // clearJobGroup in a finally: if the search throws, the group
+        // must not leak onto the shared session thread for later tests
+        val r =
+          try graft.operators.Similarity.searchIvfIndex(
+            e.where(col("vec_id") < 2), "embedding", "vec_id", path,
+            k = 2, nprobe = 1)
+          finally spark.sparkContext.clearJobGroup()
+        // deterministic drain of the async listener bus (not a
+        // sleep-poll, which can under-wait on a loaded host): every job
+        // event submitted above is delivered before the count is read
+        org.apache.spark.GraftListenerBusSync.waitUntilEmpty(
+          spark.sparkContext)
+        // at least one grouped job must be SEEN — if job-group
+        // propagation to the SQL worker threads ever breaks, the <=3
+        // bound would otherwise pass vacuously and mask an
+        // eager-evaluation regression instead of flagging it
+        assert(jobs >= 1,
+          "no grouped jobs observed — job-group propagation lost")
         // 3 = codebook schema read + codebook collect + index partition
         // discovery, all metadata-sized. The pre-r15 probe-list
         // round-trip added a persist + distinct + collect over the

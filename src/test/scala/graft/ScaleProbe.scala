@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off scale probe for the iterative operators' ABOVE-GATE paths
+  * (VERDICT r17 item 8): the shuffle modes of `connectedComponents` and
+  * `pageRank` are oracle-checked every round (q269/q270) but only ever
+  * timed on tiny sf0.1 graphs, so the `broadcastMaxNodes = 250k`
+  * default had no measured datapoint on its far side. This main builds
+  * a synthetic |V| ≈ 1M graph (nodes just above the gate), runs both
+  * operators with the DEFAULT gate (1M > 250k → the distributed
+  * shuffle rounds engage), and reports wall seconds plus total shuffle
+  * read/write bytes per run. Results are recorded in BENCHLOG.md.
+  *
+  * Test scope on purpose: a measurement harness, not library surface.
+  * Run: sbt "Test/runMain graft.ScaleProbe"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    @volatile var shufWrite = 0L
+    @volatile var shufRead = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) {
+          shufWrite += m.shuffleWriteMetrics.bytesWritten
+          shufRead += m.shuffleReadMetrics.totalBytesRead
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    def measure(name: String)(body: => Long): Unit = {
+      shufWrite = 0L; shufRead = 0L
+      val t0 = System.nanoTime()
+      val rows = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftListenerBusSync.waitUntilEmpty(spark.sparkContext)
+      println(f"[probe] $name: wall=$wall%.1fs rows=$rows " +
+        f"shuffle_write=${shufWrite / 1e6}%.1fMB shuffle_read=${shufRead / 1e6}%.1fMB")
+      graft.api.Df.releaseRetained()
+      spark.catalog.clearCache()
+    }
+
+    // --- connectedComponents, |V| = 1M (4x the 250k gate) -------------
+    // 10k chains x 100 nodes: diameter 100 exercises the adaptive
+    // pointer doubling (log-d rounds), unlike the clique-like near-dup
+    // graphs that converge in 2-3. 990k chain edges + 50k cross edges
+    // that merge chains pairwise (so labels genuinely propagate).
+    val n = 1000000L
+    val chain = spark.range(n)
+      .where(col("id") % 100 =!= 99) // no edge across chain boundaries
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val cross = spark.range(50000L)
+      .select((col("id") * 2 * 100).as("id_a"), // head of chain 2k
+        ((col("id") * 2 + 1) * 100).as("id_b")) // head of chain 2k+1
+    val pairs = new graft.api.Df(chain.union(cross))
+    measure("connectedComponents |V|=1M above-gate (default 250k)") {
+      val labels = graft.operators.Dedup
+        .connectedComponents(pairs, "id_a", "id_b")
+      val out = labels.sdf.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("cluster")).as("k")).head()
+      val (rows, k) = (out.getLong(0), out.getLong(1))
+      // 10k chains merged pairwise -> 5k components over all 1M nodes
+      assert(rows == n && k == 5000L, s"rows=$rows components=$k")
+      rows
+    }
+
+    // --- pageRank, |V| = 1M, |E| = 3M ---------------------------------
+    // three deterministic functional edges per node (affine maps mod N,
+    // coprime multipliers): every node has out-degree 3, in-degrees
+    // vary, nothing collapses to a hub.
+    val e = spark.range(n).select(col("id").as("src"),
+        ((col("id") * 31 + 7) % n).as("dst"))
+      .union(spark.range(n).select(col("id").as("src"),
+        ((col("id") * 131 + 3) % n).as("dst")))
+      .union(spark.range(n).select(col("id").as("src"),
+        ((col("id") * 7919 + 11) % n).as("dst")))
+    measure("pageRank |V|=1M |E|=3M above-gate (default 250k), 5 iters") {
+      val pr = graft.operators.Graphs.pageRank(e, "src", "dst")
+      val out = pr.sdf.agg(count(lit(1)).as("n"),
+        sum(col("rank")).as("mass")).head()
+      val (rows, mass) = (out.getLong(0), out.getDouble(1))
+      // rank mass is conserved (no dangling nodes: out-degree 3 all)
+      assert(rows == n && math.abs(mass - 1.0) < 1e-3,
+        s"rows=$rows mass=$mass")
+      rows
+    }
+
+    spark.stop()
+  }
+}

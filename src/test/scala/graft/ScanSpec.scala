@@ -583,6 +583,40 @@ class ScanSpec extends AnyFunSuite {
     }
   }
 
+  test("DIVERGENCES #20 pin: zero lagged decimal — keyless pctChange gives IEEE ±Inf/NaN, keyed window follows ANSI division") {
+    // the keyless route computes in JVM doubles (the GroupedScan
+    // kernel): IEEE division, so a zero lagged value yields +Infinity
+    // (x/0) or NaN (0/0) — never a throw, never a NULL, independent of
+    // spark.sql.ansi.enabled. The keyed window form divides with the
+    // Column `/` operator, which follows the SESSION's ANSI semantics:
+    // DIVIDE_BY_ZERO error under Spark 4's ANSI default, NULL with ANSI
+    // off. This spec pins both sides on this session (ansi=true).
+    val d = Df.fromRows(spark, Seq(
+      Row(1L, "g", new java.math.BigDecimal("2.00")),
+      Row(2L, "g", new java.math.BigDecimal("0.00")),
+      Row(3L, "g", new java.math.BigDecimal("3.00")),
+      Row(4L, "g", new java.math.BigDecimal("0.00")),
+      Row(5L, "g", new java.math.BigDecimal("0.00"))),
+      StructType(Seq(StructField("id", LongType),
+        StructField("g", StringType), StructField("m", DecimalType(9, 2)))))
+    val rows = d.pctChange("m", Seq("id"), "p").sdf.orderBy("id").collect()
+    val p = rows.map(r =>
+      if (r.isNullAt(r.fieldIndex("p"))) null
+      else java.lang.Double.valueOf(r.getDouble(r.fieldIndex("p"))))
+    assert(p(0) == null) // no lagged value on the first row
+    assert(p(1) == -1.0) // 0/2 - 1
+    assert(p(2) == Double.PositiveInfinity, p.toSeq) // 3/0: IEEE, not NULL
+    assert(p(3) == -1.0) // 0/3 - 1
+    assert(p(4) != null && p(4).isNaN, p.toSeq) // 0/0: IEEE NaN
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val thrown = intercept[Throwable] {
+      d.pctChange("m", Seq("id"), "p", partitionBy = Seq("g")).sdf.collect()
+    }
+    val msgs = Iterator.iterate(thrown)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("DIVIDE_BY_ZERO"), msgs.take(300))
+  }
+
   test("diff/pctChange/bfill: scalable ≡ window, groups spanning 7 partitions") {
     import org.apache.spark.sql.expressions.Window
     trials(rowsGen) { xs =>
@@ -856,7 +890,10 @@ class ScanSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     val batch =
       try {
-        TestSpark.awaitStable(protocols)
+        // deterministic drain of earlier tests' queued events (not a
+        // sleep-poll, which can under-wait on a loaded host)
+        org.apache.spark.GraftListenerBusSync.waitUntilEmpty(
+          spark.sparkContext)
         protocols = 0
         val b = df.scanKeyless(Seq("id"))(_
           .diff("v", out = "dv")
@@ -866,7 +903,9 @@ class ScanSpec extends AnyFunSuite {
           .cumsum("o", out = "cs")
           .rolling("v", 3, "mean", out = "rm")
           .cumcount(out = "cc"))
-        assert(TestSpark.awaitStable(protocols) == 1,
+        org.apache.spark.GraftListenerBusSync.waitUntilEmpty(
+          spark.sparkContext)
+        assert(protocols == 1,
           s"batch ran $protocols protocols — want ONE for the whole chain")
         b
       } finally spark.sparkContext.removeSparkListener(listener)

@@ -183,6 +183,43 @@ class SemanticsSpec extends AnyFunSuite {
       .forall(se(_) == null), se.toString)
   }
 
+  test("describeStats agg thread inherits the caller's job group and tags its job") {
+    // the mergeable-agg pass runs on a fresh thread CONCURRENT with the
+    // quantile selection protocol. Two properties make that safe on a
+    // shared cluster, both asserted here: (a) the thread inherits the
+    // CALLER's job group (InheritableThreadLocal), so caller-side
+    // cancellation reaches the agg job; (b) the thread adds the
+    // graft-describe job TAG, which the failure path uses to cancel the
+    // orphaned agg when the selection protocol throws.
+    val sc = spark.sparkContext
+    val group = "semantics-describe-propagation"
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, String)]())
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val p = Option(j.properties)
+        seen.add((p.map(_.getProperty("spark.jobGroup.id")).orNull,
+          p.map(_.getProperty("spark.job.tags")).orNull))
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      sc.setJobGroup(group, "describe propagation spec")
+      try nullable.describeStats(Seq("x")).sdf.collect()
+      finally sc.clearJobGroup()
+      org.apache.spark.GraftListenerBusSync.waitUntilEmpty(sc)
+      import scala.jdk.CollectionConverters._
+      val tagged = seen.asScala.toList.filter(t =>
+        Option(t._2).exists(_.contains("graft-describe-")))
+      assert(tagged.nonEmpty,
+        s"no job carried the graft-describe tag — agg-thread tagging lost: $seen")
+      assert(tagged.forall(_._1 == group),
+        s"tagged agg job lost the caller's job group (cancellation would " +
+          s"not reach it): $tagged")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("cut bins with (lo, hi] intervals, outside -> null") {
     val d = Df.fromRows(spark, Seq(Row(5.0), Row(15.0), Row(50.0)),
       StructType(Seq(StructField("v", DoubleType))))
