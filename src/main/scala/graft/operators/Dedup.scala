@@ -665,9 +665,9 @@ object Dedup {
         s"broadcastMaxNodes must be >= 0: $broadcastMaxNodes"))
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = pairs.sdf.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val edges0 = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist(lvl)
-    var labels = edges.select(col("src").as("id")).distinct()
+    var labels = edges0.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint()
     // |V| is already materialized (the checkpoint above) — counting it is
     // an O(partitions) action over cached blocks. When the label table is
@@ -686,6 +686,25 @@ object Dedup {
     val bcastLabels =
       broadcastMaxNodes > 0 && labels.count() <= broadcastMaxNodes
     def hint(d: DataFrame): DataFrame = if (bcastLabels) broadcast(d) else d
+    // shuffle mode only: re-layout the persisted edges by dst ONCE (the
+    // pageRank move). distinct() leaves (src,dst) hash partitioning,
+    // which does NOT satisfy the per-round dst-keyed labels join — every
+    // round re-exchanged all |E| rows on top of the inherent src-keyed
+    // min aggregate. With dst partitioning the persisted layout
+    // satisfies the join's required distribution, so per round only the
+    // |V|-row labels side shuffles (A/B at the |V|=1M ScaleProbe:
+    // BENCHLOG round 18). One extra |E| pass+exchange at setup,
+    // amortized over every round INCLUDING the residual check; in
+    // broadcast mode the labels join never shuffles edges, so the
+    // re-layout would be pure overhead and is skipped.
+    val edges =
+      if (bcastLabels) edges0
+      else {
+        val byDst = edges0.repartition(col("dst")).persist(lvl)
+        byDst.count()
+        edges0.unpersist()
+        byDst
+      }
     // the checkpointed frame backing the CURRENT labels — unpersisted the
     // moment the next round's checkpoint supersedes it (r12 fix: these
     // leaked, one |V|-row MEMORY_AND_DISK RDD per iteration)

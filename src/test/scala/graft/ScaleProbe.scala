@@ -56,13 +56,13 @@ object ScaleProbe {
     // --- connectedComponents, |V| = 1M (4x the 250k gate) -------------
     // 10k chains x 100 nodes: diameter 100 exercises the adaptive
     // pointer doubling (log-d rounds), unlike the clique-like near-dup
-    // graphs that converge in 2-3. 990k chain edges + 50k cross edges
+    // graphs that converge in 2-3. 990k chain edges + 5k cross edges
     // that merge chains pairwise (so labels genuinely propagate).
     val n = 1000000L
     val chain = spark.range(n)
       .where(col("id") % 100 =!= 99) // no edge across chain boundaries
       .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
-    val cross = spark.range(50000L)
+    val cross = spark.range(5000L)
       .select((col("id") * 2 * 100).as("id_a"), // head of chain 2k
         ((col("id") * 2 + 1) * 100).as("id_b")) // head of chain 2k+1
     val pairs = new graft.api.Df(chain.union(cross))
