@@ -20,7 +20,18 @@ object Bench {
       import org.apache.spark.sql.functions._
       spark.range(10).agg(sum(get_json_object(
         concat(lit("{\"k\":"), col("id"), lit("}")), "$.k").cast("long"))).count()
-      spark.read.parquet(s"$sfDir/region.parquet").count()
+      // full-scan every table once (noop sink reads all columns): the
+      // r18 incident — q12 ran FIRST against a freshly written /tmp/sf1
+      // and timed 42.1 s in the suite vs 2.0 s solo minutes later; the
+      // suite was measuring the OS page-cache fill of a 103 MB file,
+      // not the plan. Steady-state timings need the corpus resident.
+      val dir = new java.io.File(sfDir)
+      Option(dir.list()).getOrElse(Array.empty[String])
+        .filter(_.endsWith(".parquet")).foreach { t =>
+          try spark.read.parquet(s"$sfDir/$t")
+            .write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => }
+        }
     } catch { case _: Throwable => }
     // host-calibration workload: a FIXED seeded synthetic sort+agg+join
     // touching no test data, timed at bench start and end. The r17
@@ -33,7 +44,12 @@ object Bench {
     // join back -> global sort -> one-row agg): exercises shuffle, sort,
     // hash-agg and codegen, the same machinery the suite spends its time
     // in, with zero I/O so disk-cache state can't skew it.
-    def calibrate(): Double = {
+    // each probe is a min-of-2 back-to-back executions: single-shot
+    // probes measured 2.9 vs 1.3 s for the same workload within one r18
+    // run (JIT + allocator noise) — the min of two adjacent runs is the
+    // host's actual current speed.
+    def calibrate(): Double = (1 to 2).map { _ => calibrateOnce() }.min
+    def calibrateOnce(): Double = {
       import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
       val base = spark.range(20000000L).select(

@@ -865,7 +865,10 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
 
   /** pandas `pct_change(periods)` over an explicit order: value / lagged
     * value − 1. Same plan shape, keyless routing, overwrite semantics,
-    * and eager-keyless caveat as [[diff]]. Division semantics DIFFER
+    * eager-keyless caveat, and TIES contract as [[diff]] (rows tied on
+    * `orderKeys` take one consistent arbitrary order per call — append a
+    * unique id as the last key when reproducible output matters,
+    * DIVERGENCES #1 tie note). Division semantics DIFFER
     * across the routing (DIVERGENCES #20, pinned in ScanSpec): the
     * keyless kernel computes in IEEE doubles — a ZERO lagged value
     * yields ±Infinity/NaN regardless of `spark.sql.ansi.enabled`, and

@@ -47,12 +47,14 @@ object Graphs {
     *    query's wall. Plan depth is bounded by materializing every
     *    `chainDepth` steps, so large `iterations` cannot blow up
     *    optimizer time.
-    *  - |V| above the gate (a true web-scale graph): the pre-r17
-    *    shuffle loop — per iteration only the rank table shuffles to
-    *    meet the src-partitioned edges, the contribution aggregation
-    *    is a dst-keyed partial+final sum, and each iteration persists
-    *    its rank and drops the previous one (plan depth O(1),
-    *    lineage cut). Nothing |E|-sized ever broadcasts or collects.
+    *  - |V| above the gate (a true web-scale graph): the same chained
+    *    cadence over SHUFFLE joins — per iteration only the rank table
+    *    shuffles to meet the src-partitioned eNorm (persisted layout
+    *    reused, no exchange on the edge side) and the contribution
+    *    aggregation is a dst-keyed partial+final sum that feeds the
+    *    final nodes join exchange-free; a rotating persisted cut every
+    *    `chainDepth` steps bounds lineage and optimizer time. Nothing
+    *    |E|-sized ever broadcasts or collects.
     *
     * Driver holds only the scalar N; the broadcast in the gated mode
     * ships |V| × ~40 B (250k nodes ≈ 10 MB, the default ceiling).
@@ -106,41 +108,35 @@ object Graphs {
             .as("rank"))
     }
 
-    if (bcast) {
-      // chained-lazy mode: bound plan depth by cutting the chain with a
-      // persisted materialization every `chainDepth` steps (a 5-iteration
-      // run stays one unmaterialized plan end-to-end)
-      val chainDepth = 8
-      var rank = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-      // only the LATEST cut stays persisted: once the next cut's count()
-      // materializes, the previous cut is dead (nothing downstream reads
-      // it) — rotate exactly like the shuffle branch, so memory held is
-      // one |V|-sized frame, not iterations/chainDepth of them.
-      var prevCut: Option[DataFrame] = None
-      for (i <- 1 to iterations) {
-        rank = step(rank)
-        if (i % chainDepth == 0 && i < iterations) {
-          val cut = rank.persist(lvl)
-          cut.count()
-          prevCut.foreach(_.unpersist())
-          prevCut = Some(cut)
-          rank = cut
-        }
+    // BOTH modes chain `chainDepth` steps into one lazy plan and cut the
+    // chain with a persisted materialization (a ≤8-iteration run stays
+    // one unmaterialized plan end-to-end — ONE Catalyst pass, one job).
+    // The modes differ only in `step`'s join strategy: below the gate
+    // the rank/contribution tables broadcast; above it they shuffle to
+    // meet the src-partitioned eNorm (reused layout, no exchange on the
+    // persisted side) and the dst-keyed aggregation feeds the final
+    // nodes join exchange-free (both sides dst/node-partitioned). The
+    // pre-r18 shuffle mode materialized EVERY iteration (persist+count,
+    // 2 driver actions each) — pure driver-latency overhead with no
+    // memory benefit over the rotating cut: only the LATEST cut stays
+    // persisted; once the next cut's count() completes the previous one
+    // is dead and unpersisted. chainDepth bounds optimizer time and
+    // lineage on both paths.
+    val chainDepth = 8
+    var rank = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    var prevCut: Option[DataFrame] = None
+    for (i <- 1 to iterations) {
+      rank = step(rank)
+      if (i % chainDepth == 0 && i < iterations) {
+        val cut = rank.persist(lvl)
+        cut.count()
+        prevCut.foreach(_.unpersist())
+        prevCut = Some(cut)
+        rank = cut
       }
-      new Df(rank.select(col("node"), round(col("rank"), 8).as("rank")))
-        .retaining((eNorm :: nodes :: prevCut.toList): _*)
-    } else {
-      var rank = nodes.select(col("node"), lit(1.0 / n).as("rank")).persist(lvl)
-      rank.count()
-      for (_ <- 1 to iterations) {
-        val next = step(rank).persist(lvl)
-        next.count()
-        rank.unpersist()
-        rank = next
-      }
-      new Df(rank.select(col("node"), round(col("rank"), 8).as("rank")))
-        .retaining(rank, eNorm, nodes)
     }
+    new Df(rank.select(col("node"), round(col("rank"), 8).as("rank")))
+      .retaining((eNorm :: nodes :: prevCut.toList): _*)
   }
 
   /** Consecutive-pair edge extraction: order rows per `groupCol` by
