@@ -99,6 +99,28 @@ object ScaleProbe {
       rows
     }
 
+    // --- bpeMerges, |vocab| ≈ 1.2M (1.2x the 1M driverMaxVocab gate) --
+    // synthetic corpus with 1.2M DISTINCT words so the measured
+    // vocabulary exceeds the gate and the distributed rounds engage
+    // (the q271 path — per round one explode+agg+TakeOrdered(1) and a
+    // chained replace with a 16-round localCheckpoint cut). Words are
+    // base-36 ids padded with a shared prefix, so early rounds find
+    // genuinely frequent pairs to merge.
+    val words = spark.range(1200000L).select(
+      concat(lit("aab"),
+        conv(col("id").cast("string"), 10, 36)).as("w"))
+    val docsDf = new graft.api.Df(words
+      .groupBy((col("w").substr(lit(4), lit(2))).as("g"))
+      .agg(concat_ws(" ", collect_list(col("w"))).as("text"))
+      .select(monotonically_increasing_id().as("doc_id"), col("text")))
+    measure("bpeMerges |vocab|=1.2M above-gate (default 1M), 6 merges") {
+      val m = graft.operators.TextAnalytics.bpeMerges(docsDf, "text",
+        nMerges = 6)
+      val rows = m.sdf.count()
+      assert(rows == 6L, s"merge rows=$rows")
+      rows
+    }
+
     spark.stop()
   }
 }
