@@ -40,30 +40,36 @@ object Bench {
     // uninterpretable. Reporting each round's total ALONGSIDE its
     // calibration lets the judge separate host drift from code drift:
     // (total_r18 / cal_r18) vs (total_r17 / cal_r17) is host-normalized.
-    // Kept deliberately simple (range -> hash/mod keys -> groupBy-sum ->
-    // join back -> global sort -> one-row agg): exercises shuffle, sort,
-    // hash-agg and codegen, the same machinery the suite spends its time
-    // in, with zero I/O so disk-cache state can't skew it.
-    // each probe is a min-of-2 back-to-back executions: single-shot
+    // The workload exercises the machinery the suite spends its time in
+    // — exchange, SORT (a merge-hinted join forces sort-merge on both
+    // sides instead of auto-broadcasting the 4096-row agg, plus a
+    // window whose sort the optimizer cannot eliminate), window lag,
+    // and partial+final hash agg — with zero I/O so disk-cache state
+    // can't skew it. A naive orderBy-under-aggregate would be defeated
+    // by Catalyst (EliminateSorts drops an order-irrelevant Sort below
+    // an Aggregate — the r18 self-review finding): probe plans must be
+    // checked against the optimizer, not assumed.
+    // Each probe is a min-of-2 back-to-back executions: single-shot
     // probes measured 2.9 vs 1.3 s for the same workload within one r18
     // run (JIT + allocator noise) — the min of two adjacent runs is the
     // host's actual current speed.
     def calibrate(): Double = (1 to 2).map { _ => calibrateOnce() }.min
     def calibrateOnce(): Double = {
       import org.apache.spark.sql.functions._
+      val c = org.apache.spark.sql.functions.col _
       val t0 = System.nanoTime()
-      val base = spark.range(20000000L).select(
-        org.apache.spark.sql.functions.col("id"),
-        pmod(hash(org.apache.spark.sql.functions.col("id")), lit(4096)).as("k"),
-        (org.apache.spark.sql.functions.col("id") * 2654435761L % 1000003L).as("v"))
+      val base = spark.range(10000000L).select(c("id"),
+        pmod(hash(c("id")), lit(4096)).as("k"),
+        (c("id") * 2654435761L % 1000003L).as("v"))
       val agg = base.groupBy("k")
         .agg(sum("v").as("sv"), count(lit(1)).as("c"))
-      base.join(agg, "k")
-        .orderBy(org.apache.spark.sql.functions.col("v").desc,
-          org.apache.spark.sql.functions.col("id"))
-        .agg(sum(org.apache.spark.sql.functions.col("v") +
-          org.apache.spark.sql.functions.col("sv")).as("t"))
-        .head()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(c("k")).orderBy(c("v"), c("id"))
+      base.join(agg.hint("merge"), "k")
+        .select(c("k"), c("v"), c("sv"), lag(c("v"), 1).over(w).as("pv"))
+        .groupBy("k")
+        .agg(sum(c("v") + c("sv") - coalesce(c("pv"), lit(0L))).as("s"))
+        .agg(sum(c("s")).as("t")).head()
       (System.nanoTime() - t0) / 1e9
     }
     val calStart = calibrate()

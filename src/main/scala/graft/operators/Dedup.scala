@@ -676,15 +676,18 @@ object Dedup {
     // edge-keyed partial+final min, cutting 2-3 shuffle stages per round
     // (near-dup graphs after LSH capping are almost always in this
     // regime — |V| = docs with at least one near-dup pair). Above the
-    // gate (a true corpus-scale graph) nothing |V|-sized broadcasts and
-    // the pre-r17 shuffle rounds run unchanged; labels and cluster ids
-    // are IDENTICAL across the gate (min-label fixpoint, not
-    // order-sensitive).
+    // gate (a true corpus-scale graph) nothing |V|-sized broadcasts:
+    // the shuffle rounds run over the dst-re-laid-out edge list (below);
+    // labels and cluster ids are IDENTICAL across the gate (min-label
+    // fixpoint, not order-sensitive).
     // short-circuit: broadcastMaxNodes = 0 explicitly requests the pure
     // shuffle path (the q269 forced-path contract, gate-flip fuzz) — do
     // not pay a driver count() action just to compare against 0.
+    // a failed gate action must release the persisted edges, not leak
+    // them for the session (same failure-path contract as bpeMerges)
     val bcastLabels =
-      broadcastMaxNodes > 0 && labels.count() <= broadcastMaxNodes
+      try broadcastMaxNodes > 0 && labels.count() <= broadcastMaxNodes
+      catch { case t: Throwable => edges0.unpersist(); throw t }
     def hint(d: DataFrame): DataFrame = if (bcastLabels) broadcast(d) else d
     // shuffle mode only: re-layout the persisted edges by dst ONCE (the
     // pageRank move). distinct() leaves (src,dst) hash partitioning,
@@ -701,7 +704,12 @@ object Dedup {
       if (bcastLabels) edges0
       else {
         val byDst = edges0.repartition(col("dst")).persist(lvl)
-        byDst.count()
+        try byDst.count()
+        catch { case t: Throwable =>
+          // release BOTH copies on a failed re-layout — otherwise 2x|E|
+          // rows of dead MEMORY_AND_DISK blocks outlive the exception
+          byDst.unpersist(); edges0.unpersist(); throw t
+        }
         edges0.unpersist()
         byDst
       }

@@ -21,24 +21,10 @@ object TestSpark {
   }
   val sf: String = "/root/testdata/sf0.001"
 
-  /** Poll `get` until it returns the same value for `quietMs`
-    * straight (cap `capMs`) — the listener bus is async, and
-    * fixed-length sleeps flake on loaded hosts (the suites that count
-    * jobs via SparkListener use this instead). Returns the settled
-    * value. */
-  def awaitStable(get: => Int, quietMs: Long = 500,
-                  capMs: Long = 8000): Int = {
-    val deadline = System.nanoTime() + capMs * 1000000L
-    var last = get
-    var quietSince = System.nanoTime()
-    while (System.nanoTime() < deadline &&
-           System.nanoTime() - quietSince < quietMs * 1000000L) {
-      Thread.sleep(50)
-      val cur = get
-      if (cur != last) { last = cur; quietSince = System.nanoTime() }
-    }
-    last
-  }
+  // NOTE: suites that count jobs via SparkListener drain the async bus
+  // deterministically with org.apache.spark.GraftListenerBusSync
+  // .waitUntilEmpty — do NOT reintroduce sleep-polling (the r17 flake
+  // class: quiet-window polls can under-wait on a loaded host).
 }
 
 /** Differential tests for the wrapper surface itself — the reference's

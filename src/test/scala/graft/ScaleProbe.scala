@@ -23,7 +23,8 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.driver.memory", "8g")
+      // heap comes from build.sbt's javaOptions -Xmx (SPARK_DRIVER_MEM,
+      // default 8g): spark.driver.memory on a running local JVM is a no-op
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

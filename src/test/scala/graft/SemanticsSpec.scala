@@ -205,6 +205,11 @@ class SemanticsSpec extends AnyFunSuite {
     }
     sc.addSparkListener(listener)
     try {
+      // drain events queued by EARLIER tests before recording: a late
+      // graft-describe JobStart from a previous describeStats call would
+      // match the tag filter with the wrong (null) job group
+      org.apache.spark.GraftListenerBusSync.waitUntilEmpty(sc)
+      seen.clear()
       sc.setJobGroup(group, "describe propagation spec")
       try nullable.describeStats(Seq("x")).sdf.collect()
       finally sc.clearJobGroup()
