@@ -28,11 +28,19 @@ object Bench {
       val dir = new java.io.File(sfDir)
       Option(dir.list()).getOrElse(Array.empty[String])
         .filter(_.endsWith(".parquet")).foreach { t =>
+          // NonFatal only, and LOUD: a corrupt/unreadable table silently
+          // degrading the bench back to cold-cache timings is the exact
+          // failure class this warm pass exists to eliminate (ADVICE
+          // r18); fatal errors (OOM, linkage) must propagate.
           try spark.read.parquet(s"$sfDir/$t")
             .write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] warm scan of $t FAILED " +
+              s"(timings may be cold-cache): ${e.getClass.getName}") }
         }
-    } catch { case _: Throwable => }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] warm-up pass FAILED " +
+        s"(timings may be cold-cache): ${e.getClass.getName}") }
     // host-calibration workload: a FIXED seeded synthetic sort+agg+join
     // touching no test data, timed at bench start and end. The r17
     // incident: identical code measured 185.8 -> 214.8 s (sf0.1) within
@@ -87,10 +95,22 @@ object Bench {
     // driver's run → full surface
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // interleaved calibration (VERDICT r18 item 2): the r18 final run
+    // degraded 2.4x BETWEEN the start/end probes, so per-query times
+    // could not be normalized — the drift was bounded but not localized.
+    // A single-shot probe every `calEvery` queries gives each query a
+    // nearest-probe normalizer. Single-shot is enough mid-run: the 2.9
+    // vs 1.3 s single-shot spread that forced min-of-2 at run START was
+    // JIT warm-up of the probe classes, which the start probe has paid.
+    val calEvery = 30
+    val calSamples = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    calSamples += ((0, calStart))
+    val toRun = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val results: Seq[(String, Double, Option[String])] =
-      SparkEntry.queries.toSeq
-        .filter { case (name, _) => only.forall(_.contains(name)) }
-        .map { case (name, fn) =>
+      toRun.zipWithIndex.map { case ((name, fn), idx) =>
+        if (idx > 0 && idx % calEvery == 0)
+          calSamples += ((idx, calibrateOnce()))
         var err: Option[String] = None
         val dt = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
@@ -135,12 +155,20 @@ object Bench {
       .map { case (k, c) => jstr(k) + ":" + jstr(c) }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val calEnd = calibrate()
+    calSamples += ((toRun.size, calEnd))
     // min of the two probes = the host's best observed speed this run;
-    // reporting both also exposes WITHIN-run drift (start vs end).
+    // reporting both also exposes WITHIN-run drift (start vs end), and
+    // calibration_samples localizes it: each entry is {after: queries
+    // completed when the probe ran, sec: probe wall}. Samples at
+    // after=0 and after=n are min-of-2; interior samples single-shot.
     val cal = math.min(calStart, calEnd)
+    val samplesJson = calSamples
+      .map { case (n0, s) => s"""{"after":$n0,"sec":$s}""" }
+      .mkString("[", ",", "]")
     val calJson = s""""host_calibration_sec":$cal,""" +
       s""""host_calibration_start_sec":$calStart,""" +
-      s""""host_calibration_end_sec":$calEnd"""
+      s""""host_calibration_end_sec":$calEnd,""" +
+      s""""calibration_samples":$samplesJson"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","n_ok":${ok.size},"n_failed":${failed.size},"failed":$fs,""" +
       s""""fixed_cost_classes":$classes,$calJson}"""
@@ -161,6 +189,15 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fileLine + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    // the driver's stdout capture keeps only the LAST ~2000 chars, so
+    // the full per-query line above has had its head cut off in every
+    // round's root BENCH_rNN.json ("parsed": null, VERDICT r18 item 3).
+    // Print a LAST line small enough to survive the tail window: all
+    // headline fields + calibration timeline, per-query detail pointed
+    // at by detail_file (committed under bench_artifacts/).
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""sf":"$sfDir","n_ok":${ok.size},"n_failed":${failed.size},""" +
+      s""""detail_file":${jstr(out)},$calJson}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries FAILED: " +

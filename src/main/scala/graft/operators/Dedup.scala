@@ -683,11 +683,14 @@ object Dedup {
     // short-circuit: broadcastMaxNodes = 0 explicitly requests the pure
     // shuffle path (the q269 forced-path contract, gate-flip fuzz) — do
     // not pay a driver count() action just to compare against 0.
-    // a failed gate action must release the persisted edges, not leak
-    // them for the session (same failure-path contract as bpeMerges)
+    // a failed gate action must release the persisted edges AND the
+    // eagerly-materialized labels checkpoint (|V| rows), not leak either
+    // for the session (same failure-path contract as bpeMerges; the
+    // residual-failure path below already releases its checkpoint)
     val bcastLabels =
       try broadcastMaxNodes > 0 && labels.count() <= broadcastMaxNodes
-      catch { case t: Throwable => edges0.unpersist(); throw t }
+      catch { case t: Throwable =>
+        Df.unpersistAny(labels); edges0.unpersist(); throw t }
     def hint(d: DataFrame): DataFrame = if (bcastLabels) broadcast(d) else d
     // shuffle mode only: re-layout the persisted edges by dst ONCE (the
     // pageRank move). distinct() leaves (src,dst) hash partitioning,
@@ -706,9 +709,11 @@ object Dedup {
         val byDst = edges0.repartition(col("dst")).persist(lvl)
         try byDst.count()
         catch { case t: Throwable =>
-          // release BOTH copies on a failed re-layout — otherwise 2x|E|
-          // rows of dead MEMORY_AND_DISK blocks outlive the exception
-          byDst.unpersist(); edges0.unpersist(); throw t
+          // release BOTH edge copies AND the labels checkpoint on a
+          // failed re-layout — otherwise 2x|E| + |V| rows of dead
+          // MEMORY_AND_DISK blocks outlive the exception
+          Df.unpersistAny(labels); byDst.unpersist(); edges0.unpersist()
+          throw t
         }
         edges0.unpersist()
         byDst

@@ -135,8 +135,27 @@ object Graphs {
         rank = cut
       }
     }
-    new Df(rank.select(col("node"), round(col("rank"), 8).as("rank")))
-      .retaining((eNorm :: nodes :: prevCut.toList): _*)
+    val result = rank.select(col("node"), round(col("rank"), 8).as("rank"))
+    if (bcast) {
+      // below the gate the whole ≤chainDepth-step recurrence is one
+      // cheap broadcast-join plan; lazy return lets a single-action
+      // caller pay exactly one job and Bench time the real plan.
+      new Df(result).retaining((eNorm :: nodes :: prevCut.toList): _*)
+    } else {
+      // above the gate a lazy return would make EVERY caller action
+      // recompute up to chainDepth shuffle iterations (rank exchange +
+      // dst-keyed agg + nodes join each) — the pre-r18 shuffle mode
+      // returned a materialized table and multi-action consumers relied
+      // on it (ADVICE r18). One |V|-row persist+count here restores
+      // that contract; the superseded cut is then dead and released.
+      val fin = result.persist(lvl)
+      try fin.count()
+      catch { case t: Throwable =>
+        fin.unpersist(); eNorm.unpersist(); nodes.unpersist()
+        prevCut.foreach(_.unpersist()); throw t }
+      prevCut.foreach(_.unpersist())
+      new Df(fin).retaining(eNorm, nodes, fin)
+    }
   }
 
   /** Consecutive-pair edge extraction: order rows per `groupCol` by

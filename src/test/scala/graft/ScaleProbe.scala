@@ -28,28 +28,32 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    @volatile var shufWrite = 0L
-    @volatile var shufRead = 0L
+    // AtomicLong, not `@volatile var += ...`: the += is a non-atomic
+    // read-modify-write that only happens to be safe while the shared
+    // listener bus drains on a single thread — a dedicated listener
+    // queue would silently undercount (ADVICE r18).
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shufRead = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val m = s.stageInfo.taskMetrics
         if (m != null) {
-          shufWrite += m.shuffleWriteMetrics.bytesWritten
-          shufRead += m.shuffleReadMetrics.totalBytesRead
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         }
       }
     }
     spark.sparkContext.addSparkListener(listener)
 
     def measure(name: String)(body: => Long): Unit = {
-      shufWrite = 0L; shufRead = 0L
+      shufWrite.set(0L); shufRead.set(0L)
       val t0 = System.nanoTime()
       val rows = body
       val wall = (System.nanoTime() - t0) / 1e9
       org.apache.spark.GraftListenerBusSync.waitUntilEmpty(spark.sparkContext)
       println(f"[probe] $name: wall=$wall%.1fs rows=$rows " +
-        f"shuffle_write=${shufWrite / 1e6}%.1fMB shuffle_read=${shufRead / 1e6}%.1fMB")
+        f"shuffle_write=${shufWrite.get / 1e6}%.1fMB shuffle_read=${shufRead.get / 1e6}%.1fMB")
       graft.api.Df.releaseRetained()
       spark.catalog.clearCache()
     }
