@@ -196,7 +196,26 @@ object GroupedScan {
     // ONE RDD for both jobs: the range exchange is computed once and
     // reused (job 2's shuffle dependency is satisfied from job 1's
     // shuffle files — only the post-shuffle sort re-executes).
-    val rdd = ranged.rdd
+    // SPARK_GRAFT_SCAN_PERSIST=1 additionally caches the SORTED
+    // partitions (DataFrame-level persist → compressed columnar cached
+    // batches, MEMORY_AND_DISK) so pass 2 skips the shuffle read and
+    // the re-sort, at the cost of a second cached copy of the input —
+    // blocks drain via Df.releaseRetained like every operator persist.
+    // Cached partitions replay pass 1's exact row order; an evicted
+    // block re-sorts with the frozen tie column to the identical order.
+    // (An RDD[Row]-level persist was tried first and ruled out: 50M-row
+    // Java-serialized Row blocks trip a BlockManager put AssertionError
+    // under memory pressure on 4.1 — BENCHLOG r19.) The InternalRow→Row
+    // conversion is inherently per-pass either way. Default OFF pending
+    // the ScaleProbe A/B (BENCHLOG r19).
+    val rdd = {
+      if (sys.env.get("SPARK_GRAFT_SCAN_PERSIST").contains("1")) {
+        val p = ranged.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.api.Df.retainFrame(p)
+        p.rdd
+      } else ranged.rdd
+    }
     val nKernels = kernels.length
 
     // ---- pass 1: per-partition state of the LAST group ----
@@ -528,6 +547,16 @@ object GroupedScan {
     }
   }
 
+  /** Rolling state for the SLIDING verbs (count + integral/decimal
+    * sum/mean): the last-≤k ring plus running non-null count and exact
+    * sum, maintained O(1) per row instead of re-filtering and re-summing
+    * k values per emitted row (VERDICT r18 item 5 — the O(n·k) constant
+    * factor at large k). Immutable on purpose: carry states are shared
+    * between the driver fold and every replay partition via a shallow
+    * Array.clone. Exactly ONE of lsum/dsum is live per kernel. */
+  private final case class RollSt(ring: Vector[Any], nn: Long,
+                                  lsum: Long, dsum: java.math.BigDecimal)
+
   /** lag(k): state = last ≤k raw values (nulls carried like SQL lag) */
   private final class ShiftKernel(idx: Int, dt: DataType, k: Int)
     extends Kernel {
@@ -638,13 +667,81 @@ object GroupedScan {
       case _       => StructField(n, dt, nullable = true)
     }
 
+    // O(1) sliding updates where they are EXACT and therefore
+    // bit-identical to the per-row recompute: count (any dtype),
+    // integral sum/mean (Long running sum, LOUD overflow like the
+    // recompute's addExact), decimal sum/mean (BigDecimal). float/
+    // double sum/mean deliberately KEEP the O(k) recompute — a
+    // subtractive running double sum re-associates the addition and
+    // would break the ulp-exact ScanSpec pin against the SQL window,
+    // which re-sums each frame left-to-right. min/max/var/std also
+    // recompute over the ≤k ring (var/std need the two-pass centered
+    // form for stability; min/max eviction would need a deque for a
+    // small-constant win).
+    private val sliding =
+      agg == "count" || ((agg == "sum" || agg == "mean") && !isFloating)
+    private val zero =
+      if (isDecimal) java.math.BigDecimal.ZERO else null
+
+    private def slideAppend(st: AnyRef, v: Any): RollSt = {
+      val s = if (st == null) RollSt(Vector.empty, 0L, 0L, zero)
+      else st.asInstanceOf[RollSt]
+      var nn = s.nn; var ls = s.lsum; var ds = s.dsum
+      if (s.ring.length == k) {
+        val e = s.ring.head
+        if (e != null) {
+          nn -= 1
+          if (agg != "count") {
+            if (isDecimal) ds = ds.subtract(e.asInstanceOf[java.math.BigDecimal])
+            else ls = Math.subtractExact(ls, e.asInstanceOf[Number].longValue())
+          }
+        }
+      }
+      if (v != null) {
+        nn += 1
+        if (agg != "count") {
+          if (isDecimal) ds = ds.add(v.asInstanceOf[java.math.BigDecimal])
+          else ls = Math.addExact(ls, v.asInstanceOf[Number].longValue())
+        }
+      }
+      RollSt((s.ring :+ v).takeRight(k), nn, ls, ds)
+    }
+    private def fromRing(ring: Vector[Any]): RollSt = {
+      var nn = 0L; var ls = 0L; var ds = zero
+      ring.foreach { v =>
+        if (v != null) {
+          nn += 1
+          if (agg != "count") {
+            if (isDecimal) ds = ds.add(v.asInstanceOf[java.math.BigDecimal])
+            else ls = Math.addExact(ls, v.asInstanceOf[Number].longValue())
+          }
+        }
+      }
+      RollSt(ring, nn, ls, ds)
+    }
+    private def evalSliding(s: RollSt): Any = agg match {
+      case "count" => s.nn
+      case "sum" =>
+        if (s.nn == 0) null else if (isDecimal) s.dsum else s.lsum
+      case "mean" =>
+        if (s.nn == 0) null
+        else if (isDecimal) s.dsum.doubleValue() / s.nn
+        else s.lsum.toDouble / s.nn
+    }
+
     def step(st: AnyRef, row: Row): (AnyRef, Any) = {
-      val nb = advance(st, row).asInstanceOf[Vector[Any]]
-      (nb, eval(nb))
+      val ns = advance(st, row)
+      val out = if (sliding) evalSliding(ns.asInstanceOf[RollSt])
+      else eval(ns.asInstanceOf[Vector[Any]])
+      (ns, out)
     }
     override def advance(st: AnyRef, row: Row): AnyRef =
-      Ring.append(st, row.get(idx), k)
-    def merge(a: AnyRef, b: AnyRef): AnyRef = Ring.merge(a, b, k)
+      if (sliding) slideAppend(st, row.get(idx))
+      else Ring.append(st, row.get(idx), k)
+    def merge(a: AnyRef, b: AnyRef): AnyRef =
+      if (sliding) fromRing(Ring.merge(a.asInstanceOf[RollSt].ring,
+        b.asInstanceOf[RollSt].ring, k).asInstanceOf[Vector[Any]])
+      else Ring.merge(a, b, k)
 
     private def eval(buf: Vector[Any]): Any = {
       val vs = buf.filter(_ != null)

@@ -46,7 +46,12 @@ object ScaleProbe {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    // SPARK_GRAFT_PROBE_ONLY=substring[,substring...] runs matching legs
+    // only (cheap single-leg A/Bs); unset = all legs (the round gate)
+    val onlyLegs = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def measure(name: String)(body: => Long): Unit = {
+      if (!onlyLegs.forall(_.exists(name.contains))) return
       shufWrite.set(0L); shufRead.set(0L)
       val t0 = System.nanoTime()
       val rows = body
@@ -123,6 +128,34 @@ object ScaleProbe {
         nMerges = 6)
       val rows = m.sdf.count()
       assert(rows == 6L, s"merge rows=$rows")
+      rows
+    }
+
+    // --- scanKeyless 5-verb batch, 50M rows (VERDICT r18 item 6) ------
+    // q268_scan_batch is the worst non-streaming sf1 ratio (7.2x on 10x
+    // data); this leg gives the range-exchange + two-post-shuffle-sort
+    // protocol a far-side datapoint like the three gates have. The
+    // k=512 rolling verbs also exercise the r19 O(1) sliding kernel at
+    // k >> 8 (the regime where the old O(n*k) re-sum actually bit).
+    // Order key = a hashed permutation of id, so the range exchange
+    // does real redistribution work, not a presorted no-op.
+    val big = spark.range(50000000L).select(
+      pmod(hash(col("id")), lit(1000000007L)).as("ok"),
+      col("id"),
+      (col("id") % 997L).as("v"),
+      (col("id") % 10007L).cast("double").as("d"))
+    measure("scanKeyless 5-verb batch, 50M rows (k=512 rolling)") {
+      val scanned = new graft.api.Df(big)
+        .scanKeyless(Seq("ok", "id"))(_
+          .cumsum("v", "cs")
+          .rolling("v", 512, "mean", "rm")
+          .rolling("v", 512, "count", "rc")
+          .shift("v", "sh", 1)
+          .diff("d", "df", 1))
+      val out = scanned.sdf.agg(count(lit(1)).as("n"),
+        sum(col("rc")).as("rcs")).head()
+      val rows = out.getLong(0)
+      assert(rows == 50000000L, s"rows=$rows")
       rows
     }
 
