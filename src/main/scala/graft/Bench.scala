@@ -41,45 +41,15 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] warm-up pass FAILED " +
         s"(timings may be cold-cache): ${e.getClass.getName}") }
-    // host-calibration workload: a FIXED seeded synthetic sort+agg+join
-    // touching no test data, timed at bench start and end. The r17
-    // incident: identical code measured 185.8 -> 214.8 s (sf0.1) within
-    // one session purely from host drift, and cross-round totals became
+    // host-calibration workload (graft.HostCal — shared with
+    // ScaleProbe), timed at bench start and end. The r17 incident:
+    // identical code measured 185.8 -> 214.8 s (sf0.1) within one
+    // session purely from host drift, and cross-round totals became
     // uninterpretable. Reporting each round's total ALONGSIDE its
     // calibration lets the judge separate host drift from code drift:
     // (total_r18 / cal_r18) vs (total_r17 / cal_r17) is host-normalized.
-    // The workload exercises the machinery the suite spends its time in
-    // — exchange, SORT (a merge-hinted join forces sort-merge on both
-    // sides instead of auto-broadcasting the 4096-row agg, plus a
-    // window whose sort the optimizer cannot eliminate), window lag,
-    // and partial+final hash agg — with zero I/O so disk-cache state
-    // can't skew it. A naive orderBy-under-aggregate would be defeated
-    // by Catalyst (EliminateSorts drops an order-irrelevant Sort below
-    // an Aggregate — the r18 self-review finding): probe plans must be
-    // checked against the optimizer, not assumed.
-    // Each probe is a min-of-2 back-to-back executions: single-shot
-    // probes measured 2.9 vs 1.3 s for the same workload within one r18
-    // run (JIT + allocator noise) — the min of two adjacent runs is the
-    // host's actual current speed.
-    def calibrate(): Double = (1 to 2).map { _ => calibrateOnce() }.min
-    def calibrateOnce(): Double = {
-      import org.apache.spark.sql.functions._
-      val c = org.apache.spark.sql.functions.col _
-      val t0 = System.nanoTime()
-      val base = spark.range(10000000L).select(c("id"),
-        pmod(hash(c("id")), lit(4096)).as("k"),
-        (c("id") * 2654435761L % 1000003L).as("v"))
-      val agg = base.groupBy("k")
-        .agg(sum("v").as("sv"), count(lit(1)).as("c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(c("k")).orderBy(c("v"), c("id"))
-      base.join(agg.hint("merge"), "k")
-        .select(c("k"), c("v"), c("sv"), lag(c("v"), 1).over(w).as("pv"))
-        .groupBy("k")
-        .agg(sum(c("v") + c("sv") - coalesce(c("pv"), lit(0L))).as("s"))
-        .agg(sum(c("s")).as("t")).head()
-      (System.nanoTime() - t0) / 1e9
-    }
+    def calibrate(): Double = HostCal.minOf2(spark)
+    def calibrateOnce(): Double = HostCal.once(spark)
     val calStart = calibrate()
     // min of SPARK_GRAFT_REPS repetitions per query: this host shows
     // broad multi-second swings on identical plans (noisy neighbors /

@@ -52,12 +52,17 @@ object ScaleProbe {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def measure(name: String)(body: => Long): Unit = {
       if (!onlyLegs.forall(_.exists(name.contains))) return
+      // per-leg host calibration (graft.HostCal, same probe as Bench):
+      // probe walls drifted 34.2 -> 40.5 s on IDENTICAL CC code between
+      // r18 and r19 runs — without a normalizer the gate record reads
+      // as a regression. min-of-2 right before the leg.
+      val cal = HostCal.minOf2(spark)
       shufWrite.set(0L); shufRead.set(0L)
       val t0 = System.nanoTime()
       val rows = body
       val wall = (System.nanoTime() - t0) / 1e9
       org.apache.spark.GraftListenerBusSync.waitUntilEmpty(spark.sparkContext)
-      println(f"[probe] $name: wall=$wall%.1fs rows=$rows " +
+      println(f"[probe] $name: wall=$wall%.1fs cal=$cal%.2f rows=$rows " +
         f"shuffle_write=${shufWrite.get / 1e6}%.1fMB shuffle_read=${shufRead.get / 1e6}%.1fMB")
       graft.api.Df.releaseRetained()
       spark.catalog.clearCache()
