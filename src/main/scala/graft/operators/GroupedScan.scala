@@ -557,6 +557,16 @@ object GroupedScan {
   private final case class RollSt(ring: Vector[Any], nn: Long,
                                   lsum: Long, dsum: java.math.BigDecimal)
 
+  /** Rolling state for SLIDING min/max (r19, the other half of VERDICT
+    * r18 item 5): the last-≤k ring plus the monotone candidate deque —
+    * front = current window extremum; candidates strictly dominated by
+    * a newer value are popped on append; EQUAL values each keep their
+    * own entry, so dropping the front when the evicted row compares
+    * equal to it is duplicate-safe (the front is always the oldest
+    * alive candidate). Amortized O(1) per row vs the old O(k) ring
+    * re-scan; results are the exact same window extrema. */
+  private final case class MinMaxSt(ring: Vector[Any], cand: Vector[Any])
+
   /** lag(k): state = last ≤k raw values (nulls carried like SQL lag) */
   private final class ShiftKernel(idx: Int, dt: DataType, k: Int)
     extends Kernel {
@@ -680,8 +690,38 @@ object GroupedScan {
     // small-constant win).
     private val sliding =
       agg == "count" || ((agg == "sum" || agg == "mean") && !isFloating)
+    private val slidingMinMax = agg == "min" || agg == "max"
     private val zero =
       if (isDecimal) java.math.BigDecimal.ZERO else null
+
+    // monotonic-deque sliding min/max (see MinMaxSt): dir flips the
+    // domination test; cmp is the same total order the ring re-scan
+    // used, so outputs are bit-identical
+    private val mmDir = if (agg == "max") 1 else -1
+    private def mmAppend(st: AnyRef, v: Any): MinMaxSt = {
+      val s = if (st == null) MinMaxSt(Vector.empty, Vector.empty)
+      else st.asInstanceOf[MinMaxSt]
+      var cand = s.cand
+      if (s.ring.length == k) {
+        val e = s.ring.head
+        if (e != null && cand.nonEmpty && cmp(e, cand.head) == 0)
+          cand = cand.tail
+      }
+      if (v != null) {
+        while (cand.nonEmpty && cmp(cand.last, v) * mmDir < 0)
+          cand = cand.init
+        cand = cand :+ v
+      }
+      MinMaxSt((s.ring :+ v).takeRight(k), cand)
+    }
+    private def mmFromRing(ring: Vector[Any]): MinMaxSt = {
+      // replay the ring (≤ k values) through the deque; the growing
+      // ring never reaches k mid-replay, so no spurious evictions
+      var st: AnyRef = null
+      ring.foreach { v => st = mmAppend(st, v) }
+      if (st == null) MinMaxSt(Vector.empty, Vector.empty)
+      else st.asInstanceOf[MinMaxSt]
+    }
 
     private def slideAppend(st: AnyRef, v: Any): RollSt = {
       val s = if (st == null) RollSt(Vector.empty, 0L, 0L, zero)
@@ -731,28 +771,32 @@ object GroupedScan {
 
     def step(st: AnyRef, row: Row): (AnyRef, Any) = {
       val ns = advance(st, row)
-      val out = if (sliding) evalSliding(ns.asInstanceOf[RollSt])
-      else eval(ns.asInstanceOf[Vector[Any]])
+      val out =
+        if (sliding) evalSliding(ns.asInstanceOf[RollSt])
+        else if (slidingMinMax) {
+          val c = ns.asInstanceOf[MinMaxSt].cand
+          if (c.isEmpty) null else c.head
+        }
+        else eval(ns.asInstanceOf[Vector[Any]])
       (ns, out)
     }
     override def advance(st: AnyRef, row: Row): AnyRef =
       if (sliding) slideAppend(st, row.get(idx))
+      else if (slidingMinMax) mmAppend(st, row.get(idx))
       else Ring.append(st, row.get(idx), k)
     def merge(a: AnyRef, b: AnyRef): AnyRef =
       if (sliding) fromRing(Ring.merge(a.asInstanceOf[RollSt].ring,
         b.asInstanceOf[RollSt].ring, k).asInstanceOf[Vector[Any]])
+      else if (slidingMinMax)
+        mmFromRing(Ring.merge(a.asInstanceOf[MinMaxSt].ring,
+          b.asInstanceOf[MinMaxSt].ring, k).asInstanceOf[Vector[Any]])
       else Ring.merge(a, b, k)
 
     private def eval(buf: Vector[Any]): Any = {
+      // reached only for the verbs without an exact sliding form:
+      // float/double sum/mean (associativity pin) and var/std (two-pass)
       val vs = buf.filter(_ != null)
       agg match {
-        case "count" => vs.length.toLong
-        case "min" | "max" =>
-          if (vs.isEmpty) null
-          else {
-            val dir = if (agg == "max") 1 else -1
-            vs.reduce((x, y) => if (cmp(y, x) * dir > 0) y else x)
-          }
         case "var" | "std" =>
           // var_samp/stddev_samp window edge contract: 0 or 1 non-null
           // → null (Spark's CentralMomentAgg with ddof=1, non-legacy —

@@ -164,6 +164,22 @@ object ScaleProbe {
       rows
     }
 
+    // --- rolling min/max deque, 50M rows, k=512 (r19) -----------------
+    // focused datapoint for the monotonic-deque kernel: min+max only,
+    // so the wall isolates the extremum verbs' cost on top of the
+    // shared protocol (compare against the 5-verb leg above).
+    measure("rollingMinMax 50M rows k=512 (deque)") {
+      val scanned = new graft.api.Df(big)
+        .scanKeyless(Seq("ok", "id"))(_
+          .rolling("v", 512, "min", "rmn")
+          .rolling("v", 512, "max", "rmx"))
+      val out = scanned.sdf.agg(count(lit(1)).as("n"),
+        sum(col("rmx") - col("rmn")).as("spread")).head()
+      val rows = out.getLong(0)
+      assert(rows == 50000000L, s"rows=$rows")
+      rows
+    }
+
     spark.stop()
   }
 }

@@ -287,6 +287,40 @@ class ScanSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling min/max deque: heavy duplicates + nulls, k=16 ≡ window, groups spanning 9 partitions") {
+    // dedicated r19 pin for the monotonic-deque kernel: values from a
+    // TINY domain (0..3, so the deque holds long runs of equal
+    // candidates and evict-by-front-equality fires constantly) plus
+    // nulls, k larger than most group runs (all-window states), one
+    // group spanning many partitions (carry rebuild via mmFromRing)
+    import org.apache.spark.sql.expressions.Window
+    val dupGen: Gen[List[Row]] = Gen.choose(0, 120).flatMap { n =>
+      Gen.listOfN(n, for {
+        g <- Gen.choose(0, 1)
+        o <- Gen.choose(0, 3)
+        v <- Gen.option(Gen.choose(0, 3).map(_.toDouble))
+      } yield (g, o, v))
+    }.map(_.zipWithIndex.map { case ((g, o, v), i) =>
+      Row(i.toLong, g, o, v.orNull, null, null)
+    })
+    trials(dupGen, n = 6) { xs =>
+      val df = mkDf(xs)
+      val k = 16
+      val scan = df.groupby("g").scanScalable(Seq("o", "id"), Seq(
+        GroupedScan.Rolling("v", k, "min", "rmin"),
+        GroupedScan.Rolling("v", k, "max", "rmax")), numPartitions = 9)
+      val w = Window.partitionBy("g").orderBy(col("o").asc, col("id").asc)
+        .rowsBetween(-(k - 1), 0)
+      val win = df.sdf
+        .withColumn("rmin", min(col("v")).over(w))
+        .withColumn("rmax", max(col("v")).over(w))
+      def wm(c: String): Map[Long, Any] = win.select("id", c).collect()
+        .map(r => r.getLong(0) -> r.get(1)).toMap
+      assert(byId(scan, "rmin") == wm("rmin"))
+      assert(byId(scan, "rmax") == wm("rmax"))
+    }
+  }
+
   test("ewm: scalable ≡ driver-side sequential recurrence across partition carries") {
     trials(rowsGen, n = 6) { xs =>
       val df = mkDf(xs)
