@@ -1416,13 +1416,6 @@ object Df {
     * per query; long-lived embedders should do the same. */
   private[api] val retainedRegistry =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
-  /** RDD-level companion to [[retainedRegistry]] for operators that
-    * persist a raw RDD (the GroupedScan sorted-pass reuse) — same
-    * strong-reference / drain-on-release contract. */
-  private[graft] val retainedRdds =
-    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]
-  private[graft] def retainRdd(r: org.apache.spark.rdd.RDD[_]): Unit =
-    retainedRdds.add(r)
   /** register an operator-persisted frame for the global drain without
     * constructing a throwaway Df (the static face of [[Df.retaining]]) */
   private[graft] def retainFrame(f: DataFrame): Unit =
@@ -1433,8 +1426,6 @@ object Df {
   def releaseRetained(): Unit = {
     var f = retainedRegistry.poll()
     while (f != null) { unpersistAny(f); f = retainedRegistry.poll() }
-    var r = retainedRdds.poll()
-    while (r != null) { r.unpersist(); r = retainedRdds.poll() }
   }
 
   /** Storage-aware unpersist. `Dataset.unpersist` only releases

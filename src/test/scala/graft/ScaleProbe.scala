@@ -50,6 +50,11 @@ object ScaleProbe {
     // only (cheap single-leg A/Bs); unset = all legs (the round gate)
     val onlyLegs = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // machine-readable record of the per-round gate (VERDICT r18 item
+    // 4): one JSON object per leg, written to SPARK_GRAFT_PROBE_OUT at
+    // exit, so a gate-path regression shows up as an artifact diff
+    val legRecords = scala.collection.mutable.ArrayBuffer[String]()
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     def measure(name: String)(body: => Long): Unit = {
       if (!onlyLegs.forall(_.exists(name.contains))) return
       // per-leg host calibration (graft.HostCal, same probe as Bench):
@@ -64,6 +69,9 @@ object ScaleProbe {
       org.apache.spark.GraftListenerBusSync.waitUntilEmpty(spark.sparkContext)
       println(f"[probe] $name: wall=$wall%.1fs cal=$cal%.2f rows=$rows " +
         f"shuffle_write=${shufWrite.get / 1e6}%.1fMB shuffle_read=${shufRead.get / 1e6}%.1fMB")
+      legRecords += s"""{"leg":${jstr(name)},"wall_sec":$wall,""" +
+        s""""cal_sec":$cal,"rows":$rows,"shuffle_write_bytes":${shufWrite.get},""" +
+        s""""shuffle_read_bytes":${shufRead.get}}"""
       graft.api.Df.releaseRetained()
       spark.catalog.clearCache()
     }
@@ -180,6 +188,12 @@ object ScaleProbe {
       rows
     }
 
+    sys.env.get("SPARK_GRAFT_PROBE_OUT").foreach { out =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+        legRecords.mkString("{\"legs\":[", ",", "]}\n"))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[probe] could not write $out: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }
