@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through RAW (no "[info] " prefix) and
+// drop sbt's "[success] Total time" trailer: the driver parses Bench's
+// stdout for the final JSON line, and three rounds of root BENCH_rNN.json
+// came back "parsed": null because every JSON line was prefixed by sbt's
+// logger and followed by the [success] line (VERDICT r19 item 3).
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

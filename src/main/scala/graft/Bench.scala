@@ -124,6 +124,15 @@ object Bench {
     val classes = fixedCostClass.toSeq.sortBy(_._1)
       .map { case (k, c) => jstr(k) + ":" + jstr(c) }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    // cost-class split (VERDICT r19 item 5): the 18 staged-files streaming
+    // queries pay a fixed per-trigger harness cost that scales with FILE
+    // COUNT, not data volume, and dominates the sf1 10x slope. Reporting
+    // batch-only and staged-only totals makes the batch slope — the number
+    // that actually predicts 100x behavior — directly readable; BASELINE.md
+    // defines the scaling gate on total_batch.
+    val totalStaged = ok.filter(r => fixedCostClass.contains(r._1)).map(_._2).sum
+    val totalBatch = total - totalStaged
+    val splitJson = s""""total_batch":$totalBatch,"total_staged":$totalStaged"""
     val calEnd = calibrate()
     calSamples += ((toRun.size, calEnd))
     // min of the two probes = the host's best observed speed this run;
@@ -141,7 +150,7 @@ object Bench {
       s""""calibration_samples":$samplesJson"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","n_ok":${ok.size},"n_failed":${failed.size},"failed":$fs,""" +
-      s""""fixed_cost_classes":$classes,$calJson}"""
+      s""""fixed_cost_classes":$classes,$splitJson,$calJson}"""
     println(line)
     // the driver's log capture truncates long tails (BENCH_r06 kept only
     // 61/125 per-query timings and lost the total) — persist a FULL
@@ -154,7 +163,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val fileLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""n_ok":${ok.size},"n_failed":${failed.size},"queries":$detail,""" +
-      s""""sf":"$sfDir",$calJson}"""
+      s""""sf":"$sfDir",$splitJson,$calJson}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fileLine + "\n")
     catch { case scala.util.control.NonFatal(e) =>
@@ -164,10 +173,14 @@ object Bench {
     // round's root BENCH_rNN.json ("parsed": null, VERDICT r18 item 3).
     // Print a LAST line small enough to survive the tail window: all
     // headline fields + calibration timeline, per-query detail pointed
-    // at by detail_file (committed under bench_artifacts/).
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    // at by detail_file (committed under bench_artifacts/). Tagged
+    // "total_summary", NOT "total": two same-tag lines made any
+    // grep-for-marker tooling nondeterministic (ADVICE r19). Combined
+    // with build.sbt's StdoutOutput + showSuccess:=false this line is
+    // now the literal last line of the sbt run's stdout, bare JSON.
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec",""" +
       s""""sf":"$sfDir","n_ok":${ok.size},"n_failed":${failed.size},""" +
-      s""""detail_file":${jstr(out)},$calJson}""")
+      s""""detail_file":${jstr(out)},$splitJson,$calJson}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries FAILED: " +

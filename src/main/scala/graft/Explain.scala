@@ -54,36 +54,12 @@ object Explain {
       scanLines.foreach { l => any = true; println("  " + l) }
       if (!any) println("  (no file scans in this plan)")
       // exchange census: shuffle count is the first thing to eyeball
-      // for would-this-survive-100x (each Exchange is a full shuffle)
-      // census on the physical TREE, not the formatted string: formatted
-      // mode expands every InMemoryRelation's cached lineage for display
-      // (a materialized pageRank showed 275 string "Exchange"s for a
-      // plan whose real work is one sort over a cached scan). Cached
-      // scans and nested AQE wrappers are leaves in the tree, so the
-      // walk counts only work an action would actually run; descent
-      // stops at InMemoryTableScan (cached — not re-executed).
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-      import org.apache.spark.sql.execution.exchange.{
-        BroadcastExchangeLike, ShuffleExchangeLike}
-      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-      def unwrap(p: SparkPlan): SparkPlan = p match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case other => other
-      }
-      def census(p0: SparkPlan): (Int, Int, Int) = {
-        val p = unwrap(p0)
-        val self = p match {
-          case _: ShuffleExchangeLike => (1, 0, 0)
-          case _: BroadcastExchangeLike => (0, 1, 0)
-          case _: InMemoryTableScanExec => (0, 0, 1)
-          case _ => (0, 0, 0)
-        }
-        p.children.map(census).foldLeft(self) { case ((a, b, c), (x, y, z)) =>
-          (a + x, b + y, c + z)
-        }
-      }
-      val (sh, bc, mem) = census(df.queryExecution.executedPlan)
+      // for would-this-survive-100x (each Exchange is a full shuffle).
+      // Tree-walk semantics (cached-scan leaves, AQE unwrap, subquery
+      // fold-in) live in graft.PlanCensus, shared with the per-round
+      // plan-fingerprint artifact (graft.Plans).
+      val c = PlanCensus.of(df)
+      val (sh, bc, mem) = (c.shuffleExchanges, c.broadcastExchanges, c.cachedScans)
       // formatted mode tags operators with "[codegen id : N]" — distinct
       // ids = whole-stage codegen spans. An UNEXECUTED AdaptiveSparkPlan
       // carries no codegen ids yet, so report n/a rather than a

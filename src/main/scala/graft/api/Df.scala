@@ -558,8 +558,14 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     * verbs exactly (ScanSpec pins the batch ≡ the INDEPENDENT-verb
     * chain differentially). Same eager caveat as the single keyless
     * verbs; order-key ties take one consistent arbitrary order
-    * (DIVERGENCES #1). */
-  def scanKeyless(orderKeys: Seq[String])(
+    * (DIVERGENCES #1). `persistSorted`: Some(true) caches the sorted
+    * partitions so the protocol's second pass skips the shuffle read +
+    * re-sort, Some(false) forces the two-pass re-fetch, None (default)
+    * defers to the SPARK_GRAFT_SCAN_PERSIST env var — per-call because
+    * one session can mix page-cache-resident scans with scans whose
+    * shuffle files outrun it (VERDICT r19 item 7). */
+  def scanKeyless(orderKeys: Seq[String],
+                  persistSorted: Option[Boolean] = None)(
       build: Df.KeylessScanBatch => Df.KeylessScanBatch): Df = {
     import graft.operators.GroupedScan
     val specs = build(new Df.KeylessScanBatch(Nil)).specs.reverse
@@ -599,7 +605,7 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
       o -> (if (sdf.columns.contains(o)) s"__graft_out_$o" else o)).toMap
     val verbs = specs.map(s => s.mk(widen.getOrElse(s.in, s.in), outName(s.out)))
     val scanned = GroupedScan.scan(src, Nil,
-      orderKeys.map(_ -> !revs.head), verbs)
+      orderKeys.map(_ -> !revs.head), verbs, persistSorted = persistSorted)
     val restored = specs.map(_.out).foldLeft(scanned) { (d, o) =>
       val t = outName(o)
       if (t == o) d else d.withColumn(o, d(t)).drop(t)

@@ -325,15 +325,25 @@ final class GroupedDf private[api] (
     * dominates (skew). All verbs in one call share a single sort. */
   def scanScalable(orderKeys: Seq[String],
                    verbs: Seq[graft.operators.GroupedScan.Verb],
-                   numPartitions: Int = 0): Df =
-    scanScalableOrdered(orderKeys.map(_ -> true), verbs, numPartitions)
+                   numPartitions: Int = 0,
+                   persistSorted: Option[Boolean] = None): Df =
+    scanScalableOrdered(orderKeys.map(_ -> true), verbs, numPartitions,
+      persistSorted)
 
-  /** [[scanScalable]] with per-key sort direction (name → ascending?) */
+  /** [[scanScalable]] with per-key sort direction (name → ascending?).
+    * `persistSorted` — Some(true) caches the sorted partitions so the
+    * protocol's second pass skips the shuffle read + re-sort (one extra
+    * cached copy of the input; worthwhile when the shuffle files outrun
+    * the page cache), Some(false) forces the two-pass re-fetch, None
+    * (default) defers to the SPARK_GRAFT_SCAN_PERSIST env var. The
+    * single-verb convenience wrappers (cumsumScalable, …) use the
+    * default — batch multi-verb calls are where the choice pays. */
   def scanScalableOrdered(orderKeys: Seq[(String, Boolean)],
                           verbs: Seq[graft.operators.GroupedScan.Verb],
-                          numPartitions: Int = 0): Df =
+                          numPartitions: Int = 0,
+                          persistSorted: Option[Boolean] = None): Df =
     dfOut(graft.operators.GroupedScan.scan(
-      sdf, keys, orderKeys, verbs, numPartitions))
+      sdf, keys, orderKeys, verbs, numPartitions, persistSorted))
 
   def cumsumScalable(valueCol: String, orderKeys: Seq[String],
                      out: String = "cumsum"): Df =

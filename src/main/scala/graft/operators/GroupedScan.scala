@@ -145,7 +145,8 @@ object GroupedScan {
     * verb; row order of the result is the scan order. */
   def scan(df: DataFrame, groupKeys: Seq[String],
            orderKeys: Seq[(String, Boolean)], verbs: Seq[Verb],
-           numPartitions: Int = 0): DataFrame = {
+           numPartitions: Int = 0,
+           persistSorted: Option[Boolean] = None): DataFrame = {
     require(orderKeys.nonEmpty, "scan: orderKeys required")
     require(verbs.nonEmpty, "scan: at least one verb")
     val in = df.schema
@@ -208,8 +209,13 @@ object GroupedScan {
     // under memory pressure on 4.1 — BENCHLOG r19.) The InternalRow→Row
     // conversion is inherently per-pass either way. Default OFF pending
     // the ScaleProbe A/B (BENCHLOG r19).
+    // Per-call `persistSorted` (VERDICT r19 item 7) overrides the
+    // process-global env var: a caller mixing small and huge scans in
+    // one session chooses per call; the env var stays the default so
+    // the bench A/B knob keeps working unchanged.
     val rdd = {
-      if (sys.env.get("SPARK_GRAFT_SCAN_PERSIST").contains("1")) {
+      if (persistSorted.getOrElse(
+          sys.env.get("SPARK_GRAFT_SCAN_PERSIST").contains("1"))) {
         val p = ranged.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         graft.api.Df.retainFrame(p)

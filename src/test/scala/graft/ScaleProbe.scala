@@ -62,6 +62,11 @@ object ScaleProbe {
       // r18 and r19 runs — without a normalizer the gate record reads
       // as a regression. min-of-2 right before the leg.
       val cal = HostCal.minOf2(spark)
+      // drain the listener bus BEFORE resetting the counters: the HostCal
+      // probe's async SparkListenerStageCompleted events would otherwise
+      // race the reset and leak the probe's shuffle bytes into this leg's
+      // record (ADVICE r19).
+      org.apache.spark.GraftListenerBusSync.waitUntilEmpty(spark.sparkContext)
       shufWrite.set(0L); shufRead.set(0L)
       val t0 = System.nanoTime()
       val rows = body
@@ -76,50 +81,61 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
-    // --- connectedComponents, |V| = 1M (4x the 250k gate) -------------
-    // 10k chains x 100 nodes: diameter 100 exercises the adaptive
+    // --- connectedComponents, |V| = 1M and 2M (4x/8x the 250k gate) ---
+    // n/100 chains x 100 nodes: diameter 100 exercises the adaptive
     // pointer doubling (log-d rounds), unlike the clique-like near-dup
-    // graphs that converge in 2-3. 990k chain edges + 5k cross edges
-    // that merge chains pairwise (so labels genuinely propagate).
-    val n = 1000000L
-    val chain = spark.range(n)
-      .where(col("id") % 100 =!= 99) // no edge across chain boundaries
-      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
-    val cross = spark.range(5000L)
-      .select((col("id") * 2 * 100).as("id_a"), // head of chain 2k
-        ((col("id") * 2 + 1) * 100).as("id_b")) // head of chain 2k+1
-    val pairs = new graft.api.Df(chain.union(cross))
-    measure("connectedComponents |V|=1M above-gate (default 250k)") {
-      val labels = graft.operators.Dedup
-        .connectedComponents(pairs, "id_a", "id_b")
-      val out = labels.sdf.agg(
-        count(lit(1)).as("n"),
-        countDistinct(col("cluster")).as("k")).head()
-      val (rows, k) = (out.getLong(0), out.getLong(1))
-      // 10k chains merged pairwise -> 5k components over all 1M nodes
-      assert(rows == n && k == 5000L, s"rows=$rows components=$k")
-      rows
+    // graphs that converge in 2-3. Chain edges + n/200 cross edges that
+    // merge chains pairwise (so labels genuinely propagate). TWO sizes
+    // per leg (VERDICT r19 item 6): the wall and shuffle-byte SLOPE is
+    // the first direct measurement of the scaling exponent — a
+    // super-linear term the single far-side points can't expose shows
+    // up as slope > size ratio (shuffle bytes should scale ~|E|).
+    def ccGraph(n: Long) = {
+      val chain = spark.range(n)
+        .where(col("id") % 100 =!= 99) // no edge across chain boundaries
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val cross = spark.range(n / 200)
+        .select((col("id") * 2 * 100).as("id_a"), // head of chain 2k
+          ((col("id") * 2 + 1) * 100).as("id_b")) // head of chain 2k+1
+      new graft.api.Df(chain.union(cross))
+    }
+    for (n <- Seq(1000000L, 2000000L)) {
+      val m = n / 1000000
+      measure(s"connectedComponents |V|=${m}M above-gate (default 250k)") {
+        val labels = graft.operators.Dedup
+          .connectedComponents(ccGraph(n), "id_a", "id_b")
+        val out = labels.sdf.agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("cluster")).as("k")).head()
+        val (rows, k) = (out.getLong(0), out.getLong(1))
+        // n/100 chains merged pairwise -> n/200 components over n nodes
+        assert(rows == n && k == n / 200, s"rows=$rows components=$k")
+        rows
+      }
     }
 
-    // --- pageRank, |V| = 1M, |E| = 3M ---------------------------------
+    // --- pageRank, |V| = 1M/2M, |E| = 3M/6M ---------------------------
     // three deterministic functional edges per node (affine maps mod N,
     // coprime multipliers): every node has out-degree 3, in-degrees
     // vary, nothing collapses to a hub.
-    val e = spark.range(n).select(col("id").as("src"),
+    def prEdges(n: Long) = spark.range(n).select(col("id").as("src"),
         ((col("id") * 31 + 7) % n).as("dst"))
       .union(spark.range(n).select(col("id").as("src"),
         ((col("id") * 131 + 3) % n).as("dst")))
       .union(spark.range(n).select(col("id").as("src"),
         ((col("id") * 7919 + 11) % n).as("dst")))
-    measure("pageRank |V|=1M |E|=3M above-gate (default 250k), 5 iters") {
-      val pr = graft.operators.Graphs.pageRank(e, "src", "dst")
-      val out = pr.sdf.agg(count(lit(1)).as("n"),
-        sum(col("rank")).as("mass")).head()
-      val (rows, mass) = (out.getLong(0), out.getDouble(1))
-      // rank mass is conserved (no dangling nodes: out-degree 3 all)
-      assert(rows == n && math.abs(mass - 1.0) < 1e-3,
-        s"rows=$rows mass=$mass")
-      rows
+    for (n <- Seq(1000000L, 2000000L)) {
+      val m = n / 1000000
+      measure(s"pageRank |V|=${m}M |E|=${3 * m}M above-gate (default 250k), 5 iters") {
+        val pr = graft.operators.Graphs.pageRank(prEdges(n), "src", "dst")
+        val out = pr.sdf.agg(count(lit(1)).as("n"),
+          sum(col("rank")).as("mass")).head()
+        val (rows, mass) = (out.getLong(0), out.getDouble(1))
+        // rank mass is conserved (no dangling nodes: out-degree 3 all)
+        assert(rows == n && math.abs(mass - 1.0) < 1e-3,
+          s"rows=$rows mass=$mass")
+        rows
+      }
     }
 
     // --- bpeMerges, |vocab| ≈ 1.2M (1.2x the 1M driverMaxVocab gate) --
@@ -144,32 +160,36 @@ object ScaleProbe {
       rows
     }
 
-    // --- scanKeyless 5-verb batch, 50M rows (VERDICT r18 item 6) ------
+    // --- scanKeyless 5-verb batch, 50M and 100M rows ------------------
     // q268_scan_batch is the worst non-streaming sf1 ratio (7.2x on 10x
-    // data); this leg gives the range-exchange + two-post-shuffle-sort
-    // protocol a far-side datapoint like the three gates have. The
-    // k=512 rolling verbs also exercise the r19 O(1) sliding kernel at
-    // k >> 8 (the regime where the old O(n*k) re-sum actually bit).
-    // Order key = a hashed permutation of id, so the range exchange
-    // does real redistribution work, not a presorted no-op.
-    val big = spark.range(50000000L).select(
+    // data); these legs give the range-exchange + two-post-shuffle-sort
+    // protocol far-side datapoints AND a slope (r19 item 6 asked for
+    // 100M as the second size). The k=512 rolling verbs also exercise
+    // the r19 O(1) sliding kernel at k >> 8 (the regime where the old
+    // O(n*k) re-sum actually bit). Order key = a hashed permutation of
+    // id, so the range exchange does real redistribution work, not a
+    // presorted no-op.
+    def bigRows(n: Long) = spark.range(n).select(
       pmod(hash(col("id")), lit(1000000007L)).as("ok"),
       col("id"),
       (col("id") % 997L).as("v"),
       (col("id") % 10007L).cast("double").as("d"))
-    measure("scanKeyless 5-verb batch, 50M rows (k=512 rolling)") {
-      val scanned = new graft.api.Df(big)
-        .scanKeyless(Seq("ok", "id"))(_
-          .cumsum("v", "cs")
-          .rolling("v", 512, "mean", "rm")
-          .rolling("v", 512, "count", "rc")
-          .shift("v", "sh", 1)
-          .diff("d", "df", 1))
-      val out = scanned.sdf.agg(count(lit(1)).as("n"),
-        sum(col("rc")).as("rcs")).head()
-      val rows = out.getLong(0)
-      assert(rows == 50000000L, s"rows=$rows")
-      rows
+    for (n <- Seq(50000000L, 100000000L)) {
+      val m = n / 1000000
+      measure(s"scanKeyless 5-verb batch, ${m}M rows (k=512 rolling)") {
+        val scanned = new graft.api.Df(bigRows(n))
+          .scanKeyless(Seq("ok", "id"))(_
+            .cumsum("v", "cs")
+            .rolling("v", 512, "mean", "rm")
+            .rolling("v", 512, "count", "rc")
+            .shift("v", "sh", 1)
+            .diff("d", "df", 1))
+        val out = scanned.sdf.agg(count(lit(1)).as("n"),
+          sum(col("rc")).as("rcs")).head()
+        val rows = out.getLong(0)
+        assert(rows == n, s"rows=$rows")
+        rows
+      }
     }
 
     // --- rolling min/max deque, 50M rows, k=512 (r19) -----------------
@@ -177,7 +197,7 @@ object ScaleProbe {
     // so the wall isolates the extremum verbs' cost on top of the
     // shared protocol (compare against the 5-verb leg above).
     measure("rollingMinMax 50M rows k=512 (deque)") {
-      val scanned = new graft.api.Df(big)
+      val scanned = new graft.api.Df(bigRows(50000000L))
         .scanKeyless(Seq("ok", "id"))(_
           .rolling("v", 512, "min", "rmn")
           .rolling("v", 512, "max", "rmx"))

@@ -1007,6 +1007,44 @@ class ScanSpec extends AnyFunSuite {
     Df.releaseRetained()
   }
 
+  test("per-call persistSorted overrides the env default, both values in " +
+       "one JVM, identical results, blocks drain via releaseRetained") {
+    val rows = (0 until 200).map { i =>
+      Row(i.toLong, 0, i % 7, if (i % 9 == 0) null else (i % 11).toDouble,
+        null, null)
+    }.toList
+    val df = mkDf(rows)
+    val sc = spark.sparkContext
+    Df.releaseRetained(); spark.catalog.clearCache()
+    val before = sc.getPersistentRDDs.size
+    // Some(false): the two-pass re-fetch — no new persisted blocks
+    val off = df.scanKeyless(Seq("id"), persistSorted = Some(false))(_
+      .cumsum("v", "cs").rolling("v", 4, "min", "rm"))
+    val offRows = byId(off, "cs")
+    assert(sc.getPersistentRDDs.size == before,
+      "persistSorted=Some(false) must not persist")
+    // Some(true): the sorted partitions are cached (pass 1 materializes
+    // them eagerly, so the block is observable right after the call)
+    val on = df.scanKeyless(Seq("id"), persistSorted = Some(true))(_
+      .cumsum("v", "cs").rolling("v", 4, "min", "rm"))
+    val onCs = byId(on, "cs")
+    assert(sc.getPersistentRDDs.size > before,
+      "persistSorted=Some(true) must persist the sorted pass")
+    assert(onCs == offRows)
+    assert(byId(on, "rm") == byId(off, "rm"))
+    // keyed entry point takes the same option
+    val keyed = df.groupby("g").scanScalable(Seq("id"),
+      Seq(graft.operators.GroupedScan.CumSum("v", "cs")),
+      persistSorted = Some(true))
+    val keyedOff = df.groupby("g").scanScalable(Seq("id"),
+      Seq(graft.operators.GroupedScan.CumSum("v", "cs")),
+      persistSorted = Some(false))
+    assert(byId(keyed, "cs") == byId(keyedOff, "cs"))
+    Df.releaseRetained()
+    assert(sc.getPersistentRDDs.size == before,
+      "releaseRetained must drain the per-call persists")
+  }
+
   test("scanKeyless diff widens byte/short like Df.diff") {
     val sch = StructType(Seq(
       StructField("id", LongType, nullable = false),

@@ -55,6 +55,9 @@ def main():
         on = os_ / nearest_cal(oi, so, bo)
         nn = ns / nearest_cal(ni, sn, bn)
         rows.append((name, os_, ns, on, nn, nn / on if on > 0 else float("inf")))
+    if not rows:
+        print("no common successful queries between the two artifacts")
+        return
     rows.sort(key=lambda r: -r[5])
     hdr = f"{'query':38s} {'old_s':>7s} {'new_s':>7s} {'old_n':>7s} {'new_n':>7s} {'ratio':>6s}"
     print(f"== worst normalized regressions (new/old > 1) ==\n{hdr}")
