@@ -59,11 +59,6 @@ object Plans {
             s""""partitionFilters":${s.partitionFilterCount},""" +
             s""""dataFilters":${s.dataFilterCount}}"""
         }.mkString("[", ",", "]")
-        // queries may cache/materialize during construction (pageRank,
-        // streaming replays) — release so one query's cache never changes
-        // the NEXT query's fingerprint (a cached scan vs a re-scan).
-        graft.api.Df.releaseRetained()
-        spark.catalog.clearCache()
         Some(s"""{"name":${jstr(name)},"shuffleExchanges":${c.shuffleExchanges},""" +
           s""""broadcastExchanges":${c.broadcastExchanges},""" +
           s""""cachedScans":${c.cachedScans},"sorts":${c.sorts},"scans":$scans}""")
@@ -72,6 +67,15 @@ object Plans {
           failed ::= s"$name: ${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
           System.err.println(s"[plans] $name FAILED: ${failed.head}")
           None
+      } finally {
+        // queries may cache/materialize during construction (pageRank,
+        // streaming replays) — release so one query's cache never changes
+        // the NEXT query's fingerprint (a cached scan vs a re-scan).
+        // In `finally` (ADVICE r20): a query that throws AFTER retaining
+        // (e.g. mid-build materialization) must not leak its cache into
+        // every subsequent query's fingerprint.
+        graft.api.Df.releaseRetained()
+        spark.catalog.clearCache()
       }
     }
     val body = lines.mkString("{\"sf\":" + jstr(sfDir) + ",\"n\":" + lines.size +

@@ -173,8 +173,9 @@ object Curation {
     * canonicalization would run twice. Attached to the result per the
     * [[Dedup]] cache-lifetime contract. */
   def dedupByUrl(docs: Df, urlCol: String, idCol: String): Df = {
-    val withKey = docs.sdf.select(col(idCol), normalizeUrl(col(urlCol)).as("__u"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withKey = Materialize.barrier(
+      docs.sdf.select(col(idCol), normalizeUrl(col(urlCol)).as("__u"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val keyed = withKey.where(col("__u").isNotNull)
       .groupBy(col("__u"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
@@ -205,10 +206,10 @@ object Curation {
     * [[Dedup]] cache-lifetime convention). */
   def dedupLines(docs: Df, textCol: String, idCol: String): Df = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val lines = docs.sdf
+    val lines = Materialize.barrier(docs.sdf
       .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .withColumn("lh", hash32(col("line")))
-      .persist(lvl)
+      .persist(lvl))
     val first = lines.groupBy(col("lh"))
       .agg(min(struct(col(idCol).as("d"), col("pos").as("p"))).as("f"))
     val kept = lines.join(first, Seq("lh"))
@@ -614,10 +615,10 @@ object Curation {
     require(minDocFreq >= 2,
       s"stripBoilerplateLines: minDocFreq must be >= 2: $minDocFreq")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val lines = docs.sdf
+    val lines = Materialize.barrier(docs.sdf
       .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .withColumn("lh", hash32(col("line")))
-      .persist(lvl)
+      .persist(lvl))
     val boiler = lines.select(col(idCol), col("lh")).distinct()
       .groupBy(col("lh")).agg(count(lit(1)).as("__df"))
       .where(col("__df") >= minDocFreq)
@@ -667,6 +668,7 @@ object Curation {
         explode(tokens(col(textCol))).as("tok"))
       .withColumn("bucket", hash32(col("tok")) % buckets)
       .persist(lvl)
+    Materialize.barrier(toks)
     val counts = toks.groupBy(col("bucket")).agg(
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct_t"),
       count(lit(1)).as("__ct_r"))
@@ -1075,6 +1077,7 @@ object Curation {
         md5(concat_ws(":", lit(seed), col(idCol).cast("string")))))
       .withRowIndexScalable(Seq("__nkey", idCol), "__ord").sdf
       .select(col(idCol), col("__ord")).persist(lvl)
+    Materialize.barrier(keyed)
     val n = keyed.agg(count(lit(1)).as("__n"))
     val anchors = keyed.crossJoin(broadcast(n))
       .select(col(idCol).as("anchor_id"), col("__ord"), col("__n"),

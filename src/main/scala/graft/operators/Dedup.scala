@@ -167,6 +167,34 @@ object Dedup {
       .retaining(sh, bandedAll, banded)
   }
 
+  /** Same-bucket candidate pairs WITHOUT a self-join (r21): one
+    * aggregation collects each bucket's members (buckets above
+    * `maxBucket` dropped whole — the [[capBuckets]] contract, enforced
+    * for free by `size()`), then two nested explodes emit the ordered
+    * (a < b) pairs. vs the capBuckets + self-join formulation this is
+    * ONE explode pass and ONE exchange instead of two of each plus a
+    * window SORT per side: AQE does not reuse the twin per-side
+    * subtrees in practice (r21 measured both sides materializing their
+    * own explode+exchange+window on every pairs query — separate
+    * TableCacheQueryStages break the parents' canonical equality), and
+    * the hash aggregate replaces the window's sort outright. Per-group
+    * state is bounded by `maxBucket` × the payload width — keep the
+    * payload to the id plus a few scalar columns (set sizes,
+    * signatures); fat payloads (vectors, shingle arrays) stay on the
+    * join formulation. Pair volume is identical to the join's (b² per
+    * bucket, quadratic work confined to capped buckets). */
+  private def bucketPairs(index: DataFrame, keyCols: Seq[String],
+                          idCol: String, payload: Seq[String],
+                          maxBucket: Int): DataFrame = {
+    val fields = (idCol +: payload).map(col)
+    index.groupBy(keyCols.map(col): _*)
+      .agg(collect_list(struct(fields: _*)).as("__ms"))
+      .where(size(col("__ms")) <= maxBucket)
+      .select(explode(col("__ms")).as("__a"), col("__ms"))
+      .select(col("__a"), explode(col("__ms")).as("__b"))
+      .where(col("__a")(idCol) < col("__b")(idCol))
+  }
+
   /** Drop rows in over-large buckets (partitioned by `cols`). The
     * window count shuffles once on the bucket key — the SAME
     * partitioning the candidate self-join needs, so AQE/exchange-reuse
@@ -367,20 +395,17 @@ object Dedup {
     val shingles = shingleTable(docs, textCol, idCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // explode to one row per band — candidates collide on (band, key).
-    // Only (id, band, key) flows through the bucket join; the shingle
-    // arrays are re-joined onto the (much smaller) deduped candidate
-    // pairs for verification — at scale the wide arrays never shuffle.
-    // The banded index is materialized too: both candidate self-join
-    // sides reference it (3 small rows per doc).
-    val banded = capBuckets(bandedIndex(shingles, idCol, bands, r), maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = banded.select(col(idCol).as("id_a"), col("__band"), col("__key"))
-    val b = banded.select(col(idCol).as("id_b"), col("__band"), col("__key"))
-    val candidates = a.join(b, Seq("__band", "__key"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // Only (id, band, key) flows into the bucket aggregation; the
+    // shingle arrays are re-joined onto the (much smaller) deduped
+    // candidate pairs for verification — at scale the wide arrays never
+    // shuffle. Pairs come from ONE grouped pass over the index
+    // ([[bucketPairs]]) instead of a capBuckets window + self-join.
+    val candidates = bucketPairs(bandedIndex(shingles, idCol, bands, r),
+      Seq("__band", "__key"), idCol, Nil, maxBucket)
+      .select(col(s"__a.$idCol").as("id_a"), col(s"__b.$idCol").as("id_b"))
+      .distinct()
     new Df(verifyJaccard(candidates, shingles, shingles, idCol, minJaccard))
-      .retaining(shingles, banded)
+      .retaining(shingles)
   }
 
   /** Cross-corpus MinHash join — INCREMENTAL dedup: which new docs are
@@ -405,8 +430,10 @@ object Dedup {
         s"minJaccard must be in [0, 1]: $minJaccard"),
       (maxBucket >= 1, s"maxBucket must be >= 1: $maxBucket"))
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val shA = shingleTable(corpus, textCol, idCol, shingleN).persist(lvl)
-    val shB = shingleTable(newDocs, textCol, idCol, shingleN).persist(lvl)
+    val shA = Materialize.barrier(
+      shingleTable(corpus, textCol, idCol, shingleN).persist(lvl))
+    val shB = Materialize.barrier(
+      shingleTable(newDocs, textCol, idCol, shingleN).persist(lvl))
     val bA = capBuckets(bandedIndex(shA, idCol, bands, r), maxBucket)
     val bB = capBuckets(bandedIndex(shB, idCol, bands, r), maxBucket)
     val candidates = bA.select(col(idCol).as("id_a"), col("__band"), col("__key"))
@@ -463,26 +490,27 @@ object Dedup {
     val bits = 60
     val bands = maxHamming + 1
     val width = (bits + bands - 1) / bands
-    // materialized: referenced by both candidate self-join sides
+    // single consumer after the bucketPairs rewrite (r21) — no persist
+    // needed: the signature pipeline feeds ONE grouped pass
     val sigs = simhash(docs, textCol, idCol).sdf
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until bands).map(b =>
       shiftright(col("simhash"), b * width).bitwiseAND((1L << width) - 1).as(s"__band$b"))
     val banded = sigs.select(col(idCol) +: col("simhash") +: bandCols: _*)
-    val exploded = capBuckets(banded.select(col(idCol), col("simhash"),
+    val exploded = banded.select(col(idCol), col("simhash"),
       posexplode(array((0 until bands).map(b => col(s"__band$b")): _*))
-        .as(Seq("__band", "__key"))), maxBucket)
-    val a = exploded.select(col(idCol).as("id_a"), col("simhash").as("sig_a"),
-      col("__band"), col("__key"))
-    val b = exploded.select(col(idCol).as("id_b"), col("simhash").as("sig_b"),
-      col("__band"), col("__key"))
+        .as(Seq("__band", "__key")))
+    // pairs from ONE grouped pass over the banded index ([[bucketPairs]]
+    // — replaces the capBuckets window + self-join); the signature rides
+    // as pair payload so the Hamming check needs no join back
     val ham = bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
-    new Df(a.join(b, Seq("__band", "__key"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+    new Df(bucketPairs(exploded, Seq("__band", "__key"), idCol,
+      Seq("simhash"), maxBucket)
+      .select(col(s"__a.$idCol").as("id_a"), col(s"__b.$idCol").as("id_b"),
+        col("__a.simhash").as("sig_a"), col("__b.simhash").as("sig_b"))
+      .distinct()
       .withColumn("hamming", ham)
       .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")).retaining(sigs)
+      .select("id_a", "id_b", "hamming"))
   }
 
   /** Exact n-gram Jaccard similarity pairs: docs sharing ≥1 shingle are
@@ -507,10 +535,10 @@ object Dedup {
     //     while staying EXACT (verification uses the full sets).
     // materialized once: referenced by both self-join sides AND the
     // verification lookups (4 uses; Spark plans trees, not DAGs)
-    val sh = FanOut(docs.sdf).select(col(idCol).as("id"),
+    val sh = Materialize.barrier(FanOut(docs.sdf).select(col(idCol).as("id"),
       array_sort(array_distinct(transform(wordShingles(col(textCol), n), hash32(_)))).as("sh"))
       .withColumn("nsh", size(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // ε guards the FP product before ceil: e.g. 0.07·100 evaluates to
     // 7.000000000000001 and an unguarded ceil gives 8, shortening the
     // prefix by one and silently MISSING qualifying pairs — breaking
@@ -520,13 +548,21 @@ object Dedup {
     // hot-shingle cap: a shingle present in b docs generates b² candidate
     // rows in one join partition; posting lists above maxBucket are
     // dropped (same trade + observability story as the LSH caps).
-    val inv = capBuckets(
-      sh.select(col("id"), explode(slice(col("sh"), lit(1), prefixLen)).as("g")),
-      maxBucket, cols = Seq("g"))
-    val candidates = inv.select(col("id").as("id_a"), col("g"))
-      .join(inv.select(col("id").as("id_b"), col("g")), Seq("g"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val inv = sh.select(col("id"), col("nsh"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("g"))
+    // Pairs from ONE grouped pass over the prefix index ([[bucketPairs]]
+    // — replaces the capBuckets window + self-join), then the LENGTH
+    // FILTER (AllPairs/PPJoin companion to the prefix filter, r21):
+    // J(A,B) = |∩|/|∪| ≤ min(|A|,|B|)/max(|A|,|B|), so J ≥ t ⇒
+    // min ≥ t·max — an EXACT necessary condition evaluated on the 4-byte
+    // set sizes already in the index, dropping length-mismatched
+    // candidates before the distinct and the two verification joins ever
+    // see them (same ε guard as the prefix bound).
+    val candidates = bucketPairs(inv, Seq("g"), "id", Seq("nsh"), maxBucket)
+      .where(least(col("__a.nsh"), col("__b.nsh")).cast("double") >=
+        lit(minJaccard) * greatest(col("__a.nsh"), col("__b.nsh")) - lit(1e-9))
+      .select(col("__a.id").as("id_a"), col("__b.id").as("id_b"))
+      .distinct()
     // verify joins are plain equi-joins on the doc id — AQE broadcasts
     // the per-doc shingle table while it fits and shuffles beyond (an
     // explicit hint would be honored unconditionally and OOM the driver
@@ -664,11 +700,29 @@ object Dedup {
       (broadcastMaxNodes >= 0,
         s"broadcastMaxNodes must be >= 0: $broadcastMaxNodes"))
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = pairs.sdf.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val edges0 = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetrize in ONE pass: the union-of-reverse formulation evaluates
+    // the caller's pair pipeline once per union arm (candidate join +
+    // verification, twice — r21 profile), while an in-row explode of
+    // [(src,dst),(dst,src)] reads it once for the same edge set
+    val edges0 = pairs.sdf
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct().persist(lvl)
-    var labels = edges0.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint()
+    // ROUND-1 FUSED INTO INITIALIZATION (r21): the node derivation was a
+    // distinct() over edges0 — the same src-keyed aggregate as a min(dst)
+    // pass, so computing min(own id, min neighbor id) here costs NOTHING
+    // over deriving the node set, and replaces the first loop round's
+    // edge⋈label join + checkpoint + count outright (guide §2.4: the
+    // edge list is symmetric and every node appears as src, so
+    // least(src, min(dst)) IS the round-1 label exactly — labels start
+    // one propagation ahead; dense clique-like near-dup graphs are
+    // CONVERGED at init and pay only the single verification round).
+    var labels = edges0.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__nm"))
+      .select(col("id"), least(col("id"), col("__nm")).as("cluster"))
+      .localCheckpoint()
     // |V| is already materialized (the checkpoint above) — counting it is
     // an O(partitions) action over cached blocks. When the label table is
     // vocabulary-sized, every per-round labels-side join takes an explicit
@@ -737,7 +791,10 @@ object Dedup {
       // zero when gated, same O(log d) endgame for chains. Left join —
       // a label is always a node id present in `labels`, but stay total
       // under that invariant rather than silently dropping rows.
-      val withCands = if (i < 2) {
+      // gate at i < 1: init already holds the round-1 labels, so loop
+      // round 0 is ABSOLUTE round 2 — the shortcut engages at absolute
+      // round 3 exactly as before the fusion
+      val withCands = if (i < 1) {
         base.select(col("id"), col("cluster"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("next"))
       } else {
@@ -785,9 +842,10 @@ object Dedup {
         // (one component, several cluster ids) and downstream dedup
         // would silently keep duplicates
         throw new IllegalStateException(
-          s"connectedComponents: not converged after $maxIter rounds " +
-            s"($residual labels still pending) — raise maxIter (rounds " +
-            "needed grow with log2 of the largest component's diameter)")
+          s"connectedComponents: not converged after ${maxIter + 1} rounds " +
+            s"(the fused init round + $maxIter loop rounds; $residual labels " +
+            "still pending) — raise maxIter (rounds needed grow with log2 " +
+            "of the largest component's diameter)")
       }
     }
     edges.unpersist()
@@ -1004,10 +1062,10 @@ object Dedup {
     require(k >= 1, s"duplicatedWindows: window size k must be >= 1: $k")
     // referenced twice (window pipeline + per-doc totals): materialize
     // the tokenize+hash pass once; released via the file's attach contract
-    val base = docs.sdf.select(col(idCol),
+    val base = Materialize.barrier(docs.sdf.select(col(idCol),
       tokenCount(col(textCol)).cast("long").as("n_tokens"),
       transform(wordGramsAll(col(textCol), k), g => hash32(g)).as("__whs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val wins = base.select(col(idCol), posexplode(col("__whs")).as(Seq("start", "wh")))
     val dup = wins.groupBy(col("wh")).agg(count(lit(1)).as("__ct"))
       .where(col("__ct") > 1).select("wh")
@@ -1067,10 +1125,10 @@ object Dedup {
     require(k >= 1, s"removeDuplicatedWindows: window size k must be >= 1: $k")
     // referenced twice (window pipeline + final rebuild): materialize
     // the tokenize+hash pass once; released via the file's attach contract
-    val base = docs.sdf.select(col(idCol),
+    val base = Materialize.barrier(docs.sdf.select(col(idCol),
       tokens(col(textCol)).as("__toks"),
       transform(wordGramsAll(col(textCol), k), g => hash32(g)).as("__whs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val wins = base.select(col(idCol), posexplode(col("__whs")).as(Seq("start", "wh")))
     val firsts = wins.groupBy(col("wh"))
       .agg(min(struct(col(idCol), col("start"))).as("__first"))

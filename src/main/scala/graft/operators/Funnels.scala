@@ -27,9 +27,10 @@ object Funnels {
     * later step is one filter + a user-keyed equi-join against the
     * (shrinking) previous cohort + the same MIN agg — every shuffle is
     * on the SAME user key, so the exchanges line up and AQE reuses the
-    * partitioning; cohort frames persist because each feeds both its
-    * own count and the next join. Counts union lazily — one job for
-    * the whole funnel. */
+    * partitioning; cohort frames persist AND materialize eagerly
+    * because each feeds both its own count and the next join (see
+    * Materialize.barrier). The final counts union then reads only
+    * cached cohort frames. */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[String], withinSec: Long): Df = {
     require(steps.size >= 2, s"funnel: need >= 2 steps: $steps")
@@ -39,19 +40,23 @@ object Funnels {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = events.select(col(userCol).as("__u"),
       col(tsCol).cast("timestamp").as("__ts"), col(typeCol).as("__t"))
-    val u1 = e.where(col("__t") === steps.head)
+    // each cohort frame is barriered (Materialize.barrier): it feeds
+    // BOTH its own count and the next step's join (u1 additionally the
+    // conversion base) — unbarriered, the one-job funnel evaluated
+    // every frame once per consumer (u1 three times)
+    val u1 = Materialize.barrier(e.where(col("__t") === steps.head)
       .groupBy(col("__u")).agg(min(col("__ts")).as("__cur"))
-      .withColumn("__t1", col("__cur")).persist(lvl)
+      .withColumn("__t1", col("__cur")).persist(lvl))
     val frames = scala.collection.mutable.ArrayBuffer(u1)
     for (s <- steps.tail) {
       val prev = frames.last
-      val next = e.where(col("__t") === s)
+      val next = Materialize.barrier(e.where(col("__t") === s)
         .join(prev.select(col("__u"), col("__cur").as("__pv"), col("__t1")),
           Seq("__u"))
         .where(col("__ts") >= col("__pv") &&
           col("__ts") <= col("__t1") + expr(s"INTERVAL $withinSec SECONDS"))
         .groupBy(col("__u"), col("__t1")).agg(min(col("__ts")).as("__cur"))
-        .persist(lvl)
+        .persist(lvl))
       frames += next
     }
     val counts = frames.toSeq.zip(steps).zipWithIndex.map {

@@ -133,9 +133,9 @@ object Quality {
       (dupN >= 1, s"dupN must be >= 1: $dupN"))
     val charsOf = (arr: Column) =>
       aggregate(arr, lit(0L), (a, x) => a + length(x))
-    val tokTab = docs.sdf.select(col(idCol).as("__id"),
+    val tokTab = Materialize.barrier(docs.sdf.select(col(idCol).as("__id"),
       tokens(col(textCol)).as("__toks"), split(col(textCol), "\n").as("__lines"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     val toks = col("__toks")
     val lines = col("__lines")

@@ -119,6 +119,7 @@ object TextAnalytics {
         explode(wordShingles(col(textCol), n)).as("g"))
       .select(col(idCol), hash32(col("g")).as("gh"))
       .persist(lvl)
+    Materialize.barrier(docShingles)
     val totals = docShingles.groupBy(col(idCol))
       .agg(count(lit(1)).as("__n_grams"))
     val hits = docShingles.join(bench, Seq("gh"))
@@ -180,8 +181,9 @@ object TextAnalytics {
     * table the caller must attach via `retaining`) */
   private def unigramNllCore(docs: Df, textCol: String, idCol: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val toks = docs.sdf.select(col(idCol), explode(tokens(col(textCol))).as("t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = Materialize.barrier(
+      docs.sdf.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("ct"))
     val total = toks.agg(count(lit(1)).as("total"))
     val scored = toks.join(freq, Seq("t")).crossJoin(broadcast(total))
@@ -741,8 +743,9 @@ object TextAnalytics {
     require(lambda >= 0 && lambda <= 1,
       s"bigramNll: lambda must be in [0, 1]: $lambda")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val base = docs.sdf.select(col(idCol), tokens(col(textCol)).as("toks"))
-      .persist(lvl)
+    val base = Materialize.barrier(
+      docs.sdf.select(col(idCol), tokens(col(textCol)).as("toks"))
+        .persist(lvl))
     val uni = base.select(explode(col("toks")).as("w2"))
       .groupBy(col("w2")).agg(count(lit(1)).as("__cu"))
     val uniTotal = base.select(explode(col("toks")).as("t"))
@@ -753,6 +756,7 @@ object TextAnalytics {
           |  i -> struct(toks[i] AS w1, toks[i + 1] AS w2))""".stripMargin)).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .persist(lvl)
+    Materialize.barrier(bi)
     val pairCt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__cb"))
     val leftCt = bi.groupBy(col("w1")).agg(count(lit(1)).as("__cl"))
     new Df(bi.join(pairCt, Seq("w1", "w2")).join(leftCt, Seq("w1"))
@@ -799,7 +803,7 @@ object TextAnalytics {
       s"stupidBackoffNll: alpha must be in (0, 1]: $alpha")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def toks(d: Df) = d.sdf.select(col(idCol), tokens(col(textCol)).as("toks"))
-    val train = toks(trainDocs).persist(lvl)
+    val train = Materialize.barrier(toks(trainDocs).persist(lvl))
 
     def grams(df: org.apache.spark.sql.DataFrame, n: Int) =
       df.where(size(col("toks")) >= n)
@@ -813,8 +817,8 @@ object TextAnalytics {
       .agg(count(lit(1)).as("__c3"))
     val nTotal = train.select(explode(col("toks")).as("t"))
       .agg(count(lit(1)).as("__n"))
-    val bi = grams(train, 2).groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("__cb")).persist(lvl)
+    val bi = Materialize.barrier(grams(train, 2).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__cb")).persist(lvl))
     val tri = grams(train, 3).groupBy(col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("__ct"))
 

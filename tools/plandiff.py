@@ -12,6 +12,7 @@ listed but may be intentional surface changes).
 """
 import json
 import sys
+from collections import Counter
 
 
 def load(path):
@@ -35,14 +36,15 @@ def main():
         for k in ("shuffleExchanges", "broadcastExchanges", "cachedScans", "sorts"):
             if o[k] != n[k]:
                 msgs.append(f"{k} {o[k]}->{n[k]}")
-        os_, ns = sorted(map(scankey, o["scans"])), sorted(map(scankey, n["scans"]))
-        if os_ != ns:
-            gone = [s for s in os_ if s not in ns]
-            came = [s for s in ns if s not in os_]
-            for s in gone:
-                msgs.append(f"scan- cols={list(s[0])} pushed={s[1]}")
-            for s in came:
-                msgs.append(f"scan+ cols={list(s[0])} pushed={s[1]}")
+        # multiset compare (ADVICE r20): sorted-list membership missed
+        # multiplicity-only drift (e.g. a duplicated scan [A,A] -> [A] —
+        # a self-join collapsing to one read, or a scan duplicating) —
+        # count deltas per distinct fingerprint so those flag as changed.
+        oc, nc = Counter(map(scankey, o["scans"])), Counter(map(scankey, n["scans"]))
+        if oc != nc:
+            for s in sorted(set(oc) | set(nc)):
+                if oc[s] != nc[s]:
+                    msgs.append(f"scan count {oc[s]}->{nc[s]} cols={list(s[0])} pushed={s[1]}")
         if msgs:
             changed += 1
             print(f"{name}: " + "; ".join(msgs))
