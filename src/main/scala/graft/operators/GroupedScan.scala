@@ -213,9 +213,28 @@ object GroupedScan {
     // process-global env var: a caller mixing small and huge scans in
     // one session chooses per call; the env var stays the default so
     // the bench A/B knob keeps working unchanged.
+    // ADAPTIVE default (r21): when neither the call nor the env chose,
+    // flip ON once the optimizer's size estimate for the scan input
+    // crosses `spark.graft.scan.persistAutoBytes` (default 2 GiB). The
+    // r20 100M-row A/B measured the crossover: caching the sorted
+    // partitions beats pass 2's shuffle re-fetch + re-sort by ~1.8x at
+    // 100M rows (~4.5 GB sorted) and is a wash at 50M (~2.2 GB) —
+    // BENCHLOG r20 — so the threshold sits at the band's lower edge.
+    // Stats-less plans (sizeInBytes at the Long.MaxValue fallback) stay
+    // OFF: an unknown size must not trigger a corpus-sized cache.
+    val persistOn = persistSorted.getOrElse(
+      sys.env.get("SPARK_GRAFT_SCAN_PERSIST") match {
+        case Some("1") => true
+        case Some("0") => false
+        case _ =>
+          val sz = df.queryExecution.optimizedPlan.stats.sizeInBytes
+          sz < BigInt(Long.MaxValue) / 2 &&
+            sz >= BigInt(df.sparkSession.conf
+              .get("spark.graft.scan.persistAutoBytes", (2L << 30).toString)
+              .toLong)
+      })
     val rdd = {
-      if (persistSorted.getOrElse(
-          sys.env.get("SPARK_GRAFT_SCAN_PERSIST").contains("1"))) {
+      if (persistOn) {
         val p = ranged.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         graft.api.Df.retainFrame(p)

@@ -43,16 +43,22 @@ object Linkage {
       d.withColumn(s"__prev_id_$off", lag(col(idCol), off).over(win))
         .withColumn(s"__prev_text_$off", lag(col(textCol), off).over(win))
     }
-    val pairs = (1 to w).map { off =>
-      lagged.select(
+    // ONE evaluation of the lagged window (r21): the per-offset union
+    // re-ran the block-keyed window pipeline once per offset; exploding
+    // an array of per-offset structs derives all w offsets in one pass.
+    val offsets = (1 to w).map { off =>
+      struct(
         col(s"__prev_id_$off").as("left_id"),
         col(idCol).as("right_id"),
         col(s"__prev_text_$off").as("left_text"),
         col(textCol).as("right_text"),
         levenshtein(col(s"__prev_text_$off"), col(textCol)).as("dist"),
         lit(off).as("offset"))
-        .where(col("left_id").isNotNull)
-    }.reduce(_ unionByName _)
+    }
+    val pairs = lagged.select(explode(array(offsets: _*)).as("__p"))
+      .select(col("__p.left_id"), col("__p.right_id"), col("__p.left_text"),
+        col("__p.right_text"), col("__p.dist"), col("__p.offset"))
+      .where(col("left_id").isNotNull)
     new Df(pairs.where(col("dist") <= maxDist))
   }
 
@@ -75,8 +81,9 @@ object Linkage {
       d.withColumn(s"__prev_id_$off", lag(col(idCol), off).over(win))
         .withColumn(s"__prev_text_$off", lag(col(textCol), off).over(win))
     }
-    val pairs = (1 to w).map { off =>
-      lagged.select(
+    // same one-pass explode as [[sortedNeighborhood]] (r21)
+    val offsets = (1 to w).map { off =>
+      struct(
         col(s"__prev_id_$off").as("left_id"),
         col(idCol).as("right_id"),
         col(s"__prev_text_$off").as("left_text"),
@@ -84,8 +91,11 @@ object Linkage {
         expr(s"round(graft_jaro_winkler(__prev_text_$off, `$textCol`), 6)")
           .as("sim"),
         lit(off).as("offset"))
-        .where(col("left_id").isNotNull)
-    }.reduce(_ unionByName _)
+    }
+    val pairs = lagged.select(explode(array(offsets: _*)).as("__p"))
+      .select(col("__p.left_id"), col("__p.right_id"), col("__p.left_text"),
+        col("__p.right_text"), col("__p.sim"), col("__p.offset"))
+      .where(col("left_id").isNotNull)
     new Df(pairs.where(col("sim") >= minSim))
   }
 

@@ -188,19 +188,28 @@ object Profiling {
     }) ++ pairs.map { case (a, i, b, j) =>
       sum((col(a) * col(b)).cast("decimal(28,4)")).cast("double").as(s"__p${i}_$j")
     }
-    val m = df.sdf
+    // FanOut: the decimal moment sums are the whole cost and a small
+    // parquet file is a handful of scan partitions — spread the partial
+    // aggregation across the session (planning no-op at real scale)
+    val m = FanOut(df.sdf)
       .where(cols.map(col(_).isNotNull).reduce(_ && _))
       .agg(aggs.head, aggs.tail: _*)
-    val rows = pairs.map { case (a, i, b, j) =>
+    // ONE evaluation of the moment row (r21): the per-pair
+    // `m.select(...)` union re-ran the full scan + aggregate once per
+    // pair — O(k²) passes for k columns (measured: three concurrent
+    // full-scan stages on q184). Exploding an array of per-pair structs
+    // derives every correlation from a single aggregate evaluation.
+    val pairStructs = pairs.map { case (a, i, b, j) =>
       val n = col("__n")
       val cov = n * col(s"__p${i}_$j") - col(s"__s$i") * col(s"__s$j")
       val va = n * col(s"__q$i") - col(s"__s$i") * col(s"__s$i")
       val vb = n * col(s"__q$j") - col(s"__s$j") * col(s"__s$j")
-      m.select(lit(a).as("col_a"), lit(b).as("col_b"),
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
         when(va > 0 && vb > 0,
           round(cov / (sqrt(va) * sqrt(vb)), 6)).as("corr"))
     }
-    new Df(rows.reduce(_ union _))
+    new Df(m.select(explode(array(pairStructs: _*)).as("__r"))
+      .select(col("__r.col_a"), col("__r.col_b"), col("__r.corr")))
   }
 
   /** Order-independent dataset fingerprint — ONE aggregate row that
@@ -233,7 +242,9 @@ object Profiling {
       cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
     val h60 = conv(substring(md5(canon.cast("binary")), 1, 15), 16, 10)
       .cast("long")
-    new Df(df.sdf
+    // FanOut (r21): md5-per-row is the whole cost and a small parquet
+    // file is a handful of scan partitions (planning no-op at scale)
+    new Df(FanOut(df.sdf)
       .select(h60.as("__h"))
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(__h)").as("xor_sig"),

@@ -24,7 +24,10 @@ object Regression {
   def olsFit2(df: Df, y: String, x1: String, x2: String): Df = {
     def d(c: String) = col(c).cast("decimal(18,2)")
     def p(a: String, b: String) = (d(a) * d(b)).cast("decimal(38,4)")
-    val agg = df.sdf.agg(
+    // FanOut (r21): the 10 decimal moment sums are the whole cost and a
+    // small parquet file is a handful of scan partitions — spread the
+    // partial aggregation across the session (planning no-op at scale)
+    val agg = FanOut(df.sdf).agg(
       count(lit(1)).cast("double").as("n"),
       sum(d(x1)).cast("double").as("sx1"),
       sum(d(x2)).cast("double").as("sx2"),
@@ -87,7 +90,7 @@ object Regression {
           val (a, b) = (cols(i), cols(j))
           sum(p(a, b)).cast("double").as(s"p_${i}_$j")
         })
-    val row = df.sdf.agg(aggs.head, aggs.tail: _*).head
+    val row = FanOut(df.sdf).agg(aggs.head, aggs.tail: _*).head // FanOut: see olsFit2
     val n = row.getAs[Double]("n")
     val s = cols.map(c => row.getAs[Double](s"s_$c"))
     def raw(i: Int, j: Int) =

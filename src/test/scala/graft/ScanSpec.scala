@@ -1045,6 +1045,52 @@ class ScanSpec extends AnyFunSuite {
       "releaseRetained must drain the per-call persists")
   }
 
+  test("adaptive persistSorted default: flips ON past the size threshold, " +
+       "stays OFF below it, explicit Some(false) still wins (r21)") {
+    assume(!sys.env.contains("SPARK_GRAFT_SCAN_PERSIST"),
+      "env override set - adaptive default not reachable")
+    val rows = (0 until 200).map { i =>
+      Row(i.toLong, 0, i % 7, (i % 11).toDouble, null, null)
+    }.toList
+    // LocalRelation-backed frame: the auto gate reads the optimizer's
+    // size estimate, and an RDD-backed frame (Df.fromRows) reports the
+    // stats-less Long.MaxValue fallback, which the gate deliberately
+    // treats as OFF (an unknown size must not trigger a cache)
+    val df = new Df(spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema))
+    val sc = spark.sparkContext
+    val key = "spark.graft.scan.persistAutoBytes"
+    Df.releaseRetained(); spark.catalog.clearCache()
+    val before = sc.getPersistentRDDs.size
+    try {
+      // threshold below any real frame: None must take the persist path
+      spark.conf.set(key, "1")
+      val on = df.scanKeyless(Seq("id"))(_.cumsum("v", "cs"))
+      val onRows = byId(on, "cs")
+      assert(sc.getPersistentRDDs.size > before,
+        "auto default must persist when the size estimate >= threshold")
+      // explicit Some(false) beats the auto-ON decision
+      Df.releaseRetained()
+      val forcedOff = df.scanKeyless(Seq("id"),
+        persistSorted = Some(false))(_.cumsum("v", "cs"))
+      val forcedRows = byId(forcedOff, "cs")
+      assert(sc.getPersistentRDDs.size == before,
+        "explicit Some(false) must override the auto-ON default")
+      // threshold above any real frame: None must take the re-fetch path
+      spark.conf.set(key, Long.MaxValue.toString)
+      val off = df.scanKeyless(Seq("id"))(_.cumsum("v", "cs"))
+      val offRows = byId(off, "cs")
+      assert(sc.getPersistentRDDs.size == before,
+        "auto default must not persist below the threshold")
+      assert(onRows == offRows && forcedRows == offRows,
+        "results must be identical on every side of the gate")
+    } finally {
+      spark.conf.unset(key)
+      Df.releaseRetained()
+    }
+  }
+
   test("scanKeyless diff widens byte/short like Df.diff") {
     val sch = StructType(Seq(
       StructField("id", LongType, nullable = false),
