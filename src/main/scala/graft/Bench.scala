@@ -168,18 +168,25 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fileLine + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
-    // the driver's stdout capture keeps only the LAST ~2000 chars, so
-    // the full per-query line above has had its head cut off in every
-    // round's root BENCH_rNN.json ("parsed": null, VERDICT r18 item 3).
-    // Print a LAST line small enough to survive the tail window: all
-    // headline fields + calibration timeline, per-query detail pointed
-    // at by detail_file (committed under bench_artifacts/). Tagged
-    // "total_summary", NOT "total": two same-tag lines made any
-    // grep-for-marker tooling nondeterministic (ADVICE r19). Combined
-    // with build.sbt's StdoutOutput + showSuccess:=false this line is
-    // now the literal last line of the sbt run's stdout, bare JSON.
+    // Print a LAST line with all headline fields + calibration timeline,
+    // per-query detail pointed at by detail_file (committed under
+    // bench_artifacts/). Tagged "total_summary", NOT "total": two
+    // same-tag lines made any grep-for-marker tooling nondeterministic
+    // (ADVICE r19). Combined with build.sbt's StdoutOutput +
+    // showSuccess:=false this line is the literal last line of the sbt
+    // run's stdout, bare JSON. r22 (VERDICT r21 item 2): the line now
+    // ALSO carries the per-query seconds map — PERF_r21's per_query and
+    // scaling blocks were empty because the parsed summary held only
+    // suite totals and target/bench.json is overwritten per run. Values
+    // are rounded to 0.1 ms to keep the line compact (271 entries);
+    // failed queries stay out of the map (a failure latency is not a
+    // timing — the r9 incident), listed in "failed" instead.
+    val qsCompact = ok.map { case (k, v, _) =>
+      jstr(k) + ":" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"total_summary","value":$total,"unit":"sec",""" +
-      s""""sf":"$sfDir","n_ok":${ok.size},"n_failed":${failed.size},""" +
+      s""""queries":$qsCompact,"sf":"$sfDir",""" +
+      s""""n_ok":${ok.size},"n_failed":${failed.size},"failed":$fs,""" +
       s""""detail_file":${jstr(out)},$splitJson,$calJson}""")
     spark.stop()
     if (failed.nonEmpty) {

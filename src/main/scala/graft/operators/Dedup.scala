@@ -177,19 +177,74 @@ object Dedup {
     * subtrees in practice (r21 measured both sides materializing their
     * own explode+exchange+window on every pairs query — separate
     * TableCacheQueryStages break the parents' canonical equality), and
-    * the hash aggregate replaces the window's sort outright. Per-group
-    * state is bounded by `maxBucket` × the payload width — keep the
+    * the hash aggregate replaces the window's sort outright. Keep the
     * payload to the id plus a few scalar columns (set sizes,
     * signatures); fat payloads (vectors, shingle arrays) stay on the
     * join formulation. Pair volume is identical to the join's (b² per
-    * bucket, quadratic work confined to capped buckets). */
+    * bucket, quadratic work confined to capped buckets).
+    *
+    * Hot-key pre-filter (r22, VERDICT r21 #1): the r21 formulation
+    * capped buckets AFTER collect_list had accumulated the whole bucket,
+    * so one pathological key (degenerate band, stop-word prefix shingle)
+    * meant an unbounded, unspillable per-group buffer — the cap
+    * protected pair volume but not executor memory. Over-cap keys are
+    * now dropped BEFORE any per-group buffer forms, by one of two
+    * result-identical pre-filters behind the repo's scale-gate
+    * convention (USAGE.md "Scale gates" — planning-time size estimate,
+    * conf-overridable, identical rows either side; DedupSpec pins the
+    * two paths differentially):
+    *
+    *  - small index (optimizer estimate < `spark.graft.dedup.
+    *    pairsPrecountBytes`, default 16 MiB): a window count over the
+    *    SAME bucket-key partitioning the aggregation needs — no extra
+    *    exchange, no extra query stage; the window buffers each bucket
+    *    in a spillable ExternalAppendOnlyUnsafeRowArray, so even a
+    *    pathological bucket spills instead of OOMing. The in-stage sort
+    *    is cheap while the index is small (r22 measured the 12-query
+    *    sf0.1 family at 16.9 s window vs 19.4 s anti-join — the
+    *    anti-join's extra serial AQE stage per query dominates at small
+    *    SF).
+    *  - large or stats-less index: a per-key count aggregate over the
+    *    shared bucket-key exchange feeds a broadcast ANTI join (the
+    *    over-cap key set is tiny by construction — one row per key
+    *    whose bucket exceeds maxBucket; null-safe equality keeps a
+    *    null-key bucket under the same cap contract groupBy gives it).
+    *    No data-scaled sort anywhere: raw rows shuffle once and the
+    *    collect_list fallback sort runs once, reduce-side (r22 measured
+    *    the 5-query sf1 family at 20.0 s anti vs 23.9 s window — the
+    *    window's full-index sort scales with data, the anti-join's
+    *    stage overhead does not).
+    *
+    * Same buckets dropped on both paths as the r21 size()-filter
+    * (pre-count == collected size) — results identical; AQE's
+    * empty-relation propagation erases the anti join at runtime when no
+    * bucket is over cap. */
   private def bucketPairs(index: DataFrame, keyCols: Seq[String],
                           idCol: String, payload: Seq[String],
                           maxBucket: Int): DataFrame = {
+    val kc = keyCols.map(col)
+    val sz = index.queryExecution.optimizedPlan.stats.sizeInBytes
+    val thresh = BigInt(index.sparkSession.conf
+      .get("spark.graft.dedup.pairsPrecountBytes", (16L << 20).toString))
+    if (sys.env.contains("SPARK_GRAFT_DEBUG_PAIRS"))
+      System.err.println(s"[bucketPairs] keys=$keyCols estBytes=$sz thresh=$thresh")
+    val statsKnown = sz < BigInt(Long.MaxValue) / 2
+    val keep = if (statsKnown && sz < thresh) {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(kc: _*)
+      index.withColumn("__bn", count(lit(1)).over(w))
+        .where(col("__bn") <= maxBucket).drop("__bn")
+    } else {
+      val shuffled = index.repartition(kc: _*)
+      val overCap = shuffled.groupBy(kc: _*)
+        .agg(count(lit(1)).as("__bc"))
+        .where(col("__bc") > maxBucket)
+        .select(keyCols.map(k => col(k).as(s"__oc_$k")): _*)
+      shuffled.join(overCap,
+        keyCols.map(k => col(k) <=> col(s"__oc_$k")).reduce(_ && _), "left_anti")
+    }
     val fields = (idCol +: payload).map(col)
-    index.groupBy(keyCols.map(col): _*)
+    keep.groupBy(kc: _*)
       .agg(collect_list(struct(fields: _*)).as("__ms"))
-      .where(size(col("__ms")) <= maxBucket)
       .select(explode(col("__ms")).as("__a"), col("__ms"))
       .select(col("__a"), explode(col("__ms")).as("__b"))
       .where(col("__a")(idCol) < col("__b")(idCol))
@@ -392,8 +447,12 @@ object Dedup {
     // reference. Materialize it once (the classic "build the LSH index
     // once" pattern; spilled to disk beyond memory); released via the
     // file's attach contract (`unpersistIntermediates` after the action).
-    val shingles = shingleTable(docs, textCol, idCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Barrier like the sibling operators (ADVICE r21): without it the
+    // three consumer subtrees materialize the shingle pipeline
+    // concurrently under AQE before the cache exists.
+    val shingles = Materialize.barrier(
+      shingleTable(docs, textCol, idCol, shingleN)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // explode to one row per band — candidates collide on (band, key).
     // Only (id, band, key) flows into the bucket aggregation; the
     // shingle arrays are re-joined onto the (much smaller) deduped

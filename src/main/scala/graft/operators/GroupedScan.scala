@@ -224,9 +224,12 @@ object GroupedScan {
     // OFF: an unknown size must not trigger a corpus-sized cache.
     val persistOn = persistSorted.getOrElse(
       sys.env.get("SPARK_GRAFT_SCAN_PERSIST") match {
-        case Some("1") => true
-        case Some("0") => false
-        case _ =>
+        // any SET value other than "1" means OFF — the pre-r21 contract
+        // was .contains("1"), so e.g. "true"/"" must not silently fall
+        // through to the adaptive gate (ADVICE r21); adaptive is for
+        // the UNSET case only
+        case Some(v) => v == "1"
+        case None =>
           val sz = df.queryExecution.optimizedPlan.stats.sizeInBytes
           sz < BigInt(Long.MaxValue) / 2 &&
             sz >= BigInt(df.sparkSession.conf

@@ -1303,6 +1303,37 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats.max == 6) // hot bucket visible to the auditing helper
   }
 
+  test("bucketPairs pre-filter gate: window and anti-join paths identical") {
+    // r22 scale gate (spark.graft.dedup.pairsPrecountBytes): below the
+    // threshold the hot-bucket pre-filter is an in-stage window count,
+    // above it a count-aggregate + broadcast anti-join. Both must drop
+    // exactly the over-cap buckets and emit identical pairs — pinned
+    // differentially on a corpus with one over-cap clique (5 identical
+    // docs > maxBucket=4), surviving near-dups, and an unrelated doc.
+    val docs = ((1 to 5).map(i => i.toLong -> "a b c d e f g h i j") ++
+      Seq(20L -> "k l m n o p q r s t", 21L -> "k l m n o p q r s u",
+        30L -> "zz yy xx ww vv uu tt ss rr qq")).toSeq
+    val d = mkDocs(docs: _*)
+    val key = "spark.graft.dedup.pairsPrecountBytes"
+    def run(thresh: String): Seq[String] = {
+      spark.conf.set(key, thresh)
+      try {
+        Seq(Dedup.minhashPairs(d, "text", "doc_id",
+              minJaccard = 0.3, maxBucket = 4),
+            Dedup.simhashPairs(d, "text", "doc_id", maxBucket = 4),
+            Dedup.ngramJaccardPairs(d, "text", "doc_id", n = 3,
+              minJaccard = 0.3, maxBucket = 4))
+          .map(_.sdf.collect().map(_.toString).sorted.mkString("|"))
+      } finally spark.conf.unset(key)
+    }
+    val win = run(Long.MaxValue.toString) // everything below → window path
+    val anti = run("0")                   // everything above → anti path
+    assert(win == anti)
+    // the cap did something on both paths: the 5-clique pairs are gone
+    assert(!win.head.contains("[1,2,")) // no pair within the dropped clique
+    assert(win.head.nonEmpty)           // 20-21 near-dup pair survives
+  }
+
   test("frameSamplePlan offsets equal the stub sampler's, per media") {
     val docs = Df.readParquet(spark, s"$sf/documents.parquet")
     val media = Multimodal.packMedia(
