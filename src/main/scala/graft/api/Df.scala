@@ -962,6 +962,22 @@ final class Df(val sdf: DataFrame, val indexCol: Option[String] = None) {
     require(how == "inner" || how == "left",
       s"saltedJoin supports how=inner|left (got '$how'): the right side is " +
         "replicated per salt, which would duplicate unmatched right rows")
+    // Skew-salting breaks up reduce-side hot keys of a SHUFFLED join —
+    // when the right side's optimizer estimate fits the session's
+    // broadcast threshold the planner broadcasts it and nothing
+    // shuffles, so there is no reduce skew for the salt to break and
+    // the ×salt replication only multiplies the broadcast build (r22
+    // ProfileQ, q91: the 8×-exploded build dominated the query as
+    // driver/broadcast time, guide §2.2/§3.1). The salt only ever
+    // changes partitioning, never rows (the operator's documented
+    // contract), so the gate is row-identical on both sides: plain join
+    // below, salted shuffle join above — exactly where skew can exist.
+    // An unknown estimate (stats-less plan) stays on the salted path.
+    val bcThresh = sdf.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val rSize = right.sdf.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bcThresh >= 0 && rSize < BigInt(Long.MaxValue) / 2 &&
+        rSize <= BigInt(bcThresh))
+      return derived(sdf.join(right.sdf, on, how)).inheriting(right)
     val l = sdf.withColumn("__salt",
       pmod(hash(on.map(sdf(_)) :+ monotonically_increasing_id(): _*), lit(salt)))
     val r = right.sdf.withColumn("__salt",

@@ -781,7 +781,15 @@ object Curation {
     require(groupCols.nonEmpty, "standardizeBy: need at least one group column")
     val out = if (outCol.isEmpty) s"${valueCol}_z" else outCol
     val v = col(valueCol)
-    val stats = df.sdf.groupBy(groupCols.map(col): _*).agg(
+    // both passes (decimal-moment stats + the zscore projection) are
+    // CPU-heavy per row and otherwise run at the file scan's partition
+    // count (r22 ProfileQ, q180: both stages on 3 tasks, ~0.7 s each) —
+    // FanOut redistributes only when a purely-narrow scan is materially
+    // below the session's parallelism, a planning no-op at real scale
+    // (guide §2.5); the two consumers share the fanned exchange via AQE
+    // stage reuse.
+    val base = FanOut(df.sdf)
+    val stats = base.groupBy(groupCols.map(col): _*).agg(
       count(v).as("__n"),
       sum(v.cast("decimal(18,2)")).cast("double").as("__s1"),
       sum((v * v).cast("decimal(28,4)")).cast("double").as("__s2"))
@@ -794,7 +802,7 @@ object Curation {
     val varS = when(col("__n") >= 2,
       (col("__s2") - col("__s1") * col("__s1") / col("__n")) /
         (col("__n") - 1))
-    new Df(df.sdf.join(broadcast(stats), groupCols)
+    new Df(base.join(broadcast(stats), groupCols)
       .withColumn(out, when(varS > 0, round((v - mean) / sqrt(varS), 6)))
       .drop("__n", "__s1", "__s2"))
   }

@@ -83,8 +83,13 @@ object Graphs {
       .select(col("__src"), col("__dst"),
         (col("__w").cast("double") / col("__ow")).as("__frac"))
       .repartition(col("__src")).persist(lvl)
-    val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst"))).distinct().persist(lvl)
+    // nodes from the PERSISTED eNorm (src ∪ dst survive the weight
+    // aggregation unchanged), via one in-row explode — r22: the old
+    // union-of-two-selects over `e` re-ran the caller's whole edge
+    // pipeline once per union arm, and the count() below now doubles as
+    // the eNorm cache barrier (one upstream pass materializes both).
+    val nodes = eNorm.select(explode(array(col("__src"), col("__dst")))
+      .as("node")).distinct().persist(lvl)
     val n = nodes.count()
     val teleport = (1 - damping) / n
     // same 0-disables contract as the other two scale gates (USAGE.md
@@ -95,47 +100,67 @@ object Graphs {
     // identical arithmetic on both paths (the SQL oracle mirrors it):
     // only the JOIN STRATEGY and materialization cadence differ, so the
     // decimal-summed contributions are bit-identical across the gate.
-    def step(rank: DataFrame): DataFrame = {
-      val r = if (bcast) broadcast(rank) else rank
-      val contrib = eNorm.join(r, eNorm("__src") === r("node"))
-        .select(col("__dst"),
-          (col("rank") * col("__frac")).cast("decimal(28,16)").as("__c"))
+    //
+    // r22: the loop passes the inbound-contribution table (__dst, __in)
+    // instead of the rank table. rank(v) = teleport + d·coalesce(in, 0)
+    // for EVERY node, so the edge join computes the source rank INLINE
+    // (same double expression, same order — bit-identical) and the old
+    // per-iteration rank materialization (nodes ⟕ contrib, plus its own
+    // broadcast in the gated mode) drops out of the loop entirely: one
+    // |V|-row join per iteration instead of two, one broadcast instead
+    // of two. Danglers never feed the edge join (no out-edges) and
+    // src-only nodes hit the coalesce(0) arm — both exactly as the old
+    // rank table carried them; the single nodes ⟕ contrib join now runs
+    // once, at the end, where dangler/teleport-only ranks are actually
+    // emitted. Round 1 uses the uniform rank 1/n directly (no join).
+    def contribStep(prev: Option[DataFrame]): DataFrame = {
+      val withRank = prev match {
+        case None => eNorm.withColumn("__rank", lit(1.0 / n))
+        case Some(c0) =>
+          val c = (if (bcast) broadcast(c0) else c0)
+            .select(col("__dst").as("__cn"), col("__in"))
+          eNorm.join(c, eNorm("__src") === col("__cn"), "left")
+            .withColumn("__rank",
+              lit(teleport) + lit(damping) * coalesce(col("__in"), lit(0.0)))
+      }
+      withRank.select(col("__dst"),
+          (col("__rank") * col("__frac")).cast("decimal(28,16)").as("__c"))
         .groupBy(col("__dst")).agg(sum(col("__c")).cast("double").as("__in"))
-      val c = if (bcast) broadcast(contrib) else contrib
-      nodes.join(c, nodes("node") === c("__dst"), "left")
-        .select(col("node"),
-          (lit(teleport) + lit(damping) * coalesce(col("__in"), lit(0.0)))
-            .as("rank"))
     }
 
     // BOTH modes chain `chainDepth` steps into one lazy plan and cut the
     // chain with a persisted materialization (a ≤8-iteration run stays
     // one unmaterialized plan end-to-end — ONE Catalyst pass, one job).
-    // The modes differ only in `step`'s join strategy: below the gate
-    // the rank/contribution tables broadcast; above it they shuffle to
-    // meet the src-partitioned eNorm (reused layout, no exchange on the
-    // persisted side) and the dst-keyed aggregation feeds the final
-    // nodes join exchange-free (both sides dst/node-partitioned). The
-    // pre-r18 shuffle mode materialized EVERY iteration (persist+count,
-    // 2 driver actions each) — pure driver-latency overhead with no
-    // memory benefit over the rotating cut: only the LATEST cut stays
-    // persisted; once the next cut's count() completes the previous one
-    // is dead and unpersisted. chainDepth bounds optimizer time and
-    // lineage on both paths.
+    // The modes differ only in the join strategy: below the gate the
+    // contribution table broadcasts into the edge join; above it the
+    // dst-aggregated contributions are already hash-partitioned on the
+    // join key, so the src-partitioned persisted eNorm joins them with
+    // no exchange on either side and only the dst-keyed partial+final
+    // sum shuffles per iteration. The pre-r18 shuffle mode materialized
+    // EVERY iteration (persist+count, 2 driver actions each) — pure
+    // driver-latency overhead with no memory benefit over the rotating
+    // cut: only the LATEST cut stays persisted; once the next cut's
+    // count() completes the previous one is dead and unpersisted.
+    // chainDepth bounds optimizer time and lineage on both paths.
     val chainDepth = 8
-    var rank = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    var contrib: Option[DataFrame] = None
     var prevCut: Option[DataFrame] = None
     for (i <- 1 to iterations) {
-      rank = step(rank)
+      contrib = Some(contribStep(contrib))
       if (i % chainDepth == 0 && i < iterations) {
-        val cut = rank.persist(lvl)
+        val cut = contrib.get.persist(lvl)
         cut.count()
         prevCut.foreach(_.unpersist())
         prevCut = Some(cut)
-        rank = cut
+        contrib = Some(cut)
       }
     }
-    val result = rank.select(col("node"), round(col("rank"), 8).as("rank"))
+    val last = contrib.get
+    val lastC = if (bcast) broadcast(last) else last
+    val result = nodes.join(lastC, nodes("node") === lastC("__dst"), "left")
+      .select(col("node"),
+        round(lit(teleport) + lit(damping) * coalesce(col("__in"), lit(0.0)), 8)
+          .as("rank"))
     if (bcast) {
       // below the gate the whole ≤chainDepth-step recurrence is one
       // cheap broadcast-join plan; lazy return lets a single-action

@@ -215,11 +215,17 @@ object GroupedScan {
     // the bench A/B knob keeps working unchanged.
     // ADAPTIVE default (r21): when neither the call nor the env chose,
     // flip ON once the optimizer's size estimate for the scan input
-    // crosses `spark.graft.scan.persistAutoBytes` (default 2 GiB). The
-    // r20 100M-row A/B measured the crossover: caching the sorted
-    // partitions beats pass 2's shuffle re-fetch + re-sort by ~1.8x at
-    // 100M rows (~4.5 GB sorted) and is a wash at 50M (~2.2 GB) —
-    // BENCHLOG r20 — so the threshold sits at the band's lower edge.
+    // crosses `spark.graft.scan.persistAutoBytes`. The r20 100M-row A/B
+    // measured the crossover: caching the sorted partitions beats pass
+    // 2's shuffle re-fetch + re-sort by ~1.8x at 100M rows (~4.5 GB
+    // sorted) and is a wash at 50M (~2.2 GB) — BENCHLOG r20. Default
+    // 1.5 GiB (r22): the r21 default of 2 GiB was set against ACTUAL
+    // sorted bytes, but the gate reads the optimizer's ESTIMATE, which
+    // ran ~2.0 GB for the measured 100M win case (Range stats + width
+    // scaling undercount real row footprint) — the end-to-end probe
+    // (BENCHLOG r22) showed auto staying OFF exactly where ON wins
+    // 1.2x and halves shuffle read. 1.5 GiB keeps the 50M wash case
+    // (~1.0 GB estimate) OFF and engages the measured win band.
     // Stats-less plans (sizeInBytes at the Long.MaxValue fallback) stay
     // OFF: an unknown size must not trigger a corpus-sized cache.
     val persistOn = persistSorted.getOrElse(
@@ -233,7 +239,7 @@ object GroupedScan {
           val sz = df.queryExecution.optimizedPlan.stats.sizeInBytes
           sz < BigInt(Long.MaxValue) / 2 &&
             sz >= BigInt(df.sparkSession.conf
-              .get("spark.graft.scan.persistAutoBytes", (2L << 30).toString)
+              .get("spark.graft.scan.persistAutoBytes", (3L << 29).toString)
               .toLong)
       })
     val rdd = {

@@ -133,8 +133,15 @@ object Quality {
       (dupN >= 1, s"dupN must be >= 1: $dupN"))
     val charsOf = (arr: Column) =>
       aggregate(arr, lit(0L), (a, x) => a + length(x))
-    val tokTab = Materialize.barrier(docs.sdf.select(col(idCol).as("__id"),
-      tokens(col(textCol)).as("__toks"), split(col(textCol), "\n").as("__lines"))
+    // FanOut before the persist (r22): the cached table inherits the
+    // scan's partitioning, so on a one-row-group corpus file EVERY
+    // consumer pass (gram explode + argmax, window hashing, posexplode)
+    // ran single-task over the cache (ProfileQ q145: two ~0.9 s 1-task
+    // stages while 32 cores idled); a planning no-op once the scan has
+    // real row-group parallelism (guide §2.5).
+    val tokTab = Materialize.barrier(FanOut(docs.sdf)
+      .select(col(idCol).as("__id"),
+        tokens(col(textCol)).as("__toks"), split(col(textCol), "\n").as("__lines"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     val toks = col("__toks")

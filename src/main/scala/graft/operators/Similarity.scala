@@ -793,6 +793,11 @@ object Similarity {
     // order the oracle replays
     val m2 = (for (i <- 0 until d; j <- 0 until d)
       yield centered(i) * lit(inv(i)(j)) * centered(j)).reduce(_ + _)
+    // NOT fanned out (r22 counter-experiment): FanOut on this scoring
+    // pass measured 1.48 -> 1.55 s on q260 — callers typically filter
+    // the scored frame (q260 keeps 5%), the filter pushes below the
+    // added exchange's map side anyway, and the d² multiply-adds per
+    // row are too cheap to amortize the round-robin shuffle.
     new Df(df.sdf.select((idCols ++ cols).map(col) :+
       (round(when(fullyFinite(asVec), m2), 6) + lit(0.0)).as(out): _*))
   }

@@ -181,8 +181,13 @@ object TextAnalytics {
     * table the caller must attach via `retaining`) */
   private def unigramNllCore(docs: Df, textCol: String, idCol: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    // FanOut like the sibling shingle/ngram paths (r22): the tokenize
+    // explode AND every downstream read of the persisted token table
+    // otherwise run at the raw scan's partition count (ProfileQ q152:
+    // the barrier count and the freq/scored aggregates all single-task
+    // on a one-row-group corpus file while 32 cores idled; guide §2.5)
     val toks = Materialize.barrier(
-      docs.sdf.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      FanOut(docs.sdf).select(col(idCol), explode(tokens(col(textCol))).as("t"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("ct"))
     val total = toks.agg(count(lit(1)).as("total"))

@@ -137,6 +137,16 @@ class SemanticsSpec extends AnyFunSuite {
     val plain = li.merge(o, on = Seq("l_orderkey"), how = "inner").count()
     val salted = li.saltedJoin(o, Seq("l_orderkey"), "inner", salt = 8).count()
     assert(plain == salted)
+    // r22 broadcast gate: with auto-broadcast disabled the SALTED path
+    // must engage (no broadcast → reduce skew possible) and still match
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val forced = li.saltedJoin(o, Seq("l_orderkey"), "inner", salt = 8)
+      assert(forced.sdf.queryExecution.analyzed.toString.contains("__salt"))
+      assert(forced.count() == plain)
+    } finally spark.conf.set(key, saved)
   }
 
   test("pivotTable spreads explicit values into static columns") {
